@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration.
+  *
+  * Design notes (100 TB posture): every setting here is cluster-safe — AQE
+  * re-plans shuffles at runtime (skew-join splitting, partition coalescing),
+  * shuffle partitions default to the local core count but would be raised to
+  * ~2–3× total cluster cores on a real deployment, and the RocksDB state
+  * store (the Spark-native replacement for the reference's entire
+  * `wf/persistent/` RocksDB family, cf. /root/reference/wf/persistent/
+  * db_handle.hpp:54) keeps streaming state off-heap and spillable.
+  */
+object GraftSession {
+
+  /** Confs every Graft session needs, merged into a user-supplied builder. */
+  def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // The driver's events table carries parquet TIMESTAMP(NANOS), which
+      // Spark only reads as raw Long nanoseconds (SPARK-40819). All
+      // event-time arithmetic in this engine is done on int64 nanoseconds,
+      // which is also exactly what DuckDB's epoch_ns() yields — so oracle
+      // comparisons are integer-exact.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Streaming state at scale: RocksDB provider == the reference's P_*
+      // operator family as pure configuration.
+      .config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = configure(
+      SparkSession.builder().master(s"local[$cores]").appName("graft"),
+      shufflePartitions = cores
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Make an externally-created session (e.g. the driver's) Graft-ready.
+    * Only runtime-settable confs can be applied here.
+    */
+  def adopt(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+}

@@ -1,0 +1,48 @@
+package graft.oracle
+
+/** DuckDB SQL fragments that are value-exact mirrors of
+  * [[graft.functions.GraftFunctions]]. The driver's correctness gate runs
+  * `SparkEntry.oracleSql` through DuckDB and hash-compares with the Spark
+  * result, so each fragment here must produce bit-identical values to its
+  * Spark twin:
+  *   - integers/strings: trivially exact;
+  *   - md5 hex: identical in both engines;
+  *   - doubles: both sides do the same double ops in the same order
+  *     (in-order left folds), so IEEE results are identical;
+  *   - money aggregates: both sides sum in DECIMAL (exact, order-free) and
+  *     cast the final value to DOUBLE.
+  */
+object DuckSql {
+
+  /** 60-bit md5-prefix hash == GraftFunctions.hash60. */
+  def hash60(expr: String): String =
+    s"list_reduce(list_transform(range(1,16), i -> " +
+      s"strpos('0123456789abcdef', substr(md5(CAST(($expr) AS VARCHAR)), CAST(i AS INT), 1)) - 1), " +
+      s"(a,b) -> a*16+b)"
+
+  def hash60Seeded(seed: Int, expr: String): String =
+    hash60(s"'$seed' || ':' || CAST(($expr) AS VARCHAR)")
+
+  /** Lowercased whitespace tokens, empties removed == GraftFunctions.tokens. */
+  def tokens(expr: String): String =
+    s"list_filter(string_split_regex(lower($expr), '\\s+'), t -> t <> '')"
+
+  /** Distinct word n-gram shingles == GraftFunctions.wordShingles.
+    * `t` must be a column name holding the token list (lambdas capture it).
+    */
+  def wordShingles(t: String, n: Int): String = {
+    val gram = (0 until n).map(j => s"$t[CAST(i+${j + 1} AS INT)]").mkString(" || ' ' || ")
+    s"CASE WHEN len($t) >= $n THEN list_distinct(" +
+      s"list_transform(range(0, len($t) - ${n - 1}), i -> $gram)) " +
+      s"ELSE CAST([] AS VARCHAR[]) END"
+  }
+
+  /** Exact in-order cosine == GraftFunctions.cosine. */
+  def cosine(a: String, b: String): String = {
+    def fold(l: String) = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $l), (acc, x) -> acc + x)"
+    val dot = fold(s"list_transform(range(1, len($a)+1), i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE))")
+    val na = fold(s"list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    val nb = fold(s"list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    s"($dot) / (sqrt($na) * sqrt($nb))"
+  }
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Joins.
+  *
+  * The reference's only join is the two-stream event-time `Interval_Join`
+  * (/root/reference/wf/interval_join.hpp:279-307): for an A-tuple at time t,
+  * match B-tuples with ts in `[t+lower, t+upper]` (inclusive, bounds may be
+  * negative), emit a projection with output ts = max of the two sides
+  * (wf/interval_join.hpp:306). Its KP/DP modes (builders.hpp:1500,1520) are
+  * physical data-distribution choices with identical results — in Spark the
+  * distribution is Catalyst's problem (hash partitioning on the key), so one
+  * logical operator covers both; the spec asserts KP/DP-style repartitioned
+  * variants agree.
+  *
+  * Everything else here (equi/broadcast/semi/anti) is the analytic join
+  * surface the reference does not have (SURVEY §2.5 "free in Spark").
+  *
+  * Scale notes: the interval join is an equi-join on the key with a range
+  * post-filter — Catalyst plans a hash/sort-merge join on `user_id`, no
+  * cartesian anywhere. `join_broadcast` pins the small dimension side with
+  * `broadcast()` so the 100 TB fact scan never shuffles.
+  */
+object JoinQueries {
+
+  private val JoinBoundUs = 30L * Q.MinuteUs
+
+  def all: Seq[Q] = Seq(
+    Q("interval_join",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr(Q.TsUsSpark).as("ts_us"), col("value"))
+        val a = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("a_id"), col("user_id"),
+            col("ts_us").as("a_ts"), col("value").as("a_value"))
+        val b = e.filter(col("event_type") === "click")
+          .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+            col("ts_us").as("b_ts"), col("value").as("b_value"))
+        a.join(b, col("user_id") === col("b_user") &&
+            col("b_ts") >= col("a_ts") - JoinBoundUs &&
+            col("b_ts") <= col("a_ts") + JoinBoundUs)
+          .select(col("a_id"), col("b_id"), col("user_id"),
+            greatest(col("a_ts"), col("b_ts")).as("out_ts_us"),
+            (col("a_value") + col("b_value")).as("pair_value"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""
+        WITH e AS (SELECT event_id, user_id, event_type, ${Q.TsUsDuck} AS ts_us, value FROM events)
+        SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id AS user_id,
+               greatest(a.ts_us, b.ts_us) AS out_ts_us,
+               a.value + b.value AS pair_value
+        FROM e a JOIN e b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'purchase' AND b.event_type = 'click'
+         AND b.ts_us BETWEEN a.ts_us - $JoinBoundUs AND a.ts_us + $JoinBoundUs
+        ORDER BY a_id, b_id""")),
+
+    Q("join_equi",
+      (s, dir) => Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)").as("revenue"))
+        .orderBy("c_mktsegment"),
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    Q("join_broadcast",
+      (s, dir) => Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter(col("p_size") < 15)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          expr("CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)").as("sum_qty"))
+        .orderBy("p_brand"),
+      Some("""
+        SELECT p_brand, COUNT(*) AS n_items,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size < 15 GROUP BY p_brand ORDER BY p_brand""")),
+
+    Q("join_semi",
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_totalprice") > 200000.0),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey"),
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+        ORDER BY c_custkey""")),
+
+    Q("join_anti",
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_totalprice") > 300000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey"),
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        ORDER BY c_custkey"""))
+  )
+}

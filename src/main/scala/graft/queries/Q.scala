@@ -1,0 +1,25 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable operator query: a Spark implementation plus (where the
+  * semantics are ANSI-SQL-expressible) an exact DuckDB oracle. The driver
+  * hash-compares both at sf0.01 (see SparkEntry / Verify).
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  /** Events time convention: DuckDB reads the parquet TIMESTAMP(NANOS)
+    * column truncated to microseconds, Spark reads it as raw Long nanos
+    * (nanosAsLong). `ts div 1000` (Spark) == `epoch_us(ts)` (DuckDB),
+    * integer-exact. All window/join arithmetic runs on int64 microseconds.
+    */
+  val TsUsSpark = "ts div 1000"
+  val TsUsDuck = "epoch_us(ts)"
+
+  val HourUs: Long = 3600L * 1000000L
+  val MinuteUs: Long = 60L * 1000000L
+}
