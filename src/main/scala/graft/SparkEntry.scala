@@ -12,7 +12,7 @@ import graft.queries._
 object SparkEntry {
 
   private def registry: Seq[Q] =
-    RelationalQueries.all ++ JoinQueries.all ++ WindowQueries.all
+    RelationalQueries.all ++ JoinQueries.all ++ WindowQueries.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,169 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.GraftFunctions._
+
+/** Deduplication operators for training-data pipelines (north-star extras,
+  * SURVEY §7 M9): exact, MinHash+LSH, SimHash, n-gram Jaccard, plus
+  * embedding-cosine near-dup in [[graft.similarity.Embeddings]].
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - exact dedup shuffles a 60-bit digest, never the document bytes;
+  *  - MinHash/LSH is shingle→signature→band→bucket-join: candidate
+  *    generation moves only (id, band, bandsig) triples, and the
+  *    exact-verify join touches candidate pairs only;
+  *  - SimHash reduces each doc to one int64 before any wide shuffle;
+  *    banding (4×15 bits) finds hamming neighbors without all-pairs;
+  *  - n-gram Jaccard joins on an inverted index with a document-frequency
+  *    cap on the key — the standard guard against quadratic blowup on
+  *    ubiquitous grams.
+  *
+  * Everything is hash-checkable against DuckDB: signatures and buckets are
+  * integers from the portable [[graft.functions.GraftFunctions.hash60]];
+  * jaccard doubles are exact integer ratios.
+  */
+object Dedup {
+
+  /** Exact dedup: representative (min id) per identical-text group.
+    * Output: (id, rep_id). One shuffle on the digest.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      min(col(idCol)).over(Window.partitionBy(md5(col(textCol)))).as("rep_id"))
+
+  /** (id, gram): exploded distinct word n-gram shingles. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), explode(wordShingles(col(textCol), n)).as("gram"))
+
+  /** MinHash signatures (id, perm, minh), h_p(g) = hash60(p ':' g). */
+  def minhashSignatures(sh: DataFrame, idCol: String, k: Int): DataFrame =
+    sh.withColumn("perm", explode(sequence(lit(0), lit(k - 1))))
+      .groupBy(col(idCol), col("perm"))
+      .agg(min(hash60(concat(col("perm").cast("string"), lit(":"), col("gram")))).as("minh"))
+
+  /** LSH band signatures (id, band, bandsig). The band signature is an
+    * order-insensitive exact combine: sum of hash60(rowpos ':' minh),
+    * bounded by rowsPerBand·2^60 < 2^63.
+    */
+  def lshBands(sig: DataFrame, idCol: String, rowsPerBand: Int): DataFrame =
+    sig.select(col(idCol), expr(s"perm div $rowsPerBand").as("band"),
+        hash60(concat(expr(s"perm % $rowsPerBand").cast("string"), lit(":"),
+          col("minh").cast("string"))).as("rh"))
+      .groupBy(col(idCol), col("band"))
+      .agg(sum(col("rh")).as("bandsig"))
+
+  /** Candidate pairs (a_id < b_id) colliding in ≥1 LSH band. */
+  def lshCandidates(bands: DataFrame, idCol: String): DataFrame =
+    bands.select(col(idCol).as("a_id"), col("band"), col("bandsig"))
+      .join(bands.select(col(idCol).as("b_id"), col("band"), col("bandsig")),
+        Seq("band", "bandsig"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+
+  /** Exact jaccard verification of candidate pairs against the shingle
+    * inverted index. Output: (a_id, b_id, jaccard) with jaccard ≥ threshold.
+    */
+  def verifyJaccard(cand: DataFrame, sh: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col(idCol).as("a_id"), col("gram")), "a_id")
+      .join(sh.select(col(idCol).as("b_id"), col("gram")), Seq("b_id", "gram"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col(idCol).as("b_id"), col("n").as("nb")), "b_id")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Full MinHash+LSH near-dup pipeline → verified pairs. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numPerms: Int = 12, rowsPerBand: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleN)
+    val cand = lshCandidates(
+      lshBands(minhashSignatures(sh, idCol, numPerms), idCol, rowsPerBand), idCol)
+    verifyJaccard(cand, sh, idCol, threshold)
+  }
+
+  /** 60-bit SimHash per doc from token hashes (with multiplicity): bit j is
+    * set iff strictly more token-hashes have bit j set than clear.
+    * Output: (id, simhash).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .select(col(idCol), hash60(col("tok")).as("h"))
+      .select(col(idCol), explode(sequence(lit(0), lit(59))).as("j"), col("h"))
+      .select(col(idCol), col("j"),
+        expr("(shiftright(h, CAST(j AS INT)) & 1) * 2 - 1").as("pm"))
+      .groupBy(col(idCol), col("j")).agg(sum("pm").as("s"))
+      .groupBy(col(idCol))
+      .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END")).as("simhash"))
+
+  /** SimHash near-dup pairs via 4×15-bit banding + hamming verify.
+    * Output: (a_id, b_id, hamming) with hamming ≤ maxHamming.
+    */
+  def simhashPairs(sims: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    val banded = sims
+      .select(col(idCol), col("simhash"), explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bkey", expr("shiftright(simhash, CAST(band * 15 AS INT)) & 32767"))
+    banded.select(col(idCol).as("a_id"), col("simhash").as("sh_a"), col("band"), col("bkey"))
+      .join(banded.select(col(idCol).as("b_id"), col("simhash").as("sh_b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  /** n-gram Jaccard similarity self-join (exact, inverted-index based).
+    * Grams with document frequency > maxDf are excluded from *candidate
+    * generation* (ubiquitous-gram guard); verification still uses all
+    * grams, so reported jaccard values are exact.
+    * Output: (a_id, b_id, jaccard ≥ threshold).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.6, maxDf: Long = 100): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val rare = sh.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("gram")
+    val shRare = sh.join(rare, "gram")
+    val cand = shRare.select(col(idCol).as("a_id"), col("gram"))
+      .join(shRare.select(col(idCol).as("b_id"), col("gram")), "gram")
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    verifyJaccard(cand, sh, idCol, threshold)
+  }
+
+  /** Transitive dedup clusters by iterative min-label propagation over the
+    * verified pair graph (large-star style; converges in O(log n) rounds —
+    * each round is one shuffle, AQE handles skew). `pairs` must have
+    * (a_id, b_id); returns (id, rep_id) for every id in `ids`.
+    */
+  def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("a_id"), col("b_id"))
+      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("rep_id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val prop = labels.join(edges, col("id") === col("a_id"), "left")
+        .select(col("id"), col("rep_id"), col("b_id"))
+        .join(labels.select(col("id").as("b_id"), col("rep_id").as("rep_b")), Seq("b_id"), "left")
+        .groupBy("id")
+        .agg(least(min("rep_id"), coalesce(min("rep_b"), min("rep_id"))).as("new_rep"),
+          min("rep_id").as("old_rep"))
+      val changed = prop.filter(col("new_rep") < col("old_rep")).limit(1).count()
+      labels = prop.select(col("id"), col("new_rep").as("rep_id"))
+      if (changed == 0) converged = true
+      iter += 1
+    }
+    labels.select(col("id").as(idCol), col("rep_id"))
+  }
+}

@@ -29,6 +29,15 @@ object GraftFunctions {
   def hash60Seeded(seed: Int, c: Column): Column =
     hash60(concat(lit(seed.toString), lit(":"), c.cast("string")))
 
+  /** Driver-side twin of [[hash60]] for deriving deterministic constants
+    * (e.g. LSH hyperplane weights) without per-row hashing.
+    */
+  def hash60Scala(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(md.map("%02x".format(_)).mkString.take(15), 16)
+  }
+
   /** Lowercased whitespace tokens, empties removed. Matches
     * DuckSql.tokens exactly (same regex class, same empty-filter).
     */

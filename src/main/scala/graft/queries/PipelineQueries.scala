@@ -1,0 +1,290 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions._
+import graft.oracle.DuckSql
+import graft.text.TextAnalysis
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.multimodal.Media
+
+/** LLM-data-pipeline operators (north-star extras, SURVEY §7 M9) as
+  * oracle-checked queries: dedup ×4 (+embedding), similarity search ×2,
+  * text analysis ×4, multimodal ×1. The DuckDB SQL for the algorithmic ops
+  * (minhash, simhash, LSH) is generated from the same parameters as the
+  * Spark implementation so both sides execute the same algorithm.
+  */
+object PipelineQueries {
+
+  // shared oracle CTE prefix: tokens + shingles + exploded grams
+  private def gramCtes(n: Int): String =
+    s"""WITH d AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks FROM documents),
+       |s AS (SELECT doc_id, ${DuckSql.wordShingles("toks", n)} AS sh FROM d),
+       |g AS (SELECT doc_id, unnest(sh) AS gram FROM s)""".stripMargin
+
+  private def jaccardTail(threshold: Double): String =
+    s"""sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.a_id, c.b_id, count(*) AS i
+       |  FROM cand c
+       |  JOIN g ga ON ga.doc_id = c.a_id
+       |  JOIN g gb ON gb.doc_id = c.b_id AND gb.gram = ga.gram
+       |  GROUP BY c.a_id, c.b_id)
+       |SELECT iv.a_id, iv.b_id,
+       |       CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+       |FROM inter iv JOIN sz sa ON sa.doc_id = iv.a_id JOIN sz sb ON sb.doc_id = iv.b_id
+       |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= ${threshold}e0
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** langId CASE generated from TextAnalysis.Stopwords (tie-break = list
+    * order, strict > against earlier langs, >= against later ones).
+    */
+  private def langIdSql: String = {
+    val hits = TextAnalysis.Stopwords.map { case (lang, words) =>
+      lang -> s"len(list_filter(toks, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
+    }
+    val vars = hits.map { case (lang, e) => s"$e AS h_$lang" }.mkString(", ")
+    val langs = TextAnalysis.Stopwords.map(_._1)
+    val cases = langs.zipWithIndex.map { case (lang, i) =>
+      val conds = langs.zipWithIndex.collect {
+        case (o, j) if j < i => s"h_$lang > h_$o"
+        case (o, j) if j > i => s"h_$lang >= h_$o"
+      } :+ s"h_$lang > 0"
+      s"WHEN ${conds.mkString(" AND ")} THEN '$lang'"
+    }.mkString(" ")
+    s"""WITH d AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks FROM documents),
+       |h AS (SELECT doc_id, $vars FROM d)
+       |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  def all: Seq[Q] = Seq(
+
+    // ================= text analysis =================
+    Q("text_langid",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+      Some(langIdSql)),
+
+    Q("text_quality",
+      (s, dir) => {
+        val cols = TextAnalysis.qualityColumns(col("text")).map { case (n, c) => c.as(n) }
+        Tables.documents(s, dir).select(col("doc_id") +: cols: _*).orderBy("doc_id")
+      },
+      Some {
+        val stopEn = TextAnalysis.Stopwords.head._2.map(w => s"'$w'").mkString(",")
+        s"""WITH d AS (SELECT doc_id, text, ${DuckSql.tokens("text")} AS toks FROM documents),
+           |b AS (SELECT doc_id, text, toks,
+           |  len(toks) AS n_tokens,
+           |  length(text) AS n_chars,
+           |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_len,
+           |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_len,
+           |  len(list_filter(toks, t -> list_contains([$stopEn], t))) AS stop_hits
+           |FROM d),
+           |f AS (SELECT doc_id, n_tokens,
+           |  CASE WHEN n_tokens > 0 THEN CAST(length(array_to_string(toks, '')) AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0e0 END AS mean_token_len,
+           |  CASE WHEN n_chars > 0 THEN CAST(punct_len AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0e0 END AS punct_ratio,
+           |  CASE WHEN n_chars > 0 THEN CAST(digit_len AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0e0 END AS digit_ratio,
+           |  CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0e0 END AS stopword_ratio
+           |FROM b)
+           |SELECT doc_id, n_tokens, mean_token_len, punct_ratio, digit_ratio, stopword_ratio,
+           |  CAST(least(n_tokens, 100) AS DOUBLE) / 100.0e0 * 0.4e0
+           |    + (1.0e0 - punct_ratio) * 0.2e0
+           |    + (1.0e0 - digit_ratio) * 0.1e0
+           |    + least(stopword_ratio * 5.0e0, 1.0e0) * 0.3e0 AS quality_score
+           |FROM f ORDER BY doc_id""".stripMargin
+      }),
+
+    Q("text_tokens",
+      (s, dir) => {
+        val t = tokens(col("text"))
+        Tables.documents(s, dir).select(col("doc_id"),
+          size(t).as("n_tokens"),
+          size(array_distinct(t)).as("n_distinct_tokens"),
+          length(col("text")).as("n_chars_measured"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH d AS (SELECT doc_id, text, ${DuckSql.tokens("text")} AS toks FROM documents)
+        SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+               CAST(length(text) AS INT) AS n_chars_measured
+        FROM d ORDER BY doc_id""")),
+
+    Q("text_fingerprint",
+      (s, dir) => {
+        val (fp, n) = TextAnalysis.fingerprint(col("text"), 8)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), fp.as("fp"), n.as("n_grams"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH d AS (SELECT doc_id, lower(text) AS norm FROM documents),
+        g AS (SELECT doc_id, norm,
+                CASE WHEN length(norm) >= 8
+                     THEN list_transform(range(1, length(norm) - 6), i -> substr(norm, CAST(i AS INT), 8))
+                     ELSE CAST([] AS VARCHAR[]) END AS grams
+              FROM d)
+        SELECT doc_id,
+               CASE WHEN length(norm) >= 8
+                    THEN list_aggregate(list_transform(grams, gr -> ${DuckSql.hash60("gr")}), 'min')
+                    ELSE NULL END AS fp,
+               CAST(CASE WHEN length(norm) >= 8 THEN len(list_distinct(grams)) ELSE 0 END AS INT) AS n_grams
+        FROM g ORDER BY doc_id""")),
+
+    // ================= dedup =================
+    Q("dedup_exact",
+      (s, dir) => Dedup.exact(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+        FROM documents ORDER BY doc_id""")),
+
+    Q("dedup_minhash_lsh",
+      (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, numPerms = 12, rowsPerBand = 3, threshold = 0.6)
+        .orderBy("a_id", "b_id"),
+      Some(s"""
+        ${gramCtes(3)},
+        hp AS (
+          SELECT g.doc_id, pp.p,
+                 min(${DuckSql.hash60("CAST(pp.p AS VARCHAR) || ':' || gram")}) AS minh
+          FROM g CROSS JOIN (SELECT unnest(range(12)) AS p) pp
+          GROUP BY g.doc_id, pp.p),
+        bands AS (
+          SELECT doc_id, p // 3 AS band,
+                 sum(${DuckSql.hash60("CAST(p % 3 AS VARCHAR) || ':' || CAST(minh AS VARCHAR)")}) AS bandsig
+          FROM hp GROUP BY doc_id, band),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id),
+        ${jaccardTail(0.6)}""")),
+
+    Q("dedup_simhash",
+      (s, dir) => Dedup.simhashPairs(
+        Dedup.simhash(Tables.documents(s, dir), "doc_id", "text"), "doc_id", maxHamming = 10)
+        .orderBy("a_id", "b_id"),
+      Some(s"""
+        WITH d AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks FROM documents),
+        t AS (SELECT doc_id, ${DuckSql.hash60("tok")} AS h
+              FROM (SELECT doc_id, unnest(toks) AS tok FROM d)),
+        bits AS (
+          SELECT doc_id, jj.j, sum(((h >> CAST(jj.j AS INT)) & 1) * 2 - 1) AS s
+          FROM t CROSS JOIN (SELECT unnest(range(60)) AS j) jj
+          GROUP BY doc_id, jj.j),
+        sh AS (
+          SELECT doc_id,
+                 sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END) AS simhash
+          FROM bits GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, simhash, bb.band,
+                 (simhash >> CAST(bb.band * 15 AS INT)) & 32767 AS bkey
+          FROM sh CROSS JOIN (SELECT unnest(range(4)) AS band) bb),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                 a.simhash AS sh_a, b.simhash AS sh_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        SELECT a_id, b_id, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 10
+        ORDER BY a_id, b_id""")),
+
+    Q("dedup_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.6, maxDf = 100)
+        .orderBy("a_id", "b_id"),
+      Some(s"""
+        ${gramCtes(3)},
+        rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 100),
+        gr AS (SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        ${jaccardTail(0.6)}""")),
+
+    Q("dedup_embedding",
+      (s, dir) => Similarity.embeddingPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.4).orderBy("a_id", "b_id"),
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                     ${DuckSql.cosine("a.embedding", "b.embedding")} AS cos
+              FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        SELECT a_id, b_id, cos FROM p WHERE cos >= 0.4e0 ORDER BY a_id, b_id""")),
+
+    // ================= similarity search =================
+    Q("knn_bruteforce",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.knnBruteForce(e.filter(col("vec_id") < 100), e, "vec_id", "embedding", k = 5)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("query_id", "rnk")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      ${DuckSql.cosine("q.embedding", "c.embedding")} AS cos
+               FROM e q JOIN e c ON q.vec_id < 100 AND q.vec_id <> c.vec_id),
+        r AS (SELECT query_id, neighbor_id, cos,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM sc)
+        SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, cos
+        FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""")),
+
+    Q("knn_lsh",
+      (s, dir) => Similarity.knnLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 5, planes = 6, dim = 64, queryFilter = col("vec_id") < 100)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("query_id", "rnk"),
+      Some {
+        val ws = Similarity.planeWeights(6, 64)
+        val dots = ws.zipWithIndex.map { case (w, p) =>
+          val wLit = "[" + w.map(_.toString).mkString(",") + "]"
+          s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |  list_transform(range(1, len(v)+1),
+             |    i -> CAST(v[CAST(i AS INT)] AS DOUBLE) * (CAST($wLit AS DOUBLE[]))[CAST(i AS INT)])),
+             |  (acc, x) -> acc + x) AS dot_$p""".stripMargin
+        }.mkString(",\n")
+        val bucket = (0 until 6).map(p => s"CASE WHEN dot_$p > 0.0e0 THEN ${1L << p} ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+           |dots AS (SELECT vec_id, v, $dots FROM e),
+           |b AS (SELECT vec_id, v, CAST($bucket AS BIGINT) AS bucket FROM dots),
+           |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |              ${DuckSql.cosine("q.v", "c.v")} AS cos
+           |       FROM b q JOIN b c ON q.bucket = c.bucket
+           |        AND q.vec_id < 100 AND q.vec_id <> c.vec_id),
+           |r AS (SELECT query_id, neighbor_id,
+           |             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+           |      FROM sc)
+           |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id
+           |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+      }),
+
+    // ================= multimodal =================
+    Q("multimodal_meta",
+      (s, dir) => {
+        import s.implicits._
+        val media = Media.fromText(Tables.documents(s, dir), "doc_id", "text")
+          .as[Media.MediaRow]
+        Media.extractFeatures(media)(s)
+          .select(col("media_id"), col("n_bytes"), col("content_md5"),
+            col("mean_byte"),
+            element_at(col("byte_hist"), 1).as("hist_0"),
+            element_at(col("byte_hist"), 16).as("hist_15"))
+          .orderBy("media_id")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id AS media_id, text FROM documents),
+        b AS (SELECT media_id, text, length(text) AS n,
+                list_transform(range(1, length(text)+1), i -> ord(substr(text, CAST(i AS INT), 1))) AS bytes
+              FROM d)
+        SELECT media_id, CAST(n AS BIGINT) AS n_bytes, md5(text) AS content_md5,
+               CASE WHEN n > 0 THEN CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), bytes), (a, x) -> a + x) AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0e0 END AS mean_byte,
+               CAST(len(list_filter(bytes, x -> (x & 15) = 0)) AS BIGINT) AS hist_0,
+               CAST(len(list_filter(bytes, x -> (x & 15) = 15)) AS BIGINT) AS hist_15
+        FROM b ORDER BY media_id"""))
+  )
+}

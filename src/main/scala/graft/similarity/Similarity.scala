@@ -1,0 +1,101 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.GraftFunctions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two paths, same semantics:
+  *  - [[knnBruteForce]] — exact top-k by cosine; the verification baseline.
+  *    Quadratic: use only when one side is small enough to broadcast
+  *    (queries × corpus). The candidate side is broadcast explicitly when
+  *    `broadcastCandidates` so the big side never shuffles.
+  *  - [[hyperplaneBuckets]] + [[knnLsh]] — the scale path: random-hyperplane
+  *    LSH buckets vectors (one int key per vector), candidates are
+  *    bucket-mates, exact cosine re-ranks within the bucket. At 100 TB this
+  *    is one hash-shuffle on the bucket id; recall tunes with `planes`
+  *    (fewer planes → bigger buckets → higher recall & cost).
+  *
+  * Hyperplane weights are derived from the portable hash —
+  * w(p,j) = (hash60('hp:p:j') % 2001 - 1000)/1000 — so buckets (and the
+  * DuckDB oracle) are deterministic across engines; cosines are in-order
+  * double folds (bit-exact cross-engine).
+  */
+object Similarity {
+
+  /** Exact top-k neighbors per query. Output: (query_id, rank, neighbor_id,
+    * cos). Ties broken by neighbor id.
+    */
+  def knnBruteForce(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, broadcastCandidates: Boolean = true): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c0 = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val c = if (broadcastCandidates) broadcast(c0) else c0
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Deterministic hyperplane weights, derived once driver-side from the
+    * portable hash: w(p,j) = (hash60("hp:p:j") % 2001 - 1000) / 1000.
+    * Exact rationals → identical double literals in Spark and DuckDB.
+    */
+  def planeWeights(planes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until planes).map(p => (0 until dim).map(j =>
+      (hash60Scala(s"hp:$p:$j") % 2001L - 1000L).toDouble / 1000.0))
+
+  /** Sign-of-dot-product bucket id over `planes` hyperplanes (bit p set iff
+    * dot(v, plane_p) > 0). Array-local in-order fold against literal weight
+    * arrays — no shuffle, no UDF, no per-row hashing.
+    */
+  def hyperplaneBuckets(df: DataFrame, idCol: String, vecCol: String, planes: Int,
+      dim: Int): DataFrame = {
+    val v = col(vecCol)
+    val ws = planeWeights(planes, dim)
+    val dots = ws.map { w =>
+      val wLit = array(w.map(lit): _*)
+      aggregate(
+        zip_with(transform(v, x => x.cast("double")), wLit, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    val bucket = dots.zipWithIndex.map { case (d, p) =>
+      when(d > 0.0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.select(col(idCol), col(vecCol), bucket.as("bucket"))
+  }
+
+  /** Approximate top-k: candidates are bucket-mates, re-ranked by exact
+    * cosine. Output: (query_id, rank, neighbor_id).
+    */
+  def knnLsh(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      planes: Int = 6, dim: Int = 64,
+      queryFilter: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+    val b = hyperplaneBuckets(df, idCol, vecCol, planes, dim)
+    val q = b.filter(queryFilter).select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("bucket"))
+    val c = b.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("bucket"))
+    val scored = q.join(c, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** All-pairs cosine near-duplicates (a_id < b_id, cos ≥ threshold).
+    * Quadratic verification baseline; prefer LSH buckets at scale.
+    */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("a_id"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("b_id"), col(vecCol).as("vb"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
+  }
+}

@@ -1,0 +1,98 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (beyond the reference's surface — SURVEY §2.7 north-star extras).
+  *
+  * All ops are single-pass column expressions over the document scan: no
+  * shuffle, no UDF — they stay inside whole-stage codegen and scale
+  * linearly with corpus bytes. Every op has an exact DuckDB rendering in
+  * [[graft.queries.PipelineQueries]]; double-valued scores use identical
+  * expression trees on both engines (no transcendentals, no
+  * order-dependent SUMs), so values are bit-equal.
+  */
+object TextAnalysis {
+
+  /** Per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deterministic tie-break: first list wins.
+    */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que", "pour", "dans"),
+    "es" -> Seq("el", "los", "y", "es", "una", "se", "por", "con", "para", "como"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  /** Count (with multiplicity) of tokens present in `words`. */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+
+  /** Language prediction by stopword-hit argmax; 'und' when no list hits.
+    * Tie-break follows [[Stopwords]] order.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val hits = Stopwords.map { case (lang, words) => lang -> stopwordHits(toks, words) }
+    val counts = hits.map(_._2)
+    def winner(i: Int): Column = {
+      val mine = counts(i)
+      val beatsAll = counts.zipWithIndex.collect {
+        case (c, j) if j < i => mine > c   // earlier langs win ties
+        case (c, j) if j > i => mine >= c
+      }.reduce(_ && _)
+      beatsAll && mine > 0
+    }
+    hits.indices.foldRight(lit("und")) { (i, els) =>
+      when(winner(i), lit(Stopwords(i)._1)).otherwise(els)
+    }
+  }
+
+  /** Quality features + composite score in [0,1]. Pure rational arithmetic
+    * (cross-engine exact); components are standard pretraining-filter
+    * signals: length, punctuation/digit density, stopword density.
+    */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("long")
+    val nChars = length(text).cast("long")
+    val punctLen = nChars - length(regexp_replace(text, "[.,!?;:]", "")).cast("long")
+    val digitLen = nChars - length(regexp_replace(text, "[0-9]", "")).cast("long")
+    val dTok = nTok.cast("double")
+    val meanTokLen = when(nTok > 0,
+      length(concat_ws("", toks)).cast("double") / dTok).otherwise(lit(0.0))
+    val punctRatio = when(nChars > 0, punctLen.cast("double") / nChars.cast("double")).otherwise(lit(0.0))
+    val digitRatio = when(nChars > 0, digitLen.cast("double") / nChars.cast("double")).otherwise(lit(0.0))
+    val stopRatio = when(nTok > 0,
+      stopwordHits(toks, Stopwords.head._2).cast("double") / dTok).otherwise(lit(0.0))
+    val score =
+      least(nTok, lit(100L)).cast("double") / lit(100.0) * lit(0.4) +
+        (lit(1.0) - punctRatio) * lit(0.2) +
+        (lit(1.0) - digitRatio) * lit(0.1) +
+        least(stopRatio * lit(5.0), lit(1.0)) * lit(0.3)
+    Seq(
+      "n_tokens" -> nTok,
+      "mean_token_len" -> meanTokLen,
+      "punct_ratio" -> punctRatio,
+      "digit_ratio" -> digitRatio,
+      "stopword_ratio" -> stopRatio,
+      "quality_score" -> score)
+  }
+
+  /** Document fingerprint: minimum 60-bit hash over the char n-gram set of
+    * the lowercased text (a one-permutation minhash — robust to local
+    * edits), plus the distinct-gram cardinality. Computed array-local via
+    * higher-order functions: no explode, no shuffle.
+    */
+  def fingerprint(text: Column, n: Int = 8): (Column, Column) = {
+    val norm = lower(text)
+    val grams = transform(sequence(lit(1), length(norm) - (n - 1)),
+      i => norm.substr(i, lit(n)))
+    val hashes = transform(grams, g => hash60(g))
+    val fp = when(length(norm) >= n, array_min(hashes)).otherwise(lit(null).cast("long"))
+    val nGrams = when(length(norm) >= n, size(array_distinct(grams))).otherwise(lit(0))
+    (fp, nGrams)
+  }
+}
