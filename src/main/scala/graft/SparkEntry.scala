@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   private def registry: Seq[Q] =
-    RelationalQueries.all ++ JoinQueries.all ++ WindowQueries.all ++ PipelineQueries.all
+    RelationalQueries.all ++ JoinQueries.all ++ WindowQueries.all ++
+      PipelineQueries.all ++ StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Time-based window aggregation over int64-µs event time, batch surface.
+  *
+  * Two physically different plans with identical results (the reference's
+  * Keyed_Windows vs Paned_Windows, SURVEY §2.4):
+  *
+  *  - [[sliding]] — assign each row its len/slide window ids (explode) and
+  *    hash-aggregate. Simple; the pre-shuffle multiplier is len/slide.
+  *  - [[slidingByPanes]] — the reference's pane decomposition
+  *    (/root/reference/wf/paned_windows.hpp:140-141): tumbling panes of
+  *    g = gcd(len, slide) are aggregated first (PLQ — map-side partial,
+  *    tiny output), then len/g pane-partials combine per window (WLQ).
+  *    At 100 TB the explode multiplier moves from per-row to per-pane,
+  *    which is the difference between shuffling N·len/slide rows and
+  *    shuffling (#panes)·len/g pane summaries.
+  *
+  * Aggregates must be decomposable (count/sum/min/max); value sums fold in
+  * integer cents so both plans are bit-identical.
+  */
+object TimeWindows {
+
+  private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+
+  /** Direct per-row window assignment. Output: keys ++ (win_start_us, cnt,
+    * sum_cents).
+    */
+  def sliding(df: DataFrame, tsUsCol: String, valueCentsCol: String,
+      lenUs: Long, slideUs: Long, keys: Seq[String]): DataFrame =
+    df.withColumn("__w", explode(expr(
+        s"CASE WHEN ($tsUsCol - $lenUs) div $slideUs + 1 <= $tsUsCol div $slideUs " +
+          s"THEN sequence(($tsUsCol - $lenUs) div $slideUs + 1, $tsUsCol div $slideUs) END")))
+      .groupBy(keys.map(col) :+ expr(s"__w * $slideUs").as("win_start_us"): _*)
+      .agg(count(lit(1)).as("cnt"), sum(col(valueCentsCol)).as("sum_cents"))
+
+  /** Pane-decomposed variant (PLQ/WLQ). Result-identical to [[sliding]]. */
+  def slidingByPanes(df: DataFrame, tsUsCol: String, valueCentsCol: String,
+      lenUs: Long, slideUs: Long, keys: Seq[String]): DataFrame = {
+    val g = gcd(lenUs, slideUs)
+    val panes = df
+      .groupBy(keys.map(col) :+ expr(s"($tsUsCol div $g) * $g").as("__pane"): _*)
+      .agg(count(lit(1)).as("__pcnt"), sum(col(valueCentsCol)).as("__psum"))
+    panes
+      .withColumn("__w", explode(expr(
+        s"CASE WHEN (__pane - $lenUs) div $slideUs + 1 <= __pane div $slideUs " +
+          s"THEN sequence((__pane - $lenUs) div $slideUs + 1, __pane div $slideUs) END")))
+      .groupBy(keys.map(col) :+ expr(s"__w * $slideUs").as("win_start_us"): _*)
+      .agg(sum(col("__pcnt")).as("cnt"), sum(col("__psum")).as("sum_cents"))
+  }
+}

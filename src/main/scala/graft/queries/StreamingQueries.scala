@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.streaming.{StatefulOps, StreamRun, StreamSources}
+
+/** Operators executed through the *streaming* engine (Structured
+  * Streaming, Trigger.AvailableNow) but verified against the same DuckDB
+  * oracles as their batch twins — proving the streaming machinery computes
+  * the reference semantics, not just the batch renderings.
+  *
+  *  - stream_win_tb_tumbling: real `window()` event-time aggregation
+  *    (complete mode);
+  *  - stream_reduce_rolling: flatMapGroupsWithState per-input emission
+  *    (reference Reduce, wf/reduce.hpp:139-158);
+  *  - stream_win_cb_tumbling: count-based windows in keyed state
+  *    (wf/window_structure.hpp Triggerer_CB semantics, EOS flush included);
+  *  - stream_interval_join: watermarked stream-stream join with the
+  *    interval condition (wf/interval_join.hpp:279-307).
+  */
+object StreamingQueries {
+
+  def all: Seq[Q] = Seq(
+
+    Q("stream_win_tb_tumbling",
+      (s, dir) => {
+        implicit val sp = s
+        val agg = StreamSources.eventsWithTime(s, dir)
+          .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)").as("sum_value"))
+          .select(col("event_type"), expr("unix_micros(window.start)").as("win_start_us"),
+            col("cnt"), col("sum_value"))
+        StreamRun.toBatch(agg, "complete").orderBy("event_type", "win_start_us")
+      },
+      // identical semantics to the batch twin → same oracle
+      WindowQueries.all.find(_.name == "win_tb_tumbling").get.oracle),
+
+    Q("stream_reduce_rolling",
+      (s, dir) => {
+        implicit val sp = s
+        val out = StatefulOps.rollingReduce(
+          StatefulOps.toEvRows(StreamSources.events(s, dir)))
+        StreamRun.toBatch(out.toDF(), "update").orderBy("event_id")
+      },
+      WindowQueries.all.find(_.name == "reduce_rolling").get.oracle),
+
+    Q("stream_win_cb_tumbling",
+      (s, dir) => {
+        implicit val sp = s
+        val out = StatefulOps.countTumblingWindows(
+          StatefulOps.toEvRows(StreamSources.events(s, dir)), len = 100L)
+        StreamRun.toBatch(out.toDF(), "update").orderBy("user_id", "wid")
+      },
+      WindowQueries.all.find(_.name == "win_cb_tumbling").get.oracle),
+
+    Q("stream_interval_join",
+      (s, dir) => {
+        implicit val sp = s
+        val e = StreamSources.eventsWithTime(s, dir)
+        val bound = "INTERVAL 30 MINUTES"
+        val a = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("a_id"), col("user_id"),
+            col("event_time").as("a_time"), col("value").as("a_value"))
+          .withWatermark("a_time", "1 hour")
+        val b = e.filter(col("event_type") === "click")
+          .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+            col("event_time").as("b_time"), col("value").as("b_value"))
+          .withWatermark("b_time", "1 hour")
+        val joined = a.join(b,
+          expr(s"user_id = b_user AND b_time BETWEEN a_time - $bound AND a_time + $bound"))
+          .select(col("a_id"), col("b_id"), col("user_id"),
+            greatest(expr("unix_micros(a_time)"), expr("unix_micros(b_time)")).as("out_ts_us"),
+            (col("a_value") + col("b_value")).as("pair_value"))
+        StreamRun.toBatch(joined, "append").orderBy("a_id", "b_id")
+      },
+      JoinQueries.all.find(_.name == "interval_join").get.oracle)
+  )
+}

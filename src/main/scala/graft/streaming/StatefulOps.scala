@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed event row shared by the stateful streaming operators (the
+  * engine's analog of the reference test tuple
+  * `tuple_t{key,id,value}` — tests/win_tests/win_common.hpp:40-57).
+  */
+case class EvRow(event_id: Long, user_id: Long, ts_us: Long, cents: Long)
+
+/** Rolling-reduce state/output (wf/reduce.hpp: per-key fold state). */
+case class RollState(sumCents: Long, cnt: Long)
+case class RollOut(event_id: Long, user_id: Long, running_sum: Double, running_cnt: Long)
+
+/** Count-window state: per-key arrival counter + open-window partials
+  * keyed by window id (wf/window_structure.hpp:69-80 Triggerer_CB).
+  */
+case class CbPartial(wid: Long, cnt: Long, sumCents: Long, firstEvent: Long, lastEvent: Long)
+case class CbState(counter: Long, open: List[CbPartial])
+case class CbOut(user_id: Long, wid: Long, cnt: Long, sum_value: Double,
+    first_event: Long, last_event: Long)
+
+/** Stateful streaming operators implemented with `flatMapGroupsWithState`
+  * — the operators Structured Streaming lacks natively (SURVEY §4
+  * "custom Catalyst work actually required"):
+  *
+  *  - [[rollingReduce]]: the reference `Reduce` — every input updates the
+  *    per-key state and a copy of the state is emitted *per input*
+  *    (/root/reference/wf/reduce.hpp:139-158). No Spark aggregation emits
+  *    per-input, hence the state operator.
+  *  - [[countTumblingWindows]]: count-based windows
+  *    (wf/builders.hpp:743 withCBWindows) — Spark `window()` is time-only,
+  *    so the per-key arrival index and window partials live in state.
+  *
+  * Determinism: within each micro-batch the group iterator is sorted by
+  * (ts_us, event_id) before folding — the analog of the reference's
+  * DETERMINISTIC execution mode (wf/ordering_collector.hpp:24-33); the
+  * emitted values are then independent of partitioning and batch split
+  * points, which the spec asserts the same way the reference's randomized
+  * parallelism tests do.
+  *
+  * Money is folded in integer cents, so streaming results are bit-equal to
+  * the batch DECIMAL-sum twins.
+  *
+  * Scale: state is per-key and O(1) (rolling) / O(open windows) (CB);
+  * with the RocksDB state store provider (GraftSession) this is the exact
+  * replacement for the reference's whole `wf/persistent/` P_* family.
+  */
+object StatefulOps {
+
+  def toEvRows(events: DataFrame)(implicit spark: SparkSession): Dataset[EvRow] = {
+    import spark.implicits._
+    events.selectExpr("event_id", "user_id", "ts div 1000 AS ts_us",
+      "CAST(round(value * 100) AS BIGINT) AS cents").as[EvRow]
+  }
+
+  /** Per-key rolling fold, one output per input (reference Reduce). */
+  def rollingReduce(ev: Dataset[EvRow])(implicit spark: SparkSession): Dataset[RollOut] = {
+    import spark.implicits._
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[EvRow], state: GroupState[RollState]) =>
+          var s = state.getOption.getOrElse(RollState(0L, 0L))
+          val out = it.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+            s = RollState(s.sumCents + e.cents, s.cnt + 1)
+            RollOut(e.event_id, user, s.sumCents.toDouble / 100.0, s.cnt)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
+  /** Count-based tumbling windows of `len` per key. Emits the state of
+    * every window touched in the batch (closed windows are final; the
+    * trailing partial matches the reference's EOS flush,
+    * wf/window_replica.hpp:356-408). Exactly-once per window for
+    * single-batch (Trigger.AvailableNow) runs; continuous deployments
+    * consume it as an update stream keyed by (user_id, wid).
+    */
+  def countTumblingWindows(ev: Dataset[EvRow], len: Long)(
+      implicit spark: SparkSession): Dataset[CbOut] = {
+    import spark.implicits._
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[EvRow], state: GroupState[CbState]) =>
+          var st = state.getOption.getOrElse(CbState(0L, Nil))
+          var open = st.open.map(p => p.wid -> p).toMap
+          var counter = st.counter
+          val touched = scala.collection.mutable.LinkedHashSet[Long]()
+          it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            val wid = counter / len
+            counter += 1
+            val p = open.getOrElse(wid, CbPartial(wid, 0L, 0L, Long.MaxValue, Long.MinValue))
+            open += wid -> CbPartial(wid, p.cnt + 1, p.sumCents + e.cents,
+              math.min(p.firstEvent, e.event_id), math.max(p.lastEvent, e.event_id))
+            touched += wid
+          }
+          // windows full before the batch's last element can be dropped
+          // from state (final); keep only the trailing partial.
+          val maxWid = if (counter == 0) -1L else (counter - 1) / len
+          val keep = open.filter { case (wid, p) => wid == maxWid && p.cnt < len }
+          state.update(CbState(counter, keep.values.toList))
+          touched.iterator.map { wid =>
+            val p = open(wid)
+            CbOut(user, wid, p.cnt, p.sumCents.toDouble / 100.0, p.firstEvent, p.lastEvent)
+          }
+      }
+  }
+}

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Finite streaming execution — the reference's run()/EOS lifecycle
+  * (/root/reference/wf/pipegraph.hpp:610-698): sources drain, stateful
+  * operators flush, sinks see end-of-stream. In Spark that is
+  * `Trigger.AvailableNow` + query termination (SURVEY §3.3).
+  */
+object StreamRun {
+
+  private val n = new AtomicInteger(0)
+
+  /** Run a (possibly streaming) DataFrame to completion into an in-memory
+    * table and return it as a batch DataFrame. Single-batch for file
+    * sources (no maxFilesPerTrigger), so Update-mode state operators emit
+    * exactly once per key/window.
+    */
+  def toBatch(df: DataFrame, outputMode: String)(implicit spark: SparkSession): DataFrame = {
+    val name = s"graft_stream_${n.incrementAndGet()}"
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Foreach sink with the reference Sink's lifecycle: per-tuple process
+    * plus a closing callback (wf/sink.hpp:166-179 EOS `None`;
+    * wf/builders.hpp:116 withClosingFunction ≡ ForeachWriter.close).
+    */
+  def foreachSink[T](ds: org.apache.spark.sql.Dataset[T])(
+      onTuple: T => Unit, onClose: () => Unit): org.apache.spark.sql.streaming.DataStreamWriter[T] =
+    ds.writeStream.foreach(new org.apache.spark.sql.ForeachWriter[T] {
+      override def open(partitionId: Long, epochId: Long): Boolean = true
+      override def process(value: T): Unit = onTuple(value)
+      override def close(errorOrNull: Throwable): Unit = onClose()
+    })
+}
