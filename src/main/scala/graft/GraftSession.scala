@@ -27,11 +27,6 @@ object GraftSession {
       // which is also exactly what DuckDB's epoch_ns() yields — so oracle
       // comparisons are integer-exact.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Streaming state at scale: RocksDB provider == the reference's P_*
-      // operator family as pure configuration.
-      .config(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val spark = configure(
@@ -41,6 +36,18 @@ object GraftSession {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Switch streaming state to RocksDB — the configuration-only equivalent
+    * of the reference's entire RocksDB-backed P_* operator family
+    * (/root/reference/wf/persistent/, SURVEY §2.2/§2.4): same operators,
+    * state spills off-heap. Costs ~2× on small local state (measured), pays
+    * off when per-key state exceeds executor memory — so it is deployment
+    * config, not the library default.
+    */
+  def withRocksDBState(b: SparkSession.Builder): SparkSession.Builder =
+    b.config(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
   /** Make an externally-created session (e.g. the driver's) Graft-ready.
     * Only runtime-settable confs can be applied here.

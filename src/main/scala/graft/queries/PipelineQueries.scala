@@ -145,13 +145,19 @@ object PipelineQueries {
       (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 3, numPerms = 12, rowsPerBand = 3, threshold = 0.6)
         .orderBy("a_id", "b_id"),
-      Some(s"""
+      Some {
+        val perms = (0 until 12).map { p =>
+          val (a, b) = graft.functions.GraftFunctions.permHashParams(p)
+          s"($p, $a, $b)"
+        }.mkString(", ")
+        s"""
         ${gramCtes(3)},
+        gh AS (SELECT doc_id, ${DuckSql.hash60("gram")} AS h FROM g),
         hp AS (
-          SELECT g.doc_id, pp.p,
-                 min(${DuckSql.hash60("CAST(pp.p AS VARCHAR) || ':' || gram")}) AS minh
-          FROM g CROSS JOIN (SELECT unnest(range(12)) AS p) pp
-          GROUP BY g.doc_id, pp.p),
+          SELECT gh.doc_id, pp.p,
+                 min(CAST((CAST(pp.a AS HUGEINT) * gh.h + pp.b) % ${graft.functions.GraftFunctions.MersenneP} AS BIGINT)) AS minh
+          FROM gh CROSS JOIN (VALUES $perms) AS pp(p, a, b)
+          GROUP BY gh.doc_id, pp.p),
         bands AS (
           SELECT doc_id, p // 3 AS band,
                  sum(${DuckSql.hash60("CAST(p % 3 AS VARCHAR) || ':' || CAST(minh AS VARCHAR)")}) AS bandsig
@@ -160,7 +166,8 @@ object PipelineQueries {
           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id),
-        ${jaccardTail(0.6)}""")),
+        ${jaccardTail(0.6)}"""
+      }),
 
     Q("dedup_simhash",
       (s, dir) => Dedup.simhashPairs(
@@ -199,10 +206,16 @@ object PipelineQueries {
         ${gramCtes(3)},
         rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 100),
         gr AS (SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram)),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-          FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id),
-        ${jaccardTail(0.6)}""")),
+        sz AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+          FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY a_id, b_id)
+        SELECT iv.a_id, iv.b_id,
+               CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+        FROM inter iv JOIN sz sa ON sa.doc_id = iv.a_id JOIN sz sb ON sb.doc_id = iv.b_id
+        WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.6e0
+        ORDER BY a_id, b_id""")),
 
     Q("dedup_embedding",
       (s, dir) => Similarity.embeddingPairs(Tables.embeddings(s, dir), "vec_id", "embedding",

@@ -30,11 +30,13 @@ object Similarity {
     */
   def knnBruteForce(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int, broadcastCandidates: Boolean = true): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c0 = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("qn"))
+    val c0 = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("cn"))
     val c = if (broadcastCandidates) broadcast(c0) else c0
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -57,12 +59,7 @@ object Similarity {
       dim: Int): DataFrame = {
     val v = col(vecCol)
     val ws = planeWeights(planes, dim)
-    val dots = ws.map { w =>
-      val wLit = array(w.map(lit): _*)
-      aggregate(
-        zip_with(transform(v, x => x.cast("double")), wLit, (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
-    }
+    val dots = ws.map(w => dot(v, array(w.map(lit): _*)))
     val bucket = dots.zipWithIndex.map { case (d, p) =>
       when(d > 0.0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -76,10 +73,13 @@ object Similarity {
       planes: Int = 6, dim: Int = 64,
       queryFilter: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     val b = hyperplaneBuckets(df, idCol, vecCol, planes, dim)
-    val q = b.filter(queryFilter).select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("bucket"))
-    val c = b.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("bucket"))
+      .withColumn("__n", sqrt(dot(col(vecCol), col(vecCol))))
+    val q = b.filter(queryFilter).select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col("bucket"), col("__n").as("qn"))
+    val c = b.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col("bucket"), col("__n").as("cn"))
     val scored = q.join(c, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -91,10 +91,12 @@ object Similarity {
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("a_id"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("b_id"), col(vecCol).as("vb"))
+    val withNorm = df.select(col(idCol), col(vecCol),
+      sqrt(dot(col(vecCol), col(vecCol))).as("__n"))
+    val a = withNorm.select(col(idCol).as("a_id"), col(vecCol).as("va"), col("__n").as("na"))
+    val b = withNorm.select(col(idCol).as("b_id"), col(vecCol).as("vb"), col("__n").as("nb"))
     a.join(broadcast(b), col("a_id") < col("b_id"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id", "cos")
   }

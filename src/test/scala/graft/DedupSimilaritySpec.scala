@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("minhash-LSH finds every high-jaccard pair the exact join finds") {
+    val docs = Tables.documents(spark, TestSpark.SF)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.9, maxDf = 1000)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.9)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    assert(exact.subsetOf(lsh) || (exact -- lsh).size <= exact.size / 10,
+      s"LSH recall too low: missed ${(exact -- lsh).size} of ${exact.size}")
+    assert(lsh.subsetOf(exact), "verified LSH pairs must be exact-jaccard pairs (no false positives)")
+  }
+
+  test("simhash hamming distance is small exactly for near-dup pairs") {
+    val docs = Tables.documents(spark, TestSpark.SF)
+    val pairs = Dedup.simhashPairs(Dedup.simhash(docs, "doc_id", "text"), "doc_id", maxHamming = 10)
+    assert(pairs.count() > 0)
+  }
+
+  test("connected components produce transitive representatives") {
+    import spark.implicits._
+    val ids = spark.createDataset(1L to 6L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val reps = Dedup.connectedComponents(ids, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("knn rank-1 neighbor has the maximal cosine") {
+    val emb = Tables.embeddings(spark, TestSpark.SF)
+    val knn = Similarity.knnBruteForce(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 3)
+      .collect()
+    val byQuery = knn.groupBy(_.getLong(0))
+    byQuery.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getDouble(3)).toSeq == sorted.map(_.getDouble(3)).sortBy(-_).toSeq)
+    }
+    assert(byQuery.size == 5)
+  }
+
+  test("LSH knn neighbors share the query's hyperplane bucket") {
+    val emb = Tables.embeddings(spark, TestSpark.SF)
+    val buckets = Similarity.hyperplaneBuckets(emb, "vec_id", "embedding", planes = 6, dim = 64)
+      .select("vec_id", "bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val knn = Similarity.knnLsh(emb, "vec_id", "embedding", k = 3,
+      queryFilter = col("vec_id") < 20).collect()
+    knn.foreach { r =>
+      assert(buckets(r.getLong(0)) == buckets(r.getLong(2)))
+    }
+  }
+}

@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+
+/** The reference's core test invariant, transplanted: results are
+  * independent of parallelism and scheduling
+  * (/root/reference/tests/graph_tests/test_graph_1.cpp:86-99,188-196 —
+  * randomized parallelism 1-9 must reproduce the same global result).
+  * Here: identical results across shuffle-partition settings.
+  */
+class InvarianceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private val probes = Seq("win_cb_tumbling", "reduce_rolling", "dedup_minhash_lsh",
+    "win_tb_sliding", "interval_join")
+
+  test("results invariant under shuffle partitions {1, 5, 9}") {
+    val results = Seq(1, 5, 9).map { n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      try probes.map(q => q -> canon(SparkEntry.queries(q)(spark, TestSpark.SF))).toMap
+      finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+    probes.foreach { q =>
+      assert(results(0)(q) == results(1)(q), s"$q differs between 1 and 5 partitions")
+      assert(results(0)(q) == results(2)(q), s"$q differs between 1 and 9 partitions")
+    }
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming._
+
+/** Cross-micro-batch state semantics, driven by MemoryStream chunks — the
+  * analog of the reference's win_tests/graph_tests scenarios where input
+  * arrives in arbitrary batch splits but per-key results must be stable
+  * (/root/reference/tests/win_tests/, FIXTURES.md §2).
+  */
+class StatefulStreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def evRows: Seq[EvRow] = {
+    import spark.implicits._
+    Tables.events(spark, TestSpark.SF)
+      .selectExpr("event_id", "user_id", "ts div 1000 AS ts_us",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .as[EvRow].collect().sortBy(e => (e.ts_us, e.event_id)).toSeq
+  }
+
+  test("rolling reduce accumulates across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = evRows
+    val (first, second) = rows.splitAt(rows.size / 2)
+    val mem = MemoryStream[EvRow]
+    val out = StatefulOps.rollingReduce(mem.toDS())(spark)
+    val q = out.toDF().writeStream.format("memory").queryName("roll_x")
+      .outputMode("update").start()
+    mem.addData(first); q.processAllAvailable()
+    mem.addData(second); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("roll_x").orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
+    // batch twin: running decimal sum / count per user ordered by (ts, id)
+    val want = rows.groupBy(_.user_id).values.flatMap { es =>
+      var (s, c) = (0L, 0L)
+      es.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+        s += e.cents; c += 1; (e.event_id, s.toDouble / 100.0, c)
+      }
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == want)
+  }
+
+  test("count windows survive a batch boundary (state carries counter + partials)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = evRows
+    val (first, second) = rows.splitAt(rows.size / 3)
+    val mem = MemoryStream[EvRow]
+    val out = StatefulOps.countTumblingWindows(mem.toDS(), len = 100L)(spark)
+    val q = out.toDF().writeStream.format("memory").queryName("cb_x")
+      .outputMode("update").start()
+    mem.addData(first); q.processAllAvailable()
+    mem.addData(second); q.processAllAvailable()
+    q.stop()
+    // last emission per (user, wid) is the final window state
+    val got = spark.table("cb_x").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5))))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+    val want = rows.groupBy(_.user_id).flatMap { case (u, es) =>
+      es.sortBy(e => (e.ts_us, e.event_id)).zipWithIndex
+        .groupBy { case (_, i) => i / 100 }
+        .map { case (wid, ws) =>
+          val cents = ws.map(_._1.cents).sum
+          (u, wid.toLong) -> (ws.size.toLong, cents.toDouble / 100.0,
+            ws.map(_._1.event_id).min, ws.map(_._1.event_id).max)
+        }
+    }
+    assert(got == want)
+  }
+}

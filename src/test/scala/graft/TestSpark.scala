@@ -1,0 +1,14 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One session for the whole forked test JVM. */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = GraftSession.configure(
+      SparkSession.builder().master("local[4]").appName("graft-test"), 4).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val SF = "/root/testdata/sf0.001"
+}

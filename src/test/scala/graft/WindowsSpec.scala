@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.TimeWindows
+
+/** Physical window schemes are result-identical (the reference's
+  * Keyed/Paned/MapReduce window operators compute one logical result —
+  * SURVEY §2.4).
+  */
+class WindowsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("pane-decomposed sliding windows == direct sliding windows") {
+    val ev = Tables.events(spark, TestSpark.SF)
+      .select(col("event_type"), expr("ts div 1000").as("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val len = 3600000000L; val slide = 900000000L
+    val direct = TimeWindows.sliding(ev, "ts_us", "cents", len, slide, Seq("event_type"))
+    val paned = TimeWindows.slidingByPanes(ev, "ts_us", "cents", len, slide, Seq("event_type"))
+    val d = direct.collect().map(_.toString).sorted
+    val p = paned.collect().map(_.toString).sorted
+    assert(d.sameElements(p))
+    assert(d.nonEmpty)
+  }
+
+  test("hopping windows (len < slide) drop gap rows") {
+    val ev = Tables.events(spark, TestSpark.SF)
+      .select(expr("ts div 1000").as("ts_us"), expr("CAST(round(value*100) AS BIGINT)").as("cents"))
+    val total = ev.count()
+    val hop = TimeWindows.sliding(ev, "ts_us", "cents", 600000000L, 1800000000L, Seq.empty)
+    val inWindows = hop.agg(sum("cnt")).collect()(0).getLong(0)
+    assert(inWindows < total, "hopping with gaps must not cover every row")
+    assert(inWindows > 0)
+  }
+}
