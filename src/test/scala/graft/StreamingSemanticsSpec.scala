@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{EvRow, StatefulOps}
+
+/** Watermark/lateness and state-backend semantics (SURVEY §2.8):
+  *  - late rows beyond the watermark are dropped and *counted* — the
+  *    reference's allowed-lateness + ignored_tuples behavior
+  *    (/root/reference/wf/window_replica.hpp:256-264,305;
+  *    withLateness wf/builders.hpp:773);
+  *  - the RocksDB state store is a pure-config swap (the reference's
+  *    whole P_* persistent-operator family, wf/persistent/).
+  */
+class StreamingSemanticsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("late rows beyond the watermark are dropped and counted (ignored_tuples)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val agg = mem.toDF().toDF("id", "event_time")
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("late_x")
+      .outputMode("update").start()
+    def ts(min: Long) = new java.sql.Timestamp(3600_000L * 24 * 365 * 50 + min * 60_000L)
+    mem.addData((1L, ts(0)), (2L, ts(60))) // watermark → t+50min
+    q.processAllAvailable()
+    mem.addData((3L, ts(10)))              // 40min older than watermark → dropped
+    q.processAllAvailable()
+    val dropped = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    q.stop()
+    assert(dropped == 1, s"expected exactly the late row dropped, got $dropped")
+    // and the dropped row contributed to no window
+    val total = spark.table("late_x").agg(sum("n")).collect()(0).getLong(0)
+    assert(total == 2)
+  }
+
+  test("RocksDB state store provider runs the same stateful operator (P_* family)") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    implicit val sq = s2.sqlContext
+    val mem = MemoryStream[EvRow]
+    val out = StatefulOps.rollingReduce(mem.toDS())(s2)
+    val q = out.toDF().writeStream.format("memory").queryName("rocks_x")
+      .outputMode("update").start()
+    mem.addData(EvRow(1, 7, 1000, 150), EvRow(2, 7, 2000, 50))
+    q.processAllAvailable()
+    mem.addData(EvRow(3, 7, 3000, 100)) // state must survive into batch 2
+    q.processAllAvailable()
+    q.stop()
+    val rows = s2.table("rocks_x").orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((1L, 1.5, 1L), (2L, 2.0, 2L), (3L, 3.0, 3L)))
+  }
+
+  test("lift/comb aggregator equals direct aggregation (Ffat_Windows equivalence)") {
+    import spark.implicits._
+    val ev = Tables.events(spark, TestSpark.SF)
+      .selectExpr("user_id", "CAST(round(value * 100) AS BIGINT) AS cents")
+      .as[(Long, Long)]
+    val agg = graft.operators.LiftCombAggregator.sumCountMinMax
+    val viaLiftComb = ev.groupByKey(_._1).mapValues(_._2).agg(agg.toColumn)
+      .collect().toMap
+    val direct = ev.toDF("user_id", "cents").groupBy("user_id")
+      .agg(sum("cents"), count(lit(1)), min("cents"), max("cents"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(viaLiftComb == direct)
+  }
+}
