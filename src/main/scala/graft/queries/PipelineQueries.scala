@@ -19,7 +19,7 @@ object PipelineQueries {
 
   // shared oracle CTE prefix: tokens + shingles + exploded grams
   private def gramCtes(n: Int): String =
-    s"""WITH d AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks FROM documents),
+    s"""WITH d AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks FROM ${Q.DocsRef}),
        |s AS (SELECT doc_id, ${DuckSql.wordShingles("toks", n)} AS sh FROM d),
        |g AS (SELECT doc_id, unnest(sh) AS gram FROM s)""".stripMargin
 
@@ -53,7 +53,7 @@ object PipelineQueries {
       } :+ s"h_$lang > 0"
       s"WHEN ${conds.mkString(" AND ")} THEN '$lang'"
     }.mkString(" ")
-    s"""WITH d AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks FROM documents),
+    s"""WITH d AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks FROM ${Q.DocsRef}),
        |h AS (SELECT doc_id, $vars FROM d)
        |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
        |FROM h ORDER BY doc_id""".stripMargin
@@ -75,7 +75,7 @@ object PipelineQueries {
       },
       Some {
         val stopEn = TextAnalysis.Stopwords.head._2.map(w => s"'$w'").mkString(",")
-        s"""WITH d AS (SELECT doc_id, text, ${DuckSql.tokens("text")} AS toks FROM documents),
+        s"""WITH d AS (SELECT doc_id, text, ${DuckSql.tokens("text")} AS toks FROM ${Q.DocsRef}),
            |b AS (SELECT doc_id, text, toks,
            |  len(toks) AS n_tokens,
            |  length(text) AS n_chars,
@@ -107,7 +107,7 @@ object PipelineQueries {
           .orderBy("doc_id")
       },
       Some(s"""
-        WITH d AS (SELECT doc_id, text, ${DuckSql.tokens("text")} AS toks FROM documents)
+        WITH d AS (SELECT doc_id, text, ${DuckSql.tokens("text")} AS toks FROM ${Q.DocsRef})
         SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
                CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
                CAST(length(text) AS INT) AS n_chars_measured
@@ -121,7 +121,7 @@ object PipelineQueries {
           .orderBy("doc_id")
       },
       Some(s"""
-        WITH d AS (SELECT doc_id, lower(text) AS norm FROM documents),
+        WITH d AS (SELECT doc_id, lower(text) AS norm FROM ${Q.DocsRef}),
         g AS (SELECT doc_id, norm,
                 CASE WHEN length(norm) >= 8
                      THEN list_transform(range(1, length(norm) - 6), i -> substr(norm, CAST(i AS INT), 8))
@@ -137,9 +137,9 @@ object PipelineQueries {
     // ================= dedup =================
     Q("dedup_exact",
       (s, dir) => Dedup.exact(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id"),
-      Some("""
+      Some(s"""
         SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
-        FROM documents ORDER BY doc_id""")),
+        FROM ${Q.DocsRef} ORDER BY doc_id""")),
 
     Q("dedup_minhash_lsh",
       (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -174,7 +174,7 @@ object PipelineQueries {
         Dedup.simhash(Tables.documents(s, dir), "doc_id", "text"), "doc_id", maxHamming = 10)
         .orderBy("a_id", "b_id"),
       Some(s"""
-        WITH d AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks FROM documents),
+        WITH d AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks FROM ${Q.DocsRef}),
         t AS (SELECT doc_id, ${DuckSql.hash60("tok")} AS h
               FROM (SELECT doc_id, unnest(toks) AS tok FROM d)),
         bits AS (
@@ -221,7 +221,7 @@ object PipelineQueries {
       (s, dir) => Similarity.embeddingPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.4).orderBy("a_id", "b_id"),
       Some(s"""
-        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        WITH e AS (SELECT vec_id, embedding FROM ${Q.EmbRef}),
         p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                      ${DuckSql.cosine("a.embedding", "b.embedding")} AS cos
               FROM e a JOIN e b ON a.vec_id < b.vec_id)
@@ -236,7 +236,7 @@ object PipelineQueries {
           .orderBy("query_id", "rnk")
       },
       Some(s"""
-        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        WITH e AS (SELECT vec_id, embedding FROM ${Q.EmbRef}),
         sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                       ${DuckSql.cosine("q.embedding", "c.embedding")} AS cos
                FROM e q JOIN e c ON q.vec_id < 100 AND q.vec_id <> c.vec_id),
@@ -262,7 +262,7 @@ object PipelineQueries {
         }.mkString(",\n")
         val bucket = (0 until 6).map(p => s"CASE WHEN dot_$p > 0.0e0 THEN ${1L << p} ELSE 0 END")
           .mkString(" + ")
-        s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+        s"""WITH e AS (SELECT vec_id, embedding AS v FROM ${Q.EmbRef}),
            |dots AS (SELECT vec_id, v, $dots FROM e),
            |b AS (SELECT vec_id, v, CAST($bucket AS BIGINT) AS bucket FROM dots),
            |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -289,8 +289,8 @@ object PipelineQueries {
             element_at(col("byte_hist"), 16).as("hist_15"))
           .orderBy("media_id")
       },
-      Some("""
-        WITH d AS (SELECT doc_id AS media_id, text FROM documents),
+      Some(s"""
+        WITH d AS (SELECT doc_id AS media_id, text FROM ${Q.DocsRef}),
         b AS (SELECT media_id, text, length(text) AS n,
                 list_transform(range(1, length(text)+1), i -> ord(substr(text, CAST(i AS INT), 1))) AS bytes
               FROM d)

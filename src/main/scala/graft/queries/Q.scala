@@ -22,4 +22,12 @@ object Q {
 
   val HourUs: Long = 3600L * 1000000L
   val MinuteUs: Long = 60L * 1000000L
+
+  /** documents/embeddings are not in TESTDATA.md's registered-table list,
+    * so their oracles read the parquet directly; Verify substitutes
+    * {SFDIR} with the actual scale-factor dir when dumping
+    * oracle_sql.json (works whether or not the driver registers views).
+    */
+  val DocsRef = "read_parquet('{SFDIR}/documents.parquet')"
+  val EmbRef = "read_parquet('{SFDIR}/embeddings.parquet')"
 }

@@ -100,7 +100,7 @@ object RelationalQueries {
         .orderBy("doc_id", "token"),
       Some(s"""
         SELECT doc_id, unnest(${graft.oracle.DuckSql.tokens("text")}) AS token
-        FROM documents ORDER BY doc_id, token""")),
+        FROM ${Q.DocsRef} ORDER BY doc_id, token""")),
 
     // ---- merge(): N pipes → one stream (wf/multipipe.hpp:1174-1204) ----
     Q("merge_union",
