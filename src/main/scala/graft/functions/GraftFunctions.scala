@@ -21,6 +21,12 @@ object GraftFunctions {
     * between engines).
     */
   def hash60(c: Column): Column =
+    graft.functions.expressions.Md5Prefix60(c.cast("string"))
+
+  /** Composable-SQL rendering of [[hash60]] (same values; kept as the
+    * readable specification and for contexts without the native expr).
+    */
+  def hash60Sql(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast(LongType)
 
   /** Seeded variant: independent hash family member i (minhash permutations,
@@ -39,10 +45,8 @@ object GraftFunctions {
     * HUGEINT arithmetic (integer-exact cross-engine).
     */
   def permHash(p: Int, h: Column): Column = {
-    val a = hash60Scala(s"A:$p") | 1L
-    val b = hash60Scala(s"B:$p")
-    ((lit(a).cast("decimal(38,0)") * h.cast("decimal(38,0)") + lit(b)) % lit(MersenneP))
-      .cast(LongType)
+    val (a, b) = permHashParams(p)
+    graft.functions.expressions.MersennePermHash(a, b, h)
   }
 
   /** Scala twin of [[permHash]] (for oracle/test constant derivation). */

@@ -58,6 +58,35 @@ object JoinQueries {
          AND b.ts_us BETWEEN a.ts_us - $JoinBoundUs AND a.ts_us + $JoinBoundUs
         ORDER BY a_id, b_id""")),
 
+    // asymmetric/negative bounds (the reference allows both bounds negative
+    // — wf/interval_join.hpp:279-295; join_tests matrix in FIXTURES.md §4):
+    // B-events strictly *before* each A-event, [t-45min, t-5min]
+    Q("interval_join_asym",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr(Q.TsUsSpark).as("ts_us"))
+        val a = e.filter(col("event_type") === "signup")
+          .select(col("event_id").as("a_id"), col("user_id"), col("ts_us").as("a_ts"))
+        val b = e.filter(col("event_type") === "view")
+          .select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts_us").as("b_ts"))
+        a.join(b, col("user_id") === col("b_user") &&
+            col("b_ts") >= col("a_ts") - 45L * Q.MinuteUs &&
+            col("b_ts") <= col("a_ts") - 5L * Q.MinuteUs)
+          .select(col("a_id"), col("b_id"), col("user_id"),
+            greatest(col("a_ts"), col("b_ts")).as("out_ts_us"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""
+        WITH e AS (SELECT event_id, user_id, event_type, ${Q.TsUsDuck} AS ts_us FROM events)
+        SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id AS user_id,
+               greatest(a.ts_us, b.ts_us) AS out_ts_us
+        FROM e a JOIN e b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'signup' AND b.event_type = 'view'
+         AND b.ts_us BETWEEN a.ts_us - ${45L * Q.MinuteUs} AND a.ts_us - ${5L * Q.MinuteUs}
+        ORDER BY a_id, b_id""")),
+
     Q("join_equi",
       (s, dir) => Tables.orders(s, dir)
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))

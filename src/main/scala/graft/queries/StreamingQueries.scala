@@ -53,6 +53,28 @@ object StreamingQueries {
       },
       WindowQueries.all.find(_.name == "win_cb_tumbling").get.oracle),
 
+    Q("stream_win_tb_sliding",
+      (s, dir) => {
+        implicit val sp = s
+        val agg = StreamSources.eventsWithTime(s, dir)
+          .groupBy(window(col("event_time"), "1 hour", "15 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)").as("sum_value"))
+          .select(col("event_type"), expr("unix_micros(window.start)").as("win_start_us"),
+            col("cnt"), col("sum_value"))
+        StreamRun.toBatch(agg, "complete").orderBy("event_type", "win_start_us")
+      },
+      WindowQueries.all.find(_.name == "win_tb_sliding").get.oracle),
+
+    Q("stream_win_cb_sliding",
+      (s, dir) => {
+        implicit val sp = s
+        val out = StatefulOps.countSlidingWindows(
+          StatefulOps.toEvRows(StreamSources.events(s, dir)), len = 100L, slide = 50L)
+        StreamRun.toBatch(out.toDF(), "update").orderBy("user_id", "wid")
+      },
+      WindowQueries.all.find(_.name == "win_cb_sliding").get.oracle),
+
     Q("stream_interval_join",
       (s, dir) => {
         implicit val sp = s

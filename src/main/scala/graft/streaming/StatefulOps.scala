@@ -21,6 +21,7 @@ case class CbPartial(wid: Long, cnt: Long, sumCents: Long, firstEvent: Long, las
 case class CbState(counter: Long, open: List[CbPartial])
 case class CbOut(user_id: Long, wid: Long, cnt: Long, sum_value: Double,
     first_event: Long, last_event: Long)
+case class CbSlideOut(user_id: Long, wid: Long, cnt: Long, sum_value: Double)
 
 /** Stateful streaming operators implemented with `flatMapGroupsWithState`
   * — the operators Structured Streaming lacks natively (SURVEY §4
@@ -105,6 +106,45 @@ object StatefulOps {
           touched.iterator.map { wid =>
             val p = open(wid)
             CbOut(user, wid, p.cnt, p.sumCents.toDouble / 100.0, p.firstEvent, p.lastEvent)
+          }
+      }
+  }
+
+  /** Count-based *sliding* windows (len > slide ⇒ overlap, len < slide ⇒
+    * hopping gaps — wf/window_replica.hpp:267-273) per key. Element with
+    * per-key arrival index i belongs to window ids
+    * w ∈ [max(0, (i-len) div slide + 1), i div slide]. Same emission
+    * contract as [[countTumblingWindows]].
+    */
+  def countSlidingWindows(ev: Dataset[EvRow], len: Long, slide: Long)(
+      implicit spark: SparkSession): Dataset[CbSlideOut] = {
+    import spark.implicits._
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[EvRow], state: GroupState[CbState]) =>
+          var st = state.getOption.getOrElse(CbState(0L, Nil))
+          var open = st.open.map(p => p.wid -> p).toMap
+          var counter = st.counter
+          val touched = scala.collection.mutable.LinkedHashSet[Long]()
+          it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            val i = counter
+            counter += 1
+            val wMin = if (i >= len) (i - len) / slide + 1 else 0L
+            val wMax = i / slide
+            var w = wMin
+            while (w <= wMax) {
+              val p = open.getOrElse(w, CbPartial(w, 0L, 0L, Long.MaxValue, Long.MinValue))
+              open += w -> p.copy(cnt = p.cnt + 1, sumCents = p.sumCents + e.cents)
+              touched += w
+              w += 1
+            }
+          }
+          // a window w can still gain elements while w*slide + len > counter
+          val keep = open.filter { case (w, _) => w * slide + len > counter }
+          state.update(CbState(counter, keep.values.toList))
+          touched.iterator.map { wid =>
+            val p = open(wid)
+            CbSlideOut(user, wid, p.cnt, p.sumCents.toDouble / 100.0)
           }
       }
   }

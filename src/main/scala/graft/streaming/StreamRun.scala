@@ -20,13 +20,22 @@ object StreamRun {
     */
   def toBatch(df: DataFrame, outputMode: String)(implicit spark: SparkSession): DataFrame = {
     val name = s"graft_stream_${n.incrementAndGet()}"
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Streaming state operators instantiate one state store per shuffle
+    // partition per operator; for these bounded verification runs the
+    // store-commit overhead dominates, so run the stream with a small
+    // fixed partition count (restored after). A continuous deployment
+    // sizes this to key cardinality instead.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 
