@@ -180,10 +180,14 @@ object Dedup {
       maxIter: Int = 10): DataFrame = {
     val edges = pairs.select(col("a_id"), col("b_id"))
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("rep_id"))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      // truncate lineage per round: each iteration is one shuffle, not a
+      // replay of every previous round
+      labels = labels.localCheckpoint(true)
       val prop = labels.join(edges, col("id") === col("a_id"), "left")
         .select(col("id"), col("rep_id"), col("b_id"))
         .join(labels.select(col("id").as("b_id"), col("rep_id").as("rep_b")), Seq("b_id"), "left")

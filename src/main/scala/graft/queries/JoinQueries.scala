@@ -114,6 +114,30 @@ object JoinQueries {
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE p_size < 15 GROUP BY p_brand ORDER BY p_brand""")),
 
+    // 3-way analytic join (TPC-H Q3 flavor): the composite plan the
+    // analytic surface exists for — two hash joins + agg + topk, with the
+    // dimension side broadcastable.
+    Q("q3_shipping",
+      (s, dir) => Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(20)
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"),
+          col("revenue"), col("n_items")),
+      Some("""
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_items
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey LIMIT 20""")),
+
     Q("join_semi",
       (s, dir) => Tables.customer(s, dir)
         .join(Tables.orders(s, dir).filter(col("o_totalprice") > 200000.0),

@@ -30,12 +30,36 @@ object PipelineQueries {
        |  FROM cand c
        |  JOIN g ga ON ga.doc_id = c.a_id
        |  JOIN g gb ON gb.doc_id = c.b_id AND gb.gram = ga.gram
-       |  GROUP BY c.a_id, c.b_id)
-       |SELECT iv.a_id, iv.b_id,
-       |       CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
-       |FROM inter iv JOIN sz sa ON sa.doc_id = iv.a_id JOIN sz sb ON sb.doc_id = iv.b_id
-       |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= ${threshold}e0
-       |ORDER BY a_id, b_id""".stripMargin
+       |  GROUP BY c.a_id, c.b_id),
+       |pairs AS (
+       |  SELECT iv.a_id, iv.b_id,
+       |         CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+       |  FROM inter iv JOIN sz sa ON sa.doc_id = iv.a_id JOIN sz sb ON sb.doc_id = iv.b_id
+       |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= ${threshold}e0)""".stripMargin
+
+  /** Whole minhash-LSH pipeline as a CTE chain ending in `pairs`. */
+  private def minhashCtes(threshold: Double): String = {
+    val perms = (0 until 12).map { p =>
+      val (a, b) = graft.functions.GraftFunctions.permHashParams(p)
+      s"($p, $a, $b)"
+    }.mkString(", ")
+    s"""${gramCtes(3)},
+       |gh AS (SELECT doc_id, ${DuckSql.hash60("gram")} AS h FROM g),
+       |hp AS (
+       |  SELECT gh.doc_id, pp.p,
+       |         min(CAST((CAST(pp.a AS HUGEINT) * gh.h + pp.b) % ${graft.functions.GraftFunctions.MersenneP} AS BIGINT)) AS minh
+       |  FROM gh CROSS JOIN (VALUES $perms) AS pp(p, a, b)
+       |  GROUP BY gh.doc_id, pp.p),
+       |bands AS (
+       |  SELECT doc_id, p // 3 AS band,
+       |         sum(${DuckSql.hash60("CAST(p % 3 AS VARCHAR) || ':' || CAST(minh AS VARCHAR)")}) AS bandsig
+       |  FROM hp GROUP BY doc_id, band),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id),
+       |${jaccardTail(threshold)}""".stripMargin
+  }
 
   /** langId CASE generated from TextAnalysis.Stopwords (tie-break = list
     * order, strict > against earlier langs, >= against later ones).
@@ -145,29 +169,33 @@ object PipelineQueries {
       (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 3, numPerms = 12, rowsPerBand = 3, threshold = 0.6)
         .orderBy("a_id", "b_id"),
-      Some {
-        val perms = (0 until 12).map { p =>
-          val (a, b) = graft.functions.GraftFunctions.permHashParams(p)
-          s"($p, $a, $b)"
-        }.mkString(", ")
-        s"""
-        ${gramCtes(3)},
-        gh AS (SELECT doc_id, ${DuckSql.hash60("gram")} AS h FROM g),
-        hp AS (
-          SELECT gh.doc_id, pp.p,
-                 min(CAST((CAST(pp.a AS HUGEINT) * gh.h + pp.b) % ${graft.functions.GraftFunctions.MersenneP} AS BIGINT)) AS minh
-          FROM gh CROSS JOIN (VALUES $perms) AS pp(p, a, b)
-          GROUP BY gh.doc_id, pp.p),
-        bands AS (
-          SELECT doc_id, p // 3 AS band,
-                 sum(${DuckSql.hash60("CAST(p % 3 AS VARCHAR) || ':' || CAST(minh AS VARCHAR)")}) AS bandsig
-          FROM hp GROUP BY doc_id, band),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id),
-        ${jaccardTail(0.6)}"""
-      }),
+      Some(s"""
+        ${minhashCtes(0.6)}
+        SELECT a_id, b_id, jaccard FROM pairs ORDER BY a_id, b_id""")),
+
+    // transitive dedup clusters over the verified minhash pair graph —
+    // iterative min-label propagation in Spark, recursive CTE in DuckDB
+    // (both converge to the component-minimum representative)
+    Q("dedup_clusters",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          shingleN = 3, numPerms = 12, rowsPerBand = 3, threshold = 0.6)
+          .select("a_id", "b_id")
+        Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE
+        ${minhashCtes(0.6).replaceFirst("^WITH ", "")},
+        bi AS (SELECT a_id AS s, b_id AS t FROM pairs
+               UNION ALL SELECT b_id, a_id FROM pairs),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM d
+          UNION
+          SELECT bi.s, reach.r FROM bi JOIN reach ON reach.id = bi.t)
+        SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY id
+        ORDER BY doc_id""")),
 
     Q("dedup_simhash",
       (s, dir) => Dedup.simhashPairs(
@@ -275,6 +303,31 @@ object PipelineQueries {
            |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id
            |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
       }),
+
+    Q("knn_ivf",
+      (s, dir) => Similarity.knnIvf(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 5, numCentroids = 16, queryFilter = col("vec_id") < 100)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("query_id", "rnk"),
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding AS v FROM ${Q.EmbRef}),
+        cents AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        asg AS (SELECT e.vec_id, e.v, c.cent_id,
+                       ${DuckSql.cosine("e.v", "c.cv")} AS ccos
+                FROM e CROSS JOIN cents c),
+        cell AS (SELECT vec_id, v, cent_id AS cell FROM (
+                   SELECT vec_id, v, cent_id,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS r
+                   FROM asg) WHERE r = 1),
+        sc AS (SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id,
+                      ${DuckSql.cosine("q.v", "cd.v")} AS cos
+               FROM cell q JOIN cell cd ON q.cell = cd.cell
+                AND q.vec_id < 100 AND q.vec_id <> cd.vec_id),
+        r AS (SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM sc)
+        SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id
+        FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""")),
 
     // ================= multimodal =================
     Q("multimodal_meta",

@@ -159,6 +159,16 @@ object RelationalQueries {
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
 
+    Q("cube_events",
+      (s, dir) => Tables.events(s, dir)
+        .cube("event_type", "user_id")
+        .agg(count(lit(1)).as("n"), expr(SumValue).as("sum_value"))
+        .orderBy(asc_nulls_first("event_type"), asc_nulls_first("user_id")),
+      Some(s"""
+        SELECT event_type, user_id, COUNT(*) AS n, $SumValue AS sum_value
+        FROM events GROUP BY CUBE (event_type, user_id)
+        ORDER BY event_type ASC NULLS FIRST, user_id ASC NULLS FIRST""")),
+
     Q("rollup_orders",
       (s, dir) => Tables.orders(s, dir)
         .rollup("o_orderpriority", "o_orderstatus")

@@ -86,6 +86,46 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** IVF cell assignment: nearest of `numCentroids` coarse centroids by
+    * cosine (ties → lowest centroid id). Centroid "training" is stubbed
+    * deterministically as the first `numCentroids` vectors by id — a real
+    * deployment plugs k-means output into the same shape. The centroid set
+    * is broadcast; assignment is one narrow pass over the corpus.
+    */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String, numCentroids: Int): DataFrame = {
+    val cents = df.orderBy(col(idCol)).limit(numCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cv"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("cn"))
+    val v = df.select(col(idCol), col(vecCol),
+      sqrt(dot(col(vecCol), col(vecCol))).as("__n"))
+    val scored = v.crossJoin(broadcast(cents))
+      .withColumn("ccos", dot(col(vecCol), col("cv")) / (col("__n") * col("cn")))
+    val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cent_id").asc)
+    scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col(idCol), col(vecCol), col("cent_id").as("cell"))
+  }
+
+  /** IVF approximate top-k: candidates are same-cell vectors (nprobe=1),
+    * re-ranked by exact cosine. The scale path when LSH bucket sizes are
+    * hard to control: cell granularity follows the centroid count.
+    * Output: (query_id, rank, neighbor_id).
+    */
+  def knnIvf(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      numCentroids: Int, queryFilter: org.apache.spark.sql.Column): DataFrame = {
+    val cells = ivfAssign(df, idCol, vecCol, numCentroids)
+      .withColumn("__n", sqrt(dot(col(vecCol), col(vecCol))))
+    val q = cells.filter(queryFilter).select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), col("cell"), col("__n").as("qn"))
+    val c = cells.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col("cell"), col("__n").as("cn"))
+    val scored = q.join(c, Seq("cell")).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
   /** All-pairs cosine near-duplicates (a_id < b_id, cos ≥ threshold).
     * Quadratic verification baseline; prefer LSH buckets at scale.
     */

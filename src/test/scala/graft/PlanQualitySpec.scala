@@ -39,4 +39,35 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = plan("interval_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(3000))
   }
+
+  test("bucketed tables co-locate the join (no shuffle exchange)") {
+    import org.apache.spark.sql.functions.col
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    // the in-memory catalog forgets tables across JVMs but the files stay
+    Seq("b_orders", "b_customer").foreach { t =>
+      val d = new java.io.File(s"/tmp/graft-test-warehouse/$t")
+      if (d.exists()) {
+        d.listFiles().foreach(_.delete()); d.delete()
+      }
+    }
+    Tables.orders(spark, TestSpark.SF).write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
+    Tables.customer(spark, TestSpark.SF).write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("b_customer")
+    val j = spark.table("b_orders")
+      .join(spark.table("b_customer").hint("merge"), col("o_custkey") === col("c_custkey"))
+    val p = j.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(3000))
+  }
+
+  test("salted join is result-identical to the plain equi-join") {
+    val o = Tables.orders(spark, TestSpark.SF)
+    val c = Tables.customer(spark, TestSpark.SF)
+    val plain = o.join(c, org.apache.spark.sql.functions.col("o_custkey") ===
+      org.apache.spark.sql.functions.col("c_custkey")).count()
+    val salted = graft.operators.SkewJoin
+      .saltedEquiJoin(o, c, "o_custkey", "c_custkey", "o_orderkey", 8).count()
+    assert(plain == salted)
+  }
 }

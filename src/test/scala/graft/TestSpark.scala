@@ -6,7 +6,10 @@ import org.apache.spark.sql.SparkSession
 object TestSpark {
   lazy val spark: SparkSession = {
     val s = GraftSession.configure(
-      SparkSession.builder().master("local[4]").appName("graft-test"), 4).getOrCreate()
+      SparkSession.builder().master("local[4]").appName("graft-test"), 4)
+      .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
+      .config("spark.sql.catalogImplementation", "in-memory")
+      .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
