@@ -73,16 +73,16 @@ object WindowQueries {
         ORDER BY event_id""")),
 
     // ---- keyless Reduce: global running fold (empty_key_t path,
-    //      wf/basic.hpp:284-302) ----
+    //      wf/basic.hpp:284-302) — via the distributed two-pass prefix
+    //      scan (a keyless ORDER BY window would collapse to one task) ----
     Q("reduce_keyless",
       (s, dir) => {
-        val w = Window.orderBy(col("ts_us"), col("event_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.events(s, dir)
-          .select(col("event_id"), expr(Q.TsUsSpark).as("ts_us"), col("value"))
-          .withColumn("running_sum",
-            sum(expr("CAST(value AS DECIMAL(12,2))")).over(w).cast("double"))
-          .select("event_id", "running_sum")
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), expr(Q.TsUsSpark).as("ts_us"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        graft.operators.PrefixSum.runningSum(ev, "cents", Seq("ts_us", "event_id"))
+          .select(col("event_id"),
+            (col("running_cents").cast("double") / lit(100.0)).as("running_sum"))
           .orderBy("event_id")
       },
       Some(s"""

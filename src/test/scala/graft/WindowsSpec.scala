@@ -24,6 +24,21 @@ class WindowsSpec extends AnyFunSuite {
     assert(d.nonEmpty)
   }
 
+  test("distributed prefix scan equals the single-partition window") {
+    val ev = Tables.events(spark, TestSpark.SF)
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+        expr("CAST(round(value*100) AS BIGINT)").as("cents"))
+    val scalable = graft.operators.PrefixSum.runningSum(ev, "cents", Seq("ts_us", "event_id"), 7)
+      .select("event_id", "running_cents").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val naive = ev.withColumn("r", sum("cents").over(w))
+      .select("event_id", "r").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scalable == naive)
+  }
+
   test("hopping windows (len < slide) drop gap rows") {
     val ev = Tables.events(spark, TestSpark.SF)
       .select(expr("ts div 1000").as("ts_us"), expr("CAST(round(value*100) AS BIGINT)").as("cents"))
