@@ -200,6 +200,34 @@ object WindowQueries {
         SELECT user_id, wid, COUNT(*) AS cnt, $SumVal AS sum_value
         FROM x GROUP BY user_id, wid ORDER BY user_id, wid""")),
 
+    // ---- session windows: absent from the reference ("No session windows
+    //      anywhere in the library", SURVEY §2.4) — a free win from Spark's
+    //      native session_window; oracle = lag/cumsum session split ----
+    Q("win_tb_session",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("user_id"), expr(s"timestamp_micros(${Q.TsUsSpark})").as("event_time"),
+          col("value"))
+        .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"), expr(SumVal).as("sum_value"))
+        .select(col("user_id"), expr("unix_micros(session_window.start)").as("session_start_us"),
+          col("cnt"), col("sum_value"))
+        .orderBy("user_id", "session_start_us"),
+      Some(s"""
+        WITH e AS (SELECT user_id, ${Q.TsUsDuck} AS ts_us, value FROM events),
+        l AS (SELECT user_id, ts_us, value,
+                CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) >= ${30L * Q.MinuteUs}
+                     OR lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+                     THEN 1 ELSE 0 END AS new_s
+              FROM e),
+        sgrp AS (SELECT user_id, ts_us, value,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                 FROM l)
+        SELECT user_id, MIN(ts_us) AS session_start_us,
+               COUNT(*) AS cnt, $SumVal AS sum_value
+        FROM sgrp GROUP BY user_id, sid
+        ORDER BY user_id, session_start_us""")),
+
     // ---- non-incremental window logic: order statistics over the full
     //      sorted window buffer (Iterable flavor, wf/iterable.hpp:47-55) ----
     Q("win_tb_noninc",
