@@ -200,6 +200,33 @@ object WindowQueries {
         SELECT user_id, wid, COUNT(*) AS cnt, $SumVal AS sum_value
         FROM x GROUP BY user_id, wid ORDER BY user_id, wid""")),
 
+    // ---- CB hopping with gaps (len 20 < slide 50): only every 50th-index
+    //      stretch of 20 rows per key lands in a window ----
+    Q("win_cb_hopping",
+      (s, dir) => {
+        val idx = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), expr(Q.TsUsSpark).as("ts_us"), col("value"))
+          .withColumn("i", row_number().over(idx) - 1)
+          .withColumn("wmin", expr("CASE WHEN i >= 20 THEN (i - 20) div 50 + 1 ELSE 0 END"))
+          .withColumn("wmax", expr("i div 50"))
+          .withColumn("w", explode(expr("CASE WHEN wmin <= wmax THEN sequence(wmin, wmax) END")))
+          .groupBy("user_id", "w")
+          .agg(count(lit(1)).as("cnt"), expr(SumVal).as("sum_value"))
+          .withColumnRenamed("w", "wid")
+          .orderBy("user_id", "wid")
+      },
+      Some(s"""
+        WITH e AS (SELECT user_id, event_id, ${Q.TsUsDuck} AS ts_us, value FROM events),
+        r AS (SELECT user_id, event_id, value,
+                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - 1 AS i
+              FROM e),
+        x AS (SELECT user_id, value,
+                unnest(range(CASE WHEN i >= 20 THEN (i - 20) // 50 + 1 ELSE 0 END, i // 50 + 1)) AS wid
+              FROM r)
+        SELECT user_id, wid, COUNT(*) AS cnt, $SumVal AS sum_value
+        FROM x GROUP BY user_id, wid ORDER BY user_id, wid""")),
+
     // ---- session windows: absent from the reference ("No session windows
     //      anywhere in the library", SURVEY §2.4) — a free win from Spark's
     //      native session_window; oracle = lag/cumsum session split ----
