@@ -75,6 +75,26 @@ object StreamingQueries {
       },
       WindowQueries.all.find(_.name == "win_cb_sliding").get.oracle),
 
+    // non-incremental (full-buffer Iterable) window logic through the
+    // streaming engine: complete-mode agg buffers the window, then order
+    // statistics over the sorted buffer (wf/iterable.hpp:47-55 flavor)
+    Q("stream_win_tb_noninc",
+      (s, dir) => {
+        implicit val sp = s
+        val H6 = 6L * Q.HourUs
+        val agg = StreamSources.events(s, dir)
+          .selectExpr("user_id", s"((ts div 1000) div $H6) * $H6 AS win_start_us",
+            "CAST(round(value * 100) AS BIGINT) AS cents")
+          .groupBy("user_id", "win_start_us")
+          .agg(count(lit(1)).as("cnt"),
+            expr("sort_array(collect_list(cents))").as("buf"))
+          .select(col("user_id"), col("win_start_us"), col("cnt"),
+            expr("buf[CAST((cnt + 1) div 2 AS INT) - 1]").as("median_cents"),
+            expr("buf[CAST(cnt AS INT) - 1] - buf[0]").as("range_cents"))
+        StreamRun.toBatch(agg, "complete").orderBy("user_id", "win_start_us")
+      },
+      WindowQueries.all.find(_.name == "win_tb_noninc").get.oracle),
+
     Q("stream_interval_join",
       (s, dir) => {
         implicit val sp = s
