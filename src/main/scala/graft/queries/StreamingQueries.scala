@@ -75,6 +75,21 @@ object StreamingQueries {
       },
       WindowQueries.all.find(_.name == "win_cb_sliding").get.oracle),
 
+    // streaming exact dedup at ingestion: the stream unioned with itself
+    // (every event arrives twice) must come out exactly once —
+    // dropDuplicates keyed state; the survivor row is identical whichever
+    // copy wins, so output is deterministic
+    Q("stream_dedup_exact",
+      (s, dir) => {
+        implicit val sp = s
+        val e = StreamSources.events(s, dir).select("event_id", "user_id", "value")
+        val doubled = e.union(StreamSources.events(s, dir).select("event_id", "user_id", "value"))
+        StreamRun.toBatch(doubled.dropDuplicates("event_id"), "append")
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, user_id, value FROM events ORDER BY event_id""")),
+
     // non-incremental (full-buffer Iterable) window logic through the
     // streaming engine: complete-mode agg buffers the window, then order
     // statistics over the sorted buffer (wf/iterable.hpp:47-55 flavor)
