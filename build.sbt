@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver-contract mains (graft.Bench) must print machine-parseable JSON on
+// stdout. sbt's default LoggedOutput prefixes forked-process stdout with
+// "[info] ", which breaks the driver's JSON-line parser — pass the child's
+// stdio straight through instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

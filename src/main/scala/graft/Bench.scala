@@ -1,13 +1,29 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-contract benchmark main: runs every registered query on
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query seconds.
-  * A warmup action first amortizes JVM/codegen startup so timings measure
-  * the queries, not the JIT.
+  *
+  * Each query is materialized through a `noop`-format write (not `.count()`):
+  * Catalyst collapses narrow plans under count (a projection becomes a
+  * parquet row-count; sorts are eliminated), so count-based timings measure
+  * scan metadata, not the operator. The noop sink evaluates every output row
+  * of the exact declared plan and discards it — the closest local analog of
+  * "write the result to the next stage of a 100 TB pipeline".
+  *
+  * The JSON line is ALSO written to `SPARK_GRAFT_BENCH_OUT` (default
+  * `bench_out.json` in the working dir) so the metric survives even if a
+  * wrapper mangles stdout.
   */
 object Bench {
+  /** Force full evaluation of the query's declared plan. */
+  private def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
@@ -17,19 +33,27 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: touch each table + run the flagship once (codegen, JIT, IO)
-    SparkEntry.queries("q1_agg")(spark, sfDir).count()
-    SparkEntry.queries("filter_predicate")(spark, sfDir).count()
+    // warmup: touch each table + run the flagship once (codegen, JIT, IO).
+    // Guarded so a missing table still yields the required JSON line.
+    try {
+      materialize(SparkEntry.queries("q1_agg")(spark, sfDir))
+      materialize(SparkEntry.queries("filter_predicate")(spark, sfDir))
+    } catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try Files.write(Paths.get(out), (line + "\n").getBytes(StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }
