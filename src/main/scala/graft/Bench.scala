@@ -20,9 +20,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * wrapper mangles stdout.
   */
 object Bench {
-  /** Force full evaluation of the query's declared plan. */
+  /** Force full evaluation of the query's declared plan, then release any
+    * intermediates the library persisted for it (Caches hygiene). */
   private def materialize(df: DataFrame): Unit =
-    df.write.format("noop").mode("overwrite").save()
+    try df.write.format("noop").mode("overwrite").save()
+    finally Caches.releaseAll()
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

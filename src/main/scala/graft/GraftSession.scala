@@ -22,9 +22,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // The driver's events table carries parquet TIMESTAMP(NANOS), which
-      // Spark only reads as raw Long nanoseconds (SPARK-40819). All
-      // event-time arithmetic in this engine is done on int64 nanoseconds,
-      // which is also exactly what DuckDB's epoch_ns() yields — so oracle
+      // Spark only reads as raw Long nanoseconds (SPARK-40819). Queries
+      // immediately convert to the engine-wide convention of int64
+      // MICROseconds (`ts div 1000`), which is exactly what DuckDB 1.0
+      // yields after its µs-truncating read (`epoch_us(ts)`) — so oracle
       // comparisons are integer-exact.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 

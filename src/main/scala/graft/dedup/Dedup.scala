@@ -101,12 +101,11 @@ object Dedup {
       threshold: Double = 0.6): DataFrame = {
     // the shingle index feeds signatures AND verification — materialize it
     // once instead of re-tokenizing the corpus per consumer (at 100 TB this
-    // would be a checkpoint to storage rather than a cache)
-    val sh = shingles(df, idCol, textCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hsDf = df.select(col(idCol),
-      transform(wordShingles(col(textCol), shingleN), g => hash60(g)).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // would be a checkpoint to storage rather than a cache); tracked so the
+    // caller releases the blocks after materializing (graft.Caches)
+    val sh = graft.Caches.track(shingles(df, idCol, textCol, shingleN))
+    val hsDf = graft.Caches.track(df.select(col(idCol),
+      transform(wordShingles(col(textCol), shingleN), g => hash60(g)).as("hs")))
     val cand = lshCandidates(
       lshBands(minhashSignatures(hsDf, idCol, numPerms), idCol, rowsPerBand), idCol)
     verifyJaccard(cand, sh, idCol, threshold)
@@ -155,8 +154,7 @@ object Dedup {
     val sh = shingles(df, idCol, textCol, n)
     val rare = sh.groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("gram")
-    val shRare = sh.join(rare, "gram")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shRare = graft.Caches.track(sh.join(rare, "gram"))
     val sizes = shRare.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val inter = shRare.select(col(idCol).as("a_id"), col("gram"))
       .join(shRare.select(col(idCol).as("b_id"), col("gram")), "gram")
@@ -171,34 +169,61 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
-  /** Transitive dedup clusters by iterative min-label propagation over the
-    * verified pair graph (large-star style; converges in O(log n) rounds —
-    * each round is one shuffle, AQE handles skew). `pairs` must have
-    * (a_id, b_id); returns (id, rep_id) for every id in `ids`.
+  /** Transitive dedup clusters by iterative min-label propagation with
+    * pointer doubling over the verified pair graph. Each round takes, per
+    * node, the min of its own label, its neighbors' labels (one-hop
+    * propagation), and its label's label (pointer jump) — the jump halves
+    * label-chain length every round, so convergence is O(log diameter)
+    * rather than O(diameter). Each round is two hash joins + one agg on an
+    * eagerly-truncated lineage; the convergence flag is folded into the
+    * round's own result (no extra probe job re-running the joins).
+    *
+    * `pairs` must have (a_id, b_id); returns (id, rep_id) for every id in
+    * `ids`. Throws if maxIter rounds don't converge — a silently
+    * non-converged result would mis-assign representatives.
     */
   def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
-      maxIter: Int = 10): DataFrame = {
+      maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("a_id"), col("b_id"))
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("rep_id"))
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      // truncate lineage per round: each iteration is one shuffle, not a
-      // replay of every previous round
-      labels = labels.localCheckpoint(true)
-      val prop = labels.join(edges, col("id") === col("a_id"), "left")
-        .select(col("id"), col("rep_id"), col("b_id"))
-        .join(labels.select(col("id").as("b_id"), col("rep_id").as("rep_b")), Seq("b_id"), "left")
-        .groupBy("id")
-        .agg(least(min("rep_id"), coalesce(min("rep_b"), min("rep_id"))).as("new_rep"),
-          min("rep_id").as("old_rep"))
-      val changed = prop.filter(col("new_rep") < col("old_rep")).limit(1).count()
-      labels = prop.select(col("id"), col("new_rep").as("rep_id"))
-      if (changed == 0) converged = true
-      iter += 1
-    }
-    labels.select(col("id").as(idCol), col("rep_id"))
+    try {
+      // propagate only over vertices that touch an edge: in a dedup corpus
+      // that's a small fraction of `ids`, so every round's joins run over
+      // the pair graph, not the corpus; singletons are restored by the
+      // final left join (rep = own id)
+      var labels = edges.select(col("a_id").as("id")).distinct()
+        .select(col("id"), col("id").as("rep_id"))
+        .localCheckpoint(true)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        val viaNeighbors = labels.join(edges, col("id") === col("a_id"), "left")
+          .select(col("id"), col("rep_id"), col("b_id"))
+          .join(labels.select(col("id").as("b_id"), col("rep_id").as("rep_b")), Seq("b_id"), "left")
+          .groupBy("id")
+          .agg(min("rep_id").as("old_rep"),
+            least(min("rep_id"), coalesce(min("rep_b"), min("rep_id"))).as("mid_rep"))
+        // pointer jump: labels always map to real node ids, so rep(mid_rep)
+        // exists — inner join against the current labels
+        val next = viaNeighbors
+          .join(labels.select(col("id").as("mid_rep"), col("rep_id").as("rep_rep")), Seq("mid_rep"))
+          .select(col("id"),
+            least(col("mid_rep"), col("rep_rep")).as("rep_id"),
+            (least(col("mid_rep"), col("rep_rep")) < col("old_rep")).cast("int").as("chg"))
+          .localCheckpoint(true) // one materialization per round
+        // reads the checkpoint blocks, not a recompute of the joins
+        converged = next.agg(coalesce(max("chg"), lit(0)).as("c")).first().getInt(0) == 0
+        labels = next.select("id", "rep_id")
+        iter += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds " +
+            "(component diameter > 2^maxIter); raise maxIter")
+      ids.select(col(idCol))
+        .join(labels.select(col("id").as(idCol), col("rep_id")), Seq(idCol), "left")
+        .select(col(idCol), coalesce(col("rep_id"), col(idCol)).as("rep_id"))
+    } finally edges.unpersist(blocking = false)
   }
 }

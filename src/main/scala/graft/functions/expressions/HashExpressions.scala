@@ -41,10 +41,15 @@ object Md5Prefix60 {
   }
 
   /** First 60 bits of the md5 digest (big-endian), as a non-negative long. */
-  def hash(bytes: Array[Byte]): Long = {
+  def hash(bytes: Array[Byte]): Long = hashRange(bytes, 0, bytes.length)
+
+  /** [[hash]] over a byte slice — lets gram kernels hash substrings without
+    * per-gram array copies. */
+  def hashRange(bytes: Array[Byte], off: Int, len: Int): Long = {
     val md = local.get()
     md.reset()
-    val d = md.digest(bytes)
+    md.update(bytes, off, len)
+    val d = md.digest()
     var v = 0L
     var i = 0
     while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }

@@ -61,6 +61,27 @@ object PipelineQueries {
        |${jaccardTail(threshold)}""".stripMargin
   }
 
+  /** Hyperplane-LSH bucket assignment as DuckDB CTEs (`e`, `dots`, `b`) —
+    * same deterministic plane weights as [[Similarity.planeWeights]], same
+    * in-order dot-product folds, so bucket ids match Spark bit-exactly.
+    */
+  private def lshBucketCtes(planes: Int, dim: Int = 64): String = {
+    val ws = Similarity.planeWeights(planes, dim)
+    val dots = ws.zipWithIndex.map { case (w, p) =>
+      val wLit = "[" + w.map(_.toString).mkString(",") + "]"
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(range(1, len(v)+1),
+         |    i -> CAST(v[CAST(i AS INT)] AS DOUBLE) * (CAST($wLit AS DOUBLE[]))[CAST(i AS INT)])),
+         |  (acc, x) -> acc + x) AS dot_$p""".stripMargin
+    }.mkString(",\n")
+    val bucket = (0 until planes)
+      .map(p => s"CASE WHEN dot_$p > 0.0e0 THEN ${1L << p} ELSE 0 END")
+      .mkString(" + ")
+    s"""e AS (SELECT vec_id, embedding AS v FROM ${Q.EmbRef}),
+       |dots AS (SELECT vec_id, v, $dots FROM e),
+       |b AS (SELECT vec_id, v, CAST($bucket AS BIGINT) AS bucket FROM dots)""".stripMargin
+  }
+
   /** langId CASE generated from TextAnalysis.Stopwords (tie-break = list
     * order, strict > against earlier langs, >= against later ones).
     */
@@ -245,34 +266,20 @@ object PipelineQueries {
         WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.6e0
         ORDER BY a_id, b_id""")),
 
+    // embedding near-dup routed through LSH buckets — the scale path is the
+    // declared plan; the all-pairs form survives only as the test-side
+    // recall baseline (DedupSimilaritySpec)
     Q("dedup_embedding",
-      (s, dir) => Similarity.embeddingPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.4).orderBy("a_id", "b_id"),
+      (s, dir) => Similarity.embeddingPairsLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.4, planes = 4, dim = 64).orderBy("a_id", "b_id"),
       Some(s"""
-        WITH e AS (SELECT vec_id, embedding FROM ${Q.EmbRef}),
-        p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                     ${DuckSql.cosine("a.embedding", "b.embedding")} AS cos
-              FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        WITH ${lshBucketCtes(4)},
+        p AS (SELECT a.vec_id AS a_id, c.vec_id AS b_id,
+                     ${DuckSql.cosine("a.v", "c.v")} AS cos
+              FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
         SELECT a_id, b_id, cos FROM p WHERE cos >= 0.4e0 ORDER BY a_id, b_id""")),
 
     // ================= similarity search =================
-    Q("knn_bruteforce",
-      (s, dir) => {
-        val e = Tables.embeddings(s, dir)
-        Similarity.knnBruteForce(e.filter(col("vec_id") < 100), e, "vec_id", "embedding", k = 5)
-          .withColumnRenamed("rank", "rnk")
-          .orderBy("query_id", "rnk")
-      },
-      Some(s"""
-        WITH e AS (SELECT vec_id, embedding FROM ${Q.EmbRef}),
-        sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                      ${DuckSql.cosine("q.embedding", "c.embedding")} AS cos
-               FROM e q JOIN e c ON q.vec_id < 100 AND q.vec_id <> c.vec_id),
-        r AS (SELECT query_id, neighbor_id, cos,
-                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-              FROM sc)
-        SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, cos
-        FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""")),
 
     Q("knn_lsh",
       (s, dir) => Similarity.knnLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -280,19 +287,7 @@ object PipelineQueries {
         .withColumnRenamed("rank", "rnk")
         .orderBy("query_id", "rnk"),
       Some {
-        val ws = Similarity.planeWeights(6, 64)
-        val dots = ws.zipWithIndex.map { case (w, p) =>
-          val wLit = "[" + w.map(_.toString).mkString(",") + "]"
-          s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             |  list_transform(range(1, len(v)+1),
-             |    i -> CAST(v[CAST(i AS INT)] AS DOUBLE) * (CAST($wLit AS DOUBLE[]))[CAST(i AS INT)])),
-             |  (acc, x) -> acc + x) AS dot_$p""".stripMargin
-        }.mkString(",\n")
-        val bucket = (0 until 6).map(p => s"CASE WHEN dot_$p > 0.0e0 THEN ${1L << p} ELSE 0 END")
-          .mkString(" + ")
-        s"""WITH e AS (SELECT vec_id, embedding AS v FROM ${Q.EmbRef}),
-           |dots AS (SELECT vec_id, v, $dots FROM e),
-           |b AS (SELECT vec_id, v, CAST($bucket AS BIGINT) AS bucket FROM dots),
+        s"""WITH ${lshBucketCtes(6)},
            |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            |              ${DuckSql.cosine("q.v", "c.v")} AS cos
            |       FROM b q JOIN b c ON q.bucket = c.bucket
@@ -330,6 +325,12 @@ object PipelineQueries {
         FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""")),
 
     // ================= multimodal =================
+    // NOTE (oracle scope): the Spark side measures UTF-8 *bytes* of the
+    // encoded payload (the real pipeline semantics for opaque media blobs);
+    // the DuckDB rendering below measures characters/codepoints
+    // (length/ord/substr). The two agree exactly on ASCII-only corpora —
+    // which the driver's synthetic documents are — but a non-ASCII corpus
+    // would need the oracle rendered over encode()/octet_length() instead.
     Q("multimodal_meta",
       (s, dir) => {
         import s.implicits._

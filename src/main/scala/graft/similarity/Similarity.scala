@@ -26,7 +26,9 @@ import graft.functions.GraftFunctions._
 object Similarity {
 
   /** Exact top-k neighbors per query. Output: (query_id, rank, neighbor_id,
-    * cos). Ties broken by neighbor id.
+    * cos). Ties broken by neighbor id. Recall baseline for the bucketed
+    * paths — test-only; broadcasting the whole candidate corpus caps it at
+    * broadcast-threshold scale, so it is never the declared plan.
     */
   def knnBruteForce(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int, broadcastCandidates: Boolean = true): DataFrame = {
@@ -126,8 +128,31 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** Embedding near-duplicates via hyperplane LSH buckets: candidates are
+    * bucket-mates (one int key per vector, one hash shuffle), verified by
+    * exact cosine. Each vector lands in exactly one bucket, so a pair is
+    * emitted at most once — no distinct pass. This is the declared scale
+    * path; [[embeddingPairs]] is the all-pairs recall baseline (test-only).
+    * Output: (a_id, b_id, cos ≥ threshold).
+    */
+  def embeddingPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 4, dim: Int = 64): DataFrame = {
+    val b = hyperplaneBuckets(df, idCol, vecCol, planes, dim)
+      .withColumn("__n", sqrt(dot(col(vecCol), col(vecCol))))
+    val a = b.select(col(idCol).as("a_id"), col(vecCol).as("va"),
+      col("bucket"), col("__n").as("na"))
+    val c = b.select(col(idCol).as("b_id"), col(vecCol).as("vb"),
+      col("bucket"), col("__n").as("nb"))
+    a.join(c, Seq("bucket")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
+  }
+
   /** All-pairs cosine near-duplicates (a_id < b_id, cos ≥ threshold).
-    * Quadratic verification baseline; prefer LSH buckets at scale.
+    * Quadratic verification baseline for [[embeddingPairsLsh]] recall —
+    * test-only; never the declared plan (broadcasting a 100 TB corpus
+    * side is a non-starter).
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
