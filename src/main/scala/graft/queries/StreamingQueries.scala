@@ -75,17 +75,73 @@ object StreamingQueries {
       },
       WindowQueries.all.find(_.name == "win_cb_sliding").get.oracle),
 
+    // CB hopping with gaps (len 20 < slide 50): countSlidingWindows already
+    // implements the general [wmin, wmax] membership, which is empty for
+    // gap rows (wf/window_replica.hpp:267-273)
+    Q("stream_win_cb_hopping",
+      (s, dir) => {
+        implicit val sp = s
+        val out = StatefulOps.countSlidingWindows(
+          StatefulOps.toEvRows(StreamSources.events(s, dir)), len = 20L, slide = 50L)
+        StreamRun.toBatch(out.toDF(), "update").orderBy("user_id", "wid")
+      },
+      WindowQueries.all.find(_.name == "win_cb_hopping").get.oracle),
+
+    // TB hopping with gaps (len 10m < slide 30m): Spark's window() requires
+    // slide ≤ len, so the hop membership is the same explode rendering as
+    // the batch twin, run through the streaming engine in complete mode
+    Q("stream_win_tb_hopping",
+      (s, dir) => {
+        implicit val sp = s
+        val M10 = 10L * Q.MinuteUs
+        val M30 = 30L * Q.MinuteUs
+        val agg = StreamSources.events(s, dir)
+          .select(col("event_type"), expr(Q.TsUsSpark).as("ts_us"), col("value"))
+          .withColumn("wmin", expr(s"(ts_us - $M10) div $M30 + 1"))
+          .withColumn("wmax", expr(s"ts_us div $M30"))
+          .withColumn("w", explode(expr("CASE WHEN wmin <= wmax THEN sequence(wmin, wmax) END")))
+          .select(col("event_type"), expr(s"w * $M30").as("win_start_us"), col("value"))
+          .groupBy("event_type", "win_start_us")
+          .agg(count(lit(1)).as("cnt"),
+            expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)").as("sum_value"))
+        StreamRun.toBatch(agg, "complete").orderBy("event_type", "win_start_us")
+      },
+      WindowQueries.all.find(_.name == "win_tb_hopping").get.oracle),
+
+    // session windows through the streaming engine: Spark's native
+    // session_window state merging, complete mode (EOS flush emits every
+    // session)
+    Q("stream_win_tb_session",
+      (s, dir) => {
+        implicit val sp = s
+        val agg = StreamSources.eventsWithTime(s, dir)
+          .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("cnt"),
+            expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)").as("sum_value"))
+          .select(col("user_id"), expr("unix_micros(session_window.start)").as("session_start_us"),
+            col("cnt"), col("sum_value"))
+        StreamRun.toBatch(agg, "complete").orderBy("user_id", "session_start_us")
+      },
+      WindowQueries.all.find(_.name == "win_tb_session").get.oracle),
+
     // streaming exact dedup at ingestion: the stream unioned with itself
-    // (every event arrives twice) must come out exactly once —
-    // dropDuplicates keyed state; the survivor row is identical whichever
-    // copy wins, so output is deterministic
+    // (every event arrives twice) must come out exactly once. State is
+    // BOUNDED: dropDuplicatesWithinWatermark evicts a key once the
+    // watermark passes its event time + delay — a plain dropDuplicates
+    // would keep every key ever seen forever, a scale-killer in a
+    // continuous deployment. Duplicate copies carry the same event time,
+    // so any delay dedups them exactly; the survivor row is identical
+    // whichever copy wins, so output is deterministic.
     Q("stream_dedup_exact",
       (s, dir) => {
         implicit val sp = s
-        val e = StreamSources.events(s, dir).select("event_id", "user_id", "value")
-        val doubled = e.union(StreamSources.events(s, dir).select("event_id", "user_id", "value"))
-        StreamRun.toBatch(doubled.dropDuplicates("event_id"), "append")
-          .orderBy("event_id")
+        def side = StreamSources.eventsWithTime(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"), col("event_time"))
+        val deduped = side.union(side)
+          .withWatermark("event_time", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+          .select("event_id", "user_id", "value")
+        StreamRun.toBatch(deduped, "append").orderBy("event_id")
       },
       Some("""
         SELECT event_id, user_id, value FROM events ORDER BY event_id""")),

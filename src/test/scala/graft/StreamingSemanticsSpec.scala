@@ -39,6 +39,36 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(total == 2)
   }
 
+  test("watermarked streaming dedup evicts state (bounded, not ever-growing)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val deduped = mem.toDF().toDF("id", "event_time")
+      .withWatermark("event_time", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_state_x")
+      .outputMode("append").start()
+    def ts(min: Long) = new java.sql.Timestamp(3600_000L * 24 * 365 * 50 + min * 60_000L)
+    // batch 1: 3 distinct keys (+1 in-batch duplicate)
+    mem.addData((1L, ts(0)), (1L, ts(0)), (2L, ts(1)), (3L, ts(2)))
+    q.processAllAvailable()
+    val afterB1 = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    // batch 2: advance event time far past the delay → watermark passes the
+    // batch-1 keys' eviction timestamps; their state rows must go away
+    mem.addData((100L, ts(600)))
+    q.processAllAvailable()
+    mem.addData((101L, ts(1200))) // one more advance so eviction is visible
+    q.processAllAvailable()
+    val afterB3 = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    assert(afterB1 >= 3, s"expected ≥3 state rows after batch 1, got $afterB1")
+    assert(afterB3 < afterB1,
+      s"state must shrink once the watermark passes old keys ($afterB1 → $afterB3)")
+    // and the duplicate never reached the sink
+    val ids = spark.table("dedup_state_x").select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L, 100L, 101L))
+  }
+
   test("RocksDB state store provider runs the same stateful operator (P_* family)") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
