@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.streaming.{StatefulOps, StreamRun, StreamSources}
+import graft.streaming.{KSlack, KsIn, StatefulOps, StreamRun, StreamSources}
 
 /** Operators executed through the *streaming* engine (Structured
   * Streaming, Trigger.AvailableNow) but verified against the same DuckDB
@@ -165,6 +165,66 @@ object StreamingQueries {
         StreamRun.toBatch(agg, "complete").orderBy("user_id", "win_start_us")
       },
       WindowQueries.all.find(_.name == "win_tb_noninc").get.oracle),
+
+    // custom generator Source (wf/source_shipper.hpp user loop): 4 replica
+    // loops emit a deterministic synthetic event stream on the executors;
+    // a windowed aggregation runs over it through the streaming engine and
+    // the DuckDB oracle regenerates the identical rows from range() — the
+    // source itself is what's under test
+    Q("stream_gen_source",
+      (s, dir) => {
+        implicit val sp = s
+        val replicas = 4
+        val perReplica = 5000L
+        val base = 1600000000000000L // µs
+        graft.sources.GeneratorSource.register("graft_synth_events",
+          graft.sources.GeneratorSource.GenDef(
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("cents", org.apache.spark.sql.types.LongType))),
+            replicas,
+            (r, emit) => {
+              var i = 0L
+              while (i < perReplica) {
+                val id = r * perReplica + i
+                emit(Array[Any](id, id % 50, (id * 37) % 10000), base + id * 1000L)
+                i += 1
+              }
+            }))
+        val agg = StreamSources.generator(s, "graft_synth_events")
+          .withColumn("win_start_us", expr("(ts_us div 1000000) * 1000000"))
+          .groupBy("user_id", "win_start_us")
+          .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_cents"))
+        StreamRun.toBatch(agg, "complete").orderBy("user_id", "win_start_us")
+      },
+      Some(s"""
+        WITH g AS (SELECT range AS id FROM range(20000)),
+        e AS (SELECT id % 50 AS user_id, (1600000000000000 + id*1000) AS ts_us,
+                     (id*37) % 10000 AS cents FROM g)
+        SELECT user_id, (ts_us // 1000000) * 1000000 AS win_start_us,
+               COUNT(*) AS cnt, CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM e GROUP BY user_id, win_start_us ORDER BY user_id, win_start_us""")),
+
+    // PROBABILISTIC execution mode: KSlack reorder buffer over a
+    // deterministically-jittered arrival order (±4 min of disorder keyed on
+    // event_id). Adaptive-K drop decisions are a sequential machine — not
+    // ANSI-SQL-expressible, so no oracle (driver records rows>0); the exact
+    // state machine is pinned by KSlackSpec's hand-traced sequences.
+    Q("stream_kslack_reorder",
+      (s, dir) => {
+        implicit val sp = s
+        import s.implicits._
+        val jitter = 2L * Q.MinuteUs
+        val in = StreamSources.events(s, dir).selectExpr(
+          "user_id", "event_id",
+          s"(ts div 1000) + ((event_id % 5) - 2) * $jitter AS seq",
+          "ts div 1000 AS ts_us",
+          "CAST(round(value * 100) AS BIGINT) AS cents").as[KsIn]
+        StreamRun.toBatch(KSlack.reorder(in, flushAtBatchEnd = true).toDF(), "append")
+          .orderBy("user_id", "event_id")
+      },
+      None),
 
     Q("stream_interval_join",
       (s, dir) => {

@@ -1,0 +1,186 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom generator streaming source — the reference's defining `Source`
+  * surface: a user loop pushing tuples with explicit timestamps
+  * (/root/reference/wf/source_shipper.hpp:171-335), run with `parallelism`
+  * replica loops, under EVENT_TIME (user-supplied ts,
+  * source_shipper.hpp:248) or INGRESS_TIME (arrival-stamped,
+  * source_shipper.hpp:255-256) policy.
+  *
+  * Spark rendering: a DataSourceV2 `MicroBatchStream`. Each replica is an
+  * `InputPartition`, so the generator loops run ON THE EXECUTORS, one per
+  * replica — the distribution model of the reference's Source_Replica
+  * fleet, and the reason this scales past `MemoryStream` (which funnels
+  * through the driver). Offsets are per-replica emitted-row counts; replay
+  * of [start, end) re-runs the (required-deterministic) generator loop and
+  * skips — the same replayability contract Spark's own rate source uses.
+  *
+  * Generators are registered JVM-locally by name
+  * ([[GeneratorSource.register]]) and referenced via
+  * `.format(classOf[GeneratorSourceProvider].getName).option("generator", name)`.
+  * On a multi-node cluster the registration must happen in executor JVM
+  * startup (a jar static initializer) — same constraint as any
+  * code-carrying source.
+  *
+  * Emitted schema = user schema + `ts_us` LONG + `event_time` TIMESTAMP:
+  * under EVENT policy both carry the generator-supplied timestamp; under
+  * INGRESS they carry the read-time wall clock (non-deterministic by
+  * design, like the reference).
+  */
+object GeneratorSource {
+
+  /** A generator definition: `gen(replica, emit)` where the user loop calls
+    * `emit(values, tsUs)` once per tuple; `values` must match `schema`
+    * (Long/Int/Double/Float/String/Boolean fields). The loop must be
+    * deterministic per replica (offset replay re-runs it).
+    */
+  final case class GenDef(schema: StructType, numReplicas: Int,
+      gen: (Int, (Array[Any], Long) => Unit) => Unit)
+
+  private val registry = new ConcurrentHashMap[String, GenDef]()
+
+  def register(name: String, d: GenDef): Unit = registry.put(name, d)
+
+  def get(name: String): GenDef =
+    Option(registry.get(name)).getOrElse(
+      throw new IllegalArgumentException(s"no generator registered as '$name'"))
+
+  def outputSchema(d: GenDef): StructType =
+    StructType(d.schema.fields :+ StructField("ts_us", LongType, nullable = false) :+
+      StructField("event_time", TimestampType, nullable = false))
+
+  /** Rows emitted by one replica (runs the loop with a counting emitter). */
+  def countRows(d: GenDef, replica: Int): Long = {
+    var n = 0L
+    d.gen(replica, (_, _) => n += 1)
+    n
+  }
+
+  private[sources] def toCatalyst(v: Any): Any = v match {
+    case null => null
+    case s: String => UTF8String.fromString(s)
+    case x @ (_: Long | _: Int | _: Double | _: Float | _: Boolean | _: Short | _: Byte) => x
+    case other => throw new IllegalArgumentException(
+      s"generator emitted unsupported field type ${other.getClass.getName}")
+  }
+}
+
+class GeneratorSourceProvider extends TableProvider {
+  import GeneratorSource._
+
+  private def genName(options: CaseInsensitiveStringMap): String = {
+    val n = options.get("generator")
+    require(n != null, "option 'generator' (registered generator name) is required")
+    n
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    outputSchema(get(genName(options)))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new GeneratorTable(genName(opts),
+      opts.getOrDefault("timepolicy", "event").toLowerCase == "ingress")
+  }
+}
+
+class GeneratorTable(name: String, ingress: Boolean) extends Table with SupportsRead {
+  import GeneratorSource._
+
+  override def name(): String = s"graft_generator($name)"
+  override def schema(): StructType = outputSchema(get(name))
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = schema()
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new GeneratorMicroBatchStream(name, ingress)
+    }
+}
+
+/** Offset = rows released per replica (uniform high-water mark, clamped to
+  * each replica's actual count at planning).
+  */
+case class GenOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+class GeneratorMicroBatchStream(name: String, ingress: Boolean) extends MicroBatchStream {
+  import GeneratorSource._
+
+  private lazy val d = get(name)
+  // finite user loop: everything it will ever emit is available now
+  private lazy val maxCount: Long =
+    (0 until d.numReplicas).map(countRows(d, _)).foldLeft(0L)(math.max)
+
+  override def initialOffset(): Offset = GenOffset(0L)
+  override def latestOffset(): Offset = GenOffset(maxCount)
+  override def deserializeOffset(json: String): Offset = GenOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GenOffset].n
+    val e = end.asInstanceOf[GenOffset].n
+    (0 until d.numReplicas).map(r =>
+      GenPartition(name, r, s, e, ingress): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new GenPartitionReader(partition.asInstanceOf[GenPartition])
+    }
+}
+
+case class GenPartition(name: String, replica: Int, start: Long, end: Long,
+    ingress: Boolean) extends InputPartition
+
+/** Runs the replica's generator loop on the executor, keeping rows with
+  * per-replica emission index in [start, end).
+  */
+class GenPartitionReader(p: GenPartition) extends PartitionReader[InternalRow] {
+  import GeneratorSource._
+
+  private val rows: Iterator[InternalRow] = {
+    val d = GeneratorSource.get(p.name)
+    val width = d.schema.length
+    val buf = scala.collection.mutable.ArrayBuffer[InternalRow]()
+    var i = 0L
+    d.gen(p.replica, (values, tsUs) => {
+      if (i >= p.start && i < p.end) {
+        require(values.length == width,
+          s"generator emitted ${values.length} fields, schema has $width")
+        val ts = if (p.ingress) System.currentTimeMillis() * 1000L else tsUs
+        val out = new Array[Any](width + 2)
+        var j = 0
+        while (j < width) { out(j) = toCatalyst(values(j)); j += 1 }
+        out(width) = ts
+        out(width + 1) = ts // TimestampType is micros-since-epoch internally
+        buf += new GenericInternalRow(out)
+      }
+      i += 1L
+    })
+    buf.iterator
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean = { if (rows.hasNext) { current = rows.next(); true } else false }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

@@ -48,6 +48,19 @@ object StreamSources {
       .option("rowsPerSecond", rowsPerSecond.toString).load()
       .withColumn("event_time", col("timestamp")) // rate stamps arrival time
 
+  /** Custom generator source (reference: user loop pushing tuples,
+    * wf/source_shipper.hpp:171-335): a [[graft.sources.GeneratorSource]]
+    * registration run as a DataSourceV2 micro-batch stream, one executor
+    * partition per replica. `policy` = "event" (generator-supplied ts) or
+    * "ingress" (arrival-stamped).
+    */
+  def generator(spark: SparkSession, name: String, policy: String = "event"): DataFrame =
+    spark.readStream
+      .format(classOf[graft.sources.GeneratorSourceProvider].getName)
+      .option("generator", name)
+      .option("timePolicy", policy)
+      .load()
+
   /** Kafka source passthrough (reference: wf/kafka/kafka_source.hpp:134).
     * The value-deserializing `map` the reference requires is the caller's
     * `.select(expr("CAST(value AS STRING)"), ...)`. Untestable in this

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import graft.sources.GeneratorSource
+import graft.streaming.{StreamRun, StreamSources}
+
+/** Custom generator DataSourceV2 source (wf/source_shipper.hpp user-loop
+  * Source): replica loops run as executor partitions; EVENT policy carries
+  * the generator-supplied timestamps, INGRESS stamps arrival time.
+  */
+class GeneratorSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val schema = StructType(Seq(StructField("id", LongType)))
+
+  test("replica loops emit disjoint rows with EVENT timestamps end-to-end") {
+    implicit val s = spark
+    GeneratorSource.register("spec_gen", GeneratorSource.GenDef(
+      schema, numReplicas = 3,
+      (r, emit) => (0L until 40L).foreach(i =>
+        emit(Array[Any](r * 40L + i), 1_000_000L + (r * 40L + i)))))
+    val out = StreamRun.toBatch(
+      StreamSources.generator(spark, "spec_gen"), "append")
+      .select("id", "ts_us", "event_time").orderBy("id").collect()
+    assert(out.length == 120)
+    assert(out.map(_.getLong(0)).toSeq == (0L until 120L).toSeq)
+    assert(out.forall(r => r.getLong(1) == 1_000_000L + r.getLong(0)))
+    // event_time is the same instant as ts_us
+    assert(out.forall(r =>
+      r.getTimestamp(2).toInstant.toEpochMilli * 1000L +
+        (r.getTimestamp(2).getNanos / 1000) % 1000 == r.getLong(1)))
+  }
+
+  test("INGRESS policy stamps arrival time instead of the generator ts") {
+    implicit val s = spark
+    GeneratorSource.register("spec_gen_ingress", GeneratorSource.GenDef(
+      schema, numReplicas = 1,
+      (_, emit) => (0L until 10L).foreach(i => emit(Array[Any](i), 42L))))
+    val before = System.currentTimeMillis() * 1000L
+    val out = StreamRun.toBatch(
+      StreamSources.generator(spark, "spec_gen_ingress", policy = "ingress"), "append")
+      .select("ts_us").collect()
+    val after = System.currentTimeMillis() * 1000L
+    assert(out.length == 10)
+    assert(out.forall { r =>
+      val t = r.getLong(0); t >= before && t <= after
+    }, "ingress timestamps must be arrival wall-clock, not the generator's 42µs")
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.{KSlack, KsIn}
+
+/** PROBABILISTIC execution mode (KSlack reorder buffer,
+  * /root/reference/wf/kslack_collector.hpp): out-of-order input within the
+  * adapted K comes out in timestamp order; disorder beyond K drops (and
+  * counts) tuples instead of stalling. The first test walks the reference
+  * algorithm's exact state machine on a hand-traced sequence.
+  */
+class KSlackSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def run(data: Seq[KsIn], flush: Boolean, batches: Seq[Seq[KsIn]] = Nil) = {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[KsIn]
+    val q = KSlack.reorder(mem.toDS(), flushAtBatchEnd = flush).toDF()
+      .writeStream.format("memory").queryName("kslack_x").outputMode("append").start()
+    (if (batches.nonEmpty) batches else Seq(data)).foreach { b =>
+      mem.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val rows = spark.table("kslack_x").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4))) // (event_id, ts_us, dropped_so_far)
+    spark.sql("DROP TABLE IF EXISTS kslack_x")
+    rows.toSeq
+  }
+
+  test("hand-traced adaptive-K sequence: reorder, drops, EOS flush") {
+    // arrival ts: 10,5,20,15,30,8,40 (one key).
+    //  ts=10 → tcurr=10, K=0, emit 10
+    //  ts=5  → buffered (no new max)
+    //  ts=20 → tcurr=20, delays{15,0} → K=15; release ≤5: 5 < last(10) → DROP
+    //  ts=15 → buffered
+    //  ts=30 → tcurr=30, delays{15,0} → K stays 15; release ≤15: emit 15
+    //  ts=8  → buffered
+    //  ts=40 → tcurr=40, delays{32,0} → K=32; release ≤8: 8 < last(15) → DROP
+    //  EOS flush: emit 20, 30, 40
+    val in = Seq(10L, 5L, 20L, 15L, 30L, 8L, 40L).zipWithIndex.map {
+      case (ts, i) => KsIn(user_id = 1L, event_id = i + 1L, seq = i + 1L, ts_us = ts, cents = ts)
+    }
+    val out = run(in, flush = true)
+    assert(out.map(_._2) == Seq(10L, 15L, 20L, 30L, 40L), s"emitted ts: $out")
+    assert(out.map(_._3) == Seq(0L, 1L, 2L, 2L, 2L), s"dropped counters: $out")
+  }
+
+  test("in-order input passes through unchanged with K=0 and no drops") {
+    val in = (1L to 50L).map(i => KsIn(1L, i, i, i * 100L, i))
+    val out = run(in, flush = true)
+    assert(out.map(_._1) == (1L to 50L).toSeq)
+    assert(out.forall(_._3 == 0L))
+  }
+
+  test("state persists across micro-batches; later batch drains earlier buffer") {
+    // batch 1 ends with ts=5 buffered (no flush); batch 2's ts=100 adapts K
+    // and releases it — within-K disorder survives a batch boundary.
+    val b1 = Seq(KsIn(1L, 1L, 1L, 10L, 0L), KsIn(1L, 2L, 2L, 5L, 0L))
+    val b2 = Seq(KsIn(1L, 3L, 3L, 100L, 0L))
+    val out = run(Nil, flush = false, batches = Seq(b1, b2))
+    // ts=10 emits in batch 1; ts=100 → K=95, release ≤5: 5 < last(10) → drop;
+    // 100 stays buffered (no flush) — so emitted = [10], dropped=1 recorded
+    // on no later emission; verify by a third draining batch
+    val out2 = run(Nil, flush = false,
+      batches = Seq(b1, b2, Seq(KsIn(1L, 4L, 4L, 1000L, 0L))))
+    assert(out.map(_._2) == Seq(10L))
+    assert(out2.map(_._2) == Seq(10L, 100L), s"got $out2")
+    assert(out2.last._3 == 1L, s"expected 1 drop carried in state, got $out2")
+  }
+}
