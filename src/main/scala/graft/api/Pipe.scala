@@ -117,4 +117,10 @@ object Pipe {
     df.writeStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("topic", topic)
+
+  /** Typed-builder flavor ([[graft.sources.KafkaSinkConfig]], mirroring
+    * the reference's KafkaSink_Builder).
+    */
+  def kafkaSink(df: DataFrame, config: graft.sources.KafkaSinkConfig) =
+    df.writeStream.format("kafka").options(config.options)
 }

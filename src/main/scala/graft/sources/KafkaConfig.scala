@@ -1,0 +1,86 @@
+package graft.sources
+
+/** Typed Kafka configuration mirroring the reference's builder surface
+  * (KafkaSource_Builder, /root/reference/wf/kafka/builders_kafka.hpp:191-258:
+  * withBrokers/withTopics/withOffsets/withGroupID/withAssignmentPolicy/
+  * withIdleness), rendered to the option map of Spark's `kafka` source.
+  *
+  * The spark-sql-kafka connector jar is not present in this environment
+  * (no network egress, no broker), so `format("kafka").load()` cannot
+  * resolve here — the rendering below is the complete, spec-tested mapping
+  * a deployment with the connector on the classpath uses as-is via
+  * [[graft.streaming.StreamSources.kafka]].
+  *
+  * Option mapping:
+  *  - brokers  → `kafka.bootstrap.servers` (comma-joined)
+  *  - topics   → `subscribe`
+  *  - offsets  → `startingOffsets` JSON, one starting offset per topic
+  *    (aligned with `topics`, applied to partition 0 — the reference's
+  *    per-topic offset model; -1/-2 mean latest/earliest per Kafka
+  *    convention); no offsets → `"earliest"` (the reference's default
+  *    `auto.offset.reset` posture for a fresh group)
+  *  - groupId  → `kafka.group.id`
+  *  - assignmentPolicy → `kafka.partition.assignment.strategy`
+  *  - idleness → `kafka.fetch.max.wait.ms` (max broker poll wait)
+  *
+  * The reference's deserializing map (kafka_deser_func_t,
+  * wf/kafka/kafka_source.hpp:134-135) is the first `.select` over the
+  * loaded frame (`CAST(value AS STRING)` etc.); its
+  * withKafkaClosingFunction is a StreamingQueryListener.onQueryTerminated
+  * hook ([[graft.streaming.Monitoring]]).
+  */
+final case class KafkaSourceConfig(
+    brokers: Seq[String] = Nil,
+    topics: Seq[String] = Nil,
+    offsets: Seq[Long] = Nil,
+    groupId: Option[String] = None,
+    assignmentPolicy: Option[String] = None,
+    idleTimeMs: Option[Long] = None) {
+
+  def withBrokers(bs: String*): KafkaSourceConfig = copy(brokers = brokers ++ bs)
+  def withTopics(ts: String*): KafkaSourceConfig = copy(topics = topics ++ ts)
+  def withOffsets(os: Long*): KafkaSourceConfig = copy(offsets = offsets ++ os)
+  def withGroupID(g: String): KafkaSourceConfig = copy(groupId = Some(g))
+  def withAssignmentPolicy(p: String): KafkaSourceConfig = copy(assignmentPolicy = Some(p))
+  def withIdleness(ms: Long): KafkaSourceConfig = copy(idleTimeMs = Some(ms))
+
+  /** Spark `kafka`-source options. Validates the builder the way the
+    * reference's build() does: brokers and topics are mandatory, offsets
+    * (when given) align 1:1 with topics.
+    */
+  def options: Map[String, String] = {
+    require(brokers.nonEmpty, "Kafka source needs at least one broker (withBrokers)")
+    require(topics.nonEmpty, "Kafka source needs at least one topic (withTopics)")
+    require(offsets.isEmpty || offsets.length == topics.length,
+      s"withOffsets must align with withTopics (${offsets.length} offsets, ${topics.length} topics)")
+    val startingOffsets =
+      if (offsets.isEmpty) "earliest"
+      else topics.zip(offsets)
+        .map { case (t, o) => s""""$t":{"0":$o}""" }
+        .mkString("{", ",", "}")
+    Map(
+      "kafka.bootstrap.servers" -> brokers.mkString(","),
+      "subscribe" -> topics.mkString(","),
+      "startingOffsets" -> startingOffsets) ++
+      groupId.map("kafka.group.id" -> _) ++
+      assignmentPolicy.map("kafka.partition.assignment.strategy" -> _) ++
+      idleTimeMs.map(ms => "kafka.fetch.max.wait.ms" -> ms.toString)
+  }
+}
+
+/** Sink twin (KafkaSink_Builder, wf/kafka/builders_kafka.hpp sink half):
+  * brokers + target topic.
+  */
+final case class KafkaSinkConfig(
+    brokers: Seq[String] = Nil,
+    topic: Option[String] = None) {
+
+  def withBrokers(bs: String*): KafkaSinkConfig = copy(brokers = brokers ++ bs)
+  def withTopic(t: String): KafkaSinkConfig = copy(topic = Some(t))
+
+  def options: Map[String, String] = {
+    require(brokers.nonEmpty, "Kafka sink needs at least one broker (withBrokers)")
+    require(topic.nonEmpty, "Kafka sink needs a topic (withTopic)")
+    Map("kafka.bootstrap.servers" -> brokers.mkString(","), "topic" -> topic.get)
+  }
+}

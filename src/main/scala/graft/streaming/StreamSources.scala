@@ -73,4 +73,10 @@ object StreamSources {
       .option("subscribe", topics.mkString(","))
       .option("startingOffsets", startingOffsets)
       .load()
+
+  /** Typed-builder flavor mirroring the reference's KafkaSource_Builder
+    * option-for-option ([[graft.sources.KafkaSourceConfig]]).
+    */
+  def kafka(spark: SparkSession, config: graft.sources.KafkaSourceConfig): DataFrame =
+    spark.readStream.format("kafka").options(config.options).load()
 }
