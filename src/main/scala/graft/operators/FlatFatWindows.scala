@@ -1,0 +1,189 @@
+package graft.operators
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.Shim
+import org.apache.spark.sql.types._
+
+/** Buffer: raw (ts_us, cents) pairs collected for one group. */
+final class FfatBuffer(val ts: ArrayBuffer[Long], val vs: ArrayBuffer[Long])
+
+/** FlatFAT sliding/hopping time windows as a `TypedImperativeAggregate` —
+  * the reference's Ffat_Windows (/root/reference/wf/flatfat.hpp:85-…): an
+  * implicit binary tree over the window buffer whose internal nodes hold
+  * combined partials, so each window result is an O(log n) range combine
+  * of an ASSOCIATIVE (not necessarily invertible) lift/comb pair — here
+  * (cnt, sum, min, max); min/max are the non-invertible part that a
+  * subtract-the-expired trick cannot handle.
+  *
+  * Plan shape vs the explode rendering ([[TimeWindows.sliding]]): explode
+  * multiplies every input row by len/slide BEFORE the shuffle; this
+  * aggregate shuffles each row exactly once (hash partial → final on the
+  * group key) and derives all windows group-locally from the tree. The
+  * trade is group-level parallelism: with few distinct keys, pre-aggregate
+  * per pane first (([[TimeWindows.slidingByPanes]]) and feed panes in —
+  * the lift/comb here is pane-combinable by construction.
+  *
+  * Window membership matches the reference exactly: element with ts lands
+  * in window ids [(ts-len) div slide + 1, ts div slide] (empty for hopping
+  * gaps, wf/window_replica.hpp:267-273); only windows holding ≥1 element
+  * are emitted (EOS-flush semantics of the batch rendering).
+  */
+case class FlatFatWindows(tsExpr: Expression, valExpr: Expression,
+    lenUs: Long, slideUs: Long,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[FfatBuffer] {
+
+  override def children: Seq[Expression] = Seq(tsExpr, valExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = FlatFatWindows.OutType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (tsExpr.dataType == LongType && valExpr.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"flatfat_windows expects (bigint ts, bigint value), got " +
+        s"(${tsExpr.dataType}, ${valExpr.dataType})")
+
+  override def createAggregationBuffer(): FfatBuffer =
+    new FfatBuffer(new ArrayBuffer[Long], new ArrayBuffer[Long])
+
+  override def update(b: FfatBuffer, input: InternalRow): FfatBuffer = {
+    val t = tsExpr.eval(input)
+    val v = valExpr.eval(input)
+    if (t != null && v != null) {
+      b.ts += t.asInstanceOf[Long]
+      b.vs += v.asInstanceOf[Long]
+    }
+    b
+  }
+
+  override def merge(b: FfatBuffer, o: FfatBuffer): FfatBuffer = {
+    b.ts ++= o.ts
+    b.vs ++= o.vs
+    b
+  }
+
+  override def eval(b: FfatBuffer): Any = {
+    val m = b.ts.length
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    // sort pairs by ts (stable order irrelevant: combine is commutative
+    // across equal timestamps for cnt/sum/min/max)
+    val order = (0 until m).sortBy(b.ts)
+    val ts = order.map(b.ts).toArray
+    val vs = order.map(b.vs).toArray
+    // FlatFAT: implicit complete binary tree, leaves n..2n-1
+    var n = 1
+    while (n < m) n <<= 1
+    val cnt = new Array[Long](2 * n)
+    val sum = new Array[Long](2 * n)
+    val mn = Array.fill(2 * n)(Long.MaxValue)
+    val mx = Array.fill(2 * n)(Long.MinValue)
+    var i = 0
+    while (i < m) {
+      cnt(n + i) = 1L; sum(n + i) = vs(i); mn(n + i) = vs(i); mx(n + i) = vs(i)
+      i += 1
+    }
+    var p = n - 1
+    while (p >= 1) {
+      val l = p << 1; val r = l | 1
+      cnt(p) = cnt(l) + cnt(r)
+      sum(p) = sum(l) + sum(r)
+      mn(p) = math.min(mn(l), mn(r))
+      mx(p) = math.max(mx(l), mx(r))
+      p -= 1
+    }
+    // O(log n) range combine over [lo, hi)
+    def query(lo0: Int, hi0: Int): (Long, Long, Long, Long) = {
+      var lo = lo0 + n; var hi = hi0 + n
+      var c = 0L; var s = 0L; var lmin = Long.MaxValue; var lmax = Long.MinValue
+      while (lo < hi) {
+        if ((lo & 1) == 1) {
+          c += cnt(lo); s += sum(lo)
+          lmin = math.min(lmin, mn(lo)); lmax = math.max(lmax, mx(lo))
+          lo += 1
+        }
+        if ((hi & 1) == 1) {
+          hi -= 1
+          c += cnt(hi); s += sum(hi)
+          lmin = math.min(lmin, mn(hi)); lmax = math.max(lmax, mx(hi))
+        }
+        lo >>= 1; hi >>= 1
+      }
+      (c, s, lmin, lmax)
+    }
+    def lowerBound(x: Long): Int = { // first idx with ts(idx) >= x
+      var lo = 0; var hi = m
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ts(mid) < x) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    // window ids present: union of each element's [wmin, wmax] range,
+    // deduped in one pass over the ts-sorted elements
+    val wids = new ArrayBuffer[Long]()
+    var lastAdded = Long.MinValue
+    i = 0
+    while (i < m) {
+      val t = ts(i)
+      val wMin = Math.floorDiv(t - lenUs, slideUs) + 1
+      val wMax = Math.floorDiv(t, slideUs)
+      var w = math.max(wMin, lastAdded + 1)
+      while (w <= wMax) { wids += w; w += 1 }
+      if (wMax > lastAdded) lastAdded = wMax
+      i += 1
+    }
+    val out = wids.map { w =>
+      val lo = lowerBound(w * slideUs)
+      val hi = lowerBound(w * slideUs + lenUs)
+      val (c, s, lmin, lmax) = query(lo, hi)
+      new GenericInternalRow(Array[Any](w * slideUs, c, s, lmin, lmax)): Any
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def serialize(b: FfatBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + b.ts.length * 16)
+    bb.putInt(b.ts.length)
+    var i = 0
+    while (i < b.ts.length) { bb.putLong(b.ts(i)); bb.putLong(b.vs(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): FfatBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val k = bb.getInt
+    val b = createAggregationBuffer()
+    var i = 0
+    while (i < k) { b.ts += bb.getLong; b.vs += bb.getLong; i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FlatFatWindows =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FlatFatWindows =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(tsExpr = newChildren(0), valExpr = newChildren(1))
+}
+
+object FlatFatWindows {
+  val OutType: ArrayType = ArrayType(StructType(Seq(
+    StructField("win_start_us", LongType, nullable = false),
+    StructField("cnt", LongType, nullable = false),
+    StructField("sum_cents", LongType, nullable = false),
+    StructField("min_cents", LongType, nullable = false),
+    StructField("max_cents", LongType, nullable = false))), containsNull = false)
+
+  def apply(ts: Column, v: Column, lenUs: Long, slideUs: Long): Column =
+    Shim.column(new FlatFatWindows(Shim.expression(ts), Shim.expression(v),
+      lenUs, slideUs).toAggregateExpression())
+}

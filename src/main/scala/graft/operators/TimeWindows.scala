@@ -50,4 +50,20 @@ object TimeWindows {
       .groupBy(keys.map(col) :+ expr(s"__w * $slideUs").as("win_start_us"): _*)
       .agg(sum(col("__pcnt")).as("cnt"), sum(col("__psum")).as("sum_cents"))
   }
+
+  /** FlatFAT variant ([[FlatFatWindows]], the reference's Ffat_Windows):
+    * rows shuffle ONCE on the group key (no pre-shuffle explode
+    * multiplier), all windows per group derive from O(log n) range
+    * combines over the flat aggregation tree — including the
+    * non-invertible min/max. Output: keys ++ (win_start_us, cnt,
+    * sum_cents, min_cents, max_cents).
+    */
+  def slidingByFlatFat(df: DataFrame, tsUsCol: String, valueCentsCol: String,
+      lenUs: Long, slideUs: Long, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(FlatFatWindows(col(tsUsCol), col(valueCentsCol), lenUs, slideUs).as("__wins"))
+      .select(keys.map(col) :+ explode(col("__wins")).as("__w"): _*)
+      .select(keys.map(col) :+ col("__w.win_start_us").as("win_start_us") :+
+        col("__w.cnt").as("cnt") :+ col("__w.sum_cents").as("sum_cents") :+
+        col("__w.min_cents").as("min_cents") :+ col("__w.max_cents").as("max_cents"): _*)
 }

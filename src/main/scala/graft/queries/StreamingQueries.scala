@@ -244,7 +244,7 @@ object StreamingQueries {
           .select(col("a_id"), col("b_id"), col("user_id"),
             greatest(expr("unix_micros(a_time)"), expr("unix_micros(b_time)")).as("out_ts_us"),
             (col("a_value") + col("b_value")).as("pair_value"))
-        StreamRun.toBatch(joined, "append").orderBy("a_id", "b_id")
+        StreamRun.toBatch(joined, "append", numPartitions = 4).orderBy("a_id", "b_id")
       },
       JoinQueries.all.find(_.name == "interval_join").get.oracle)
   )

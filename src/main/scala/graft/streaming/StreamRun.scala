@@ -18,7 +18,8 @@ object StreamRun {
     * sources (no maxFilesPerTrigger), so Update-mode state operators emit
     * exactly once per key/window.
     */
-  def toBatch(df: DataFrame, outputMode: String)(implicit spark: SparkSession): DataFrame = {
+  def toBatch(df: DataFrame, outputMode: String, numPartitions: Int = 8)(
+      implicit spark: SparkSession): DataFrame = {
     val name = s"graft_stream_${n.incrementAndGet()}"
     // Streaming state operators instantiate one state store per shuffle
     // partition per operator; for these bounded verification runs the
@@ -26,7 +27,7 @@ object StreamRun {
     // fixed partition count (restored after). A continuous deployment
     // sizes this to key cardinality instead.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", numPartitions.toString)
     try {
       val q = df.writeStream
         .format("memory")

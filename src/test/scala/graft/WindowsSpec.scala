@@ -24,6 +24,27 @@ class WindowsSpec extends AnyFunSuite {
     assert(d.nonEmpty)
   }
 
+  test("FlatFAT sliding windows == direct sliding windows (incl. min/max)") {
+    val ev = Tables.events(spark, TestSpark.SF)
+      .select(col("event_type"), expr("ts div 1000").as("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    for ((len, slide) <- Seq((3600000000L, 900000000L),   // sliding
+                             (600000000L, 1800000000L))) { // hopping w/ gaps
+      val direct = TimeWindows.sliding(ev, "ts_us", "cents", len, slide, Seq("event_type"))
+        .join(ev.withColumn("w", explode(expr(
+            s"CASE WHEN (ts_us - $len) div $slide + 1 <= ts_us div $slide " +
+              s"THEN sequence((ts_us - $len) div $slide + 1, ts_us div $slide) END")))
+          .groupBy(col("event_type"), expr(s"w * $slide").as("win_start_us"))
+          .agg(min("cents").as("min_cents"), max("cents").as("max_cents")),
+          Seq("event_type", "win_start_us"))
+      val ffat = TimeWindows.slidingByFlatFat(ev, "ts_us", "cents", len, slide, Seq("event_type"))
+      val d = direct.select("event_type", "win_start_us", "cnt", "sum_cents", "min_cents", "max_cents")
+        .collect().map(_.toString).sorted
+      val f = ffat.collect().map(_.toString).sorted
+      assert(d.nonEmpty && d.sameElements(f), s"mismatch for len=$len slide=$slide")
+    }
+  }
+
   test("distributed prefix scan equals the single-partition window") {
     val ev = Tables.events(spark, TestSpark.SF)
       .select(col("event_id"), expr("ts div 1000").as("ts_us"),
