@@ -38,25 +38,22 @@ object Dedup {
     df.select(col(idCol), explode(wordShingles(col(textCol), n)).as("gram"))
 
   /** MinHash signatures (id, perm, minh) from a *cached* per-doc gram-hash
-    * array: each shingle is md5-hashed once, the k permutations are cheap
-    * exact modmuls ([[permHash]]), and the k array_min folds read the
-    * cached array — no shuffle, no re-tokenization.
+    * array: each shingle is md5-hashed once, then ONE native pass
+    * ([[graft.functions.expressions.MinHashSigs]]) computes all k
+    * permutation minima — no shuffle, no re-tokenization.
     *
-    * (Two traps this design avoids, both measured: computing signatures
+    * (Three traps this design avoids, all measured: computing signatures
     * from un-cached Column expressions lets projection-collapse inline the
-    * shingling k times (6× slower); and exploding (id, gram, perm) rows
-    * into a groupBy shuffles |grams|·k rows (shuffle-bound).)
+    * shingling k times (6× slower); exploding (id, gram, perm) rows into a
+    * groupBy shuffles |grams|·k rows (shuffle-bound); and k separate
+    * array_min(transform(...)) columns cost seconds of codegen/JIT warmup
+    * plus k HOF evaluations per row.)
     */
-  def minhashSignatures(hsDf: DataFrame, idCol: String, k: Int): DataFrame = {
-    val sigs = (0 until k).map { p =>
-      array_min(transform(col("hs"), h => permHash(p, h))).as(s"m$p")
-    }
-    hsDf.select(col(idCol) +: sigs: _*)
-      .select(col(idCol), explode(array((0 until k).map(p =>
-        struct(lit(p).as("perm"), col(s"m$p").as("minh"))): _*)).as("ps"))
-      .select(col(idCol), col("ps.perm").as("perm"), col("ps.minh").as("minh"))
-      .filter(col("minh").isNotNull) // docs with no shingles have no signature
-  }
+  def minhashSignatures(hsDf: DataFrame, idCol: String, k: Int): DataFrame =
+    hsDf.select(col(idCol),
+        graft.functions.expressions.MinHashSigs.of(col("hs"), k).as("sigs"))
+      .select(col(idCol), posexplode(col("sigs")).as(Seq("perm", "minh")))
+      // docs with no shingles yield an empty sigs array → no signature rows
 
   /** LSH band signatures (id, band, bandsig). The band signature is an
     * order-insensitive exact combine: sum of hash60(rowpos ':' minh),
@@ -184,20 +181,33 @@ object Dedup {
     */
   def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a_id"), col("b_id"))
-      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    // persist the PAIR GRAPH, not the doubled edge view: edges references
+    // `pairs` twice (forward ∪ swapped), so an un-persisted pairs pipeline
+    // (e.g. the whole minhash chain) would run twice just to materialize it
+    val p = pairs.select(col("a_id"), col("b_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = p.union(p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
     try {
       // propagate only over vertices that touch an edge: in a dedup corpus
       // that's a small fraction of `ids`, so every round's joins run over
       // the pair graph, not the corpus; singletons are restored by the
       // final left join (rep = own id)
+      val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+      if (dbg) {
+        val tP = System.nanoTime()
+        val np = p.count()
+        System.err.println(s"[cc] pairs materialize: ${(System.nanoTime() - tP) / 1e9}s ($np pairs)")
+      }
+      val tInit = System.nanoTime()
       var labels = edges.select(col("a_id").as("id")).distinct()
         .select(col("id"), col("id").as("rep_id"))
         .localCheckpoint(true)
+      if (dbg) System.err.println(
+        s"[cc] init (pair pipeline + vertex set): ${(System.nanoTime() - tInit) / 1e9}s")
       var converged = false
       var iter = 0
       while (!converged && iter < maxIter) {
+        val t0 = System.nanoTime()
         val viaNeighbors = labels.join(edges, col("id") === col("a_id"), "left")
           .select(col("id"), col("rep_id"), col("b_id"))
           .join(labels.select(col("id").as("b_id"), col("rep_id").as("rep_b")), Seq("b_id"), "left")
@@ -216,6 +226,8 @@ object Dedup {
         converged = next.agg(coalesce(max("chg"), lit(0)).as("c")).first().getInt(0) == 0
         labels = next.select("id", "rep_id")
         iter += 1
+        if (dbg) System.err.println(
+          s"[cc] round $iter: ${(System.nanoTime() - t0) / 1e9}s converged=$converged")
       }
       if (!converged)
         throw new IllegalStateException(
@@ -224,6 +236,6 @@ object Dedup {
       ids.select(col(idCol))
         .join(labels.select(col("id").as(idCol), col("rep_id")), Seq(idCol), "left")
         .select(col(idCol), coalesce(col("rep_id"), col(idCol)).as("rep_id"))
-    } finally edges.unpersist(blocking = false)
+    } finally p.unpersist(blocking = false)
   }
 }

@@ -84,6 +84,70 @@ case class MersennePermHash(a: Long, b: Long, child: Expression) extends UnaryEx
     copy(child = newChild)
 }
 
+/** All k minhash signature minima in one pass: for each permutation p,
+  * min over the gram-hash array of (A_p·h + B_p) mod (2^61−1). Output
+  * array<long> of length k (empty input → empty array, so a downstream
+  * posexplode emits no signature rows — the "docs with no shingles" rule).
+  *
+  * Value-identical to k separate `array_min(transform(hs, permHash(p,_)))`
+  * columns, but one tight JVM loop instead of k higher-order-function
+  * evaluations per row — k× less expression eval and a far smaller
+  * codegen unit (the 12-wide HOF chain was measured to cost seconds of
+  * Janino/JIT warmup alone).
+  */
+case class MinHashSigs(child: Expression, as: Seq[Long], bs: Seq[Long])
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_sigs expects array<bigint>, got $t")
+    }
+
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val k = as.length
+    if (n == 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Long](k)
+    var p = 0
+    while (p < k) {
+      val a = as(p); val b = bs(p)
+      var m = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val h = MersennePermHash.hash(a, b, arr.getLong(i))
+        if (h < m) m = h
+        i += 1
+      }
+      out(p) = m
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mhs", this, classOf[MinHashSigs].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSigs {
+  /** k permutations with the engine's standard (A_p, B_p) parameter family. */
+  def of(c: Column, k: Int): Column = {
+    val params = (0 until k).map(graft.functions.GraftFunctions.permHashParams)
+    Shim.column(MinHashSigs(Shim.expression(c), params.map(_._1), params.map(_._2)))
+  }
+}
+
 object MersennePermHash {
   val P: Long = 2305843009213693951L // 2^61 - 1
 
