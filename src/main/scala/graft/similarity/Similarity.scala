@@ -88,36 +88,101 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
-  /** IVF cell assignment: nearest of `numCentroids` coarse centroids by
-    * cosine (ties → lowest centroid id). Centroid "training" is stubbed
-    * deterministically as the first `numCentroids` vectors by id — a real
-    * deployment plugs k-means output into the same shape. The centroid set
-    * is broadcast; assignment is one narrow pass over the corpus.
+  /** Deterministic centroid seed: the first `k` vectors by id (doubles as
+    * the oracle-exact stub — a fixed, SQL-expressible centroid set).
     */
-  def ivfAssign(df: DataFrame, idCol: String, vecCol: String, numCentroids: Int): DataFrame = {
-    val cents = df.orderBy(col(idCol)).limit(numCentroids)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cv"),
-        sqrt(dot(col(vecCol), col(vecCol))).as("cn"))
+  def firstKCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    df.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cv"))
+
+  /** Spherical Lloyd's k-means over the embedding column: seed =
+    * [[firstKCentroids]], each iteration broadcast-assigns every vector to
+    * its max-cosine centroid (one narrow pass — no shuffle of vectors) and
+    * recomputes centroids as elementwise means via the
+    * [[graft.functions.expressions.VectorMeanAgg]] partial aggregate
+    * (partials are dim doubles per partition, not exploded rows). Lineage
+    * is truncated per iteration. A centroid that captures no vectors drops
+    * out (k can shrink). Objective (mean best-cosine) is monotone
+    * non-decreasing — asserted in spec.
+    */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 5): DataFrame = {
+    val v = graft.Caches.track(
+      df.select(col(idCol).as("__vid"), col(vecCol).cast("array<double>").as("v"))
+        .withColumn("__n", sqrt(dot(col("v"), col("v")))))
+    var cents = firstKCentroids(df, idCol, vecCol, k)
+      .select(col("cent_id"), col("cv").cast("array<double>").as("cv"))
+    var i = 0
+    while (i < iters) {
+      val c = broadcast(cents.select(col("cent_id"), col("cv"),
+        sqrt(dot(col("cv"), col("cv"))).as("cn")))
+      val w = Window.partitionBy("__vid").orderBy(col("__ccos").desc, col("cent_id").asc)
+      cents = v.crossJoin(c)
+        .withColumn("__ccos", dot(col("v"), col("cv")) / (col("__n") * col("cn")))
+        .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+        .groupBy(col("cent_id"))
+        .agg(graft.functions.expressions.VectorMeanAgg.of(col("v")).as("cv"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    cents
+  }
+
+  /** IVF cell assignment against an explicit centroid set (cent_id, cv):
+    * nearest centroid by cosine (ties → lowest centroid id). The centroid
+    * set is broadcast; assignment is one narrow pass over the corpus.
+    */
+  def ivfAssignWith(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val cents = broadcast(centroids.select(col("cent_id"), col("cv"),
+      sqrt(dot(col("cv"), col("cv"))).as("cn")))
     val v = df.select(col(idCol), col(vecCol),
       sqrt(dot(col(vecCol), col(vecCol))).as("__n"))
-    val scored = v.crossJoin(broadcast(cents))
+    val scored = v.crossJoin(cents)
       .withColumn("ccos", dot(col(vecCol), col("cv")) / (col("__n") * col("cn")))
     val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cent_id").asc)
     scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
       .select(col(idCol), col(vecCol), col("cent_id").as("cell"))
   }
 
-  /** IVF approximate top-k: candidates are same-cell vectors (nprobe=1),
-    * re-ranked by exact cosine. The scale path when LSH bucket sizes are
-    * hard to control: cell granularity follows the centroid count.
+  /** Stub-centroid flavor (first `numCentroids` vectors by id) — the
+    * deterministic, oracle-exact default; plug [[kmeansCentroids]] output
+    * into [[ivfAssignWith]] for trained cells.
+    */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String, numCentroids: Int): DataFrame =
+    ivfAssignWith(df, idCol, vecCol, firstKCentroids(df, idCol, vecCol, numCentroids))
+
+  /** IVF approximate top-k: data vectors live in their nearest-centroid
+    * cell; each query probes its `nprobe` nearest cells and re-ranks the
+    * union of their members by exact cosine. The scale path when LSH
+    * bucket sizes are hard to control: cell granularity follows the
+    * centroid count, recall follows nprobe (candidates are a superset of
+    * any smaller nprobe — asserted in spec). `centroids` defaults to the
+    * deterministic stub; pass [[kmeansCentroids]] output for trained cells.
     * Output: (query_id, rank, neighbor_id).
     */
   def knnIvf(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      numCentroids: Int, queryFilter: org.apache.spark.sql.Column): DataFrame = {
-    val cells = ivfAssign(df, idCol, vecCol, numCentroids)
+      numCentroids: Int, queryFilter: org.apache.spark.sql.Column,
+      centroids: Option[DataFrame] = None, nprobe: Int = 1): DataFrame = {
+    val cents = centroids.getOrElse(firstKCentroids(df, idCol, vecCol, numCentroids))
+    val cells = ivfAssignWith(df, idCol, vecCol, cents)
       .withColumn("__n", sqrt(dot(col(vecCol), col(vecCol))))
-    val q = cells.filter(queryFilter).select(col(idCol).as("query_id"),
-      col(vecCol).as("qv"), col("cell"), col("__n").as("qn"))
+    val q =
+      if (nprobe <= 1)
+        cells.filter(queryFilter).select(col(idCol).as("query_id"),
+          col(vecCol).as("qv"), col("cell"), col("__n").as("qn"))
+      else {
+        val cb = broadcast(cents.select(col("cent_id"), col("cv"),
+          sqrt(dot(col("cv"), col("cv"))).as("cn")))
+        val w = Window.partitionBy(idCol).orderBy(col("__ccos").desc, col("cent_id").asc)
+        df.filter(queryFilter)
+          .select(col(idCol), col(vecCol), sqrt(dot(col(vecCol), col(vecCol))).as("__n"))
+          .crossJoin(cb)
+          .withColumn("__ccos", dot(col(vecCol), col("cv")) / (col("__n") * col("cn")))
+          .withColumn("__r", row_number().over(w)).filter(col("__r") <= nprobe)
+          .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+            col("cent_id").as("cell"), col("__n").as("qn"))
+      }
     val c = cells.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       col("cell"), col("__n").as("cn"))
     val scored = q.join(c, Seq("cell")).filter(col("query_id") =!= col("neighbor_id"))

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.dot
+import graft.similarity.Similarity
+
+/** IVF with real training: spherical Lloyd's k-means (monotone objective)
+  * and multi-cell probing (monotone recall in nprobe). The declared
+  * knn_ivf query keeps the deterministic stub centroids for oracle
+  * exactness; these tests cover the trained/probed paths.
+  */
+class KMeansIvfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def emb = Tables.embeddings(spark, TestSpark.SF)
+
+  /** Mean best-cosine of every vector to its nearest centroid. */
+  private def objective(cents: DataFrame): Double = {
+    val c = broadcast(cents.select(col("cent_id"), col("cv"),
+      sqrt(dot(col("cv"), col("cv"))).as("cn")))
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+      .crossJoin(c)
+      .withColumn("ccos", dot(col("v"), col("cv")) / (col("n") * col("cn")))
+      .groupBy("vec_id").agg(max("ccos").as("best"))
+      .agg(avg("best")).first().getDouble(0)
+  }
+
+  test("k-means objective is monotone: trained centroids beat the seed") {
+    val seed = Similarity.firstKCentroids(emb, "vec_id", "embedding", 16)
+      .select(col("cent_id"), col("cv").cast("array<double>").as("cv"))
+    val trained = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 16, iters = 3)
+    try {
+      val o0 = objective(seed)
+      val o3 = objective(trained)
+      assert(o3 >= o0 - 1e-9, s"Lloyd iterations must not decrease the objective ($o0 -> $o3)")
+      assert(trained.count() <= 16 && trained.count() > 0)
+    } finally Caches.releaseAll()
+  }
+
+  test("nprobe recall is monotone and trained centroids work end-to-end") {
+    val truth = Similarity.knnBruteForce(
+        emb.filter(col("vec_id") < 30), emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nprobe: Int, cents: Option[DataFrame]): Double = {
+      val got = Similarity.knnIvf(emb, "vec_id", "embedding", k = 5,
+          numCentroids = 16, queryFilter = col("vec_id") < 30,
+          centroids = cents, nprobe = nprobe)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    try {
+      val r1 = recall(1, None)
+      val r3 = recall(3, None)
+      assert(r3 >= r1, s"probing more cells must not lose recall ($r1 -> $r3)")
+      val trained = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 16, iters = 2)
+      val rt = recall(1, Some(trained))
+      assert(rt > 0.0, "trained-centroid IVF must return meaningful neighbors")
+    } finally Caches.releaseAll()
+  }
+}
