@@ -148,7 +148,11 @@ object StreamingQueries {
 
     // non-incremental (full-buffer Iterable) window logic through the
     // streaming engine: complete-mode agg buffers the window, then order
-    // statistics over the sorted buffer (wf/iterable.hpp:47-55 flavor)
+    // statistics over the sorted buffer (wf/iterable.hpp:47-55 flavor).
+    // 100 TB note: buffering the whole window is the SEMANTICS of the
+    // Iterable flavor — the buffer is bounded by (keys × window span), and
+    // a deployment must cap window span (or spill via RocksDB state) the
+    // same way the reference's win archives are memory-bound per replica.
     Q("stream_win_tb_noninc",
       (s, dir) => {
         implicit val sp = s
