@@ -158,6 +158,23 @@ object PipelineQueries {
                CAST(length(text) AS INT) AS n_chars_measured
         FROM d ORDER BY doc_id""")),
 
+    // BPE-ish token counting (LLM token-cost proxy): GPT-2-style
+    // pretokenizer segments, same RE2-safe regex on both engines
+    Q("text_tokens_bpe",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+          size(graft.functions.GraftFunctions.tokens(col("text"))).as("n_ws_tokens"))
+        .orderBy("doc_id"),
+      Some {
+        val pat = TextAnalysis.BpePattern.replace("'", "''")
+        s"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '$pat')) AS INT) AS n_bpe_tokens,
+               CAST(len(${DuckSql.tokens("text")}) AS INT) AS n_ws_tokens
+        FROM ${Q.DocsRef} ORDER BY doc_id"""
+      }),
+
     Q("text_fingerprint",
       (s, dir) => {
         val (fp, n) = TextAnalysis.fingerprint(col("text"), 8)

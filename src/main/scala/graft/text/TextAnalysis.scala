@@ -93,4 +93,20 @@ object TextAnalysis {
     val st = graft.functions.expressions.GramFingerprint.of(lower(text), n)
     (st.getField("fp"), st.getField("n_grams"))
   }
+
+  /** GPT-2-style pretokenizer pattern, restricted to constructs RE2 also
+    * supports (no lookahead) so the DuckDB oracle runs the byte-identical
+    * regex: contractions, space-prefixed letter/digit/punctuation runs,
+    * whitespace runs. Greedy left-to-right alternation gives the same
+    * match sequence in Java regex and RE2.
+    */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish token count: number of pretokenizer segments — the standard
+    * cheap proxy for LLM token cost (actual BPE merges only split segments
+    * further by a roughly constant per-language factor).
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
 }
