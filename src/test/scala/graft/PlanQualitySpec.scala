@@ -61,6 +61,45 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p.take(3000))
   }
 
+  test("bucketed embedding near-dup plans a hash join on the bucket, not all-pairs") {
+    val p = plan("dedup_embedding")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "LSH-bucketed near-dup must not plan an all-pairs join: " + p.take(3000))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("no declared query plans a nested-loop all-pairs join") {
+    // the quadratic baselines (knnBruteForce, embeddingPairs) are test-only;
+    // every DECLARED plan must be free of broadcast-NL/cartesian joins
+    SparkEntry.queries.keys.filterNot(_.startsWith("stream_")).foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin") || q.startsWith("knn_"),
+        s"$q plans a broadcast nested-loop join")
+    }
+  }
+
+  test("IVF centroid assignment broadcasts the centroid set") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, TestSpark.SF)
+    val p = graft.similarity.Similarity.ivfAssign(emb, "vec_id", "embedding", 16)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "centroids must broadcast (narrow corpus pass): " + p.take(3000))
+    assert(!p.contains("SortMergeJoin"), "assignment must not shuffle the corpus")
+  }
+
+  test("FlatFAT windows aggregate partial -> final with one shuffle") {
+    val p = plan("win_tb_sliding_ffat")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final ObjectHashAggregate: " + p.take(3000))
+    // plans print parent-first: the explode (a parent, runs last) must sit
+    // ABOVE the aggregates — i.e. per-window explode AFTER the shuffle,
+    // never a per-input-row explode below the aggregation
+    assert(p.indexOf("Generate") < p.indexOf("ObjectHashAggregate"),
+      "explode must happen AFTER aggregation (post-shuffle), not per input row: " + p.take(3000))
+  }
+
   test("salted join is result-identical to the plain equi-join") {
     val o = Tables.orders(spark, TestSpark.SF)
     val c = Tables.customer(spark, TestSpark.SF)
