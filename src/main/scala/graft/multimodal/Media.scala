@@ -79,6 +79,33 @@ object Media {
     }
   }
 
+  /** Resize stub: bucket-mean downsample of the byte signal to `bins`
+    * fixed-width doubles — stands in for an image resize / audio
+    * resample (codec libs unavailable here), keeping the real pipeline
+    * shape: opaque bytes in, small fixed-width feature vector out, binary
+    * never shuffles. Bucket boundaries use exact integer arithmetic
+    * ((i·n) div bins) so the DuckDB oracle reproduces them bit-for-bit.
+    */
+  def resizeStub(media: Dataset[MediaRow], bins: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.map { r =>
+      val n = r.data.length
+      val out = new Array[Double](bins)
+      var i = 0
+      while (i < bins) {
+        val s = (i.toLong * n / bins).toInt
+        val e = ((i + 1).toLong * n / bins).toInt
+        var acc = 0L
+        var j = s
+        while (j < e) { acc += (r.data(j) & 0xff); j += 1 }
+        out(i) = if (e > s) acc.toDouble / (e - s) else 0.0
+        i += 1
+      }
+      (r.media_id, out)
+    }.toDF("media_id", "bins")
+  }
+
   /** Frame sampling stub for video payloads: picks deterministic byte
     * offsets standing in for frame boundaries (every `stride` bytes, up to
     * `maxFrames`), preserving the mapPartitions batch shape a real

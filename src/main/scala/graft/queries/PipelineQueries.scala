@@ -348,6 +348,59 @@ object PipelineQueries {
     // (length/ord/substr). The two agree exactly on ASCII-only corpora —
     // which the driver's synthetic documents are — but a non-ASCII corpus
     // would need the oracle rendered over encode()/octet_length() instead.
+    // resize stub: bucket-mean downsample to 8 fixed-width doubles (image
+    // resize / audio resample shape); integer bucket boundaries match the
+    // oracle exactly, bucket means are identical double divisions
+    Q("multimodal_resize",
+      (s, dir) => {
+        import s.implicits._
+        val media = Media.fromText(Tables.documents(s, dir), "doc_id", "text")
+          .as[Media.MediaRow]
+        Media.resizeStub(media, bins = 8)(s)
+          .select(col("media_id"),
+            element_at(col("bins"), 1).as("bin_0"),
+            element_at(col("bins"), 5).as("bin_4"),
+            element_at(col("bins"), 8).as("bin_7"))
+          .orderBy("media_id")
+      },
+      Some {
+        def bin(i: Int): String = {
+          val s = s"(($i * n) // 8)"
+          val e = s"((${i + 1} * n) // 8)"
+          s"""CASE WHEN $e > $s
+             |THEN CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), bytes[$s + 1:$e]), (a, x) -> a + x) AS DOUBLE) / ($e - $s)
+             |ELSE 0.0e0 END""".stripMargin
+        }
+        s"""
+        WITH d AS (SELECT doc_id AS media_id, text FROM ${Q.DocsRef}),
+        b AS (SELECT media_id, length(text) AS n,
+                list_transform(range(1, length(text)+1), i -> ord(substr(text, CAST(i AS INT), 1))) AS bytes
+              FROM d)
+        SELECT media_id, ${bin(0)} AS bin_0, ${bin(4)} AS bin_4, ${bin(7)} AS bin_7
+        FROM b ORDER BY media_id"""
+      }),
+
+    // frame sampling stub: deterministic byte-offset "frames" (every 256
+    // bytes, max 8), the mapPartitions batch shape a real frame decoder
+    // uses; only (id, frame, offset, first_byte) rows flow downstream
+    Q("multimodal_frames",
+      (s, dir) => {
+        import s.implicits._
+        val media = Media.fromText(Tables.documents(s, dir), "doc_id", "text")
+          .as[Media.MediaRow]
+        Media.sampleFrames(media, stride = 256, maxFrames = 8)(s)
+          .orderBy("media_id", "frame")
+      },
+      Some(s"""
+        WITH d AS (SELECT doc_id AS media_id, text FROM ${Q.DocsRef}),
+        f AS (SELECT media_id, text,
+                unnest(range(least(8, length(text) // 256))) AS frame
+              FROM d)
+        SELECT media_id, CAST(frame AS INT) AS frame,
+               CAST(frame * 256 AS INT) AS byte_offset,
+               ord(substr(text, CAST(frame * 256 + 1 AS INT), 1)) AS first_byte
+        FROM f ORDER BY media_id, frame""")),
+
     Q("multimodal_meta",
       (s, dir) => {
         import s.implicits._
