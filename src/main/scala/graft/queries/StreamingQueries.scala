@@ -141,7 +141,7 @@ object StreamingQueries {
           .withWatermark("event_time", "1 hour")
           .dropDuplicatesWithinWatermark("event_id")
           .select("event_id", "user_id", "value")
-        StreamRun.toBatch(deduped, "append").orderBy("event_id")
+        StreamRun.toBatch(deduped, "append", numPartitions = 4).orderBy("event_id")
       },
       Some("""
         SELECT event_id, user_id, value FROM events ORDER BY event_id""")),
