@@ -112,6 +112,14 @@ object Pipe {
   def fromEvents(spark: SparkSession, dir: String): Pipe[org.apache.spark.sql.Row] =
     Pipe(graft.streaming.StreamSources.events(spark, dir))
 
+  /** Custom generator Source entry (wf/source_shipper.hpp user loop):
+    * register a [[graft.sources.GeneratorSource.GenDef]] and stream it,
+    * one executor partition per replica loop.
+    */
+  def fromGenerator(spark: SparkSession, name: String,
+      policy: String = "event"): Pipe[org.apache.spark.sql.Row] =
+    Pipe(graft.streaming.StreamSources.generator(spark, name, policy))
+
   /** Kafka sink (wf/kafka/kafka_sink.hpp:77-78: tuple → {topic, payload}). */
   def kafkaSink(df: DataFrame, bootstrap: String, topic: String) =
     df.writeStream.format("kafka")
