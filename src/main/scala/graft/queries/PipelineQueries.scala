@@ -82,6 +82,30 @@ object PipelineQueries {
        |b AS (SELECT vec_id, v, CAST($bucket AS BIGINT) AS bucket FROM dots)""".stripMargin
   }
 
+  /** Multi-table LSH: `bands` independent bucketings as a `b` CTE of
+    * (vec_id, v, band, bucket) rows — same plane family slices as
+    * [[Similarity.embeddingPairsLshBanded]].
+    */
+  private def lshBandedCtes(planes: Int, bands: Int, dim: Int = 64): String = {
+    val ws = Similarity.planeWeights(planes * bands, dim)
+    val dots = ws.zipWithIndex.map { case (w, p) =>
+      val wLit = "[" + w.map(_.toString).mkString(",") + "]"
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(range(1, len(v)+1),
+         |    i -> CAST(v[CAST(i AS INT)] AS DOUBLE) * (CAST($wLit AS DOUBLE[]))[CAST(i AS INT)])),
+         |  (acc, x) -> acc + x) AS dot_$p""".stripMargin
+    }.mkString(",\n")
+    val bandSelects = (0 until bands).map { l =>
+      val bucket = (0 until planes)
+        .map(p => s"CASE WHEN dot_${l * planes + p} > 0.0e0 THEN ${1L << p} ELSE 0 END")
+        .mkString(" + ")
+      s"SELECT vec_id, v, $l AS band, CAST($bucket AS BIGINT) AS bucket FROM dots"
+    }.mkString("\nUNION ALL\n")
+    s"""e AS (SELECT vec_id, embedding AS v FROM ${Q.EmbRef}),
+       |dots AS (SELECT vec_id, v, $dots FROM e),
+       |b AS ($bandSelects)""".stripMargin
+  }
+
   /** langId CASE generated from TextAnalysis.Stopwords (tie-break = list
     * order, strict > against earlier langs, >= against later ones).
     */
@@ -294,6 +318,25 @@ object PipelineQueries {
         p AS (SELECT a.vec_id AS a_id, c.vec_id AS b_id,
                      ${DuckSql.cosine("a.v", "c.v")} AS cos
               FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+        SELECT a_id, b_id, cos FROM p WHERE cos >= 0.4e0 ORDER BY a_id, b_id""")),
+
+    // multi-table (banded) LSH near-dup: 3 independent bucketings, a pair
+    // is a candidate on ANY collision — the recall lever; candidates are a
+    // superset of the single-bucketing form (asserted in spec), deduped
+    // before one exact-cosine verify pass
+    Q("dedup_embedding_banded",
+      (s, dir) => Similarity.embeddingPairsLshBanded(Tables.embeddings(s, dir),
+        "vec_id", "embedding", threshold = 0.4, planes = 4, bands = 3, dim = 64)
+        .orderBy("a_id", "b_id"),
+      Some(s"""
+        WITH ${lshBandedCtes(4, 3)},
+        cand AS (SELECT DISTINCT a.vec_id AS a_id, c.vec_id AS b_id
+                 FROM b a JOIN b c
+                   ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id < c.vec_id),
+        p AS (SELECT cand.a_id, cand.b_id,
+                     ${DuckSql.cosine("ea.v", "eb.v")} AS cos
+              FROM cand JOIN e ea ON ea.vec_id = cand.a_id
+                        JOIN e eb ON eb.vec_id = cand.b_id)
         SELECT a_id, b_id, cos FROM p WHERE cos >= 0.4e0 ORDER BY a_id, b_id""")),
 
     // ================= similarity search =================

@@ -214,6 +214,41 @@ object Similarity {
       .select("a_id", "b_id", "cos")
   }
 
+  /** Multi-table (banded) flavor of [[embeddingPairsLsh]]: `bands`
+    * independent hyperplane bucketings (plane family indices
+    * band·planes … band·planes+planes−1), a pair is a candidate if it
+    * collides in ANY band — the standard LSH recall lever. Candidates are
+    * a strict superset of the single-bucketing form (band 0 uses the same
+    * planes), deduped before one exact-cosine verify pass.
+    * Output: (a_id, b_id, cos ≥ threshold).
+    */
+  def embeddingPairsLshBanded(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 4, bands: Int = 3, dim: Int = 64): DataFrame = {
+    val ws = planeWeights(planes * bands, dim)
+    val v = col(vecCol)
+    val buckets = (0 until bands).map { l =>
+      (0 until planes).map { p =>
+        when(dot(v, array(ws(l * planes + p).map(lit): _*)) > 0.0, lit(1L << p))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val banded = df.select(col(idCol), v,
+        posexplode(array(buckets: _*)).as(Seq("band", "bucket")))
+    val cand = banded.select(col(idCol).as("a_id"), col("band"), col("bucket"))
+      .join(banded.select(col(idCol).as("b_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val withNorm = df.select(col(idCol), v.as("__v"),
+      sqrt(dot(v, v)).as("__n"))
+    cand
+      .join(withNorm.select(col(idCol).as("a_id"), col("__v").as("va"), col("__n").as("na")), "a_id")
+      .join(withNorm.select(col(idCol).as("b_id"), col("__v").as("vb"), col("__n").as("nb")), "b_id")
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
+  }
+
   /** All-pairs cosine near-duplicates (a_id < b_id, cos ≥ threshold).
     * Quadratic verification baseline for [[embeddingPairsLsh]] recall —
     * test-only; never the declared plan (broadcasting a 100 TB corpus

@@ -26,6 +26,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.count() > 0)
   }
 
+  test("banded LSH pairs are a superset of single-bucketing pairs") {
+    val emb = Tables.embeddings(spark, TestSpark.SF)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(Similarity.embeddingPairsLsh(emb, "vec_id", "embedding", 0.4))
+    val banded = pairs(Similarity.embeddingPairsLshBanded(emb, "vec_id", "embedding", 0.4))
+    assert(single.subsetOf(banded),
+      s"band 0 reuses the single bucketing's planes; missing ${(single -- banded).size}")
+    // and every banded pair is a true near-dup (threshold-verified)
+    val exact = pairs(Similarity.embeddingPairs(emb, "vec_id", "embedding", 0.4))
+    assert(banded.subsetOf(exact), "verify pass must keep only true pairs")
+  }
+
   test("connected components produce transitive representatives") {
     import spark.implicits._
     val ids = spark.createDataset(1L to 6L).toDF("id")

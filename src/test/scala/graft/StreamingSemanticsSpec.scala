@@ -89,6 +89,38 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, 1.5, 1L), (2L, 2.0, 2L), (3L, 3.0, 3L)))
   }
 
+  test("multi-input watermark is the minimum across sources (Watermark_Collector)") {
+    // the reference merges watermarks with min across input channels
+    // (wf/watermark_collector.hpp:24-34); Spark's union must do the same:
+    // the slow source holds the merged watermark back
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val fast = MemoryStream[(Long, java.sql.Timestamp)]
+    val slow = MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(min: Long) = new java.sql.Timestamp(3600_000L * 24 * 365 * 50 + min * 60_000L)
+    // watermark each input channel, then merge: Spark's default
+    // multipleWatermarkPolicy=min takes the minimum across the two
+    // watermark nodes — exactly the reference's per-channel min-merge
+    val agg = fast.toDF().toDF("id", "event_time")
+      .withWatermark("event_time", "0 seconds")
+      .union(slow.toDF().toDF("id", "event_time")
+        .withWatermark("event_time", "0 seconds"))
+      .groupBy(window(col("event_time"), "5 minutes")).agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_merge_x")
+      .outputMode("append").start()
+    fast.addData((1L, ts(600))) // fast source far ahead
+    slow.addData((2L, ts(10)))  // slow source holds the line
+    q.processAllAvailable()
+    fast.addData((3L, ts(601)))
+    q.processAllAvailable()
+    val wm = q.lastProgress.eventTime.get("watermark")
+    q.stop()
+    // merged watermark must track the SLOW source (minute 10), not the fast
+    // one (minute 600) — i.e. strictly before ts(600)
+    assert(wm != null && java.sql.Timestamp.valueOf(wm.replace("T", " ").replace("Z", ""))
+      .before(ts(600)), s"merged watermark $wm must be held back by the slow source")
+  }
+
   test("lift/comb aggregator equals direct aggregation (Ffat_Windows equivalence)") {
     import spark.implicits._
     val ev = Tables.events(spark, TestSpark.SF)
