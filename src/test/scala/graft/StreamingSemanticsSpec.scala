@@ -69,6 +69,31 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L, 3L, 100L, 101L))
   }
 
+  test("monitoring listener observes progress with the reference's per-replica signals") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val seen = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+    val l = graft.streaming.Monitoring.attach(spark) { e =>
+      seen.add(e.progress.numInputRows)
+    }
+    try {
+      val mem = MemoryStream[(Long, java.sql.Timestamp)]
+      val q = mem.toDF().toDF("id", "event_time")
+        .groupBy("id").agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName("mon_x")
+        .outputMode("complete").start()
+      def ts(min: Long) = new java.sql.Timestamp(3600_000L * 24 * 365 * 50 + min * 60_000L)
+      mem.addData((1L, ts(0)), (2L, ts(1)), (3L, ts(2)))
+      q.processAllAvailable()
+      q.stop()
+      // listener events are delivered asynchronously after batch completion
+      def hit = seen.toArray.exists(_ == 3L)
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (!hit && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(hit, s"progress events must report the batch's input rows, saw $seen")
+    } finally graft.streaming.Monitoring.detach(spark, l)
+  }
+
   test("RocksDB state store provider runs the same stateful operator (P_* family)") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
