@@ -29,13 +29,23 @@ object StreamRun {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", numPartitions.toString)
     try {
-      val q = df.writeStream
+      val w = df.writeStream
         .format("memory")
         .queryName(name)
         .outputMode(outputMode)
         .trigger(Trigger.AvailableNow())
-        .start()
+      // bounded verification runs are throwaway: put the checkpoint (offset
+      // log + state snapshots, fsync-heavy) on tmpfs when available. A
+      // durable deployment points this at real storage instead.
+      val shm = new java.io.File("/dev/shm")
+      val ckpt = if (shm.isDirectory && shm.canWrite) {
+        val d = s"/dev/shm/graft-ckpt/$name"
+        w.option("checkpointLocation", d)
+        Some(d)
+      } else None
+      val q = w.start()
       q.awaitTermination()
+      ckpt.foreach(d => org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
