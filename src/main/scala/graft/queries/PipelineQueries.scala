@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.GraftFunctions._
 import graft.oracle.DuckSql
@@ -10,10 +11,13 @@ import graft.similarity.Similarity
 import graft.multimodal.Media
 
 /** LLM-data-pipeline operators (north-star extras, SURVEY §7 M9) as
-  * oracle-checked queries: dedup ×4 (+embedding), similarity search ×2,
-  * text analysis ×4, multimodal ×1. The DuckDB SQL for the algorithmic ops
-  * (minhash, simhash, LSH) is generated from the same parameters as the
-  * Spark implementation so both sides execute the same algorithm.
+  * oracle-checked queries: dedup ×5 (exact, minhash-LSH, clusters,
+  * simhash, n-gram) + embedding near-dup ×2 (bucketed, banded),
+  * similarity search ×2 (LSH, IVF), text analysis ×5, multimodal ×3, and
+  * a composite cleaning pipeline. The DuckDB SQL for the algorithmic ops
+  * (minhash, simhash, LSH, quality score) is generated from the same
+  * parameters/constants as the Spark implementation so both sides execute
+  * the same algorithm.
   */
 object PipelineQueries {
 
@@ -82,6 +86,34 @@ object PipelineQueries {
        |b AS (SELECT vec_id, v, CAST($bucket AS BIGINT) AS bucket FROM dots)""".stripMargin
   }
 
+  /** Quality-feature CTE chain ending in `f` (doc_id, text, n_tokens,
+    * ratios) — shared by text_quality and the composite cleaning pipeline
+    * so both oracles compute the identical score expression.
+    */
+  private def qualityCtes: String = {
+    val stopEn = TextAnalysis.Stopwords.head._2.map(w => s"'$w'").mkString(",")
+    s"""d AS (SELECT doc_id, text, ${DuckSql.tokens("text")} AS toks FROM ${Q.DocsRef}),
+       |b AS (SELECT doc_id, text, toks,
+       |  len(toks) AS n_tokens,
+       |  length(text) AS n_chars,
+       |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_len,
+       |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_len,
+       |  len(list_filter(toks, t -> list_contains([$stopEn], t))) AS stop_hits
+       |FROM d),
+       |f AS (SELECT doc_id, text, n_tokens,
+       |  CASE WHEN n_tokens > 0 THEN CAST(length(array_to_string(toks, '')) AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0e0 END AS mean_token_len,
+       |  CASE WHEN n_chars > 0 THEN CAST(punct_len AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0e0 END AS punct_ratio,
+       |  CASE WHEN n_chars > 0 THEN CAST(digit_len AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0e0 END AS digit_ratio,
+       |  CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0e0 END AS stopword_ratio
+       |FROM b)""".stripMargin
+  }
+
+  private val qualityScoreSql: String =
+    """CAST(least(n_tokens, 100) AS DOUBLE) / 100.0e0 * 0.4e0
+      |    + (1.0e0 - punct_ratio) * 0.2e0
+      |    + (1.0e0 - digit_ratio) * 0.1e0
+      |    + least(stopword_ratio * 5.0e0, 1.0e0) * 0.3e0""".stripMargin
+
   /** Multi-table LSH: `bands` independent bucketings as a `b` CTE of
     * (vec_id, v, band, bucket) rows — same plane family slices as
     * [[Similarity.embeddingPairsLshBanded]].
@@ -142,29 +174,10 @@ object PipelineQueries {
         val cols = TextAnalysis.qualityColumns(col("text")).map { case (n, c) => c.as(n) }
         Tables.documents(s, dir).select(col("doc_id") +: cols: _*).orderBy("doc_id")
       },
-      Some {
-        val stopEn = TextAnalysis.Stopwords.head._2.map(w => s"'$w'").mkString(",")
-        s"""WITH d AS (SELECT doc_id, text, ${DuckSql.tokens("text")} AS toks FROM ${Q.DocsRef}),
-           |b AS (SELECT doc_id, text, toks,
-           |  len(toks) AS n_tokens,
-           |  length(text) AS n_chars,
-           |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_len,
-           |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_len,
-           |  len(list_filter(toks, t -> list_contains([$stopEn], t))) AS stop_hits
-           |FROM d),
-           |f AS (SELECT doc_id, n_tokens,
-           |  CASE WHEN n_tokens > 0 THEN CAST(length(array_to_string(toks, '')) AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0e0 END AS mean_token_len,
-           |  CASE WHEN n_chars > 0 THEN CAST(punct_len AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0e0 END AS punct_ratio,
-           |  CASE WHEN n_chars > 0 THEN CAST(digit_len AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0e0 END AS digit_ratio,
-           |  CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0e0 END AS stopword_ratio
-           |FROM b)
+      Some(s"""WITH ${qualityCtes}
            |SELECT doc_id, n_tokens, mean_token_len, punct_ratio, digit_ratio, stopword_ratio,
-           |  CAST(least(n_tokens, 100) AS DOUBLE) / 100.0e0 * 0.4e0
-           |    + (1.0e0 - punct_ratio) * 0.2e0
-           |    + (1.0e0 - digit_ratio) * 0.1e0
-           |    + least(stopword_ratio * 5.0e0, 1.0e0) * 0.3e0 AS quality_score
-           |FROM f ORDER BY doc_id""".stripMargin
-      }),
+           |  $qualityScoreSql AS quality_score
+           |FROM f ORDER BY doc_id""".stripMargin)),
 
     Q("text_tokens",
       (s, dir) => {
@@ -219,6 +232,37 @@ object PipelineQueries {
                     ELSE NULL END AS fp,
                CAST(CASE WHEN length(norm) >= 8 THEN len(list_distinct(grams)) ELSE 0 END AS INT) AS n_grams
         FROM g ORDER BY doc_id""")),
+
+    // composite cleaning pipeline — the operators composed the way a
+    // training-data run uses them: quality-score filter → exact dedup
+    // (keep the min-id representative) → per-doc token stats. One pass
+    // over the corpus, one digest shuffle; proves the pieces compose
+    // without materialization barriers between stages.
+    Q("pipeline_corpus_clean",
+      (s, dir) => {
+        val cols = TextAnalysis.qualityColumns(col("text")).toMap
+        val filtered = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"),
+            cols("n_tokens").as("n_tokens"),
+            cols("quality_score").as("quality_score"))
+          .filter(col("quality_score") >= 0.5)
+        filtered
+          .withColumn("rep_id",
+            min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+          .filter(col("rep_id") === col("doc_id"))
+          .select("doc_id", "n_tokens", "quality_score")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${qualityCtes},
+           |q AS (SELECT doc_id, text, n_tokens, $qualityScoreSql AS quality_score
+           |      FROM f),
+           |kept AS (SELECT doc_id, text, n_tokens, quality_score FROM q
+           |         WHERE quality_score >= 0.5e0),
+           |r AS (SELECT doc_id, n_tokens, quality_score,
+           |             min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+           |      FROM kept)
+           |SELECT doc_id, n_tokens, quality_score FROM r
+           |WHERE rep_id = doc_id ORDER BY doc_id""".stripMargin)),
 
     // ================= dedup =================
     Q("dedup_exact",
