@@ -149,9 +149,13 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6, maxDf: Long = 100): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
-    val rare = sh.groupBy("gram").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("gram")
-    val shRare = graft.Caches.track(sh.join(rare, "gram"))
+    // df-cap via a window over the gram partition: same shuffle key as the
+    // aggregate-and-join-back rendering but without the join, so the
+    // inverted index is one shuffle end-to-end
+    val shRare = graft.Caches.track(
+      sh.withColumn("__df", count(lit(1)).over(Window.partitionBy("gram")))
+        .filter(col("__df") <= maxDf)
+        .drop("__df"))
     val sizes = shRare.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val inter = shRare.select(col(idCol).as("a_id"), col("gram"))
       .join(shRare.select(col(idCol).as("b_id"), col("gram")), "gram")
