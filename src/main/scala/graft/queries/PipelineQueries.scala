@@ -403,6 +403,28 @@ object PipelineQueries {
            |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
       }),
 
+    // banded knn: candidates from any of 3 independent bucketings (recall
+    // lever, superset of knn_lsh's band-0 candidates — asserted in spec)
+    Q("knn_lsh_banded",
+      (s, dir) => Similarity.knnLshBanded(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 5, planes = 4, bands = 3, dim = 64, queryFilter = col("vec_id") < 100)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("query_id", "rnk"),
+      Some(s"""
+        WITH ${lshBandedCtes(4, 3)},
+        cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                 FROM b q JOIN b c ON q.band = c.band AND q.bucket = c.bucket
+                  AND q.vec_id < 100 AND q.vec_id <> c.vec_id),
+        sc AS (SELECT cand.query_id, cand.neighbor_id,
+                      ${DuckSql.cosine("eq.v", "en.v")} AS cos
+               FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+                         JOIN e en ON en.vec_id = cand.neighbor_id),
+        r AS (SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM sc)
+        SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id
+        FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""")),
+
     Q("knn_ivf",
       (s, dir) => Similarity.knnIvf(Tables.embeddings(s, dir), "vec_id", "embedding",
         k = 5, numCentroids = 16, queryFilter = col("vec_id") < 100)

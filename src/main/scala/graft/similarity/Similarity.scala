@@ -88,6 +88,41 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** Multi-table (banded) approximate top-k: candidates collide with the
+    * query in ANY of `bands` independent bucketings (candidate superset of
+    * [[knnLsh]], whose planes equal band 0's — recall monotone, asserted
+    * in spec), deduped and re-ranked by exact cosine.
+    * Output: (query_id, rank, neighbor_id).
+    */
+  def knnLshBanded(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      planes: Int = 4, bands: Int = 3, dim: Int = 64,
+      queryFilter: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+    val ws = planeWeights(planes * bands, dim)
+    val v = col(vecCol)
+    val buckets = (0 until bands).map { l =>
+      (0 until planes).map { p =>
+        when(dot(v, array(ws(l * planes + p).map(lit): _*)) > 0.0, lit(1L << p))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val banded = df.select(col(idCol), v,
+      posexplode(array(buckets: _*)).as(Seq("band", "bucket")))
+    val cand = banded.filter(queryFilter).select(col(idCol).as("query_id"), col("band"), col("bucket"))
+      .join(banded.select(col(idCol).as("neighbor_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val withNorm = df.select(col(idCol), v.as("__v"), sqrt(dot(v, v)).as("__n"))
+    val scored = cand
+      .join(withNorm.select(col(idCol).as("query_id"), col("__v").as("qv"), col("__n").as("qn")), "query_id")
+      .join(withNorm.select(col(idCol).as("neighbor_id"), col("__v").as("cv"), col("__n").as("cn")), "neighbor_id")
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
   /** Deterministic centroid seed: the first `k` vectors by id (doubles as
     * the oracle-exact stub — a fixed, SQL-expressible centroid set).
     */

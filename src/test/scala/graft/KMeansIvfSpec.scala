@@ -40,6 +40,25 @@ class KMeansIvfSpec extends AnyFunSuite {
     } finally Caches.releaseAll()
   }
 
+  test("banded knn recall dominates single-bucketing knn (coarser band-0 + extra tables)") {
+    val truth = Similarity.knnBruteForce(
+        emb.filter(col("vec_id") < 30), emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    // the 6-plane bucketing refines band 0's 4-plane bucketing (shared
+    // plane family prefix), so banded candidates are a superset
+    val single = recall(Similarity.knnLsh(emb, "vec_id", "embedding", k = 5,
+      planes = 6, dim = 64, queryFilter = col("vec_id") < 30))
+    val banded = recall(Similarity.knnLshBanded(emb, "vec_id", "embedding", k = 5,
+      planes = 4, bands = 3, dim = 64, queryFilter = col("vec_id") < 30))
+    assert(banded >= single, s"banded recall $banded must dominate single $single")
+  }
+
   test("nprobe recall is monotone and trained centroids work end-to-end") {
     val truth = Similarity.knnBruteForce(
         emb.filter(col("vec_id") < 30), emb, "vec_id", "embedding", k = 5)
