@@ -146,6 +146,29 @@ class StreamingSemanticsSpec extends AnyFunSuite {
       .before(ts(600)), s"merged watermark $wm must be held back by the slow source")
   }
 
+  test("RocksDB state store runs count windows too (P_Keyed_Windows family)") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    implicit val sq = s2.sqlContext
+    val mem = MemoryStream[EvRow]
+    val out = StatefulOps.countTumblingWindows(mem.toDS(), len = 3L)(s2)
+    val q = out.toDF().writeStream.format("memory").queryName("rocks_cw_x")
+      .outputMode("update").start()
+    mem.addData((1L to 4L).map(i => EvRow(i, 7, i * 1000, 100)): _*)
+    q.processAllAvailable()
+    mem.addData(EvRow(5, 7, 5000, 100), EvRow(6, 7, 6000, 100)) // closes window 1
+    q.processAllAvailable()
+    q.stop()
+    // latest state per (user, wid): window 0 = events 1-3, window 1 = 4-6
+    val rows = s2.table("rocks_cw_x").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(4), r.getLong(5))))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+    assert(rows == Map((7L, 0L) -> ((3L, 1L, 3L)), (7L, 1L) -> ((3L, 4L, 6L))),
+      s"got $rows")
+  }
+
   test("lift/comb aggregator equals direct aggregation (Ffat_Windows equivalence)") {
     import spark.implicits._
     val ev = Tables.events(spark, TestSpark.SF)
