@@ -100,6 +100,36 @@ class PlanQualitySpec extends AnyFunSuite {
       "explode must happen AFTER aggregation (post-shuffle), not per input row: " + p.take(3000))
   }
 
+  test("two dot products in one projection survive codegen (no interpreter fallback)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.dot
+    // Every cosine re-rank projects >= 3 dots (qv·cv, qv·qv, cv·cv); with
+    // hardcoded generated locals Janino rejects the stage ("Redefinition of
+    // local variable i") and Spark silently interprets. Forbid the fallback
+    // so a regression fails loudly instead of de-optimizing.
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val df = spark.range(4)
+        .select(array(col("id").cast("double"), lit(2.0)).as("a"),
+          array(lit(3.0), col("id").cast("double") + 1.0).as("b"))
+        .select(col("a"), col("b"),
+          (dot(col("a"), col("b")) /
+            (sqrt(dot(col("a"), col("a"))) * sqrt(dot(col("b"), col("b"))))).as("cos"),
+          dot(col("a"), col("b")).as("d"))
+      val rows = df.collect()
+      assert(rows.length == 4)
+      val r1 = rows.find(_.getSeq[Double](0).head == 1.0).get
+      assert(r1.getDouble(3) == 1.0 * 3.0 + 2.0 * 2.0)
+      assert(math.abs(r1.getDouble(2) - r1.getDouble(3) /
+        (math.sqrt(5.0) * math.sqrt(13.0))) < 1e-15)
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("salted join is result-identical to the plain equi-join") {
     val o = Tables.orders(spark, TestSpark.SF)
     val c = Tables.customer(spark, TestSpark.SF)
