@@ -26,6 +26,20 @@ object Bench {
     try df.write.format("noop").mode("overwrite").save()
     finally Caches.releaseAll()
 
+  /** One JSON metric line. Failed queries land in `queries_err` and are
+    * excluded from `queries`/`value`, so a breakage can't read as a speedup.
+    */
+  def renderLine(results: Seq[(String, Double, Option[String])], sfDir: String): String = {
+    val ok = results.filter(_._3.isEmpty)
+    val qs = ok.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":\"" + e.replace("\"", "'") + "\"" }
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_err":$errs,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
@@ -64,16 +78,19 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val selected =
       if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(q => only(q._1))
+    // a failed query must surface as a failure, not as a ~0s "speedup":
+    // its error goes to queries_err and its elapsed is excluded from total
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { materialize(fn(spark, sfDir)); None }
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] $name failed: ${t.getClass.getName}: ${t.getMessage}")
+          Some(t.getClass.getSimpleName)
+        }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = renderLine(results, sfDir)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try Files.write(Paths.get(out), (line + "\n").getBytes(StandardCharsets.UTF_8))
     catch { case _: Throwable => () }

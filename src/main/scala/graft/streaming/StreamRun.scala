@@ -13,6 +13,11 @@ object StreamRun {
 
   private val n = new AtomicInteger(0)
 
+  // Distinguishes concurrent JVMs (sbt test alongside Verify/Bench): the
+  // per-JVM counter alone would collide on the shared tmpfs checkpoint root
+  // and corrupt both offset/state logs.
+  private val jvmTag: String = java.util.UUID.randomUUID().toString.take(8)
+
   /** Run a (possibly streaming) DataFrame to completion into an in-memory
     * table and return it as a batch DataFrame. Single-batch for file
     * sources (no maxFilesPerTrigger), so Update-mode state operators emit
@@ -39,7 +44,7 @@ object StreamRun {
       // durable deployment points this at real storage instead.
       val shm = new java.io.File("/dev/shm")
       val ckpt = if (shm.isDirectory && shm.canWrite) {
-        val d = s"/dev/shm/graft-ckpt/$name"
+        val d = s"/dev/shm/graft-ckpt/$jvmTag/$name"
         w.option("checkpointLocation", d)
         Some(d)
       } else None

@@ -22,4 +22,13 @@ class ContractSpec extends AnyFunSuite {
       withClue(name) { assert(fn(spark, TestSpark.SF).count() >= 0) }
     }
   }
+
+  test("bench reports a broken query as an error, not a fast time") {
+    val line = Bench.renderLine(Seq(
+      ("good", 1.25, None),
+      ("broken", 0.003, Some("AnalysisException"))), "/x")
+    assert(line.contains(""""queries_err":{"broken":"AnalysisException"}"""), line)
+    assert(!line.contains(""""broken":0.003"""), "failed query leaked into timings: " + line)
+    assert(line.contains(""""value":1.25"""), "total must exclude failed queries: " + line)
+  }
 }
