@@ -130,6 +130,50 @@ object Similarity {
     df.orderBy(col(idCol)).limit(k)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cv"))
 
+  /** Materializes a (small) centroid frame driver-side, ascending by
+    * cent_id — the argmax tie-break order. A centroid set is ≤ k rows by
+    * construction, so this is the broadcast-variable move, not a collect
+    * of data: the values come back as plan literals and every assignment
+    * below is a narrow per-row expression with zero shuffle.
+    */
+  private def collectCentroids(centroids: DataFrame): Seq[(Any, Seq[Double])] =
+    centroids.select(col("cent_id"), col("cv").cast("array<double>").as("cv"))
+      .orderBy("cent_id").collect().toSeq
+      .map(r => (r.get(0), r.getSeq[Double](1)))
+
+  /** Cosine of `v` (norm `vn`) against one literal centroid. The centroid
+    * norm is a foldable expression (same in-order fold as the oracle), so
+    * Catalyst constant-folds it to a literal at plan time.
+    */
+  private def centroidCos(cv: Seq[Double], v: org.apache.spark.sql.Column,
+      vn: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val cvLit = array(cv.map(lit): _*)
+    dot(v, cvLit) / (vn * sqrt(dot(cvLit, cvLit)))
+  }
+
+  /** Per-row (cos, -index, cent_id) entries over the literal centroid set,
+    * index in ascending-cent_id order: `array_max` picks max cosine, ties
+    * broken toward the lowest cent_id (max -index) — exactly the
+    * `row_number() OVER (ORDER BY cos DESC, cent_id)` = 1 winner, computed
+    * with zero shuffle.
+    */
+  private def centroidEntries(cents: Seq[(Any, Seq[Double])],
+      v: org.apache.spark.sql.Column,
+      vn: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array(cents.zipWithIndex.map { case ((cid, cv), i) =>
+      struct(centroidCos(cv, v, vn).as("c"), lit(-i).as("ni"), lit(cid).as("cell"))
+    }: _*)
+
+  /** Narrow assignment against collected centroids: (id, vec, norm, cell). */
+  private def assignCollected(df: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Any, Seq[Double])]): DataFrame = {
+    require(cents.nonEmpty, "ivf assignment needs a non-empty centroid set")
+    df.select(col(idCol), col(vecCol), sqrt(dot(col(vecCol), col(vecCol))).as("__n"))
+      .select(col(idCol), col(vecCol), col("__n"),
+        array_max(centroidEntries(cents, col(vecCol), col("__n")))
+          .getField("cell").as("cell"))
+  }
+
   /** Spherical Lloyd's k-means over the embedding column: seed =
     * [[firstKCentroids]], each iteration broadcast-assigns every vector to
     * its max-cosine centroid (one narrow pass — no shuffle of vectors) and
@@ -145,40 +189,47 @@ object Similarity {
     val v = graft.Caches.track(
       df.select(col(idCol).as("__vid"), col(vecCol).cast("array<double>").as("v"))
         .withColumn("__n", sqrt(dot(col("v"), col("v")))))
-    var cents = firstKCentroids(df, idCol, vecCol, k)
-      .select(col("cent_id"), col("cv").cast("array<double>").as("cv"))
+    var cents = collectCentroids(firstKCentroids(df, idCol, vecCol, k))
     var i = 0
     while (i < iters) {
-      val c = broadcast(cents.select(col("cent_id"), col("cv"),
-        sqrt(dot(col("cv"), col("cv"))).as("cn")))
-      val w = Window.partitionBy("__vid").orderBy(col("__ccos").desc, col("cent_id").asc)
-      cents = v.crossJoin(c)
-        .withColumn("__ccos", dot(col("v"), col("cv")) / (col("__n") * col("cn")))
-        .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
-        .groupBy(col("cent_id"))
-        .agg(graft.functions.expressions.VectorMeanAgg.of(col("v")).as("cv"))
-        .localCheckpoint(true)
+      // assignment is a narrow literal-argmax pass (no join, no window, no
+      // shuffle of vectors); the only exchange per iteration carries the
+      // partial VectorMeanAgg states — k × dim doubles per partition. The
+      // driver-side collect of ≤ k centroids replaces localCheckpoint as
+      // the lineage barrier.
+      cents = collectCentroids(
+        assignCollected(v, "__vid", "v", cents)
+          .groupBy(col("cell").as("cent_id"))
+          .agg(graft.functions.expressions.VectorMeanAgg.of(col("v")).as("cv")))
       i += 1
     }
-    cents
+    centroidFrame(df.sparkSession, cents, df.schema(idCol).dataType)
+  }
+
+  /** Rebuilds the collected centroid set as a one-partition DataFrame. */
+  private def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[(Any, Seq[Double])],
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("cent_id", idType),
+      StructField("cv", ArrayType(DoubleType))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(cents.map { case (cid, cv) => Row(cid, cv) }, 1),
+      schema)
   }
 
   /** IVF cell assignment against an explicit centroid set (cent_id, cv):
-    * nearest centroid by cosine (ties → lowest centroid id). The centroid
-    * set is broadcast; assignment is one narrow pass over the corpus.
+    * nearest centroid by cosine (ties → lowest centroid id). The ≤ k
+    * centroids are collected driver-side into plan literals, so assignment
+    * is one narrow per-row argmax over the corpus — no join, no window,
+    * zero Exchange (plan-asserted in spec). The r2 form (crossJoin +
+    * row_number window) hash-shuffled the whole corpus per assignment.
     */
   def ivfAssignWith(df: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame): DataFrame = {
-    val cents = broadcast(centroids.select(col("cent_id"), col("cv"),
-      sqrt(dot(col("cv"), col("cv"))).as("cn")))
-    val v = df.select(col(idCol), col(vecCol),
-      sqrt(dot(col(vecCol), col(vecCol))).as("__n"))
-    val scored = v.crossJoin(cents)
-      .withColumn("ccos", dot(col(vecCol), col("cv")) / (col("__n") * col("cn")))
-    val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cent_id").asc)
-    scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
-      .select(col(idCol), col(vecCol), col("cent_id").as("cell"))
-  }
+      centroids: DataFrame): DataFrame =
+    assignCollected(df, idCol, vecCol, collectCentroids(centroids))
+      .select(col(idCol), col(vecCol), col("cell"))
 
   /** Stub-centroid flavor (first `numCentroids` vectors by id) — the
     * deterministic, oracle-exact default; plug [[kmeansCentroids]] output
@@ -199,24 +250,24 @@ object Similarity {
   def knnIvf(df: DataFrame, idCol: String, vecCol: String, k: Int,
       numCentroids: Int, queryFilter: org.apache.spark.sql.Column,
       centroids: Option[DataFrame] = None, nprobe: Int = 1): DataFrame = {
-    val cents = centroids.getOrElse(firstKCentroids(df, idCol, vecCol, numCentroids))
-    val cells = ivfAssignWith(df, idCol, vecCol, cents)
-      .withColumn("__n", sqrt(dot(col(vecCol), col(vecCol))))
+    val cents = collectCentroids(
+      centroids.getOrElse(firstKCentroids(df, idCol, vecCol, numCentroids)))
+    val cells = assignCollected(df, idCol, vecCol, cents)
     val q =
       if (nprobe <= 1)
         cells.filter(queryFilter).select(col(idCol).as("query_id"),
           col(vecCol).as("qv"), col("cell"), col("__n").as("qn"))
       else {
-        val cb = broadcast(cents.select(col("cent_id"), col("cv"),
-          sqrt(dot(col("cv"), col("cv"))).as("cn")))
-        val w = Window.partitionBy(idCol).orderBy(col("__ccos").desc, col("cent_id").asc)
+        // top-nprobe cells per query: sort the literal-centroid entries
+        // descending (cos, then lowest cent_id — same reversed struct
+        // order as the assignment argmax) and explode the first nprobe.
+        // Still a narrow pass: no join, no window, zero Exchange.
         df.filter(queryFilter)
           .select(col(idCol), col(vecCol), sqrt(dot(col(vecCol), col(vecCol))).as("__n"))
-          .crossJoin(cb)
-          .withColumn("__ccos", dot(col(vecCol), col("cv")) / (col("__n") * col("cn")))
-          .withColumn("__r", row_number().over(w)).filter(col("__r") <= nprobe)
-          .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-            col("cent_id").as("cell"), col("__n").as("qn"))
+          .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("__n").as("qn"),
+            explode(slice(reverse(array_sort(
+              centroidEntries(cents, col(vecCol), col("__n")))), 1, nprobe)).as("__e"))
+          .select(col("query_id"), col("qv"), col("__e.cell").as("cell"), col("qn"))
       }
     val c = cells.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       col("cell"), col("__n").as("cn"))

@@ -79,14 +79,33 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
-  test("IVF centroid assignment broadcasts the centroid set") {
-    import org.apache.spark.sql.functions.col
+  test("IVF centroid assignment is one narrow corpus pass: no Exchange, no join") {
     val emb = Tables.embeddings(spark, TestSpark.SF)
     val p = graft.similarity.Similarity.ivfAssign(emb, "vec_id", "embedding", 16)
       .queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      "centroids must broadcast (narrow corpus pass): " + p.take(3000))
-    assert(!p.contains("SortMergeJoin"), "assignment must not shuffle the corpus")
+    // centroids are plan literals (collected driver-side, ≤ k rows); the
+    // r2 crossJoin+row_number form hash-shuffled the entire corpus here
+    assert(!p.contains("Exchange"), "assignment must not shuffle the corpus: " + p.take(3000))
+    assert(!p.contains("Join"), "assignment must not join: " + p.take(3000))
+    assert(!p.contains("Window"), "assignment must not window: " + p.take(3000))
+  }
+
+  test("IVF nprobe cell probing is also exchange-free") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, TestSpark.SF)
+    val cents = graft.similarity.Similarity.firstKCentroids(emb, "vec_id", "embedding", 8)
+    // probe-side subplan only: the full knnIvf joins query cells to data
+    // cells (the one documented hash shuffle of the scale path)
+    val p = graft.similarity.Similarity.knnIvf(emb, "vec_id", "embedding", k = 3,
+        numCentroids = 8, queryFilter = col("vec_id") < 10, nprobe = 3)
+      .queryExecution.executedPlan.toString
+    // exactly one Window operator — the final top-k rank; the r2 nprobe
+    // branch added a second (probe row_number) plus a corpus-wide crossJoin.
+    // ("Window \[" excludes WindowGroupLimit, Spark's rank-pushdown helper.)
+    assert("Window \\[".r.findAllIn(p).size == 1,
+      "nprobe probing must not add a window to the rank plan: " + p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "nprobe probing must not cross-join: " + p.take(3000))
   }
 
   test("FlatFAT windows aggregate partial -> final with one shuffle") {
