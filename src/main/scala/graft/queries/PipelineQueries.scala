@@ -86,6 +86,50 @@ object PipelineQueries {
        |b AS (SELECT vec_id, v, CAST($bucket AS BIGINT) AS bucket FROM dots)""".stripMargin
   }
 
+  /** Trained-IVF oracle: regenerates the engine's quantized Lloyd
+    * iterations as CTEs. Seed c0 = first k vectors; per iteration i:
+    * argmax-cosine assignment (ties → lowest cent_id, exactly the literal
+    * argmax in [[Similarity.kmeansCentroidsQuantized]]) then the quantized
+    * centroid update — per-dimension SUM(floor(v_j·scale)) as BIGINT
+    * (exact, order-free, so DuckDB's single-threaded sum equals Spark's
+    * partition-merged [[graft.functions.expressions.VectorQuantMeanAgg]])
+    * divided as CAST(s AS DOUBLE)/(scale·n), the same tree both engines.
+    * Ends with `cellF` (all vectors + trained cell) and `qp` (query ×
+    * top-nprobe cells).
+    */
+  private def ivfTrainedCtes(k: Int, iters: Int, nprobe: Int, dim: Int = 64,
+      scale: String = "1000000.0e0"): String = {
+    def iter(i: Int): String =
+      s"""asg$i AS (SELECT e.vec_id, e.v, c.cent_id,
+         |                 ${DuckSql.cosine("e.v", "c.cv")} AS ccos
+         |          FROM e CROSS JOIN c${i - 1} c),
+         |cell$i AS (SELECT vec_id, v, cent_id AS cell FROM (
+         |            SELECT vec_id, v, cent_id,
+         |                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS r
+         |            FROM asg$i) WHERE r = 1),
+         |s$i AS (SELECT cell, j,
+         |               SUM(CAST(floor(v[CAST(j+1 AS INT)] * $scale) AS BIGINT)) AS s,
+         |               COUNT(*) AS n
+         |        FROM cell$i, range($dim) t(j) GROUP BY cell, j),
+         |c$i AS (SELECT cell AS cent_id,
+         |               list(CAST(s AS DOUBLE) / ($scale * n) ORDER BY j) AS cv
+         |        FROM s$i GROUP BY cell)""".stripMargin
+    s"""e AS (SELECT vec_id, embedding AS v FROM ${Q.EmbRef}),
+       |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY vec_id LIMIT $k),
+       |${(1 to iters).map(iter).mkString(",\n")},
+       |asgF AS (SELECT e.vec_id, e.v, c.cent_id,
+       |                ${DuckSql.cosine("e.v", "c.cv")} AS ccos
+       |         FROM e CROSS JOIN c$iters c),
+       |cellF AS (SELECT vec_id, v, cent_id AS cell FROM (
+       |           SELECT vec_id, v, cent_id,
+       |                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS r
+       |           FROM asgF) WHERE r = 1),
+       |qp AS (SELECT vec_id AS query_id, v AS qv, cent_id AS cell FROM (
+       |        SELECT vec_id, v, cent_id,
+       |               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS r
+       |        FROM asgF WHERE vec_id < 100) WHERE r <= $nprobe)""".stripMargin
+  }
+
   /** Quality-feature CTE chain ending in `f` (doc_id, text, n_tokens,
     * ratios) — shared by text_quality and the composite cleaning pipeline
     * so both oracles compute the identical score expression.
@@ -444,6 +488,32 @@ object PipelineQueries {
                       ${DuckSql.cosine("q.v", "cd.v")} AS cos
                FROM cell q JOIN cell cd ON q.cell = cd.cell
                 AND q.vec_id < 100 AND q.vec_id <> cd.vec_id),
+        r AS (SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM sc)
+        SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id
+        FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""")),
+
+    // trained IVF as a declared, oracle-checked plan: 2 quantized Lloyd
+    // iterations (deterministic + order-free, see kmeansCentroidsQuantized)
+    // and nprobe=3 probing; the stub-centroid knn_ivf above stays as the
+    // determinism baseline
+    Q("knn_ivf_trained",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.knnIvf(emb, "vec_id", "embedding",
+          k = 5, numCentroids = 16, queryFilter = col("vec_id") < 100,
+          centroids = Some(Similarity.kmeansCentroidsQuantized(
+            emb, "vec_id", "embedding", k = 16, iters = 2)),
+          nprobe = 3)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("query_id", "rnk")
+      },
+      Some(s"""
+        WITH ${ivfTrainedCtes(k = 16, iters = 2, nprobe = 3)},
+        sc AS (SELECT q.query_id, d.vec_id AS neighbor_id,
+                      ${DuckSql.cosine("q.qv", "d.v")} AS cos
+               FROM qp q JOIN cellF d ON q.cell = d.cell AND q.query_id <> d.vec_id),
         r AS (SELECT query_id, neighbor_id,
                      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
               FROM sc)

@@ -206,6 +206,30 @@ object Similarity {
     centroidFrame(df.sparkSession, cents, df.schema(idCol).dataType)
   }
 
+  /** [[kmeansCentroids]] with the QUANTIZED centroid update
+    * ([[graft.functions.expressions.VectorQuantMeanAgg]]): each dimension
+    * sums floor(v_j·scale) as exact int64, centroid_j = sum/(scale·n).
+    * Integer sums are order-free, so — unlike the double-summing flavor —
+    * the trained centroids are bit-reproducible by a single-threaded SQL
+    * oracle; this is the declared trained-IVF path (knn_ivf_trained).
+    * Same narrow literal-argmax assignment, same per-iteration shape.
+    */
+  def kmeansCentroidsQuantized(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, scale: Double = 1e6): DataFrame = {
+    val v = graft.Caches.track(
+      df.select(col(idCol).as("__vid"), col(vecCol).cast("array<double>").as("v")))
+    var cents = collectCentroids(firstKCentroids(df, idCol, vecCol, k))
+    var i = 0
+    while (i < iters) {
+      cents = collectCentroids(
+        assignCollected(v, "__vid", "v", cents)
+          .groupBy(col("cell").as("cent_id"))
+          .agg(graft.functions.expressions.VectorQuantMeanAgg.of(col("v"), scale).as("cv")))
+      i += 1
+    }
+    centroidFrame(df.sparkSession, cents, df.schema(idCol).dataType)
+  }
+
   /** Rebuilds the collected centroid set as a one-partition DataFrame. */
   private def centroidFrame(spark: org.apache.spark.sql.SparkSession,
       cents: Seq[(Any, Seq[Double])],

@@ -59,6 +59,25 @@ class KMeansIvfSpec extends AnyFunSuite {
     assert(banded >= single, s"banded recall $banded must dominate single $single")
   }
 
+  test("quantized k-means is deterministic and tracks the double-sum flavor") {
+    try {
+      val a = Similarity.kmeansCentroidsQuantized(emb, "vec_id", "embedding", 16, iters = 2)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+      val b = Similarity.kmeansCentroidsQuantized(emb, "vec_id", "embedding", 16, iters = 2)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+      // bit-identical across runs — integer sums are partition-order-free
+      assert(a.toSeq == b.toSeq, "quantized centroids must be run-deterministic")
+      assert(a.nonEmpty && a.length <= 16)
+      // quantization error per dimension is < 1/scale + mean rounding
+      val d = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 16, iters = 2)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+      val maxDiff = a.flatMap { case (id, cv) =>
+        d.get(id).toSeq.flatMap(dv => cv.zip(dv).map { case (x, y) => math.abs(x - y) })
+      }.max
+      assert(maxDiff < 1e-5, s"quantized centroids drifted from exact means: $maxDiff")
+    } finally Caches.releaseAll()
+  }
+
   test("nprobe recall is monotone and trained centroids work end-to-end") {
     val truth = Similarity.knnBruteForce(
         emb.filter(col("vec_id") < 30), emb, "vec_id", "embedding", k = 5)
