@@ -68,19 +68,46 @@ object Similarity {
     df.select(col(idCol), col(vecCol), bucket.as("bucket"))
   }
 
+  /** Hot-bucket guard for the bucket self-joins: a bucket larger than
+    * `maxBucket` (an all-similar corpus region) would make the self-join
+    * df²-quadratic at 100 TB. Sub-split oversized buckets into
+    * ceil(cnt/maxBucket) salts by the portable hash of the row id —
+    * deterministic, SQL-expressible, and each vector still lands in
+    * exactly one (bucket, salt) so pairs are still emitted at most once.
+    * Cross-salt pairs inside an oversized bucket are the (documented)
+    * recall cost of bounding the join. Bucket counts come from a tiny
+    * partial aggregate broadcast back — the corpus itself does not gain a
+    * shuffle. Declared queries keep the default cap, far above any
+    * test-corpus bucket, so oracle rows are unchanged; a 100 TB user sets
+    * it per corpus stats. Adds `__salt`; join on bucketCols :+ "__salt".
+    */
+  private def guardBuckets(b: DataFrame, idCol: String, maxBucket: Int,
+      bucketCols: Seq[String]): DataFrame = {
+    val counts = b.groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val splits = ceil(col("__cnt") / maxBucket)
+    b.join(broadcast(counts), bucketCols)
+      .withColumn("__salt",
+        when(col("__cnt") > maxBucket, pmod(hash60(col(idCol)), splits))
+          .otherwise(lit(0L)))
+      .drop("__cnt")
+  }
+
   /** Approximate top-k: candidates are bucket-mates, re-ranked by exact
     * cosine. Output: (query_id, rank, neighbor_id).
     */
   def knnLsh(df: DataFrame, idCol: String, vecCol: String, k: Int,
       planes: Int = 6, dim: Int = 64,
-      queryFilter: org.apache.spark.sql.Column = lit(true)): DataFrame = {
-    val b = hyperplaneBuckets(df, idCol, vecCol, planes, dim)
+      queryFilter: org.apache.spark.sql.Column = lit(true),
+      maxBucket: Int = 100000): DataFrame = {
+    val b = guardBuckets(hyperplaneBuckets(df, idCol, vecCol, planes, dim),
+      idCol, maxBucket, Seq("bucket"))
       .withColumn("__n", sqrt(dot(col(vecCol), col(vecCol))))
     val q = b.filter(queryFilter).select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      col("bucket"), col("__n").as("qn"))
+      col("bucket"), col("__salt"), col("__n").as("qn"))
     val c = b.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      col("bucket"), col("__n").as("cn"))
-    val scored = q.join(c, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
+      col("bucket"), col("__salt"), col("__n").as("cn"))
+    val scored = q.join(c, Seq("bucket", "__salt")).filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -96,7 +123,8 @@ object Similarity {
     */
   def knnLshBanded(df: DataFrame, idCol: String, vecCol: String, k: Int,
       planes: Int = 4, bands: Int = 3, dim: Int = 64,
-      queryFilter: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+      queryFilter: org.apache.spark.sql.Column = lit(true),
+      maxBucket: Int = 100000): DataFrame = {
     val ws = planeWeights(planes * bands, dim)
     val v = col(vecCol)
     val buckets = (0 until bands).map { l =>
@@ -105,11 +133,14 @@ object Similarity {
           .otherwise(lit(0L))
       }.reduce(_ + _)
     }
-    val banded = df.select(col(idCol), v,
-      posexplode(array(buckets: _*)).as(Seq("band", "bucket")))
-    val cand = banded.filter(queryFilter).select(col(idCol).as("query_id"), col("band"), col("bucket"))
-      .join(banded.select(col(idCol).as("neighbor_id"), col("band"), col("bucket")),
-        Seq("band", "bucket"))
+    val banded = guardBuckets(
+      df.select(col(idCol), v,
+        posexplode(array(buckets: _*)).as(Seq("band", "bucket"))),
+      idCol, maxBucket, Seq("band", "bucket"))
+    val cand = banded.filter(queryFilter)
+      .select(col(idCol).as("query_id"), col("band"), col("bucket"), col("__salt"))
+      .join(banded.select(col(idCol).as("neighbor_id"), col("band"), col("bucket"), col("__salt")),
+        Seq("band", "bucket", "__salt"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
     val withNorm = df.select(col(idCol), v.as("__v"), sqrt(dot(v, v)).as("__n"))
@@ -311,14 +342,16 @@ object Similarity {
     * Output: (a_id, b_id, cos ≥ threshold).
     */
   def embeddingPairsLsh(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 4, dim: Int = 64): DataFrame = {
-    val b = hyperplaneBuckets(df, idCol, vecCol, planes, dim)
+      threshold: Double, planes: Int = 4, dim: Int = 64,
+      maxBucket: Int = 100000): DataFrame = {
+    val b = guardBuckets(hyperplaneBuckets(df, idCol, vecCol, planes, dim),
+      idCol, maxBucket, Seq("bucket"))
       .withColumn("__n", sqrt(dot(col(vecCol), col(vecCol))))
     val a = b.select(col(idCol).as("a_id"), col(vecCol).as("va"),
-      col("bucket"), col("__n").as("na"))
+      col("bucket"), col("__salt"), col("__n").as("na"))
     val c = b.select(col(idCol).as("b_id"), col(vecCol).as("vb"),
-      col("bucket"), col("__n").as("nb"))
-    a.join(c, Seq("bucket")).filter(col("a_id") < col("b_id"))
+      col("bucket"), col("__salt"), col("__n").as("nb"))
+    a.join(c, Seq("bucket", "__salt")).filter(col("a_id") < col("b_id"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id", "cos")
@@ -333,7 +366,8 @@ object Similarity {
     * Output: (a_id, b_id, cos ≥ threshold).
     */
   def embeddingPairsLshBanded(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 4, bands: Int = 3, dim: Int = 64): DataFrame = {
+      threshold: Double, planes: Int = 4, bands: Int = 3, dim: Int = 64,
+      maxBucket: Int = 100000): DataFrame = {
     val ws = planeWeights(planes * bands, dim)
     val v = col(vecCol)
     val buckets = (0 until bands).map { l =>
@@ -342,11 +376,13 @@ object Similarity {
           .otherwise(lit(0L))
       }.reduce(_ + _)
     }
-    val banded = df.select(col(idCol), v,
-        posexplode(array(buckets: _*)).as(Seq("band", "bucket")))
-    val cand = banded.select(col(idCol).as("a_id"), col("band"), col("bucket"))
-      .join(banded.select(col(idCol).as("b_id"), col("band"), col("bucket")),
-        Seq("band", "bucket"))
+    val banded = guardBuckets(
+      df.select(col(idCol), v,
+        posexplode(array(buckets: _*)).as(Seq("band", "bucket"))),
+      idCol, maxBucket, Seq("band", "bucket"))
+    val cand = banded.select(col(idCol).as("a_id"), col("band"), col("bucket"), col("__salt"))
+      .join(banded.select(col(idCol).as("b_id"), col("band"), col("bucket"), col("__salt")),
+        Seq("band", "bucket", "__salt"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
     val withNorm = df.select(col(idCol), v.as("__v"),

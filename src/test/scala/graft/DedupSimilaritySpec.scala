@@ -70,4 +70,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(buckets(r.getLong(0)) == buckets(r.getLong(2)))
     }
   }
+
+  test("hot-bucket guard bounds a pathological all-identical corpus") {
+    // 2000 identical vectors land in ONE hyperplane bucket: unguarded, the
+    // self-join emits ~2M pairs (n²/2); with maxBucket=100 the bucket is
+    // sub-split into ~20 deterministic salts, bounding it near n·cap/2.
+    val n = 2000
+    val df = spark.range(n).select(col("id").as("vec_id"),
+      array((0 until 8).map(j => lit(0.5 + j * 0.01)): _*).as("embedding"))
+    val guarded = Similarity.embeddingPairsLsh(df, "vec_id", "embedding",
+      threshold = -1.0, planes = 4, dim = 8, maxBucket = 100).count()
+    assert(guarded > 0)
+    assert(guarded < n.toLong * 150,
+      s"guarded pair count $guarded suggests the self-join went quadratic")
+    val banded = Similarity.embeddingPairsLshBanded(df, "vec_id", "embedding",
+      threshold = -1.0, planes = 4, bands = 3, dim = 8, maxBucket = 100).count()
+    assert(banded > 0 && banded < n.toLong * 150,
+      s"banded guarded pair count $banded suggests a quadratic join")
+  }
 }
