@@ -35,6 +35,46 @@ object StreamingQueries {
       // identical semantics to the batch twin → same oracle
       WindowQueries.all.find(_.name == "win_tb_tumbling").get.oracle),
 
+    // The bounded-state plan a CONTINUOUS deployment runs: withWatermark +
+    // append output — each window is emitted exactly once, when the
+    // watermark passes its end (the reference's firing rule,
+    // wf/window_replica.hpp:356-408), and its state row is evicted
+    // (asserted in StreamingSemanticsSpec). The complete-mode twin above
+    // verifies the same values but re-emits everything per trigger and
+    // holds all windows forever — fine for bounded verification only.
+    // Spark's watermark never passes maxEvent − delay, so a bounded run
+    // would strand the trailing windows in state; an EOS punctuation row
+    // (far-future event time on a 1-in-64 pruned sample, filtered out
+    // after the watermark node) advances the final watermark past every
+    // real window — the stream-native analog of the reference's
+    // end-of-stream marker. A continuous deployment simply omits it.
+    Q("stream_win_tb_tumbling_append",
+      (s, dir) => {
+        implicit val sp = s
+        val src = StreamSources.eventsWithTime(s, dir)
+          .select(col("event_type"), col("event_time"), col("value"))
+        val eos = StreamSources.eventsWithTime(s, dir)
+          .filter(pmod(col("event_id"), lit(64)) === 0)
+          .select(lit("__eos").as("event_type"),
+            (col("event_time") + expr("INTERVAL 30 DAYS")).as("event_time"),
+            lit(0.0d).as("value"))
+        val agg = src.union(eos)
+          .withWatermark("event_time", "30 minutes")
+          // the sentinel filter must NOT sink below the watermark node, or
+          // the punctuation never reaches the event-time stats: Catalyst
+          // pushes predicates through EventTimeWatermark unless they
+          // reference the watermark column, so reference it vacuously
+          .filter(!(col("event_type") === "__eos") || col("event_time").isNull)
+          .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)").as("sum_value"))
+          .select(col("event_type"), expr("unix_micros(window.start)").as("win_start_us"),
+            col("cnt"), col("sum_value"))
+        StreamRun.toBatch(agg, "append", numPartitions = 4)
+          .orderBy("event_type", "win_start_us")
+      },
+      WindowQueries.all.find(_.name == "win_tb_tumbling").get.oracle),
+
     Q("stream_reduce_rolling",
       (s, dir) => {
         implicit val sp = s

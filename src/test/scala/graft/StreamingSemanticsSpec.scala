@@ -69,6 +69,41 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L, 3L, 100L, 101L))
   }
 
+  test("append-mode windows emit once on watermark pass and evict their state") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val agg = mem.toDF().toDF("id", "event_time")
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("append_win_x")
+      .outputMode("append").start()
+    def ts(min: Long) = new java.sql.Timestamp(3600_000L * 24 * 365 * 50 + min * 60_000L)
+    try {
+      // two windows' worth of data; watermark still behind both ends
+      mem.addData((1L, ts(0)), (2L, ts(1)), (3L, ts(6)))
+      q.processAllAvailable()
+      val afterB1 = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(afterB1 >= 2, s"expected both open windows in state, got $afterB1")
+      assert(spark.table("append_win_x").count() == 0,
+        "append mode must not emit a window before the watermark passes its end")
+      // advance the watermark past both window ends → exactly-once emission
+      mem.addData((4L, ts(60)))
+      q.processAllAvailable()
+      mem.addData((5L, ts(120))) // one more advance so eviction is visible
+      q.processAllAvailable()
+      val afterB3 = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      // three closed windows: [0,5)=2 rows, [5,10)=1, [60,65)=1; the
+      // ts(120) window is still open and must NOT appear
+      val rows = spark.table("append_win_x").select("n").collect().map(_.getLong(0)).sorted
+      assert(rows.toSeq == Seq(1L, 1L, 2L),
+        s"expected windows (2,1,1) emitted exactly once, got ${rows.toSeq}")
+      assert(afterB3 < afterB1,
+        s"closed windows must leave the state store ($afterB1 → $afterB3)")
+    } finally q.stop()
+  }
+
   test("monitoring listener observes progress with the reference's per-replica signals") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
