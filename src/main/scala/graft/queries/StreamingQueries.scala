@@ -270,25 +270,28 @@ object StreamingQueries {
       },
       None),
 
+    // interval self-join over ONE scan: both sides of the split stream are
+    // tagged out of a single source and buffered per key in
+    // flatMapGroupsWithState (the reference's interval-join replica,
+    // wf/interval_join.hpp:279-307). Spark's symmetric watermarked
+    // stream-stream join computes the same rows but plans one file-stream
+    // scan PER SIDE — double ingest I/O for a self-join; the two forms are
+    // asserted result-identical and the single-scan property is
+    // plan-asserted (StatefulStreamingSpec). For genuinely distinct
+    // sources the symmetric join remains the right plan.
     Q("stream_interval_join",
       (s, dir) => {
         implicit val sp = s
-        val e = StreamSources.eventsWithTime(s, dir)
-        val bound = "INTERVAL 30 MINUTES"
-        val a = e.filter(col("event_type") === "purchase")
-          .select(col("event_id").as("a_id"), col("user_id"),
-            col("event_time").as("a_time"), col("value").as("a_value"))
-          .withWatermark("a_time", "1 hour")
-        val b = e.filter(col("event_type") === "click")
-          .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
-            col("event_time").as("b_time"), col("value").as("b_value"))
-          .withWatermark("b_time", "1 hour")
-        val joined = a.join(b,
-          expr(s"user_id = b_user AND b_time BETWEEN a_time - $bound AND a_time + $bound"))
-          .select(col("a_id"), col("b_id"), col("user_id"),
-            greatest(expr("unix_micros(a_time)"), expr("unix_micros(b_time)")).as("out_ts_us"),
-            (col("a_value") + col("b_value")).as("pair_value"))
-        StreamRun.toBatch(joined, "append", numPartitions = 4).orderBy("a_id", "b_id")
+        import s.implicits._
+        val bound = 30L * Q.MinuteUs
+        val tagged = StreamSources.eventsWithTime(s, dir)
+          .filter(col("event_type").isin("purchase", "click"))
+          .withWatermark("event_time", "1 hour")
+          .selectExpr("event_id", "user_id", "ts_us", "value",
+            "event_type = 'purchase' AS isLeft").as[graft.streaming.IjIn]
+        StreamRun.toBatch(
+          StatefulOps.intervalJoinShared(tagged, bound).toDF(), "append",
+          numPartitions = 4).orderBy("a_id", "b_id")
       },
       JoinQueries.all.find(_.name == "interval_join").get.oracle)
   )

@@ -14,6 +14,16 @@ case class EvRow(event_id: Long, user_id: Long, ts_us: Long, cents: Long)
 case class RollState(sumCents: Long, cnt: Long)
 case class RollOut(event_id: Long, user_id: Long, running_sum: Double, running_cnt: Long)
 
+/** Interval-join input: one tagged side of a split stream (isLeft =
+  * reference side A). */
+case class IjIn(event_id: Long, user_id: Long, ts_us: Long, value: Double,
+    isLeft: Boolean)
+case class IjOut(a_id: Long, b_id: Long, user_id: Long, out_ts_us: Long,
+    pair_value: Double)
+/** Buffered (id, ts_us, value) rows per side, newest first. */
+case class IjBuf(id: Long, ts_us: Long, value: Double)
+case class IjState(left: List[IjBuf], right: List[IjBuf])
+
 /** Count-window state: per-key arrival counter + open-window partials
   * keyed by window id (wf/window_structure.hpp:69-80 Triggerer_CB).
   */
@@ -107,6 +117,56 @@ object StatefulOps {
             val p = open(wid)
             CbOut(user, wid, p.cnt, p.sumCents.toDouble / 100.0, p.firstEvent, p.lastEvent)
           }
+      }
+  }
+
+  /** Interval self-join over ONE scan of a tagged stream — the shape of
+    * the reference's interval-join replica
+    * (/root/reference/wf/interval_join.hpp:279-307): both sides buffer
+    * per key, each arriving row probes the opposite buffer for
+    * |ts_a − ts_b| ≤ bound and the pair is emitted exactly once, when its
+    * later row arrives. Spark's symmetric stream-stream join computes the
+    * same result but plans one source scan PER SIDE — for a self-join
+    * that doubles ingest I/O; this operator is the single-scan plan
+    * (plan-asserted in spec) and the two forms are asserted
+    * result-identical. Buffered rows older than watermark − bound can
+    * never match again (future events are ≥ watermark) and are purged —
+    * the reference's purging rule — so state is bounded by key × 2·bound
+    * in a continuous deployment.
+    */
+  def intervalJoinShared(ev: Dataset[IjIn], boundUs: Long)(
+      implicit spark: SparkSession): Dataset[IjOut] = {
+    import spark.implicits._
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[IjIn], state: GroupState[IjState]) =>
+          var s = state.getOption.getOrElse(IjState(Nil, Nil))
+          val wmUs = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(0L) * 1000L
+          if (wmUs > 0) s = IjState(
+            s.left.filter(_.ts_us >= wmUs - boundUs),
+            s.right.filter(_.ts_us >= wmUs - boundUs))
+          var lefts = s.left
+          var rights = s.right
+          val out = scala.collection.mutable.ListBuffer[IjOut]()
+          it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            if (e.isLeft) {
+              rights.foreach { r =>
+                if (r.ts_us >= e.ts_us - boundUs && r.ts_us <= e.ts_us + boundUs)
+                  out += IjOut(e.event_id, r.id, user,
+                    math.max(e.ts_us, r.ts_us), e.value + r.value)
+              }
+              lefts ::= IjBuf(e.event_id, e.ts_us, e.value)
+            } else {
+              lefts.foreach { l =>
+                if (e.ts_us >= l.ts_us - boundUs && e.ts_us <= l.ts_us + boundUs)
+                  out += IjOut(l.id, e.event_id, user,
+                    math.max(l.ts_us, e.ts_us), l.value + e.value)
+              }
+              rights ::= IjBuf(e.event_id, e.ts_us, e.value)
+            }
+          }
+          state.update(IjState(lefts, rights))
+          out.iterator
       }
   }
 

@@ -73,4 +73,52 @@ class StatefulStreamingSpec extends AnyFunSuite {
     }
     assert(got == want)
   }
+
+  test("shared-scan interval join: one source scan, same rows as the symmetric join") {
+    import spark.implicits._
+    implicit val sp = spark
+    val dir = TestSpark.SF
+    val bound = 30L * 60L * 1000000L
+
+    // declared (single-scan) form
+    val tagged = StreamSources.eventsWithTime(spark, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .withWatermark("event_time", "1 hour")
+      .selectExpr("event_id", "user_id", "ts_us", "value",
+        "event_type = 'purchase' AS isLeft").as[IjIn]
+    val shared = StatefulOps.intervalJoinShared(tagged, bound).toDF()
+
+    // plan property: the self-join rewrite reads the source ONCE
+    def scans(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.logical.collect {
+        case r if r.nodeName.contains("StreamingRelation") => r
+      }.size
+    assert(scans(shared) == 1, "shared form must plan exactly one source scan")
+
+    // Spark's symmetric watermarked stream-stream join — the plan for
+    // genuinely distinct sources; reads the source once PER SIDE
+    val e = StreamSources.eventsWithTime(spark, dir)
+    val a = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("a_id"), col("user_id"),
+        col("event_time").as("a_time"), col("value").as("a_value"))
+      .withWatermark("a_time", "1 hour")
+    val b = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("event_time").as("b_time"), col("value").as("b_value"))
+      .withWatermark("b_time", "1 hour")
+    val sym = a.join(b,
+      expr("user_id = b_user AND b_time BETWEEN a_time - INTERVAL 30 MINUTES" +
+        " AND a_time + INTERVAL 30 MINUTES"))
+      .select(col("a_id"), col("b_id"), col("user_id"),
+        greatest(expr("unix_micros(a_time)"), expr("unix_micros(b_time)")).as("out_ts_us"),
+        (col("a_value") + col("b_value")).as("pair_value"))
+    assert(scans(sym) == 2, "symmetric self-join plans one scan per side")
+
+    val gotShared = StreamRun.toBatch(shared, "append", numPartitions = 4)
+      .orderBy("a_id", "b_id").collect().map(_.toSeq).toSeq
+    val gotSym = StreamRun.toBatch(sym, "append", numPartitions = 4)
+      .orderBy("a_id", "b_id").collect().map(_.toSeq).toSeq
+    assert(gotShared.nonEmpty && gotShared == gotSym,
+      s"shared-scan join (${gotShared.size} rows) must equal symmetric join (${gotSym.size})")
+  }
 }
