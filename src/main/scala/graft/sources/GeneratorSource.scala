@@ -68,6 +68,16 @@ object GeneratorSource {
     n
   }
 
+  /** Test hook: high-water mark of rows buffered by any reader since the
+    * last [[resetPeakBuffered]] — lets a spec assert a huge replica
+    * streams through in bounded memory instead of materializing.
+    */
+  private val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[sources] def trackPeak(n: Long): Unit =
+    peak.getAndAccumulate(n, math.max(_, _))
+  def peakBufferedRows: Long = peak.get()
+  def resetPeakBuffered(): Unit = peak.set(0L)
+
   private[sources] def toCatalyst(v: Any): Any = v match {
     case null => null
     case s: String => UTF8String.fromString(s)
@@ -153,34 +163,99 @@ case class GenPartition(name: String, replica: Int, start: Long, end: Long,
 
 /** Runs the replica's generator loop on the executor, keeping rows with
   * per-replica emission index in [start, end).
+  *
+  * The user loop is push-style (it calls `emit`) but a PartitionReader is
+  * pull-style, so the loop runs on a producer thread feeding a BOUNDED
+  * chunk queue ([[GenPartitionReader.QueueChunks]] × [[GenPartitionReader.ChunkRows]]
+  * rows in flight); `emit` blocks when the reader falls behind — the
+  * backpressure contract of the reference's shipper
+  * (source_shipper.hpp:171-335 pushes into bounded FastFlow queues). A
+  * long-running or unbounded generator therefore streams rows out in O(1)
+  * memory instead of materializing the whole [start, end) slice per batch
+  * (spec-asserted via [[GeneratorSource.peakBufferedRows]]).
   */
 class GenPartitionReader(p: GenPartition) extends PartitionReader[InternalRow] {
   import GeneratorSource._
+  import GenPartitionReader._
 
-  private val rows: Iterator[InternalRow] = {
-    val d = GeneratorSource.get(p.name)
-    val width = d.schema.length
-    val buf = scala.collection.mutable.ArrayBuffer[InternalRow]()
-    var i = 0L
-    d.gen(p.replica, (values, tsUs) => {
-      if (i >= p.start && i < p.end) {
-        require(values.length == width,
-          s"generator emitted ${values.length} fields, schema has $width")
-        val ts = if (p.ingress) System.currentTimeMillis() * 1000L else tsUs
-        val out = new Array[Any](width + 2)
-        var j = 0
-        while (j < width) { out(j) = toCatalyst(values(j)); j += 1 }
-        out(width) = ts
-        out(width + 1) = ts // TimestampType is micros-since-epoch internally
-        buf += new GenericInternalRow(out)
+  private val queue =
+    new java.util.concurrent.ArrayBlockingQueue[AnyRef](QueueChunks)
+  @volatile private var closed = false
+  @volatile private var err: Throwable = _
+
+  private val producer = new Thread(s"graft-gen-${p.name}-r${p.replica}") {
+    override def run(): Unit = {
+      val chunk = new scala.collection.mutable.ArrayBuffer[InternalRow](ChunkRows)
+      def put(x: AnyRef): Unit = {
+        var done = false
+        while (!done && !closed)
+          done = queue.offer(x, 50, java.util.concurrent.TimeUnit.MILLISECONDS)
+        if (closed) throw new InterruptedException("reader closed")
       }
-      i += 1L
-    })
-    buf.iterator
+      def flush(): Unit = if (chunk.nonEmpty) {
+        trackPeak(queue.size().toLong * ChunkRows + chunk.length)
+        put(chunk.toArray)
+        chunk.clear()
+      }
+      try {
+        val d = GeneratorSource.get(p.name)
+        val width = d.schema.length
+        var i = 0L
+        d.gen(p.replica, (values, tsUs) => {
+          if (closed) throw new InterruptedException("reader closed")
+          if (i >= p.start && i < p.end) {
+            require(values.length == width,
+              s"generator emitted ${values.length} fields, schema has $width")
+            val ts = if (p.ingress) System.currentTimeMillis() * 1000L else tsUs
+            val out = new Array[Any](width + 2)
+            var j = 0
+            while (j < width) { out(j) = toCatalyst(values(j)); j += 1 }
+            out(width) = ts
+            out(width + 1) = ts // TimestampType is micros-since-epoch internally
+            chunk += new GenericInternalRow(out)
+            if (chunk.length >= ChunkRows) flush()
+          }
+          i += 1L
+        })
+        flush()
+      } catch {
+        case _: InterruptedException => ()
+        case t: Throwable => err = t
+      } finally {
+        var done = closed
+        while (!done)
+          done = queue.offer(Poison, 50, java.util.concurrent.TimeUnit.MILLISECONDS) || closed
+      }
+    }
   }
+  producer.setDaemon(true)
+  producer.start()
 
+  private var chunk: Array[InternalRow] = Array.empty
+  private var idx = 0
   private var current: InternalRow = _
-  override def next(): Boolean = { if (rows.hasNext) { current = rows.next(); true } else false }
+
+  override def next(): Boolean = {
+    while (idx >= chunk.length) {
+      val x = queue.take()
+      if (x eq Poison) {
+        if (err != null) throw err
+        return false
+      }
+      chunk = x.asInstanceOf[Array[InternalRow]]
+      idx = 0
+    }
+    current = chunk(idx)
+    idx += 1
+    true
+  }
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = { closed = true; queue.clear() }
+}
+
+object GenPartitionReader {
+  /** Max chunks in flight; bounded memory = QueueChunks × ChunkRows rows. */
+  val QueueChunks = 32
+  val ChunkRows = 256
+  private val Poison: AnyRef = new Object
 }

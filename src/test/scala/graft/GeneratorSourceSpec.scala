@@ -33,6 +33,28 @@ class GeneratorSourceSpec extends AnyFunSuite {
         (r.getTimestamp(2).getNanos / 1000) % 1000 == r.getLong(1)))
   }
 
+  test("a 10^6-row replica streams through in bounded memory (no materialization)") {
+    implicit val s = spark
+    val n = 1000000L
+    GeneratorSource.register("spec_gen_big", GeneratorSource.GenDef(
+      schema, numReplicas = 2,
+      (r, emit) => {
+        var i = 0L
+        while (i < n) { emit(Array[Any](r * n + i), 1_000_000L + i); i += 1L }
+      }))
+    GeneratorSource.resetPeakBuffered()
+    val cnt = StreamRun.toBatch(
+      StreamSources.generator(spark, "spec_gen_big"), "append")
+      .agg(count(lit(1)), sum("id")).collect()(0)
+    assert(cnt.getLong(0) == 2L * n)
+    assert(cnt.getLong(1) == (2L * n - 1L) * n) // sum 0..2n-1
+    val peak = GeneratorSource.peakBufferedRows
+    val bound = graft.sources.GenPartitionReader.QueueChunks.toLong *
+      graft.sources.GenPartitionReader.ChunkRows + graft.sources.GenPartitionReader.ChunkRows
+    assert(peak > 0 && peak <= bound,
+      s"reader buffered $peak rows — the replica slice must stream, not materialize (bound $bound)")
+  }
+
   test("INGRESS policy stamps arrival time instead of the generator ts") {
     implicit val s = spark
     GeneratorSource.register("spec_gen_ingress", GeneratorSource.GenDef(
