@@ -15,10 +15,15 @@ package graft.sources
   *  - brokers  → `kafka.bootstrap.servers` (comma-joined)
   *  - topics   → `subscribe`
   *  - offsets  → `startingOffsets` JSON, one starting offset per topic
-  *    (aligned with `topics`, applied to partition 0 — the reference's
-  *    per-topic offset model; -1/-2 mean latest/earliest per Kafka
+  *    (aligned with `topics`; -1/-2 mean latest/earliest per Kafka
   *    convention); no offsets → `"earliest"` (the reference's default
-  *    `auto.offset.reset` posture for a fresh group)
+  *    `auto.offset.reset` posture for a fresh group). Spark's kafka
+  *    source requires specific-offset JSON to cover EVERY partition of a
+  *    subscribed topic, so the scalar per-topic form maps to partition 0
+  *    and is valid for single-partition topics only (the reference's
+  *    per-topic offset model has the same ambiguity); multi-partition
+  *    topics must use [[KafkaSourceConfig.withPartitionOffsets]], which
+  *    renders the full per-partition map.
   *  - groupId  → `kafka.group.id`
   *  - assignmentPolicy → `kafka.partition.assignment.strategy`
   *  - idleness → `kafka.fetch.max.wait.ms` (max broker poll wait)
@@ -33,6 +38,7 @@ final case class KafkaSourceConfig(
     brokers: Seq[String] = Nil,
     topics: Seq[String] = Nil,
     offsets: Seq[Long] = Nil,
+    partitionOffsets: Map[String, Map[Int, Long]] = Map.empty,
     groupId: Option[String] = None,
     assignmentPolicy: Option[String] = None,
     idleTimeMs: Option[Long] = None) {
@@ -40,6 +46,14 @@ final case class KafkaSourceConfig(
   def withBrokers(bs: String*): KafkaSourceConfig = copy(brokers = brokers ++ bs)
   def withTopics(ts: String*): KafkaSourceConfig = copy(topics = topics ++ ts)
   def withOffsets(os: Long*): KafkaSourceConfig = copy(offsets = offsets ++ os)
+
+  /** Explicit per-partition starting offsets for one topic — required for
+    * multi-partition topics (Spark rejects specific-offset JSON that
+    * leaves any discovered partition uncovered). Overrides the scalar
+    * [[withOffsets]] entry for that topic.
+    */
+  def withPartitionOffsets(topic: String, po: Map[Int, Long]): KafkaSourceConfig =
+    copy(partitionOffsets = partitionOffsets + (topic -> po))
   def withGroupID(g: String): KafkaSourceConfig = copy(groupId = Some(g))
   def withAssignmentPolicy(p: String): KafkaSourceConfig = copy(assignmentPolicy = Some(p))
   def withIdleness(ms: Long): KafkaSourceConfig = copy(idleTimeMs = Some(ms))
@@ -53,11 +67,31 @@ final case class KafkaSourceConfig(
     require(topics.nonEmpty, "Kafka source needs at least one topic (withTopics)")
     require(offsets.isEmpty || offsets.length == topics.length,
       s"withOffsets must align with withTopics (${offsets.length} offsets, ${topics.length} topics)")
+    require(partitionOffsets.keySet.subsetOf(topics.toSet),
+      s"withPartitionOffsets topics ${partitionOffsets.keySet -- topics.toSet} are not subscribed")
     val startingOffsets =
-      if (offsets.isEmpty) "earliest"
-      else topics.zip(offsets)
-        .map { case (t, o) => s""""$t":{"0":$o}""" }
-        .mkString("{", ",", "}")
+      if (offsets.isEmpty && partitionOffsets.isEmpty) "earliest"
+      else {
+        val scalar = topics.zip(offsets).toMap
+        require(topics.forall(t => scalar.contains(t) || partitionOffsets.contains(t)),
+          "specific-offset JSON must cover every subscribed topic: give " +
+            "withOffsets for all topics or withPartitionOffsets per topic")
+        topics.flatMap { t =>
+          partitionOffsets.get(t) match {
+            case Some(po) =>
+              require(po.nonEmpty, s"empty partition-offset map for topic $t")
+              Some(s""""$t":${po.toSeq.sortBy(_._1)
+                .map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")}""")
+            case None =>
+              // scalar per-topic offset = partition 0 (single-partition
+              // topics only — see class doc); no entry at all → the topic
+              // starts earliest on every partition, which Spark's JSON
+              // form can't express partition-free, so it must be omitted
+              // only when NO offsets are given (handled above)
+              scalar.get(t).map(o => s""""$t":{"0":$o}""")
+          }
+        }.mkString("{", ",", "}")
+      }
     Map(
       "kafka.bootstrap.servers" -> brokers.mkString(","),
       "subscribe" -> topics.mkString(","),

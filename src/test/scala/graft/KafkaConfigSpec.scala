@@ -39,6 +39,25 @@ class KafkaConfigSpec extends AnyFunSuite {
       KafkaSourceConfig().withBrokers("k:9092").withTopics("a", "b").withOffsets(1L).options)
   }
 
+  test("multi-partition topics render full per-partition offset maps") {
+    val opts = KafkaSourceConfig()
+      .withBrokers("k:9092")
+      .withTopics("orders", "clicks")
+      .withOffsets(7L, 9L) // scalar for both; clicks overridden below
+      .withPartitionOffsets("clicks", Map(0 -> 5L, 1 -> -2L, 2 -> 11L))
+      .options
+    assert(opts("startingOffsets")
+      == """{"orders":{"0":7},"clicks":{"0":5,"1":-2,"2":11}}""")
+    // specific-offset JSON must cover every subscribed topic
+    intercept[IllegalArgumentException](
+      KafkaSourceConfig().withBrokers("k:9092").withTopics("a", "b")
+        .withPartitionOffsets("a", Map(0 -> 1L)).options)
+    // partition offsets for an unsubscribed topic are a builder bug
+    intercept[IllegalArgumentException](
+      KafkaSourceConfig().withBrokers("k:9092").withTopics("a")
+        .withPartitionOffsets("zzz", Map(0 -> 1L)).options)
+  }
+
   test("sink builder renders brokers + topic and validates both") {
     val opts = KafkaSinkConfig().withBrokers("k:9092").withTopic("out").options
     assert(opts == Map("kafka.bootstrap.servers" -> "k:9092", "topic" -> "out"))
