@@ -72,13 +72,57 @@ case class FlatFatWindows(tsExpr: Expression, valExpr: Expression,
   }
 
   override def eval(b: FfatBuffer): Any = {
-    val m = b.ts.length
-    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    val out = FlatFatWindows.windows(b.ts.toArray, b.vs.toArray, lenUs, slideUs)
+      .map(w => new GenericInternalRow(
+        Array[Any](w.winStartUs, w.cnt, w.sum, w.min, w.max)): Any)
+    new GenericArrayData(out)
+  }
+
+  override def serialize(b: FfatBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + b.ts.length * 16)
+    bb.putInt(b.ts.length)
+    var i = 0
+    while (i < b.ts.length) { bb.putLong(b.ts(i)); bb.putLong(b.vs(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): FfatBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val k = bb.getInt
+    val b = createAggregationBuffer()
+    var i = 0
+    while (i < k) { b.ts += bb.getLong; b.vs += bb.getLong; i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FlatFatWindows =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FlatFatWindows =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(tsExpr = newChildren(0), valExpr = newChildren(1))
+}
+
+object FlatFatWindows {
+
+  /** One non-empty window's combined lift values. */
+  final case class Win(winStartUs: Long, cnt: Long, sum: Long, min: Long, max: Long)
+
+  /** The FlatFAT kernel, shared by the batch aggregate ([[FlatFatWindows]])
+    * and the streaming flavor ([[graft.streaming.StatefulOps.slidingWindowsFfat]]):
+    * sorts (ts, v) pairs by ts, builds the implicit binary tree of
+    * (cnt, sum, min, max) partials, and answers every non-empty window id
+    * with an O(log n) range combine.
+    */
+  def windows(ts0: Array[Long], vs0: Array[Long], lenUs: Long,
+      slideUs: Long): Array[Win] = {
+    val m = ts0.length
+    if (m == 0) return Array.empty
     // sort pairs by ts (stable order irrelevant: combine is commutative
     // across equal timestamps for cnt/sum/min/max)
-    val order = (0 until m).sortBy(b.ts)
-    val ts = order.map(b.ts).toArray
-    val vs = order.map(b.vs).toArray
+    val order = (0 until m).sortBy(ts0)
+    val ts = order.map(ts0).toArray
+    val vs = order.map(vs0).toArray
     // FlatFAT: implicit complete binary tree, leaves n..2n-1
     var n = 1
     while (n < m) n <<= 1
@@ -141,41 +185,14 @@ case class FlatFatWindows(tsExpr: Expression, valExpr: Expression,
       if (wMax > lastAdded) lastAdded = wMax
       i += 1
     }
-    val out = wids.map { w =>
+    wids.map { w =>
       val lo = lowerBound(w * slideUs)
       val hi = lowerBound(w * slideUs + lenUs)
       val (c, s, lmin, lmax) = query(lo, hi)
-      new GenericInternalRow(Array[Any](w * slideUs, c, s, lmin, lmax)): Any
-    }
-    new GenericArrayData(out.toArray)
+      Win(w * slideUs, c, s, lmin, lmax)
+    }.toArray
   }
 
-  override def serialize(b: FfatBuffer): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + b.ts.length * 16)
-    bb.putInt(b.ts.length)
-    var i = 0
-    while (i < b.ts.length) { bb.putLong(b.ts(i)); bb.putLong(b.vs(i)); i += 1 }
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): FfatBuffer = {
-    val bb = ByteBuffer.wrap(bytes)
-    val k = bb.getInt
-    val b = createAggregationBuffer()
-    var i = 0
-    while (i < k) { b.ts += bb.getLong; b.vs += bb.getLong; i += 1 }
-    b
-  }
-
-  override def withNewMutableAggBufferOffset(newOffset: Int): FlatFatWindows =
-    copy(mutableAggBufferOffset = newOffset)
-  override def withNewInputAggBufferOffset(newOffset: Int): FlatFatWindows =
-    copy(inputAggBufferOffset = newOffset)
-  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
-    copy(tsExpr = newChildren(0), valExpr = newChildren(1))
-}
-
-object FlatFatWindows {
   val OutType: ArrayType = ArrayType(StructType(Seq(
     StructField("win_start_us", LongType, nullable = false),
     StructField("cnt", LongType, nullable = false),

@@ -164,6 +164,24 @@ object StreamingQueries {
       },
       WindowQueries.all.find(_.name == "win_tb_session").get.oracle),
 
+    // FlatFAT sliding windows through the STREAMING engine: the same
+    // lift/comb tree as the batch win_tb_sliding_ffat aggregate, run in
+    // per-key flatMapGroupsWithState state — no explode multiplier, one
+    // shuffle, O(log n) combines per answered window. Same oracle as the
+    // batch FlatFAT twin (integer cents, incl. the non-invertible min/max).
+    Q("stream_win_tb_sliding_ffat",
+      (s, dir) => {
+        implicit val sp = s
+        import s.implicits._
+        val in = StreamSources.events(s, dir).selectExpr(
+          "event_type AS key", "ts div 1000 AS ts_us",
+          "CAST(round(value * 100) AS BIGINT) AS cents").as[graft.streaming.FfatIn]
+        val out = StatefulOps.slidingWindowsFfat(in,
+          lenUs = Q.HourUs, slideUs = 15L * Q.MinuteUs)
+        StreamRun.toBatch(out.toDF(), "update").orderBy("event_type", "win_start_us")
+      },
+      WindowQueries.all.find(_.name == "win_tb_sliding_ffat").get.oracle),
+
     // streaming exact dedup at ingestion: the stream unioned with itself
     // (every event arrives twice) must come out exactly once. State is
     // BOUNDED: dropDuplicatesWithinWatermark evicts a key once the

@@ -24,6 +24,14 @@ case class IjOut(a_id: Long, b_id: Long, user_id: Long, out_ts_us: Long,
 case class IjBuf(id: Long, ts_us: Long, value: Double)
 case class IjState(left: List[IjBuf], right: List[IjBuf])
 
+/** FlatFAT streaming input/state/output: (key, ts, cents) events buffered
+  * per key; windows answered from the shared FlatFAT tree kernel.
+  */
+case class FfatIn(key: String, ts_us: Long, cents: Long)
+case class FfatKeyState(ts: Array[Long], vs: Array[Long])
+case class FfatStreamOut(event_type: String, win_start_us: Long, cnt: Long,
+    sum_cents: Long, min_cents: Long, max_cents: Long)
+
 /** Count-window state: per-key arrival counter + open-window partials
   * keyed by window id (wf/window_structure.hpp:69-80 Triggerer_CB).
   */
@@ -117,6 +125,48 @@ object StatefulOps {
             val p = open(wid)
             CbOut(user, wid, p.cnt, p.sumCents.toDouble / 100.0, p.firstEvent, p.lastEvent)
           }
+      }
+  }
+
+  /** Sliding/hopping time windows through the STREAMING engine via the
+    * FlatFAT lift/comb tree (the reference's Ffat_Windows run as a
+    * Win_Replica would run it): per-key state buffers (ts, cents) pairs,
+    * and each batch re-answers the windows its new rows touch with
+    * O(log n) range combines over the shared
+    * [[graft.operators.FlatFatWindows.windows]] kernel — no explode
+    * multiplier, one shuffle (the groupByKey), emission keyed by
+    * (key, window) in update mode like the CB family. Buffered rows older
+    * than watermark − 2·len can no longer contribute to any window a
+    * future (≥ watermark) row touches and are purged, bounding state per
+    * key in a continuous deployment.
+    */
+  def slidingWindowsFfat(ev: Dataset[FfatIn], lenUs: Long, slideUs: Long)(
+      implicit spark: SparkSession): Dataset[FfatStreamOut] = {
+    import spark.implicits._
+    ev.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[FfatIn], state: GroupState[FfatKeyState]) =>
+          val s = state.getOption.getOrElse(FfatKeyState(Array.empty, Array.empty))
+          val wmUs = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(0L) * 1000L
+          val (keepTs, keepVs) =
+            if (wmUs > 0) {
+              val keep = s.ts.indices.filter(i => s.ts(i) >= wmUs - 2 * lenUs)
+              (keep.map(s.ts).toArray, keep.map(s.vs).toArray)
+            } else (s.ts, s.vs)
+          val batch = it.toArray
+          val ts = keepTs ++ batch.map(_.ts_us)
+          val vs = keepVs ++ batch.map(_.cents)
+          state.update(FfatKeyState(ts, vs))
+          // windows touched by this batch's rows
+          val touched = scala.collection.mutable.HashSet[Long]()
+          batch.foreach { e =>
+            var w = Math.floorDiv(e.ts_us - lenUs, slideUs) + 1
+            val wMax = Math.floorDiv(e.ts_us, slideUs)
+            while (w <= wMax) { touched += w * slideUs; w += 1 }
+          }
+          graft.operators.FlatFatWindows.windows(ts, vs, lenUs, slideUs)
+            .iterator.filter(w => touched.contains(w.winStartUs))
+            .map(w => FfatStreamOut(key, w.winStartUs, w.cnt, w.sum, w.min, w.max))
       }
   }
 

@@ -74,6 +74,35 @@ class StatefulStreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming FlatFAT windows converge across a batch boundary") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    val lenUs = 3600L * 1000000L
+    val slideUs = 900L * 1000000L
+    val rows = evRows.map(e => FfatIn(e.user_id.toString, e.ts_us, e.cents))
+    val (first, second) = rows.splitAt(rows.size / 2)
+    val mem = MemoryStream[FfatIn]
+    val out = StatefulOps.slidingWindowsFfat(mem.toDS(), lenUs, slideUs)
+    val q = out.toDF().writeStream.format("memory").queryName("ffat_stream_x")
+      .outputMode("update").start()
+    mem.addData(first); q.processAllAvailable()
+    mem.addData(second); q.processAllAvailable()
+    q.stop()
+    // update stream: the FINAL emission per (key, window) — the one with
+    // the maximal cnt, since a window only gains rows — must equal the
+    // batch kernel over the full input
+    val got = spark.table("ffat_stream_x").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+    val want = rows.groupBy(_.key).toSeq.flatMap { case (k, es) =>
+      graft.operators.FlatFatWindows.windows(
+        es.map(_.ts_us).toArray, es.map(_.cents).toArray, lenUs, slideUs)
+        .toSeq.map(w => (k, w.winStartUs) -> (w.cnt, w.sum, w.min, w.max))
+    }.toMap
+    assert(got == want)
+  }
+
   test("shared-scan interval join: one source scan, same rows as the symmetric join") {
     import spark.implicits._
     implicit val sp = spark
