@@ -164,6 +164,38 @@ object StreamingQueries {
       },
       WindowQueries.all.find(_.name == "win_tb_session").get.oracle),
 
+    // session windows in the bounded-state continuous plan: Spark's
+    // session_window state-merging under withWatermark + append output —
+    // a session is emitted exactly once, when the watermark passes its
+    // close (gap after the last event), and its merged state is evicted.
+    // Same EOS punctuation as stream_win_tb_tumbling_append; same oracle
+    // as the batch/complete twins. Sessions are the hardest state shape
+    // (merge-on-arrival), so the bounded path is declared for them too.
+    Q("stream_win_tb_session_append",
+      (s, dir) => {
+        implicit val sp = s
+        val src = StreamSources.eventsWithTime(s, dir)
+          .select(col("user_id"), col("event_time"), col("value"))
+        val eos = StreamSources.eventsWithTime(s, dir)
+          .filter(pmod(col("event_id"), lit(64)) === 0)
+          .select(lit(-1L).as("user_id"),
+            (col("event_time") + expr("INTERVAL 30 DAYS")).as("event_time"),
+            lit(0.0d).as("value"))
+        val agg = src.union(eos)
+          .withWatermark("event_time", "30 minutes")
+          // must reference the watermark column or Catalyst pushes the
+          // filter below EventTimeWatermark (see tumbling_append)
+          .filter(!(col("user_id") === -1L) || col("event_time").isNull)
+          .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("cnt"),
+            expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)").as("sum_value"))
+          .select(col("user_id"), expr("unix_micros(session_window.start)").as("session_start_us"),
+            col("cnt"), col("sum_value"))
+        StreamRun.toBatch(agg, "append", numPartitions = 4)
+          .orderBy("user_id", "session_start_us")
+      },
+      WindowQueries.all.find(_.name == "win_tb_session").get.oracle),
+
     // FlatFAT sliding windows through the STREAMING engine: the same
     // lift/comb tree as the batch win_tb_sliding_ffat aggregate, run in
     // per-key flatMapGroupsWithState state — no explode multiplier, one

@@ -17,9 +17,21 @@ class ContractSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("every query executes at sf0.001") {
-    SparkEntry.queries.foreach { case (name, fn) =>
-      withClue(name) { assert(fn(spark, TestSpark.SF).count() >= 0) }
+  test("every query executes at sf0.001 — with codegen fallback forbidden") {
+    // CODEGEN_ONLY + fallback=false turn any Janino compile failure into a
+    // hard error instead of a silent interpreter de-optimization (the r2
+    // ArrayDotProduct bug ran 9 hot paths interpreted without failing a
+    // single test); every declared plan must compile cleanly
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      SparkEntry.queries.foreach { case (name, fn) =>
+        withClue(name) { assert(fn(spark, TestSpark.SF).count() >= 0) }
+      }
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      spark.conf.unset("spark.sql.codegen.factoryMode")
     }
   }
 
