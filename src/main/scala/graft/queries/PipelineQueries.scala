@@ -239,6 +239,25 @@ object PipelineQueries {
                CAST(length(text) AS INT) AS n_chars_measured
         FROM d ORDER BY doc_id""")),
 
+    // canonical text normalization (the first stage of every cleaning
+    // pipeline): lowercase, collapse runs of whitespace, trim. Pure
+    // per-row column work — codegen'd, no shuffle, scales linearly. The
+    // regex subset used ('\s+') means the same pattern in Java regex
+    // (Spark) and RE2 (DuckDB); DuckDB needs the explicit 'g' flag to
+    // match Spark's replace-all default.
+    Q("text_normalize",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          regexp_replace(trim(lower(col("text"))), "\\s+", " ").as("norm_text"))
+        .withColumn("n_chars_norm", length(col("norm_text")))
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH n AS (SELECT doc_id,
+                     regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm_text
+                   FROM ${Q.DocsRef})
+        SELECT doc_id, norm_text, CAST(length(norm_text) AS INT) AS n_chars_norm
+        FROM n ORDER BY doc_id""")),
+
     // BPE-ish token counting (LLM token-cost proxy): GPT-2-style
     // pretokenizer segments, same RE2-safe regex on both engines
     Q("text_tokens_bpe",
@@ -346,6 +365,35 @@ object PipelineQueries {
           SELECT bi.s, reach.r FROM bi JOIN reach ON reach.id = bi.t)
         SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY id
         ORDER BY doc_id""")),
+
+    // the end product a corpus-cleaning pipeline actually ships: ONE
+    // canonical representative per near-duplicate cluster (component
+    // minimum), singletons kept — the keep-side projection of
+    // dedup_clusters over the same verified minhash pair graph. At scale
+    // this is the same O(log diameter) pointer-doubling plan plus a
+    // narrow filter; no extra shuffle beyond the cluster computation.
+    Q("pipeline_near_dedup_keep",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          shingleN = 3, numPerms = 12, rowsPerBand = 3, threshold = 0.6)
+          .select("a_id", "b_id")
+        Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs)
+          .filter(col("rep_id") === col("doc_id"))
+          .select("doc_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE
+        ${minhashCtes(0.6).replaceFirst("^WITH ", "")},
+        bi AS (SELECT a_id AS s, b_id AS t FROM pairs
+               UNION ALL SELECT b_id, a_id FROM pairs),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM d
+          UNION
+          SELECT bi.s, reach.r FROM bi JOIN reach ON reach.id = bi.t)
+        SELECT id AS doc_id FROM reach GROUP BY id
+        HAVING min(r) = id ORDER BY doc_id""")),
 
     Q("dedup_simhash",
       (s, dir) => Dedup.simhashPairs(

@@ -75,6 +75,69 @@ object StreamingQueries {
       },
       WindowQueries.all.find(_.name == "win_tb_tumbling").get.oracle),
 
+    // Bounded-state sliding windows: window(len 1h, slide 15m) under
+    // withWatermark + append — Spark's sliding window() evicts natively
+    // (each of the len/slide windows an event lands in is one state row,
+    // emitted exactly once when the watermark passes its end). Same EOS
+    // punctuation as tumbling_append; same oracle as the batch twin.
+    Q("stream_win_tb_sliding_append",
+      (s, dir) => {
+        implicit val sp = s
+        val src = StreamSources.eventsWithTime(s, dir)
+          .select(col("event_type"), col("event_time"), col("value"))
+        val eos = StreamSources.eventsWithTime(s, dir)
+          .filter(pmod(col("event_id"), lit(64)) === 0)
+          .select(lit("__eos").as("event_type"),
+            (col("event_time") + expr("INTERVAL 30 DAYS")).as("event_time"),
+            lit(0.0d).as("value"))
+        val agg = src.union(eos)
+          .withWatermark("event_time", "30 minutes")
+          // must reference the watermark column or Catalyst pushes the
+          // filter below EventTimeWatermark (see tumbling_append)
+          .filter(!(col("event_type") === "__eos") || col("event_time").isNull)
+          .groupBy(window(col("event_time"), "1 hour", "15 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)").as("sum_value"))
+          .select(col("event_type"), expr("unix_micros(window.start)").as("win_start_us"),
+            col("cnt"), col("sum_value"))
+        StreamRun.toBatch(agg, "append", numPartitions = 4)
+          .orderBy("event_type", "win_start_us")
+      },
+      WindowQueries.all.find(_.name == "win_tb_sliding").get.oracle),
+
+    // Bounded-state hopping with gaps (len 10m < slide 30m): an event is
+    // in a window iff ts mod slide < len, and then in exactly ONE window
+    // — so a gap filter + a tumbling slide-width window() reproduce the
+    // hop grid (wf/window_replica.hpp:267-273) while keeping the
+    // watermark metadata on the window column (the explode rendering the
+    // complete-mode twin uses strips the event-time attribute that
+    // append eviction needs). Same EOS punctuation; same batch oracle.
+    Q("stream_win_tb_hopping_append",
+      (s, dir) => {
+        implicit val sp = s
+        val M10 = 10L * Q.MinuteUs
+        val M30 = 30L * Q.MinuteUs
+        val src = StreamSources.eventsWithTime(s, dir)
+          .filter(pmod(col("ts_us"), lit(M30)) < M10)
+          .select(col("event_type"), col("event_time"), col("value"))
+        val eos = StreamSources.eventsWithTime(s, dir)
+          .filter(pmod(col("event_id"), lit(64)) === 0)
+          .select(lit("__eos").as("event_type"),
+            (col("event_time") + expr("INTERVAL 30 DAYS")).as("event_time"),
+            lit(0.0d).as("value"))
+        val agg = src.union(eos)
+          .withWatermark("event_time", "30 minutes")
+          .filter(!(col("event_type") === "__eos") || col("event_time").isNull)
+          .groupBy(window(col("event_time"), "30 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)").as("sum_value"))
+          .select(col("event_type"), expr("unix_micros(window.start)").as("win_start_us"),
+            col("cnt"), col("sum_value"))
+        StreamRun.toBatch(agg, "append", numPartitions = 4)
+          .orderBy("event_type", "win_start_us")
+      },
+      WindowQueries.all.find(_.name == "win_tb_hopping").get.oracle),
+
     Q("stream_reduce_rolling",
       (s, dir) => {
         implicit val sp = s
