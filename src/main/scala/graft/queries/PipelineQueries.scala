@@ -11,10 +11,13 @@ import graft.similarity.Similarity
 import graft.multimodal.Media
 
 /** LLM-data-pipeline operators (north-star extras, SURVEY §7 M9) as
-  * oracle-checked queries: dedup ×5 (exact, minhash-LSH, clusters,
+  * oracle-checked queries: dedup ×6 (exact, minhash-LSH, clusters,
+  * keep-one canonical,
   * simhash, n-gram) + embedding near-dup ×2 (bucketed, banded),
-  * similarity search ×2 (LSH, IVF), text analysis ×5, multimodal ×3, and
-  * a composite cleaning pipeline. The DuckDB SQL for the algorithmic ops
+  * similarity search ×2 (LSH, IVF), text analysis ×6 (incl.
+  * normalization), multimodal ×3, a composite cleaning pipeline, and
+  * training-shard assembly ×2 (token-budget sharding, stratified
+  * sampling). The DuckDB SQL for the algorithmic ops
   * (minhash, simhash, LSH, quality score) is generated from the same
   * parameters/constants as the Spark implementation so both sides execute
   * the same algorithm.
@@ -326,6 +329,54 @@ object PipelineQueries {
            |      FROM kept)
            |SELECT doc_id, n_tokens, quality_score FROM r
            |WHERE rep_id = doc_id ORDER BY doc_id""".stripMargin)),
+
+    // token-budget sharding: pack the corpus, in doc_id order, into
+    // training shards of ~2000 tokens (a doc may straddle; the greedy
+    // rule is shard = exclusive-prefix-tokens div budget). The global
+    // ordered cumulative sum reuses the scalable two-pass PrefixSum (a
+    // keyless ORDER BY window would collapse to one task at 100 TB).
+    Q("pipeline_token_shards",
+      (s, dir) => {
+        val budget = 2000L
+        val withTok = Tables.documents(s, dir)
+          .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+        graft.operators.PrefixSum.runningSum(withTok, "n_tokens", Seq("doc_id"))
+          .select(col("doc_id"), col("n_tokens"),
+            expr(s"(running_n_tokens - n_tokens) div $budget").as("shard_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH d AS (SELECT doc_id, CAST(len(${DuckSql.tokens("text")}) AS INT) AS n_tokens
+                   FROM ${Q.DocsRef}),
+        c AS (SELECT doc_id, n_tokens,
+                SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+              FROM d)
+        SELECT doc_id, n_tokens, CAST((run - n_tokens) // 2000 AS BIGINT) AS shard_id
+        FROM c ORDER BY doc_id""")),
+
+    // deterministic stratified (class-balanced) sampling: 20 vectors per
+    // label, chosen by a fixed multiplicative hash of the id so the
+    // sample is reproducible across engines and runs. rank<=k over a
+    // per-label window compiles to Spark's WindowGroupLimit — each
+    // partition keeps only its local top-k before the shuffle, so the
+    // exchange moves O(labels*k), not the corpus.
+    Q("pipeline_stratified_sample",
+      (s, dir) => {
+        val h = expr("pmod(vec_id * 2654435761, 2147483648)")
+        val w = Window.partitionBy("label").orderBy(h.asc, col("vec_id").asc)
+        Tables.embeddings(s, dir)
+          .select(col("label"), col("vec_id"), row_number().over(w).as("rk"))
+          .filter(col("rk") <= 20)
+          .orderBy("label", "rk")
+      },
+      Some(s"""
+        WITH r AS (SELECT label, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY label
+                       ORDER BY (vec_id * 2654435761) % 2147483648, vec_id) AS rk
+                   FROM read_parquet('{SFDIR}/embeddings.parquet'))
+        SELECT label, vec_id, CAST(rk AS INT) AS rk FROM r
+        WHERE rk <= 20 ORDER BY label, rk""")),
 
     // ================= dedup =================
     Q("dedup_exact",
