@@ -149,6 +149,25 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("stratified sample pre-trims per partition (WindowGroupLimit)") {
+    // rank<=k must compile to the partial top-k push-down so the shuffle
+    // moves O(labels*k) rows, not the corpus
+    val p = plan("pipeline_stratified_sample")
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+  }
+
+  test("token sharding's global cumsum never collapses to one task") {
+    // the two-pass PrefixSum plans a range repartition + per-partition
+    // window; a keyless ORDER BY window would show Exchange SinglePartition
+    // feeding the Window node
+    val p = plan("pipeline_token_shards")
+    assert(p.contains("rangepartitioning"), p.take(3000))
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, p.take(3000))
+    assert(!p.substring(0, winIdx).contains("Exchange SinglePartition"),
+      "cumsum window runs on a single partition:\n" + p.take(3000))
+  }
+
   test("salted join is result-identical to the plain equi-join") {
     val o = Tables.orders(spark, TestSpark.SF)
     val c = Tables.customer(spark, TestSpark.SF)
