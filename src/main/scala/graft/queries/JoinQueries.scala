@@ -87,6 +87,35 @@ object JoinQueries {
          AND b.ts_us BETWEEN a.ts_us - ${45L * Q.MinuteUs} AND a.ts_us - ${5L * Q.MinuteUs}
         ORDER BY a_id, b_id""")),
 
+    // as-of join ("latest purchase at-or-before each click, per user"):
+    // no native Spark operator, and the naive key-equi + ts<=ts range
+    // join explodes per hot key — AsofJoin renders it as union + one
+    // ordered window carry (one Exchange, NO join node, plan-asserted).
+    // DuckDB's native ASOF LEFT JOIN is the oracle. Right side is
+    // pre-aggregated to one row per (user, ts) per the operator contract.
+    Q("join_asof",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr(Q.TsUsSpark).as("ts_us"), col("value"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts_us")
+        val purchases = e.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts_us").agg(max("value").as("p_value"))
+        graft.operators.AsofJoin.lastAtOrBefore(clicks, purchases, "user_id", "ts_us")
+          .orderBy("event_id")
+      },
+      Some(s"""
+        WITH e AS (SELECT event_id, user_id, event_type, ${Q.TsUsDuck} AS ts_us, value FROM events),
+        c AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click'),
+        p AS (SELECT user_id, ts_us, max(value) AS p_value FROM e
+              WHERE event_type = 'purchase' GROUP BY user_id, ts_us)
+        SELECT c.event_id, c.user_id, c.ts_us,
+               p.ts_us AS asof_ts_us, p.p_value AS asof_p_value
+        FROM c ASOF LEFT JOIN p
+          ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+        ORDER BY c.event_id""")),
+
     Q("join_equi",
       (s, dir) => Tables.orders(s, dir)
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))

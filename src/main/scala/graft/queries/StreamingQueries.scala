@@ -392,6 +392,43 @@ object StreamingQueries {
     // asserted result-identical and the single-scan property is
     // plan-asserted (StatefulStreamingSpec). For genuinely distinct
     // sources the symmetric join remains the right plan.
+    // streaming as-of join over one scan: each click is answered with the
+    // latest at-or-before purchase per user, finalized only when the
+    // watermark passes the click (a late earlier-ts purchase can no
+    // longer change "latest") — pending lefts flush via
+    // EventTimeTimeout timers, the engine's only event-time-timer
+    // operator. Same oracle as the batch join_asof (DuckDB native ASOF
+    // LEFT JOIN). EOS punctuation advances the final watermark so
+    // trailing clicks flush in the bounded run.
+    Q("stream_join_asof",
+      (s, dir) => {
+        implicit val sp = s
+        import s.implicits._
+        val src = StreamSources.eventsWithTime(s, dir)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
+            (col("event_type") === "click").as("isLeft"),
+            col("event_time"), col("event_type"))
+        val eos = StreamSources.eventsWithTime(s, dir)
+          .filter(pmod(col("event_id"), lit(64)) === 0)
+          .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+            lit(0L).as("ts_us"), lit(0.0d).as("value"), lit(false).as("isLeft"),
+            (col("event_time") + expr("INTERVAL 30 DAYS")).as("event_time"),
+            lit("__eos").as("event_type"))
+        val tagged = src.union(eos)
+          .withWatermark("event_time", "1 hour")
+          // must reference the watermark column or Catalyst pushes the
+          // filter below EventTimeWatermark (see tumbling_append)
+          .filter(!(col("event_type") === "__eos") || col("event_time").isNull)
+          // event_time stays: EventTimeTimeout needs the watermark
+          // attribute to reach the stateful operator
+          .select("event_id", "user_id", "ts_us", "value", "isLeft", "event_time")
+          .as[graft.streaming.AsofIn]
+        StreamRun.toBatch(StatefulOps.asofJoinShared(tagged).toDF(), "append",
+          numPartitions = 4).orderBy("event_id")
+      },
+      JoinQueries.all.find(_.name == "join_asof").get.oracle),
+
     Q("stream_interval_join",
       (s, dir) => {
         implicit val sp = s

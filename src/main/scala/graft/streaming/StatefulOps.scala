@@ -24,6 +24,15 @@ case class IjOut(a_id: Long, b_id: Long, user_id: Long, out_ts_us: Long,
 case class IjBuf(id: Long, ts_us: Long, value: Double)
 case class IjState(left: List[IjBuf], right: List[IjBuf])
 
+// streaming as-of join (lefts awaiting their watermark, buffered rights).
+// The input keeps the watermarked `event_time` column: EventTimeTimeout
+// requires the watermark attribute to reach the stateful operator.
+case class AsofIn(event_id: Long, user_id: Long, ts_us: Long, value: Double,
+  isLeft: Boolean, event_time: java.sql.Timestamp)
+case class AsofState(lefts: List[IjBuf], rights: List[IjBuf])
+case class AsofOut(event_id: Long, user_id: Long, ts_us: Long,
+  asof_ts_us: Option[Long], asof_p_value: Option[Double])
+
 /** FlatFAT streaming input/state/output: (key, ts, cents) events buffered
   * per key; windows answered from the shared FlatFAT tree kernel.
   */
@@ -216,6 +225,72 @@ object StatefulOps {
             }
           }
           state.update(IjState(lefts, rights))
+          out.iterator
+      }
+  }
+
+  /** Streaming as-of join over ONE scan of a tagged stream: every left
+    * row (isLeft) is answered with the LATEST right row at-or-before its
+    * timestamp on the same key (ties at equal ts → max value, matching a
+    * max-pre-aggregated right side), or NULLs if no right precedes it.
+    *
+    * Unlike [[intervalJoinShared]] — which can emit a pair the moment its
+    * later row arrives — an as-of answer is only FINAL once the watermark
+    * passes the left's timestamp: until then a late right row with
+    * ts ≤ left.ts could still arrive and change "latest". So lefts buffer
+    * until `wm ≥ ts`, and flushing uses `GroupStateTimeout.EventTimeTimeout`
+    * (the firing rule of the reference's window replica,
+    * /root/reference/wf/window_replica.hpp:356-408, applied to a join):
+    * a key with pending lefts schedules a timer at its earliest pending
+    * timestamp and is re-invoked when the watermark passes it, data or
+    * no data.
+    *
+    * State is bounded per key: pending lefts live only inside the
+    * disorder window (wm never trails the max seen event time by more
+    * than the watermark delay), and of the rights at-or-before the
+    * watermark only the single best carry survives — everything older
+    * can never be "latest" for any future left (future lefts have
+    * ts > wm; anything at-or-before wm loses to the carry).
+    */
+  def asofJoinShared(ev: Dataset[AsofIn])(
+      implicit spark: SparkSession): Dataset[AsofOut] = {
+    import spark.implicits._
+    // "later" = greater (ts, value): equal-ts rights collapse to max value
+    def better(a: IjBuf, b: IjBuf): IjBuf =
+      if (b.ts_us > a.ts_us || (b.ts_us == a.ts_us && b.value > a.value)) b else a
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[AsofIn], state: GroupState[AsofState]) =>
+          val s = state.getOption.getOrElse(AsofState(Nil, Nil))
+          var lefts = s.lefts
+          var rights = s.rights
+          it.foreach { e =>
+            if (e.isLeft) lefts ::= IjBuf(e.event_id, e.ts_us, e.value)
+            else rights ::= IjBuf(e.event_id, e.ts_us, e.value)
+          }
+          val wmUs = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(0L) * 1000L
+          val (ripe, pending) = lefts.partition(_.ts_us <= wmUs)
+          val out = ripe.sortBy(l => (l.ts_us, l.id)).map { l =>
+            val cands = rights.filter(_.ts_us <= l.ts_us)
+            if (cands.isEmpty) AsofOut(l.id, user, l.ts_us, None, None)
+            else {
+              val m = cands.reduce(better)
+              AsofOut(l.id, user, l.ts_us, Some(m.ts_us), Some(m.value))
+            }
+          }
+          // purge: rights after the watermark stay verbatim (future lefts
+          // may land between them); rights at-or-before collapse to the
+          // single best carry
+          val (fresh, old) = rights.partition(_.ts_us > wmUs)
+          val carry = old.reduceOption(better).toList
+          if (pending.isEmpty && fresh.isEmpty && carry.isEmpty) state.remove()
+          else {
+            state.update(AsofState(pending, carry ++ fresh))
+            if (pending.nonEmpty) {
+              val fireMs = pending.map(_.ts_us).min / 1000L
+              state.setTimeoutTimestamp(math.max(fireMs, wmUs / 1000L + 1L))
+            }
+          }
           out.iterator
       }
   }

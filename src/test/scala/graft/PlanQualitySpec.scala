@@ -149,6 +149,19 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join plans one shuffle and no join node") {
+    // the union + ordered-window carry must not degrade into a range
+    // join (quadratic per hot key) — no join operator of any kind, and
+    // exactly one hash exchange on the key for the window
+    val p = plan("join_asof")
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the as-of carry itself shuffles once, on the key alone; the other
+    // hash exchange in the query is the right side's (user, ts) pre-agg
+    val keyOnly = """Exchange hashpartitioning\([^,]+, \d+\)""".r.findAllIn(p).size
+    assert(keyOnly == 1, s"expected 1 key-only hash exchange, got $keyOnly:\n" + p.take(3000))
+  }
+
   test("stratified sample pre-trims per partition (WindowGroupLimit)") {
     // rank<=k must compile to the partial top-k push-down so the shuffle
     // moves O(labels*k) rows, not the corpus

@@ -103,6 +103,35 @@ class StatefulStreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("as-of join finalizes on watermark: a late earlier-ts right still wins") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def in(id: Long, user: Long, ms: Long, v: Double, left: Boolean) =
+      AsofIn(id, user, ms * 1000L, v, left, new java.sql.Timestamp(ms))
+    val mem = MemoryStream[AsofIn]
+    val out = StatefulOps.asofJoinShared(
+      mem.toDS().withWatermark("event_time", "10 seconds"))(spark)
+    val q = out.toDF().writeStream.format("memory").queryName("asof_x")
+      .outputMode("append").start()
+    // batch 1: right r1@1s, left L@5s — watermark (max 5s − 10s) has not
+    // passed L, so NOTHING may be emitted yet: emitting now would lock in
+    // r1 as "latest" while an earlier-ts right can still arrive
+    mem.addData(in(10, 1, 1000, 1.0, left = false), in(20, 1, 5000, 99.0, left = true))
+    q.processAllAvailable()
+    assert(spark.table("asof_x").isEmpty,
+      "left emitted before its watermark — late rights can still change the answer")
+    // batch 2: r2@4s arrives LATE (after L) but has the later at-or-before
+    // ts; a far-future right on another key pushes the watermark past L,
+    // whose EventTimeTimeout timer then fires in a no-data batch
+    mem.addData(in(11, 1, 4000, 2.0, left = false), in(30, 2, 100000, 0.0, left = false))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("asof_x").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == Seq((20L, 1L, 4000000L, 2.0)),
+      s"expected L matched to the late r2@4s, got $got")
+  }
+
   test("shared-scan interval join: one source scan, same rows as the symmetric join") {
     import spark.implicits._
     implicit val sp = spark
