@@ -116,6 +116,28 @@ object JoinQueries {
           ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
         ORDER BY c.event_id""")),
 
+    // band (range) self-join: event pairs whose values are within 1 cent.
+    // No equi-key ⇒ Spark would plan the naive form as a nested-loop /
+    // cartesian O(n²); RangeJoin buckets the value axis (bucket = cents
+    // div width, probe side explodes ±1) so it becomes an ordinary
+    // equi-join plus an exact band filter — covered by the registry-wide
+    // no-NL-join plan sweep. Cents quantization keeps bucket math and
+    // the predicate exact in both engines.
+    Q("join_range_band",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        graft.operators.RangeJoin.bandSelfJoin(ev, "event_id", "cents", width = 2L)
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""
+        WITH e AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        SELECT a.event_id AS a_id, b.event_id AS b_id,
+               a.cents AS a_cents, b.cents AS b_cents
+        FROM e a JOIN e b
+          ON a.event_id < b.event_id AND abs(a.cents - b.cents) < 2
+        ORDER BY a_id, b_id""")),
+
     Q("join_equi",
       (s, dir) => Tables.orders(s, dir)
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
