@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** As-of join: for every left row, the single latest right row with
-  * `right.ts <= left.ts` on the same key (ties at equal ts match).
+  * `right.ts <= left.ts` on the same key (ties at equal ts match),
+  * optionally no older than `left.ts − tolerance` (max-lookback).
   *
   * The reference's closest operator is the symmetric Interval_Join
   * (/root/reference/wf/interval_join.hpp) — as-of is the asymmetric
@@ -21,20 +22,23 @@ import org.apache.spark.sql.functions._
   *
   *   1. union both sides into one frame, right rows tagged __side=0,
   *      left rows __side=1;
-  *   2. one hash shuffle on the key, each partition sorted by
+  *   2. one hash shuffle on the key columns, each partition sorted by
   *      (ts, __side) — rights sort before lefts at equal ts, making the
   *      at-or-before rule a pure prefix property;
   *   3. every right payload column is carried forward with
   *      `last(col, ignoreNulls) over (key order ts,__side rows
   *      unbounded preceding..current)`, so each left row reads the most
   *      recent right values in O(1) per row;
-  *   4. keep the left rows.
+  *   4. keep the left rows; with a tolerance, null out carries whose
+  *      matched ts precedes `left.ts − tolerance` (a pure per-row
+  *      predicate over the carried ts — the carry is still the latest
+  *      at-or-before row, merely disqualified when too stale).
   *
   * One Exchange, no join node, no hash table, linear per partition
   * (plan-asserted in PlanQualitySpec). At 100 TB both sides move once;
   * skew handling is the same story as any keyed shuffle (AQE/salting).
   *
-  * Contract: the right side must be unique per (key, ts) — pre-aggregate
+  * Contract: the right side must be unique per (keys, ts) — pre-aggregate
   * duplicates first (any exact aggregate), or the carried values are
   * order-dependent. A right payload that is genuinely NULL is
   * indistinguishable from "absent" and carries the previous non-null
@@ -42,14 +46,22 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
-  /** Left-outer as-of join. Output: all left columns, plus `asof_<ts>`
-    * (the matched right row's timestamp) and `asof_<c>` for every other
-    * right column — NULL where the left row precedes every right row.
+  /** Single-key, unbounded-lookback form (the common call). */
+  def lastAtOrBefore(left: DataFrame, right: DataFrame,
+      key: String, ts: String): DataFrame =
+    lastAtOrBefore(left, right, Seq(key), ts)
+
+  /** Left-outer as-of join on composite `keys`, with optional max-lookback.
+    * Output: all left columns, plus `asof_<ts>` (the matched right row's
+    * timestamp) and `asof_<c>` for every other right column — NULL where
+    * the left row precedes every right row, or (when `toleranceUs >= 0`)
+    * where the latest at-or-before right is older than `ts − toleranceUs`.
     */
   def lastAtOrBefore(left: DataFrame, right: DataFrame,
-      key: String, ts: String): DataFrame = {
-    val rPayload = right.columns.filterNot(c => c == key || c == ts).toSeq
-    val lOnly = left.columns.filterNot(c => c == key || c == ts).toSeq
+      keys: Seq[String], ts: String, toleranceUs: Long = -1L): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one key column")
+    val rPayload = right.columns.filterNot(c => keys.contains(c) || c == ts).toSeq
+    val lOnly = left.columns.filterNot(c => keys.contains(c) || c == ts).toSeq
     val carried = s"__r_$ts" +: rPayload.map(c => s"__r_$c")
 
     val lSide = carried.zip(ts +: rPayload).foldLeft(left.withColumn("__side", lit(1))) {
@@ -65,12 +77,20 @@ object AsofJoin {
     val cols = lSide.columns.map(col).toSeq
     val all = lSide.unionByName(rSide.select(cols: _*))
 
-    val w = Window.partitionBy(key).orderBy(col(ts).asc, col("__side").asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ts).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = carried.foldLeft(all)(
       (d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
 
-    val renamed = carried.zip(ts +: rPayload).foldLeft(filled.filter(col("__side") === 1)) {
+    val lefts = filled.filter(col("__side") === 1)
+    val bounded =
+      if (toleranceUs < 0L) lefts
+      else {
+        val inRange = col(s"__r_$ts") >= col(ts) - toleranceUs
+        carried.foldLeft(lefts)((d, c) => d.withColumn(c, when(inRange, col(c))))
+      }
+
+    val renamed = carried.zip(ts +: rPayload).foldLeft(bounded) {
       case (d, (alias, src)) => d.withColumnRenamed(alias, s"asof_$src")
     }
     renamed.drop("__side")

@@ -33,12 +33,14 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   /** Self-join pairs (a_id < b_id) with |a.v − b.v| < width. Output:
-    * a_id, b_id, a_<v>, b_<v>. Values must be non-negative (truncating
-    * `div` must coincide with floor division for bucket adjacency).
+    * a_id, b_id, a_<v>, b_<v>. Values may be negative: buckets use FLOOR
+    * division (`(v − pmod(v, w)) div w`, exact integer math) — truncating
+    * `div` would put −1 and 1 in the same bucket 0 while splitting −3/−1,
+    * silently dropping qualifying negative pairs.
     */
   def bandSelfJoin(df: DataFrame, idCol: String, vCol: String, width: Long): DataFrame = {
     require(width > 0, s"band width must be positive, got $width")
-    val bkt = expr(s"CAST($vCol AS BIGINT) div $width")
+    val bkt = expr(s"(CAST($vCol AS BIGINT) - pmod(CAST($vCol AS BIGINT), $width)) div $width")
     val a = df.select(col(idCol).as("a_id"), col(vCol).as(s"a_$vCol"),
       bkt.as("__b"))
     val b = df.select(col(idCol).as("b_id"), col(vCol).as(s"b_$vCol"),

@@ -116,6 +116,43 @@ object JoinQueries {
           ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
         ORDER BY c.event_id""")),
 
+    // generalized as-of: composite key (user_id, day) + max-lookback
+    // tolerance — the feature-store ask ("latest snapshot at example
+    // time, same entity AND shard, no staler than 45 min"). Same
+    // union + window-carry plan (no join node); the tolerance is a pure
+    // per-row predicate over the carried ts. Oracle = DuckDB native ASOF
+    // LEFT JOIN with the extra key equality, tolerance via post-CASE.
+    Q("join_asof_tol",
+      (s, dir) => {
+        val tol = 45L * Q.MinuteUs
+        val dayUs = 24L * Q.HourUs
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr(Q.TsUsSpark).as("ts_us"), col("value"))
+          .withColumn("day", expr(s"ts_us div $dayUs"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "day", "ts_us")
+        val purchases = e.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "day", "ts_us").agg(max("value").as("p_value"))
+        graft.operators.AsofJoin.lastAtOrBefore(clicks, purchases,
+          Seq("user_id", "day"), "ts_us", toleranceUs = tol)
+          .orderBy("event_id")
+      },
+      Some(s"""
+        WITH e AS (SELECT event_id, user_id, event_type, ${Q.TsUsDuck} AS ts_us, value FROM events),
+        c AS (SELECT event_id, user_id, ts_us // ${24L * Q.HourUs} AS day, ts_us
+              FROM e WHERE event_type = 'click'),
+        p AS (SELECT user_id, ts_us // ${24L * Q.HourUs} AS day, ts_us, max(value) AS p_value
+              FROM e WHERE event_type = 'purchase' GROUP BY user_id, day, ts_us),
+        j AS (SELECT c.event_id, c.user_id, c.day, c.ts_us,
+                     p.ts_us AS m_ts, p.p_value AS m_value
+              FROM c ASOF LEFT JOIN p
+                ON c.user_id = p.user_id AND c.day = p.day AND c.ts_us >= p.ts_us)
+        SELECT event_id, user_id, day, ts_us,
+               CASE WHEN m_ts >= ts_us - ${45L * Q.MinuteUs} THEN m_ts END AS asof_ts_us,
+               CASE WHEN m_ts >= ts_us - ${45L * Q.MinuteUs} THEN m_value END AS asof_p_value
+        FROM j ORDER BY event_id""")),
+
     // band (range) self-join: event pairs whose values are within 1 cent.
     // No equi-key ⇒ Spark would plan the naive form as a nested-loop /
     // cartesian O(n²); RangeJoin buckets the value axis (bucket = cents

@@ -245,18 +245,20 @@ object PipelineQueries {
     // canonical text normalization (the first stage of every cleaning
     // pipeline): lowercase, collapse runs of whitespace, trim. Pure
     // per-row column work — codegen'd, no shuffle, scales linearly. The
-    // regex subset used ('\s+') means the same pattern in Java regex
-    // (Spark) and RE2 (DuckDB); DuckDB needs the explicit 'g' flag to
-    // match Spark's replace-all default.
+    // whitespace class is spelled out explicitly because '\s' is NOT the
+    // same set in Java regex (includes U+000B vertical tab) and RE2 (does
+    // not) — a document containing \x0B would normalize differently per
+    // engine; DuckDB also needs the explicit 'g' flag to match Spark's
+    // replace-all default.
     Q("text_normalize",
       (s, dir) => Tables.documents(s, dir)
         .select(col("doc_id"),
-          regexp_replace(trim(lower(col("text"))), "\\s+", " ").as("norm_text"))
+          regexp_replace(trim(lower(col("text"))), "[ \\t\\n\\x0B\\f\\r]+", " ").as("norm_text"))
         .withColumn("n_chars_norm", length(col("norm_text")))
         .orderBy("doc_id"),
       Some(s"""
         WITH n AS (SELECT doc_id,
-                     regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm_text
+                     regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g') AS norm_text
                    FROM ${Q.DocsRef})
         SELECT doc_id, norm_text, CAST(length(norm_text) AS INT) AS n_chars_norm
         FROM n ORDER BY doc_id""")),
@@ -363,7 +365,10 @@ object PipelineQueries {
     // exchange moves O(labels*k), not the corpus.
     Q("pipeline_stratified_sample",
       (s, dir) => {
-        val h = expr("pmod(vec_id * 2654435761, 2147483648)")
+        // reduce BEFORE multiplying: (id mod 2^31) · 2654435761 < 2^63 stays
+        // exact in int64 on both engines, while raw vec_id · 2654435761
+        // overflows at id ≳ 3.5e9 — Spark wraps silently, DuckDB raises
+        val h = expr("pmod(pmod(vec_id, 2147483648) * 2654435761, 2147483648)")
         val w = Window.partitionBy("label").orderBy(h.asc, col("vec_id").asc)
         Tables.embeddings(s, dir)
           .select(col("label"), col("vec_id"), row_number().over(w).as("rk"))
@@ -373,7 +378,7 @@ object PipelineQueries {
       Some(s"""
         WITH r AS (SELECT label, vec_id,
                      ROW_NUMBER() OVER (PARTITION BY label
-                       ORDER BY (vec_id * 2654435761) % 2147483648, vec_id) AS rk
+                       ORDER BY ((vec_id % 2147483648) * 2654435761) % 2147483648, vec_id) AS rk
                    FROM read_parquet('{SFDIR}/embeddings.parquet'))
         SELECT label, vec_id, CAST(rk AS INT) AS rk FROM r
         WHERE rk <= 20 ORDER BY label, rk""")),

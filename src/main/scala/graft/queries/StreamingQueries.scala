@@ -47,18 +47,21 @@ object StreamingQueries {
     // (far-future event time on a 1-in-64 pruned sample, filtered out
     // after the watermark node) advances the final watermark past every
     // real window — the stream-native analog of the reference's
-    // end-of-stream marker. A continuous deployment simply omits it.
+    // end-of-stream marker, derived from the SAME scan via
+    // StreamSources.withEosSentinel (one MicroBatchScan, plan-asserted —
+    // the union-a-second-readStream rendering paid 2× ingest I/O for
+    // punctuation alone). A continuous deployment simply omits it.
     Q("stream_win_tb_tumbling_append",
       (s, dir) => {
         implicit val sp = s
-        val src = StreamSources.eventsWithTime(s, dir)
-          .select(col("event_type"), col("event_time"), col("value"))
-        val eos = StreamSources.eventsWithTime(s, dir)
-          .filter(pmod(col("event_id"), lit(64)) === 0)
-          .select(lit("__eos").as("event_type"),
-            (col("event_time") + expr("INTERVAL 30 DAYS")).as("event_time"),
-            lit(0.0d).as("value"))
-        val agg = src.union(eos)
+        val src = StreamSources.withEosSentinel(
+          StreamSources.eventsWithTime(s, dir)
+            .select(col("event_type"), col("event_time"), col("value"), col("event_id")),
+          pmod(col("event_id"), lit(64)) === 0,
+          Map("event_type" -> lit("__eos"),
+            "event_time" -> (col("event_time") + expr("INTERVAL 30 DAYS")),
+            "value" -> lit(0.0d))).drop("event_id")
+        val agg = src
           .withWatermark("event_time", "30 minutes")
           // the sentinel filter must NOT sink below the watermark node, or
           // the punctuation never reaches the event-time stats: Catalyst
@@ -83,14 +86,14 @@ object StreamingQueries {
     Q("stream_win_tb_sliding_append",
       (s, dir) => {
         implicit val sp = s
-        val src = StreamSources.eventsWithTime(s, dir)
-          .select(col("event_type"), col("event_time"), col("value"))
-        val eos = StreamSources.eventsWithTime(s, dir)
-          .filter(pmod(col("event_id"), lit(64)) === 0)
-          .select(lit("__eos").as("event_type"),
-            (col("event_time") + expr("INTERVAL 30 DAYS")).as("event_time"),
-            lit(0.0d).as("value"))
-        val agg = src.union(eos)
+        val src = StreamSources.withEosSentinel(
+          StreamSources.eventsWithTime(s, dir)
+            .select(col("event_type"), col("event_time"), col("value"), col("event_id")),
+          pmod(col("event_id"), lit(64)) === 0,
+          Map("event_type" -> lit("__eos"),
+            "event_time" -> (col("event_time") + expr("INTERVAL 30 DAYS")),
+            "value" -> lit(0.0d))).drop("event_id")
+        val agg = src
           .withWatermark("event_time", "30 minutes")
           // must reference the watermark column or Catalyst pushes the
           // filter below EventTimeWatermark (see tumbling_append)
@@ -117,15 +120,17 @@ object StreamingQueries {
         implicit val sp = s
         val M10 = 10L * Q.MinuteUs
         val M30 = 30L * Q.MinuteUs
-        val src = StreamSources.eventsWithTime(s, dir)
-          .filter(pmod(col("ts_us"), lit(M30)) < M10)
-          .select(col("event_type"), col("event_time"), col("value"))
-        val eos = StreamSources.eventsWithTime(s, dir)
-          .filter(pmod(col("event_id"), lit(64)) === 0)
-          .select(lit("__eos").as("event_type"),
-            (col("event_time") + expr("INTERVAL 30 DAYS")).as("event_time"),
-            lit(0.0d).as("value"))
-        val agg = src.union(eos)
+        // gap filter first, sentinel second: the sentinel sample then
+        // comes from hop-member rows only (still 1-in-64 of plenty)
+        val src = StreamSources.withEosSentinel(
+          StreamSources.eventsWithTime(s, dir)
+            .filter(pmod(col("ts_us"), lit(M30)) < M10)
+            .select(col("event_type"), col("event_time"), col("value"), col("event_id")),
+          pmod(col("event_id"), lit(64)) === 0,
+          Map("event_type" -> lit("__eos"),
+            "event_time" -> (col("event_time") + expr("INTERVAL 30 DAYS")),
+            "value" -> lit(0.0d))).drop("event_id")
+        val agg = src
           .withWatermark("event_time", "30 minutes")
           .filter(!(col("event_type") === "__eos") || col("event_time").isNull)
           .groupBy(window(col("event_time"), "30 minutes"), col("event_type"))
@@ -237,14 +242,14 @@ object StreamingQueries {
     Q("stream_win_tb_session_append",
       (s, dir) => {
         implicit val sp = s
-        val src = StreamSources.eventsWithTime(s, dir)
-          .select(col("user_id"), col("event_time"), col("value"))
-        val eos = StreamSources.eventsWithTime(s, dir)
-          .filter(pmod(col("event_id"), lit(64)) === 0)
-          .select(lit(-1L).as("user_id"),
-            (col("event_time") + expr("INTERVAL 30 DAYS")).as("event_time"),
-            lit(0.0d).as("value"))
-        val agg = src.union(eos)
+        val src = StreamSources.withEosSentinel(
+          StreamSources.eventsWithTime(s, dir)
+            .select(col("user_id"), col("event_time"), col("value"), col("event_id")),
+          pmod(col("event_id"), lit(64)) === 0,
+          Map("user_id" -> lit(-1L),
+            "event_time" -> (col("event_time") + expr("INTERVAL 30 DAYS")),
+            "value" -> lit(0.0d))).drop("event_id")
+        val agg = src
           .withWatermark("event_time", "30 minutes")
           // must reference the watermark column or Catalyst pushes the
           // filter below EventTimeWatermark (see tumbling_append)
@@ -264,13 +269,22 @@ object StreamingQueries {
     // per-key flatMapGroupsWithState state — no explode multiplier, one
     // shuffle, O(log n) combines per answered window. Same oracle as the
     // batch FlatFAT twin (integer cents, incl. the non-invertible min/max).
+    // The input is WATERMARKED so the operator's purge rule (buffered rows
+    // older than wm − 2·len can no longer contribute to any window a
+    // future row touches) actually fires — state per key is bounded in a
+    // continuous deployment (buffer-shrink asserted in
+    // StatefulStreamingSpec). In this bounded single-batch run the
+    // watermark is still 0 while data flows, so emitted rows are
+    // unchanged.
     Q("stream_win_tb_sliding_ffat",
       (s, dir) => {
         implicit val sp = s
         import s.implicits._
-        val in = StreamSources.events(s, dir).selectExpr(
-          "event_type AS key", "ts div 1000 AS ts_us",
-          "CAST(round(value * 100) AS BIGINT) AS cents").as[graft.streaming.FfatIn]
+        val in = StreamSources.eventsWithTime(s, dir)
+          .withWatermark("event_time", "30 minutes")
+          .selectExpr("event_type AS key", "ts_us",
+            "CAST(round(value * 100) AS BIGINT) AS cents", "event_time")
+          .as[graft.streaming.FfatIn]
         val out = StatefulOps.slidingWindowsFfat(in,
           lenUs = Q.HourUs, slideUs = 15L * Q.MinuteUs)
         StreamRun.toBatch(out.toDF(), "update").orderBy("event_type", "win_start_us")
@@ -320,6 +334,41 @@ object StreamingQueries {
             expr("buf[CAST((cnt + 1) div 2 AS INT) - 1]").as("median_cents"),
             expr("buf[CAST(cnt AS INT) - 1] - buf[0]").as("range_cents"))
         StreamRun.toBatch(agg, "complete").orderBy("user_id", "win_start_us")
+      },
+      WindowQueries.all.find(_.name == "win_tb_noninc").get.oracle),
+
+    // the BOUNDED-state plan for the Iterable flavor — per-(key, window)
+    // buffer in flatMapGroupsWithState, emitted exactly once when the
+    // watermark passes the window end (EventTimeTimeout timer — the
+    // reference's firing rule, wf/window_replica.hpp:305), then evicted
+    // (eviction asserted in StatefulStreamingSpec). The complete-mode
+    // twin above re-emits and retains every window forever; this is what
+    // a continuous deployment runs. Same EOS punctuation as the other
+    // append twins (one scan); same oracle.
+    Q("stream_win_tb_noninc_append",
+      (s, dir) => {
+        implicit val sp = s
+        import s.implicits._
+        val H6 = 6L * Q.HourUs
+        val src = StreamSources.withEosSentinel(
+          StreamSources.eventsWithTime(s, dir)
+            .select(col("user_id"), col("event_time"),
+              expr("CAST(round(value * 100) AS BIGINT)").as("cents"), col("event_id")),
+          pmod(col("event_id"), lit(64)) === 0,
+          Map("user_id" -> lit(-1L),
+            "event_time" -> (col("event_time") + expr("INTERVAL 30 DAYS")),
+            "cents" -> lit(0L))).drop("event_id")
+        val tagged = src
+          .withWatermark("event_time", "30 minutes")
+          // must reference the watermark column or Catalyst pushes the
+          // filter below EventTimeWatermark (see tumbling_append)
+          .filter(!(col("user_id") === -1L) || col("event_time").isNull)
+          .select(col("user_id"),
+            expr(s"(unix_micros(event_time) div $H6) * $H6").as("win_start_us"),
+            col("cents"), col("event_time"))
+          .as[graft.streaming.NonincIn]
+        StreamRun.toBatch(StatefulOps.nonincWindowsAppend(tagged, H6).toDF(),
+          "append", numPartitions = 4).orderBy("user_id", "win_start_us")
       },
       WindowQueries.all.find(_.name == "win_tb_noninc").get.oracle),
 
@@ -404,18 +453,18 @@ object StreamingQueries {
       (s, dir) => {
         implicit val sp = s
         import s.implicits._
-        val src = StreamSources.eventsWithTime(s, dir)
-          .filter(col("event_type").isin("purchase", "click"))
-          .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
-            (col("event_type") === "click").as("isLeft"),
-            col("event_time"), col("event_type"))
-        val eos = StreamSources.eventsWithTime(s, dir)
-          .filter(pmod(col("event_id"), lit(64)) === 0)
-          .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
-            lit(0L).as("ts_us"), lit(0.0d).as("value"), lit(false).as("isLeft"),
-            (col("event_time") + expr("INTERVAL 30 DAYS")).as("event_time"),
-            lit("__eos").as("event_type"))
-        val tagged = src.union(eos)
+        val src = StreamSources.withEosSentinel(
+          StreamSources.eventsWithTime(s, dir)
+            .filter(col("event_type").isin("purchase", "click"))
+            .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
+              (col("event_type") === "click").as("isLeft"),
+              col("event_time"), col("event_type")),
+          pmod(col("event_id"), lit(64)) === 0,
+          Map("event_id" -> lit(-1L), "user_id" -> lit(-1L),
+            "ts_us" -> lit(0L), "value" -> lit(0.0d), "isLeft" -> lit(false),
+            "event_time" -> (col("event_time") + expr("INTERVAL 30 DAYS")),
+            "event_type" -> lit("__eos")))
+        val tagged = src
           .withWatermark("event_time", "1 hour")
           // must reference the watermark column or Catalyst pushes the
           // filter below EventTimeWatermark (see tumbling_append)

@@ -33,6 +33,22 @@ case class AsofState(lefts: List[IjBuf], rights: List[IjBuf])
 case class AsofOut(event_id: Long, user_id: Long, ts_us: Long,
   asof_ts_us: Option[Long], asof_p_value: Option[Double])
 
+/** Non-incremental (full-buffer Iterable) window input/state/output:
+  * per-(key, window) cents buffer, order statistics emitted once when the
+  * watermark passes the window end. The input keeps the watermarked
+  * `event_time` column (EventTimeTimeout needs the watermark attribute).
+  */
+case class NonincIn(user_id: Long, win_start_us: Long, cents: Long,
+    event_time: java.sql.Timestamp)
+case class NonincState(cents: Array[Long])
+case class NonincOut(user_id: Long, win_start_us: Long, cnt: Long,
+    median_cents: Long, range_cents: Long)
+
+/** Rolling-reduce input with the watermark column (TTL flavor). */
+case class EvRowT(event_id: Long, user_id: Long, ts_us: Long, cents: Long,
+    event_time: java.sql.Timestamp)
+case class RollTtlState(sumCents: Long, cnt: Long, lastTsUs: Long)
+
 /** FlatFAT streaming input/state/output: (key, ts, cents) events buffered
   * per key; windows answered from the shared FlatFAT tree kernel.
   */
@@ -97,6 +113,90 @@ object StatefulOps {
           }
           state.update(s)
           out.iterator
+      }
+  }
+
+  /** [[rollingReduce]] with watermark-based idle-key eviction. The
+    * reference's Reduce keeps every key's fold state forever
+    * (/root/reference/wf/reduce.hpp:139-158 — matching default behavior in
+    * [[rollingReduce]]), but a 100 TB keyspace needs the choice: a key
+    * idle for `ttlUs` of EVENT time (watermark − last event ts > ttl) can
+    * be evicted via `EventTimeTimeout`, trading state size for a restart
+    * of the fold if the key reappears. Input must carry a watermarked
+    * `event_time`.
+    */
+  def rollingReduceTtl(ev: Dataset[EvRowT], ttlUs: Long)(
+      implicit spark: SparkSession): Dataset[RollOut] = {
+    import spark.implicits._
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[EvRowT], state: GroupState[RollTtlState]) =>
+          if (state.hasTimedOut) {
+            // idle past the TTL: nothing emitted, fold state dropped
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(RollTtlState(0L, 0L, Long.MinValue))
+            val out = it.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+              s = RollTtlState(s.sumCents + e.cents, s.cnt + 1,
+                math.max(s.lastTsUs, e.ts_us))
+              RollOut(e.event_id, user, s.sumCents.toDouble / 100.0, s.cnt)
+            }
+            state.update(s)
+            val wmMs = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(0L)
+            state.setTimeoutTimestamp(math.max((s.lastTsUs + ttlUs) / 1000L, wmMs + 1L))
+            out.iterator
+          }
+      }
+  }
+
+  /** Non-incremental (full-buffer Iterable) time windows in the BOUNDED
+    * append plan: the reference's Iterable flavor
+    * (/root/reference/wf/iterable.hpp:47-55) hands user code the whole
+    * window buffer, so per-(key, window) state holds every row — and the
+    * reference's firing rule (wf/window_replica.hpp:305,356-408) emits a
+    * window exactly once, when the watermark passes its end, then frees
+    * the buffer. Here each (key, window) group buffers cents, schedules an
+    * `EventTimeTimeout` timer at the window end, and on firing emits the
+    * order statistics (count / lower median / range over the sorted
+    * buffer) and removes its state.
+    *
+    * State is bounded by (keys × windows inside the watermark delay) — the
+    * complete-mode twin (`stream_win_tb_noninc`) re-emits and retains
+    * every window forever, fine for bounded verification only. Late rows
+    * (event time behind the watermark) are dropped by the engine's
+    * pre-operator late-row filter — the reference's `ignored_tuples`
+    * lateness semantics; a window's timer always sits strictly above the
+    * current watermark because every buffered row satisfies
+    * ts < winEnd ∧ ts ≥ wm.
+    */
+  def nonincWindowsAppend(ev: Dataset[NonincIn], lenUs: Long)(
+      implicit spark: SparkSession): Dataset[NonincOut] = {
+    import spark.implicits._
+    def stats(user: Long, winStart: Long, cents: Array[Long]): NonincOut = {
+      val buf = cents.sorted
+      NonincOut(user, winStart, buf.length,
+        buf((buf.length + 1) / 2 - 1), buf(buf.length - 1) - buf(0))
+    }
+    ev.groupByKey(e => (e.user_id, e.win_start_us))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, Long), it: Iterator[NonincIn], state: GroupState[NonincState]) =>
+          if (state.hasTimedOut) {
+            val out = stats(key._1, key._2, state.get.cents)
+            state.remove()
+            Iterator.single(out)
+          } else {
+            val prev = state.getOption.map(_.cents).getOrElse(Array.empty[Long])
+            val all = prev ++ it.map(_.cents)
+            state.update(NonincState(all))
+            val wmMs = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(0L)
+            // fire when the watermark passes the window end (ms truncation
+            // of the µs end can collide with the current watermark; a timer
+            // must sit strictly above it — firing 1 ms later is still
+            // "once the watermark passed")
+            state.setTimeoutTimestamp(math.max((key._2 + lenUs) / 1000L, wmMs + 1L))
+            Iterator.empty
+          }
       }
   }
 

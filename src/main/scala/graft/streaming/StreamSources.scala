@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.GraftSession
 
@@ -60,6 +60,37 @@ object StreamSources {
       .option("generator", name)
       .option("timePolicy", policy)
       .load()
+
+  /** One-scan EOS punctuation (the stream-native analog of the reference's
+    * end-of-stream marker, /root/reference/wf/pipegraph.hpp run()/EOS):
+    * alongside each row matching `sample` (a cheap 1-in-N prune), emit a
+    * sentinel copy with the `sentinel` column overrides — typically a
+    * far-future event time that advances the final watermark past every
+    * real window so trailing state flushes under Trigger.AvailableNow.
+    *
+    * The sentinel rows come from an `explode` over the SAME scan — the
+    * previous rendering unioned a second `readStream` branch, which plans
+    * a second full file-stream scan, i.e. 2× ingest I/O paid for
+    * punctuation alone (plan-asserted single-scan in
+    * StatefulStreamingSpec). A continuous deployment omits the sentinel
+    * entirely.
+    *
+    * Usage: apply `withWatermark` downstream of this, then drop the
+    * sentinels with a filter that ALSO references the watermark column
+    * vacuously (e.g. `|| col(wmCol).isNull`) — Catalyst pushes plain
+    * predicates below the EventTimeWatermark node, and a sentinel
+    * filtered before the watermark never advances it.
+    */
+  def withEosSentinel(df: DataFrame, sample: Column,
+      sentinel: Map[String, Column]): DataFrame = {
+    val names = df.columns.toSeq
+    val regular = struct(names.map(c => col(c).as(c)): _*)
+    val sent = struct(names.map(c =>
+      sentinel.getOrElse(c, col(c)).cast(df.schema(c).dataType).as(c)): _*)
+    df.select(explode(when(sample, array(regular, sent))
+        .otherwise(array(regular))).as("__r"))
+      .select(names.map(c => col(s"__r.$c").as(c)): _*)
+  }
 
   /** Kafka source passthrough (reference: wf/kafka/kafka_source.hpp:134).
     * The value-deserializing `map` the reference requires is the caller's

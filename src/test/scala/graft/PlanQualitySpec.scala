@@ -160,6 +160,12 @@ class PlanQualitySpec extends AnyFunSuite {
     // hash exchange in the query is the right side's (user, ts) pre-agg
     val keyOnly = """Exchange hashpartitioning\([^,]+, \d+\)""".r.findAllIn(p).size
     assert(keyOnly == 1, s"expected 1 key-only hash exchange, got $keyOnly:\n" + p.take(3000))
+    // the generalized form (composite key + tolerance) must keep the
+    // no-join-node property — the tolerance is a per-row predicate, not a
+    // range-join condition
+    val pt = plan("join_asof_tol")
+    assert(!pt.contains("Join"), pt.take(3000))
+    assert(!pt.contains("CartesianProduct"), pt.take(3000))
   }
 
   test("stratified sample pre-trims per partition (WindowGroupLimit)") {
@@ -174,11 +180,17 @@ class PlanQualitySpec extends AnyFunSuite {
     // window; a keyless ORDER BY window would show Exchange SinglePartition
     // feeding the Window node
     val p = plan("pipeline_token_shards")
-    assert(p.contains("rangepartitioning"), p.take(3000))
     val winIdx = p.indexOf("Window")
     assert(winIdx >= 0, p.take(3000))
-    assert(!p.substring(0, winIdx).contains("Exchange SinglePartition"),
+    // plans print parent-first, so the Window's INPUT is the text after the
+    // node: a SinglePartition exchange there is the degenerate one-task
+    // cumsum, and the range repartition feeding the window must also sit
+    // below it (a rangepartitioning anywhere, e.g. the final orderBy's,
+    // proves nothing)
+    assert(!p.substring(winIdx).contains("Exchange SinglePartition"),
       "cumsum window runs on a single partition:\n" + p.take(3000))
+    assert(p.indexOf("rangepartitioning", winIdx) >= 0,
+      "cumsum window must be fed by the range repartition:\n" + p.take(3000))
   }
 
   test("salted join is result-identical to the plain equi-join") {
