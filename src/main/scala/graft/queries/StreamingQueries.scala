@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.streaming.{KSlack, KsIn, StatefulOps, StreamRun, StreamSources}
 
@@ -18,6 +19,20 @@ import graft.streaming.{KSlack, KsIn, StatefulOps, StreamRun, StreamSources}
   *    interval condition (wf/interval_join.hpp:279-307).
   */
 object StreamingQueries {
+
+  /** The streaming frames of the EOS-punctuated (append / watermark-
+    * evicting) queries, exposed pre-`StreamRun.toBatch` so the spec can
+    * assert each DECLARED plan reads the source through exactly ONE
+    * streaming scan (the sentinel comes from the same scan via
+    * [[StreamSources.withEosSentinel]], not a second readStream union).
+    */
+  private[graft] def appendTwinStreams(s: SparkSession, dir: String): Map[String, DataFrame] = Map(
+    "stream_win_tb_tumbling_append" -> tumblingAppendStream(s, dir),
+    "stream_win_tb_sliding_append" -> slidingAppendStream(s, dir),
+    "stream_win_tb_hopping_append" -> hoppingAppendStream(s, dir),
+    "stream_win_tb_session_append" -> sessionAppendStream(s, dir),
+    "stream_win_tb_noninc_append" -> nonincAppendStream(s, dir),
+    "stream_join_asof" -> joinAsofStream(s, dir))
 
   def all: Seq[Q] = Seq(
 
@@ -54,26 +69,7 @@ object StreamingQueries {
     Q("stream_win_tb_tumbling_append",
       (s, dir) => {
         implicit val sp = s
-        val src = StreamSources.withEosSentinel(
-          StreamSources.eventsWithTime(s, dir)
-            .select(col("event_type"), col("event_time"), col("value"), col("event_id")),
-          pmod(col("event_id"), lit(64)) === 0,
-          Map("event_type" -> lit("__eos"),
-            "event_time" -> (col("event_time") + expr("INTERVAL 30 DAYS")),
-            "value" -> lit(0.0d))).drop("event_id")
-        val agg = src
-          .withWatermark("event_time", "30 minutes")
-          // the sentinel filter must NOT sink below the watermark node, or
-          // the punctuation never reaches the event-time stats: Catalyst
-          // pushes predicates through EventTimeWatermark unless they
-          // reference the watermark column, so reference it vacuously
-          .filter(!(col("event_type") === "__eos") || col("event_time").isNull)
-          .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
-          .agg(count(lit(1)).as("cnt"),
-            expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)").as("sum_value"))
-          .select(col("event_type"), expr("unix_micros(window.start)").as("win_start_us"),
-            col("cnt"), col("sum_value"))
-        StreamRun.toBatch(agg, "append", numPartitions = 4)
+        StreamRun.toBatch(tumblingAppendStream(s, dir), "append", numPartitions = 4)
           .orderBy("event_type", "win_start_us")
       },
       WindowQueries.all.find(_.name == "win_tb_tumbling").get.oracle),
@@ -86,24 +82,7 @@ object StreamingQueries {
     Q("stream_win_tb_sliding_append",
       (s, dir) => {
         implicit val sp = s
-        val src = StreamSources.withEosSentinel(
-          StreamSources.eventsWithTime(s, dir)
-            .select(col("event_type"), col("event_time"), col("value"), col("event_id")),
-          pmod(col("event_id"), lit(64)) === 0,
-          Map("event_type" -> lit("__eos"),
-            "event_time" -> (col("event_time") + expr("INTERVAL 30 DAYS")),
-            "value" -> lit(0.0d))).drop("event_id")
-        val agg = src
-          .withWatermark("event_time", "30 minutes")
-          // must reference the watermark column or Catalyst pushes the
-          // filter below EventTimeWatermark (see tumbling_append)
-          .filter(!(col("event_type") === "__eos") || col("event_time").isNull)
-          .groupBy(window(col("event_time"), "1 hour", "15 minutes"), col("event_type"))
-          .agg(count(lit(1)).as("cnt"),
-            expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)").as("sum_value"))
-          .select(col("event_type"), expr("unix_micros(window.start)").as("win_start_us"),
-            col("cnt"), col("sum_value"))
-        StreamRun.toBatch(agg, "append", numPartitions = 4)
+        StreamRun.toBatch(slidingAppendStream(s, dir), "append", numPartitions = 4)
           .orderBy("event_type", "win_start_us")
       },
       WindowQueries.all.find(_.name == "win_tb_sliding").get.oracle),
@@ -118,27 +97,7 @@ object StreamingQueries {
     Q("stream_win_tb_hopping_append",
       (s, dir) => {
         implicit val sp = s
-        val M10 = 10L * Q.MinuteUs
-        val M30 = 30L * Q.MinuteUs
-        // gap filter first, sentinel second: the sentinel sample then
-        // comes from hop-member rows only (still 1-in-64 of plenty)
-        val src = StreamSources.withEosSentinel(
-          StreamSources.eventsWithTime(s, dir)
-            .filter(pmod(col("ts_us"), lit(M30)) < M10)
-            .select(col("event_type"), col("event_time"), col("value"), col("event_id")),
-          pmod(col("event_id"), lit(64)) === 0,
-          Map("event_type" -> lit("__eos"),
-            "event_time" -> (col("event_time") + expr("INTERVAL 30 DAYS")),
-            "value" -> lit(0.0d))).drop("event_id")
-        val agg = src
-          .withWatermark("event_time", "30 minutes")
-          .filter(!(col("event_type") === "__eos") || col("event_time").isNull)
-          .groupBy(window(col("event_time"), "30 minutes"), col("event_type"))
-          .agg(count(lit(1)).as("cnt"),
-            expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)").as("sum_value"))
-          .select(col("event_type"), expr("unix_micros(window.start)").as("win_start_us"),
-            col("cnt"), col("sum_value"))
-        StreamRun.toBatch(agg, "append", numPartitions = 4)
+        StreamRun.toBatch(hoppingAppendStream(s, dir), "append", numPartitions = 4)
           .orderBy("event_type", "win_start_us")
       },
       WindowQueries.all.find(_.name == "win_tb_hopping").get.oracle),
@@ -242,24 +201,7 @@ object StreamingQueries {
     Q("stream_win_tb_session_append",
       (s, dir) => {
         implicit val sp = s
-        val src = StreamSources.withEosSentinel(
-          StreamSources.eventsWithTime(s, dir)
-            .select(col("user_id"), col("event_time"), col("value"), col("event_id")),
-          pmod(col("event_id"), lit(64)) === 0,
-          Map("user_id" -> lit(-1L),
-            "event_time" -> (col("event_time") + expr("INTERVAL 30 DAYS")),
-            "value" -> lit(0.0d))).drop("event_id")
-        val agg = src
-          .withWatermark("event_time", "30 minutes")
-          // must reference the watermark column or Catalyst pushes the
-          // filter below EventTimeWatermark (see tumbling_append)
-          .filter(!(col("user_id") === -1L) || col("event_time").isNull)
-          .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))
-          .agg(count(lit(1)).as("cnt"),
-            expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)").as("sum_value"))
-          .select(col("user_id"), expr("unix_micros(session_window.start)").as("session_start_us"),
-            col("cnt"), col("sum_value"))
-        StreamRun.toBatch(agg, "append", numPartitions = 4)
+        StreamRun.toBatch(sessionAppendStream(s, dir), "append", numPartitions = 4)
           .orderBy("user_id", "session_start_us")
       },
       WindowQueries.all.find(_.name == "win_tb_session").get.oracle),
@@ -348,27 +290,8 @@ object StreamingQueries {
     Q("stream_win_tb_noninc_append",
       (s, dir) => {
         implicit val sp = s
-        import s.implicits._
-        val H6 = 6L * Q.HourUs
-        val src = StreamSources.withEosSentinel(
-          StreamSources.eventsWithTime(s, dir)
-            .select(col("user_id"), col("event_time"),
-              expr("CAST(round(value * 100) AS BIGINT)").as("cents"), col("event_id")),
-          pmod(col("event_id"), lit(64)) === 0,
-          Map("user_id" -> lit(-1L),
-            "event_time" -> (col("event_time") + expr("INTERVAL 30 DAYS")),
-            "cents" -> lit(0L))).drop("event_id")
-        val tagged = src
-          .withWatermark("event_time", "30 minutes")
-          // must reference the watermark column or Catalyst pushes the
-          // filter below EventTimeWatermark (see tumbling_append)
-          .filter(!(col("user_id") === -1L) || col("event_time").isNull)
-          .select(col("user_id"),
-            expr(s"(unix_micros(event_time) div $H6) * $H6").as("win_start_us"),
-            col("cents"), col("event_time"))
-          .as[graft.streaming.NonincIn]
-        StreamRun.toBatch(StatefulOps.nonincWindowsAppend(tagged, H6).toDF(),
-          "append", numPartitions = 4).orderBy("user_id", "win_start_us")
+        StreamRun.toBatch(nonincAppendStream(s, dir), "append", numPartitions = 4)
+          .orderBy("user_id", "win_start_us")
       },
       WindowQueries.all.find(_.name == "win_tb_noninc").get.oracle),
 
@@ -452,28 +375,7 @@ object StreamingQueries {
     Q("stream_join_asof",
       (s, dir) => {
         implicit val sp = s
-        import s.implicits._
-        val src = StreamSources.withEosSentinel(
-          StreamSources.eventsWithTime(s, dir)
-            .filter(col("event_type").isin("purchase", "click"))
-            .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
-              (col("event_type") === "click").as("isLeft"),
-              col("event_time"), col("event_type")),
-          pmod(col("event_id"), lit(64)) === 0,
-          Map("event_id" -> lit(-1L), "user_id" -> lit(-1L),
-            "ts_us" -> lit(0L), "value" -> lit(0.0d), "isLeft" -> lit(false),
-            "event_time" -> (col("event_time") + expr("INTERVAL 30 DAYS")),
-            "event_type" -> lit("__eos")))
-        val tagged = src
-          .withWatermark("event_time", "1 hour")
-          // must reference the watermark column or Catalyst pushes the
-          // filter below EventTimeWatermark (see tumbling_append)
-          .filter(!(col("event_type") === "__eos") || col("event_time").isNull)
-          // event_time stays: EventTimeTimeout needs the watermark
-          // attribute to reach the stateful operator
-          .select("event_id", "user_id", "ts_us", "value", "isLeft", "event_time")
-          .as[graft.streaming.AsofIn]
-        StreamRun.toBatch(StatefulOps.asofJoinShared(tagged).toDF(), "append",
+        StreamRun.toBatch(joinAsofStream(s, dir), "append",
           numPartitions = 4).orderBy("event_id")
       },
       JoinQueries.all.find(_.name == "join_asof").get.oracle),
@@ -494,4 +396,120 @@ object StreamingQueries {
       },
       JoinQueries.all.find(_.name == "interval_join").get.oracle)
   )
+
+  // ---- streaming-frame builders for the EOS-punctuated queries (exposed
+  //      pre-toBatch so StatefulStreamingSpec can plan-assert one scan) ----
+
+  /** events + the one-scan EOS sentinel over `keep` ∪ {event_id} (the
+    * sample column), sentinel columns overridden per `sentinel`. */
+  private def eventsEos(s: SparkSession, dir: String,
+      base: DataFrame => DataFrame,
+      sentinel: Map[String, org.apache.spark.sql.Column]): DataFrame =
+    StreamSources.withEosSentinel(base(StreamSources.eventsWithTime(s, dir)),
+      pmod(col("event_id"), lit(64)) === 0, sentinel)
+
+  private val EosTime = col("event_time") + expr("INTERVAL 30 DAYS")
+
+  private[graft] def tumblingAppendStream(s: SparkSession, dir: String): DataFrame =
+    eventsEos(s, dir,
+      _.select(col("event_type"), col("event_time"), col("value"), col("event_id")),
+      Map("event_type" -> lit("__eos"), "event_time" -> EosTime,
+        "value" -> lit(0.0d)))
+      .drop("event_id")
+      .withWatermark("event_time", "30 minutes")
+      // the sentinel filter must NOT sink below the watermark node, or
+      // the punctuation never reaches the event-time stats: Catalyst
+      // pushes predicates through EventTimeWatermark unless they
+      // reference the watermark column, so reference it vacuously
+      .filter(!(col("event_type") === "__eos") || col("event_time").isNull)
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)").as("sum_value"))
+      .select(col("event_type"), expr("unix_micros(window.start)").as("win_start_us"),
+        col("cnt"), col("sum_value"))
+
+  private[graft] def slidingAppendStream(s: SparkSession, dir: String): DataFrame =
+    eventsEos(s, dir,
+      _.select(col("event_type"), col("event_time"), col("value"), col("event_id")),
+      Map("event_type" -> lit("__eos"), "event_time" -> EosTime,
+        "value" -> lit(0.0d)))
+      .drop("event_id")
+      .withWatermark("event_time", "30 minutes")
+      .filter(!(col("event_type") === "__eos") || col("event_time").isNull)
+      .groupBy(window(col("event_time"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)").as("sum_value"))
+      .select(col("event_type"), expr("unix_micros(window.start)").as("win_start_us"),
+        col("cnt"), col("sum_value"))
+
+  private[graft] def hoppingAppendStream(s: SparkSession, dir: String): DataFrame = {
+    val M10 = 10L * Q.MinuteUs
+    val M30 = 30L * Q.MinuteUs
+    // gap filter first, sentinel second: the sentinel sample then comes
+    // from hop-member rows only (still 1-in-64 of plenty)
+    eventsEos(s, dir,
+      _.filter(pmod(col("ts_us"), lit(M30)) < M10)
+        .select(col("event_type"), col("event_time"), col("value"), col("event_id")),
+      Map("event_type" -> lit("__eos"), "event_time" -> EosTime,
+        "value" -> lit(0.0d)))
+      .drop("event_id")
+      .withWatermark("event_time", "30 minutes")
+      .filter(!(col("event_type") === "__eos") || col("event_time").isNull)
+      .groupBy(window(col("event_time"), "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)").as("sum_value"))
+      .select(col("event_type"), expr("unix_micros(window.start)").as("win_start_us"),
+        col("cnt"), col("sum_value"))
+  }
+
+  private[graft] def sessionAppendStream(s: SparkSession, dir: String): DataFrame =
+    eventsEos(s, dir,
+      _.select(col("user_id"), col("event_time"), col("value"), col("event_id")),
+      Map("user_id" -> lit(-1L), "event_time" -> EosTime, "value" -> lit(0.0d)))
+      .drop("event_id")
+      .withWatermark("event_time", "30 minutes")
+      .filter(!(col("user_id") === -1L) || col("event_time").isNull)
+      .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)").as("sum_value"))
+      .select(col("user_id"), expr("unix_micros(session_window.start)").as("session_start_us"),
+        col("cnt"), col("sum_value"))
+
+  private[graft] def nonincAppendStream(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp = s
+    import s.implicits._
+    val H6 = 6L * Q.HourUs
+    val tagged = eventsEos(s, dir,
+      _.select(col("user_id"), col("event_time"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"), col("event_id")),
+      Map("user_id" -> lit(-1L), "event_time" -> EosTime, "cents" -> lit(0L)))
+      .drop("event_id")
+      .withWatermark("event_time", "30 minutes")
+      .filter(!(col("user_id") === -1L) || col("event_time").isNull)
+      .select(col("user_id"),
+        expr(s"(unix_micros(event_time) div $H6) * $H6").as("win_start_us"),
+        col("cents"), col("event_time"))
+      .as[graft.streaming.NonincIn]
+    StatefulOps.nonincWindowsAppend(tagged, H6).toDF()
+  }
+
+  private[graft] def joinAsofStream(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp = s
+    import s.implicits._
+    val tagged = eventsEos(s, dir,
+      _.filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
+          (col("event_type") === "click").as("isLeft"),
+          col("event_time"), col("event_type")),
+      Map("event_id" -> lit(-1L), "user_id" -> lit(-1L),
+        "ts_us" -> lit(0L), "value" -> lit(0.0d), "isLeft" -> lit(false),
+        "event_time" -> EosTime, "event_type" -> lit("__eos")))
+      .withWatermark("event_time", "1 hour")
+      .filter(!(col("event_type") === "__eos") || col("event_time").isNull)
+      // event_time stays: EventTimeTimeout needs the watermark
+      // attribute to reach the stateful operator
+      .select("event_id", "user_id", "ts_us", "value", "isLeft", "event_time")
+      .as[graft.streaming.AsofIn]
+    StatefulOps.asofJoinShared(tagged).toDF()
+  }
 }

@@ -179,4 +179,130 @@ class StatefulStreamingSpec extends AnyFunSuite {
     assert(gotShared.nonEmpty && gotShared == gotSym,
       s"shared-scan join (${gotShared.size} rows) must equal symmetric join (${gotSym.size})")
   }
+
+  test("EOS-punctuated declared queries plan exactly ONE streaming scan") {
+    // the sentinel must come from the same scan (withEosSentinel explode),
+    // never a second readStream union — that shape doubles ingest I/O
+    def scans(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.logical.collect {
+        case r if r.nodeName.contains("StreamingRelation") => r
+      }.size
+    graft.queries.StreamingQueries.appendTwinStreams(spark, TestSpark.SF).foreach {
+      case (name, df) =>
+        assert(scans(df) == 1, s"$name plans ${scans(df)} streaming scans, expected 1")
+    }
+  }
+
+  /** State rows of the (single) stateful operator at a checkpoint, via the
+    * state data source. */
+  private def stateStore(ckpt: String) =
+    spark.read.format("statestore").load(ckpt)
+
+  test("watermarked FlatFAT stream purges buffered rows older than wm - 2*len") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    val lenUs = 10L * 1000000L // 10 s windows, 5 s slide
+    val slideUs = 5L * 1000000L
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ffat_purge_").toString
+    val mem = MemoryStream[FfatIn]
+    val in = mem.toDS()
+      .withColumn("event_time", expr("timestamp_micros(ts_us)"))
+      .withWatermark("event_time", "0 seconds")
+      .as[FfatIn]
+    val q = StatefulOps.slidingWindowsFfat(in, lenUs, slideUs).toDF()
+      .writeStream.format("memory").queryName("ffat_purge_x")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    val t0 = 1600000000000000L
+    mem.addData(FfatIn("a", t0, 1L), FfatIn("a", t0 + 1000000L, 2L),
+      FfatIn("a", t0 + 2000000L, 3L))
+    q.processAllAvailable() // watermark after this batch: t0 + 2 s
+    val jump = t0 + 3600L * 1000000L
+    mem.addData(FfatIn("a", jump, 4L))
+    q.processAllAvailable() // wm during batch: t0+2s (keeps t0 rows); after: jump
+    def bufLen: Int = {
+      val rows = stateStore(ckpt).collect()
+      assert(rows.nonEmpty, "no state rows read from checkpoint")
+      val r = rows.head
+      // flatMapGroupsWithState state schema: value.groupState.<fields>
+      val v = r.getStruct(r.fieldIndex("value"))
+      val gs = v.getStruct(v.schema.fieldNames.indexOf("groupState"))
+      gs.getSeq[Long](gs.schema.fieldNames.indexOf("ts")).size
+    }
+    assert(bufLen == 4, s"expected all 4 rows buffered pre-purge, got $bufLen")
+    mem.addData(FfatIn("a", jump + 1000000L, 5L))
+    q.processAllAvailable() // wm during batch: jump → purge rows < jump - 2*len
+    q.stop()
+    // the three t0 rows are older than wm − 2·len and can no longer
+    // contribute to any window a future (≥ wm) row touches → purged
+    assert(bufLen == 2, s"expected purge to keep 2 rows (jump, jump+1s), got $bufLen")
+  }
+
+  test("noninc append windows emit once when the watermark passes and evict state") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    val H = 3600L * 1000000L // 1 h windows
+    def in(user: Long, tsUs: Long, cents: Long) =
+      NonincIn(user, (tsUs / H) * H, cents, new java.sql.Timestamp(tsUs / 1000L))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_noninc_").toString
+    val mem = MemoryStream[NonincIn]
+    val out = StatefulOps.nonincWindowsAppend(
+      mem.toDS().withWatermark("event_time", "1 second"), H)
+    val q = out.toDF().writeStream.format("memory").queryName("noninc_x")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val t0 = 1600000000000000L
+    mem.addData(in(1, t0 + 1000000L, 30L), in(1, t0 + 2000000L, 10L),
+      in(1, t0 + 3000000L, 20L))
+    q.processAllAvailable()
+    assert(spark.table("noninc_x").isEmpty,
+      "window emitted before the watermark passed its end")
+    // far-future row on ANOTHER key advances the watermark past user 1's
+    // window end; its EventTimeTimeout timer fires in a no-data batch
+    mem.addData(in(2, t0 + 10L * H, 0L))
+    q.processAllAvailable()
+    val got = spark.table("noninc_x").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq.sortBy(_._1)
+    // sorted buffer [10,20,30]: cnt 3, lower median 20, range 20
+    assert(got == Seq((1L, (t0 / H) * H, 3L, 20L, 20L)), s"got $got")
+    // eviction: only user 2's still-pending window remains in state
+    val keys = stateStore(ckpt).collect().map { r =>
+      val k = r.getStruct(r.fieldIndex("key"))
+      k.getLong(0)
+    }.toSeq
+    q.stop()
+    assert(keys == Seq(2L), s"expected only the pending key 2 in state, got $keys")
+  }
+
+  test("rolling reduce TTL evicts idle keys (fold restarts); pre-TTL state carries") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    def ev(id: Long, user: Long, tsUs: Long, cents: Long) =
+      EvRowT(id, user, tsUs, cents, new java.sql.Timestamp(tsUs / 1000L))
+    val ttlUs = 60L * 1000000L // 1 min idle TTL
+    val mem = MemoryStream[EvRowT]
+    val out = StatefulOps.rollingReduceTtl(
+      mem.toDS().withWatermark("event_time", "1 second"), ttlUs)
+    val q = out.toDF().writeStream.format("memory").queryName("roll_ttl_x")
+      .outputMode("update").start()
+    val t0 = 1600000000000000L
+    mem.addData(ev(1, 1, t0, 100L), ev(2, 1, t0 + 1000000L, 100L))
+    q.processAllAvailable()
+    // watermark jumps far past t0 + ttl → user 1's idle timer fires, state dropped
+    mem.addData(ev(3, 2, t0 + 100L * ttlUs, 50L))
+    q.processAllAvailable()
+    mem.addData(ev(4, 1, t0 + 100L * ttlUs + 1000000L, 100L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("roll_ttl_x").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getLong(3))).toSeq.sortBy(_._1)
+    // events 1,2 fold normally; event 4 arrives AFTER the idle TTL → the
+    // fold restarted from zero (cnt 1, sum 1.00), not carried (cnt 3)
+    assert(got == Seq((1L, 1.0, 1L), (2L, 2.0, 2L), (3L, 0.5, 1L), (4L, 1.0, 1L)),
+      s"got $got")
+  }
 }
