@@ -111,16 +111,20 @@ object Dedup {
   /** 60-bit SimHash per doc from token hashes (with multiplicity): bit j is
     * set iff strictly more token-hashes have bit j set than clear.
     * Output: (id, simhash).
+    *
+    * One narrow pass via the native
+    * [[graft.functions.expressions.SimHashSig]] kernel — the composable
+    * rendering (explode tokens ×60 bit positions → two groupBy rounds)
+    * multiplied rows ×60 ahead of an aggregation exchange; here the
+    * signature never leaves its row and simhash dedup's only shuffle is
+    * the band join. Zero-token docs are dropped (the exploded rendering
+    * emitted no rows for them — same contract).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .select(col(idCol), hash60(col("tok")).as("h"))
-      .select(col(idCol), explode(sequence(lit(0), lit(59))).as("j"), col("h"))
-      .select(col(idCol), col("j"),
-        expr("(shiftright(h, CAST(j AS INT)) & 1) * 2 - 1").as("pm"))
-      .groupBy(col(idCol), col("j")).agg(sum("pm").as("s"))
-      .groupBy(col(idCol))
-      .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END")).as("simhash"))
+    df.select(col(idCol), transform(tokens(col(textCol)), t => hash60(t)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col(idCol),
+        graft.functions.expressions.SimHashSig.of(col("hs")).as("simhash"))
 
   /** SimHash near-dup pairs via 4×15-bit banding + hamming verify.
     * Output: (a_id, b_id, hamming) with hamming ≤ maxHamming.

@@ -148,6 +148,65 @@ object MinHashSigs {
   }
 }
 
+/** 60-bit SimHash signature in ONE pass over the token-hash array (with
+  * multiplicity): bit j of the result is set iff strictly more hashes have
+  * bit j set than clear. Value-identical to the composable rendering —
+  * explode(tokens)×explode(0..59) → sum(±1) → bit-OR re-aggregate — that
+  * the DuckDB oracle still executes, but without the ×60 row blowup and
+  * its two aggregation exchanges: the signature never leaves the row
+  * (one narrow projection; the only shuffle left in simhash dedup is the
+  * band join). Callers must drop zero-token docs first (the exploded
+  * rendering emitted no rows for them).
+  */
+case class SimHashSig(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash_sig expects array<bigint>, got $t")
+    }
+
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < 60) {
+        counts(j) += (((h >>> j) & 1L).toInt << 1) - 1 // ±1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 60) {
+      if (counts(j) > 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shs", this, classOf[SimHashSig].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHashSig {
+  def of(c: Column): Column = Shim.column(SimHashSig(Shim.expression(c)))
+}
+
 object MersennePermHash {
   val P: Long = 2305843009213693951L // 2^61 - 1
 

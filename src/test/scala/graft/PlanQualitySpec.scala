@@ -193,6 +193,15 @@ class PlanQualitySpec extends AnyFunSuite {
       "cumsum window must be fed by the range repartition:\n" + p.take(3000))
   }
 
+  test("simhash signatures are one narrow pass (no exchange, no explode)") {
+    // the native SimHashSig kernel replaces the x60 bit-explode + two
+    // aggregation rounds; the signature never leaves its row
+    val p = graft.dedup.Dedup.simhash(Tables.documents(spark, TestSpark.SF), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "simhash must not shuffle: " + p.take(2000))
+    assert(!p.contains("Generate"), "simhash must not explode: " + p.take(2000))
+  }
+
   test("salted join is result-identical to the plain equi-join") {
     val o = Tables.orders(spark, TestSpark.SF)
     val c = Tables.customer(spark, TestSpark.SF)
