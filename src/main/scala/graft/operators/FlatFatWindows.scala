@@ -115,14 +115,29 @@ object FlatFatWindows {
     * with an O(log n) range combine.
     */
   def windows(ts0: Array[Long], vs0: Array[Long], lenUs: Long,
-      slideUs: Long): Array[Win] = {
+      slideUs: Long): Array[Win] =
+    windowsFromPartials(ts0, Array.fill(ts0.length)(1L), vs0, vs0, vs0,
+      lenUs, slideUs)
+
+  /** The kernel over PRE-COMBINED leaves: element i is an already-lifted
+    * (cnt, sum, min, max) partial anchored at `ts0(i)`. The raw-row form
+    * above is the cnt=1 special case; the pane-decomposed feed
+    * ([[TimeWindows.slidingByFlatFatPaned]]) passes one gcd-pane partial
+    * per leaf — valid because panes align with window boundaries (a pane
+    * is entirely inside or outside every window) and the lift/comb pair
+    * is associative, i.e. pane-combinable by construction
+    * (/root/reference/wf/paned_windows.hpp:140-141 applied to the FlatFAT
+    * tree).
+    */
+  def windowsFromPartials(ts0: Array[Long], cnt0: Array[Long],
+      sum0: Array[Long], mn0: Array[Long], mx0: Array[Long],
+      lenUs: Long, slideUs: Long): Array[Win] = {
     val m = ts0.length
     if (m == 0) return Array.empty
-    // sort pairs by ts (stable order irrelevant: combine is commutative
+    // sort leaves by ts (stable order irrelevant: combine is commutative
     // across equal timestamps for cnt/sum/min/max)
     val order = (0 until m).sortBy(ts0)
     val ts = order.map(ts0).toArray
-    val vs = order.map(vs0).toArray
     // FlatFAT: implicit complete binary tree, leaves n..2n-1
     var n = 1
     while (n < m) n <<= 1
@@ -132,7 +147,9 @@ object FlatFatWindows {
     val mx = Array.fill(2 * n)(Long.MinValue)
     var i = 0
     while (i < m) {
-      cnt(n + i) = 1L; sum(n + i) = vs(i); mn(n + i) = vs(i); mx(n + i) = vs(i)
+      val src = order(i)
+      cnt(n + i) = cnt0(src); sum(n + i) = sum0(src)
+      mn(n + i) = mn0(src); mx(n + i) = mx0(src)
       i += 1
     }
     var p = n - 1
