@@ -15,6 +15,12 @@ import org.apache.spark.sql.types._
 /** Buffer: raw (ts_us, cents) pairs collected for one group. */
 final class FfatBuffer(val ts: ArrayBuffer[Long], val vs: ArrayBuffer[Long])
 
+/** Buffer: pre-combined (anchor_ts, cnt, sum, min, max) pane partials
+  * collected for one group (the PLQ output of the paned feed).
+  */
+final class FfatPartialBuffer(val ts: ArrayBuffer[Long], val cnt: ArrayBuffer[Long],
+    val sum: ArrayBuffer[Long], val mn: ArrayBuffer[Long], val mx: ArrayBuffer[Long])
+
 /** FlatFAT sliding/hopping time windows as a `TypedImperativeAggregate` —
   * the reference's Ffat_Windows (/root/reference/wf/flatfat.hpp:85-…): an
   * implicit binary tree over the window buffer whose internal nodes hold
@@ -101,6 +107,98 @@ case class FlatFatWindows(tsExpr: Expression, valExpr: Expression,
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
     copy(tsExpr = newChildren(0), valExpr = newChildren(1))
+}
+
+/** FlatFAT over PRE-COMBINED pane partials — the WLQ stage of the paned
+  * feed ([[TimeWindows.slidingByFlatFatPaned]]): each input row is one
+  * already-lifted (anchor_ts, cnt, sum, min, max) gcd-pane summary, so the
+  * tree holds one leaf per PANE instead of one leaf per raw row
+  * (/root/reference/wf/paned_windows.hpp:140-141 applied to the FlatFAT
+  * tree of wf/flatfat.hpp). Output and window membership are identical to
+  * [[FlatFatWindows]] over the raw rows (asserted in WindowsSpec) because
+  * panes align with window boundaries and the lift/comb pair is
+  * associative.
+  */
+case class FlatFatPartialWindows(tsExpr: Expression, cntExpr: Expression,
+    sumExpr: Expression, mnExpr: Expression, mxExpr: Expression,
+    lenUs: Long, slideUs: Long,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[FfatPartialBuffer] {
+
+  override def children: Seq[Expression] = Seq(tsExpr, cntExpr, sumExpr, mnExpr, mxExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = FlatFatWindows.OutType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (children.forall(_.dataType == LongType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"flatfat_partial_windows expects 5 bigint columns, got " +
+        children.map(_.dataType).mkString("(", ", ", ")"))
+
+  override def createAggregationBuffer(): FfatPartialBuffer =
+    new FfatPartialBuffer(new ArrayBuffer[Long], new ArrayBuffer[Long],
+      new ArrayBuffer[Long], new ArrayBuffer[Long], new ArrayBuffer[Long])
+
+  override def update(b: FfatPartialBuffer, input: InternalRow): FfatPartialBuffer = {
+    val t = tsExpr.eval(input); val c = cntExpr.eval(input)
+    val s = sumExpr.eval(input); val mn = mnExpr.eval(input); val mx = mxExpr.eval(input)
+    // an all-null pane (count(value)=0 over null values) contributes
+    // nothing, matching the raw-row aggregate's null-skipping update
+    if (t != null && c != null && s != null && mn != null && mx != null &&
+        c.asInstanceOf[Long] > 0L) {
+      b.ts += t.asInstanceOf[Long]; b.cnt += c.asInstanceOf[Long]
+      b.sum += s.asInstanceOf[Long]; b.mn += mn.asInstanceOf[Long]
+      b.mx += mx.asInstanceOf[Long]
+    }
+    b
+  }
+
+  override def merge(b: FfatPartialBuffer, o: FfatPartialBuffer): FfatPartialBuffer = {
+    b.ts ++= o.ts; b.cnt ++= o.cnt; b.sum ++= o.sum; b.mn ++= o.mn; b.mx ++= o.mx
+    b
+  }
+
+  override def eval(b: FfatPartialBuffer): Any = {
+    val out = FlatFatWindows.windowsFromPartials(b.ts.toArray, b.cnt.toArray,
+      b.sum.toArray, b.mn.toArray, b.mx.toArray, lenUs, slideUs)
+      .map(w => new GenericInternalRow(
+        Array[Any](w.winStartUs, w.cnt, w.sum, w.min, w.max)): Any)
+    new GenericArrayData(out)
+  }
+
+  override def serialize(b: FfatPartialBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + b.ts.length * 40)
+    bb.putInt(b.ts.length)
+    var i = 0
+    while (i < b.ts.length) {
+      bb.putLong(b.ts(i)); bb.putLong(b.cnt(i)); bb.putLong(b.sum(i))
+      bb.putLong(b.mn(i)); bb.putLong(b.mx(i))
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): FfatPartialBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val k = bb.getInt
+    val b = createAggregationBuffer()
+    var i = 0
+    while (i < k) {
+      b.ts += bb.getLong; b.cnt += bb.getLong; b.sum += bb.getLong
+      b.mn += bb.getLong; b.mx += bb.getLong
+      i += 1
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FlatFatPartialWindows =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FlatFatPartialWindows =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(tsExpr = newChildren(0), cntExpr = newChildren(1), sumExpr = newChildren(2),
+      mnExpr = newChildren(3), mxExpr = newChildren(4))
 }
 
 object FlatFatWindows {
@@ -219,5 +317,12 @@ object FlatFatWindows {
 
   def apply(ts: Column, v: Column, lenUs: Long, slideUs: Long): Column =
     Shim.column(new FlatFatWindows(Shim.expression(ts), Shim.expression(v),
+      lenUs, slideUs).toAggregateExpression())
+
+  /** Column surface of [[FlatFatPartialWindows]] (pane partials in). */
+  def fromPartials(ts: Column, cnt: Column, sum: Column, mn: Column, mx: Column,
+      lenUs: Long, slideUs: Long): Column =
+    Shim.column(new FlatFatPartialWindows(Shim.expression(ts), Shim.expression(cnt),
+      Shim.expression(sum), Shim.expression(mn), Shim.expression(mx),
       lenUs, slideUs).toAggregateExpression())
 }

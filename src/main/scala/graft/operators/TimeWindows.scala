@@ -66,4 +66,33 @@ object TimeWindows {
       .select(keys.map(col) :+ col("__w.win_start_us").as("win_start_us") :+
         col("__w.cnt").as("cnt") :+ col("__w.sum_cents").as("sum_cents") :+
         col("__w.min_cents").as("min_cents") :+ col("__w.max_cents").as("max_cents"): _*)
+
+  /** Pane-fed FlatFAT (PLQ panes → WLQ tree): the pane decomposition of
+    * [[slidingByPanes]] applied to the FlatFAT plan of [[slidingByFlatFat]].
+    * Rows pre-aggregate per gcd(len, slide) tumbling pane — a partial→final
+    * HashAggregate, so the wide shuffle moves only map-side-combined pane
+    * summaries, never raw rows — and the per-key FlatFAT tree then holds one
+    * leaf per PANE instead of one per row
+    * (/root/reference/wf/paned_windows.hpp:140-141). Valid because panes
+    * align with window boundaries (g divides both len and slide, so a pane
+    * is entirely inside or outside every window) and (cnt, sum, min, max)
+    * is associative. Result-identical to [[slidingByFlatFat]] (spec), with
+    * the few-distinct-keys hot-key cost moved from O(rows per key) to
+    * O(panes per key). Same output columns.
+    */
+  def slidingByFlatFatPaned(df: DataFrame, tsUsCol: String, valueCentsCol: String,
+      lenUs: Long, slideUs: Long, keys: Seq[String]): DataFrame = {
+    val g = gcd(lenUs, slideUs)
+    val panes = df
+      .groupBy(keys.map(col) :+ expr(s"($tsUsCol div $g) * $g").as("__pane"): _*)
+      .agg(count(col(valueCentsCol)).as("__pcnt"), sum(col(valueCentsCol)).as("__psum"),
+        min(col(valueCentsCol)).as("__pmin"), max(col(valueCentsCol)).as("__pmax"))
+    panes.groupBy(keys.map(col): _*)
+      .agg(FlatFatWindows.fromPartials(col("__pane"), col("__pcnt"), col("__psum"),
+        col("__pmin"), col("__pmax"), lenUs, slideUs).as("__wins"))
+      .select(keys.map(col) :+ explode(col("__wins")).as("__w"): _*)
+      .select(keys.map(col) :+ col("__w.win_start_us").as("win_start_us") :+
+        col("__w.cnt").as("cnt") :+ col("__w.sum_cents").as("sum_cents") :+
+        col("__w.min_cents").as("min_cents") :+ col("__w.max_cents").as("max_cents"): _*)
+  }
 }

@@ -152,6 +152,32 @@ object WindowQueries {
         FROM x GROUP BY event_type, win_start_us
         ORDER BY event_type, win_start_us""")),
 
+    // ---- TB sliding via pane-fed FlatFAT (Paned_Windows PLQ feeding the
+    //      Ffat tree, wf/paned_windows.hpp:140-141): rows pre-aggregate per
+    //      gcd(len, slide) pane (map-side combine — the wide shuffle moves
+    //      pane summaries, not rows), the per-key tree holds one leaf per
+    //      PANE. Same oracle as the row-fed FlatFAT twin. ----
+    Q("win_tb_sliding_ffat_paned",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"), expr(Q.TsUsSpark).as("ts_us"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        graft.operators.TimeWindows
+          .slidingByFlatFatPaned(ev, "ts_us", "cents", H1, M15, Seq("event_type"))
+          .orderBy("event_type", "win_start_us")
+      },
+      Some(s"""
+        WITH e AS (SELECT event_type, ${Q.TsUsDuck} AS ts_us,
+                     CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        x AS (SELECT event_type, cents,
+                unnest(range((ts_us - $H1) // $M15 + 1, ts_us // $M15 + 1)) AS w
+              FROM e)
+        SELECT event_type, w * $M15 AS win_start_us, COUNT(*) AS cnt,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents,
+               MIN(cents) AS min_cents, MAX(cents) AS max_cents
+        FROM x GROUP BY event_type, win_start_us
+        ORDER BY event_type, win_start_us""")),
+
     // ---- TB hopping with gaps (len 10m < slide 30m,
     //      wf/window_replica.hpp:267-273): rows between hops match no
     //      window and are dropped ----

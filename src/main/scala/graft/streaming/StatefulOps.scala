@@ -49,11 +49,16 @@ case class EvRowT(event_id: Long, user_id: Long, ts_us: Long, cents: Long,
     event_time: java.sql.Timestamp)
 case class RollTtlState(sumCents: Long, cnt: Long, lastTsUs: Long)
 
-/** FlatFAT streaming input/state/output: (key, ts, cents) events buffered
-  * per key; windows answered from the shared FlatFAT tree kernel.
+/** FlatFAT streaming input/state/output: (key, ts, cents) events arrive
+  * per key; state holds PANE PARTIALS — parallel arrays of one
+  * (anchor_ts, cnt, sum, min, max) summary per gcd(len, slide) pane — and
+  * windows are answered from the shared FlatFAT tree kernel over those
+  * pane leaves (the reference's pane-stage state bound,
+  * /root/reference/wf/paned_windows.hpp:140-141).
   */
 case class FfatIn(key: String, ts_us: Long, cents: Long)
-case class FfatKeyState(ts: Array[Long], vs: Array[Long])
+case class FfatKeyState(paneTs: Array[Long], cnt: Array[Long], sum: Array[Long],
+    mn: Array[Long], mx: Array[Long])
 case class FfatStreamOut(event_type: String, win_start_us: Long, cnt: Long,
     sum_cents: Long, min_cents: Long, max_cents: Long)
 
@@ -239,41 +244,63 @@ object StatefulOps {
 
   /** Sliding/hopping time windows through the STREAMING engine via the
     * FlatFAT lift/comb tree (the reference's Ffat_Windows run as a
-    * Win_Replica would run it): per-key state buffers (ts, cents) pairs,
-    * and each batch re-answers the windows its new rows touch with
-    * O(log n) range combines over the shared
-    * [[graft.operators.FlatFatWindows.windows]] kernel — no explode
-    * multiplier, one shuffle (the groupByKey), emission keyed by
-    * (key, window) in update mode like the CB family. Buffered rows older
-    * than watermark − 2·len can no longer contribute to any window a
+    * Win_Replica would run it): per-key state holds ONE (cnt, sum, min,
+    * max) partial per gcd(len, slide) tumbling pane — arriving rows fold
+    * into their pane on arrival, so state per key is O(panes inside the
+    * retention horizon), not O(rows), the reference's pane-stage bound
+    * (/root/reference/wf/paned_windows.hpp:140-141). Each batch re-answers
+    * the windows its new rows touch with O(log #panes) range combines over
+    * the shared [[graft.operators.FlatFatWindows.windowsFromPartials]]
+    * kernel — no explode multiplier, one shuffle (the groupByKey), emission
+    * keyed by (key, window) in update mode like the CB family. Valid
+    * because panes align with window boundaries and the lift/comb pair is
+    * associative (same argument as the batch
+    * [[graft.operators.TimeWindows.slidingByFlatFatPaned]]). Panes anchored
+    * older than watermark − 2·len can no longer contribute to any window a
     * future (≥ watermark) row touches and are purged, bounding state per
     * key in a continuous deployment.
     */
   def slidingWindowsFfat(ev: Dataset[FfatIn], lenUs: Long, slideUs: Long)(
       implicit spark: SparkSession): Dataset[FfatStreamOut] = {
     import spark.implicits._
+    val paneUs = {
+      def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+      gcd(lenUs, slideUs)
+    }
     ev.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key: String, it: Iterator[FfatIn], state: GroupState[FfatKeyState]) =>
-          val s = state.getOption.getOrElse(FfatKeyState(Array.empty, Array.empty))
+          val s = state.getOption.getOrElse(
+            FfatKeyState(Array.empty, Array.empty, Array.empty, Array.empty, Array.empty))
           val wmUs = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(0L) * 1000L
-          val (keepTs, keepVs) =
-            if (wmUs > 0) {
-              val keep = s.ts.indices.filter(i => s.ts(i) >= wmUs - 2 * lenUs)
-              (keep.map(s.ts).toArray, keep.map(s.vs).toArray)
-            } else (s.ts, s.vs)
-          val batch = it.toArray
-          val ts = keepTs ++ batch.map(_.ts_us)
-          val vs = keepVs ++ batch.map(_.cents)
-          state.update(FfatKeyState(ts, vs))
-          // windows touched by this batch's rows
+          // pane partials: anchor -> (cnt, sum, min, max); start from the
+          // retained state panes (anchor ≥ wm − 2·len: a purged pane's
+          // windows all start at-or-before its anchor < wm − len, below
+          // every window a future ≥-wm row can touch)
+          val panes = scala.collection.mutable.HashMap[Long, (Long, Long, Long, Long)]()
+          s.paneTs.indices.foreach { i =>
+            if (wmUs <= 0 || s.paneTs(i) >= wmUs - 2 * lenUs)
+              panes(s.paneTs(i)) = (s.cnt(i), s.sum(i), s.mn(i), s.mx(i))
+          }
+          // fold this batch's rows into their panes + collect touched windows
           val touched = scala.collection.mutable.HashSet[Long]()
-          batch.foreach { e =>
+          it.foreach { e =>
+            val anchor = Math.floorDiv(e.ts_us, paneUs) * paneUs
+            val (c, sm, mn, mx) =
+              panes.getOrElse(anchor, (0L, 0L, Long.MaxValue, Long.MinValue))
+            panes(anchor) = (c + 1, sm + e.cents,
+              math.min(mn, e.cents), math.max(mx, e.cents))
             var w = Math.floorDiv(e.ts_us - lenUs, slideUs) + 1
             val wMax = Math.floorDiv(e.ts_us, slideUs)
             while (w <= wMax) { touched += w * slideUs; w += 1 }
           }
-          graft.operators.FlatFatWindows.windows(ts, vs, lenUs, slideUs)
+          val anchors = panes.keysIterator.toArray
+          state.update(FfatKeyState(anchors,
+            anchors.map(panes(_)._1), anchors.map(panes(_)._2),
+            anchors.map(panes(_)._3), anchors.map(panes(_)._4)))
+          graft.operators.FlatFatWindows.windowsFromPartials(anchors,
+            anchors.map(panes(_)._1), anchors.map(panes(_)._2),
+            anchors.map(panes(_)._3), anchors.map(panes(_)._4), lenUs, slideUs)
             .iterator.filter(w => touched.contains(w.winStartUs))
             .map(w => FfatStreamOut(key, w.winStartUs, w.cnt, w.sum, w.min, w.max))
       }

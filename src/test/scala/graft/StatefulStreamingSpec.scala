@@ -198,11 +198,11 @@ class StatefulStreamingSpec extends AnyFunSuite {
   private def stateStore(ckpt: String) =
     spark.read.format("statestore").load(ckpt)
 
-  test("watermarked FlatFAT stream purges buffered rows older than wm - 2*len") {
+  test("watermarked FlatFAT stream holds pane partials and purges panes older than wm - 2*len") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
     implicit val sp = spark
-    val lenUs = 10L * 1000000L // 10 s windows, 5 s slide
+    val lenUs = 10L * 1000000L // 10 s windows, 5 s slide → g = 5 s panes
     val slideUs = 5L * 1000000L
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ffat_purge_").toString
     val mem = MemoryStream[FfatIn]
@@ -214,29 +214,37 @@ class StatefulStreamingSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("ffat_purge_x")
       .option("checkpointLocation", ckpt)
       .outputMode("update").start()
-    val t0 = 1600000000000000L
+    val t0 = 1600000000000000L // a multiple of the 5 s pane
     mem.addData(FfatIn("a", t0, 1L), FfatIn("a", t0 + 1000000L, 2L),
       FfatIn("a", t0 + 2000000L, 3L))
     q.processAllAvailable() // watermark after this batch: t0 + 2 s
     val jump = t0 + 3600L * 1000000L
     mem.addData(FfatIn("a", jump, 4L))
-    q.processAllAvailable() // wm during batch: t0+2s (keeps t0 rows); after: jump
-    def bufLen: Int = {
+    q.processAllAvailable() // wm during batch: t0+2s (keeps the t0 pane); after: jump
+    // flatMapGroupsWithState state schema: value.groupState.<fields>;
+    // returns the (anchor → cnt) pane map of the single state row
+    def statePanes: Map[Long, Long] = {
       val rows = stateStore(ckpt).collect()
       assert(rows.nonEmpty, "no state rows read from checkpoint")
       val r = rows.head
-      // flatMapGroupsWithState state schema: value.groupState.<fields>
       val v = r.getStruct(r.fieldIndex("value"))
       val gs = v.getStruct(v.schema.fieldNames.indexOf("groupState"))
-      gs.getSeq[Long](gs.schema.fieldNames.indexOf("ts")).size
+      val anchors = gs.getSeq[Long](gs.schema.fieldNames.indexOf("paneTs"))
+      val cnts = gs.getSeq[Long](gs.schema.fieldNames.indexOf("cnt"))
+      anchors.zip(cnts).toMap
     }
-    assert(bufLen == 4, s"expected all 4 rows buffered pre-purge, got $bufLen")
+    // the pane-stage bound: 4 buffered ROWS collapse to 2 pane partials
+    // (the three t0-pane rows fold into one (cnt=3) leaf)
+    assert(statePanes == Map(t0 -> 3L, jump -> 1L),
+      s"expected 2 pane partials {t0->3, jump->1} pre-purge, got $statePanes")
     mem.addData(FfatIn("a", jump + 1000000L, 5L))
-    q.processAllAvailable() // wm during batch: jump → purge rows < jump - 2*len
+    q.processAllAvailable() // wm during batch: jump → purge panes < jump - 2*len
     q.stop()
-    // the three t0 rows are older than wm − 2·len and can no longer
-    // contribute to any window a future (≥ wm) row touches → purged
-    assert(bufLen == 2, s"expected purge to keep 2 rows (jump, jump+1s), got $bufLen")
+    // the t0 pane is anchored older than wm − 2·len: every window it
+    // belongs to starts at-or-before its anchor, below any window a
+    // future (≥ wm) row touches → purged; jump+1s folds into the jump pane
+    assert(statePanes == Map(jump -> 2L),
+      s"expected purge to keep one pane {jump->2}, got $statePanes")
   }
 
   test("noninc append windows emit once when the watermark passes and evict state") {

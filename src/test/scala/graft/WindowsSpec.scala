@@ -42,6 +42,11 @@ class WindowsSpec extends AnyFunSuite {
         .collect().map(_.toString).sorted
       val f = ffat.collect().map(_.toString).sorted
       assert(d.nonEmpty && d.sameElements(f), s"mismatch for len=$len slide=$slide")
+      // pane-fed FlatFAT (PLQ gcd-pane partials → WLQ tree) is the same
+      // logical result again — one leaf per pane instead of per row
+      val paned = TimeWindows.slidingByFlatFatPaned(ev, "ts_us", "cents", len, slide, Seq("event_type"))
+        .collect().map(_.toString).sorted
+      assert(d.sameElements(paned), s"pane-fed ffat mismatch for len=$len slide=$slide")
     }
   }
 
