@@ -43,4 +43,20 @@ class ContractSpec extends AnyFunSuite {
     assert(!line.contains(""""broken":0.003"""), "failed query leaked into timings: " + line)
     assert(line.contains(""""value":1.25"""), "total must exclude failed queries: " + line)
   }
+
+  test("bench self-defense: prior timings round-trip and re-measures land in the artifact") {
+    // parseQueries inverts renderLine — the cross-round comparison reads
+    // exactly what the previous round wrote
+    val prevLine = Bench.renderLine(Seq(
+      ("q_fast", 0.42, None), ("q_slow", 3.5, None),
+      ("broken", 0.1, Some("Boom"))), "/sf")
+    val prev = Bench.parseQueries(prevLine)
+    assert(prev == Map("q_fast" -> 0.42, "q_slow" -> 3.5), prev)
+    // a re-measured entry records BOTH numbers so the artifact defends
+    // its own outliers
+    val line = Bench.renderLine(Seq(("q_slow", 3.6, None)), "/sf",
+      remeasured = Map("q_slow" -> (9.9, 3.6)))
+    assert(line.contains(""""remeasured":{"q_slow":{"first":9.9,"fresh":3.6}}"""), line)
+    assert(line.contains(""""q_slow":3.6"""), line)
+  }
 }
