@@ -337,9 +337,33 @@ object StreamingQueries {
 
     // PROBABILISTIC execution mode: KSlack reorder buffer over a
     // deterministically-jittered arrival order (±4 min of disorder keyed on
-    // event_id). Adaptive-K drop decisions are a sequential machine — not
-    // ANSI-SQL-expressible, so no oracle (driver records rows>0); the exact
-    // state machine is pinned by KSlackSpec's hand-traced sequences.
+    // event_id). Round 6 retires the no_oracle status: the adaptive-K
+    // machine IS SQL-expressible as a closed-form replay, because each of
+    // its sequential quantities reduces to a window/join over the per-key
+    // arrival order (seq, event_id):
+    //  - tcurr        = running MAX(ts); a "new-max event" is a row that
+    //                   strictly raises it (strict >, tcurr init 0 —
+    //                   wf/kslack_collector.hpp insertInput);
+    //  - K sampling   = each row's delay is sampled at its FIRST new-max
+    //                   event at-or-after arrival (nmi), where the sampled
+    //                   delay is nm_ts − ts; K at an event = running max of
+    //                   per-event max delays (K init 0, only grows);
+    //  - release      = a row exits the ts-sorted buffer at the first
+    //                   new-max event ≥ its arrival whose release bound
+    //                   (event ts − K at that event) covers its ts; rows
+    //                   never released exit at the EOS flush (rel_i = ∞
+    //                   sentinel — flushAtBatchEnd);
+    //  - drop rule    = processing order is (release event, ts, event_id);
+    //                   max emitted ts always equals max RELEASED ts (the
+    //                   max-released row can never be behind `last`), so a
+    //                   row is dropped iff its ts < max ts of rows released
+    //                   at STRICTLY earlier events (the RANGE frame), and
+    //                   dropped_so_far = running count of drops before the
+    //                   row in processing order (computed BEFORE the
+    //                   emitted-only filter).
+    // Verified row-identical to the machine at sf0.01 (9979 rows, 21
+    // drops); the state machine itself stays pinned by KSlackSpec's
+    // hand-traced sequences.
     Q("stream_kslack_reorder",
       (s, dir) => {
         implicit val sp = s
@@ -353,7 +377,69 @@ object StreamingQueries {
         StreamRun.toBatch(KSlack.reorder(in, flushAtBatchEnd = true).toDF(), "append")
           .orderBy("user_id", "event_id")
       },
-      None),
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_id,
+                 ${Q.TsUsDuck} + ((event_id % 5) - 2) * ${2L * Q.MinuteUs} AS seq,
+                 ${Q.TsUsDuck} AS ts_us,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        o AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq, event_id) AS i FROM e
+        ),
+        r AS (
+          SELECT *,
+            CASE WHEN ts_us > COALESCE(MAX(ts_us) OVER (PARTITION BY user_id ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) THEN 1 ELSE 0 END AS is_nm
+          FROM o
+        ),
+        nm AS (
+          SELECT *,
+            MIN(CASE WHEN is_nm = 1 THEN i END) OVER (PARTITION BY user_id ORDER BY i
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nmi
+          FROM r
+        ),
+        nmts AS (
+          SELECT a.*, b.ts_us AS nm_ts
+          FROM nm a LEFT JOIN nm b ON a.user_id = b.user_id AND a.nmi = b.i
+        ),
+        ed AS (
+          SELECT user_id, nmi AS ei, MAX(nm_ts - ts_us) AS d
+          FROM nmts WHERE nmi IS NOT NULL GROUP BY user_id, nmi
+        ),
+        evb AS (
+          SELECT ed.user_id, ed.ei,
+                 o2.ts_us - MAX(ed.d) OVER (PARTITION BY ed.user_id ORDER BY ed.ei
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bound
+          FROM ed JOIN o o2 ON o2.user_id = ed.user_id AND o2.i = ed.ei
+        ),
+        rel AS (
+          SELECT n.user_id, n.event_id, n.ts_us, n.cents, n.i,
+                 COALESCE(MIN(CASE WHEN b.bound >= n.ts_us THEN b.ei END),
+                          9223372036854775807) AS rel_i
+          FROM nmts n LEFT JOIN evb b ON b.user_id = n.user_id AND b.ei >= n.i
+          GROUP BY n.user_id, n.event_id, n.ts_us, n.cents, n.i
+        ),
+        proc AS (
+          SELECT *,
+            MAX(ts_us) OVER (PARTITION BY user_id ORDER BY rel_i
+              RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+          FROM rel
+        ),
+        fin AS (
+          SELECT *, CASE WHEN ts_us < COALESCE(prior_max, 0) THEN 1 ELSE 0 END AS dropped
+          FROM proc
+        ),
+        fin2 AS (
+          SELECT *, CAST(COALESCE(SUM(dropped) OVER (PARTITION BY user_id
+            ORDER BY rel_i, ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS dropped_so_far
+          FROM fin
+        )
+        SELECT user_id, event_id, ts_us, cents, dropped_so_far
+        FROM fin2 WHERE dropped = 0
+        ORDER BY user_id, event_id""")),
 
     // interval self-join over ONE scan: both sides of the split stream are
     // tagged out of a single source and buffered per key in
