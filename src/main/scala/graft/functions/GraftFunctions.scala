@@ -77,12 +77,19 @@ object GraftFunctions {
     * higher-order functions — measured 10× slower on the dedup pipelines).
     * Here the tokenization is evaluated a constant number of times per row.
     */
-  def wordShingles(text: Column, n: Int): Column = {
+  def wordShingles(text: Column, n: Int): Column =
+    array_distinct(wordGrams(text, n))
+
+  /** Word n-grams WITH multiplicity (the non-distinct form of
+    * [[wordShingles]], same shifted-slice construction) — the denominator
+    * and duplicate signal of repetition-based quality filters.
+    */
+  def wordGrams(text: Column, n: Int): Column = {
     val t = tokens(text)
     val zipped = arrays_zip((0 until n).map(j => slice(t, lit(j + 1), size(t) - (n - 1))): _*)
     val grams = transform(zipped, s =>
       concat_ws(" ", (0 until n).map(j => s.getField(j.toString)): _*))
-    when(size(t) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
+    when(size(t) >= n, grams).otherwise(array().cast("array<string>"))
   }
 
   /** Token count (whitespace segmentation). */

@@ -226,6 +226,37 @@ object PipelineQueries {
            |  $qualityScoreSql AS quality_score
            |FROM f ORDER BY doc_id""".stripMargin)),
 
+    // Gopher/C4-style repetition filters: duplicate word-n-gram fractions
+    // + most-frequent-token fraction. The integer counts may be computed
+    // by any plan (ratios are single divisions of exact integers), so the
+    // oracle uses DuckDB's list lambdas directly; the Spark side is the
+    // single-pass no-shuffle column rendering in
+    // TextAnalysis.repetitionColumns.
+    Q("text_repetition",
+      (s, dir) => {
+        val cols = TextAnalysis.repetitionColumns(col("text")).map { case (n, c) => c.as(n) }
+        Tables.documents(s, dir).select(col("doc_id") +: cols: _*).orderBy("doc_id")
+      },
+      Some {
+        def gramSql(n: Int): String = {
+          val gram = (0 until n).map(j => s"toks[CAST(i+${j + 1} AS INT)]").mkString(" || ' ' || ")
+          s"CASE WHEN len(toks) >= $n THEN list_transform(range(0, len(toks) - ${n - 1}), i -> $gram) " +
+            s"ELSE CAST([] AS VARCHAR[]) END"
+        }
+        def dupSql(g: String): String =
+          s"CASE WHEN len($g) > 0 THEN CAST(len($g) - len(list_distinct($g)) AS DOUBLE) / CAST(len($g) AS DOUBLE) ELSE 0.0e0 END"
+        s"""WITH d AS (SELECT doc_id, ${graft.oracle.DuckSql.tokens("text")} AS toks FROM ${Q.DocsRef}),
+           |g AS (SELECT doc_id, toks, ${gramSql(2)} AS g2, ${gramSql(3)} AS g3 FROM d)
+           |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  ${dupSql("g2")} AS dup_gram2_ratio,
+           |  ${dupSql("g3")} AS dup_gram3_ratio,
+           |  CASE WHEN len(toks) > 0 THEN
+           |    CAST(list_max(list_transform(list_distinct(toks), d2 -> len(list_filter(toks, x -> x = d2)))) AS DOUBLE)
+           |      / CAST(len(toks) AS DOUBLE)
+           |  ELSE 0.0e0 END AS top_token_ratio
+           |FROM g ORDER BY doc_id""".stripMargin
+      }),
+
     Q("text_tokens",
       (s, dir) => {
         val t = tokens(col("text"))

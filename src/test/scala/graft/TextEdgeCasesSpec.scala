@@ -56,6 +56,29 @@ class TextEdgeCasesSpec extends AnyFunSuite {
     assert(fps.count(_.isNullAt(1)) == 3) // texts shorter than 8 chars → null fp
   }
 
+  test("repetition stats: hand-computed values and zero on degenerates") {
+    import spark.implicits._
+    val d = (docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq :+
+      (8L, "a b a b a c")).toDF("doc_id", "text")
+    val got = d.select(
+      col("doc_id") +:
+        TextAnalysis.repetitionColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // empty / whitespace-only: everything zero
+    assert(got(0L) == ((0L, 0.0, 0.0, 0.0)) && got(1L) == ((0L, 0.0, 0.0, 0.0)))
+    // single token: no grams, top token is 1/1
+    assert(got(2L) == ((1L, 0.0, 0.0, 1.0)))
+    // "The the THE tHe" lowercases to 4× "the": bigrams = 3 total /
+    // 1 distinct → (3−1)/3, trigrams = 2 total / 1 distinct → 1/2,
+    // top token = 4/4
+    assert(got(7L) == ((4L, 2.0 / 3.0, 0.5, 1.0)))
+    // "a b a b a c": bigrams [ab, ba, ab, ba, ac] → 2 dup of 5; trigrams
+    // [aba, bab, aba, bac] → 1 dup of 4; 'a' appears 3 of 6
+    assert(got(8L) == ((6L, 2.0 / 5.0, 1.0 / 4.0, 0.5)))
+  }
+
   test("dedup pipelines tolerate degenerate corpora") {
     val pairs = graft.dedup.Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
     assert(pairs.count() == 0) // no doc pair shares 3-gram shingles
