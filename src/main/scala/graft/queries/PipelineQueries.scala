@@ -388,6 +388,48 @@ object PipelineQueries {
         SELECT doc_id, n_tokens, CAST((run - n_tokens) // 2000 AS BIGINT) AS shard_id
         FROM c ORDER BY doc_id""")),
 
+    // training-example assembly: the step AFTER token-budget sharding —
+    // each shard's documents concatenate (doc_id order, blank-line
+    // separator) into ONE context-window-sized example. The only
+    // per-group materialization is bounded by the token budget itself
+    // (a shard never exceeds ~budget tokens by construction), so
+    // collect_list here is scale-safe where a per-corpus collect would
+    // not be; the shard assignment reuses the distributed two-pass
+    // prefix scan (a keyless window would collapse to one task).
+    Q("pipeline_pack_examples",
+      (s, dir) => {
+        val budget = 2000L
+        val withTok = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), size(tokens(col("text"))).as("n_tokens"))
+        val sharded = graft.operators.PrefixSum
+          .runningSum(withTok, "n_tokens", Seq("doc_id"))
+          .select(col("doc_id"), col("text"), col("n_tokens"),
+            expr(s"(running_n_tokens - n_tokens) div $budget").as("shard_id"))
+        sharded.groupBy("shard_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens").cast("long")).as("shard_tokens"),
+            array_join(
+              transform(sort_array(collect_list(struct(col("doc_id"), col("text")))),
+                x => x.getField("text")),
+              "\n\n").as("example_text"))
+          .orderBy("shard_id")
+      },
+      Some(s"""
+        WITH d AS (SELECT doc_id, text,
+                     CAST(len(${DuckSql.tokens("text")}) AS INT) AS n_tokens
+                   FROM ${Q.DocsRef}),
+        c AS (SELECT doc_id, text, n_tokens,
+                SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+              FROM d),
+        sh AS (SELECT doc_id, text, n_tokens,
+                 CAST((run - n_tokens) // 2000 AS BIGINT) AS shard_id
+               FROM c)
+        SELECT shard_id, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+               array_to_string(list(text ORDER BY doc_id), chr(10) || chr(10)) AS example_text
+        FROM sh GROUP BY shard_id ORDER BY shard_id""")),
+
     // deterministic stratified (class-balanced) sampling: 20 vectors per
     // label, chosen by a fixed multiplicative hash of the id so the
     // sample is reproducible across engines and runs. rank<=k over a
