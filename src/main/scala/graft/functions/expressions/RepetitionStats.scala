@@ -1,0 +1,88 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.Shim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass repetition-statistics kernel: tokenizes once (lowercased
+  * whitespace split, empties removed — value-identical to
+  * [[graft.functions.GraftFunctions.tokens]] and the DuckDB oracle) and
+  * computes in one loop the integer counts behind the Gopher/C4 repetition
+  * filters: token count, word 2-/3-gram totals and distinct counts, and
+  * the most-frequent-token count.
+  *
+  * Value-identical to the composable higher-order-function rendering
+  * (`wordGrams` + `array_distinct` + an `aggregate` run-length fold over
+  * `sort_array`), but that tree evaluates the tokenization per derived
+  * column and every HOF is CodegenFallback — measured ~7 s for the
+  * sf0.1 documents scan vs sub-second here. Ratios stay in the Column
+  * layer (single divisions of these exact integers), so the oracle is
+  * unchanged.
+  */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = RepetitionStats.Schema
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"repetition_stats expects string, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    RepetitionStats.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.RepetitionStats.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RepetitionStats {
+  val Schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("g2_total", LongType, nullable = false),
+    StructField("g2_distinct", LongType, nullable = false),
+    StructField("g3_total", LongType, nullable = false),
+    StructField("g3_distinct", LongType, nullable = false),
+    StructField("top_token", LongType, nullable = false)))
+
+  /** One tokenization, one pass per gram width, one frequency map. */
+  def compute(s: UTF8String): InternalRow = {
+    val toks = s.toLowerCase.toString.split("\\s+", -1).filter(_.nonEmpty)
+    val m = toks.length
+    if (m == 0) return InternalRow(0L, 0L, 0L, 0L, 0L, 0L)
+    val freq = new java.util.HashMap[String, Long]()
+    var top = 0L
+    var i = 0
+    while (i < m) {
+      val c = freq.merge(toks(i), 1L, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    def distinctGrams(n: Int): Long = {
+      if (m < n) return 0L
+      val seen = new java.util.HashSet[String]()
+      var j = 0
+      while (j <= m - n) {
+        val sb = new java.lang.StringBuilder(toks(j))
+        var k = 1
+        while (k < n) { sb.append(' ').append(toks(j + k)); k += 1 }
+        seen.add(sb.toString)
+        j += 1
+      }
+      seen.size.toLong
+    }
+    val g2t = math.max(0, m - 1).toLong
+    val g3t = math.max(0, m - 2).toLong
+    InternalRow(m.toLong, g2t, distinctGrams(2), g3t, distinctGrams(3), top)
+  }
+
+  def of(c: Column): Column = Shim.column(RepetitionStats(Shim.expression(c)))
+}

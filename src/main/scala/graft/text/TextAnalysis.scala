@@ -103,44 +103,29 @@ object TextAnalysis {
     *    multiplicity) that are duplicates of an earlier one —
     *    1 − distinct/total.
     *  - `top_token_ratio`: occurrences of the most frequent token /
-    *    total tokens. Computed as the longest equal-run over the SORTED
-    *    token array via a single `aggregate` fold — one pass per row; the
-    *    naive rendering (count each distinct token with a lambda-captured
-    *    `filter(toks, …)`) re-inlines the tokenization per distinct token
-    *    under projection collapse (no CSE inside higher-order functions,
-    *    same trap as [[fingerprint]]).
+    *    total tokens.
     *
-    * All single-pass column work: no shuffle, no UDF, stays in codegen.
-    * Ratios are one integer-derived division per value, so the DuckDB
-    * oracle is bit-exact whatever plan it uses for the integer counts.
+    * The integer counts come from the native single-pass
+    * [[graft.functions.expressions.RepetitionStats]] kernel (one
+    * tokenization per row, codegen'd) — the composable HOF rendering
+    * (`wordGrams` + `array_distinct` per width + an `aggregate` fold for
+    * the mode) re-tokenizes per derived column and every HOF is
+    * CodegenFallback; measured ~7 s vs sub-second on the sf0.1 documents
+    * scan. No shuffle; ratios are one integer-derived division per value,
+    * so the DuckDB oracle is bit-exact whatever plan it uses for the
+    * integer counts.
     */
   def repetitionColumns(text: Column): Seq[(String, Column)] = {
-    val toks = tokens(text)
-    val nTok = size(toks).cast("long")
-    def dupRatio(n: Int): Column = {
-      val g = wordGrams(text, n)
-      val total = size(g).cast("long")
-      when(total > 0,
-        (total - size(array_distinct(g)).cast("long")).cast("double") / total.cast("double"))
-        .otherwise(lit(0.0))
-    }
-    val topRun = aggregate(
-      sort_array(toks),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + lit(1L))
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
-    val topTokRatio = when(nTok > 0,
-      topRun.cast("double") / nTok.cast("double")).otherwise(lit(0.0))
+    val st = graft.functions.expressions.RepetitionStats.of(text)
+    def ratio(dup: Column, total: Column): Column =
+      when(total > 0, dup.cast("double") / total.cast("double")).otherwise(lit(0.0))
     Seq(
-      "n_tokens" -> nTok,
-      "dup_gram2_ratio" -> dupRatio(2),
-      "dup_gram3_ratio" -> dupRatio(3),
-      "top_token_ratio" -> topTokRatio)
+      "n_tokens" -> st.getField("n_tokens"),
+      "dup_gram2_ratio" -> ratio(
+        st.getField("g2_total") - st.getField("g2_distinct"), st.getField("g2_total")),
+      "dup_gram3_ratio" -> ratio(
+        st.getField("g3_total") - st.getField("g3_distinct"), st.getField("g3_total")),
+      "top_token_ratio" -> ratio(st.getField("top_token"), st.getField("n_tokens")))
   }
 
   /** GPT-2-style pretokenizer pattern, restricted to constructs RE2 also

@@ -35,6 +35,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
   }
 
+  test("pane-fed FlatFAT pre-aggregates per pane before the shuffle") {
+    val p = plan("win_tb_sliding_ffat_paned").toLowerCase
+    // the pane PLQ stage must split partial→final so the wide shuffle
+    // moves map-side-combined pane summaries, never raw rows
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      "expected map-side pane combine: " + p.take(2000))
+    assert(p.contains("flatfatpartialwindows"),
+      "expected the partials-fed ffat aggregate: " + p.take(2000))
+    // the only Generate (explode) is the output unnest of the per-key
+    // windows array — DOWNSTREAM of the aggregates, i.e. earlier in the
+    // printed tree. Any generate deeper than the pane partial aggregate
+    // would mean rows multiplied before the shuffle, the exact cost the
+    // pane feed exists to avoid.
+    val paneAgg = p.indexOf("partial_count")
+    assert(paneAgg >= 0 && !p.substring(paneAgg).contains("generate"),
+      "explode upstream of the pane pre-aggregate: " + p.take(2000))
+  }
+
   test("interval join is a key-equi join, not a cartesian product") {
     val p = plan("interval_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(3000))
