@@ -16,7 +16,11 @@ class InvarianceSpec extends AnyFunSuite {
     df.collect().map(_.toString).sorted.toSeq
 
   private val probes = Seq("win_cb_tumbling", "reduce_rolling", "dedup_minhash_lsh",
-    "win_tb_sliding", "interval_join")
+    "win_tb_sliding", "interval_join",
+    // the pane-fed FlatFAT and the prefix-scan-based example packing both
+    // depend on partition-boundary bookkeeping — exactly what this spec
+    // exists to pin
+    "win_tb_sliding_ffat_paned", "pipeline_pack_examples")
 
   test("results invariant under shuffle partitions {1, 5, 9}") {
     val results = Seq(1, 5, 9).map { n =>
