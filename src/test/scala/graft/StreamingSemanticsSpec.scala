@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.streaming.{EvRow, StatefulOps}
+import graft.streaming.{EvRow, FfatIn, StatefulOps}
 
 /** Watermark/lateness and state-backend semantics (SURVEY §2.8):
   *  - late rows beyond the watermark are dropped and *counted* — the
@@ -147,6 +147,24 @@ class StreamingSemanticsSpec extends AnyFunSuite {
     val rows = s2.table("rocks_x").orderBy("event_id").collect()
       .map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
     assert(rows.toSeq == Seq((1L, 1.5, 1L), (2L, 2.0, 2L), (3L, 3.0, 3L)))
+
+    // the pane-partial FlatFAT state (five parallel Long arrays) must
+    // round-trip RocksDB serialization across batches the same way
+    val mem2 = MemoryStream[FfatIn]
+    val q2 = StatefulOps.slidingWindowsFfat(mem2.toDS(), 10000000L, 5000000L)(s2)
+      .toDF().writeStream.format("memory").queryName("rocks_ffat_x")
+      .outputMode("update").start()
+    val t0 = 1600000000000000L
+    mem2.addData(FfatIn("a", t0, 3L))
+    q2.processAllAvailable()
+    mem2.addData(FfatIn("a", t0 + 1000000L, 4L)) // folds into the restored pane
+    q2.processAllAvailable()
+    q2.stop()
+    val win = s2.table("rocks_ffat_x")
+      .filter(col("win_start_us") === (t0 - 5000000L))
+      .orderBy(col("cnt").desc).collect().head
+    assert((win.getLong(2), win.getLong(3), win.getLong(4), win.getLong(5)) ==
+      ((2L, 7L, 3L, 4L)), win.toString)
   }
 
   test("multi-input watermark is the minimum across sources (Watermark_Collector)") {
