@@ -363,6 +363,56 @@ object PipelineQueries {
            |SELECT doc_id, n_tokens, quality_score FROM r
            |WHERE rep_id = doc_id ORDER BY doc_id""".stripMargin)),
 
+    // cleaning pipeline v2: the round-6 repetition signals composed with
+    // the quality score and exact dedup in ONE declared plan — quality +
+    // Gopher-style repetition thresholds are per-row column predicates
+    // (native RepetitionStats kernel, no shuffle), then the single digest
+    // shuffle dedups survivors. Threshold comparisons run on
+    // identically-derived doubles both engines, so the kept set is exact.
+    Q("pipeline_corpus_clean_rep",
+      (s, dir) => {
+        val q = TextAnalysis.qualityColumns(col("text")).toMap
+        val r = TextAnalysis.repetitionColumns(col("text")).toMap
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"),
+            q("n_tokens").as("n_tokens"), q("quality_score").as("quality_score"),
+            r("dup_gram2_ratio").as("dup_gram2_ratio"),
+            r("top_token_ratio").as("top_token_ratio"))
+          .filter(col("quality_score") >= 0.5 &&
+            col("dup_gram2_ratio") <= 0.05 && col("top_token_ratio") <= 0.2)
+          .withColumn("rep_id",
+            min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+          .filter(col("rep_id") === col("doc_id"))
+          .select("doc_id", "n_tokens", "quality_score", "dup_gram2_ratio", "top_token_ratio")
+          .orderBy("doc_id")
+      },
+      Some {
+        val g2 = "CASE WHEN len(toks) >= 2 THEN list_transform(range(0, len(toks) - 1), " +
+          "i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]) " +
+          "ELSE CAST([] AS VARCHAR[]) END"
+        s"""WITH ${qualityCtes},
+           |q AS (SELECT doc_id, text, n_tokens, $qualityScoreSql AS quality_score FROM f),
+           |t2 AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks FROM ${Q.DocsRef}),
+           |gg AS (SELECT doc_id, toks, $g2 AS g2 FROM t2),
+           |rr AS (SELECT doc_id,
+           |  CASE WHEN len(g2) > 0 THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE) ELSE 0.0e0 END AS dup_gram2_ratio,
+           |  CASE WHEN len(toks) > 0 THEN
+           |    CAST(list_max(list_transform(list_distinct(toks), d2 -> len(list_filter(toks, x -> x = d2)))) AS DOUBLE)
+           |      / CAST(len(toks) AS DOUBLE)
+           |  ELSE 0.0e0 END AS top_token_ratio
+           |FROM gg),
+           |j AS (SELECT q.doc_id, q.text, q.n_tokens, q.quality_score,
+           |             rr.dup_gram2_ratio, rr.top_token_ratio
+           |      FROM q JOIN rr ON q.doc_id = rr.doc_id
+           |      WHERE q.quality_score >= 0.5e0
+           |        AND rr.dup_gram2_ratio <= 0.05e0 AND rr.top_token_ratio <= 0.2e0),
+           |r AS (SELECT doc_id, n_tokens, quality_score, dup_gram2_ratio, top_token_ratio,
+           |        min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+           |      FROM j)
+           |SELECT doc_id, n_tokens, quality_score, dup_gram2_ratio, top_token_ratio
+           |FROM r WHERE rep_id = doc_id ORDER BY doc_id""".stripMargin
+      }),
+
     // token-budget sharding: pack the corpus, in doc_id order, into
     // training shards of ~2000 tokens (a doc may straddle; the greedy
     // rule is shard = exclusive-prefix-tokens div budget). The global
