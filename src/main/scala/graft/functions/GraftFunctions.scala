@@ -62,11 +62,20 @@ object GraftFunctions {
     java.lang.Long.parseLong(md.map("%02x".format(_)).mkString.take(15), 16)
   }
 
+  /** Explicit whitespace class shared by every tokenizer regex on BOTH
+    * engines. Java `\s` is `[ \t\n\x0B\f\r]` but RE2 (DuckDB) `\s` excludes
+    * `\x0B`, so a bare `\s` tokenizes a vertical-tab-bearing document
+    * differently across the oracle boundary (r6 advice). The escapes are
+    * identical hex/control escapes in Java regex and RE2, so one literal
+    * serves both.
+    */
+  val WsClass: String = "[ \\t\\n\\x0B\\f\\r]"
+
   /** Lowercased whitespace tokens, empties removed. Matches
-    * DuckSql.tokens exactly (same regex class, same empty-filter).
+    * DuckSql.tokens exactly (same explicit [[WsClass]], same empty-filter).
     */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => t =!= "")
+    filter(split(lower(text), WsClass + "+"), t => t =!= "")
 
   /** Distinct word n-gram shingles over [[tokens]]. Docs with fewer than n
     * tokens yield an empty array.

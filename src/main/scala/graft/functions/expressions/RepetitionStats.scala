@@ -53,9 +53,16 @@ object RepetitionStats {
     StructField("g3_distinct", LongType, nullable = false),
     StructField("top_token", LongType, nullable = false)))
 
+  /** Shared explicit whitespace class (not `\s` — Java/RE2 divergence on
+    * `\x0B`, see [[graft.functions.GraftFunctions.WsClass]]), precompiled
+    * once per JVM instead of per row.
+    */
+  private val Ws: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(graft.functions.GraftFunctions.WsClass + "+")
+
   /** One tokenization, one pass per gram width, one frequency map. */
   def compute(s: UTF8String): InternalRow = {
-    val toks = s.toLowerCase.toString.split("\\s+", -1).filter(_.nonEmpty)
+    val toks = Ws.split(s.toLowerCase.toString, -1).filter(_.nonEmpty)
     val m = toks.length
     if (m == 0) return InternalRow(0L, 0L, 0L, 0L, 0L, 0L)
     val freq = new java.util.HashMap[String, Long]()

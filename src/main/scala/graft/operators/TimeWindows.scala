@@ -25,14 +25,23 @@ object TimeWindows {
 
   private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
 
+  /** Exact int64 FLOOR division as SQL text. SQL `div` truncates toward
+    * zero, so a raw `ts div g` anchor diverges from the streaming twins'
+    * `Math.floorDiv` for event times before the epoch (r6 advice);
+    * `x - pmod(x, d)` is the largest multiple of d ≤ x, making this
+    * floorDiv for every x including negatives, with no double round-trip.
+    */
+  private def fdiv(x: String, d: Long): String =
+    s"((($x) - pmod(($x), ${d}L)) div ${d}L)"
+
   /** Direct per-row window assignment. Output: keys ++ (win_start_us, cnt,
     * sum_cents).
     */
   def sliding(df: DataFrame, tsUsCol: String, valueCentsCol: String,
       lenUs: Long, slideUs: Long, keys: Seq[String]): DataFrame =
     df.withColumn("__w", explode(expr(
-        s"CASE WHEN ($tsUsCol - $lenUs) div $slideUs + 1 <= $tsUsCol div $slideUs " +
-          s"THEN sequence(($tsUsCol - $lenUs) div $slideUs + 1, $tsUsCol div $slideUs) END")))
+        s"CASE WHEN ${fdiv(s"$tsUsCol - $lenUs", slideUs)} + 1 <= ${fdiv(tsUsCol, slideUs)} " +
+          s"THEN sequence(${fdiv(s"$tsUsCol - $lenUs", slideUs)} + 1, ${fdiv(tsUsCol, slideUs)}) END")))
       .groupBy(keys.map(col) :+ expr(s"__w * $slideUs").as("win_start_us"): _*)
       .agg(count(lit(1)).as("cnt"), sum(col(valueCentsCol)).as("sum_cents"))
 
@@ -41,12 +50,12 @@ object TimeWindows {
       lenUs: Long, slideUs: Long, keys: Seq[String]): DataFrame = {
     val g = gcd(lenUs, slideUs)
     val panes = df
-      .groupBy(keys.map(col) :+ expr(s"($tsUsCol div $g) * $g").as("__pane"): _*)
+      .groupBy(keys.map(col) :+ expr(s"$tsUsCol - pmod($tsUsCol, ${g}L)").as("__pane"): _*)
       .agg(count(lit(1)).as("__pcnt"), sum(col(valueCentsCol)).as("__psum"))
     panes
       .withColumn("__w", explode(expr(
-        s"CASE WHEN (__pane - $lenUs) div $slideUs + 1 <= __pane div $slideUs " +
-          s"THEN sequence((__pane - $lenUs) div $slideUs + 1, __pane div $slideUs) END")))
+        s"CASE WHEN ${fdiv(s"__pane - $lenUs", slideUs)} + 1 <= ${fdiv("__pane", slideUs)} " +
+          s"THEN sequence(${fdiv(s"__pane - $lenUs", slideUs)} + 1, ${fdiv("__pane", slideUs)}) END")))
       .groupBy(keys.map(col) :+ expr(s"__w * $slideUs").as("win_start_us"): _*)
       .agg(sum(col("__pcnt")).as("cnt"), sum(col("__psum")).as("sum_cents"))
   }
@@ -84,7 +93,7 @@ object TimeWindows {
       lenUs: Long, slideUs: Long, keys: Seq[String]): DataFrame = {
     val g = gcd(lenUs, slideUs)
     val panes = df
-      .groupBy(keys.map(col) :+ expr(s"($tsUsCol div $g) * $g").as("__pane"): _*)
+      .groupBy(keys.map(col) :+ expr(s"$tsUsCol - pmod($tsUsCol, ${g}L)").as("__pane"): _*)
       .agg(count(col(valueCentsCol)).as("__pcnt"), sum(col(valueCentsCol)).as("__psum"),
         min(col(valueCentsCol)).as("__pmin"), max(col(valueCentsCol)).as("__pmax"))
     panes.groupBy(keys.map(col): _*)

@@ -23,9 +23,13 @@ object DuckSql {
   def hash60Seeded(seed: Int, expr: String): String =
     hash60(s"'$seed' || ':' || CAST(($expr) AS VARCHAR)")
 
-  /** Lowercased whitespace tokens, empties removed == GraftFunctions.tokens. */
+  /** Lowercased whitespace tokens, empties removed == GraftFunctions.tokens.
+    * Uses the shared explicit whitespace class, not `\s`: RE2's `\s`
+    * excludes `\x0B` while Java's includes it (r6 advice).
+    */
   def tokens(expr: String): String =
-    s"list_filter(string_split_regex(lower($expr), '\\s+'), t -> t <> '')"
+    s"list_filter(string_split_regex(lower($expr), " +
+      s"'${graft.functions.GraftFunctions.WsClass}+'), t -> t <> '')"
 
   /** Distinct word n-gram shingles == GraftFunctions.wordShingles.
     * `t` must be a column name holding the token list (lambdas capture it).

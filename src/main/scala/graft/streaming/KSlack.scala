@@ -1,12 +1,19 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** KSlack input: `seq` is the per-key arrival order (the stream position in
   * the reference's single-replica collector); `ts_us` the event time.
   */
 case class KsIn(user_id: Long, event_id: Long, seq: Long, ts_us: Long, cents: Long)
+
+/** [[KsIn]] + the watermarked event-time column, for the TTL flavor
+  * ([[KSlack.reorderTtl]]): `EventTimeTimeout` requires the watermark
+  * attribute to reach the stateful operator.
+  */
+case class KsInT(user_id: Long, event_id: Long, seq: Long, ts_us: Long, cents: Long,
+    event_time: java.sql.Timestamp)
 
 /** Reorder-buffer entry + per-key state: adaptive K, highest ts seen
   * (tcurr), last emitted ts (order guard), drop counter, the ts-sorted
@@ -31,58 +38,117 @@ case class KsOut(user_id: Long, event_id: Long, ts_us: Long, cents: Long,
   *
   * Scale: state is per-key and O(buffered disorder window), exactly the
   * reference's per-replica deque — with the RocksDB provider it spills.
-  * Within each micro-batch, arrival order is the caller-supplied `seq`
-  * (deterministic across partitionings, like the DETERMINISTIC-mode batch
-  * sort in [[StatefulOps]]).
+  * The in-batch buffer is an ordered mutable map, so each arrival costs
+  * O(log buffer) instead of the O(buffer) list splice of rounds 2–6 —
+  * under a large adapted K the per-key batch cost is O(n log n), not
+  * O(n²). Within each micro-batch, arrival order is the caller-supplied
+  * `seq` (deterministic across partitionings, like the DETERMINISTIC-mode
+  * batch sort in [[StatefulOps]]).
   */
 object KSlack {
+
+  /** The per-key machine, shared by both flavors: folds one batch's
+    * arrivals (already seq-sorted) into the state, returning the released
+    * rows. The buffer is ordered by (ts, event_id); `flush` drains it at
+    * the end (in order, same drop rule) — the EOS analog.
+    */
+  private def processBatch(user: Long, st: KsState, rows: Seq[KsIn],
+      flush: Boolean): (KsState, Seq[KsOut]) = {
+    var k = st.k
+    var tcurr = st.tcurr
+    var last = st.lastEmitted
+    var dropped = st.dropped
+    var pending = st.pendingTs
+    val buf = scala.collection.mutable.TreeMap.empty[(Long, Long), Long]
+    st.buf.foreach(e => buf((e.ts_us, e.event_id)) = e.cents)
+    val out = scala.collection.mutable.ListBuffer[KsOut]()
+    def release(bound: Long): Unit =
+      while (buf.nonEmpty && buf.firstKey._1 <= bound) {
+        val ((ts, id), cents) = buf.head
+        buf.remove(buf.firstKey)
+        if (ts < last) dropped += 1 // behind an already-emitted ts
+        else {
+          last = ts
+          out += KsOut(user, id, ts, cents, dropped)
+        }
+      }
+    rows.foreach { t =>
+      buf((t.ts_us, t.event_id)) = t.cents
+      pending ::= t.ts_us
+      if (t.ts_us > tcurr) { // new max ts: adapt K, release the front
+        tcurr = t.ts_us
+        val maxD = pending.iterator.map(tcurr - _).max
+        if (maxD > k) k = maxD
+        pending = Nil
+        release(tcurr - k)
+      }
+    }
+    if (flush) release(Long.MaxValue)
+    val bufList = buf.iterator.map { case ((ts, id), c) => KsBufEntry(ts, id, c) }.toList
+    (KsState(k, tcurr, last, dropped, bufList, pending), out.toSeq)
+  }
 
   /** `flushAtBatchEnd` drains the buffer (in order, same drop rule) after
     * each micro-batch — the EOS flush analog, for bounded single-batch
     * (Trigger.AvailableNow) runs. Continuous deployments pass false and
-    * let K-release pace the output.
+    * let K-release pace the output (or use [[reorderTtl]]).
     */
   def reorder(ev: Dataset[KsIn], flushAtBatchEnd: Boolean)(
       implicit spark: SparkSession): Dataset[KsOut] = {
     import spark.implicits._
     ev.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, it: Iterator[KsIn], state: org.apache.spark.sql.streaming.GroupState[KsState]) =>
+        (user: Long, it: Iterator[KsIn], state: GroupState[KsState]) =>
           val st = state.getOption.getOrElse(KsState(0L, 0L, 0L, 0L, Nil, Nil))
-          var k = st.k
-          var tcurr = st.tcurr
-          var last = st.lastEmitted
-          var dropped = st.dropped
-          var buf = st.buf
-          var pending = st.pendingTs
-          val out = scala.collection.mutable.ListBuffer[KsOut]()
-          def release(bound: Long): Unit =
-            while (buf.nonEmpty && buf.head.ts_us <= bound) {
-              val e = buf.head
-              buf = buf.tail
-              if (e.ts_us < last) dropped += 1 // behind an already-emitted ts
-              else {
-                last = e.ts_us
-                out += KsOut(user, e.event_id, e.ts_us, e.cents, dropped)
-              }
-            }
-          it.toSeq.sortBy(e => (e.seq, e.event_id)).foreach { t =>
-            val entry = KsBufEntry(t.ts_us, t.event_id, t.cents)
-            val (before, after) = buf.span(b =>
-              b.ts_us < entry.ts_us || (b.ts_us == entry.ts_us && b.event_id < entry.event_id))
-            buf = before ::: entry :: after
-            pending ::= t.ts_us
-            if (t.ts_us > tcurr) { // new max ts: adapt K, release the front
-              tcurr = t.ts_us
-              val maxD = pending.iterator.map(tcurr - _).max
-              if (maxD > k) k = maxD
-              pending = Nil
-              release(tcurr - k)
-            }
-          }
-          if (flushAtBatchEnd) release(Long.MaxValue)
-          state.update(KsState(k, tcurr, last, dropped, buf, pending))
+          val (next, out) =
+            processBatch(user, st, it.toSeq.sortBy(e => (e.seq, e.event_id)),
+              flushAtBatchEnd)
+          state.update(next)
           out.iterator
+      }
+  }
+
+  /** [[reorder]] + an idle-key drain: a key whose watermark-measured event
+    * time advances `ttlUs` past its max seen ts without new arrivals has
+    * its buffer DRAINED in order (same drop rule — rows behind the last
+    * emitted ts are dropped and counted) and its pending delay samples
+    * cleared; the adapted K, order guard and drop counter survive for any
+    * later arrivals.
+    *
+    * DIVERGENCE FROM THE REFERENCE (deliberate): the reference's collector
+    * releases only on new-max arrivals or EOS
+    * (/root/reference/wf/kslack_collector.hpp:102-153) — a key that stops
+    * sending, or sends only monotonically non-increasing timestamps, holds
+    * its buffer and samples forever. That is parity-correct for the
+    * bounded [[reorder]], but in a continuous deployment it is an
+    * unbounded-idle-state leak; this flavor is the Spark-native upgrade
+    * (same shape as [[StatefulOps.rollingReduceTtl]]). Input must carry a
+    * watermarked `event_time`.
+    */
+  def reorderTtl(ev: Dataset[KsInT], ttlUs: Long)(
+      implicit spark: SparkSession): Dataset[KsOut] = {
+    import spark.implicits._
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[KsInT], state: GroupState[KsState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            val (next, out) = processBatch(user, st, Nil, flush = true)
+            // k/tcurr/lastEmitted/dropped survive for late re-activations;
+            // an empty buffer needs no new timer (the next arrival sets one)
+            state.update(next.copy(pendingTs = Nil))
+            out.iterator
+          } else {
+            val st = state.getOption.getOrElse(KsState(0L, 0L, 0L, 0L, Nil, Nil))
+            val (next, out) = processBatch(user, st,
+              it.map(t => KsIn(t.user_id, t.event_id, t.seq, t.ts_us, t.cents))
+                .toSeq.sortBy(e => (e.seq, e.event_id)),
+              flush = false)
+            state.update(next)
+            val wmMs = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(0L)
+            state.setTimeoutTimestamp(math.max((next.tcurr + ttlUs) / 1000L, wmMs + 1L))
+            out.iterator
+          }
       }
   }
 }

@@ -132,10 +132,14 @@ object TextAnalysis {
     * supports (no lookahead) so the DuckDB oracle runs the byte-identical
     * regex: contractions, space-prefixed letter/digit/punctuation runs,
     * whitespace runs. Greedy left-to-right alternation gives the same
-    * match sequence in Java regex and RE2.
+    * match sequence in Java regex and RE2. Whitespace is the shared
+    * explicit class, not `\s` (Java/RE2 diverge on `\x0B` — r6 advice).
     */
-  val BpePattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+  val BpePattern: String = {
+    val ws = graft.functions.GraftFunctions.WsClass // "[ \t\n\x0B\f\r]"
+    val wsChars = ws.stripPrefix("[").stripSuffix("]")
+    s"'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^$wsChars\\p{L}\\p{N}]+|$ws+"
+  }
 
   /** BPE-ish token count: number of pretokenizer segments — the standard
     * cheap proxy for LLM token cost (actual BPE merges only split segments

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import graft.streaming.{KSlack, KsIn}
+import graft.streaming.{KSlack, KsIn, KsInT}
 
 /** PROBABILISTIC execution mode (KSlack reorder buffer,
   * /root/reference/wf/kslack_collector.hpp): out-of-order input within the
@@ -78,6 +78,46 @@ class KSlackSpec extends AnyFunSuite {
       val got = run(Nil, flush = false, batches = chunks)
       assert(byKey(got) == byKey(reference), s"chunking $k (${chunks.map(_.size)}) diverged")
     }
+  }
+
+  test("idle-key TTL drains the buffer with the same drop rule (hand-traced)") {
+    // reorderTtl divergence-from-reference test (the reference never
+    // drains an idle key — wf/kslack_collector.hpp:102-153). One key,
+    // ts in seconds-as-µs, ttl = 5 s:
+    //  batch 1 arrivals (seq order) ts: 10, 5, 30, 20, 25
+    //   10 → tcurr=10, K=0, release ≤10: EMIT 10 (last=10)
+    //   5  → buffered
+    //   30 → tcurr=30, delays{25,0} → K=25; release ≤5: 5 < last(10) → DROP;
+    //        30 itself stays buffered (insert precedes release, 30 > bound 5)
+    //   20, 25 → buffered (< tcurr); timer armed at tcurr+ttl = 35 s
+    //  batch 2: key 2 activity at ts=100 s → watermark advances to 100 s
+    //  batch 3: key 3 activity; key 1's 35 s timer has passed → idle drain
+    //   releases the buffer in order: EMIT 20, 25, 30 (all ≥ last=10),
+    //   dropped_so_far stays 1
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def row(user: Long, id: Long, seq: Long, tsUs: Long) =
+      KsInT(user, id, seq, tsUs, tsUs, new java.sql.Timestamp(tsUs / 1000L))
+    val mem = MemoryStream[KsInT]
+    val q = KSlack.reorderTtl(
+        mem.toDS().withWatermark("event_time", "0 seconds").as[KsInT],
+        ttlUs = 5_000_000L).toDF()
+      .writeStream.format("memory").queryName("kslack_ttl").outputMode("append").start()
+    val S = 1_000_000L
+    mem.addData(row(1, 1, 1, 10 * S), row(1, 2, 2, 5 * S), row(1, 3, 3, 30 * S),
+      row(1, 4, 4, 20 * S), row(1, 5, 5, 25 * S))
+    q.processAllAvailable()
+    mem.addData(row(2, 6, 1, 100 * S))
+    q.processAllAvailable()
+    mem.addData(row(3, 7, 1, 200 * S))
+    q.processAllAvailable()
+    q.stop()
+    val k1 = spark.table("kslack_ttl").collect()
+      .filter(_.getLong(0) == 1L).map(r => (r.getLong(2), r.getLong(4))).toSeq
+    spark.sql("DROP TABLE IF EXISTS kslack_ttl")
+    assert(k1 == Seq((10 * S, 0L), (20 * S, 1L), (25 * S, 1L), (30 * S, 1L)),
+      s"key-1 emissions: $k1")
   }
 
   test("state persists across micro-batches; later batch drains earlier buffer") {
