@@ -32,6 +32,7 @@ object StreamingQueries {
     "stream_win_tb_hopping_append" -> hoppingAppendStream(s, dir),
     "stream_win_tb_session_append" -> sessionAppendStream(s, dir),
     "stream_win_tb_noninc_append" -> nonincAppendStream(s, dir),
+    "stream_win_tb_sliding_ffat_append" -> ffatAppendStream(s, dir),
     "stream_join_asof" -> joinAsofStream(s, dir))
 
   def all: Seq[Q] = Seq(
@@ -230,6 +231,22 @@ object StreamingQueries {
         val out = StatefulOps.slidingWindowsFfat(in,
           lenUs = Q.HourUs, slideUs = 15L * Q.MinuteUs)
         StreamRun.toBatch(out.toDF(), "update").orderBy("event_type", "win_start_us")
+      },
+      WindowQueries.all.find(_.name == "win_tb_sliding_ffat").get.oracle),
+
+    // the emit-once (append) twin of stream_win_tb_sliding_ffat: same
+    // per-pane partial state, each window emitted exactly once when the
+    // watermark passes its end (EventTimeTimeout timer — the reference's
+    // firing rule, wf/window_replica.hpp:305,356-408) and its dead panes
+    // evicted. Same EOS punctuation as the other append twins (one scan,
+    // plan-asserted); same oracle as the batch/update FlatFAT twins. The
+    // operator's `salts` parameter (sub-key DP-mode parallelism) is
+    // spec-verified result-identical at S ∈ {1, 4} in WindowsSpec.
+    Q("stream_win_tb_sliding_ffat_append",
+      (s, dir) => {
+        implicit val sp = s
+        StreamRun.toBatch(ffatAppendStream(s, dir), "append", numPartitions = 4)
+          .orderBy("event_type", "win_start_us")
       },
       WindowQueries.all.find(_.name == "win_tb_sliding_ffat").get.oracle),
 
@@ -577,6 +594,24 @@ object StreamingQueries {
         col("cents"), col("event_time"))
       .as[graft.streaming.NonincIn]
     StatefulOps.nonincWindowsAppend(tagged, H6).toDF()
+  }
+
+  private[graft] def ffatAppendStream(s: SparkSession, dir: String,
+      salts: Int = 1): DataFrame = {
+    implicit val sp = s
+    import s.implicits._
+    val tagged = eventsEos(s, dir,
+      _.select(col("event_type").as("key"), col("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        col("event_time"), col("event_id")),
+      Map("key" -> lit("__eos"), "ts_us" -> lit(0L), "cents" -> lit(0L),
+        "event_time" -> EosTime))
+      .drop("event_id")
+      .withWatermark("event_time", "30 minutes")
+      .filter(!(col("key") === "__eos") || col("event_time").isNull)
+      .as[graft.streaming.FfatInT]
+    StatefulOps.slidingWindowsFfatAppend(tagged,
+      lenUs = Q.HourUs, slideUs = 15L * Q.MinuteUs, salts = salts).toDF()
   }
 
   private[graft] def joinAsofStream(s: SparkSession, dir: String): DataFrame = {

@@ -54,13 +54,33 @@ case class RollTtlState(sumCents: Long, cnt: Long, lastTsUs: Long)
   * (anchor_ts, cnt, sum, min, max) summary per gcd(len, slide) pane — and
   * windows are answered from the shared FlatFAT tree kernel over those
   * pane leaves (the reference's pane-stage state bound,
-  * /root/reference/wf/paned_windows.hpp:140-141).
+  * /root/reference/wf/paned_windows.hpp:141).
+  *
+  * STATE-FORMAT BREAK (round 6): this schema replaced the original
+  * per-row (ts, vs) buffer. A checkpoint written by the pre-r6 operator
+  * fails Spark's state-schema validation on restore with an explicit
+  * schema-mismatch error — a continuous deployment upgrading across that
+  * boundary must restart the query from a fresh checkpoint (replay from
+  * the source), as with any stateful-operator schema migration.
   */
 case class FfatIn(key: String, ts_us: Long, cents: Long)
 case class FfatKeyState(paneTs: Array[Long], cnt: Array[Long], sum: Array[Long],
     mn: Array[Long], mx: Array[Long])
 case class FfatStreamOut(event_type: String, win_start_us: Long, cnt: Long,
     sum_cents: Long, min_cents: Long, max_cents: Long)
+
+/** [[FfatIn]] + the watermarked event-time column, for the append twin
+  * ([[StatefulOps.slidingWindowsFfatAppend]]): `EventTimeTimeout` requires
+  * the watermark attribute to reach the stateful operator.
+  */
+case class FfatInT(key: String, ts_us: Long, cents: Long,
+    event_time: java.sql.Timestamp)
+
+/** Append-twin state: the same pane partials plus the emit-once frontier —
+  * every window with end ≤ `firedThroughUs` has already been emitted.
+  */
+case class FfatAppendState(paneTs: Array[Long], cnt: Array[Long], sum: Array[Long],
+    mn: Array[Long], mx: Array[Long], firedThroughUs: Long)
 
 /** Count-window state: per-key arrival counter + open-window partials
   * keyed by window id (wf/window_structure.hpp:69-80 Triggerer_CB).
@@ -303,6 +323,102 @@ object StatefulOps {
             anchors.map(panes(_)._3), anchors.map(panes(_)._4), lenUs, slideUs)
             .iterator.filter(w => touched.contains(w.winStartUs))
             .map(w => FfatStreamOut(key, w.winStartUs, w.cnt, w.sum, w.min, w.max))
+      }
+  }
+
+  /** The emit-once (append/EOS) twin of [[slidingWindowsFfat]]: the same
+    * per-pane partial state, but each window is emitted EXACTLY ONCE, when
+    * the watermark passes its end — the reference's firing rule
+    * (/root/reference/wf/window_replica.hpp:305,356-408) — via an
+    * `EventTimeTimeout` timer at the earliest pending window end, and the
+    * panes whose windows have all fired are evicted. The update-mode twin
+    * re-emits touched windows per batch; this is what a continuous
+    * append-consumer deployment runs.
+    *
+    * `salts` enables SUB-KEY (DP-mode) parallelism — the
+    * `flatMapGroupsWithState` analog of the reference slicing one key's
+    * archive across replicas (/root/reference/wf/interval_join.hpp:314-322,
+    * wf/window_replica.hpp:286-288): rows group by (key, hash(row) mod
+    * salts), each salt holds partial pane-states and fires partial window
+    * answers once, and because emission is exactly-once the per-(key,
+    * window) final merge downstream is a plain
+    * `groupBy(key, win_start_us).agg(sum/sum/min/max)` — a narrow
+    * stateless-shuffle combine of ≤ salts rows per window. Valid because
+    * lift/comb is associative and panes align with window boundaries.
+    * salts = 1 (the default) emits final windows directly with no merge
+    * stage; S× state rows and the second shuffle only pay off under
+    * adversarial single-key skew. Chaining the merge aggregation in the
+    * SAME streaming query requires
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`:
+    * Spark conservatively flags any stateful op downstream of
+    * flatMapGroupsWithState, but the merge agg carries no event-time
+    * column, so the flagged failure mode (late-row discard downstream)
+    * cannot occur — asserted result-identical at S ∈ {1, 4} in spec.
+    *
+    * Exactly-once stays safe per salt: rows reaching the operator satisfy
+    * ts ≥ watermark (engine late-row filter), and every window containing
+    * such a row ends strictly after the watermark, hence after the fired
+    * frontier.
+    */
+  def slidingWindowsFfatAppend(ev: Dataset[FfatInT], lenUs: Long, slideUs: Long,
+      salts: Int = 1)(implicit spark: SparkSession): Dataset[FfatStreamOut] = {
+    import spark.implicits._
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val paneUs = {
+      def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+      gcd(lenUs, slideUs)
+    }
+    def salt(e: FfatInT): Int =
+      if (salts == 1) 0
+      else {
+        // fixed 64-bit mix (golden-ratio multiply + xor-fold): stable
+        // across JVM/Scala versions, unlike collection hashes
+        val h = (e.ts_us * 0x9E3779B97F4A7C15L) ^ (e.cents * 0xC2B2AE3D27D4EB4FL)
+        Math.floorMod((h ^ (h >>> 32)).toInt, salts)
+      }
+    ev.groupByKey(e => (e.key, salt(e)))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (String, Int), it: Iterator[FfatInT], state: GroupState[FfatAppendState]) =>
+          val s = state.getOption.getOrElse(FfatAppendState(
+            Array.empty, Array.empty, Array.empty, Array.empty, Array.empty, Long.MinValue))
+          val wmUs = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(0L) * 1000L
+          val panes = scala.collection.mutable.HashMap[Long, (Long, Long, Long, Long)]()
+          s.paneTs.indices.foreach { i =>
+            panes(s.paneTs(i)) = (s.cnt(i), s.sum(i), s.mn(i), s.mx(i))
+          }
+          it.foreach { e =>
+            val anchor = Math.floorDiv(e.ts_us, paneUs) * paneUs
+            val (c, sm, mn, mx) =
+              panes.getOrElse(anchor, (0L, 0L, Long.MaxValue, Long.MinValue))
+            panes(anchor) = (c + 1, sm + e.cents,
+              math.min(mn, e.cents), math.max(mx, e.cents))
+          }
+          val anchors = panes.keysIterator.toArray
+          val wins = graft.operators.FlatFatWindows.windowsFromPartials(anchors,
+            anchors.map(panes(_)._1), anchors.map(panes(_)._2),
+            anchors.map(panes(_)._3), anchors.map(panes(_)._4), lenUs, slideUs)
+          // fire once: windows whose end the watermark has passed and that
+          // are above the already-fired frontier, in window order
+          val fired = wins.filter(w =>
+            w.winStartUs + lenUs <= wmUs && w.winStartUs + lenUs > s.firedThroughUs)
+            .sortBy(_.winStartUs)
+          // a pane anchored at a contributes only to windows ending in
+          // (a, a + len]; once the watermark passes a + len they have all
+          // fired and the pane is dead state
+          val keep = anchors.filter(_ + lenUs > wmUs)
+          if (keep.isEmpty) state.remove()
+          else {
+            state.update(FfatAppendState(keep,
+              keep.map(panes(_)._1), keep.map(panes(_)._2),
+              keep.map(panes(_)._3), keep.map(panes(_)._4),
+              math.max(s.firedThroughUs, wmUs)))
+            // kept panes always imply a pending window end > wm
+            val nextEnd = wins.iterator.map(_.winStartUs + lenUs).filter(_ > wmUs).min
+            val wmMs = wmUs / 1000L
+            state.setTimeoutTimestamp(math.max(nextEnd / 1000L, wmMs + 1L))
+          }
+          fired.iterator.map(w =>
+            FfatStreamOut(key._1, w.winStartUs, w.cnt, w.sum, w.min, w.max))
       }
   }
 

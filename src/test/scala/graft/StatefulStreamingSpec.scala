@@ -247,6 +247,89 @@ class StatefulStreamingSpec extends AnyFunSuite {
       s"expected purge to keep one pane {jump->2}, got $statePanes")
   }
 
+  test("ffat append twin fires each window once on watermark and evicts dead panes") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    val lenUs = 10L * 1000000L // 10 s windows, 5 s slide
+    val slideUs = 5L * 1000000L
+    def in(key: String, tsUs: Long, cents: Long) =
+      FfatInT(key, tsUs, cents, new java.sql.Timestamp(tsUs / 1000L))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ffat_append_").toString
+    val mem = MemoryStream[FfatInT]
+    val out = StatefulOps.slidingWindowsFfatAppend(
+      mem.toDS().withWatermark("event_time", "0 seconds"), lenUs, slideUs)
+    val q = out.toDF().writeStream.format("memory").queryName("ffat_append_x")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val t0 = 1600000000000000L // multiple of the 5 s pane
+    mem.addData(in("a", t0, 10L), in("a", t0 + 1000000L, 30L),
+      in("a", t0 + 6000000L, 20L))
+    q.processAllAvailable()
+    // watermark after batch 1 = t0+6s: no window end (earliest t0-5s+10s =
+    // t0+5s... windows [t0-5s,t0+5s) end t0+5s ≤ wm) — that one FIRES; the
+    // rest ([t0,t0+10s), [t0+5s,t0+15s)) are pending
+    val afterB1 = spark.table("ffat_append_x").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(afterB1 == Seq((t0 - 5000000L, 2L, 40L, 10L, 30L)),
+      s"only the wm-passed window may fire in batch 1, got $afterB1")
+    // far-future row on another key pushes the watermark past everything;
+    // key a's timers fire in a no-data batch and its state evicts fully
+    mem.addData(in("z", t0 + 3600L * 1000000L, 0L))
+    q.processAllAvailable()
+    val all = spark.table("ffat_append_x").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val aRows = all.filter(_._1 == "a").map(t => (t._2, t._3, t._4, t._5, t._6)).sortBy(_._1)
+    val want = graft.operators.FlatFatWindows.windows(
+      Array(t0, t0 + 1000000L, t0 + 6000000L), Array(10L, 30L, 20L), lenUs, slideUs)
+      .map(w => (w.winStartUs, w.cnt, w.sum, w.min, w.max)).toSeq.sortBy(_._1)
+    assert(aRows == want, s"append emissions $aRows != batch kernel $want")
+    assert(all.count(_._1 == "a") == aRows.distinct.size, "a window re-emitted")
+    // eviction: key a's panes are all dead (wm >> anchor + len) → only
+    // key z's state row remains
+    val keys = stateStore(ckpt).collect().map { r =>
+      val k = r.getStruct(r.fieldIndex("key"))
+      k.getString(0)
+    }.toSeq
+    q.stop()
+    assert(keys == Seq("z"), s"expected only z in state, got $keys")
+  }
+
+  test("ffat append sub-key salting (DP mode) is result-identical at S in {1, 4}") {
+    // the flatMapGroupsWithState analog of the reference's intra-key
+    // slicing (wf/interval_join.hpp:314-322): rows group by (key, salt),
+    // each salt fires partial windows exactly once, and the final merge is
+    // a narrow stateless groupBy over ≤ S rows per (key, window). Run on
+    // the sf0.01 events table end-to-end.
+    implicit val sp = spark
+    val dir = TestSpark.SF
+    def run(salts: Int): Seq[Seq[Any]] = {
+      val stream = graft.queries.StreamingQueries.ffatAppendStream(spark, dir, salts)
+      val merged =
+        if (salts == 1) StreamRun.toBatch(stream, "append", numPartitions = 4)
+        else {
+          // the merge stage is a complete-mode agg with NO event-time
+          // column, so Spark's conservative chained-stateful watermark
+          // check does not apply (nothing downstream filters late rows);
+          // see slidingWindowsFfatAppend scaladoc
+          val conf = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+          val prev = spark.conf.get(conf)
+          spark.conf.set(conf, "false")
+          try StreamRun.toBatch(
+            stream.groupBy("event_type", "win_start_us")
+              .agg(sum("cnt").as("cnt"), sum("sum_cents").as("sum_cents"),
+                min("min_cents").as("min_cents"), max("max_cents").as("max_cents")),
+            "complete", numPartitions = 4)
+          finally spark.conf.set(conf, prev)
+        }
+      merged.orderBy("event_type", "win_start_us").collect().map(_.toSeq).toSeq
+    }
+    val s1 = run(1)
+    val s4 = run(4)
+    assert(s1.nonEmpty, "empty result")
+    assert(s1 == s4, s"salted result diverged: S=1 has ${s1.size} rows, S=4 has ${s4.size}")
+  }
+
   test("noninc append windows emit once when the watermark passes and evict state") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
