@@ -33,6 +33,48 @@ object Dedup {
     df.select(col(idCol),
       min(col(idCol)).over(Window.partitionBy(md5(col(textCol)))).as("rep_id"))
 
+  /** C4/RefinedWeb-style LINE-level dedup across the corpus: every
+    * non-trivial line (≥ `minLineLen` chars) is kept exactly once
+    * corpus-wide — the FIRST occurrence in (id, line_no) order — and
+    * documents reassemble from their surviving lines in original order.
+    * Trivial lines (headers, separators, short boilerplate below the
+    * length floor) always survive: deduping them would rip structure out
+    * of every document and, at 100 TB, make the near-empty-line digest the
+    * hottest key in the job.
+    *
+    * Scale shape: ONE digest Exchange. Lines explode narrowly from the
+    * scan; the keep-first rule is `row_number() = 1` over the line digest,
+    * which Catalyst compiles to WindowGroupLimit (plan-asserted) — each
+    * map task forwards at most ONE candidate per (digest, partition), so
+    * a line duplicated a million times ships #partitions rows, not 10⁶.
+    * Trivial lines bypass the dedup by salting their partition key with
+    * (id, line_no) — the 'S:'-prefixed key cannot collide with an md5 hex
+    * digest, and rank within a singleton partition is always 1 — which
+    * keeps the whole keep decision in a single window, single shuffle, no
+    * OR-filter (an OR would defeat the rank-limit pushdown) and no second
+    * scan. Reassembly groups by document id — bounded per-group state
+    * (a document's own lines).
+    *
+    * Output: (id, n_lines, text) for documents with ≥1 surviving line.
+    */
+  def dedupLinesKeepFirst(df: DataFrame, idCol: String, textCol: String,
+      minLineLen: Int): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+    val dg = when(length(col("line")) >= minLineLen, md5(col("line")))
+      .otherwise(concat_ws(":", lit("S"), col("line"),
+        col(idCol).cast("string"), col("line_no").cast("string")))
+    val w = Window.partitionBy(dg).orderBy(col(idCol), col("line_no"))
+    lines
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
+            x => x.getField("line")), "\n").as(textCol))
+  }
+
   /** (id, gram): exploded distinct word n-gram shingles. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol), explode(wordShingles(col(textCol), n)).as("gram"))

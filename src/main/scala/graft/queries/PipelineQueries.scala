@@ -332,6 +332,50 @@ object PipelineQueries {
                CAST(CASE WHEN length(norm) >= 8 THEN len(list_distinct(grams)) ELSE 0 END AS INT) AS n_grams
         FROM g ORDER BY doc_id""")),
 
+    // PII scrubbing (training-corpus redaction): per-pattern counts on the
+    // raw text + replacement in a fixed order (email → phone → IPv4), all
+    // per-row column work in the Java-regex ∩ RE2 subset so the oracle
+    // runs the byte-identical expressions. The synthetic corpus carries no
+    // PII, so the query plants deterministic PII in the declared plan —
+    // one email/phone/IP derived from doc_id — and the oracle replays the
+    // identical construction (the body text also participates, so any
+    // accidental body matches count on both sides alike).
+    Q("text_pii_redact",
+      (s, dir) => {
+        val planted = Tables.documents(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            lit(" Contact user"), col("doc_id").cast("string"), lit("@example.com or ("),
+            (pmod(col("doc_id"), lit(900)) + 100).cast("string"), lit(") 555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+            lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".0."),
+            pmod(col("doc_id"), lit(100)).cast("string"), lit(" ok")).as("text"))
+        val pii = TextAnalysis.piiColumns(col("text")).toMap
+        planted.select(col("doc_id"),
+          pii("n_emails").as("n_emails"), pii("n_phones").as("n_phones"),
+          pii("n_ips").as("n_ips"), pii("redacted").as("redacted"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val em = TextAnalysis.EmailPattern
+        val ph = TextAnalysis.PhonePattern
+        val ip = TextAnalysis.Ipv4Pattern
+        s"""
+        WITH m AS (SELECT doc_id,
+                     text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com or (' ||
+                       CAST(doc_id % 900 + 100 AS VARCHAR) || ') 555-' ||
+                       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                       ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+                       CAST(doc_id % 100 AS VARCHAR) || ' ok' AS text
+                   FROM ${Q.DocsRef})
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '$em')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '$ph')) AS INT) AS n_phones,
+               CAST(len(regexp_extract_all(text, '$ip')) AS INT) AS n_ips,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g'), '$ip', '<IP>', 'g') AS redacted
+        FROM m ORDER BY doc_id"""
+      }),
+
     // composite cleaning pipeline — the operators composed the way a
     // training-data run uses them: quality-score filter → exact dedup
     // (keep the min-id representative) → per-doc token stats. One pass
@@ -573,6 +617,51 @@ object PipelineQueries {
           SELECT bi.s, reach.r FROM bi JOIN reach ON reach.id = bi.t)
         SELECT id AS doc_id FROM reach GROUP BY id
         HAVING min(r) = id ORDER BY doc_id""")),
+
+    // C4/RefinedWeb-style LINE-level dedup: every non-trivial line kept
+    // exactly once corpus-wide (first occurrence in (doc_id, line_no)
+    // order), documents reassembled from surviving lines in original
+    // order — Dedup.exact's digest shuffle applied at line granularity,
+    // with the keep-first rule compiled to WindowGroupLimit
+    // (plan-asserted) so a million-fold duplicated line ships one
+    // candidate per map partition, not 10⁶ rows. The sf documents are
+    // single-line and all-distinct, which would make the operator an
+    // identity — so the query first builds a deterministic multi-line
+    // corpus IN the declared plan (a 500×-duplicated boilerplate header,
+    // the document body, a sub-floor '---' separator that must survive
+    // everywhere, and one of 5 footer variants), and the oracle replays
+    // the identical construction: the header survives only in the first
+    // document, each footer variant only in its first carrier.
+    Q("pipeline_line_dedup",
+      (s, dir) => {
+        val multi = Tables.documents(s, dir).select(col("doc_id"),
+          concat(lit("SHARED BOILERPLATE HEADER LINE"), lit("\n"),
+            col("text"), lit("\n---\n"),
+            lit("SHARED FOOTER VARIANT "), pmod(col("doc_id"), lit(5)).cast("string"))
+            .as("text"))
+        Dedup.dedupLinesKeepFirst(multi, "doc_id", "text", minLineLen = 10)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH m AS (SELECT doc_id,
+                     'SHARED BOILERPLATE HEADER LINE' || chr(10) || text || chr(10) ||
+                       '---' || chr(10) || 'SHARED FOOTER VARIANT ' ||
+                       CAST(doc_id % 5 AS VARCHAR) AS text
+                   FROM ${Q.DocsRef}),
+        d AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM m),
+        l AS (SELECT doc_id, CAST(unnest(range(0, len(ls))) AS INT) AS line_no,
+                     unnest(ls) AS line FROM d),
+        r AS (SELECT doc_id, line_no, line,
+                CASE WHEN length(line) >= 10 THEN md5(line)
+                     ELSE 'S' || ':' || line || ':' || CAST(doc_id AS VARCHAR) ||
+                          ':' || CAST(line_no AS VARCHAR) END AS dg
+              FROM l),
+        rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY dg ORDER BY doc_id, line_no) AS rk
+               FROM r),
+        k AS (SELECT doc_id, line_no, line FROM rk WHERE rk = 1)
+        SELECT doc_id, COUNT(*) AS n_lines,
+               string_agg(line, chr(10) ORDER BY line_no) AS text
+        FROM k GROUP BY doc_id ORDER BY doc_id""")),
 
     Q("dedup_simhash",
       (s, dir) => Dedup.simhashPairs(

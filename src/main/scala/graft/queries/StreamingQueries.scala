@@ -488,11 +488,18 @@ object StreamingQueries {
         implicit val sp = s
         import s.implicits._
         val bound = 30L * Q.MinuteUs
+        // event_time stays in the select: dropping it above the watermark
+        // node lets column pruning strip the watermark attribute, so
+        // event-time stats never collect and the operator's purge rule
+        // never fires in a continuous deployment (caught by
+        // ScaleStressSpec at 10⁷ rows — state grew to the no-purge
+        // ceiling); the typed mapping to IjIn discards it after the stats
         val tagged = StreamSources.eventsWithTime(s, dir)
           .filter(col("event_type").isin("purchase", "click"))
           .withWatermark("event_time", "1 hour")
           .selectExpr("event_id", "user_id", "ts_us", "value",
-            "event_type = 'purchase' AS isLeft").as[graft.streaming.IjIn]
+            "event_type = 'purchase' AS isLeft", "event_time")
+          .as[graft.streaming.IjIn]
         StreamRun.toBatch(
           StatefulOps.intervalJoinShared(tagged, bound).toDF(), "append",
           numPartitions = 4).orderBy("a_id", "b_id")

@@ -103,11 +103,13 @@ class GeneratorSourceProvider extends TableProvider {
       properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     new GeneratorTable(genName(opts),
-      opts.getOrDefault("timepolicy", "event").toLowerCase == "ingress")
+      opts.getOrDefault("timepolicy", "event").toLowerCase == "ingress",
+      opts.getLong("maxrowsperbatchperreplica", 0L))
   }
 }
 
-class GeneratorTable(name: String, ingress: Boolean) extends Table with SupportsRead {
+class GeneratorTable(name: String, ingress: Boolean, maxRowsPerReplica: Long)
+    extends Table with SupportsRead {
   import GeneratorSource._
 
   override def name(): String = s"graft_generator($name)"
@@ -119,7 +121,7 @@ class GeneratorTable(name: String, ingress: Boolean) extends Table with Supports
     () => new Scan {
       override def readSchema(): StructType = schema()
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new GeneratorMicroBatchStream(name, ingress)
+        new GeneratorMicroBatchStream(name, ingress, maxRowsPerReplica)
     }
 }
 
@@ -130,8 +132,21 @@ case class GenOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
-class GeneratorMicroBatchStream(name: String, ingress: Boolean) extends MicroBatchStream {
+/** `maxRowsPerReplica` > 0 enables ADMISSION CONTROL — the reference
+  * sources' bounded-queue pacing (README.md:36) expressed in Spark's
+  * native contract (same as the rate/kafka sources' maxOffsetsPerTrigger):
+  * each micro-batch advances every replica's offset by at most that many
+  * rows, so a 10⁷-row generator streams as a SEQUENCE of micro-batches
+  * with the watermark advancing between them — which is what lets the
+  * scale-stress spec observe stateful operators' purge bounds mid-stream.
+  * 0 (the default) keeps the all-available-now behavior.
+  */
+class GeneratorMicroBatchStream(name: String, ingress: Boolean,
+    maxRowsPerReplica: Long = 0L)
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import GeneratorSource._
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
 
   private lazy val d = get(name)
   // finite user loop: everything it will ever emit is available now
@@ -140,6 +155,16 @@ class GeneratorMicroBatchStream(name: String, ingress: Boolean) extends MicroBat
 
   override def initialOffset(): Offset = GenOffset(0L)
   override def latestOffset(): Offset = GenOffset(maxCount)
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxRowsPerReplica > 0) ReadLimit.maxRows(maxRowsPerReplica)
+    else ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = limit match {
+    case m: ReadMaxRows =>
+      // the offset is a per-replica row count, so the cap applies per
+      // replica loop (each replica is one partition of the batch)
+      GenOffset(math.min(maxCount, start.asInstanceOf[GenOffset].n + m.maxRows()))
+    case _ => GenOffset(maxCount)
+  }
   override def deserializeOffset(json: String): Offset = GenOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -435,6 +435,14 @@ object StatefulOps {
     * never match again (future events are ≥ watermark) and are purged —
     * the reference's purging rule — so state is bounded by key × 2·bound
     * in a continuous deployment.
+    *
+    * CALLER CONTRACT (round-7 stress finding): the watermarked event-time
+    * column must SURVIVE the projection feeding this operator (keep it in
+    * the select and let the typed mapping to [[IjIn]] discard it) —
+    * selecting it away lets column pruning strip the watermark attribute
+    * below the EventTimeWatermark node, event-time stats never collect,
+    * `getCurrentWatermarkMs` stays 0 and this purge rule silently never
+    * fires. `ScaleStressSpec` asserts the bound end-to-end at 10⁷ rows.
     */
   def intervalJoinShared(ev: Dataset[IjIn], boundUs: Long)(
       implicit spark: SparkSession): Dataset[IjOut] = {

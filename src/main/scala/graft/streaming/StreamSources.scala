@@ -54,11 +54,13 @@ object StreamSources {
     * partition per replica. `policy` = "event" (generator-supplied ts) or
     * "ingress" (arrival-stamped).
     */
-  def generator(spark: SparkSession, name: String, policy: String = "event"): DataFrame =
+  def generator(spark: SparkSession, name: String, policy: String = "event",
+      maxRowsPerBatchPerReplica: Long = 0L): DataFrame =
     spark.readStream
       .format(classOf[graft.sources.GeneratorSourceProvider].getName)
       .option("generator", name)
       .option("timePolicy", policy)
+      .option("maxRowsPerBatchPerReplica", maxRowsPerBatchPerReplica.toString)
       .load()
 
   /** One-scan EOS punctuation (the stream-native analog of the reference's

@@ -147,4 +147,30 @@ object TextAnalysis {
     */
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  /** PII patterns for redaction, restricted (like [[BpePattern]]) to the
+    * Java-regex ∩ RE2 subset — no lookaround, no word boundaries — so the
+    * DuckDB oracle runs the byte-identical expressions. Deliberately
+    * conservative shapes (a training-corpus scrubber prefers precision;
+    * recall tuning is a policy knob, not an engine property).
+    */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern: String = "\\(?[0-9]{3}\\)?[ -][0-9]{3}-[0-9]{4}"
+  val Ipv4Pattern: String = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** PII scrubbing for a training corpus: per-pattern match counts (on the
+    * raw text) and the redacted text, with replacements applied in the
+    * fixed order email → phone → IPv4 (later patterns cannot damage
+    * earlier placeholders). Pure per-row column work — no shuffle, stays
+    * inside whole-stage codegen, same 100 TB shape as the other text ops.
+    */
+  def piiColumns(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> size(regexp_extract_all(text, lit(EmailPattern), lit(0))),
+    "n_phones" -> size(regexp_extract_all(text, lit(PhonePattern), lit(0))),
+    "n_ips" -> size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0))),
+    "redacted" -> regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>"),
+      Ipv4Pattern, "<IP>"))
 }

@@ -193,6 +193,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p.take(3000))
   }
 
+  test("line dedup: keep-first pre-trims per partition, one digest exchange") {
+    // the corpus-wide keep-first rule (row_number over the line digest,
+    // filtered to 1) must compile to WindowGroupLimit — each map task
+    // forwards at most one candidate per digest, so a hot duplicated line
+    // ships #partitions rows, not its full multiplicity — and the dedup
+    // itself must cost exactly ONE hash exchange (the digest); the only
+    // other exchange is the document-id reassembly groupBy
+    val p = plan("pipeline_line_dedup")
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    val hashEx = """Exchange hashpartitioning""".r.findAllIn(p).size
+    assert(hashEx == 2, s"expected digest + reassembly exchanges only, got $hashEx:\n" + p.take(3000))
+  }
+
   test("token sharding's global cumsum never collapses to one task") {
     // the two-pass PrefixSum plans a range repartition + per-partition
     // window; a keyless ORDER BY window would show Exchange SinglePartition

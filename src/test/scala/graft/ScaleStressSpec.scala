@@ -1,0 +1,184 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.{StatefulOps, StreamSources}
+
+/** Env-gated scale stress for the stateful streaming operators (NOT run in
+  * CI — set SPARK_GRAFT_SCALE_STRESS=1): the parquet fixtures cap at sf0.1
+  * (~17 MB), which under-exercises streaming state, so this drives a
+  * 10⁷-row [[graft.sources.GeneratorSource]] stream — paced into ~100
+  * micro-batches by the source's admission control so the watermark
+  * actually advances mid-stream — through `slidingWindowsFfat`,
+  * `intervalJoinShared` and `asofJoinShared`, then reads the FINAL state
+  * rows from the checkpoint and asserts each operator held its documented
+  * purge bound (panes inside the 2·len horizon; archives inside the
+  * disorder+bound window; single right carry), not O(rows seen).
+  *
+  * The bounds asserted are ceilings derived from the pacing: with
+  * batchSpan = rows-per-batch × STEP of event time per batch and purge
+  * running against the watermark at batch START, the retained window is
+  * (batchSpan + purge horizon + watermark delay) — far below the
+  * no-purge alternative (every row of the run), which is the regression
+  * this spec exists to catch. Numbers from the reference run live in
+  * SURVEY §6.
+  */
+class ScaleStressSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val enabled = sys.env.contains("SPARK_GRAFT_SCALE_STRESS")
+  private val totalRows =
+    sys.env.get("SPARK_GRAFT_SCALE_STRESS_ROWS").map(_.toLong).getOrElse(10_000_000L)
+
+  private val Replicas = 4
+  private val Keys = 1000L
+  private val StepUs = 1000L // 1 ms of event time per row → 10⁷ rows ≈ 10⁴ s
+  private val BaseUs = 1600000000000000L
+  private val PerBatchPerReplica = 25_000L // ≈ 100 batches at 10⁷ rows
+  private val DelayS = 10L
+
+  /** Rows interleave round-robin across replicas (global = i·R + r), so
+    * each micro-batch's replica slices cover the SAME event-time range —
+    * a contiguous per-replica split would make one replica's slice the
+    * watermark and late-drop the other three.
+    */
+  private def registerGen(name: String): Long = {
+    val perReplica = totalRows / Replicas
+    graft.sources.GeneratorSource.register(name,
+      graft.sources.GeneratorSource.GenDef(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cents", org.apache.spark.sql.types.LongType))),
+        Replicas,
+        (r, emit) => {
+          var i = 0L
+          while (i < perReplica) {
+            val global = i * Replicas + r
+            emit(Array[Any](global, global % Keys, (global * 37) % 10000),
+              BaseUs + global * StepUs)
+            i += 1L
+          }
+        }))
+    perReplica
+  }
+
+  /** Runs `build(source)` to completion (paced micro-batches, default
+    * trigger + processAllAvailable), returns the checkpoint dir for state
+    * inspection and the elapsed seconds.
+    */
+  private def drive(genName: String, out: String, mode: String)(
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): (String, Double) = {
+    registerGen(genName)
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_stress_$out").toString
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val t0 = System.nanoTime()
+    try {
+      val src = StreamSources.generator(spark, genName,
+        maxRowsPerBatchPerReplica = PerBatchPerReplica)
+      val q = build(src).writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .outputMode(mode).start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    (ckpt, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def groupStates(ckpt: String): Seq[org.apache.spark.sql.Row] =
+    spark.read.format("statestore").load(ckpt).collect().toSeq
+      .map { r =>
+        val v = r.getStruct(r.fieldIndex("value"))
+        v.getStruct(v.schema.fieldNames.indexOf("groupState"))
+      }
+
+  test("10M-row stream: FlatFAT pane state stays inside the 2*len purge horizon") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_STRESS=1 to run")
+    import spark.implicits._
+    val lenUs = 60L * 1000000L // 1 min windows, 15 s slide → 15 s panes
+    val slideUs = 15L * 1000000L
+    val (ckpt, secs) = drive("stress_ffat", "ffat", "update") { src =>
+      StatefulOps.slidingWindowsFfat(
+        src.withWatermark("event_time", s"$DelayS seconds")
+          .selectExpr("CAST(key AS STRING) AS key", "ts_us", "cents", "event_time")
+          .as[graft.streaming.FfatIn],
+        lenUs, slideUs)(spark).toDF()
+    }
+    val paneCounts = groupStates(ckpt)
+      .map(gs => gs.getSeq[Long](gs.schema.fieldNames.indexOf("paneTs")).size)
+    val batchSpanUs = PerBatchPerReplica * Replicas * StepUs
+    // horizon: purge keeps anchors ≥ wm − 2·len, wm lags ≤ batchSpan+delay
+    val bound = (batchSpanUs + 2 * lenUs + DelayS * 1000000L) / (15L * 1000000L) + 2
+    val noPurge = totalRows * StepUs / (15L * 1000000L) // panes if nothing purged
+    info(f"ffat: ${secs}%.1f s, keys=${paneCounts.size}, max panes/key=${paneCounts.max} " +
+      f"(bound $bound, no-purge would be $noPurge)")
+    assert(paneCounts.size == Keys)
+    assert(paneCounts.max <= bound,
+      s"pane state exceeded the purge bound: ${paneCounts.max} > $bound")
+  }
+
+  test("10M-row stream: interval-join archives stay inside the bound+delay window") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_STRESS=1 to run")
+    import spark.implicits._
+    val boundUs = 5L * 1000000L
+    val (ckpt, secs) = drive("stress_ij", "ij", "append") { src =>
+      StatefulOps.intervalJoinShared(
+        src.withWatermark("event_time", s"$DelayS seconds")
+          // event_time MUST survive the select: dropping it lets column
+          // pruning strip the watermark attribute below the
+          // EventTimeWatermark node, stats never collect, wm stays 0 and
+          // the purge rule never fires (this spec caught exactly that in
+          // the registered query — state grew to the no-purge ceiling)
+          .selectExpr("id AS event_id", "key AS user_id", "ts_us",
+            "CAST(cents AS DOUBLE) / 100.0 AS value", "id % 5 = 0 AS isLeft",
+            "event_time")
+          .as[graft.streaming.IjIn],
+        boundUs)(spark).toDF()
+    }
+    val sizes = groupStates(ckpt).map { gs =>
+      gs.getSeq[org.apache.spark.sql.Row](gs.schema.fieldNames.indexOf("left")).size +
+        gs.getSeq[org.apache.spark.sql.Row](gs.schema.fieldNames.indexOf("right")).size
+    }
+    val batchSpanUs = PerBatchPerReplica * Replicas * StepUs
+    val perKeyIntervalUs = StepUs * Keys
+    // retained: ts ≥ wm(batch start) − bound → ≤ (batchSpan+bound+delay)
+    // of event time per key, ×2 for slack (batch alignment)
+    val bound = 2 * (batchSpanUs + boundUs + DelayS * 1000000L) / perKeyIntervalUs + 4
+    val noPurge = totalRows / Keys
+    info(f"interval: ${secs}%.1f s, keys=${sizes.size}, max archive/key=${sizes.max} " +
+      f"(bound $bound, no-purge would be $noPurge)")
+    assert(sizes.size == Keys)
+    assert(sizes.max <= bound,
+      s"join archive exceeded the purge bound: ${sizes.max} > $bound")
+  }
+
+  test("10M-row stream: as-of join keeps one right carry + in-flight lefts only") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_STRESS=1 to run")
+    import spark.implicits._
+    val (ckpt, secs) = drive("stress_asof", "asof", "append") { src =>
+      StatefulOps.asofJoinShared(
+        src.withWatermark("event_time", s"$DelayS seconds")
+          .selectExpr("id AS event_id", "key AS user_id", "ts_us",
+            "CAST(cents AS DOUBLE) / 100.0 AS value", "id % 5 = 0 AS isLeft",
+            "event_time")
+          .as[graft.streaming.AsofIn])(spark).toDF()
+    }
+    val states = groupStates(ckpt).map { gs =>
+      (gs.getSeq[org.apache.spark.sql.Row](gs.schema.fieldNames.indexOf("lefts")).size,
+        gs.getSeq[org.apache.spark.sql.Row](gs.schema.fieldNames.indexOf("rights")).size)
+    }
+    val batchSpanUs = PerBatchPerReplica * Replicas * StepUs
+    val perKeyIntervalUs = StepUs * Keys
+    // pending lefts live only inside the disorder window; rights ≤ wm
+    // collapse to ONE carry, the rest are the last batch's fresh rows
+    val bound = 2 * (batchSpanUs + DelayS * 1000000L) / perKeyIntervalUs + 4
+    val maxLefts = states.map(_._1).max
+    val maxRights = states.map(_._2).max
+    val noPurge = totalRows / Keys
+    info(f"asof: ${secs}%.1f s, keys=${states.size}, max lefts/key=$maxLefts, " +
+      f"max rights/key=$maxRights (bound $bound, no-purge would be $noPurge)")
+    assert(maxLefts <= bound, s"pending lefts exceeded the bound: $maxLefts > $bound")
+    assert(maxRights <= bound, s"rights exceeded the carry bound: $maxRights > $bound")
+  }
+}

@@ -138,12 +138,13 @@ class StatefulStreamingSpec extends AnyFunSuite {
     val dir = TestSpark.SF
     val bound = 30L * 60L * 1000000L
 
-    // declared (single-scan) form
+    // declared (single-scan) form; event_time survives the select so the
+    // watermark attribute is not pruned (ScaleStressSpec finding)
     val tagged = StreamSources.eventsWithTime(spark, dir)
       .filter(col("event_type").isin("purchase", "click"))
       .withWatermark("event_time", "1 hour")
       .selectExpr("event_id", "user_id", "ts_us", "value",
-        "event_type = 'purchase' AS isLeft").as[IjIn]
+        "event_type = 'purchase' AS isLeft", "event_time").as[IjIn]
     val shared = StatefulOps.intervalJoinShared(tagged, bound).toDF()
 
     // plan property: the self-join rewrite reads the source ONCE

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.streaming.{EvRow, FfatIn, StatefulOps}
+import graft.streaming.{AsofIn, EvRow, FfatIn, IjIn, KsIn, StatefulOps}
 
 /** Watermark/lateness and state-backend semantics (SURVEY §2.8):
   *  - late rows beyond the watermark are dropped and *counted* — the
@@ -220,6 +220,116 @@ class StreamingSemanticsSpec extends AnyFunSuite {
       .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
     assert(rows == Map((7L, 0L) -> ((3L, 1L, 3L)), (7L, 1L) -> ((3L, 4L, 6L))),
       s"got $rows")
+  }
+
+  test("RocksDB round-trips the List/case-class states of interval, as-of and KSlack ops") {
+    // r6 proved pane-partial arrays and count windows serialize through
+    // RocksDBStateStoreProvider; this extends the same evidence standard
+    // to the remaining state shapes — IjState/AsofState (Lists of case
+    // classes) and KsState (adaptive-K scalars + sorted buffer) — by
+    // running each operator CROSS-BATCH (state must restore from the
+    // provider, not the JVM) under both providers and asserting identical
+    // output, plus the hand-expected rows.
+    var n = 0
+    def session(rocks: Boolean) = {
+      val s2 = spark.newSession()
+      if (rocks) s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      n += 1
+      (s2, s"rocks_rt_$n")
+    }
+
+    // interval join: both sides buffer across batches; the b3 left must
+    // match rights restored from batches 1 and 2
+    def runInterval(rocks: Boolean): Seq[(Long, Long, Double)] = {
+      val (s2, name) = session(rocks)
+      import s2.implicits._
+      implicit val sq = s2.sqlContext
+      val mem = MemoryStream[IjIn]
+      val q = StatefulOps.intervalJoinShared(mem.toDS(), boundUs = 30_000_000L)(s2)
+        .toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      mem.addData(IjIn(1, 7, 10_000_000L, 1.0, isLeft = true),
+        IjIn(2, 7, 50_000_000L, 5.0, isLeft = false)) // |10-50| > 30 s: buffered
+      q.processAllAvailable()
+      mem.addData(IjIn(3, 7, 30_000_000L, 3.0, isLeft = false)) // pairs with L1
+      q.processAllAvailable()
+      mem.addData(IjIn(4, 7, 55_000_000L, 4.0, isLeft = true)) // pairs with R2, R3
+      q.processAllAvailable()
+      q.stop()
+      val rows = s2.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSeq.sorted
+      s2.sql(s"DROP TABLE IF EXISTS $name")
+      rows
+    }
+    val wantIj = Seq((1L, 3L, 4.0), (4L, 2L, 9.0), (4L, 3L, 7.0))
+    assert(runInterval(rocks = false) == wantIj)
+    assert(runInterval(rocks = true) == wantIj, "IjState diverged under RocksDB")
+
+    // as-of join: pending lefts and the collapsed right carry must restore
+    // across batches; the b3 left is answered from the CARRY (r2@4s)
+    def runAsof(rocks: Boolean): Seq[(Long, Option[Long], Option[Double])] = {
+      val (s2, name) = session(rocks)
+      import s2.implicits._
+      implicit val sq = s2.sqlContext
+      def in(id: Long, user: Long, ms: Long, v: Double, left: Boolean) =
+        AsofIn(id, user, ms * 1000L, v, left, new java.sql.Timestamp(ms))
+      val mem = MemoryStream[AsofIn]
+      val q = StatefulOps.asofJoinShared(
+        mem.toDS().withWatermark("event_time", "10 seconds"))(s2)
+        .toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      mem.addData(in(10, 1, 1000, 1.0, left = false), in(20, 1, 5000, 99.0, left = true))
+      q.processAllAvailable() // nothing final yet (wm < 5 s)
+      // late-but-better right + a far-future key-2 row: wm jumps, L20 emits
+      // with r11@4s; rights ≤ wm collapse to the carry
+      mem.addData(in(11, 1, 4000, 2.0, left = false), in(30, 2, 100000000, 0.0, left = false))
+      q.processAllAvailable()
+      // a fresh left far above the old rights must be answered from the
+      // restored carry; another far-future row flushes it
+      mem.addData(in(21, 1, 99999000, 7.0, left = true))
+      q.processAllAvailable()
+      mem.addData(in(31, 2, 200000000, 0.0, left = false))
+      q.processAllAvailable()
+      q.stop()
+      val rows = s2.table(name).collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq.sortBy(_._1)
+      s2.sql(s"DROP TABLE IF EXISTS $name")
+      rows
+    }
+    val wantAsof = Seq((20L, Some(4_000_000L), Some(2.0)),
+      (21L, Some(4_000_000L), Some(2.0)))
+    assert(runAsof(rocks = false) == wantAsof)
+    assert(runAsof(rocks = true) == wantAsof, "AsofState diverged under RocksDB")
+
+    // KSlack: the ts-sorted buffer, adaptive K and drop counter must
+    // restore across batches (the existing hand-traced cross-batch drain)
+    def runKslack(rocks: Boolean): Seq[(Long, Long)] = {
+      val (s2, name) = session(rocks)
+      import s2.implicits._
+      implicit val sq = s2.sqlContext
+      implicit val sp = s2
+      val mem = MemoryStream[KsIn]
+      val q = graft.streaming.KSlack.reorder(mem.toDS(), flushAtBatchEnd = false)
+        .toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      mem.addData(KsIn(1, 1, 1, 10L, 0L), KsIn(1, 2, 2, 5L, 0L))
+      q.processAllAvailable()
+      mem.addData(KsIn(1, 3, 3, 100L, 0L)) // K=95; 5 released behind last → drop
+      q.processAllAvailable()
+      mem.addData(KsIn(1, 4, 4, 1000L, 0L)) // releases 100 with 1 drop carried
+      q.processAllAvailable()
+      q.stop()
+      val rows = s2.table(name).collect()
+        .map(r => (r.getLong(2), r.getLong(4))).toSeq.sortBy(_._1)
+      s2.sql(s"DROP TABLE IF EXISTS $name")
+      rows
+    }
+    val wantKs = Seq((10L, 0L), (100L, 1L))
+    assert(runKslack(rocks = false) == wantKs)
+    assert(runKslack(rocks = true) == wantKs, "KsState diverged under RocksDB")
   }
 
   test("lift/comb aggregator equals direct aggregation (Ffat_Windows equivalence)") {
