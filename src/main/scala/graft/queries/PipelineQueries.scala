@@ -550,6 +550,35 @@ object PipelineQueries {
         SELECT label, vec_id, CAST(rk AS INT) AS rk FROM r
         WHERE rk <= 20 ORDER BY label, rk""")),
 
+    // data MIXING: per-source sampling/duplication weights — the standard
+    // pretraining step between cleaning and shard assembly (upweight
+    // curated sources, downsample crawl). weight w = floor(w) guaranteed
+    // copies + one more with probability frac(w), decided by the fixed
+    // multiplicative hash (deterministic, no RNG state); the oracle's
+    // CASE constants are generated from the same weight table.
+    Q("pipeline_source_mix",
+      (s, dir) => {
+        val weights = Seq("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25)
+        graft.pipeline.Mixing.sourceMix(
+          Tables.documents(s, dir).select("doc_id", "source"),
+          "doc_id", "source", weights, defaultWeight = 0.1)
+          .orderBy("doc_id", "copy")
+      },
+      Some {
+        val (whole, thr) = graft.pipeline.Mixing.duckCases("source",
+          Seq("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25), 0.1)
+        s"""
+        WITH h AS (SELECT doc_id, source,
+                     ((doc_id % ${graft.pipeline.Mixing.HashMod}) * 2654435761)
+                       % ${graft.pipeline.Mixing.HashMod} AS hm
+                   FROM ${Q.DocsRef}),
+        c AS (SELECT doc_id, source,
+                ($whole) + (CASE WHEN hm < ($thr) THEN 1 ELSE 0 END) AS copies
+              FROM h)
+        SELECT doc_id, source, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy
+        FROM c WHERE copies > 0 ORDER BY doc_id, copy"""
+      }),
+
     // ================= dedup =================
     Q("dedup_exact",
       (s, dir) => Dedup.exact(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id"),

@@ -55,6 +55,30 @@ class GeneratorSourceSpec extends AnyFunSuite {
       s"reader buffered $peak rows — the replica slice must stream, not materialize (bound $bound)")
   }
 
+  test("admission control paces the stream into capped micro-batches") {
+    // maxRowsPerBatchPerReplica is the rate/kafka maxOffsetsPerTrigger
+    // contract: each batch advances every replica's offset by at most the
+    // cap, so a long stream becomes MANY batches (watermarks advance
+    // between them — what ScaleStressSpec relies on); every row still
+    // arrives exactly once
+    implicit val s = spark
+    GeneratorSource.register("spec_gen_paced", GeneratorSource.GenDef(
+      schema, numReplicas = 2,
+      (r, emit) => (0L until 500L).foreach(i =>
+        emit(Array[Any](r * 500L + i), 1_000_000L + i))))
+    val q = StreamSources.generator(spark, "spec_gen_paced",
+        maxRowsPerBatchPerReplica = 100L)
+      .writeStream.format("memory").queryName("gen_paced_x")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    val got = spark.table("gen_paced_x").select("id").collect().map(_.getLong(0)).sorted
+    spark.sql("DROP TABLE IF EXISTS gen_paced_x")
+    assert(got.toSeq == (0L until 1000L).toSeq, s"lost/duplicated rows: ${got.length}")
+    assert(batches == 5, s"500 rows/replica at cap 100 must take 5 data batches, got $batches")
+  }
+
   test("INGRESS policy stamps arrival time instead of the generator ts") {
     implicit val s = spark
     GeneratorSource.register("spec_gen_ingress", GeneratorSource.GenDef(
