@@ -134,12 +134,15 @@ object PipelineQueries {
   }
 
   /** Quality-feature CTE chain ending in `f` (doc_id, text, n_tokens,
-    * ratios) — shared by text_quality and the composite cleaning pipeline
-    * so both oracles compute the identical score expression.
+    * ratios) — shared by text_quality and the composite cleaning
+    * pipelines so every oracle computes the identical score expression.
+    * `rel` is the input relation (must provide doc_id, text).
     */
-  private def qualityCtes: String = {
+  private def qualityCtes: String = qualityCtesFrom(Q.DocsRef)
+
+  private def qualityCtesFrom(rel: String): String = {
     val stopEn = TextAnalysis.Stopwords.head._2.map(w => s"'$w'").mkString(",")
-    s"""d AS (SELECT doc_id, text, ${DuckSql.tokens("text")} AS toks FROM ${Q.DocsRef}),
+    s"""d AS (SELECT doc_id, text, ${DuckSql.tokens("text")} AS toks FROM $rel),
        |b AS (SELECT doc_id, text, toks,
        |  len(toks) AS n_tokens,
        |  length(text) AS n_chars,
@@ -206,6 +209,29 @@ object PipelineQueries {
        |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
        |FROM h ORDER BY doc_id""".stripMargin
   }
+
+  /** Deterministic PII planting (one email/phone/IPv4 derived from
+    * doc_id), shared by text_pii_redact and pipeline_corpus_full — the
+    * Spark Column and the DuckDB SQL are the same construction by
+    * definition here, so redacted text is byte-identical across engines.
+    */
+  private def plantPii(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      concat(col("text"),
+        lit(" Contact user"), col("doc_id").cast("string"), lit("@example.com or ("),
+        (pmod(col("doc_id"), lit(900)) + 100).cast("string"), lit(") 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".0."),
+        pmod(col("doc_id"), lit(100)).cast("string"), lit(" ok")).as("text"))
+
+  private def plantPiiSql: String =
+    s"""SELECT doc_id, source,
+       |         text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com or (' ||
+       |           CAST(doc_id % 900 + 100 AS VARCHAR) || ') 555-' ||
+       |           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+       |           ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+       |           CAST(doc_id % 100 AS VARCHAR) || ' ok' AS text
+       |       FROM ${Q.DocsRef}""".stripMargin
 
   def all: Seq[Q] = Seq(
 
@@ -342,15 +368,8 @@ object PipelineQueries {
     // accidental body matches count on both sides alike).
     Q("text_pii_redact",
       (s, dir) => {
-        val planted = Tables.documents(s, dir).select(col("doc_id"),
-          concat(col("text"),
-            lit(" Contact user"), col("doc_id").cast("string"), lit("@example.com or ("),
-            (pmod(col("doc_id"), lit(900)) + 100).cast("string"), lit(") 555-"),
-            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
-            lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".0."),
-            pmod(col("doc_id"), lit(100)).cast("string"), lit(" ok")).as("text"))
         val pii = TextAnalysis.piiColumns(col("text")).toMap
-        planted.select(col("doc_id"),
+        plantPii(Tables.documents(s, dir)).select(col("doc_id"),
           pii("n_emails").as("n_emails"), pii("n_phones").as("n_phones"),
           pii("n_ips").as("n_ips"), pii("redacted").as("redacted"))
           .orderBy("doc_id")
@@ -360,13 +379,7 @@ object PipelineQueries {
         val ph = TextAnalysis.PhonePattern
         val ip = TextAnalysis.Ipv4Pattern
         s"""
-        WITH m AS (SELECT doc_id,
-                     text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com or (' ||
-                       CAST(doc_id % 900 + 100 AS VARCHAR) || ') 555-' ||
-                       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
-                       ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
-                       CAST(doc_id % 100 AS VARCHAR) || ' ok' AS text
-                   FROM ${Q.DocsRef})
+        WITH m AS ($plantPiiSql)
         SELECT doc_id,
                CAST(len(regexp_extract_all(text, '$em')) AS INT) AS n_emails,
                CAST(len(regexp_extract_all(text, '$ph')) AS INT) AS n_phones,
@@ -577,6 +590,86 @@ object PipelineQueries {
               FROM h)
         SELECT doc_id, source, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy
         FROM c WHERE copies > 0 ORDER BY doc_id, copy"""
+      }),
+
+    // THE END-TO-END PIPELINE: every cleaning/assembly stage composed in
+    // ONE declared plan, the way a pretraining data run actually executes
+    // — PII redaction (planted, so the stage does real work) → quality +
+    // repetition thresholds (per-row predicates, no shuffle) → exact
+    // dedup (one digest shuffle) → source-weighted mixing (row explode)
+    // → token-budget sharding over (doc_id, copy) order (two-pass
+    // distributed prefix scan). No materialization barriers between
+    // stages; the oracle replays the identical chain as one CTE pipeline
+    // with every constant generated from the same definitions.
+    Q("pipeline_corpus_full",
+      (s, dir) => {
+        val weights = Seq("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25)
+        val pii = TextAnalysis.piiColumns(col("text")).toMap
+        val red = plantPii(Tables.documents(s, dir))
+          .select(col("doc_id"), col("source"), pii("redacted").as("text"))
+        val q = TextAnalysis.qualityColumns(col("text")).toMap
+        val r = TextAnalysis.repetitionColumns(col("text")).toMap
+        val filtered = red
+          .select(col("doc_id"), col("source"), col("text"),
+            q("n_tokens").as("n_tokens"), q("quality_score").as("quality_score"),
+            r("dup_gram2_ratio").as("dup_gram2_ratio"),
+            r("top_token_ratio").as("top_token_ratio"))
+          .filter(col("quality_score") >= 0.5 &&
+            col("dup_gram2_ratio") <= 0.05 && col("top_token_ratio") <= 0.2)
+        val deduped = filtered
+          .withColumn("rep_id", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+          .filter(col("rep_id") === col("doc_id"))
+          .select("doc_id", "source", "n_tokens")
+        val mixed = graft.pipeline.Mixing.sourceMix(deduped, "doc_id", "source",
+          weights, defaultWeight = 0.1)
+        graft.operators.PrefixSum.runningSum(mixed, "n_tokens", Seq("doc_id", "copy"))
+          .select(col("doc_id"), col("copy"), col("n_tokens"),
+            expr("(running_n_tokens - n_tokens) div 2000").as("shard_id"))
+          .orderBy("doc_id", "copy")
+      },
+      Some {
+        val em = TextAnalysis.EmailPattern
+        val ph = TextAnalysis.PhonePattern
+        val ip = TextAnalysis.Ipv4Pattern
+        val (whole, thr) = graft.pipeline.Mixing.duckCases("source",
+          Seq("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25), 0.1)
+        val g2 = "CASE WHEN len(toks) >= 2 THEN list_transform(range(0, len(toks) - 1), " +
+          "i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]) " +
+          "ELSE CAST([] AS VARCHAR[]) END"
+        s"""
+        WITH m AS ($plantPiiSql),
+        red AS (SELECT doc_id, source,
+                  regexp_replace(regexp_replace(regexp_replace(text, '$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g'), '$ip', '<IP>', 'g') AS text
+                FROM m),
+        ${qualityCtesFrom("red")},
+        q AS (SELECT doc_id, text, n_tokens, $qualityScoreSql AS quality_score FROM f),
+        gg AS (SELECT doc_id, toks, $g2 AS g2 FROM d),
+        rr AS (SELECT doc_id,
+                 CASE WHEN len(g2) > 0 THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE) ELSE 0.0e0 END AS dup_gram2_ratio,
+                 CASE WHEN len(toks) > 0 THEN CAST(list_max(list_transform(list_distinct(toks), d2 -> len(list_filter(toks, x -> x = d2)))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0e0 END AS top_token_ratio
+               FROM gg),
+        j AS (SELECT q.doc_id, q.text, q.n_tokens
+              FROM q JOIN rr ON q.doc_id = rr.doc_id
+              WHERE q.quality_score >= 0.5e0
+                AND rr.dup_gram2_ratio <= 0.05e0 AND rr.top_token_ratio <= 0.2e0),
+        k AS (SELECT doc_id, n_tokens FROM (
+                SELECT doc_id, n_tokens, min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+                FROM j)
+              WHERE rep_id = doc_id),
+        x AS (SELECT k.doc_id, k.n_tokens, r2.source,
+                ((k.doc_id % ${graft.pipeline.Mixing.HashMod}) * 2654435761) % ${graft.pipeline.Mixing.HashMod} AS hm
+              FROM k JOIN red r2 ON k.doc_id = r2.doc_id),
+        mx AS (SELECT doc_id, n_tokens,
+                 ($whole) + (CASE WHEN hm < ($thr) THEN 1 ELSE 0 END) AS copies
+               FROM x),
+        u AS (SELECT doc_id, n_tokens, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy
+              FROM mx WHERE copies > 0),
+        c AS (SELECT doc_id, copy, n_tokens,
+                SUM(n_tokens) OVER (ORDER BY doc_id, copy
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+              FROM u)
+        SELECT doc_id, copy, n_tokens, CAST((run - n_tokens) // 2000 AS BIGINT) AS shard_id
+        FROM c ORDER BY doc_id, copy"""
       }),
 
     // ================= dedup =================
