@@ -605,8 +605,12 @@ object PipelineQueries {
       (s, dir) => {
         val weights = Seq("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25)
         val pii = TextAnalysis.piiColumns(col("text")).toMap
-        val red = plantPii(Tables.documents(s, dir))
-          .select(col("doc_id"), col("source"), pii("redacted").as("text"))
+        // cache the redacted corpus: projection collapse would otherwise
+        // inline the 3-regex redaction chain into EVERY downstream derived
+        // column (quality ratios, repetition kernel, dedup digest) — the
+        // no-CSE trap; the barrier makes redaction run once per row
+        val red = graft.Caches.track(plantPii(Tables.documents(s, dir))
+          .select(col("doc_id"), col("source"), pii("redacted").as("text")))
         val q = TextAnalysis.qualityColumns(col("text")).toMap
         val r = TextAnalysis.repetitionColumns(col("text")).toMap
         val filtered = red

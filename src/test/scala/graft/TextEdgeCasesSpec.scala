@@ -79,6 +79,50 @@ class TextEdgeCasesSpec extends AnyFunSuite {
     assert(got(8L) == ((6L, 2.0 / 5.0, 1.0 / 4.0, 0.5)))
   }
 
+  test("PII redaction: hand-computed counts, placeholder safety, edge positions") {
+    import spark.implicits._
+    val d = Seq(
+      // pattern at string start and end, multiple matches
+      (0L, "a@b.co writes to c.d-e@f.org.uk"),
+      // phone with and without parens; IP mid-sentence
+      (1L, "(555) 123-4567 or 555 987-6543 via 10.0.0.1 ok"),
+      // an already-redacted placeholder must not re-match; bare digits
+      // and a dotted version number must not count as an IP... 1.2.3.4
+      // IS an IP by the conservative pattern, 1.2.3 is not
+      (2L, "<EMAIL> 12345 v1.2.3 and 1.2.3.4"),
+      (3L, ""), (4L, "no pii here")
+    ).toDF("doc_id", "text")
+    val got = d.select(col("doc_id") +:
+        TextAnalysis.piiColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3)), r.getString(4))).toMap
+    assert(got(0L) == (((2, 0, 0), "<EMAIL> writes to <EMAIL>")))
+    assert(got(1L) == (((0, 2, 1), "<PHONE> or <PHONE> via <IP> ok")))
+    assert(got(2L) == (((0, 0, 1), "<EMAIL> 12345 v1.2.3 and <IP>")))
+    assert(got(3L) == (((0, 0, 0), "")))
+    assert(got(4L) == (((0, 0, 0), "no pii here")))
+  }
+
+  test("mixing weights: exact copy counts per weight class") {
+    import spark.implicits._
+    // 100 ids per source; the fractional part draws by the fixed hash, so
+    // counts are deterministic; whole parts are exact
+    val d = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val out = graft.pipeline.Mixing.sourceMix(d, "doc_id", "source",
+      Seq("src0" -> 2.0, "src1" -> 1.0, "src2" -> 0.0), defaultWeight = 0.5)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // integral weights are exact: 2 copies × 100, 1 × 100, 0 × 100 (absent)
+    assert(bySrc("src0") == 200L && bySrc("src1") == 100L && !bySrc.contains("src2"))
+    // copy indexes are 1..n per document
+    val copies = out.filter(col("source") === "src0").groupBy("doc_id")
+      .agg(sort_array(collect_list("copy")).as("cs")).collect()
+    assert(copies.forall(_.getSeq[Long](1) == Seq(1L, 2L)))
+    // weightParts quantization is what the oracle CASE uses
+    assert(graft.pipeline.Mixing.weightParts(2.5) == ((2L, graft.pipeline.Mixing.HashMod / 2)))
+    assert(graft.pipeline.Mixing.weightParts(0.0) == ((0L, 0L)))
+  }
+
   test("dedup pipelines tolerate degenerate corpora") {
     val pairs = graft.dedup.Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
     assert(pairs.count() == 0) // no doc pair shares 3-gram shingles
