@@ -140,7 +140,7 @@ object PipelineQueries {
     */
   private def qualityCtes: String = qualityCtesFrom(Q.DocsRef)
 
-  private def qualityCtesFrom(rel: String): String = {
+  private[queries] def qualityCtesFrom(rel: String): String = {
     val stopEn = TextAnalysis.Stopwords.head._2.map(w => s"'$w'").mkString(",")
     s"""d AS (SELECT doc_id, text, ${DuckSql.tokens("text")} AS toks FROM $rel),
        |b AS (SELECT doc_id, text, toks,
@@ -158,7 +158,7 @@ object PipelineQueries {
        |FROM b)""".stripMargin
   }
 
-  private val qualityScoreSql: String =
+  private[queries] val qualityScoreSql: String =
     """CAST(least(n_tokens, 100) AS DOUBLE) / 100.0e0 * 0.4e0
       |    + (1.0e0 - punct_ratio) * 0.2e0
       |    + (1.0e0 - digit_ratio) * 0.1e0
@@ -223,6 +223,30 @@ object PipelineQueries {
         lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
         lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".0."),
         pmod(col("doc_id"), lit(100)).cast("string"), lit(" ok")).as("text"))
+
+  /** The fixed-order 3-regex redaction over a SQL text expression —
+    * byte-identical to [[TextAnalysis.piiColumns]]'s `redacted` column.
+    */
+  private[queries] def redactSql(textExpr: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($textExpr, " +
+      s"'${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'), " +
+      s"'${TextAnalysis.PhonePattern}', '<PHONE>', 'g'), " +
+      s"'${TextAnalysis.Ipv4Pattern}', '<IP>', 'g')"
+
+  /** Repetition-signal CTEs `gg`, `rr` over the quality chain's `d`
+    * (doc_id, toks) — the SQL twin of [[TextAnalysis.repetitionColumns]]'
+    * gram-2 and top-token ratios, shared by the composite pipelines.
+    */
+  private[queries] def repetitionCtes: String = {
+    val g2 = "CASE WHEN len(toks) >= 2 THEN list_transform(range(0, len(toks) - 1), " +
+      "i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]) " +
+      "ELSE CAST([] AS VARCHAR[]) END"
+    s"""gg AS (SELECT doc_id, toks, $g2 AS g2 FROM d),
+       |rr AS (SELECT doc_id,
+       |         CASE WHEN len(g2) > 0 THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE) ELSE 0.0e0 END AS dup_gram2_ratio,
+       |         CASE WHEN len(toks) > 0 THEN CAST(list_max(list_transform(list_distinct(toks), d2 -> len(list_filter(toks, x -> x = d2)))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0e0 END AS top_token_ratio
+       |       FROM gg)""".stripMargin
+  }
 
   private def plantPiiSql: String =
     s"""SELECT doc_id, source,
@@ -632,26 +656,14 @@ object PipelineQueries {
           .orderBy("doc_id", "copy")
       },
       Some {
-        val em = TextAnalysis.EmailPattern
-        val ph = TextAnalysis.PhonePattern
-        val ip = TextAnalysis.Ipv4Pattern
         val (whole, thr) = graft.pipeline.Mixing.duckCases("source",
           Seq("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25), 0.1)
-        val g2 = "CASE WHEN len(toks) >= 2 THEN list_transform(range(0, len(toks) - 1), " +
-          "i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]) " +
-          "ELSE CAST([] AS VARCHAR[]) END"
         s"""
         WITH m AS ($plantPiiSql),
-        red AS (SELECT doc_id, source,
-                  regexp_replace(regexp_replace(regexp_replace(text, '$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g'), '$ip', '<IP>', 'g') AS text
-                FROM m),
+        red AS (SELECT doc_id, source, ${redactSql("text")} AS text FROM m),
         ${qualityCtesFrom("red")},
         q AS (SELECT doc_id, text, n_tokens, $qualityScoreSql AS quality_score FROM f),
-        gg AS (SELECT doc_id, toks, $g2 AS g2 FROM d),
-        rr AS (SELECT doc_id,
-                 CASE WHEN len(g2) > 0 THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE) ELSE 0.0e0 END AS dup_gram2_ratio,
-                 CASE WHEN len(toks) > 0 THEN CAST(list_max(list_transform(list_distinct(toks), d2 -> len(list_filter(toks, x -> x = d2)))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0e0 END AS top_token_ratio
-               FROM gg),
+        $repetitionCtes,
         j AS (SELECT q.doc_id, q.text, q.n_tokens
               FROM q JOIN rr ON q.doc_id = rr.doc_id
               WHERE q.quality_score >= 0.5e0

@@ -250,6 +250,50 @@ object StreamingQueries {
       },
       WindowQueries.all.find(_.name == "win_tb_sliding_ffat").get.oracle),
 
+    // "clean as you ingest": the cleaning pipeline through the STREAMING
+    // engine — PII redaction + quality/repetition thresholds are per-row
+    // predicates (stateless in a stream), then ingestion-time exact dedup
+    // via dropDuplicatesWithinWatermark on the text digest with BOUNDED
+    // state (ingress-time watermark; keys evicted after the delay). The
+    // output is keyed by digest, not doc_id, so it is survivor-independent
+    // — at sf0.1 the corpus has 8 exact-duplicate texts and streaming
+    // keeps the arrival-first copy while a batch dedup keeps min-id; all
+    // output columns are equal across copies by construction, so the
+    // DuckDB replay (SELECT DISTINCT over the kept set) is exact.
+    Q("stream_pipeline_clean",
+      (s, dir) => {
+        implicit val sp = s
+        val pii = graft.text.TextAnalysis.piiColumns(col("text")).toMap
+        val red = StreamSources.documents(s, dir)
+          .select(col("doc_id"), pii("redacted").as("text"))
+        val q = graft.text.TextAnalysis.qualityColumns(col("text")).toMap
+        val r = graft.text.TextAnalysis.repetitionColumns(col("text")).toMap
+        val cleaned = red
+          .select(md5(col("text")).as("digest"),
+            q("n_tokens").as("n_tokens"), q("quality_score").as("quality_score"),
+            r("dup_gram2_ratio").as("g2"), r("top_token_ratio").as("tt"))
+          .filter(col("quality_score") >= 0.5 &&
+            col("g2") <= 0.05 && col("tt") <= 0.2)
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+          .dropDuplicatesWithinWatermark("digest")
+          .select("digest", "n_tokens", "quality_score")
+        StreamRun.toBatch(cleaned, "append", numPartitions = 4).orderBy("digest")
+      },
+      Some(s"""
+        WITH red AS (SELECT doc_id, ${PipelineQueries.redactSql("text")} AS text
+                     FROM ${Q.DocsRef}),
+        ${PipelineQueries.qualityCtesFrom("red")},
+        q AS (SELECT doc_id, text, n_tokens,
+                ${PipelineQueries.qualityScoreSql} AS quality_score FROM f),
+        ${PipelineQueries.repetitionCtes},
+        kept AS (SELECT q.text, q.n_tokens, q.quality_score
+                 FROM q JOIN rr ON q.doc_id = rr.doc_id
+                 WHERE q.quality_score >= 0.5e0
+                   AND rr.dup_gram2_ratio <= 0.05e0 AND rr.top_token_ratio <= 0.2e0)
+        SELECT DISTINCT md5(text) AS digest, n_tokens, quality_score
+        FROM kept ORDER BY digest""")),
+
     // streaming exact dedup at ingestion: the stream unioned with itself
     // (every event arrives twice) must come out exactly once. State is
     // BOUNDED: dropDuplicatesWithinWatermark evicts a key once the

@@ -40,6 +40,17 @@ object StreamSources {
       .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
 
+  /** The documents corpus as a file stream — the ingestion side of an
+    * "clean as you ingest" pipeline (same schema as the batch reader).
+    */
+  def documents(spark: SparkSession, dir: String): DataFrame = {
+    GraftSession.adopt(spark)
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+  }
+
   /** INGRESS_TIME flavor: arrival-stamped synthetic rate source
     * (wf/source_shipper.hpp:255-256 semantics).
     */
