@@ -51,7 +51,15 @@ object RepetitionStats {
     StructField("g2_distinct", LongType, nullable = false),
     StructField("g3_total", LongType, nullable = false),
     StructField("g3_distinct", LongType, nullable = false),
-    StructField("top_token", LongType, nullable = false)))
+    StructField("top_token", LongType, nullable = false),
+    // line-level signals (Gopher's dup_line/dup_line_char fractions):
+    // lines split on '\n' over the RAW text (no lowercasing — exact-line
+    // duplication is case-sensitive), lengths in Unicode codepoints to
+    // match Spark/DuckDB length()
+    StructField("n_lines", LongType, nullable = false),
+    StructField("line_distinct", LongType, nullable = false),
+    StructField("dup_line_chars", LongType, nullable = false),
+    StructField("line_chars", LongType, nullable = false)))
 
   /** Shared explicit whitespace class (not `\s` — Java/RE2 divergence on
     * `\x0B`, see [[graft.functions.GraftFunctions.WsClass]]), precompiled
@@ -60,11 +68,26 @@ object RepetitionStats {
   private val Ws: java.util.regex.Pattern =
     java.util.regex.Pattern.compile(graft.functions.GraftFunctions.WsClass + "+")
 
-  /** One tokenization, one pass per gram width, one frequency map. */
+  /** One tokenization, one pass per gram width, one frequency map per
+    * granularity (token, line).
+    */
   def compute(s: UTF8String): InternalRow = {
+    val raw = s.toString
+    // line stats over the raw text (case-sensitive, codepoint lengths)
+    def cp(x: String): Long = x.codePointCount(0, x.length).toLong
+    val lns = raw.split("\n", -1)
+    val lfreq = new java.util.HashMap[String, Long]()
+    var lineChars = 0L
+    lns.foreach { l => lfreq.merge(l, 1L, (a, b) => a + b); lineChars += cp(l) }
+    var dupLineChars = 0L
+    lfreq.forEach((l, c) => if (c > 1) dupLineChars += (c - 1) * cp(l))
+    val nLines = lns.length.toLong
+    val lDistinct = lfreq.size.toLong
+
     val toks = Ws.split(s.toLowerCase.toString, -1).filter(_.nonEmpty)
     val m = toks.length
-    if (m == 0) return InternalRow(0L, 0L, 0L, 0L, 0L, 0L)
+    if (m == 0) return InternalRow(0L, 0L, 0L, 0L, 0L, 0L,
+      nLines, lDistinct, dupLineChars, lineChars)
     val freq = new java.util.HashMap[String, Long]()
     var top = 0L
     var i = 0
@@ -88,7 +111,8 @@ object RepetitionStats {
     }
     val g2t = math.max(0, m - 1).toLong
     val g3t = math.max(0, m - 2).toLong
-    InternalRow(m.toLong, g2t, distinctGrams(2), g3t, distinctGrams(3), top)
+    InternalRow(m.toLong, g2t, distinctGrams(2), g3t, distinctGrams(3), top,
+      nLines, lDistinct, dupLineChars, lineChars)
   }
 
   def of(c: Column): Column = Shim.column(RepetitionStats(Shim.expression(c)))

@@ -224,6 +224,22 @@ object PipelineQueries {
         lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".0."),
         pmod(col("doc_id"), lit(100)).cast("string"), lit(" ok")).as("text"))
 
+  /** Line-repetition counters over a `ls` (split lines) column — the SQL
+    * twin of the native kernel's line stats: distinct-line count, chars in
+    * beyond-first duplicate occurrences, total line chars.
+    */
+  private def lineStatsSql: String =
+    "CAST(len(ls) AS BIGINT) AS n_lines, " +
+      "CAST(len(list_distinct(ls)) AS BIGINT) AS line_distinct, " +
+      "CAST(coalesce(list_aggregate(list_transform(list_distinct(ls), " +
+      "l -> (len(list_filter(ls, x -> x = l)) - 1) * length(l)), 'sum'), 0) AS BIGINT) AS dup_line_chars, " +
+      "CAST(coalesce(list_aggregate(list_transform(ls, l -> length(l)), 'sum'), 0) AS BIGINT) AS line_chars"
+
+  /** The matching ratio projections (same guards as the Column layer). */
+  private def lineRatiosSql: String =
+    "CASE WHEN n_lines > 0 THEN CAST(n_lines - line_distinct AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0e0 END AS dup_line_ratio, " +
+      "CASE WHEN line_chars > 0 THEN CAST(dup_line_chars AS DOUBLE) / CAST(line_chars AS DOUBLE) ELSE 0.0e0 END AS dup_line_char_ratio"
+
   /** The fixed-order 3-regex redaction over a SQL text expression —
     * byte-identical to [[TextAnalysis.piiColumns]]'s `redacted` column.
     */
@@ -295,17 +311,45 @@ object PipelineQueries {
         }
         def dupSql(g: String): String =
           s"CASE WHEN len($g) > 0 THEN CAST(len($g) - len(list_distinct($g)) AS DOUBLE) / CAST(len($g) AS DOUBLE) ELSE 0.0e0 END"
-        s"""WITH d AS (SELECT doc_id, ${graft.oracle.DuckSql.tokens("text")} AS toks FROM ${Q.DocsRef}),
-           |g AS (SELECT doc_id, toks, ${gramSql(2)} AS g2, ${gramSql(3)} AS g3 FROM d)
+        s"""WITH d AS (SELECT doc_id, ${graft.oracle.DuckSql.tokens("text")} AS toks,
+           |  string_split(text, chr(10)) AS ls FROM ${Q.DocsRef}),
+           |g AS (SELECT doc_id, toks, ${gramSql(2)} AS g2, ${gramSql(3)} AS g3,
+           |  ls, $lineStatsSql FROM d)
            |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
            |  ${dupSql("g2")} AS dup_gram2_ratio,
            |  ${dupSql("g3")} AS dup_gram3_ratio,
            |  CASE WHEN len(toks) > 0 THEN
            |    CAST(list_max(list_transform(list_distinct(toks), d2 -> len(list_filter(toks, x -> x = d2)))) AS DOUBLE)
            |      / CAST(len(toks) AS DOUBLE)
-           |  ELSE 0.0e0 END AS top_token_ratio
+           |  ELSE 0.0e0 END AS top_token_ratio,
+           |  $lineRatiosSql
            |FROM g ORDER BY doc_id""".stripMargin
       }),
+
+    // the line-level repetition signals doing REAL work: the raw corpus is
+    // single-line (ratios identically zero above), so this twin constructs
+    // in-document duplication — the body repeated twice plus a separator
+    // and a tail — and checks the non-trivial values; the oracle replays
+    // the construction
+    Q("text_repetition_lines",
+      (s, dir) => {
+        val multi = Tables.documents(s, dir).select(col("doc_id"),
+          concat(col("text"), lit("\n"), col("text"), lit("\n---\ntail "),
+            pmod(col("doc_id"), lit(5)).cast("string")).as("text"))
+        val r = TextAnalysis.repetitionColumns(col("text")).toMap
+        multi.select(col("doc_id"),
+          r("dup_line_ratio").as("dup_line_ratio"),
+          r("dup_line_char_ratio").as("dup_line_char_ratio"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH m AS (SELECT doc_id,
+                     text || chr(10) || text || chr(10) || '---' || chr(10) ||
+                       'tail ' || CAST(doc_id % 5 AS VARCHAR) AS text
+                   FROM ${Q.DocsRef}),
+        g AS (SELECT doc_id, string_split(text, chr(10)) AS ls, $lineStatsSql FROM m)
+        SELECT doc_id, $lineRatiosSql
+        FROM g ORDER BY doc_id""")),
 
     Q("text_tokens",
       (s, dir) => {

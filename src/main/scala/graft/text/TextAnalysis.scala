@@ -125,7 +125,14 @@ object TextAnalysis {
         st.getField("g2_total") - st.getField("g2_distinct"), st.getField("g2_total")),
       "dup_gram3_ratio" -> ratio(
         st.getField("g3_total") - st.getField("g3_distinct"), st.getField("g3_total")),
-      "top_token_ratio" -> ratio(st.getField("top_token"), st.getField("n_tokens")))
+      "top_token_ratio" -> ratio(st.getField("top_token"), st.getField("n_tokens")),
+      // Gopher's line-level signals: fraction of lines that duplicate an
+      // earlier one, and fraction of line characters inside the
+      // beyond-first occurrences (both over raw, case-sensitive lines)
+      "dup_line_ratio" -> ratio(
+        st.getField("n_lines") - st.getField("line_distinct"), st.getField("n_lines")),
+      "dup_line_char_ratio" -> ratio(
+        st.getField("dup_line_chars"), st.getField("line_chars")))
   }
 
   /** GPT-2-style pretokenizer pattern, restricted to constructs RE2 also

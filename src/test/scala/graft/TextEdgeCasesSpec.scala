@@ -79,6 +79,25 @@ class TextEdgeCasesSpec extends AnyFunSuite {
     assert(got(8L) == ((6L, 2.0 / 5.0, 1.0 / 4.0, 0.5)))
   }
 
+  test("line repetition signals: hand-computed, case-sensitive, empty-line aware") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "a\na\nb"),      // [a,a,b]: 1 of 3 lines dup; dup chars 1 of 3
+      (1L, ""),             // [""]: one empty line, zero chars → ratios 0
+      (2L, "x\n\n\ny"),     // ["","" dup but zero-length]: ratio 1/4, char ratio 0
+      (3L, "A\na"),         // case-sensitive: distinct
+      (4L, "ab\nab\nab")    // 2 of 3 dup; dup chars 4 of 6
+    ).toDF("doc_id", "text")
+    val got = d.select(col("doc_id") +:
+        TextAnalysis.repetitionColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(5), r.getDouble(6))).toMap
+    assert(got(0L) == ((1.0 / 3.0, 1.0 / 3.0)))
+    assert(got(1L) == ((0.0, 0.0)))
+    assert(got(2L) == ((0.25, 0.0)))
+    assert(got(3L) == ((0.0, 0.0)))
+    assert(got(4L) == ((2.0 / 3.0, 4.0 / 6.0)))
+  }
+
   test("PII redaction: hand-computed counts, placeholder safety, edge positions") {
     import spark.implicits._
     val d = Seq(
