@@ -78,7 +78,10 @@ object Bench {
     val conf = confJson(shufflePartitions, cpus)
     def confMatches(l: String): Boolean =
       if (l.contains("\"conf\":")) l.contains("\"conf\":" + conf)
-      else shufflePartitions == cpus  // legacy lines: default config only
+      // legacy (pre-conf) lines were all driver runs at local[32]/p=32;
+      // accepting them for any p==cpus config would adopt a 32-core
+      // baseline for e.g. an 8-core run and shift every comparison
+      else shufflePartitions == 32 && cpus == 32
     val line = sys.env.get("SPARK_GRAFT_BENCH_PREV") match {
       case Some(p) => readLines(p).lastOption
       case None =>
@@ -198,8 +201,12 @@ object Bench {
           val med3 = Seq(t, t2, t3).sorted.apply(1)
           System.err.println(
             f"[bench] $name vs prev $p%.2f s: first $t%.2f s, fresh $t2%.2f/$t3%.2f s -> median $med3%.2f s")
-          remeasured += name -> (t, med3)
-          if (e2.orElse(e3).isEmpty) (name, med3, err) else (name, t, err)
+          if (e2.orElse(e3).isEmpty) {
+            remeasured += name -> (t, med3)
+            (name, med3, err)
+          } else (name, t, err) // failed re-runs: keep the first pass, and
+                                // don't record their elapsed as a "fresh"
+                                // measurement in the artifact
         case _ => (name, t, err)
       }
     }

@@ -61,7 +61,8 @@ object Mixing {
       defaultWeight: Double): (String, String) = {
     val (defWhole, defThr) = weightParts(defaultWeight)
     def cases(f: ((String, Double)) => Long, dflt: Long) =
-      weights.map { case (s, w) => s"WHEN '$s' THEN ${f((s, w))}" }
+      if (weights.isEmpty) dflt.toString // a WHEN-less CASE is a parse error
+      else weights.map { case (s, w) => s"WHEN '$s' THEN ${f((s, w))}" }
         .mkString(s"CASE $srcCol ", " ", s" ELSE $dflt END")
     (cases(p => weightParts(p._2)._1, defWhole),
       cases(p => weightParts(p._2)._2, defThr))

@@ -59,21 +59,31 @@ object KSlack {
     var last = st.lastEmitted
     var dropped = st.dropped
     var pending = st.pendingTs
-    val buf = scala.collection.mutable.TreeMap.empty[(Long, Long), Long]
-    st.buf.foreach(e => buf((e.ts_us, e.event_id)) = e.cents)
+    // values are LISTS so duplicate (ts, event_id) arrivals (at-least-once
+    // upstream replays) keep their multiplicity, exactly like the
+    // reference's deque — a plain map value would silently collapse them
+    val buf = scala.collection.mutable.TreeMap.empty[(Long, Long), List[Long]]
+    def insert(ts: Long, id: Long, cents: Long): Unit =
+      buf.updateWith((ts, id)) {
+        case Some(cs) => Some(cs :+ cents)
+        case None => Some(cents :: Nil)
+      }
+    st.buf.foreach(e => insert(e.ts_us, e.event_id, e.cents))
     val out = scala.collection.mutable.ListBuffer[KsOut]()
     def release(bound: Long): Unit =
       while (buf.nonEmpty && buf.firstKey._1 <= bound) {
-        val ((ts, id), cents) = buf.head
+        val ((ts, id), centsList) = buf.head
         buf.remove(buf.firstKey)
-        if (ts < last) dropped += 1 // behind an already-emitted ts
-        else {
-          last = ts
-          out += KsOut(user, id, ts, cents, dropped)
+        centsList.foreach { cents =>
+          if (ts < last) dropped += 1 // behind an already-emitted ts
+          else {
+            last = ts
+            out += KsOut(user, id, ts, cents, dropped)
+          }
         }
       }
     rows.foreach { t =>
-      buf((t.ts_us, t.event_id)) = t.cents
+      insert(t.ts_us, t.event_id, t.cents)
       pending ::= t.ts_us
       if (t.ts_us > tcurr) { // new max ts: adapt K, release the front
         tcurr = t.ts_us
@@ -84,7 +94,8 @@ object KSlack {
       }
     }
     if (flush) release(Long.MaxValue)
-    val bufList = buf.iterator.map { case ((ts, id), c) => KsBufEntry(ts, id, c) }.toList
+    val bufList = buf.iterator.flatMap { case ((ts, id), cs) =>
+      cs.map(KsBufEntry(ts, id, _)) }.toList
     (KsState(k, tcurr, last, dropped, bufList, pending), out.toSeq)
   }
 
@@ -111,9 +122,9 @@ object KSlack {
   /** [[reorder]] + an idle-key drain: a key whose watermark-measured event
     * time advances `ttlUs` past its max seen ts without new arrivals has
     * its buffer DRAINED in order (same drop rule — rows behind the last
-    * emitted ts are dropped and counted) and its pending delay samples
-    * cleared; the adapted K, order guard and drop counter survive for any
-    * later arrivals.
+    * emitted ts are dropped and counted) and its whole state row evicted;
+    * a later re-activation restarts the K adaptation and counters from
+    * zero (the rollingReduceTtl restart trade).
     *
     * DIVERGENCE FROM THE REFERENCE (deliberate): the reference's collector
     * releases only on new-max arrivals or EOS
@@ -133,10 +144,13 @@ object KSlack {
         (user: Long, it: Iterator[KsInT], state: GroupState[KsState]) =>
           if (state.hasTimedOut) {
             val st = state.get
-            val (next, out) = processBatch(user, st, Nil, flush = true)
-            // k/tcurr/lastEmitted/dropped survive for late re-activations;
-            // an empty buffer needs no new timer (the next arrival sets one)
-            state.update(next.copy(pendingTs = Nil))
+            val (_, out) = processBatch(user, st, Nil, flush = true)
+            // the drained key's whole state row is EVICTED (the point of
+            // the TTL flavor — keeping even the empty scalar row would
+            // leak one row per key ever seen); a re-activating key
+            // restarts its K adaptation and drop counter from zero, the
+            // same restart trade as rollingReduceTtl
+            state.remove()
             out.iterator
           } else {
             val st = state.getOption.getOrElse(KsState(0L, 0L, 0L, 0L, Nil, Nil))

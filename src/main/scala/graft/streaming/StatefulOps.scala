@@ -402,17 +402,24 @@ object StatefulOps {
           val fired = wins.filter(w =>
             w.winStartUs + lenUs <= wmUs && w.winStartUs + lenUs > s.firedThroughUs)
             .sortBy(_.winStartUs)
-          // a pane anchored at a contributes only to windows ending in
-          // (a, a + len]; once the watermark passes a + len they have all
-          // fired and the pane is dead state
-          val keep = anchors.filter(_ + lenUs > wmUs)
+          // a pane [a, a+g) belongs to windows starting at multiples of
+          // slide in [a+g-len, a]; its LAST window ends at
+          // floorDiv(a, slide)·slide + len — strictly before a + len when
+          // slide does not divide len, and nonexistent for a hopping-gap
+          // pane (floorMod(a, slide) > len − g). Purge on that exact bound:
+          // a kept pane then always carries a pending window end > wm (so
+          // the timer min below is total), and gap panes never linger
+          def lastEnd(a: Long): Long = {
+            if (Math.floorMod(a, slideUs) > lenUs - paneUs) Long.MinValue // gap: in no window
+            else Math.floorDiv(a, slideUs) * slideUs + lenUs
+          }
+          val keep = anchors.filter(lastEnd(_) > wmUs)
           if (keep.isEmpty) state.remove()
           else {
             state.update(FfatAppendState(keep,
               keep.map(panes(_)._1), keep.map(panes(_)._2),
               keep.map(panes(_)._3), keep.map(panes(_)._4),
               math.max(s.firedThroughUs, wmUs)))
-            // kept panes always imply a pending window end > wm
             val nextEnd = wins.iterator.map(_.winStartUs + lenUs).filter(_ > wmUs).min
             val wmMs = wmUs / 1000L
             state.setTimeoutTimestamp(math.max(nextEnd / 1000L, wmMs + 1L))

@@ -120,6 +120,20 @@ class KSlackSpec extends AnyFunSuite {
       s"key-1 emissions: $k1")
   }
 
+  test("duplicate (ts, event_id) arrivals keep their multiplicity (at-least-once replay)") {
+    // regression (round-7 review): the ordered buffer must behave like the
+    // reference's deque — an upstream replay of the same logical tuple is
+    // buffered and released TWICE, never collapsed by key
+    val in = Seq(
+      KsIn(1L, 7L, 1L, 100L, 5L),
+      KsIn(1L, 7L, 2L, 100L, 9L), // same (ts, id), different payload
+      KsIn(1L, 7L, 3L, 100L, 13L), // third copy: two identical keys buffered at once
+      KsIn(1L, 8L, 4L, 200L, 1L))
+    val out = run(in, flush = true)
+    assert(out.map(_._3) == Seq(100L, 100L, 100L, 200L), s"got $out")
+    assert(out.forall(_._4 == 0L), s"equal-ts duplicates must not count as drops: $out")
+  }
+
   test("state persists across micro-batches; later batch drains earlier buffer") {
     // batch 1 ends with ts=5 buffered (no flush); batch 2's ts=100 adapts K
     // and releases it — within-K disorder survives a batch boundary.

@@ -296,6 +296,41 @@ class StatefulStreamingSpec extends AnyFunSuite {
     assert(keys == Seq("z"), s"expected only z in state, got $keys")
   }
 
+  test("ffat append twin survives a slide that does not divide len (pane last-window bound)") {
+    // regression (round-7 review): a pane's LAST window ends at
+    // floorDiv(anchor, slide)*slide + len, strictly before anchor + len
+    // when slide ∤ len — purging on anchor + len kept dead panes whose
+    // pending-window-end set was empty and crashed the timer min
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    val lenUs = 60L * 1000000L
+    val slideUs = 25L * 1000000L // gcd = 5 s panes; slide does not divide len
+    def in(key: String, tsUs: Long, cents: Long) =
+      FfatInT(key, tsUs, cents, new java.sql.Timestamp(tsUs / 1000L))
+    val mem = MemoryStream[FfatInT]
+    val q = StatefulOps.slidingWindowsFfatAppend(
+      mem.toDS().withWatermark("event_time", "0 seconds"), lenUs, slideUs).toDF()
+      .writeStream.format("memory").queryName("ffat_nondiv_x")
+      .outputMode("append").start()
+    val t0 = 1600000000000000L // multiple of 25 s
+    mem.addData(in("a", t0 + 37L * 1000000L, 5L))
+    q.processAllAvailable()
+    // advance the watermark far past every window end; key a's timers must
+    // fire and its state fully evict without the empty-min crash
+    mem.addData(in("z", t0 + 3600L * 1000000L, 0L))
+    q.processAllAvailable()
+    q.stop()
+    val aRows = spark.table("ffat_nondiv_x").collect()
+      .filter(_.getString(0) == "a")
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq.sortBy(_._1)
+    spark.sql("DROP TABLE IF EXISTS ffat_nondiv_x")
+    val want = graft.operators.FlatFatWindows.windows(
+      Array(t0 + 37L * 1000000L), Array(5L), lenUs, slideUs)
+      .map(w => (w.winStartUs, w.cnt, w.sum)).toSeq.sortBy(_._1)
+    assert(aRows == want, s"append emissions $aRows != batch kernel $want")
+  }
+
   test("ffat append sub-key salting (DP mode) is result-identical at S in {1, 4}") {
     // the flatMapGroupsWithState analog of the reference's intra-key
     // slicing (wf/interval_join.hpp:314-322): rows group by (key, salt),
