@@ -527,6 +527,31 @@ object StreamingQueries {
       },
       JoinQueries.all.find(_.name == "join_asof").get.oracle),
 
+    // DP-mode (intra-key parallel) interval join: the reference slices a
+    // hot key's archive across replicas (wf/interval_join.hpp:314-322);
+    // here the slicing lives in the group key as a TIME BUCKET — each row
+    // is routed to its own bucket and the next, pairs emit exactly once in
+    // the later row's home bucket, and expired buckets remove themselves
+    // via EventTimeTimeout. Same oracle as the pinned-key form; the
+    // equality of the two physical plans is the KP≡DP result-identity the
+    // reference's join_tests assert.
+    Q("stream_interval_join_dp",
+      (s, dir) => {
+        implicit val sp = s
+        import s.implicits._
+        val bound = 30L * Q.MinuteUs
+        val tagged = StreamSources.eventsWithTime(s, dir)
+          .filter(col("event_type").isin("purchase", "click"))
+          .withWatermark("event_time", "1 hour")
+          .selectExpr("event_id", "user_id", "ts_us", "value",
+            "event_type = 'purchase' AS isLeft", "event_time")
+          .as[graft.streaming.IjTIn]
+        StreamRun.toBatch(
+          StatefulOps.intervalJoinBucketed(tagged, bound, bucketUs = bound).toDF(),
+          "append", numPartitions = 4).orderBy("a_id", "b_id")
+      },
+      JoinQueries.all.find(_.name == "interval_join").get.oracle),
+
     Q("stream_interval_join",
       (s, dir) => {
         implicit val sp = s

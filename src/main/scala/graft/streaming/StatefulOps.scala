@@ -82,6 +82,19 @@ case class FfatInT(key: String, ts_us: Long, cents: Long,
 case class FfatAppendState(paneTs: Array[Long], cnt: Array[Long], sum: Array[Long],
     mn: Array[Long], mx: Array[Long], firedThroughUs: Long)
 
+/** [[IjIn]] + the watermarked event-time column, input of the DP-mode
+  * interval join ([[StatefulOps.intervalJoinBucketed]]): the bucket
+  * duplication happens in the Column layer so the watermark attribute
+  * survives, and the per-bucket `EventTimeTimeout` cleanup timers need it
+  * to reach the operator.
+  */
+case class IjTIn(event_id: Long, user_id: Long, ts_us: Long, value: Double,
+    isLeft: Boolean, event_time: java.sql.Timestamp)
+
+/** [[IjTIn]] + its time-bucket salt (each row appears under two buckets). */
+case class IjBIn(event_id: Long, user_id: Long, ts_us: Long, value: Double,
+    isLeft: Boolean, event_time: java.sql.Timestamp, bucket: Long)
+
 /** Count-window state: per-key arrival counter + open-window partials
   * keyed by window id (wf/window_structure.hpp:69-80 Triggerer_CB).
   */
@@ -484,6 +497,87 @@ object StatefulOps {
           }
           state.update(IjState(lefts, rights))
           out.iterator
+      }
+  }
+
+  /** The DP-mode (intra-key parallel) flavor of [[intervalJoinShared]]:
+    * the reference slices ONE key's archive across replicas
+    * (/root/reference/wf/interval_join.hpp:314-322, `wf/join_collector.hpp`)
+    * so a pathologically hot key parallelizes; `flatMapGroupsWithState`
+    * pins a group to one task, so the slicing must live in the GROUP KEY —
+    * here a TIME BUCKET of width `bucketUs` ≥ bound. Every row is routed
+    * to its own bucket AND the next (a 2× input multiplier, the price of
+    * slicing), so any pair within the bound co-occurs in at least one
+    * group; a pair is emitted exactly once, by the group that equals the
+    * LATER row's home bucket — `max(floor(ts_l/W), floor(ts_r/W))` — a
+    * deterministic rule both copies agree on. A hot key's archive and
+    * probe work now split across ⌈horizon/W⌉ independent state groups,
+    * and a group whose purge empties both sides removes itself — buckets
+    * expire wholesale as the watermark passes.
+    *
+    * Same purge rule as [[intervalJoinShared]]; a group additionally arms
+    * an `EventTimeTimeout` cleanup timer at `(bucket+1)·W + bound` — past
+    * that watermark no future row can be routed to it (a row at ts ≥ wm
+    * has home ≥ bucket+1, so its two copies land strictly later) — and
+    * removes itself when it fires, so expired buckets cannot accumulate
+    * (a NoTimeout rendering would strand every stale group's last state
+    * row forever). The bucket duplication runs in the COLUMN layer so the
+    * watermark attribute survives to the operator. Result-equality vs the
+    * pinned-key form is spec-asserted on the sf0.01 events table.
+    */
+  def intervalJoinBucketed(ev: Dataset[IjTIn], boundUs: Long, bucketUs: Long)(
+      implicit spark: SparkSession): Dataset[IjOut] = {
+    import spark.implicits._
+    require(bucketUs >= boundUs, s"bucket width $bucketUs must be >= bound $boundUs")
+    val dup = ev.toDF()
+      .withColumn("__b", expr(s"(ts_us - pmod(ts_us, ${bucketUs}L)) div ${bucketUs}L"))
+      .withColumn("bucket", explode(array(col("__b"), col("__b") + 1)))
+      .drop("__b")
+      .as[IjBIn]
+    def home(tsUs: Long): Long = Math.floorDiv(tsUs, bucketUs)
+    dup.groupByKey(e => (e.user_id, e.bucket))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, Long), it: Iterator[IjBIn], state: GroupState[IjState]) =>
+          val (user, bucket) = key
+          if (state.hasTimedOut) {
+            // wm passed (bucket+1)·W + bound: no future arrival can route
+            // here and nothing left can pair — drop the whole group
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(IjState(Nil, Nil))
+            val wmUs = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(0L) * 1000L
+            if (wmUs > 0) s = IjState(
+              s.left.filter(_.ts_us >= wmUs - boundUs),
+              s.right.filter(_.ts_us >= wmUs - boundUs))
+            var lefts = s.left
+            var rights = s.right
+            val out = scala.collection.mutable.ListBuffer[IjOut]()
+            def emit(l: IjBuf, r: IjBuf): Unit =
+              if (r.ts_us >= l.ts_us - boundUs && r.ts_us <= l.ts_us + boundUs &&
+                  math.max(home(l.ts_us), home(r.ts_us)) == bucket)
+                out += IjOut(l.id, r.id, user,
+                  math.max(l.ts_us, r.ts_us), l.value + r.value)
+            it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+              if (e.isLeft) {
+                val l = IjBuf(e.event_id, e.ts_us, e.value)
+                rights.foreach(emit(l, _))
+                lefts ::= l
+              } else {
+                val r = IjBuf(e.event_id, e.ts_us, e.value)
+                lefts.foreach(emit(_, r))
+                rights ::= r
+              }
+            }
+            if (lefts.isEmpty && rights.isEmpty) state.remove()
+            else {
+              state.update(IjState(lefts, rights))
+              val wmMs = wmUs / 1000L
+              state.setTimeoutTimestamp(
+                math.max(((bucket + 1) * bucketUs + boundUs) / 1000L + 1L, wmMs + 1L))
+            }
+            out.iterator
+          }
       }
   }
 

@@ -181,6 +181,68 @@ class StatefulStreamingSpec extends AnyFunSuite {
       s"shared-scan join (${gotShared.size} rows) must equal symmetric join (${gotSym.size})")
   }
 
+  test("DP-mode interval join: buckets split a key's state and expired buckets self-evict") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    val W = 10L * 1000000L // 10 s buckets = bound
+    def in(id: Long, user: Long, tsUs: Long, v: Double, left: Boolean) =
+      IjTIn(id, user, tsUs, v, left, new java.sql.Timestamp(tsUs / 1000L))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ijdp_").toString
+    val mem = MemoryStream[IjTIn]
+    val q = StatefulOps.intervalJoinBucketed(
+      mem.toDS().withWatermark("event_time", "0 seconds"), W, W).toDF()
+      .writeStream.format("memory").queryName("ijdp_x")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    // key 1: rows in three different buckets; only (5s L, 12s R) pair
+    mem.addData(in(1, 1, 5_000_000L, 1.0, left = true),
+      in(2, 1, 12_000_000L, 2.0, left = false),
+      in(3, 1, 25_000_000L, 4.0, left = true))
+    q.processAllAvailable()
+    val pairs = spark.table("ijdp_x").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSeq
+    assert(pairs == Seq((1L, 2L, 3.0)), s"expected exactly one cross-bucket pair, got $pairs")
+    // the key's rows live under MULTIPLE (key, bucket) state groups — the
+    // intra-key slicing the reference's DP mode provides
+    val bucketsBefore = stateStore(ckpt).collect().map { r =>
+      val k = r.getStruct(r.fieldIndex("key")); (k.getLong(0), k.getLong(1))
+    }.toSet
+    assert(bucketsBefore.map(_._2).size >= 3,
+      s"expected the key sliced across >=3 buckets, got $bucketsBefore")
+    // far-future row on another key: watermark passes every key-1 bucket's
+    // (bucket+1)*W + bound timer → the groups remove themselves
+    mem.addData(in(9, 2, 3600L * 1000000L, 0.0, left = false))
+    q.processAllAvailable()
+    val after = stateStore(ckpt).collect().map { r =>
+      val k = r.getStruct(r.fieldIndex("key")); k.getLong(0)
+    }.toSeq
+    q.stop()
+    assert(!after.contains(1L), s"expired buckets must self-evict, state keys: $after")
+  }
+
+  test("DP-mode interval join equals the pinned-key form on the events table") {
+    implicit val sp = spark
+    import spark.implicits._
+    val bound = 30L * 60L * 1000000L
+    def tagged = StreamSources.eventsWithTime(spark, TestSpark.SF)
+      .filter(col("event_type").isin("purchase", "click"))
+      .withWatermark("event_time", "1 hour")
+    val pinned = StatefulOps.intervalJoinShared(
+      tagged.selectExpr("event_id", "user_id", "ts_us", "value",
+        "event_type = 'purchase' AS isLeft", "event_time").as[IjIn], bound)
+    val dp = StatefulOps.intervalJoinBucketed(
+      tagged.selectExpr("event_id", "user_id", "ts_us", "value",
+        "event_type = 'purchase' AS isLeft", "event_time").as[graft.streaming.IjTIn],
+      bound, bucketUs = bound)
+    val a = StreamRun.toBatch(pinned.toDF(), "append", numPartitions = 4)
+      .orderBy("a_id", "b_id").collect().map(_.toSeq).toSeq
+    val b = StreamRun.toBatch(dp.toDF(), "append", numPartitions = 4)
+      .orderBy("a_id", "b_id").collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == b,
+      s"DP (${b.size} rows) must equal pinned-key (${a.size} rows)")
+  }
+
   test("EOS-punctuated declared queries plan exactly ONE streaming scan") {
     // the sentinel must come from the same scan (withEosSentinel explode),
     // never a second readStream union — that shape doubles ingest I/O
