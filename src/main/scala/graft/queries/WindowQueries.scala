@@ -250,6 +250,45 @@ object WindowQueries {
         SELECT user_id, wid, COUNT(*) AS cnt, $SumVal AS sum_value
         FROM x GROUP BY user_id, wid ORDER BY user_id, wid""")),
 
+    // ---- CB sliding through the FlatFAT tree — the reference's
+    //      test_win_fat_cb cell (/root/reference/tests/win_tests/
+    //      test_win_fat_cb.cpp): the kernel is time/count agnostic, so
+    //      leaves key by per-key ARRIVAL INDEX instead of event time;
+    //      each row folds into the tree once (no len/slide explode
+    //      multiplier) and every window is an O(log n) range combine
+    //      incl. the non-invertible min/max. Leading partial windows
+    //      (negative start in index space) are not part of the CB
+    //      contract (wid ≥ 0, wf/window_structure.hpp Triggerer_CB)
+    //      and are filtered out. ----
+    Q("win_cb_sliding_ffat",
+      (s, dir) => {
+        val idx = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), expr(Q.TsUsSpark).as("ts_us"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .withColumn("i", (row_number().over(idx) - 1).cast("long"))
+          .groupBy("user_id")
+          .agg(graft.operators.FlatFatWindows(col("i"), col("cents"), 100L, 50L).as("__wins"))
+          .select(col("user_id"), explode(col("__wins")).as("__w"))
+          .filter(col("__w.win_start_us") >= 0)
+          .select(col("user_id"), expr("__w.win_start_us div 50").as("wid"),
+            col("__w.cnt").as("cnt"), col("__w.sum_cents").as("sum_cents"),
+            col("__w.min_cents").as("min_cents"), col("__w.max_cents").as("max_cents"))
+          .orderBy("user_id", "wid")
+      },
+      Some(s"""
+        WITH e AS (SELECT user_id, event_id, ${Q.TsUsDuck} AS ts_us,
+                     CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        r AS (SELECT user_id, cents,
+                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - 1 AS i
+              FROM e),
+        x AS (SELECT user_id, cents,
+                unnest(range(CASE WHEN i >= 100 THEN (i - 100) // 50 + 1 ELSE 0 END, i // 50 + 1)) AS wid
+              FROM r)
+        SELECT user_id, wid, COUNT(*) AS cnt, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+               MIN(cents) AS min_cents, MAX(cents) AS max_cents
+        FROM x GROUP BY user_id, wid ORDER BY user_id, wid""")),
+
     // ---- CB hopping with gaps (len 20 < slide 50): only every 50th-index
     //      stretch of 20 rows per key lands in a window ----
     Q("win_cb_hopping",
