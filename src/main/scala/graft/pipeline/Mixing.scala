@@ -30,9 +30,23 @@ object Mixing {
     (whole, ((w - whole) * HashMod).toLong)
   }
 
-  /** The deterministic per-document hash in [0, 2³¹). */
+  /** The deterministic per-document hash in [0, 2³¹). Well-defined for
+    * NEGATIVE ids too: `pmod` is always non-negative, so the inner
+    * reduction lands in [0, 2³¹) before the multiply (which then stays
+    * exact in int64). Oracle replays must use [[duckMixHash]], not a
+    * plain `%` chain — SQL `%` takes the dividend's sign, so the two
+    * engines would disagree on the draw for id < 0.
+    */
   def mixHash(idCol: String): Column =
     expr(s"pmod(pmod($idCol, $HashMod) * 2654435761, $HashMod)")
+
+  /** The DuckDB rendering of [[mixHash]], sign-exact for any int64 id:
+    * the inner `((id % M) + M) % M` reproduces `pmod(id, M)` (plain `%`
+    * keeps the dividend's sign), after which the dividend of the outer
+    * `%` is non-negative so it equals `pmod` verbatim.
+    */
+  def duckMixHash(idCol: String): String =
+    s"(((($idCol % $HashMod) + $HashMod) % $HashMod) * 2654435761) % $HashMod"
 
   /** Output: input columns + `copy` (1..n for a document emitted n times).
     * Documents from sources with an effective 0-copy draw are dropped.

@@ -650,8 +650,7 @@ object PipelineQueries {
           Seq("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25), 0.1)
         s"""
         WITH h AS (SELECT doc_id, source,
-                     ((doc_id % ${graft.pipeline.Mixing.HashMod}) * 2654435761)
-                       % ${graft.pipeline.Mixing.HashMod} AS hm
+                     ${graft.pipeline.Mixing.duckMixHash("doc_id")} AS hm
                    FROM ${Q.DocsRef}),
         c AS (SELECT doc_id, source,
                 ($whole) + (CASE WHEN hm < ($thr) THEN 1 ELSE 0 END) AS copies
@@ -717,7 +716,7 @@ object PipelineQueries {
                 FROM j)
               WHERE rep_id = doc_id),
         x AS (SELECT k.doc_id, k.n_tokens, r2.source,
-                ((k.doc_id % ${graft.pipeline.Mixing.HashMod}) * 2654435761) % ${graft.pipeline.Mixing.HashMod} AS hm
+                ${graft.pipeline.Mixing.duckMixHash("k.doc_id")} AS hm
               FROM k JOIN red r2 ON k.doc_id = r2.doc_id),
         mx AS (SELECT doc_id, n_tokens,
                  ($whole) + (CASE WHEN hm < ($thr) THEN 1 ELSE 0 END) AS copies

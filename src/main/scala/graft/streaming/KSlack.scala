@@ -119,19 +119,40 @@ object KSlack {
       }
   }
 
-  /** [[reorder]] + an idle-key drain: a key whose watermark-measured event
-    * time advances `ttlUs` past its max seen ts without new arrivals has
-    * its buffer DRAINED in order (same drop rule — rows behind the last
-    * emitted ts are dropped and counted) and its whole state row evicted;
-    * a later re-activation restarts the K adaptation and counters from
-    * zero (the rollingReduceTtl restart trade).
+  /** [[reorder]] + an idle-key drain: a key that receives no arrivals
+    * while the watermark advances `ttlUs` past its last activity has its
+    * buffer DRAINED in order (same drop rule as [[reorder]]'s flush on
+    * the drained buffer — rows behind the last emitted ts are dropped and
+    * counted) and its whole state row evicted; a later re-activation
+    * restarts the K adaptation and counters from zero (the
+    * rollingReduceTtl restart trade). "Idle" is measured relative to
+    * ACTIVITY, not to the key's max seen ts: every batch that delivers
+    * rows re-arms the timer at max(tcurr + ttl, watermark + ttl), so a
+    * key that stays active with monotonically non-increasing timestamps
+    * (tcurr frozen while the global watermark advances) is NOT drained
+    * mid-activity — it drains only once it truly stops receiving for a
+    * ttl of watermark time.
+    *
+    * WATERMARK-FILTER LOSS PATH (caller contract): because the input is
+    * watermarked, the ENGINE's pre-operator late-row filter silently
+    * discards any arrival whose `event_time` is already behind the
+    * current watermark — those rows never reach this operator, so they
+    * are neither emitted nor counted in `dropped` (the reference
+    * collector accounts for every tuple; the bounded [[reorder]], whose
+    * input needs no watermark, still does). Deployments MUST set the
+    * watermark delay at least as large as the disorder bound they expect
+    * K to adapt to — otherwise disorder beyond the delay vanishes without
+    * trace in the operator's own counter. The engine-side loss IS
+    * observable: each progress event's
+    * `stateOperators(i).numRowsDroppedByWatermark` counts exactly these
+    * pre-operator drops ([[Monitoring.attach]]; parity with the
+    * reference's `ignored_tuples` asserted in MonitoringSpec).
     *
     * DIVERGENCE FROM THE REFERENCE (deliberate): the reference's collector
     * releases only on new-max arrivals or EOS
     * (/root/reference/wf/kslack_collector.hpp:102-153) — a key that stops
-    * sending, or sends only monotonically non-increasing timestamps, holds
-    * its buffer and samples forever. That is parity-correct for the
-    * bounded [[reorder]], but in a continuous deployment it is an
+    * sending holds its buffer and samples forever. That is parity-correct
+    * for the bounded [[reorder]], but in a continuous deployment it is an
     * unbounded-idle-state leak; this flavor is the Spark-native upgrade
     * (same shape as [[StatefulOps.rollingReduceTtl]]). Input must carry a
     * watermarked `event_time`.
@@ -160,7 +181,16 @@ object KSlack {
               flush = false)
             state.update(next)
             val wmMs = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(0L)
-            state.setTimeoutTimestamp(math.max((next.tcurr + ttlUs) / 1000L, wmMs + 1L))
+            // arm relative to ACTIVITY: this branch only runs on batches
+            // that delivered rows, so wm + ttl keeps an active key's timer
+            // ahead of the watermark even when tcurr is frozen
+            // (non-increasing timestamps); tcurr + ttl dominates while the
+            // watermark still trails the key's own event time. The +1
+            // floor keeps the timer strictly above the watermark when
+            // ttlUs < 1 ms.
+            state.setTimeoutTimestamp(math.max(
+              math.max((next.tcurr + ttlUs) / 1000L, wmMs + ttlUs / 1000L),
+              wmMs + 1L))
             out.iterator
           }
       }

@@ -367,6 +367,14 @@ object StatefulOps {
     * flatMapGroupsWithState, but the merge agg carries no event-time
     * column, so the flagged failure mode (late-row discard downstream)
     * cannot occur — asserted result-identical at S ∈ {1, 4} in spec.
+    * BLAST RADIUS: that flag is QUERY-GLOBAL, not per-operator — setting
+    * it also silences the late-data correctness guard for every OTHER
+    * stateful operator composed into the same query, where the flagged
+    * failure mode is real. If the query chains any stateful op beyond
+    * this merge, isolate the salted window + merge in its own query
+    * (checkpoint + re-ingest, or a separate sink/source hop) instead of
+    * disabling the guard query-wide; restore the flag after a bounded
+    * run either way.
     *
     * Exactly-once stays safe per salt: rows reaching the operator satisfy
     * ts ≥ watermark (engine late-row filter), and every window containing

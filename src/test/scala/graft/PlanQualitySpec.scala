@@ -88,11 +88,13 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("no declared query plans a nested-loop all-pairs join") {
     // the quadratic baselines (knnBruteForce, embeddingPairs) are test-only;
-    // every DECLARED plan must be free of broadcast-NL/cartesian joins
+    // every DECLARED plan must be free of broadcast-NL/cartesian joins —
+    // no exemptions (the former knn_* carve-out covered a plan shape that
+    // no longer occurs: IVF assignment is a literal argmax, no join at all)
     SparkEntry.queries.keys.filterNot(_.startsWith("stream_")).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
-      assert(!p.contains("BroadcastNestedLoopJoin") || q.startsWith("knn_"),
+      assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$q plans a broadcast nested-loop join")
     }
   }
