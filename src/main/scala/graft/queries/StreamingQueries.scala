@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.streaming.{KSlack, KsIn, StatefulOps, StreamRun, StreamSources}
+import graft.streaming.{KSlack, KsIn, KsInT, StatefulOps, StreamRun, StreamSources}
 
 /** Operators executed through the *streaming* engine (Structured
   * Streaming, Trigger.AvailableNow) but verified against the same DuckDB
@@ -109,6 +109,32 @@ object StreamingQueries {
         val out = StatefulOps.rollingReduce(
           StatefulOps.toEvRows(StreamSources.events(s, dir)))
         StreamRun.toBatch(out.toDF(), "update").orderBy("event_id")
+      },
+      WindowQueries.all.find(_.name == "reduce_rolling").get.oracle),
+
+    // the TTL flavor of the rolling reduce (watermark-based idle-key
+    // eviction, StatefulOps.rollingReduceTtl) through the full gate: the
+    // emitted values are identical to the non-TTL machine by construction
+    // — eviction emits nothing and only ever fires once the watermark has
+    // passed an idle key's last event + ttl, which in this bounded run
+    // happens in the trailing no-data batch, after every row is already
+    // out — so the oracle is the same rolling replay, and what the hash
+    // gate adds is the TTL operator's end-to-end plumbing (EvRowT
+    // watermark column, EventTimeTimeout arming, eviction batch) running
+    // under the driver. The eviction semantics themselves are
+    // state-asserted in StatefulStreamingSpec.
+    Q("stream_reduce_rolling_ttl",
+      (s, dir) => {
+        implicit val sp = s
+        import s.implicits._
+        val in = StreamSources.eventsWithTime(s, dir)
+          .withWatermark("event_time", "30 minutes")
+          .selectExpr("event_id", "user_id", "ts_us",
+            "CAST(round(value * 100) AS BIGINT) AS cents", "event_time")
+          .as[graft.streaming.EvRowT]
+        StreamRun.toBatch(
+          StatefulOps.rollingReduceTtl(in, ttlUs = 6L * Q.HourUs).toDF(), "update")
+          .orderBy("event_id")
       },
       WindowQueries.all.find(_.name == "reduce_rolling").get.oracle),
 
@@ -247,6 +273,35 @@ object StreamingQueries {
         implicit val sp = s
         StreamRun.toBatch(ffatAppendStream(s, dir), "append", numPartitions = 4)
           .orderBy("event_type", "win_start_us")
+      },
+      WindowQueries.all.find(_.name == "win_tb_sliding_ffat").get.oracle),
+
+    // the SALTED (sub-key DP-mode) flavor of the ffat append twin at
+    // S = 4, through the full gate: rows group by (key, hash mod 4), each
+    // salt fires partial window answers exactly once on watermark, and
+    // the final merge is a narrow stateless groupBy(sum/sum/min/max) over
+    // ≤ 4 rows per window — chained in the same query, which needs the
+    // checkCorrectness flag off (the merge agg carries no event-time
+    // column, so the flagged late-row-discard mode cannot occur; the
+    // flag is query-global, hence set only around this bounded run and
+    // restored — see the slidingWindowsFfatAppend scaladoc blast-radius
+    // note). Values are identical to the unsalted twin by construction
+    // (lift/comb associativity), so the oracle is shared with the batch
+    // FlatFAT row.
+    Q("stream_win_tb_sliding_ffat_salted",
+      (s, dir) => {
+        implicit val sp = s
+        val conf = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+        val prev = s.conf.get(conf)
+        s.conf.set(conf, "false")
+        try {
+          val merged = ffatAppendStream(s, dir, salts = 4)
+            .groupBy("event_type", "win_start_us")
+            .agg(sum("cnt").as("cnt"), sum("sum_cents").as("sum_cents"),
+              min("min_cents").as("min_cents"), max("max_cents").as("max_cents"))
+          StreamRun.toBatch(merged, "complete", numPartitions = 4)
+            .orderBy("event_type", "win_start_us")
+        } finally s.conf.set(conf, prev)
       },
       WindowQueries.all.find(_.name == "win_tb_sliding_ffat").get.oracle),
 
@@ -438,69 +493,39 @@ object StreamingQueries {
         StreamRun.toBatch(KSlack.reorder(in, flushAtBatchEnd = true).toDF(), "append")
           .orderBy("user_id", "event_id")
       },
-      Some(s"""
-        WITH e AS (
-          SELECT user_id, event_id,
-                 ${Q.TsUsDuck} + ((event_id % 5) - 2) * ${2L * Q.MinuteUs} AS seq,
-                 ${Q.TsUsDuck} AS ts_us,
-                 CAST(round(value * 100) AS BIGINT) AS cents
-          FROM events
-        ),
-        o AS (
-          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq, event_id) AS i FROM e
-        ),
-        r AS (
-          SELECT *,
-            CASE WHEN ts_us > COALESCE(MAX(ts_us) OVER (PARTITION BY user_id ORDER BY i
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) THEN 1 ELSE 0 END AS is_nm
-          FROM o
-        ),
-        nm AS (
-          SELECT *,
-            MIN(CASE WHEN is_nm = 1 THEN i END) OVER (PARTITION BY user_id ORDER BY i
-              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nmi
-          FROM r
-        ),
-        nmts AS (
-          SELECT a.*, b.ts_us AS nm_ts
-          FROM nm a LEFT JOIN nm b ON a.user_id = b.user_id AND a.nmi = b.i
-        ),
-        ed AS (
-          SELECT user_id, nmi AS ei, MAX(nm_ts - ts_us) AS d
-          FROM nmts WHERE nmi IS NOT NULL GROUP BY user_id, nmi
-        ),
-        evb AS (
-          SELECT ed.user_id, ed.ei,
-                 o2.ts_us - MAX(ed.d) OVER (PARTITION BY ed.user_id ORDER BY ed.ei
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bound
-          FROM ed JOIN o o2 ON o2.user_id = ed.user_id AND o2.i = ed.ei
-        ),
-        rel AS (
-          SELECT n.user_id, n.event_id, n.ts_us, n.cents, n.i,
-                 COALESCE(MIN(CASE WHEN b.bound >= n.ts_us THEN b.ei END),
-                          9223372036854775807) AS rel_i
-          FROM nmts n LEFT JOIN evb b ON b.user_id = n.user_id AND b.ei >= n.i
-          GROUP BY n.user_id, n.event_id, n.ts_us, n.cents, n.i
-        ),
-        proc AS (
-          SELECT *,
-            MAX(ts_us) OVER (PARTITION BY user_id ORDER BY rel_i
-              RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
-          FROM rel
-        ),
-        fin AS (
-          SELECT *, CASE WHEN ts_us < COALESCE(prior_max, 0) THEN 1 ELSE 0 END AS dropped
-          FROM proc
-        ),
-        fin2 AS (
-          SELECT *, CAST(COALESCE(SUM(dropped) OVER (PARTITION BY user_id
-            ORDER BY rel_i, ts_us, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS dropped_so_far
-          FROM fin
-        )
-        SELECT user_id, event_id, ts_us, cents, dropped_so_far
-        FROM fin2 WHERE dropped = 0
-        ORDER BY user_id, event_id""")),
+      kslackReplayOracle),
+
+    // the TTL flavor of the KSlack machine (KSlack.reorderTtl) through the
+    // full gate, with the idle drain doing REAL work: flushAtBatchEnd is
+    // false, so the rows still buffered when the data batch ends are
+    // emitted only by the EventTimeTimeout drain — the EOS sentinel
+    // advances the final watermark past every key's (activity + ttl)
+    // timer, so in the trailing no-data batch every key drains its buffer
+    // in order under the same drop rule and evicts itself. Total output ≡
+    // the flush-at-EOS machine (the drain IS the flush, run from restored
+    // state), so the closed-form SQL replay is shared verbatim with
+    // stream_kslack_reorder. The drain state machine stays pinned by
+    // KSlackSpec's hand-traced sequences.
+    Q("stream_kslack_reorder_ttl",
+      (s, dir) => {
+        implicit val sp = s
+        import s.implicits._
+        val jitter = 2L * Q.MinuteUs
+        val tagged = eventsEos(s, dir,
+          _.selectExpr("user_id", "event_id",
+            s"ts_us + ((event_id % 5) - 2) * $jitter AS seq",
+            "ts_us", "CAST(round(value * 100) AS BIGINT) AS cents",
+            "event_time"),
+          Map("user_id" -> lit(-1L), "event_id" -> lit(-1L),
+            "seq" -> lit(0L), "ts_us" -> lit(0L), "cents" -> lit(0L),
+            "event_time" -> EosTime))
+          .withWatermark("event_time", "1 hour")
+          .filter(!(col("user_id") === -1L) || col("event_time").isNull)
+          .as[KsInT]
+        StreamRun.toBatch(KSlack.reorderTtl(tagged, ttlUs = 5L * Q.MinuteUs).toDF(),
+          "append").orderBy("user_id", "event_id")
+      },
+      kslackReplayOracle),
 
     // interval self-join over ONE scan: both sides of the split stream are
     // tagged out of a single source and buffered per key in
@@ -575,6 +600,76 @@ object StreamingQueries {
       },
       JoinQueries.all.find(_.name == "interval_join").get.oracle)
   )
+
+  /** The closed-form SQL replay of the adaptive-K KSlack machine (round
+    * 6; derivation in the stream_kslack_reorder comment above) — shared by
+    * the flush-at-EOS row and the TTL row, whose idle drain produces the
+    * identical total output (the drain IS the flush, run from restored
+    * state in the trailing no-data batch).
+    */
+  private val kslackReplayOracle: Option[String] = Some(s"""
+        WITH e AS (
+          SELECT user_id, event_id,
+                 ${Q.TsUsDuck} + ((event_id % 5) - 2) * ${2L * Q.MinuteUs} AS seq,
+                 ${Q.TsUsDuck} AS ts_us,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        o AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq, event_id) AS i FROM e
+        ),
+        r AS (
+          SELECT *,
+            CASE WHEN ts_us > COALESCE(MAX(ts_us) OVER (PARTITION BY user_id ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) THEN 1 ELSE 0 END AS is_nm
+          FROM o
+        ),
+        nm AS (
+          SELECT *,
+            MIN(CASE WHEN is_nm = 1 THEN i END) OVER (PARTITION BY user_id ORDER BY i
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nmi
+          FROM r
+        ),
+        nmts AS (
+          SELECT a.*, b.ts_us AS nm_ts
+          FROM nm a LEFT JOIN nm b ON a.user_id = b.user_id AND a.nmi = b.i
+        ),
+        ed AS (
+          SELECT user_id, nmi AS ei, MAX(nm_ts - ts_us) AS d
+          FROM nmts WHERE nmi IS NOT NULL GROUP BY user_id, nmi
+        ),
+        evb AS (
+          SELECT ed.user_id, ed.ei,
+                 o2.ts_us - MAX(ed.d) OVER (PARTITION BY ed.user_id ORDER BY ed.ei
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bound
+          FROM ed JOIN o o2 ON o2.user_id = ed.user_id AND o2.i = ed.ei
+        ),
+        rel AS (
+          SELECT n.user_id, n.event_id, n.ts_us, n.cents, n.i,
+                 COALESCE(MIN(CASE WHEN b.bound >= n.ts_us THEN b.ei END),
+                          9223372036854775807) AS rel_i
+          FROM nmts n LEFT JOIN evb b ON b.user_id = n.user_id AND b.ei >= n.i
+          GROUP BY n.user_id, n.event_id, n.ts_us, n.cents, n.i
+        ),
+        proc AS (
+          SELECT *,
+            MAX(ts_us) OVER (PARTITION BY user_id ORDER BY rel_i
+              RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+          FROM rel
+        ),
+        fin AS (
+          SELECT *, CASE WHEN ts_us < COALESCE(prior_max, 0) THEN 1 ELSE 0 END AS dropped
+          FROM proc
+        ),
+        fin2 AS (
+          SELECT *, CAST(COALESCE(SUM(dropped) OVER (PARTITION BY user_id
+            ORDER BY rel_i, ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS dropped_so_far
+          FROM fin
+        )
+        SELECT user_id, event_id, ts_us, cents, dropped_so_far
+        FROM fin2 WHERE dropped = 0
+        ORDER BY user_id, event_id""")
 
   // ---- streaming-frame builders for the EOS-punctuated queries (exposed
   //      pre-toBatch so StatefulStreamingSpec can plan-assert one scan) ----
