@@ -42,8 +42,9 @@ class ScaleStressSpec extends AnyFunSuite {
     * a contiguous per-replica split would make one replica's slice the
     * watermark and late-drop the other three.
     */
-  private def registerGen(name: String): Long = {
-    val perReplica = totalRows / Replicas
+  private def registerGen(name: String, keys: Long = Keys,
+      total: Long = totalRows): Long = {
+    val perReplica = total / Replicas
     graft.sources.GeneratorSource.register(name,
       graft.sources.GeneratorSource.GenDef(
         org.apache.spark.sql.types.StructType(Seq(
@@ -55,7 +56,7 @@ class ScaleStressSpec extends AnyFunSuite {
           var i = 0L
           while (i < perReplica) {
             val global = i * Replicas + r
-            emit(Array[Any](global, global % Keys, (global * 37) % 10000),
+            emit(Array[Any](global, global % keys, (global * 37) % 10000),
               BaseUs + global * StepUs)
             i += 1L
           }
@@ -67,16 +68,18 @@ class ScaleStressSpec extends AnyFunSuite {
     * trigger + processAllAvailable), returns the checkpoint dir for state
     * inspection and the elapsed seconds.
     */
-  private def drive(genName: String, out: String, mode: String)(
+  private def drive(genName: String, out: String, mode: String,
+      keys: Long = Keys, perBatch: Long = PerBatchPerReplica,
+      total: Long = totalRows)(
       build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): (String, Double) = {
-    registerGen(genName)
+    registerGen(genName, keys, total)
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft_stress_$out").toString
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val t0 = System.nanoTime()
     try {
       val src = StreamSources.generator(spark, genName,
-        maxRowsPerBatchPerReplica = PerBatchPerReplica)
+        maxRowsPerBatchPerReplica = perBatch)
       val q = build(src).writeStream.format("noop")
         .option("checkpointLocation", ckpt)
         .outputMode(mode).start()
@@ -180,5 +183,131 @@ class ScaleStressSpec extends AnyFunSuite {
       f"max rights/key=$maxRights (bound $bound, no-purge would be $noPurge)")
     assert(maxLefts <= bound, s"pending lefts exceeded the bound: $maxLefts > $bound")
     assert(maxRights <= bound, s"rights exceeded the carry bound: $maxRights > $bound")
+  }
+
+  test("10M-row HOT-KEY stream: bucketed DP join splits state across time buckets and self-evicts") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_STRESS=1 to run")
+    import spark.implicits._
+    // EVERY row on one key — the adversarial skew DP mode exists for. A
+    // pinned-key operator would hold the whole retained horizon
+    // (~110 s ≈ 110k rows at 1 row/ms) in ONE state group and probe it
+    // linearly per arrival; the bucketed form must instead show
+    // ~horizon/W groups of ~(W+bound) rows each, with buckets past
+    // (bucket+1)·W + bound self-evicted by their timers.
+    val boundUs = 50L * 1000L // 50 ms
+    val bucketUs = boundUs
+    val (ckpt, secs) = drive("stress_ijdp", "ijdp", "append", keys = 1L) { src =>
+      StatefulOps.intervalJoinBucketed(
+        src.withWatermark("event_time", s"$DelayS seconds")
+          .selectExpr("id AS event_id", "key AS user_id", "ts_us",
+            "CAST(cents AS DOUBLE) / 100.0 AS value", "id % 5 = 0 AS isLeft",
+            "event_time")
+          .as[graft.streaming.IjTIn],
+        boundUs, bucketUs)(spark).toDF()
+    }
+    val sizes = groupStates(ckpt).map { gs =>
+      gs.getSeq[org.apache.spark.sql.Row](gs.schema.fieldNames.indexOf("left")).size +
+        gs.getSeq[org.apache.spark.sql.Row](gs.schema.fieldNames.indexOf("right")).size
+    }
+    val batchSpanUs = PerBatchPerReplica * Replicas * StepUs
+    // By the end of processAllAvailable a trailing no-data batch has
+    // advanced the watermark to maxEvent − delay and fired every older
+    // bucket's eviction timer, so the survivors are the buckets covering
+    // the last (delay + bound) of event time — the steady-state active
+    // set. Mid-run the alive set additionally trails by ≤ one batchSpan;
+    // both are O(horizon/W), never O(run length/W).
+    val activeBuckets = (DelayS * 1000000L + boundUs) / bucketUs + 2
+    // (a) the hot key's archive splits: ~horizon/W groups, not 1
+    assert(sizes.size >= activeBuckets / 2,
+      s"hot key did not split: ${sizes.size} state groups < ${activeBuckets / 2}")
+    // (b) expired buckets self-evict: groups ≈ active horizon, not the
+    // run's total bucket count
+    val totalBuckets = totalRows * StepUs / bucketUs
+    assert(sizes.size <= 2 * activeBuckets + 8,
+      s"expired buckets lingered: ${sizes.size} groups (active ≈ $activeBuckets, " +
+        s"run total $totalBuckets)")
+    // per-group archive: a bucket only ever holds rows routed from its own
+    // and the previous bucket's span (2 copies × (W+bound) of event time)
+    val perGroupBound = 4 * (bucketUs + boundUs) / StepUs + 8
+    val noSplit = (batchSpanUs + boundUs + DelayS * 1000000L) / StepUs
+    info(f"ij-dp hot key: ${secs}%.1f s, groups=${sizes.size} " +
+      f"(active ≈ $activeBuckets, run total $totalBuckets), " +
+      f"max rows/group=${sizes.max} (bound $perGroupBound; pinned-key archive would be ≈ $noSplit)")
+    assert(sizes.max <= perGroupBound,
+      s"per-bucket archive exceeded its span bound: ${sizes.max} > $perGroupBound")
+  }
+
+  test("hot-key wall-clock: bucketed DP join beats the pinned-key form under the same skew") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_STRESS=1 to run")
+    import spark.implicits._
+    // Same single-key stream through both physical forms at a reduced row
+    // count (the pinned form's per-batch probe cost is arrivals × archive
+    // — quadratic in the hot key's rate — which is exactly why it cannot
+    // take the full 10⁷ in reasonable time and why DP mode exists). Short
+    // 1 s watermark delay keeps the pinned archive at ~11 s of rows.
+    val rows = math.min(totalRows, 1_000_000L)
+    val boundUs = 50L * 1000L
+    def tagged(src: org.apache.spark.sql.DataFrame) =
+      src.withWatermark("event_time", "1 second")
+        .selectExpr("id AS event_id", "key AS user_id", "ts_us",
+          "CAST(cents AS DOUBLE) / 100.0 AS value", "id % 5 = 0 AS isLeft",
+          "event_time")
+    val (_, pinnedSecs) = drive("stress_ij_pin", "ijpin", "append",
+      keys = 1L, perBatch = 2500L, total = rows) { src =>
+      StatefulOps.intervalJoinShared(
+        tagged(src).as[graft.streaming.IjIn], boundUs)(spark).toDF()
+    }
+    val (_, dpSecs) = drive("stress_ij_dp2", "ijdp2", "append",
+      keys = 1L, perBatch = 2500L, total = rows) { src =>
+      StatefulOps.intervalJoinBucketed(
+        tagged(src).as[graft.streaming.IjTIn], boundUs, boundUs)(spark).toDF()
+    }
+    info(f"hot-key interval join at ${rows} rows: pinned ${pinnedSecs}%.1f s, " +
+      f"bucketed ${dpSecs}%.1f s (${pinnedSecs / dpSecs}%.1fx)")
+    assert(dpSecs < pinnedSecs,
+      f"DP slicing did not pay off under adversarial skew: bucketed ${dpSecs}%.1f s " +
+        f"vs pinned ${pinnedSecs}%.1f s")
+  }
+
+  test("10M-row HOT-KEY stream: salted ffat append splits pane state across S=4 sub-keys") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_STRESS=1 to run")
+    import spark.implicits._
+    // One key again: the pane fold itself is the residual pinned work the
+    // salts exist to spread. Assert S=4 yields 4 state groups, EACH inside
+    // the per-salt pane purge bound (panes split by hash, so each salt
+    // holds ~the same pane ANCHORS but only its share of the folded rows —
+    // the state-size point is groups × horizon panes, the parallelism
+    // point is the fold spreading). Wall-clocks logged for SURVEY §6; at
+    // local[32] with a cheap lift the fold is not the bottleneck, so no
+    // strict wall-clock assert here (the DP win is measured on the join,
+    // where per-arrival work is archive-sized).
+    val lenUs = 60L * 1000000L
+    val slideUs = 15L * 1000000L
+    def build(salts: Int)(src: org.apache.spark.sql.DataFrame) =
+      StatefulOps.slidingWindowsFfatAppend(
+        src.withWatermark("event_time", s"$DelayS seconds")
+          .selectExpr("CAST(key AS STRING) AS key", "ts_us", "cents", "event_time")
+          .as[graft.streaming.FfatInT],
+        lenUs, slideUs, salts)(spark).toDF()
+    val (ck1, s1Secs) = drive("stress_ffat_s1", "ffats1", "append", keys = 1L)(build(1))
+    val (ck4, s4Secs) = drive("stress_ffat_s4", "ffats4", "append", keys = 1L)(build(4))
+    def paneCounts(ck: String) = groupStates(ck)
+      .map(gs => gs.getSeq[Long](gs.schema.fieldNames.indexOf("paneTs")).size)
+    val p1 = paneCounts(ck1)
+    val p4 = paneCounts(ck4)
+    val batchSpanUs = PerBatchPerReplica * Replicas * StepUs
+    // append twin purges panes on their LAST window end vs the watermark:
+    // retained ≈ (batchSpan + len + delay) of panes per salt group
+    val bound = (batchSpanUs + lenUs + DelayS * 1000000L) / slideUs + 2
+    val noPurge = totalRows * StepUs / slideUs
+    info(f"ffat-append hot key: S=1 ${s1Secs}%.1f s (groups=${p1.size}, max panes=${p1.max}); " +
+      f"S=4 ${s4Secs}%.1f s (groups=${p4.size}, max panes=${p4.max}) " +
+      f"(per-group bound $bound, no-purge would be $noPurge)")
+    assert(p1.size == 1, s"S=1 must pin one state group, got ${p1.size}")
+    assert(p4.size == 4, s"S=4 must split into 4 state groups, got ${p4.size}")
+    assert(p4.max <= bound,
+      s"salted pane state exceeded the purge bound: ${p4.max} > $bound")
+    assert(p1.max <= bound,
+      s"unsalted pane state exceeded the purge bound: ${p1.max} > $bound")
   }
 }
