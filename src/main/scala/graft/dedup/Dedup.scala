@@ -79,6 +79,41 @@ object Dedup {
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol), explode(wordShingles(col(textCol), n)).as("gram"))
 
+  /** Benchmark DECONTAMINATION — the training-data step the near-dup
+    * family doesn't cover: score every corpus document by how many
+    * distinct word n-grams it shares with a benchmark/eval gram set, and
+    * flag documents at or above `minShared` so evaluation data can be
+    * held out of the training corpus (the standard n-gram-overlap rule of
+    * the GPT-3/PaLM-style contamination checks; gram width and threshold
+    * are the policy knobs).
+    *
+    * Scale shape: a benchmark is small by definition, so its DISTINCT
+    * grams BROADCAST to every executor — the corpus side is one narrow
+    * scan + gram explode probed against the broadcast hash table, then a
+    * per-document count. The corpus is never shuffled on the gram
+    * (plan-asserted: no gram-keyed Exchange); only per-doc overlap counts
+    * reach the final join back to ids. At 100 TB the cost is one scan.
+    *
+    * `benchGrams` must have a `gram` column (e.g. [[shingles]] output or
+    * a raw gram relation); `corpus` keeps every document in the output:
+    * (id, n_shared_grams, contaminated 0/1).
+    */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      benchGrams: DataFrame, n: Int, minShared: Long): DataFrame = {
+    val hits = shingles(corpus, idCol, textCol, n)
+      .join(broadcast(benchGrams.select(col("gram")).distinct()), "gram")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared_grams"))
+    // the id join-back is NOT force-broadcast: `hits` is bounded by the
+    // contaminated-doc count, which an adversarial corpus can grow to the
+    // corpus size — AQE broadcasts it when it is actually small
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+      .withColumn("contaminated",
+        (col("n_shared_grams") >= minShared).cast("int"))
+  }
+
   /** MinHash signatures (id, perm, minh) from a *cached* per-doc gram-hash
     * array: each shingle is md5-hashed once, then ONE native pass
     * ([[graft.functions.expressions.MinHashSigs]]) computes all k

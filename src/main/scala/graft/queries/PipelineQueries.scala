@@ -351,6 +351,80 @@ object PipelineQueries {
         SELECT doc_id, $lineRatiosSql
         FROM g ORDER BY doc_id""")),
 
+    // the REST of the Gopher rule set (symbol ratio, bullet/ellipsis line
+    // fractions, alpha-word ratio, required-stopword hits, composite
+    // accept rule) — structure PLANTED deterministically (bullets,
+    // trailing ellipses, symbol runs on residue-class doc_ids) so every
+    // signal discriminates; the oracle replays the identical construction
+    Q("text_gopher",
+      (s, dir) => {
+        val planted = Tables.documents(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            // the synthetic corpus rarely contains the 8 required
+            // stopwords (measured: max 2 hits corpus-wide), so half the
+            // docs get a stopword-rich line — without it the composite
+            // rule would be constant-false and the oracle row would pin
+            // nothing
+            when(pmod(col("doc_id"), lit(2)) === 0,
+              lit("\nand that it should have to be part of the record with care"))
+              .otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              lit("\n- bullet item\n• second bullet")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(4)) === 0,
+              lit("\nthis line trails off...\nand more…")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              lit("\n## symbols # here ...")).otherwise(lit(""))).as("text"))
+        val g = TextAnalysis.gopherColumns(col("text")).toMap
+        planted.select(col("doc_id"),
+          g("symbol_word_ratio").as("symbol_word_ratio"),
+          g("bullet_line_ratio").as("bullet_line_ratio"),
+          g("ellipsis_line_ratio").as("ellipsis_line_ratio"),
+          g("alpha_word_ratio").as("alpha_word_ratio"),
+          g("gopher_stop_hits").as("gopher_stop_hits"),
+          g("gopher_pass").as("gopher_pass"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val stopSum = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+          .map(w => s"(CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""
+        WITH m AS (SELECT doc_id, text ||
+            CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'and that it should have to be part of the record with care' ELSE '' END ||
+            CASE WHEN doc_id % 3 = 0 THEN chr(10) || '- bullet item' || chr(10) || '• second bullet' ELSE '' END ||
+            CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'this line trails off...' || chr(10) || 'and more…' ELSE '' END ||
+            CASE WHEN doc_id % 5 = 0 THEN chr(10) || '## symbols # here ...' ELSE '' END AS text
+          FROM ${Q.DocsRef}),
+        d AS (SELECT doc_id, text, ${graft.oracle.DuckSql.tokens("text")} AS toks,
+                string_split(text, chr(10)) AS ls FROM m),
+        c AS (SELECT doc_id, toks, ls,
+          len(toks) AS n_tokens, len(ls) AS n_lines,
+          length(text) - length(replace(text, '#', '')) AS n_hash,
+          (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) // 3 AS n_ell3,
+          length(text) - length(replace(text, '…', '')) AS n_ellu,
+          len(list_filter(ls, l -> starts_with(l, '•') OR starts_with(l, '- ') OR starts_with(l, '* '))) AS n_bullet,
+          len(list_filter(ls, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS n_ellline,
+          len(list_filter(toks, t -> regexp_matches(t, '\\p{L}'))) AS n_alpha,
+          $stopSum AS stop_hits,
+          length(array_to_string(toks, '')) AS tok_chars
+        FROM d),
+        r AS (SELECT doc_id, n_tokens, stop_hits,
+          CASE WHEN n_tokens > 0 THEN CAST(n_hash + n_ell3 + n_ellu AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0e0 END AS symbol_word_ratio,
+          CASE WHEN n_lines > 0 THEN CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0e0 END AS bullet_line_ratio,
+          CASE WHEN n_lines > 0 THEN CAST(n_ellline AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0e0 END AS ellipsis_line_ratio,
+          CASE WHEN n_tokens > 0 THEN CAST(n_alpha AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0e0 END AS alpha_word_ratio,
+          CASE WHEN n_tokens > 0 THEN CAST(tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0e0 END AS mean_tok_len
+        FROM c)
+        SELECT doc_id, symbol_word_ratio, bullet_line_ratio, ellipsis_line_ratio,
+          alpha_word_ratio, CAST(stop_hits AS BIGINT) AS gopher_stop_hits,
+          CAST(CASE WHEN n_tokens BETWEEN 50 AND 100000
+            AND mean_tok_len >= 3.0e0 AND mean_tok_len <= 10.0e0
+            AND symbol_word_ratio <= 0.1e0 AND bullet_line_ratio <= 0.9e0
+            AND ellipsis_line_ratio <= 0.3e0 AND alpha_word_ratio >= 0.8e0
+            AND stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS gopher_pass
+        FROM r ORDER BY doc_id"""
+      }),
+
     Q("text_tokens",
       (s, dir) => {
         val t = tokens(col("text"))
@@ -776,6 +850,37 @@ object PipelineQueries {
     // dedup_clusters over the same verified minhash pair graph. At scale
     // this is the same O(log diameter) pointer-doubling plan plus a
     // narrow filter; no extra shuffle beyond the cluster computation.
+    // benchmark DECONTAMINATION: flag corpus documents sharing word
+    // 5-grams with a benchmark set — the standard n-gram-overlap
+    // contamination rule between cleaning and shard assembly. The
+    // benchmark here is a deterministic stand-in built from the corpus
+    // itself (a 15-token span of every doc_id % 17 == 0 document), so
+    // every such document must flag itself and any near-verbatim copy —
+    // real positives by construction. Scale shape: the benchmark gram set
+    // broadcasts; the corpus is one scan + explode probed against the
+    // broadcast table (no gram-keyed Exchange — plan-asserted).
+    Q("pipeline_decontaminate",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val bench = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+          .select(array_join(slice(tokens(col("text")), 3, 15), " ").as("btext"))
+          .select(explode(wordShingles(col("btext"), 5)).as("gram"))
+        Dedup.decontaminate(docs, "doc_id", "text", bench, n = 5, minShared = 4L)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, ${DuckSql.tokens("text")} AS t FROM ${Q.DocsRef}),
+        bspan AS (SELECT array_to_string(list_slice(t, 3, 17), ' ') AS btext
+                  FROM toks WHERE doc_id % 17 = 0),
+        btoks AS (SELECT ${DuckSql.tokens("btext")} AS t FROM bspan),
+        bg AS (SELECT DISTINCT unnest(${DuckSql.wordShingles("t", 5)}) AS gram FROM btoks),
+        dg AS (SELECT doc_id, unnest(${DuckSql.wordShingles("t", 5)}) AS gram FROM toks),
+        hits AS (SELECT doc_id, count(*) AS n FROM dg JOIN bg USING (gram) GROUP BY doc_id)
+        SELECT d.doc_id AS doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared_grams,
+               CAST(CASE WHEN COALESCE(h.n, 0) >= 4 THEN 1 ELSE 0 END AS INT) AS contaminated
+        FROM ${Q.DocsRef} d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        ORDER BY d.doc_id""")),
+
     Q("pipeline_near_dedup_keep",
       (s, dir) => {
         val docs = Tables.documents(s, dir)

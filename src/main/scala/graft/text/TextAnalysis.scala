@@ -135,6 +135,64 @@ object TextAnalysis {
         st.getField("dup_line_chars"), st.getField("line_chars")))
   }
 
+  /** The REST of the Gopher rule set — the structural signals beyond the
+    * ratio features of [[qualityColumns]] and the repetition signals of
+    * [[repetitionColumns]], completing the published filter:
+    *
+    *  - `symbol_word_ratio`: (# + "..." + "…") occurrences / tokens;
+    *  - `bullet_line_ratio` / `ellipsis_line_ratio`: fraction of raw lines
+    *    starting with a bullet ("•", "- ", "* ") / ending in an ellipsis;
+    *  - `alpha_word_ratio`: fraction of tokens containing ≥1 letter;
+    *  - `gopher_stop_hits`: how many of the paper's 8 required stopwords
+    *    (the, be, to, of, and, that, have, with) appear at least once;
+    *  - `gopher_pass`: the composite accept rule with the paper's
+    *    thresholds (50 ≤ tokens ≤ 100k, mean token length in [3, 10],
+    *    symbol ratio ≤ 0.1, bullets ≤ 0.9, ellipses ≤ 0.3, alpha ≥ 0.8,
+    *    stop hits ≥ 2) as 0/1.
+    *
+    * Same execution shape as the other text ops: pure per-row column
+    * work, no shuffle; every ratio is a division of exact integer counts
+    * so the DuckDB oracle is bit-equal. Each derived column costs one
+    * linear pass (one line-split or one tokenization) — the quadratic
+    * no-CSE trap only bites when a per-GRAM lambda re-evaluates a
+    * whole-document expression ([[fingerprint]]'s scaladoc).
+    */
+  def gopherColumns(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("long")
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
+    def occurrences(pat: String, width: Int): Column =
+      ((length(text) - length(regexp_replace(text, pat, ""))) / width).cast("long")
+    val symbolRatio = ratio(
+      occurrences("#", 1) + occurrences("\\.\\.\\.", 3) + occurrences("…", 1), nTok)
+    val bulletLines = size(filter(lines, l =>
+      l.startsWith("•") || l.startsWith("- ") || l.startsWith("* "))).cast("long")
+    val ellipsisLines = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…"))).cast("long")
+    val alphaToks = size(filter(toks, t => t.rlike("\\p{L}"))).cast("long")
+    val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(w => when(array_contains(toks, w), 1L).otherwise(0L)).reduce(_ + _)
+    val meanTokLen = when(nTok > 0,
+      length(concat_ws("", toks)).cast("double") / nTok.cast("double")).otherwise(lit(0.0))
+    val pass = (nTok >= 50L && nTok <= 100000L &&
+      meanTokLen >= 3.0 && meanTokLen <= 10.0 &&
+      symbolRatio <= 0.1 &&
+      ratio(bulletLines, nLines) <= 0.9 &&
+      ratio(ellipsisLines, nLines) <= 0.3 &&
+      ratio(alphaToks, nTok) >= 0.8 &&
+      stopHits >= 2L).cast("int")
+    Seq(
+      "symbol_word_ratio" -> symbolRatio,
+      "bullet_line_ratio" -> ratio(bulletLines, nLines),
+      "ellipsis_line_ratio" -> ratio(ellipsisLines, nLines),
+      "alpha_word_ratio" -> ratio(alphaToks, nTok),
+      "gopher_stop_hits" -> stopHits,
+      "gopher_pass" -> pass)
+  }
+
   /** GPT-2-style pretokenizer pattern, restricted to constructs RE2 also
     * supports (no lookahead) so the DuckDB oracle runs the byte-identical
     * regex: contractions, space-prefixed letter/digit/punctuation runs,

@@ -42,6 +42,10 @@ class ContractSpec extends AnyFunSuite {
     assert(line.contains(""""queries_err":{"broken":"AnalysisException"}"""), line)
     assert(!line.contains(""""broken":0.003"""), "failed query leaked into timings: " + line)
     assert(line.contains(""""value":1.25"""), "total must exclude failed queries: " + line)
+    // the measured streaming floor is part of the artifact (-1 = unmeasured)
+    assert(line.contains(""""floor_s":-1.0"""), line)
+    assert(Bench.renderLine(Seq(("good", 1.0, None)), "/x", floorS = 2.5)
+      .contains(""""floor_s":2.5"""), "explicit floor must land in the line")
   }
 
   test("bench self-defense: prior timings round-trip and re-measures land in the artifact") {

@@ -236,6 +236,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Generate"), "simhash must not explode: " + p.take(2000))
   }
 
+  test("decontamination probes a broadcast benchmark gram set (no corpus gram shuffle)") {
+    // the CORPUS side must be one scan + explode streamed against the
+    // broadcast benchmark grams — a corpus-side gram Exchange would
+    // shuffle the whole corpus's grams, the exact cost the broadcast
+    // shape avoids at 100 TB. (The benchmark subtree MAY shuffle: its
+    // distinct() before the broadcast is over the tiny eval gram set.)
+    // Plans print the streamed branch between the join node and its
+    // BroadcastExchange, so that slice must contain the corpus explode
+    // and no Exchange of any kind.
+    val p = plan("pipeline_decontaminate")
+    val join = p.indexOf("BroadcastHashJoin [gram")
+    assert(join >= 0, "gram probe is not a broadcast hash join: " + p.take(3000))
+    val bcast = p.indexOf("BroadcastExchange", join)
+    assert(bcast > join, p.take(3000))
+    val streamed = p.substring(join, bcast)
+    assert(streamed.contains("Generate explode"),
+      "corpus explode missing from the streamed side: " + streamed.take(2000))
+    assert(!streamed.contains("Exchange"),
+      "corpus gram side shuffled: " + streamed.take(2000))
+  }
+
   test("salted join is result-identical to the plain equi-join") {
     val o = Tables.orders(spark, TestSpark.SF)
     val c = Tables.customer(spark, TestSpark.SF)
