@@ -91,8 +91,11 @@ object Dedup {
     * grams BROADCAST to every executor — the corpus side is one narrow
     * scan + gram explode probed against the broadcast hash table, then a
     * per-document count. The corpus is never shuffled on the gram
-    * (plan-asserted: no gram-keyed Exchange); only per-doc overlap counts
-    * reach the final join back to ids. At 100 TB the cost is one scan.
+    * (plan-asserted: no gram-keyed Exchange). The TEXT bytes are read
+    * once; keeping the zero-overlap documents costs a second,
+    * column-pruned pass over the id column only (the join-back below) —
+    * at 100 TB that is one full scan of the text plus an id-column scan,
+    * not two text scans.
     *
     * `benchGrams` must have a `gram` column (e.g. [[shingles]] output or
     * a raw gram relation); `corpus` keeps every document in the output:

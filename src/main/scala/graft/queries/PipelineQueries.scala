@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -157,6 +158,33 @@ object PipelineQueries {
        |  CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0e0 END AS stopword_ratio
        |FROM b)""".stripMargin
   }
+
+  /** Decontamination gram POLICY — one definition shared by the batch
+    * (`pipeline_decontaminate`) and streaming
+    * (`stream_pipeline_decontaminate`) rows on BOTH engines, so a change
+    * to the gram width, span, or threshold cannot silently diverge the
+    * twins: the benchmark is a 15-token span (tokens 3..17) of every
+    * doc_id % 17 == 0 document, grams are distinct word 5-grams,
+    * contamination = ≥ 4 shared grams.
+    */
+  private[queries] val DecontamN = 5
+  private[queries] val DecontamMinShared = 4L
+
+  private[queries] def decontamBenchGrams(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(17)) === 0)
+      .select(array_join(slice(tokens(col("text")), 3, 15), " ").as("btext"))
+      .select(explode(wordShingles(col("btext"), DecontamN)).as("gram"))
+
+  /** DuckDB CTE chain ending in `hits` (doc_id, n = shared-gram count). */
+  private[queries] def decontamCtes: String =
+    s"""toks AS (SELECT doc_id, ${DuckSql.tokens("text")} AS t FROM ${Q.DocsRef}),
+        bspan AS (SELECT array_to_string(list_slice(t, 3, 17), ' ') AS btext
+                  FROM toks WHERE doc_id % 17 = 0),
+        btoks AS (SELECT ${DuckSql.tokens("btext")} AS t FROM bspan),
+        bg AS (SELECT DISTINCT unnest(${DuckSql.wordShingles("t", DecontamN)}) AS gram FROM btoks),
+        dg AS (SELECT doc_id, unnest(${DuckSql.wordShingles("t", DecontamN)}) AS gram FROM toks),
+        hits AS (SELECT doc_id, count(*) AS n FROM dg JOIN bg USING (gram) GROUP BY doc_id)"""
 
   private[queries] val qualityScoreSql: String =
     """CAST(least(n_tokens, 100) AS DOUBLE) / 100.0e0 * 0.4e0
@@ -858,26 +886,16 @@ object PipelineQueries {
     // every such document must flag itself and any near-verbatim copy —
     // real positives by construction. Scale shape: the benchmark gram set
     // broadcasts; the corpus is one scan + explode probed against the
-    // broadcast table (no gram-keyed Exchange — plan-asserted).
+    // broadcast table (no gram-keyed Exchange — plan-asserted). Gram
+    // policy (builder + oracle CTEs) is shared with the streaming twin.
     Q("pipeline_decontaminate",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val bench = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
-          .select(array_join(slice(tokens(col("text")), 3, 15), " ").as("btext"))
-          .select(explode(wordShingles(col("btext"), 5)).as("gram"))
-        Dedup.decontaminate(docs, "doc_id", "text", bench, n = 5, minShared = 4L)
-          .orderBy("doc_id")
-      },
+      (s, dir) => Dedup.decontaminate(Tables.documents(s, dir), "doc_id", "text",
+          decontamBenchGrams(s, dir), n = DecontamN, minShared = DecontamMinShared)
+        .orderBy("doc_id"),
       Some(s"""
-        WITH toks AS (SELECT doc_id, ${DuckSql.tokens("text")} AS t FROM ${Q.DocsRef}),
-        bspan AS (SELECT array_to_string(list_slice(t, 3, 17), ' ') AS btext
-                  FROM toks WHERE doc_id % 17 = 0),
-        btoks AS (SELECT ${DuckSql.tokens("btext")} AS t FROM bspan),
-        bg AS (SELECT DISTINCT unnest(${DuckSql.wordShingles("t", 5)}) AS gram FROM btoks),
-        dg AS (SELECT doc_id, unnest(${DuckSql.wordShingles("t", 5)}) AS gram FROM toks),
-        hits AS (SELECT doc_id, count(*) AS n FROM dg JOIN bg USING (gram) GROUP BY doc_id)
+        WITH $decontamCtes
         SELECT d.doc_id AS doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared_grams,
-               CAST(CASE WHEN COALESCE(h.n, 0) >= 4 THEN 1 ELSE 0 END AS INT) AS contaminated
+               CAST(CASE WHEN COALESCE(h.n, 0) >= $DecontamMinShared THEN 1 ELSE 0 END AS INT) AS contaminated
         FROM ${Q.DocsRef} d LEFT JOIN hits h ON d.doc_id = h.doc_id
         ORDER BY d.doc_id""")),
 

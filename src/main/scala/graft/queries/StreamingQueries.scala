@@ -349,6 +349,38 @@ object StreamingQueries {
         SELECT DISTINCT md5(text) AS digest, n_tokens, quality_score
         FROM kept ORDER BY digest""")),
 
+    // ingestion-time DECONTAMINATION — the stream-static join shape: the
+    // benchmark's distinct grams are a STATIC relation (batch-read, small
+    // by definition, force-broadcast) and the document stream probes it
+    // as it ingests — Spark's stream-static inner join needs no watermark
+    // and keeps no join state, so at 100 TB/day of ingest the cost stays
+    // one scan + explode per micro-batch against an executor-resident
+    // hash table. Same gram/threshold policy as the batch
+    // pipeline_decontaminate; output keyed by doc, only contaminated-
+    // overlap docs appear (the streaming agg only materializes groups
+    // that exist), so the oracle is the batch hits CTE without the
+    // left-join zero rows.
+    Q("stream_pipeline_decontaminate",
+      (s, dir) => {
+        implicit val sp = s
+        import graft.functions.GraftFunctions.wordShingles
+        val bench = broadcast(
+          PipelineQueries.decontamBenchGrams(s, dir).distinct())
+        val hits = StreamSources.documents(s, dir)
+          .select(col("doc_id"),
+            explode(wordShingles(col("text"), PipelineQueries.DecontamN)).as("gram"))
+          .join(bench, "gram")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+          .withColumn("contaminated",
+            (col("n_shared_grams") >= PipelineQueries.DecontamMinShared).cast("int"))
+        StreamRun.toBatch(hits, "complete", numPartitions = 4).orderBy("doc_id")
+      },
+      Some(s"""
+        WITH ${PipelineQueries.decontamCtes}
+        SELECT doc_id, CAST(n AS BIGINT) AS n_shared_grams,
+               CAST(CASE WHEN n >= ${PipelineQueries.DecontamMinShared} THEN 1 ELSE 0 END AS INT) AS contaminated
+        FROM hits ORDER BY doc_id""")),
+
     // streaming exact dedup at ingestion: the stream unioned with itself
     // (every event arrives twice) must come out exactly once. State is
     // BOUNDED: dropDuplicatesWithinWatermark evicts a key once the

@@ -51,6 +51,15 @@ object KSlack {
     * arrivals (already seq-sorted) into the state, returning the released
     * rows. The buffer is ordered by (ts, event_id); `flush` drains it at
     * the end (in order, same drop rule) — the EOS analog.
+    *
+    * Cost note: the TreeMap is rebuilt from the serialized buffer List at
+    * the START of every micro-batch a key receives data — O(buffer ·
+    * log buffer) per (key, batch) on top of the per-arrival O(log
+    * buffer). That is the price of `flatMapGroupsWithState`'s
+    * serialize-per-batch state contract; it is bounded (the buffer holds
+    * only the disorder window) and beats the alternative of keeping the
+    * state AS a sorted list, which made each arrival an O(buffer) splice
+    * (rounds 2–6: measured 8.9 s → 14 ms on a 30k-arrival batch).
     */
   private def processBatch(user: Long, st: KsState, rows: Seq[KsIn],
       flush: Boolean): (KsState, Seq[KsOut]) = {

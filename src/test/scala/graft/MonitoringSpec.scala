@@ -33,9 +33,13 @@ class MonitoringSpec extends AnyFunSuite {
       KsInT(user, id, seq, tsUs, tsUs, new java.sql.Timestamp(tsUs / 1000L))
 
     val droppedByWm = new java.util.concurrent.atomic.AtomicLong(0L)
+    // the listener is session-global: filter to THIS query's progress
+    // events, or any other suite's streaming query on the shared session
+    // would inflate the exact-equality counter
     val listener = Monitoring.attach(spark) { e =>
-      e.progress.stateOperators.foreach(op =>
-        droppedByWm.addAndGet(op.numRowsDroppedByWatermark): Unit)
+      if (e.progress.name == "mon_kslack2")
+        e.progress.stateOperators.foreach(op =>
+          droppedByWm.addAndGet(op.numRowsDroppedByWatermark): Unit)
     }
     val mem = MemoryStream[KsInT]
     val q2 = KSlack.reorderTtl(
