@@ -559,6 +559,56 @@ object PipelineQueries {
         FROM m ORDER BY doc_id"""
       }),
 
+    // URL / domain-blocklist hygiene (the C4-style step next to PII
+    // scrubbing): per-doc URL count, first URL's host, 0/1 blocklist
+    // flag (exact host or subdomain). The synthetic corpus carries no
+    // URLs, so the query plants them on residue classes of doc_id —
+    // a blocked apex domain, a clean host, a blocked-via-subdomain
+    // host, and none — and the oracle replays the construction.
+    Q("text_url_filter",
+      (s, dir) => {
+        val blocked = Seq("spam-mill.example", "tracker.net")
+        val planted = Tables.documents(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(4)) === 0,
+              concat(lit(" see https://spam-mill.example/page"),
+                col("doc_id").cast("string")))
+            .when(pmod(col("doc_id"), lit(4)) === 1,
+              concat(lit(" see http://ok-site.org/a/"),
+                col("doc_id").cast("string"), lit("?x=1")))
+            .when(pmod(col("doc_id"), lit(4)) === 2,
+              lit(" see https://sub.tracker.net/p"))
+            .otherwise(lit(""))).as("text"))
+        val u = TextAnalysis.urlColumns(col("text"), blocked).toMap
+        planted.select(col("doc_id"),
+          u("n_urls").as("n_urls"),
+          u("first_host").as("first_host"),
+          u("url_blocked").as("url_blocked"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val pat = TextAnalysis.UrlPattern
+        s"""
+        WITH m AS (SELECT doc_id, text ||
+            CASE WHEN doc_id % 4 = 0 THEN ' see https://spam-mill.example/page' || CAST(doc_id AS VARCHAR)
+                 WHEN doc_id % 4 = 1 THEN ' see http://ok-site.org/a/' || CAST(doc_id AS VARCHAR) || '?x=1'
+                 WHEN doc_id % 4 = 2 THEN ' see https://sub.tracker.net/p'
+                 ELSE '' END AS text
+          FROM ${Q.DocsRef}),
+        u AS (SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '$pat')) AS INT) AS n_urls,
+                regexp_replace(regexp_replace(regexp_extract(text, '$pat', 0),
+                  '^https?://', ''), '/.*$$', '') AS first_host
+              FROM m)
+        SELECT doc_id, n_urls, first_host,
+               CAST(CASE WHEN first_host = 'spam-mill.example'
+                      OR ends_with(first_host, '.spam-mill.example')
+                      OR first_host = 'tracker.net'
+                      OR ends_with(first_host, '.tracker.net')
+                    THEN 1 ELSE 0 END AS INT) AS url_blocked
+        FROM u ORDER BY doc_id"""
+      }),
+
     // composite cleaning pipeline — the operators composed the way a
     // training-data run uses them: quality-score filter → exact dedup
     // (keep the min-id representative) → per-doc token stats. One pass
@@ -820,6 +870,84 @@ object PipelineQueries {
         x AS (SELECT k.doc_id, k.n_tokens, r2.source,
                 ${graft.pipeline.Mixing.duckMixHash("k.doc_id")} AS hm
               FROM k JOIN red r2 ON k.doc_id = r2.doc_id),
+        mx AS (SELECT doc_id, n_tokens,
+                 ($whole) + (CASE WHEN hm < ($thr) THEN 1 ELSE 0 END) AS copies
+               FROM x),
+        u AS (SELECT doc_id, n_tokens, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy
+              FROM mx WHERE copies > 0),
+        c AS (SELECT doc_id, copy, n_tokens,
+                SUM(n_tokens) OVER (ORDER BY doc_id, copy
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+              FROM u)
+        SELECT doc_id, copy, n_tokens, CAST((run - n_tokens) // 2000 AS BIGINT) AS shard_id
+        FROM c ORDER BY doc_id, copy"""
+      }),
+
+    // v2 of the end-to-end composite: the SAME chain with the round-8
+    // DECONTAMINATION stage between dedup and mixing — redact → quality +
+    // repetition thresholds → exact dedup → drop benchmark-contaminated
+    // docs → source-weighted mixing → token-budget sharding, still ONE
+    // declared plan. Contamination is computed on the RAW corpus text
+    // (policy: the benchmark overlap predates any cleaning) via the
+    // shared gram policy, and survivors anti-join the contaminated ids —
+    // at 100 TB that is the broadcast-probe scan plus an id-keyed anti
+    // join, no corpus-side gram shuffle. v1 stays declared unchanged so
+    // the addition is regression-free.
+    Q("pipeline_corpus_full_v2",
+      (s, dir) => {
+        val weights = Seq("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25)
+        val pii = TextAnalysis.piiColumns(col("text")).toMap
+        val red = graft.Caches.track(plantPii(Tables.documents(s, dir))
+          .select(col("doc_id"), col("source"), pii("redacted").as("text")))
+        val q = TextAnalysis.qualityColumns(col("text")).toMap
+        val r = TextAnalysis.repetitionColumns(col("text")).toMap
+        val filtered = red
+          .select(col("doc_id"), col("source"), col("text"),
+            q("n_tokens").as("n_tokens"), q("quality_score").as("quality_score"),
+            r("dup_gram2_ratio").as("dup_gram2_ratio"),
+            r("top_token_ratio").as("top_token_ratio"))
+          .filter(col("quality_score") >= 0.5 &&
+            col("dup_gram2_ratio") <= 0.05 && col("top_token_ratio") <= 0.2)
+        val deduped = filtered
+          .withColumn("rep_id", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+          .filter(col("rep_id") === col("doc_id"))
+          .select("doc_id", "source", "n_tokens")
+        val contaminatedIds = Dedup
+          .shingles(Tables.documents(s, dir), "doc_id", "text", DecontamN)
+          .join(broadcast(decontamBenchGrams(s, dir).distinct()), "gram")
+          .groupBy("doc_id").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") >= DecontamMinShared).select("doc_id")
+        val decontaminated = deduped.join(contaminatedIds, Seq("doc_id"), "left_anti")
+        val mixed = graft.pipeline.Mixing.sourceMix(decontaminated, "doc_id", "source",
+          weights, defaultWeight = 0.1)
+        graft.operators.PrefixSum.runningSum(mixed, "n_tokens", Seq("doc_id", "copy"))
+          .select(col("doc_id"), col("copy"), col("n_tokens"),
+            expr("(running_n_tokens - n_tokens) div 2000").as("shard_id"))
+          .orderBy("doc_id", "copy")
+      },
+      Some {
+        val (whole, thr) = graft.pipeline.Mixing.duckCases("source",
+          Seq("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25), 0.1)
+        s"""
+        WITH m AS ($plantPiiSql),
+        red AS (SELECT doc_id, source, ${redactSql("text")} AS text FROM m),
+        ${qualityCtesFrom("red")},
+        q AS (SELECT doc_id, text, n_tokens, $qualityScoreSql AS quality_score FROM f),
+        $repetitionCtes,
+        j AS (SELECT q.doc_id, q.text, q.n_tokens
+              FROM q JOIN rr ON q.doc_id = rr.doc_id
+              WHERE q.quality_score >= 0.5e0
+                AND rr.dup_gram2_ratio <= 0.05e0 AND rr.top_token_ratio <= 0.2e0),
+        k AS (SELECT doc_id, n_tokens FROM (
+                SELECT doc_id, n_tokens, min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+                FROM j)
+              WHERE rep_id = doc_id),
+        $decontamCtes,
+        dc AS (SELECT k.doc_id, k.n_tokens FROM k
+               WHERE k.doc_id NOT IN (SELECT doc_id FROM hits WHERE n >= $DecontamMinShared)),
+        x AS (SELECT dc.doc_id, dc.n_tokens, r2.source,
+                ${graft.pipeline.Mixing.duckMixHash("dc.doc_id")} AS hm
+              FROM dc JOIN red r2 ON dc.doc_id = r2.doc_id),
         mx AS (SELECT doc_id, n_tokens,
                  ($whole) + (CASE WHEN hm < ($thr) THEN 1 ELSE 0 END) AS copies
                FROM x),

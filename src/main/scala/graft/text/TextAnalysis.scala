@@ -223,6 +223,44 @@ object TextAnalysis {
   val PhonePattern: String = "\\(?[0-9]{3}\\)?[ -][0-9]{3}-[0-9]{4}"
   val Ipv4Pattern: String = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
 
+  /** URL pattern in the Java-regex ∩ RE2 subset (like [[BpePattern]] /
+    * the PII patterns): scheme + host + optional path of unreserved/
+    * common URL characters. Conservative on purpose — corpus hygiene
+    * wants precision, and the DuckDB oracle must run the byte-identical
+    * expression.
+    */
+  val UrlPattern: String = "https?://[A-Za-z0-9.-]+(/[A-Za-z0-9._~/%+&=?#-]*)?"
+
+  /** Host extracted from the FIRST url in the text ('' when none): group
+    * rendering shared by both engines — strip the scheme, cut at the
+    * first '/'.
+    */
+  private def firstHost(text: Column): Column = {
+    val url = regexp_extract(text, UrlPattern, 0)
+    val noScheme = regexp_replace(url, "^https?://", "")
+    regexp_replace(noScheme, "/.*$", "")
+  }
+
+  /** URL / domain-blocklist filtering — the C4-style hygiene step that
+    * runs next to PII scrubbing: per-document URL count, the first URL's
+    * host, and a 0/1 blocklist flag (host equal to OR a subdomain of a
+    * blocklisted domain). Pure per-row column work like the other text
+    * ops: the blocklist is a compile-time constant folded into the
+    * predicate — at 100 TB this is one scan, no shuffle, no UDF. A
+    * deployment swaps `blocked` for its own list (policy knob, not an
+    * engine property).
+    */
+  def urlColumns(text: Column, blocked: Seq[String]): Seq[(String, Column)] = {
+    val host = firstHost(text)
+    val isBlocked = blocked
+      .map(d => host === d || host.endsWith("." + d))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    Seq(
+      "n_urls" -> size(regexp_extract_all(text, lit(UrlPattern), lit(0))),
+      "first_host" -> host,
+      "url_blocked" -> isBlocked.cast("int"))
+  }
+
   /** PII scrubbing for a training corpus: per-pattern match counts (on the
     * raw text) and the redacted text, with replacements applied in the
     * fixed order email → phone → IPv4 (later patterns cannot damage
