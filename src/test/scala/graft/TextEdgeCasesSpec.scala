@@ -148,4 +148,73 @@ class TextEdgeCasesSpec extends AnyFunSuite {
     val sims = graft.dedup.Dedup.simhash(docs, "doc_id", "text")
     assert(sims.count() == 6) // empty/whitespace docs have no tokens
   }
+
+  test("gopher columns: hand-computed values on degenerate and crafted docs") {
+    import spark.implicits._
+    val crafted = Seq(
+      (0L, ""), // empty: every ratio 0, pass 0
+      (1L, "- a\n- b\nplain"), // 2 of 3 lines bulleted
+      (2L, "waiting...\nmore…\nok"), // 2 of 3 lines end in ellipsis
+      (3L, "# # x ..."), // 2 hash + 1 ellipsis over 4 tokens
+      (4L, "123 456 %%% the") // 1 of 4 tokens has a letter
+    ).toDF("doc_id", "text")
+    val g = graft.text.TextAnalysis.gopherColumns(col("text")).toMap
+    val rows = crafted.select(col("doc_id"),
+      g("symbol_word_ratio").as("s"), g("bullet_line_ratio").as("b"),
+      g("ellipsis_line_ratio").as("e"), g("alpha_word_ratio").as("a"),
+      g("gopher_stop_hits").as("h"), g("gopher_pass").as("p")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5), r.getInt(6)))).toMap
+    assert(rows(0L) == ((0.0, 0.0, 0.0, 0.0, 0L, 0)))
+    assert(rows(1L)._2 == 2.0 / 3.0, s"bullet ratio: ${rows(1L)}")
+    assert(rows(2L)._3 == 2.0 / 3.0, s"ellipsis ratio: ${rows(2L)}")
+    assert(rows(3L)._1 == 3.0 / 4.0, s"symbol ratio: ${rows(3L)}")
+    assert(rows(4L)._4 == 1.0 / 4.0, s"alpha ratio: ${rows(4L)}")
+    assert(rows(4L)._5 == 1L) // 'the'
+    assert(rows.values.forall(_._6 == 0)) // all far below the 50-token floor
+  }
+
+  test("url columns: extraction, subdomain blocking and no-URL docs") {
+    import spark.implicits._
+    val crafted = Seq(
+      (0L, "no links here"),
+      (1L, "x https://spam-mill.example/page y"), // blocked apex
+      (2L, "x https://deep.sub.tracker.net/p?q=1 y"), // blocked via subdomain
+      (3L, "x http://ok-site.org y http://also-ok.net/z"), // two clean urls
+      (4L, "not-tracker.net is a bare host without a scheme"), // no match
+      (5L, "https://nottracker.net/a") // suffix but NOT a subdomain: clean
+    ).toDF("doc_id", "text")
+    val u = graft.text.TextAnalysis
+      .urlColumns(col("text"), Seq("spam-mill.example", "tracker.net")).toMap
+    val rows = crafted.select(col("doc_id"),
+      u("n_urls").as("n"), u("first_host").as("h"), u("url_blocked").as("b"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2), r.getInt(3)))).toMap
+    assert(rows(0L) == ((0, "", 0)))
+    assert(rows(1L) == ((1, "spam-mill.example", 1)))
+    assert(rows(2L) == ((1, "deep.sub.tracker.net", 1)))
+    assert(rows(3L) == ((2, "ok-site.org", 0)))
+    assert(rows(4L) == ((0, "", 0)))
+    assert(rows(5L) == ((1, "nottracker.net", 0)),
+      "a host merely ending in a blocked domain's text must NOT block")
+  }
+
+  test("decontaminate: self-overlap flags, zero-overlap passes, short docs survive") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"), // source of the bench span
+      (1L, "alpha beta gamma delta epsilon zeta eta iota"), // shares 5-gram prefix run
+      (2L, "totally different words in this unrelated document"),
+      (3L, "tiny") // < n tokens: no grams at all
+    ).toDF("doc_id", "text")
+    val bench = corpus.filter(col("doc_id") === 0)
+      .select(explode(wordShingles(col("text"), 5)).as("gram"))
+    val out = graft.dedup.Dedup
+      .decontaminate(corpus, "doc_id", "text", bench, n = 5, minShared = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out(0L) == ((4L, 1))) // all 4 of its own grams
+    assert(out(1L) == ((3L, 1))) // the 3 shared prefix grams
+    assert(out(2L) == ((0L, 0)))
+    assert(out(3L) == ((0L, 0))) // gram-less doc still present with 0
+  }
 }
