@@ -103,9 +103,7 @@ object Dedup {
     */
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
       benchGrams: DataFrame, n: Int, minShared: Long): DataFrame = {
-    val hits = shingles(corpus, idCol, textCol, n)
-      .join(broadcast(benchGrams.select(col("gram")).distinct()), "gram")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared_grams"))
+    val hits = contaminationHits(corpus, idCol, textCol, benchGrams, n)
     // the id join-back is NOT force-broadcast: `hits` is bounded by the
     // contaminated-doc count, which an adversarial corpus can grow to the
     // corpus size — AQE broadcasts it when it is actually small
@@ -116,6 +114,25 @@ object Dedup {
       .withColumn("contaminated",
         (col("n_shared_grams") >= minShared).cast("int"))
   }
+
+  /** The shared core of the contamination rule — per-doc distinct-gram
+    * overlap counts vs the broadcast benchmark gram set. Single-sourced
+    * so [[decontaminate]] and the composite pipelines' drop stage cannot
+    * diverge on the count semantics.
+    */
+  def contaminationHits(corpus: DataFrame, idCol: String, textCol: String,
+      benchGrams: DataFrame, n: Int): DataFrame =
+    shingles(corpus, idCol, textCol, n)
+      .join(broadcast(benchGrams.select(col("gram")).distinct()), "gram")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared_grams"))
+
+  /** Ids of docs at or above the contamination threshold (the anti-join
+    * side of a decontaminating pipeline stage). */
+  def contaminatedIds(corpus: DataFrame, idCol: String, textCol: String,
+      benchGrams: DataFrame, n: Int, minShared: Long): DataFrame =
+    contaminationHits(corpus, idCol, textCol, benchGrams, n)
+      .filter(col("n_shared_grams") >= minShared)
+      .select(col(idCol))
 
   /** MinHash signatures (id, perm, minh) from a *cached* per-doc gram-hash
     * array: each shingle is md5-hashed once, then ONE native pass

@@ -159,6 +159,15 @@ object PipelineQueries {
        |FROM b)""".stripMargin
   }
 
+  /** URL blocklist POLICY — one definition rendered on both engines
+    * (entries must be lowercase; see [[TextAnalysis.urlColumns]]).
+    */
+  private[queries] val UrlBlocklist = Seq("spam-mill.example", "tracker.net")
+
+  private[queries] def urlBlockedSql(hostExpr: String): String =
+    UrlBlocklist.map(d => s"$hostExpr = '$d' OR ends_with($hostExpr, '.$d')")
+      .mkString(" OR ")
+
   /** Decontamination gram POLICY — one definition shared by the batch
     * (`pipeline_decontaminate`) and streaming
     * (`stream_pipeline_decontaminate`) rows on BOTH engines, so a change
@@ -300,6 +309,106 @@ object PipelineQueries {
        |           ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
        |           CAST(doc_id % 100 AS VARCHAR) || ' ok' AS text
        |       FROM ${Q.DocsRef}""".stripMargin
+
+  // THE END-TO-END PIPELINE, one builder for both declared rows: every
+  // cleaning/assembly stage composed in ONE declared plan, the way a
+  // pretraining data run actually executes — PII redaction (planted, so
+  // the stage does real work) → quality + repetition thresholds (per-row
+  // predicates, no shuffle) → exact dedup (one digest shuffle) →
+  // [v2 only: benchmark decontamination — broadcast gram probe + id-keyed
+  // anti join] → source-weighted mixing (row explode) → token-budget
+  // sharding over (doc_id, copy) order (two-pass distributed prefix
+  // scan). No materialization barriers between stages; the oracle
+  // replays the identical chain as one CTE pipeline with every constant
+  // generated from the same definitions. The v1/v2 "same chain" claim is
+  // structural: both rows call THIS builder, differing only in the
+  // `decontam` switch, and the shared thresholds/weights/budget live in
+  // the constants below.
+  private[queries] val CorpusWeights = Seq("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25)
+  private[queries] val CorpusDefaultWeight = 0.1
+  private[queries] val CorpusShardTokens = 2000L
+  private[queries] val CorpusQualityMin = 0.5
+  private[queries] val CorpusDupGram2Max = 0.05
+  private[queries] val CorpusTopTokenMax = 0.2
+
+  private def corpusFullPlan(s: SparkSession, dir: String,
+      decontam: Boolean): DataFrame = {
+    val pii = TextAnalysis.piiColumns(col("text")).toMap
+    // cache the redacted corpus: projection collapse would otherwise
+    // inline the 3-regex redaction chain into EVERY downstream derived
+    // column (quality ratios, repetition kernel, dedup digest) — the
+    // no-CSE trap; the barrier makes redaction run once per row
+    val red = graft.Caches.track(plantPii(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"), pii("redacted").as("text")))
+    val q = TextAnalysis.qualityColumns(col("text")).toMap
+    val r = TextAnalysis.repetitionColumns(col("text")).toMap
+    val filtered = red
+      .select(col("doc_id"), col("source"), col("text"),
+        q("n_tokens").as("n_tokens"), q("quality_score").as("quality_score"),
+        r("dup_gram2_ratio").as("dup_gram2_ratio"),
+        r("top_token_ratio").as("top_token_ratio"))
+      .filter(col("quality_score") >= CorpusQualityMin &&
+        col("dup_gram2_ratio") <= CorpusDupGram2Max &&
+        col("top_token_ratio") <= CorpusTopTokenMax)
+    val deduped = filtered
+      .withColumn("rep_id", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .filter(col("rep_id") === col("doc_id"))
+      .select("doc_id", "source", "n_tokens")
+    val kept =
+      if (!decontam) deduped
+      else deduped.join(
+        Dedup.contaminatedIds(Tables.documents(s, dir), "doc_id", "text",
+          decontamBenchGrams(s, dir), DecontamN, DecontamMinShared),
+        Seq("doc_id"), "left_anti")
+    val mixed = graft.pipeline.Mixing.sourceMix(kept, "doc_id", "source",
+      CorpusWeights, CorpusDefaultWeight)
+    graft.operators.PrefixSum.runningSum(mixed, "n_tokens", Seq("doc_id", "copy"))
+      .select(col("doc_id"), col("copy"), col("n_tokens"),
+        expr(s"(running_n_tokens - n_tokens) div $CorpusShardTokens").as("shard_id"))
+      .orderBy("doc_id", "copy")
+  }
+
+  private def corpusFullSql(decontam: Boolean): String = {
+    val (whole, thr) = graft.pipeline.Mixing.duckCases("source",
+      CorpusWeights, CorpusDefaultWeight)
+    val decontamStage =
+      if (!decontam) ""
+      else s"""$decontamCtes,
+        dc AS (SELECT k.doc_id, k.n_tokens FROM k
+               WHERE k.doc_id NOT IN (SELECT doc_id FROM hits WHERE n >= $DecontamMinShared)),
+        """
+    val keptRel = if (decontam) "dc" else "k"
+    s"""
+    WITH m AS ($plantPiiSql),
+    red AS (SELECT doc_id, source, ${redactSql("text")} AS text FROM m),
+    ${qualityCtesFrom("red")},
+    q AS (SELECT doc_id, text, n_tokens, $qualityScoreSql AS quality_score FROM f),
+    $repetitionCtes,
+    j AS (SELECT q.doc_id, q.text, q.n_tokens
+          FROM q JOIN rr ON q.doc_id = rr.doc_id
+          WHERE q.quality_score >= ${CorpusQualityMin}e0
+            AND rr.dup_gram2_ratio <= ${CorpusDupGram2Max}e0
+            AND rr.top_token_ratio <= ${CorpusTopTokenMax}e0),
+    k AS (SELECT doc_id, n_tokens FROM (
+            SELECT doc_id, n_tokens, min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+            FROM j)
+          WHERE rep_id = doc_id),
+    ${decontamStage}x AS (SELECT $keptRel.doc_id, $keptRel.n_tokens, r2.source,
+            ${graft.pipeline.Mixing.duckMixHash(s"$keptRel.doc_id")} AS hm
+          FROM $keptRel JOIN red r2 ON $keptRel.doc_id = r2.doc_id),
+    mx AS (SELECT doc_id, n_tokens,
+             ($whole) + (CASE WHEN hm < ($thr) THEN 1 ELSE 0 END) AS copies
+           FROM x),
+    u AS (SELECT doc_id, n_tokens, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy
+          FROM mx WHERE copies > 0),
+    c AS (SELECT doc_id, copy, n_tokens,
+            SUM(n_tokens) OVER (ORDER BY doc_id, copy
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          FROM u)
+    SELECT doc_id, copy, n_tokens,
+           CAST((run - n_tokens) // $CorpusShardTokens AS BIGINT) AS shard_id
+    FROM c ORDER BY doc_id, copy"""
+  }
 
   def all: Seq[Q] = Seq(
 
@@ -560,26 +669,31 @@ object PipelineQueries {
       }),
 
     // URL / domain-blocklist hygiene (the C4-style step next to PII
-    // scrubbing): per-doc URL count, first URL's host, 0/1 blocklist
-    // flag (exact host or subdomain). The synthetic corpus carries no
-    // URLs, so the query plants them on residue classes of doc_id —
-    // a blocked apex domain, a clean host, a blocked-via-subdomain
-    // host, and none — and the oracle replays the construction.
+    // scrubbing): per-doc URL count, first URL's lowercased host, 0/1
+    // blocklist flag over EVERY extracted URL (exact host or subdomain).
+    // The synthetic corpus carries no URLs, so the query plants them on
+    // residue classes of doc_id — a blocked apex domain (mixed case, so
+    // the case-insensitive matching does real work), a clean host, a
+    // clean-first-then-blocked pair (the any-URL rule's witness), a
+    // path-less blocked URL at end of sentence (the trailing-dot trap),
+    // and none. Blocklist + predicate rendered from ONE definition on
+    // both engines.
     Q("text_url_filter",
       (s, dir) => {
-        val blocked = Seq("spam-mill.example", "tracker.net")
         val planted = Tables.documents(s, dir).select(col("doc_id"),
           concat(col("text"),
-            when(pmod(col("doc_id"), lit(4)) === 0,
-              concat(lit(" see https://spam-mill.example/page"),
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              concat(lit(" see https://Spam-Mill.example/page"),
                 col("doc_id").cast("string")))
-            .when(pmod(col("doc_id"), lit(4)) === 1,
+            .when(pmod(col("doc_id"), lit(5)) === 1,
               concat(lit(" see http://ok-site.org/a/"),
                 col("doc_id").cast("string"), lit("?x=1")))
-            .when(pmod(col("doc_id"), lit(4)) === 2,
-              lit(" see https://sub.tracker.net/p"))
+            .when(pmod(col("doc_id"), lit(5)) === 2,
+              lit(" see http://ok-site.org/x then https://sub.tracker.net/p"))
+            .when(pmod(col("doc_id"), lit(5)) === 3,
+              lit(" read https://tracker.net. Next sentence."))
             .otherwise(lit(""))).as("text"))
-        val u = TextAnalysis.urlColumns(col("text"), blocked).toMap
+        val u = TextAnalysis.urlColumns(col("text"), UrlBlocklist).toMap
         planted.select(col("doc_id"),
           u("n_urls").as("n_urls"),
           u("first_host").as("first_host"),
@@ -588,23 +702,22 @@ object PipelineQueries {
       },
       Some {
         val pat = TextAnalysis.UrlPattern
+        val hostSql = "regexp_replace(regexp_replace(lower(h), '^https?://', ''), '/.*$', '')"
         s"""
         WITH m AS (SELECT doc_id, text ||
-            CASE WHEN doc_id % 4 = 0 THEN ' see https://spam-mill.example/page' || CAST(doc_id AS VARCHAR)
-                 WHEN doc_id % 4 = 1 THEN ' see http://ok-site.org/a/' || CAST(doc_id AS VARCHAR) || '?x=1'
-                 WHEN doc_id % 4 = 2 THEN ' see https://sub.tracker.net/p'
+            CASE WHEN doc_id % 5 = 0 THEN ' see https://Spam-Mill.example/page' || CAST(doc_id AS VARCHAR)
+                 WHEN doc_id % 5 = 1 THEN ' see http://ok-site.org/a/' || CAST(doc_id AS VARCHAR) || '?x=1'
+                 WHEN doc_id % 5 = 2 THEN ' see http://ok-site.org/x then https://sub.tracker.net/p'
+                 WHEN doc_id % 5 = 3 THEN ' read https://tracker.net. Next sentence.'
                  ELSE '' END AS text
           FROM ${Q.DocsRef}),
         u AS (SELECT doc_id,
-                CAST(len(regexp_extract_all(text, '$pat')) AS INT) AS n_urls,
-                regexp_replace(regexp_replace(regexp_extract(text, '$pat', 0),
-                  '^https?://', ''), '/.*$$', '') AS first_host
+                regexp_extract_all(text, '$pat') AS urls,
+                list_transform(regexp_extract_all(text, '$pat'), h -> $hostSql) AS hosts
               FROM m)
-        SELECT doc_id, n_urls, first_host,
-               CAST(CASE WHEN first_host = 'spam-mill.example'
-                      OR ends_with(first_host, '.spam-mill.example')
-                      OR first_host = 'tracker.net'
-                      OR ends_with(first_host, '.tracker.net')
+        SELECT doc_id, CAST(len(urls) AS INT) AS n_urls,
+               COALESCE(hosts[1], '') AS first_host,
+               CAST(CASE WHEN len(list_filter(hosts, fh -> ${urlBlockedSql("fh")})) > 0
                     THEN 1 ELSE 0 END AS INT) AS url_blocked
         FROM u ORDER BY doc_id"""
       }),
@@ -811,155 +924,26 @@ object PipelineQueries {
         FROM c WHERE copies > 0 ORDER BY doc_id, copy"""
       }),
 
-    // THE END-TO-END PIPELINE: every cleaning/assembly stage composed in
-    // ONE declared plan, the way a pretraining data run actually executes
-    // — PII redaction (planted, so the stage does real work) → quality +
-    // repetition thresholds (per-row predicates, no shuffle) → exact
-    // dedup (one digest shuffle) → source-weighted mixing (row explode)
-    // → token-budget sharding over (doc_id, copy) order (two-pass
-    // distributed prefix scan). No materialization barriers between
-    // stages; the oracle replays the identical chain as one CTE pipeline
-    // with every constant generated from the same definitions.
+    // THE END-TO-END PIPELINE (chain described at the corpusFullPlan
+    // builder above)
     Q("pipeline_corpus_full",
-      (s, dir) => {
-        val weights = Seq("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25)
-        val pii = TextAnalysis.piiColumns(col("text")).toMap
-        // cache the redacted corpus: projection collapse would otherwise
-        // inline the 3-regex redaction chain into EVERY downstream derived
-        // column (quality ratios, repetition kernel, dedup digest) — the
-        // no-CSE trap; the barrier makes redaction run once per row
-        val red = graft.Caches.track(plantPii(Tables.documents(s, dir))
-          .select(col("doc_id"), col("source"), pii("redacted").as("text")))
-        val q = TextAnalysis.qualityColumns(col("text")).toMap
-        val r = TextAnalysis.repetitionColumns(col("text")).toMap
-        val filtered = red
-          .select(col("doc_id"), col("source"), col("text"),
-            q("n_tokens").as("n_tokens"), q("quality_score").as("quality_score"),
-            r("dup_gram2_ratio").as("dup_gram2_ratio"),
-            r("top_token_ratio").as("top_token_ratio"))
-          .filter(col("quality_score") >= 0.5 &&
-            col("dup_gram2_ratio") <= 0.05 && col("top_token_ratio") <= 0.2)
-        val deduped = filtered
-          .withColumn("rep_id", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
-          .filter(col("rep_id") === col("doc_id"))
-          .select("doc_id", "source", "n_tokens")
-        val mixed = graft.pipeline.Mixing.sourceMix(deduped, "doc_id", "source",
-          weights, defaultWeight = 0.1)
-        graft.operators.PrefixSum.runningSum(mixed, "n_tokens", Seq("doc_id", "copy"))
-          .select(col("doc_id"), col("copy"), col("n_tokens"),
-            expr("(running_n_tokens - n_tokens) div 2000").as("shard_id"))
-          .orderBy("doc_id", "copy")
-      },
-      Some {
-        val (whole, thr) = graft.pipeline.Mixing.duckCases("source",
-          Seq("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25), 0.1)
-        s"""
-        WITH m AS ($plantPiiSql),
-        red AS (SELECT doc_id, source, ${redactSql("text")} AS text FROM m),
-        ${qualityCtesFrom("red")},
-        q AS (SELECT doc_id, text, n_tokens, $qualityScoreSql AS quality_score FROM f),
-        $repetitionCtes,
-        j AS (SELECT q.doc_id, q.text, q.n_tokens
-              FROM q JOIN rr ON q.doc_id = rr.doc_id
-              WHERE q.quality_score >= 0.5e0
-                AND rr.dup_gram2_ratio <= 0.05e0 AND rr.top_token_ratio <= 0.2e0),
-        k AS (SELECT doc_id, n_tokens FROM (
-                SELECT doc_id, n_tokens, min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
-                FROM j)
-              WHERE rep_id = doc_id),
-        x AS (SELECT k.doc_id, k.n_tokens, r2.source,
-                ${graft.pipeline.Mixing.duckMixHash("k.doc_id")} AS hm
-              FROM k JOIN red r2 ON k.doc_id = r2.doc_id),
-        mx AS (SELECT doc_id, n_tokens,
-                 ($whole) + (CASE WHEN hm < ($thr) THEN 1 ELSE 0 END) AS copies
-               FROM x),
-        u AS (SELECT doc_id, n_tokens, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy
-              FROM mx WHERE copies > 0),
-        c AS (SELECT doc_id, copy, n_tokens,
-                SUM(n_tokens) OVER (ORDER BY doc_id, copy
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
-              FROM u)
-        SELECT doc_id, copy, n_tokens, CAST((run - n_tokens) // 2000 AS BIGINT) AS shard_id
-        FROM c ORDER BY doc_id, copy"""
-      }),
+      (s, dir) => corpusFullPlan(s, dir, decontam = false),
+      Some(corpusFullSql(decontam = false))),
 
     // v2 of the end-to-end composite: the SAME chain with the round-8
-    // DECONTAMINATION stage between dedup and mixing — redact → quality +
-    // repetition thresholds → exact dedup → drop benchmark-contaminated
-    // docs → source-weighted mixing → token-budget sharding, still ONE
+    // DECONTAMINATION stage between dedup and mixing — redact -> quality +
+    // repetition thresholds -> exact dedup -> drop benchmark-contaminated
+    // docs -> source-weighted mixing -> token-budget sharding, still ONE
     // declared plan. Contamination is computed on the RAW corpus text
     // (policy: the benchmark overlap predates any cleaning) via the
     // shared gram policy, and survivors anti-join the contaminated ids —
     // at 100 TB that is the broadcast-probe scan plus an id-keyed anti
-    // join, no corpus-side gram shuffle. v1 stays declared unchanged so
-    // the addition is regression-free.
+    // join, no corpus-side gram shuffle. "Same chain" is true by
+    // CONSTRUCTION: both rows call the one corpusFullPlan/corpusFullSql
+    // builder, differing only in its decontam switch.
     Q("pipeline_corpus_full_v2",
-      (s, dir) => {
-        val weights = Seq("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25)
-        val pii = TextAnalysis.piiColumns(col("text")).toMap
-        val red = graft.Caches.track(plantPii(Tables.documents(s, dir))
-          .select(col("doc_id"), col("source"), pii("redacted").as("text")))
-        val q = TextAnalysis.qualityColumns(col("text")).toMap
-        val r = TextAnalysis.repetitionColumns(col("text")).toMap
-        val filtered = red
-          .select(col("doc_id"), col("source"), col("text"),
-            q("n_tokens").as("n_tokens"), q("quality_score").as("quality_score"),
-            r("dup_gram2_ratio").as("dup_gram2_ratio"),
-            r("top_token_ratio").as("top_token_ratio"))
-          .filter(col("quality_score") >= 0.5 &&
-            col("dup_gram2_ratio") <= 0.05 && col("top_token_ratio") <= 0.2)
-        val deduped = filtered
-          .withColumn("rep_id", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
-          .filter(col("rep_id") === col("doc_id"))
-          .select("doc_id", "source", "n_tokens")
-        val contaminatedIds = Dedup
-          .shingles(Tables.documents(s, dir), "doc_id", "text", DecontamN)
-          .join(broadcast(decontamBenchGrams(s, dir).distinct()), "gram")
-          .groupBy("doc_id").agg(count(lit(1)).as("__n"))
-          .filter(col("__n") >= DecontamMinShared).select("doc_id")
-        val decontaminated = deduped.join(contaminatedIds, Seq("doc_id"), "left_anti")
-        val mixed = graft.pipeline.Mixing.sourceMix(decontaminated, "doc_id", "source",
-          weights, defaultWeight = 0.1)
-        graft.operators.PrefixSum.runningSum(mixed, "n_tokens", Seq("doc_id", "copy"))
-          .select(col("doc_id"), col("copy"), col("n_tokens"),
-            expr("(running_n_tokens - n_tokens) div 2000").as("shard_id"))
-          .orderBy("doc_id", "copy")
-      },
-      Some {
-        val (whole, thr) = graft.pipeline.Mixing.duckCases("source",
-          Seq("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25), 0.1)
-        s"""
-        WITH m AS ($plantPiiSql),
-        red AS (SELECT doc_id, source, ${redactSql("text")} AS text FROM m),
-        ${qualityCtesFrom("red")},
-        q AS (SELECT doc_id, text, n_tokens, $qualityScoreSql AS quality_score FROM f),
-        $repetitionCtes,
-        j AS (SELECT q.doc_id, q.text, q.n_tokens
-              FROM q JOIN rr ON q.doc_id = rr.doc_id
-              WHERE q.quality_score >= 0.5e0
-                AND rr.dup_gram2_ratio <= 0.05e0 AND rr.top_token_ratio <= 0.2e0),
-        k AS (SELECT doc_id, n_tokens FROM (
-                SELECT doc_id, n_tokens, min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
-                FROM j)
-              WHERE rep_id = doc_id),
-        $decontamCtes,
-        dc AS (SELECT k.doc_id, k.n_tokens FROM k
-               WHERE k.doc_id NOT IN (SELECT doc_id FROM hits WHERE n >= $DecontamMinShared)),
-        x AS (SELECT dc.doc_id, dc.n_tokens, r2.source,
-                ${graft.pipeline.Mixing.duckMixHash("dc.doc_id")} AS hm
-              FROM dc JOIN red r2 ON dc.doc_id = r2.doc_id),
-        mx AS (SELECT doc_id, n_tokens,
-                 ($whole) + (CASE WHEN hm < ($thr) THEN 1 ELSE 0 END) AS copies
-               FROM x),
-        u AS (SELECT doc_id, n_tokens, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy
-              FROM mx WHERE copies > 0),
-        c AS (SELECT doc_id, copy, n_tokens,
-                SUM(n_tokens) OVER (ORDER BY doc_id, copy
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
-              FROM u)
-        SELECT doc_id, copy, n_tokens, CAST((run - n_tokens) // 2000 AS BIGINT) AS shard_id
-        FROM c ORDER BY doc_id, copy"""
-      }),
+      (s, dir) => corpusFullPlan(s, dir, decontam = true),
+      Some(corpusFullSql(decontam = true))),
 
     // ================= dedup =================
     Q("dedup_exact",

@@ -225,40 +225,44 @@ object TextAnalysis {
 
   /** URL pattern in the Java-regex ∩ RE2 subset (like [[BpePattern]] /
     * the PII patterns): scheme + host + optional path of unreserved/
-    * common URL characters. Conservative on purpose — corpus hygiene
-    * wants precision, and the DuckDB oracle must run the byte-identical
+    * common URL characters. `(?i)` because schemes and hostnames are
+    * case-insensitive by definition (HTTPS://Tracker.NET is the same
+    * resource); the host must END in an alphanumeric so a
+    * sentence-terminating '.' after a path-less URL is not swallowed
+    * into the host ("see https://x.net. Next" → host x.net, not
+    * "x.net."). Conservative on purpose — corpus hygiene wants
+    * precision, and the DuckDB oracle must run the byte-identical
     * expression.
     */
-  val UrlPattern: String = "https?://[A-Za-z0-9.-]+(/[A-Za-z0-9._~/%+&=?#-]*)?"
+  val UrlPattern: String =
+    "(?i)https?://[A-Za-z0-9.-]*[A-Za-z0-9](/[A-Za-z0-9._~/%+&=?#-]*)?"
 
-  /** Host extracted from the FIRST url in the text ('' when none): group
-    * rendering shared by both engines — strip the scheme, cut at the
-    * first '/'.
+  /** Lowercased host of one extracted url: strip the scheme, cut at the
+    * first '/'. Shared rendering with the oracle SQL.
     */
-  private def firstHost(text: Column): Column = {
-    val url = regexp_extract(text, UrlPattern, 0)
-    val noScheme = regexp_replace(url, "^https?://", "")
-    regexp_replace(noScheme, "/.*$", "")
-  }
+  private def urlHost(url: Column): Column =
+    regexp_replace(regexp_replace(lower(url), "^https?://", ""), "/.*$", "")
 
   /** URL / domain-blocklist filtering — the C4-style hygiene step that
     * runs next to PII scrubbing: per-document URL count, the first URL's
-    * host, and a 0/1 blocklist flag (host equal to OR a subdomain of a
-    * blocklisted domain). Pure per-row column work like the other text
-    * ops: the blocklist is a compile-time constant folded into the
-    * predicate — at 100 TB this is one scan, no shuffle, no UDF. A
-    * deployment swaps `blocked` for its own list (policy knob, not an
-    * engine property).
+    * lowercased host, and a 0/1 blocklist flag raised when ANY extracted
+    * URL's host equals OR is a subdomain of a blocklisted domain (the
+    * first clean link must not launder a later blocked one). Pure
+    * per-row column work like the other text ops: the blocklist is a
+    * compile-time constant folded into the predicate — at 100 TB this is
+    * one scan, no shuffle, no UDF. A deployment swaps `blocked` for its
+    * own list (policy knob, not an engine property); entries must be
+    * lowercase.
     */
   def urlColumns(text: Column, blocked: Seq[String]): Seq[(String, Column)] = {
-    val host = firstHost(text)
-    val isBlocked = blocked
-      .map(d => host === d || host.endsWith("." + d))
+    val urls = regexp_extract_all(text, lit(UrlPattern), lit(0))
+    def hostBlocked(h: Column): Column = blocked
+      .map(d => h === d || h.endsWith("." + d))
       .reduceOption(_ || _).getOrElse(lit(false))
     Seq(
-      "n_urls" -> size(regexp_extract_all(text, lit(UrlPattern), lit(0))),
-      "first_host" -> host,
-      "url_blocked" -> isBlocked.cast("int"))
+      "n_urls" -> size(urls),
+      "first_host" -> urlHost(regexp_extract(text, UrlPattern, 0)),
+      "url_blocked" -> exists(urls, u => hostBlocked(urlHost(u))).cast("int"))
   }
 
   /** PII scrubbing for a training corpus: per-pattern match counts (on the

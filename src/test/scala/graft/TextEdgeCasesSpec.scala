@@ -183,7 +183,12 @@ class TextEdgeCasesSpec extends AnyFunSuite {
       (2L, "x https://deep.sub.tracker.net/p?q=1 y"), // blocked via subdomain
       (3L, "x http://ok-site.org y http://also-ok.net/z"), // two clean urls
       (4L, "not-tracker.net is a bare host without a scheme"), // no match
-      (5L, "https://nottracker.net/a") // suffix but NOT a subdomain: clean
+      (5L, "https://nottracker.net/a"), // suffix but NOT a subdomain: clean
+      (6L, "Visit HTTPS://Tracker.NET/p"), // schemes/hosts are case-insensitive
+      (7L, "see https://tracker.net. End"), // path-less URL at end of sentence:
+                                            // the '.' must not join the host
+      (8L, "a http://ok-site.org/x then https://x.tracker.net/q") // clean first
+                                            // URL must not launder a blocked one
     ).toDF("doc_id", "text")
     val u = graft.text.TextAnalysis
       .urlColumns(col("text"), Seq("spam-mill.example", "tracker.net")).toMap
@@ -197,6 +202,11 @@ class TextEdgeCasesSpec extends AnyFunSuite {
     assert(rows(4L) == ((0, "", 0)))
     assert(rows(5L) == ((1, "nottracker.net", 0)),
       "a host merely ending in a blocked domain's text must NOT block")
+    assert(rows(6L) == ((1, "tracker.net", 1)), s"case-insensitive: ${rows(6L)}")
+    assert(rows(7L) == ((1, "tracker.net", 1)),
+      s"sentence-final '.' joined the host: ${rows(7L)}")
+    assert(rows(8L) == ((2, "ok-site.org", 1)),
+      s"clean first URL laundered a blocked later one: ${rows(8L)}")
   }
 
   test("decontaminate: self-overlap flags, zero-overlap passes, short docs survive") {
