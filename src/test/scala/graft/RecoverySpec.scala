@@ -139,12 +139,48 @@ class RecoverySpec extends AnyFunSuite {
     StatefulOps.nonincWindowsAppend(in, HourUs).toDF()
   }
 
+  /** KSlack TTL frame with DISORDER (±6 min jitter on a 20 min watermark
+    * delay, so the engine never late-drops): buffers, the adapted K, the
+    * last-emitted guard and the `dropped` counter all live in state at
+    * the restart boundary, and the emitted `dropped_so_far` values make
+    * counter continuity directly visible — a reset counter after restart
+    * diverges from the uninterrupted control run.
+    */
+  private def kslackFrame(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp = s
+    import s.implicits._
+    val in = s.readStream.schema(InputSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withColumn("seq", col("event_id"))
+      .withColumn("ts_j", expr(s"ts_us + ((event_id % 5) - 2) * ${3L * MinUs}"))
+      .withColumn("event_time", expr("timestamp_micros(ts_j)"))
+      .withWatermark("event_time", "20 minutes")
+      .selectExpr("user_id", "event_id", "seq", "ts_j AS ts_us", "cents",
+        "event_time")
+      .as[KsInT]
+    KSlack.reorderTtl(in, ttlUs = 30L * MinUs).toDF()
+  }
+
+  /** Rolling-reduce TTL frame (update mode): per-key fold sums/counts
+    * must continue across the restart — a fold restarted from zero
+    * diverges from the control run on every phase-B emission.
+    */
+  private def rollingFrame(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp = s
+    import s.implicits._
+    val in = source(s, dir)
+      .selectExpr("event_id", "user_id", "ts_us", "cents", "event_time")
+      .as[EvRowT]
+    StatefulOps.rollingReduceTtl(in, ttlUs = 45L * MinUs).toDF()
+  }
+
   // ---- harness -----------------------------------------------------------
 
-  private def runToBuffer(frame: DataFrame, ckpt: String): Seq[String] = {
+  private def runToBuffer(frame: DataFrame, ckpt: String,
+      mode: String = "append"): Seq[String] = {
     val buf = scala.collection.mutable.ArrayBuffer[String]()
     val q = frame.writeStream
-      .outputMode("append")
+      .outputMode(mode)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (df: Dataset[Row], _: Long) =>
@@ -165,7 +201,8 @@ class RecoverySpec extends AnyFunSuite {
   }
 
   private def recoveryCase(tag: String, rocksDb: Boolean,
-      frame: (SparkSession, String) => DataFrame): Unit = {
+      frame: (SparkSession, String) => DataFrame,
+      mode: String = "append"): Unit = {
     val s = spark.newSession()
     GraftSession.adopt(s)
     s.conf.set("spark.sql.shuffle.partitions", "4")
@@ -182,17 +219,17 @@ class RecoverySpec extends AnyFunSuite {
       // so early windows fire and evict DURING run 1
       writeFile(s, dataDir, mkRows(0 until 120), stamped, clock)
       writeFile(s, dataDir, mkRows(120 until 240), stamped, clock)
-      val out1 = runToBuffer(frame(s, dataDir.getPath), ckptInterrupted)
+      val out1 = runToBuffer(frame(s, dataDir.getPath), ckptInterrupted, mode)
 
       // phase B: two more files + the far-future sentinel that flushes
       // trailing state
       writeFile(s, dataDir, mkRows(240 until 360), stamped, clock)
       writeFile(s, dataDir, mkRows(360 until 480) :+ Sentinel, stamped, clock)
-      val out2 = runToBuffer(frame(s, dataDir.getPath), ckptInterrupted)
+      val out2 = runToBuffer(frame(s, dataDir.getPath), ckptInterrupted, mode)
 
       // uninterrupted control: fresh checkpoint, same files, same
       // (modTime, path) order → same per-batch watermark sequence
-      val full = runToBuffer(frame(s, dataDir.getPath), ckptFull)
+      val full = runToBuffer(frame(s, dataDir.getPath), ckptFull, mode)
 
       assert(out1.nonEmpty, s"$tag: run 1 emitted nothing — no state fired in phase A")
       assert(out2.nonEmpty, s"$tag: run 2 emitted nothing — nothing resumed from checkpoint")
@@ -208,18 +245,20 @@ class RecoverySpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(root)
   }
 
-  private val cases: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    ("ffat-append", ffatFrame _),
-    ("interval-bucketed", intervalFrame _),
-    ("asof", asofFrame _),
-    ("noninc-append", nonincFrame _))
+  private val cases: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("ffat-append", ffatFrame _, "append"),
+    ("interval-bucketed", intervalFrame _, "append"),
+    ("asof", asofFrame _, "append"),
+    ("noninc-append", nonincFrame _, "append"),
+    ("kslack-ttl", kslackFrame _, "append"),
+    ("rolling-ttl", rollingFrame _, "update"))
 
-  for ((tag, frame) <- cases) {
+  for ((tag, frame, mode) <- cases) {
     test(s"$tag resumes exactly-once from a checkpoint (HDFS-backed state store)") {
-      recoveryCase(tag, rocksDb = false, frame)
+      recoveryCase(tag, rocksDb = false, frame, mode)
     }
     test(s"$tag resumes exactly-once from a checkpoint (RocksDB state store)") {
-      recoveryCase(tag, rocksDb = true, frame)
+      recoveryCase(tag, rocksDb = true, frame, mode)
     }
   }
 }
