@@ -152,43 +152,35 @@ object TextAnalysis {
     *
     * Same execution shape as the other text ops: pure per-row column
     * work, no shuffle; every ratio is a division of exact integer counts
-    * so the DuckDB oracle is bit-equal. Each derived column costs one
-    * linear pass (one line-split or one tokenization) — the quadratic
-    * no-CSE trap only bites when a per-GRAM lambda re-evaluates a
-    * whole-document expression ([[fingerprint]]'s scaladoc).
+    * so the DuckDB oracle is bit-equal. The integer counters come from
+    * the native single-pass
+    * [[graft.functions.expressions.GopherStats]] kernel (one
+    * tokenization + one line split per row, codegen'd) — the composable
+    * HOF rendering re-evaluated the tokenization/line split per derived
+    * column with every HOF a CodegenFallback, the exact cost profile the
+    * RepetitionStats kernel already retired for the repetition signals.
     */
   def gopherColumns(text: Column): Seq[(String, Column)] = {
-    val toks = tokens(text)
-    val nTok = size(toks).cast("long")
-    val lines = split(text, "\n")
-    val nLines = size(lines).cast("long")
+    val st = graft.functions.expressions.GopherStats.of(text)
+    val nTok = st.getField("n_tokens")
+    val nLines = st.getField("n_lines")
     def ratio(num: Column, den: Column): Column =
       when(den > 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
-    def occurrences(pat: String, width: Int): Column =
-      ((length(text) - length(regexp_replace(text, pat, ""))) / width).cast("long")
-    val symbolRatio = ratio(
-      occurrences("#", 1) + occurrences("\\.\\.\\.", 3) + occurrences("…", 1), nTok)
-    val bulletLines = size(filter(lines, l =>
-      l.startsWith("•") || l.startsWith("- ") || l.startsWith("* "))).cast("long")
-    val ellipsisLines = size(filter(lines, l =>
-      l.endsWith("...") || l.endsWith("…"))).cast("long")
-    val alphaToks = size(filter(toks, t => t.rlike("\\p{L}"))).cast("long")
-    val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-      .map(w => when(array_contains(toks, w), 1L).otherwise(0L)).reduce(_ + _)
-    val meanTokLen = when(nTok > 0,
-      length(concat_ws("", toks)).cast("double") / nTok.cast("double")).otherwise(lit(0.0))
+    val symbolRatio = ratio(st.getField("n_symbols"), nTok)
+    val stopHits = st.getField("stop_hits")
+    val meanTokLen = ratio(st.getField("tok_chars"), nTok)
     val pass = (nTok >= 50L && nTok <= 100000L &&
       meanTokLen >= 3.0 && meanTokLen <= 10.0 &&
       symbolRatio <= 0.1 &&
-      ratio(bulletLines, nLines) <= 0.9 &&
-      ratio(ellipsisLines, nLines) <= 0.3 &&
-      ratio(alphaToks, nTok) >= 0.8 &&
+      ratio(st.getField("n_bullet"), nLines) <= 0.9 &&
+      ratio(st.getField("n_ellline"), nLines) <= 0.3 &&
+      ratio(st.getField("n_alpha"), nTok) >= 0.8 &&
       stopHits >= 2L).cast("int")
     Seq(
       "symbol_word_ratio" -> symbolRatio,
-      "bullet_line_ratio" -> ratio(bulletLines, nLines),
-      "ellipsis_line_ratio" -> ratio(ellipsisLines, nLines),
-      "alpha_word_ratio" -> ratio(alphaToks, nTok),
+      "bullet_line_ratio" -> ratio(st.getField("n_bullet"), nLines),
+      "ellipsis_line_ratio" -> ratio(st.getField("n_ellline"), nLines),
+      "alpha_word_ratio" -> ratio(st.getField("n_alpha"), nTok),
       "gopher_stop_hits" -> stopHits,
       "gopher_pass" -> pass)
   }
