@@ -59,16 +59,15 @@ object GopherStats {
     StructField("n_alpha", LongType, nullable = false),
     StructField("stop_hits", LongType, nullable = false)))
 
-  /** Gopher's 8 required stopwords, in list order. */
+  /** Gopher's 8 required stopwords, in list order — the canonical list
+    * the oracle SQL is also generated from.
+    */
   val RequiredStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
-  private val Ws: java.util.regex.Pattern =
-    java.util.regex.Pattern.compile(graft.functions.GraftFunctions.WsClass + "+")
-
   def compute(s: UTF8String): InternalRow = {
     val raw = s.toString
-    def cp(x: String): Long = x.codePointCount(0, x.length).toLong
+    import TextKernels.cp
 
     // symbol occurrences over the raw text: '#', non-overlapping "...",
     // '…' (single BMP char)
@@ -85,9 +84,8 @@ object GopherStats {
     var from = raw.indexOf("...")
     while (from >= 0) { nEll3 += 1; from = raw.indexOf("...", from + 3) }
 
-    // line structure over the raw text (trailing empties kept, like
-    // split(text, '\n') with limit -1 on both engines)
-    val lns = raw.split("\n", -1)
+    // line structure over the raw text
+    val lns = TextKernels.lines(raw)
     var nBullet = 0L
     var nEllLine = 0L
     lns.foreach { l =>
@@ -96,9 +94,7 @@ object GopherStats {
       if (l.endsWith("...") || l.endsWith("…")) nEllLine += 1
     }
 
-    // tokens: lowercased whitespace split, empties removed (identical to
-    // GraftFunctions.tokens / DuckSql.tokens)
-    val toks = Ws.split(s.toLowerCase.toString, -1).filter(_.nonEmpty)
+    val toks = TextKernels.tokenize(s)
     var tokChars = 0L
     var nAlpha = 0L
     val stopSeen = new java.util.HashSet[String]()

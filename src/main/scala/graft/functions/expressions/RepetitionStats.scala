@@ -61,21 +61,16 @@ object RepetitionStats {
     StructField("dup_line_chars", LongType, nullable = false),
     StructField("line_chars", LongType, nullable = false)))
 
-  /** Shared explicit whitespace class (not `\s` — Java/RE2 divergence on
-    * `\x0B`, see [[graft.functions.GraftFunctions.WsClass]]), precompiled
-    * once per JVM instead of per row.
-    */
-  private val Ws: java.util.regex.Pattern =
-    java.util.regex.Pattern.compile(graft.functions.GraftFunctions.WsClass + "+")
-
   /** One tokenization, one pass per gram width, one frequency map per
-    * granularity (token, line).
+    * granularity (token, line). Tokenization/line/codepoint primitives
+    * come from [[TextKernels]] — the one definition every native text
+    * kernel and oracle twin must agree with.
     */
   def compute(s: UTF8String): InternalRow = {
     val raw = s.toString
+    import TextKernels.cp
     // line stats over the raw text (case-sensitive, codepoint lengths)
-    def cp(x: String): Long = x.codePointCount(0, x.length).toLong
-    val lns = raw.split("\n", -1)
+    val lns = TextKernels.lines(raw)
     val lfreq = new java.util.HashMap[String, Long]()
     var lineChars = 0L
     lns.foreach { l => lfreq.merge(l, 1L, (a, b) => a + b); lineChars += cp(l) }
@@ -84,7 +79,7 @@ object RepetitionStats {
     val nLines = lns.length.toLong
     val lDistinct = lfreq.size.toLong
 
-    val toks = Ws.split(s.toLowerCase.toString, -1).filter(_.nonEmpty)
+    val toks = TextKernels.tokenize(s)
     val m = toks.length
     if (m == 0) return InternalRow(0L, 0L, 0L, 0L, 0L, 0L,
       nLines, lDistinct, dupLineChars, lineChars)

@@ -522,7 +522,7 @@ object PipelineQueries {
           .orderBy("doc_id")
       },
       Some {
-        val stopSum = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        val stopSum = graft.functions.expressions.GopherStats.RequiredStopwords
           .map(w => s"(CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END)")
           .mkString(" + ")
         s"""

@@ -177,7 +177,7 @@ class RecoverySpec extends AnyFunSuite {
   // ---- harness -----------------------------------------------------------
 
   private def runToBuffer(frame: DataFrame, ckpt: String,
-      mode: String = "append"): Seq[String] = {
+      mode: String): Seq[String] = {
     val buf = scala.collection.mutable.ArrayBuffer[String]()
     val q = frame.writeStream
       .outputMode(mode)
@@ -202,7 +202,7 @@ class RecoverySpec extends AnyFunSuite {
 
   private def recoveryCase(tag: String, rocksDb: Boolean,
       frame: (SparkSession, String) => DataFrame,
-      mode: String = "append"): Unit = {
+      mode: String): Unit = {
     val s = spark.newSession()
     GraftSession.adopt(s)
     s.conf.set("spark.sql.shuffle.partitions", "4")
