@@ -168,6 +168,54 @@ object PipelineQueries {
     UrlBlocklist.map(d => s"$hostExpr = '$d' OR ends_with($hostExpr, '.$d')")
       .mkString(" OR ")
 
+  /** Gopher-signal CTE chain over `rel` (doc_id, text), ending in `gp`
+    * (doc_id, the four ratios, stop_hits, gopher_pass) — generated from
+    * the same [[graft.functions.expressions.GopherStats.RequiredStopwords]]
+    * as the native kernel, with gd/gc/gr/gp names so the chain composes
+    * next to the quality chain (d/b/f) in one WITH. Shared by
+    * text_gopher and the v2 streaming cleaner.
+    */
+  private[queries] def gopherCtes(rel: String): String = {
+    val stopSum = graft.functions.expressions.GopherStats.RequiredStopwords
+      .map(w => s"(CASE WHEN list_contains(gtoks, '$w') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""gd AS (SELECT doc_id, text, ${DuckSql.tokens("text")} AS gtoks,
+                string_split(text, chr(10)) AS gls FROM $rel),
+        gc AS (SELECT doc_id, gtoks, gls,
+          len(gtoks) AS gn_tokens, len(gls) AS gn_lines,
+          length(text) - length(replace(text, '#', '')) AS n_hash,
+          (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) // 3 AS n_ell3,
+          length(text) - length(replace(text, '…', '')) AS n_ellu,
+          len(list_filter(gls, l -> starts_with(l, '•') OR starts_with(l, '- ') OR starts_with(l, '* '))) AS n_bullet,
+          len(list_filter(gls, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS n_ellline,
+          len(list_filter(gtoks, t -> regexp_matches(t, '\\p{L}'))) AS n_alpha,
+          $stopSum AS stop_hits,
+          length(array_to_string(gtoks, '')) AS tok_chars
+        FROM gd),
+        gr AS (SELECT doc_id, gn_tokens, stop_hits,
+          CASE WHEN gn_tokens > 0 THEN CAST(n_hash + n_ell3 + n_ellu AS DOUBLE) / CAST(gn_tokens AS DOUBLE) ELSE 0.0e0 END AS symbol_word_ratio,
+          CASE WHEN gn_lines > 0 THEN CAST(n_bullet AS DOUBLE) / CAST(gn_lines AS DOUBLE) ELSE 0.0e0 END AS bullet_line_ratio,
+          CASE WHEN gn_lines > 0 THEN CAST(n_ellline AS DOUBLE) / CAST(gn_lines AS DOUBLE) ELSE 0.0e0 END AS ellipsis_line_ratio,
+          CASE WHEN gn_tokens > 0 THEN CAST(n_alpha AS DOUBLE) / CAST(gn_tokens AS DOUBLE) ELSE 0.0e0 END AS alpha_word_ratio,
+          CASE WHEN gn_tokens > 0 THEN CAST(tok_chars AS DOUBLE) / CAST(gn_tokens AS DOUBLE) ELSE 0.0e0 END AS mean_tok_len
+        FROM gc),
+        gp AS (SELECT doc_id, symbol_word_ratio, bullet_line_ratio,
+          ellipsis_line_ratio, alpha_word_ratio, stop_hits,
+          CAST(CASE WHEN gn_tokens BETWEEN 50 AND 100000
+            AND mean_tok_len >= 3.0e0 AND mean_tok_len <= 10.0e0
+            AND symbol_word_ratio <= 0.1e0 AND bullet_line_ratio <= 0.9e0
+            AND ellipsis_line_ratio <= 0.3e0 AND alpha_word_ratio >= 0.8e0
+            AND stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS gopher_pass
+        FROM gr)"""
+  }
+
+  /** The stopword-rich plant line half the docs get in the gopher rows
+    * (the synthetic corpus rarely contains the 8 required stopwords, so
+    * without it the composite rule is constant-false and pins nothing).
+    */
+  private[queries] val GopherStopPlant =
+    "and that it should have to be part of the record with care"
+
   /** Decontamination gram POLICY — one definition shared by the batch
     * (`pipeline_decontaminate`) and streaming
     * (`stream_pipeline_decontaminate`) rows on BOTH engines, so a change
@@ -503,8 +551,7 @@ object PipelineQueries {
             // rule would be constant-false and the oracle row would pin
             // nothing
             when(pmod(col("doc_id"), lit(2)) === 0,
-              lit("\nand that it should have to be part of the record with care"))
-              .otherwise(lit("")),
+              lit("\n" + GopherStopPlant)).otherwise(lit("")),
             when(pmod(col("doc_id"), lit(3)) === 0,
               lit("\n- bullet item\n• second bullet")).otherwise(lit("")),
             when(pmod(col("doc_id"), lit(4)) === 0,
@@ -521,46 +568,17 @@ object PipelineQueries {
           g("gopher_pass").as("gopher_pass"))
           .orderBy("doc_id")
       },
-      Some {
-        val stopSum = graft.functions.expressions.GopherStats.RequiredStopwords
-          .map(w => s"(CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END)")
-          .mkString(" + ")
-        s"""
+      Some(s"""
         WITH m AS (SELECT doc_id, text ||
-            CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'and that it should have to be part of the record with care' ELSE '' END ||
+            CASE WHEN doc_id % 2 = 0 THEN chr(10) || '$GopherStopPlant' ELSE '' END ||
             CASE WHEN doc_id % 3 = 0 THEN chr(10) || '- bullet item' || chr(10) || '• second bullet' ELSE '' END ||
             CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'this line trails off...' || chr(10) || 'and more…' ELSE '' END ||
             CASE WHEN doc_id % 5 = 0 THEN chr(10) || '## symbols # here ...' ELSE '' END AS text
           FROM ${Q.DocsRef}),
-        d AS (SELECT doc_id, text, ${graft.oracle.DuckSql.tokens("text")} AS toks,
-                string_split(text, chr(10)) AS ls FROM m),
-        c AS (SELECT doc_id, toks, ls,
-          len(toks) AS n_tokens, len(ls) AS n_lines,
-          length(text) - length(replace(text, '#', '')) AS n_hash,
-          (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) // 3 AS n_ell3,
-          length(text) - length(replace(text, '…', '')) AS n_ellu,
-          len(list_filter(ls, l -> starts_with(l, '•') OR starts_with(l, '- ') OR starts_with(l, '* '))) AS n_bullet,
-          len(list_filter(ls, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS n_ellline,
-          len(list_filter(toks, t -> regexp_matches(t, '\\p{L}'))) AS n_alpha,
-          $stopSum AS stop_hits,
-          length(array_to_string(toks, '')) AS tok_chars
-        FROM d),
-        r AS (SELECT doc_id, n_tokens, stop_hits,
-          CASE WHEN n_tokens > 0 THEN CAST(n_hash + n_ell3 + n_ellu AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0e0 END AS symbol_word_ratio,
-          CASE WHEN n_lines > 0 THEN CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0e0 END AS bullet_line_ratio,
-          CASE WHEN n_lines > 0 THEN CAST(n_ellline AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0e0 END AS ellipsis_line_ratio,
-          CASE WHEN n_tokens > 0 THEN CAST(n_alpha AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0e0 END AS alpha_word_ratio,
-          CASE WHEN n_tokens > 0 THEN CAST(tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0e0 END AS mean_tok_len
-        FROM c)
+        ${gopherCtes("m")}
         SELECT doc_id, symbol_word_ratio, bullet_line_ratio, ellipsis_line_ratio,
-          alpha_word_ratio, CAST(stop_hits AS BIGINT) AS gopher_stop_hits,
-          CAST(CASE WHEN n_tokens BETWEEN 50 AND 100000
-            AND mean_tok_len >= 3.0e0 AND mean_tok_len <= 10.0e0
-            AND symbol_word_ratio <= 0.1e0 AND bullet_line_ratio <= 0.9e0
-            AND ellipsis_line_ratio <= 0.3e0 AND alpha_word_ratio >= 0.8e0
-            AND stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS gopher_pass
-        FROM r ORDER BY doc_id"""
-      }),
+          alpha_word_ratio, CAST(stop_hits AS BIGINT) AS gopher_stop_hits, gopher_pass
+        FROM gp ORDER BY doc_id""")),
 
     Q("text_tokens",
       (s, dir) => {

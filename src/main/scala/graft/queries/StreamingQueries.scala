@@ -349,6 +349,82 @@ object StreamingQueries {
         SELECT DISTINCT md5(text) AS digest, n_tokens, quality_score
         FROM kept ORDER BY digest""")),
 
+    // v2 of "clean as you ingest" — the FULL round-8 predicate set in the
+    // streaming path: PII redaction → quality score + the complete Gopher
+    // rule (native GopherStats kernel) + URL blocklist (every URL's
+    // host) as stateless per-row predicates, then benchmark
+    // DECONTAMINATION as a stream-static join against the broadcast
+    // contaminated-id set (stream-static left anti isn't supported, so
+    // it renders as left outer + null filter — same broadcast probe),
+    // then bounded exact dedup via dropDuplicatesWithinWatermark. The
+    // stopword line and a blocked URL are planted on residue classes so
+    // the gopher and URL predicates both discriminate; output is keyed
+    // by digest (survivor-independent, v1's argument), so the oracle is
+    // the batch replay of the same chain with DISTINCT.
+    Q("stream_pipeline_clean_v2",
+      (s, dir) => {
+        implicit val sp = s
+        val pii = graft.text.TextAnalysis.piiColumns(col("text")).toMap
+        val planted = StreamSources.documents(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(2)) === 0,
+              lit("\n" + PipelineQueries.GopherStopPlant)).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(7)) === 0,
+              lit(" see https://tracker.net/x")).otherwise(lit(""))).as("text"))
+        val red = planted.select(col("doc_id"), pii("redacted").as("text"))
+        val q = graft.text.TextAnalysis.qualityColumns(col("text")).toMap
+        val g = graft.text.TextAnalysis.gopherColumns(col("text")).toMap
+        val u = graft.text.TextAnalysis
+          .urlColumns(col("text"), PipelineQueries.UrlBlocklist).toMap
+        val cleaned = red
+          .select(col("doc_id"), md5(col("text")).as("digest"),
+            q("n_tokens").as("n_tokens"), q("quality_score").as("quality_score"),
+            g("gopher_pass").as("gp"), u("url_blocked").as("ub"))
+          .filter(col("quality_score") >= 0.5 && col("gp") === 1 && col("ub") === 0)
+        val contaminated = broadcast(graft.dedup.Dedup.contaminatedIds(
+            graft.Tables.documents(s, dir), "doc_id", "text",
+            PipelineQueries.decontamBenchGrams(s, dir),
+            PipelineQueries.DecontamN, PipelineQueries.DecontamMinShared)
+          .withColumn("__contam", lit(1)))
+        val decontaminated = cleaned
+          .join(contaminated, Seq("doc_id"), "left")
+          .filter(col("__contam").isNull)
+          .select("digest", "n_tokens", "quality_score")
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+          .dropDuplicatesWithinWatermark("digest")
+          .select("digest", "n_tokens", "quality_score")
+        StreamRun.toBatch(decontaminated, "append", numPartitions = 4)
+          .orderBy("digest")
+      },
+      Some(s"""
+        WITH mm AS (SELECT doc_id, text ||
+            CASE WHEN doc_id % 2 = 0 THEN chr(10) || '${PipelineQueries.GopherStopPlant}' ELSE '' END ||
+            CASE WHEN doc_id % 7 = 0 THEN ' see https://tracker.net/x' ELSE '' END AS text
+          FROM ${Q.DocsRef}),
+        red AS (SELECT doc_id, ${PipelineQueries.redactSql("text")} AS text FROM mm),
+        ${PipelineQueries.qualityCtesFrom("red")},
+        q AS (SELECT doc_id, text, n_tokens,
+                ${PipelineQueries.qualityScoreSql} AS quality_score FROM f),
+        ${PipelineQueries.gopherCtes("red")},
+        uu AS (SELECT doc_id,
+                 list_transform(regexp_extract_all(text, '${graft.text.TextAnalysis.UrlPattern}'),
+                   h -> regexp_replace(regexp_replace(lower(h), '^https?://', ''), '/.*$$', '')) AS hosts
+               FROM red),
+        ub AS (SELECT doc_id,
+                 CASE WHEN len(list_filter(hosts, fh -> ${PipelineQueries.urlBlockedSql("fh")})) > 0
+                 THEN 1 ELSE 0 END AS url_blocked FROM uu),
+        ${PipelineQueries.decontamCtes},
+        kept AS (SELECT q.text, q.n_tokens, q.quality_score
+                 FROM q JOIN gp ON q.doc_id = gp.doc_id
+                        JOIN ub ON q.doc_id = ub.doc_id
+                 WHERE q.quality_score >= 0.5e0
+                   AND gp.gopher_pass = 1 AND ub.url_blocked = 0
+                   AND q.doc_id NOT IN (SELECT doc_id FROM hits
+                                        WHERE n >= ${PipelineQueries.DecontamMinShared}))
+        SELECT DISTINCT md5(text) AS digest, n_tokens, quality_score
+        FROM kept ORDER BY digest""")),
+
     // ingestion-time DECONTAMINATION — the stream-static join shape: the
     // benchmark's distinct grams are a STATIC relation (batch-read, small
     // by definition, force-broadcast) and the document stream probes it
