@@ -168,6 +168,13 @@ object PipelineQueries {
     UrlBlocklist.map(d => s"$hostExpr = '$d' OR ends_with($hostExpr, '.$d')")
       .mkString(" OR ")
 
+  /** DuckDB rendering of [[TextAnalysis.urlHost]] (lowercase, strip
+    * scheme, cut at first '/') over a url expression — ONE definition for
+    * every oracle that extracts hosts.
+    */
+  private[queries] def urlHostSql(urlExpr: String): String =
+    s"regexp_replace(regexp_replace(lower($urlExpr), '^https?://', ''), '/.*$$', '')"
+
   /** Gopher-signal CTE chain over `rel` (doc_id, text), ending in `gp`
     * (doc_id, the four ratios, stop_hits, gopher_pass) — generated from
     * the same [[graft.functions.expressions.GopherStats.RequiredStopwords]]
@@ -720,7 +727,7 @@ object PipelineQueries {
       },
       Some {
         val pat = TextAnalysis.UrlPattern
-        val hostSql = "regexp_replace(regexp_replace(lower(h), '^https?://', ''), '/.*$', '')"
+        val hostSql = urlHostSql("h")
         s"""
         WITH m AS (SELECT doc_id, text ||
             CASE WHEN doc_id % 5 = 0 THEN ' see https://Spam-Mill.example/page' || CAST(doc_id AS VARCHAR)

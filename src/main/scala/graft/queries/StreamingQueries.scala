@@ -413,7 +413,7 @@ object StreamingQueries {
         ${PipelineQueries.gopherCtes("red")},
         uu AS (SELECT doc_id,
                  list_transform(regexp_extract_all(text, '${graft.text.TextAnalysis.UrlPattern}'),
-                   h -> regexp_replace(regexp_replace(lower(h), '^https?://', ''), '/.*$$', '')) AS hosts
+                   h -> ${PipelineQueries.urlHostSql("h")}) AS hosts
                FROM red),
         ub AS (SELECT doc_id,
                  CASE WHEN len(list_filter(hosts, fh -> ${PipelineQueries.urlBlockedSql("fh")})) > 0
@@ -444,8 +444,11 @@ object StreamingQueries {
       (s, dir) => {
         implicit val sp = s
         import graft.functions.GraftFunctions.wordShingles
-        val bench = broadcast(
-          PipelineQueries.decontamBenchGrams(s, dir).distinct())
+        // the static side of a stream-static join re-executes per
+        // micro-batch: cache the benchmark gram set so its corpus scan +
+        // shingle explode run once per run, not once per trigger
+        val bench = broadcast(graft.Caches.track(
+          PipelineQueries.decontamBenchGrams(s, dir).distinct()))
         val hits = StreamSources.documents(s, dir)
           .select(col("doc_id"),
             explode(wordShingles(col("text"), PipelineQueries.DecontamN)).as("gram"))
