@@ -52,7 +52,8 @@ object GopherStats {
   val Schema: StructType = StructType(Seq(
     StructField("n_tokens", LongType, nullable = false),
     StructField("tok_chars", LongType, nullable = false), // Σ codepoints over tokens
-    StructField("n_symbols", LongType, nullable = false), // '#' + "..." + '…'
+    StructField("n_hash", LongType, nullable = false),     // '#'
+    StructField("n_ellipsis", LongType, nullable = false), // "..." + '…'
     StructField("n_lines", LongType, nullable = false),
     StructField("n_bullet", LongType, nullable = false),
     StructField("n_ellline", LongType, nullable = false),
@@ -69,8 +70,10 @@ object GopherStats {
     val raw = s.toString
     import TextKernels.cp
 
-    // symbol occurrences over the raw text: '#', non-overlapping "...",
-    // '…' (single BMP char)
+    // symbol occurrences over the raw text, counted PER SYMBOL — the
+    // paper's rule thresholds the hash ratio and the ellipsis ratio
+    // separately ("either the hash symbol or the ellipsis"): '#',
+    // non-overlapping "...", '…' (single BMP char)
     var nHash = 0L
     var nEllU = 0L
     var i = 0
@@ -110,7 +113,7 @@ object GopherStats {
       if (hasLetter) nAlpha += 1
       if (RequiredStopwords.contains(t)) stopSeen.add(t): Unit
     }
-    InternalRow(toks.length.toLong, tokChars, nHash + nEll3 + nEllU,
+    InternalRow(toks.length.toLong, tokChars, nHash, nEll3 + nEllU,
       lns.length.toLong, nBullet, nEllLine, nAlpha, stopSeen.size.toLong)
   }
 

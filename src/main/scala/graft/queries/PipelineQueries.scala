@@ -176,7 +176,8 @@ object PipelineQueries {
     s"regexp_replace(regexp_replace(lower($urlExpr), '^https?://', ''), '/.*$$', '')"
 
   /** Gopher-signal CTE chain over `rel` (doc_id, text), ending in `gp`
-    * (doc_id, the four ratios, stop_hits, gopher_pass) — generated from
+    * (doc_id, the five ratios — hash and ellipsis word ratios PER SYMBOL,
+    * as the paper thresholds them — stop_hits, gopher_pass) — generated from
     * the same [[graft.functions.expressions.GopherStats.RequiredStopwords]]
     * as the native kernel, with gd/gc/gr/gp names so the chain composes
     * next to the quality chain (d/b/f) in one WITH. Shared by
@@ -200,17 +201,19 @@ object PipelineQueries {
           length(array_to_string(gtoks, '')) AS tok_chars
         FROM gd),
         gr AS (SELECT doc_id, gn_tokens, stop_hits,
-          CASE WHEN gn_tokens > 0 THEN CAST(n_hash + n_ell3 + n_ellu AS DOUBLE) / CAST(gn_tokens AS DOUBLE) ELSE 0.0e0 END AS symbol_word_ratio,
+          CASE WHEN gn_tokens > 0 THEN CAST(n_hash AS DOUBLE) / CAST(gn_tokens AS DOUBLE) ELSE 0.0e0 END AS hash_word_ratio,
+          CASE WHEN gn_tokens > 0 THEN CAST(n_ell3 + n_ellu AS DOUBLE) / CAST(gn_tokens AS DOUBLE) ELSE 0.0e0 END AS ellipsis_word_ratio,
           CASE WHEN gn_lines > 0 THEN CAST(n_bullet AS DOUBLE) / CAST(gn_lines AS DOUBLE) ELSE 0.0e0 END AS bullet_line_ratio,
           CASE WHEN gn_lines > 0 THEN CAST(n_ellline AS DOUBLE) / CAST(gn_lines AS DOUBLE) ELSE 0.0e0 END AS ellipsis_line_ratio,
           CASE WHEN gn_tokens > 0 THEN CAST(n_alpha AS DOUBLE) / CAST(gn_tokens AS DOUBLE) ELSE 0.0e0 END AS alpha_word_ratio,
           CASE WHEN gn_tokens > 0 THEN CAST(tok_chars AS DOUBLE) / CAST(gn_tokens AS DOUBLE) ELSE 0.0e0 END AS mean_tok_len
         FROM gc),
-        gp AS (SELECT doc_id, symbol_word_ratio, bullet_line_ratio,
-          ellipsis_line_ratio, alpha_word_ratio, stop_hits,
+        gp AS (SELECT doc_id, hash_word_ratio, ellipsis_word_ratio,
+          bullet_line_ratio, ellipsis_line_ratio, alpha_word_ratio, stop_hits,
           CAST(CASE WHEN gn_tokens BETWEEN 50 AND 100000
             AND mean_tok_len >= 3.0e0 AND mean_tok_len <= 10.0e0
-            AND symbol_word_ratio <= 0.1e0 AND bullet_line_ratio <= 0.9e0
+            AND hash_word_ratio <= 0.1e0 AND ellipsis_word_ratio <= 0.1e0
+            AND bullet_line_ratio <= 0.9e0
             AND ellipsis_line_ratio <= 0.3e0 AND alpha_word_ratio >= 0.8e0
             AND stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS gopher_pass
         FROM gr)"""
@@ -543,7 +546,8 @@ object PipelineQueries {
         SELECT doc_id, $lineRatiosSql
         FROM g ORDER BY doc_id""")),
 
-    // the REST of the Gopher rule set (symbol ratio, bullet/ellipsis line
+    // the REST of the Gopher rule set (per-symbol hash/ellipsis ratios,
+    // bullet/ellipsis line
     // fractions, alpha-word ratio, required-stopword hits, composite
     // accept rule) — structure PLANTED deterministically (bullets,
     // trailing ellipses, symbol runs on residue-class doc_ids) so every
@@ -567,7 +571,8 @@ object PipelineQueries {
               lit("\n## symbols # here ...")).otherwise(lit(""))).as("text"))
         val g = TextAnalysis.gopherColumns(col("text")).toMap
         planted.select(col("doc_id"),
-          g("symbol_word_ratio").as("symbol_word_ratio"),
+          g("hash_word_ratio").as("hash_word_ratio"),
+          g("ellipsis_word_ratio").as("ellipsis_word_ratio"),
           g("bullet_line_ratio").as("bullet_line_ratio"),
           g("ellipsis_line_ratio").as("ellipsis_line_ratio"),
           g("alpha_word_ratio").as("alpha_word_ratio"),
@@ -583,8 +588,9 @@ object PipelineQueries {
             CASE WHEN doc_id % 5 = 0 THEN chr(10) || '## symbols # here ...' ELSE '' END AS text
           FROM ${Q.DocsRef}),
         ${gopherCtes("m")}
-        SELECT doc_id, symbol_word_ratio, bullet_line_ratio, ellipsis_line_ratio,
-          alpha_word_ratio, CAST(stop_hits AS BIGINT) AS gopher_stop_hits, gopher_pass
+        SELECT doc_id, hash_word_ratio, ellipsis_word_ratio, bullet_line_ratio,
+          ellipsis_line_ratio, alpha_word_ratio,
+          CAST(stop_hits AS BIGINT) AS gopher_stop_hits, gopher_pass
         FROM gp ORDER BY doc_id""")),
 
     Q("text_tokens",

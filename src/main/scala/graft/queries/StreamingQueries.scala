@@ -122,7 +122,10 @@ object StreamingQueries {
     // gate adds is the TTL operator's end-to-end plumbing (EvRowT
     // watermark column, EventTimeTimeout arming, eviction batch) running
     // under the driver. The eviction semantics themselves are
-    // state-asserted in StatefulStreamingSpec.
+    // state-asserted in StatefulStreamingSpec. The shared-oracle argument
+    // is COUPLED to single-batch delivery (r8 advice) — a mid-run timeout
+    // under maxFilesPerTrigger would evict live fold state and diverge —
+    // so the run asserts exactly one data batch on its progress events.
     Q("stream_reduce_rolling_ttl",
       (s, dir) => {
         implicit val sp = s
@@ -133,7 +136,8 @@ object StreamingQueries {
             "CAST(round(value * 100) AS BIGINT) AS cents", "event_time")
           .as[graft.streaming.EvRowT]
         StreamRun.toBatch(
-          StatefulOps.rollingReduceTtl(in, ttlUs = 6L * Q.HourUs).toDF(), "update")
+          StatefulOps.rollingReduceTtl(in, ttlUs = 6L * Q.HourUs).toDF(), "update",
+          requireSingleDataBatch = true)
           .orderBy("event_id")
       },
       WindowQueries.all.find(_.name == "reduce_rolling").get.oracle),
@@ -287,7 +291,11 @@ object StreamingQueries {
     // restored — see the slidingWindowsFfatAppend scaladoc blast-radius
     // note). Values are identical to the unsalted twin by construction
     // (lift/comb associativity), so the oracle is shared with the batch
-    // FlatFAT row.
+    // FlatFAT row. COMPLETE output mode here is the bounded-run ORACLE
+    // rendering only — complete mode retains every window group forever,
+    // so a continuous deployment must chain the append-mode merge the
+    // slidingWindowsFfatAppend scaladoc describes (each window's ≤ S salt
+    // partials merge once, after all salts have fired, and are dropped).
     Q("stream_win_tb_sliding_ffat_salted",
       (s, dir) => {
         implicit val sp = s
@@ -620,7 +628,11 @@ object StreamingQueries {
     // the flush-at-EOS machine (the drain IS the flush, run from restored
     // state), so the closed-form SQL replay is shared verbatim with
     // stream_kslack_reorder. The drain state machine stays pinned by
-    // KSlackSpec's hand-traced sequences.
+    // KSlackSpec's hand-traced sequences. Like the rolling TTL row, the
+    // shared-oracle argument is COUPLED to single-batch delivery (r8
+    // advice — a mid-run drain under maxFilesPerTrigger would evict a
+    // key's buffer and reset its K adaptation), so the run asserts
+    // exactly one data batch on its progress events.
     Q("stream_kslack_reorder_ttl",
       (s, dir) => {
         implicit val sp = s
@@ -638,7 +650,7 @@ object StreamingQueries {
           .filter(!(col("user_id") === -1L) || col("event_time").isNull)
           .as[KsInT]
         StreamRun.toBatch(KSlack.reorderTtl(tagged, ttlUs = 5L * Q.MinuteUs).toDF(),
-          "append").orderBy("user_id", "event_id")
+          "append", requireSingleDataBatch = true).orderBy("user_id", "event_id")
       },
       kslackReplayOracle),
 

@@ -22,8 +22,18 @@ object StreamRun {
     * table and return it as a batch DataFrame. Single-batch for file
     * sources (no maxFilesPerTrigger), so Update-mode state operators emit
     * exactly once per key/window.
+    *
+    * `requireSingleDataBatch` turns that delivery shape from an
+    * assumption into an assertion (checked on the query's progress
+    * events): the TTL oracle rows share the non-TTL oracle on the
+    * argument that eviction can only fire in the trailing no-data batch,
+    * which holds ONLY under single-batch delivery — a harness that sets
+    * maxFilesPerTrigger (as RecoverySpec deliberately does) would let a
+    * mid-run EventTimeTimeout evict live state and silently diverge from
+    * the shared oracle, and this check makes that misuse loud instead.
     */
-  def toBatch(df: DataFrame, outputMode: String, numPartitions: Int = 8)(
+  def toBatch(df: DataFrame, outputMode: String, numPartitions: Int = 8,
+      requireSingleDataBatch: Boolean = false)(
       implicit spark: SparkSession): DataFrame = {
     val name = s"graft_stream_${n.incrementAndGet()}"
     // Streaming state operators instantiate one state store per shuffle
@@ -50,6 +60,13 @@ object StreamRun {
       } else None
       val q = w.start()
       q.awaitTermination()
+      if (requireSingleDataBatch) {
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches == 1,
+          s"expected exactly one data batch (AvailableNow file source, no " +
+            s"maxFilesPerTrigger), saw $dataBatches — the shared non-TTL " +
+            "oracle is invalid under multi-batch delivery")
+      }
       ckpt.foreach(d => org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)

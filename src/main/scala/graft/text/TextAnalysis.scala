@@ -139,7 +139,11 @@ object TextAnalysis {
     * ratio features of [[qualityColumns]] and the repetition signals of
     * [[repetitionColumns]], completing the published filter:
     *
-    *  - `symbol_word_ratio`: (# + "..." + "…") occurrences / tokens;
+    *  - `hash_word_ratio` / `ellipsis_word_ratio`: '#' occurrences /
+    *    tokens and ("..." + "…") occurrences / tokens — PER SYMBOL, as
+    *    the paper states the rule ("symbol-to-word ratio greater than
+    *    0.1 for either the hash symbol or the ellipsis"; a combined
+    *    hash+ellipsis sum would be strictly tighter than published);
     *  - `bullet_line_ratio` / `ellipsis_line_ratio`: fraction of raw lines
     *    starting with a bullet ("•", "- ", "* ") / ending in an ellipsis;
     *  - `alpha_word_ratio`: fraction of tokens containing ≥1 letter;
@@ -147,8 +151,8 @@ object TextAnalysis {
     *    (the, be, to, of, and, that, have, with) appear at least once;
     *  - `gopher_pass`: the composite accept rule with the paper's
     *    thresholds (50 ≤ tokens ≤ 100k, mean token length in [3, 10],
-    *    symbol ratio ≤ 0.1, bullets ≤ 0.9, ellipses ≤ 0.3, alpha ≥ 0.8,
-    *    stop hits ≥ 2) as 0/1.
+    *    hash ratio ≤ 0.1 AND ellipsis ratio ≤ 0.1, bullets ≤ 0.9,
+    *    ellipses ≤ 0.3, alpha ≥ 0.8, stop hits ≥ 2) as 0/1.
     *
     * Same execution shape as the other text ops: pure per-row column
     * work, no shuffle; every ratio is a division of exact integer counts
@@ -166,18 +170,20 @@ object TextAnalysis {
     val nLines = st.getField("n_lines")
     def ratio(num: Column, den: Column): Column =
       when(den > 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
-    val symbolRatio = ratio(st.getField("n_symbols"), nTok)
+    val hashRatio = ratio(st.getField("n_hash"), nTok)
+    val ellRatio = ratio(st.getField("n_ellipsis"), nTok)
     val stopHits = st.getField("stop_hits")
     val meanTokLen = ratio(st.getField("tok_chars"), nTok)
     val pass = (nTok >= 50L && nTok <= 100000L &&
       meanTokLen >= 3.0 && meanTokLen <= 10.0 &&
-      symbolRatio <= 0.1 &&
+      hashRatio <= 0.1 && ellRatio <= 0.1 &&
       ratio(st.getField("n_bullet"), nLines) <= 0.9 &&
       ratio(st.getField("n_ellline"), nLines) <= 0.3 &&
       ratio(st.getField("n_alpha"), nTok) >= 0.8 &&
       stopHits >= 2L).cast("int")
     Seq(
-      "symbol_word_ratio" -> symbolRatio,
+      "hash_word_ratio" -> hashRatio,
+      "ellipsis_word_ratio" -> ellRatio,
       "bullet_line_ratio" -> ratio(st.getField("n_bullet"), nLines),
       "ellipsis_line_ratio" -> ratio(st.getField("n_ellline"), nLines),
       "alpha_word_ratio" -> ratio(st.getField("n_alpha"), nTok),
@@ -253,7 +259,12 @@ object TextAnalysis {
       .reduceOption(_ || _).getOrElse(lit(false))
     Seq(
       "n_urls" -> size(urls),
-      "first_host" -> urlHost(regexp_extract(text, UrlPattern, 0)),
+      // derived from the already-extracted array — a second regexp_extract
+      // over the full text would double the regex cost of the op on the
+      // corpus-scan hot path (r8 advice); "" when no URL matches, same as
+      // regexp_extract's no-match result
+      "first_host" -> when(size(urls) > 0, urlHost(element_at(urls, 1)))
+        .otherwise(lit("")),
       "url_blocked" -> exists(urls, u => hostBlocked(urlHost(u))).cast("int"))
   }
 

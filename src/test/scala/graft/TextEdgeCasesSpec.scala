@@ -160,19 +160,22 @@ class TextEdgeCasesSpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
     val g = graft.text.TextAnalysis.gopherColumns(col("text")).toMap
     val rows = crafted.select(col("doc_id"),
-      g("symbol_word_ratio").as("s"), g("bullet_line_ratio").as("b"),
+      g("hash_word_ratio").as("hs"), g("ellipsis_word_ratio").as("el"),
+      g("bullet_line_ratio").as("b"),
       g("ellipsis_line_ratio").as("e"), g("alpha_word_ratio").as("a"),
       g("gopher_stop_hits").as("h"), g("gopher_pass").as("p")).collect()
       .map(r => r.getLong(0) ->
         ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
-          r.getLong(5), r.getInt(6)))).toMap
-    assert(rows(0L) == ((0.0, 0.0, 0.0, 0.0, 0L, 0)))
-    assert(rows(1L)._2 == 2.0 / 3.0, s"bullet ratio: ${rows(1L)}")
-    assert(rows(2L)._3 == 2.0 / 3.0, s"ellipsis ratio: ${rows(2L)}")
-    assert(rows(3L)._1 == 3.0 / 4.0, s"symbol ratio: ${rows(3L)}")
-    assert(rows(4L)._4 == 1.0 / 4.0, s"alpha ratio: ${rows(4L)}")
-    assert(rows(4L)._5 == 1L) // 'the'
-    assert(rows.values.forall(_._6 == 0)) // all far below the 50-token floor
+          r.getDouble(5), r.getLong(6), r.getInt(7)))).toMap
+    assert(rows(0L) == ((0.0, 0.0, 0.0, 0.0, 0.0, 0L, 0)))
+    assert(rows(1L)._3 == 2.0 / 3.0, s"bullet ratio: ${rows(1L)}")
+    assert(rows(2L)._4 == 2.0 / 3.0, s"ellipsis ratio: ${rows(2L)}")
+    // per-symbol ratios (the paper's rule): 2 hash / 4 toks, 1 ellipsis / 4
+    assert(rows(3L)._1 == 2.0 / 4.0, s"hash ratio: ${rows(3L)}")
+    assert(rows(3L)._2 == 1.0 / 4.0, s"ellipsis word ratio: ${rows(3L)}")
+    assert(rows(4L)._5 == 1.0 / 4.0, s"alpha ratio: ${rows(4L)}")
+    assert(rows(4L)._6 == 1L) // 'the'
+    assert(rows.values.forall(_._7 == 0)) // all far below the 50-token floor
   }
 
   test("url columns: extraction, subdomain blocking and no-URL docs") {
