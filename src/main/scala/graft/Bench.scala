@@ -137,7 +137,11 @@ object Bench {
   def historyMedians(histQueries: Seq[Map[String, Double]],
       current: Map[String, Double], lastN: Int = 5): Map[String, Double] =
     current.map { case (name, t) =>
-      val all = (histQueries.flatMap(_.get(name)).takeRight(lastN) :+ t).sorted
+      // window over the last N RUNS, then look the query up — a per-query
+      // takeRight over all history would backfill a recently-absent or
+      // erroring query from arbitrarily old rounds, defeating the short
+      // window's purpose (not blending across real plan changes)
+      val all = (histQueries.takeRight(lastN).flatMap(_.get(name)) :+ t).sorted
       name -> all(all.size / 2)
     }
 

@@ -59,15 +59,19 @@ object StreamRun {
         Some(d)
       } else None
       val q = w.start()
-      q.awaitTermination()
-      if (requireSingleDataBatch) {
-        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-        require(dataBatches == 1,
-          s"expected exactly one data batch (AvailableNow file source, no " +
-            s"maxFilesPerTrigger), saw $dataBatches — the shared non-TTL " +
-            "oracle is invalid under multi-batch delivery")
-      }
-      ckpt.foreach(d => org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+      try {
+        q.awaitTermination()
+        if (requireSingleDataBatch) {
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          require(dataBatches == 1,
+            s"expected exactly one data batch (AvailableNow file source, no " +
+              s"maxFilesPerTrigger), saw $dataBatches — the shared non-TTL " +
+              "oracle is invalid under multi-batch delivery")
+        }
+      } finally
+        // cleanup runs even when the require throws — repeated failing runs
+        // must not leak checkpoint directories on tmpfs
+        ckpt.foreach(d => org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }

@@ -63,4 +63,20 @@ class ContractSpec extends AnyFunSuite {
     assert(line.contains(""""remeasured":{"q_slow":{"first":9.9,"fresh":3.6}}"""), line)
     assert(line.contains(""""q_slow":3.6"""), line)
   }
+
+  test("history medians window over the last N RUNS, not the last N sightings") {
+    // a query absent from recent runs must NOT backfill its window from
+    // arbitrarily old rounds — old values outside the run window are dead
+    val hist = Seq(
+      Map("q" -> 100.0), Map("q" -> 100.0), Map("q" -> 100.0), // old rounds
+      Map.empty[String, Double], Map.empty[String, Double],    // q absent
+      Map.empty[String, Double], Map.empty[String, Double],
+      Map("q" -> 2.0))                                         // recent
+    val med = Bench.historyMedians(hist, Map("q" -> 4.0), lastN = 5)
+    // window = last 5 runs → values {2.0, 4.0}; median 4.0. The buggy
+    // per-sighting window would see {100,100,100,2,4} → median 100.
+    assert(med("q") == 4.0, s"expected 4.0 (run-window median), got ${med("q")}")
+    // and a brand-new query's median is its own measured time
+    assert(Bench.historyMedians(Nil, Map("new" -> 1.5))("new") == 1.5)
+  }
 }
