@@ -87,11 +87,16 @@ object Dedup {
     * the GPT-3/PaLM-style contamination checks; gram width and threshold
     * are the policy knobs).
     *
-    * Scale shape: a benchmark is small by definition, so its DISTINCT
-    * grams BROADCAST to every executor — the corpus side is one narrow
-    * scan + gram explode probed against the broadcast hash table, then a
-    * per-document count. The corpus is never shuffled on the gram
-    * (plan-asserted: no gram-keyed Exchange). The TEXT bytes are read
+    * Scale shape: a SINGLE benchmark is small by definition, so its
+    * DISTINCT grams BROADCAST to every executor — the corpus side is one
+    * narrow scan + gram explode probed against the broadcast hash table,
+    * then a per-document count. The corpus is never shuffled on the gram
+    * (plan-asserted: no gram-keyed Exchange). A benchmark SUITE can
+    * exceed any sane broadcast budget, so the probe is size-guarded
+    * (see [[contaminationHits]] / [[MaxBroadcastGrams]]): above the
+    * ceiling it degrades to a shuffle-hash join — one corpus gram
+    * Exchange, still never an un-runnable broadcast or a corpus sort.
+    * The TEXT bytes are read
     * once; keeping the zero-overlap documents costs a second,
     * column-pruned pass over the id column only (the join-back below) —
     * at 100 TB that is one full scan of the text plus an id-column scan,
@@ -102,8 +107,10 @@ object Dedup {
     * (id, n_shared_grams, contaminated 0/1).
     */
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
-      benchGrams: DataFrame, n: Int, minShared: Long): DataFrame = {
-    val hits = contaminationHits(corpus, idCol, textCol, benchGrams, n)
+      benchGrams: DataFrame, n: Int, minShared: Long,
+      maxBroadcastGrams: Long = MaxBroadcastGrams): DataFrame = {
+    val hits = contaminationHits(corpus, idCol, textCol, benchGrams, n,
+      maxBroadcastGrams)
     // the id join-back is NOT force-broadcast: `hits` is bounded by the
     // contaminated-doc count, which an adversarial corpus can grow to the
     // corpus size — AQE broadcasts it when it is actually small
@@ -115,22 +122,54 @@ object Dedup {
         (col("n_shared_grams") >= minShared).cast("int"))
   }
 
+  /** Broadcast ceiling for the contamination probe, in estimated distinct
+    * grams. A broadcast hash relation costs roughly gram bytes + ~100 B
+    * of map overhead per entry, replicated to every executor — 10⁶
+    * five-word grams ≈ low hundreds of MB, comfortably inside a healthy
+    * executor/driver budget and far above any single benchmark's
+    * contamination gram count. A benchmark SUITE (dozens of evals, ~10⁸
+    * grams ≈ tens of GB) must NOT broadcast: above the ceiling the probe
+    * falls back to a shuffle-hash join (grams build side), paying one
+    * corpus gram Exchange instead of an un-runnable broadcast.
+    */
+  val MaxBroadcastGrams: Long = 1000000L
+
   /** The shared core of the contamination rule — per-doc distinct-gram
-    * overlap counts vs the broadcast benchmark gram set. Single-sourced
-    * so [[decontaminate]] and the composite pipelines' drop stage cannot
+    * overlap counts vs the benchmark gram set. Single-sourced so
+    * [[decontaminate]] and the composite pipelines' drop stage cannot
     * diverge on the count semantics.
+    *
+    * Join strategy is size-GUARDED, not assumed: one cheap
+    * `approx_count_distinct` aggregate over the benchmark side (always
+    * far smaller than the corpus) runs at plan-build time and picks
+    * broadcast below [[MaxBroadcastGrams]], shuffle-hash above it — the
+    * ±2% sketch error is irrelevant against the order-of-magnitude gap
+    * between a benchmark (10⁵ grams) and a suite (10⁸). The fallback
+    * hints `shuffle_hash` with the grams as build side: the corpus side
+    * must never be sorted (merge join) or built into a map, and the
+    * gram side's distinct() already partitions it on `gram`, so the
+    * fallback adds exactly one corpus-side Exchange and nothing else.
     */
   def contaminationHits(corpus: DataFrame, idCol: String, textCol: String,
-      benchGrams: DataFrame, n: Int): DataFrame =
+      benchGrams: DataFrame, n: Int,
+      maxBroadcastGrams: Long = MaxBroadcastGrams): DataFrame = {
+    val grams = benchGrams.select(col("gram")).distinct()
+    val est = benchGrams.select(approx_count_distinct(col("gram")).as("c"))
+      .first().getLong(0)
+    val probe =
+      if (est <= maxBroadcastGrams) broadcast(grams) else grams.hint("shuffle_hash")
     shingles(corpus, idCol, textCol, n)
-      .join(broadcast(benchGrams.select(col("gram")).distinct()), "gram")
+      .join(probe, "gram")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared_grams"))
+  }
 
   /** Ids of docs at or above the contamination threshold (the anti-join
     * side of a decontaminating pipeline stage). */
   def contaminatedIds(corpus: DataFrame, idCol: String, textCol: String,
-      benchGrams: DataFrame, n: Int, minShared: Long): DataFrame =
-    contaminationHits(corpus, idCol, textCol, benchGrams, n)
+      benchGrams: DataFrame, n: Int, minShared: Long,
+      maxBroadcastGrams: Long = MaxBroadcastGrams): DataFrame =
+    contaminationHits(corpus, idCol, textCol, benchGrams, n,
+      maxBroadcastGrams)
       .filter(col("n_shared_grams") >= minShared)
       .select(col(idCol))
 

@@ -243,6 +243,16 @@ object PipelineQueries {
       .select(array_join(slice(tokens(col("text")), 3, 15), " ").as("btext"))
       .select(explode(wordShingles(col("btext"), DecontamN)).as("gram"))
 
+  /** The decontamination oracle — shared verbatim by the broadcast-path
+    * row and its forced-fallback suite twin, because the join strategy
+    * must not be observable in the result. */
+  private[queries] def decontamOracleSql: String = s"""
+        WITH $decontamCtes
+        SELECT d.doc_id AS doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared_grams,
+               CAST(CASE WHEN COALESCE(h.n, 0) >= $DecontamMinShared THEN 1 ELSE 0 END AS INT) AS contaminated
+        FROM ${Q.DocsRef} d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        ORDER BY d.doc_id"""
+
   /** DuckDB CTE chain ending in `hits` (doc_id, n = shared-gram count). */
   private[queries] def decontamCtes: String =
     s"""toks AS (SELECT doc_id, ${DuckSql.tokens("text")} AS t FROM ${Q.DocsRef}),
@@ -1035,12 +1045,20 @@ object PipelineQueries {
       (s, dir) => Dedup.decontaminate(Tables.documents(s, dir), "doc_id", "text",
           decontamBenchGrams(s, dir), n = DecontamN, minShared = DecontamMinShared)
         .orderBy("doc_id"),
-      Some(s"""
-        WITH $decontamCtes
-        SELECT d.doc_id AS doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared_grams,
-               CAST(CASE WHEN COALESCE(h.n, 0) >= $DecontamMinShared THEN 1 ELSE 0 END AS INT) AS contaminated
-        FROM ${Q.DocsRef} d LEFT JOIN hits h ON d.doc_id = h.doc_id
-        ORDER BY d.doc_id""")),
+      Some(decontamOracleSql)),
+
+    // the SUITE-scale twin: same contamination rule through the guarded
+    // fallback path (maxBroadcastGrams = 0 forces the shuffle-hash probe
+    // a 10⁸-gram benchmark suite would take — no broadcast of the gram
+    // set, one corpus gram Exchange). Join strategy must be
+    // result-invisible, so the oracle is byte-identical to
+    // `pipeline_decontaminate`'s: one DuckDB replay checks both paths.
+    Q("pipeline_decontaminate_suite",
+      (s, dir) => Dedup.decontaminate(Tables.documents(s, dir), "doc_id", "text",
+          decontamBenchGrams(s, dir), n = DecontamN, minShared = DecontamMinShared,
+          maxBroadcastGrams = 0L)
+        .orderBy("doc_id"),
+      Some(decontamOracleSql)),
 
     Q("pipeline_near_dedup_keep",
       (s, dir) => {

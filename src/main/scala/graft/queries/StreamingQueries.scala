@@ -142,6 +142,34 @@ object StreamingQueries {
       },
       WindowQueries.all.find(_.name == "reduce_rolling").get.oracle),
 
+    // DETERMINISTIC execution mode, driver-visible: the reference's
+    // ordering collector sorts each batch by (ts, id) before the operator
+    // consumes it (wf/ordering_collector.hpp:24-33). The Spark analog is
+    // the user-facing `orderKey` knob on the generic KeyedPipe
+    // rollingReduce (api/Pipe.scala) — this row runs the SAME rolling
+    // fold through that generic surface with the (ts_us, event_id) sort
+    // engaged, so the fold order (and therefore every emitted running
+    // value) is independent of scan/shuffle arrival order. Oracle ≡ the
+    // batch running-window replay by construction — the third execution
+    // mode is now exercised by name under the driver gate, not spec-only.
+    Q("stream_reduce_rolling_det",
+      (s, dir) => {
+        implicit val sp = s
+        import s.implicits._
+        val in = StatefulOps.toEvRows(StreamSources.events(s, dir))
+        val out = graft.api.Pipe(in)
+          .keyBy(_.user_id)
+          .rollingReduce((0L, 0L, 0L)) { (st, e) =>
+            (e.event_id, st._2 + e.cents, st._3 + 1L)
+          } (e => (e.ts_us, e.event_id))
+          .ds
+          .map { case (user, (eid, sumCents, cnt)) =>
+            graft.streaming.RollOut(eid, user, sumCents.toDouble / 100.0, cnt)
+          }
+        StreamRun.toBatch(out.toDF(), "update").orderBy("event_id")
+      },
+      WindowQueries.all.find(_.name == "reduce_rolling").get.oracle),
+
     Q("stream_win_cb_tumbling",
       (s, dir) => {
         implicit val sp = s

@@ -257,6 +257,30 @@ class PlanQualitySpec extends AnyFunSuite {
       "corpus gram side shuffled: " + streamed.take(2000))
   }
 
+  test("suite-scale decontamination falls back to a shuffle-hash gram join (no broadcast)") {
+    // an oversized benchmark gram set (forced via maxBroadcastGrams = 0,
+    // the declared suite row's knob) must NOT broadcast — a 10⁸-gram
+    // suite exceeds driver/executor broadcast budgets — and must NOT
+    // sort the corpus side: the guarded fallback is a shuffle-hash join
+    // with the grams as build side, one corpus gram Exchange and nothing
+    // else
+    val p = plan("pipeline_decontaminate_suite")
+    assert(!p.contains("BroadcastHashJoin [gram"),
+      "oversized gram set still broadcast: " + p.take(3000))
+    assert(p.contains("ShuffledHashJoin [gram"),
+      "expected shuffle-hash gram probe: " + p.take(3000))
+    assert(!p.contains("SortMergeJoin [gram"),
+      "corpus side must not be sorted for the gram probe: " + p.take(3000))
+    // join strategy must be result-invisible: the fallback row equals the
+    // broadcast-path row value-for-value (the shared oracle re-checks
+    // this against DuckDB at the driver)
+    val bcast = SparkEntry.queries("pipeline_decontaminate")(spark, TestSpark.SF)
+      .collect().map(_.toSeq).toSeq
+    val fallback = SparkEntry.queries("pipeline_decontaminate_suite")(spark, TestSpark.SF)
+      .collect().map(_.toSeq).toSeq
+    assert(bcast == fallback, "join strategy changed the decontamination result")
+  }
+
   test("salted join is result-identical to the plain equi-join") {
     val o = Tables.orders(spark, TestSpark.SF)
     val c = Tables.customer(spark, TestSpark.SF)
