@@ -80,4 +80,69 @@ class MonitoringSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS mon_kslack2")
     }
   }
+
+  test("per-operator runtime stats surface through progress events (stats_record parity)") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // the reference records, per operator replica, processing durations,
+    // input/output counts and rates (/root/reference/wf/stats_record.hpp,
+    // surfaced by tests/miscellanea/test_tracing_*.cpp); the Spark analog
+    // is the progress event itself: per-trigger durationMs, row counts and
+    // rates at query level, and per-STATE-OPERATOR rows/updates/state
+    // bytes/commit times. This pins the mapping on a real stateful query
+    // (the rolling reduce) so a listener-based dashboard has an asserted
+    // contract, not a documented hope.
+    val events = scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.streaming.StreamingQueryProgress]()
+    val listener = Monitoring.attach(spark) { e =>
+      if (e.progress.name == "mon_stats") events.synchronized { events += e.progress: Unit }
+    }
+    val mem = MemoryStream[graft.streaming.EvRow]
+    val q = graft.streaming.StatefulOps.rollingReduce(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("mon_stats")
+      .outputMode("update").start()
+    try {
+      // two data batches over 3 keys / 10 rows total, so rows-total vs
+      // rows-updated diverge (state rows accumulate, updates are per-batch)
+      mem.addData((1 to 6).map(i =>
+        graft.streaming.EvRow(i.toLong, (i % 3).toLong, i * 1000L, i.toLong)): _*)
+      q.processAllAvailable()
+      mem.addData((7 to 10).map(i =>
+        graft.streaming.EvRow(i.toLong, (i % 3).toLong, i * 1000L, i.toLong)): _*)
+      q.processAllAvailable()
+
+      // listener delivery is async — poll until both data batches arrived
+      val deadline = System.currentTimeMillis() + 15000
+      def dataProgress = events.synchronized { events.filter(_.numInputRows > 0).toList }
+      while (dataProgress.map(_.numInputRows).sum < 10 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val data = dataProgress
+      assert(data.map(_.numInputRows).sum == 10,
+        s"planted 10 rows, progress accounts ${data.map(_.numInputRows).sum}")
+      data.foreach { p =>
+        // per-trigger duration: the batch wall-clock the reference logs as
+        // per-operator service time rolls up into durationMs
+        assert(p.durationMs.containsKey("triggerExecution") &&
+          p.durationMs.get("triggerExecution") >= 0L, s"durationMs missing: $p")
+        assert(p.processedRowsPerSecond > 0.0, s"no processing rate: $p")
+        // exactly one state operator (the rolling-reduce fold)
+        assert(p.stateOperators.length == 1, s"expected 1 state operator: $p")
+        val op = p.stateOperators(0)
+        assert(op.operatorName.nonEmpty, "state operator must be named")
+        assert(op.numRowsUpdated > 0, s"data batch updated no state rows: $op")
+        assert(op.memoryUsedBytes > 0, s"state bytes not reported: $op")
+        assert(op.commitTimeMs >= 0 && op.allUpdatesTimeMs >= 0,
+          s"state timing counters missing: $op")
+      }
+      // state rows accumulate to the key cardinality (3 users), visible on
+      // the LAST data batch — the reference's per-replica keymap size
+      assert(data.last.stateOperators(0).numRowsTotal == 3,
+        s"state rows != key cardinality: ${data.last.stateOperators(0)}")
+    } finally {
+      q.stop()
+      Monitoring.detach(spark, listener)
+      spark.sql("DROP TABLE IF EXISTS mon_stats")
+    }
+  }
 }

@@ -76,13 +76,18 @@ class RecoverySpec extends AnyFunSuite {
     import s.implicits._
     rows.toDF("event_id", "user_id", "ts_us", "cents", "value", "is_left")
       .coalesce(1).write.mode("append").parquet(dir.getPath)
+    stampNew(dir, stamped, clock)
+  }
+
+  private def stampNew(dir: java.io.File,
+      stamped: scala.collection.mutable.Set[String],
+      clock: java.util.concurrent.atomic.AtomicLong): Unit =
     dir.listFiles().filter(f => f.getName.endsWith(".parquet") &&
         !stamped.contains(f.getName))
       .sortBy(_.getName).foreach { f =>
         f.setLastModified(clock.addAndGet(10000L))
         stamped += f.getName
       }
-  }
 
   private val InputSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
@@ -243,6 +248,161 @@ class RecoverySpec extends AnyFunSuite {
           s"missing=${(full.toSet -- union.toSet).take(3)} " +
           s"extra=${(union.toSet -- full.toSet).take(3)}")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(root)
+  }
+
+  // ---- the ingestion pipeline's own state across a restart ---------------
+  // The production path (stream_pipeline_clean_v2 shape): stateless
+  // predicate set (quality + Gopher + URL blocklist) → stream-static
+  // decontamination join against a cached contaminated-id set computed
+  // from the batch corpus → dropDuplicatesWithinWatermark on the text
+  // digest. Two things live at the restart boundary and are asserted
+  // here, per provider:
+  //  1. the dedup DIGEST STATE: a phase-B exact duplicate of a phase-A
+  //     text must NOT be re-admitted by the resumed query instance;
+  //  2. the STATIC side is resolve-time, not checkpointed: the new
+  //     instance re-resolves (and re-caches) the contaminated-id set over
+  //     the corpus as it NOW stands, so a contaminated doc that only
+  //     exists in phase B is still flagged. Contamination is a per-row
+  //     property (own text vs the benchmark grams), so the growing
+  //     corpus keeps the interrupted union comparable to the control run.
+  // In-session restarts must release the tracked cache first (the driver
+  // lifecycle does; a restarted driver PROCESS starts cold anyway) —
+  // Spark's CacheManager matches by logical plan, and a stale cached
+  // file listing from the previous instance would silently pin the old
+  // static side.
+
+  private val DocSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("ts_us", org.apache.spark.sql.types.LongType)))
+
+  /** ≥ 50 words, stopword-rich, mean token length in [3,10] → passes the
+    * quality and Gopher predicates; `uniq$i` makes each digest distinct. */
+  private def passText(i: Long): String =
+    "and that it should have to be part of the record with care because " +
+    "the quick brown fox jumps over the lazy dog while many people read " +
+    "long books about science and history in the quiet evening hours and " +
+    "the careful reader will have noted that every word of this passage " +
+    s"was chosen to be plain and common uniq$i"
+
+  /** Benchmark passage: 20 words disjoint from [[passText]]'s vocabulary,
+    * so ONLY docs that embed it share 5-grams with the benchmark. */
+  private val BenchPassage =
+    "zebra quartz nimbus fjord vortex ember lagoon prism cobalt meadow " +
+    "onyx saffron tundra willow basalt cedar dune flint grotto harbor"
+
+  private def writeDocs(s: SparkSession, dir: java.io.File,
+      rows: Seq[(Long, String, Long)],
+      stamped: scala.collection.mutable.Set[String],
+      clock: java.util.concurrent.atomic.AtomicLong): Unit = {
+    import s.implicits._
+    rows.toDF("doc_id", "text", "ts_us")
+      .coalesce(1).write.mode("append").parquet(dir.getPath)
+    stampNew(dir, stamped, clock)
+  }
+
+  private def pipelineFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = graft.text.TextAnalysis.qualityColumns(col("text")).toMap
+    val g = graft.text.TextAnalysis.gopherColumns(col("text")).toMap
+    val u = graft.text.TextAnalysis.urlColumns(col("text"), Seq("tracker.net")).toMap
+    val cleaned = s.readStream.schema(DocSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      // event time from the DATA (the declared row uses ingress time;
+      // a restart test needs the time axis reproducible across runs)
+      .withColumn("event_time", expr("timestamp_micros(ts_us)"))
+      .select(col("doc_id"), md5(col("text")).as("digest"),
+        q("quality_score").as("qs"), g("gopher_pass").as("gp"),
+        u("url_blocked").as("ub"), col("event_time"))
+      .filter(col("qs") >= 0.5 && col("gp") === 1 && col("ub") === 0)
+    val benchGrams = graft.dedup.Dedup.shingles(
+      Seq((0L, BenchPassage)).toDF("doc_id", "text"), "doc_id", "text", 5)
+    val contaminated = broadcast(graft.Caches.track(
+      graft.dedup.Dedup.contaminatedIds(
+        s.read.schema(DocSchema).parquet(dir), "doc_id", "text",
+        benchGrams, n = 5, minShared = 4)
+        .withColumn("__contam", lit(1))))
+    cleaned
+      .join(contaminated, Seq("doc_id"), "left")
+      .filter(col("__contam").isNull)
+      .select("doc_id", "digest", "event_time")
+      .withWatermark("event_time", "4 hours")
+      .dropDuplicatesWithinWatermark("digest")
+      .select("doc_id", "digest")
+  }
+
+  private def pipelineRecoveryCase(rocksDb: Boolean): Unit = {
+    val s = spark.newSession()
+    GraftSession.adopt(s)
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    if (rocksDb) s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val root = tmpRoot(if (rocksDb) "pipeline-rocks" else "pipeline-hdfs")
+    val dataDir = new java.io.File(root, "in"); dataDir.mkdirs()
+    val ckptInterrupted = new java.io.File(root, "ck-interrupted").getPath
+    val ckptFull = new java.io.File(root, "ck-full").getPath
+    val stamped = scala.collection.mutable.Set[String]()
+    val clock = new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
+    // +100 min base: an event time of exactly epoch 0 ties the engine's
+    // INITIAL watermark (also 0) and is filtered as late before the dedup
+    def doc(id: Long, text: String) = (id, text, (id + 100) * MinUs)
+    try {
+      // phase A, two files: passing docs, an in-batch + a cross-file
+      // duplicate, a Gopher-failing doc, a contaminated doc
+      writeDocs(s, dataDir, (0L to 9L).map(i => doc(i, passText(i))) ++ Seq(
+        doc(110, passText(3)),                      // in-batch duplicate
+        doc(101, "too short to pass")), stamped, clock)
+      writeDocs(s, dataDir, (12L to 19L).map(i => doc(i, passText(i))) ++ Seq(
+        doc(120, passText(5)),                      // cross-file duplicate
+        doc(121, passText(121) + " " + BenchPassage)), // contaminated
+        stamped, clock)
+      val out1 = runToBuffer(pipelineFrame(s, dataDir.getPath), ckptInterrupted, "append")
+      graft.Caches.releaseAll() // the restart boundary: no warm cache survives
+
+      // phase B: a CROSS-RESTART duplicate (130 re-sends 7's text — only
+      // restored digest state can drop it), a phase-B-only contaminated
+      // doc (131 — only a re-resolved static side can flag it), an
+      // in-run-2 duplicate, a blocked-URL doc
+      writeDocs(s, dataDir, (22L to 29L).map(i => doc(i, passText(i))) ++ Seq(
+        doc(130, passText(7)),
+        doc(131, passText(131) + " " + BenchPassage)), stamped, clock)
+      writeDocs(s, dataDir, (32L to 39L).map(i => doc(i, passText(i))) ++ Seq(
+        doc(140, passText(25)),                     // in-run-2 duplicate
+        doc(141, passText(141) + " see https://tracker.net/x")), stamped, clock)
+      val out2 = runToBuffer(pipelineFrame(s, dataDir.getPath), ckptInterrupted, "append")
+      graft.Caches.releaseAll()
+
+      // uninterrupted control over the same files / same batch sequence
+      val full = runToBuffer(pipelineFrame(s, dataDir.getPath), ckptFull, "append")
+      graft.Caches.releaseAll()
+
+      assert(out1.nonEmpty && out2.nonEmpty, "a phase emitted nothing")
+      val union = out1 ++ out2
+      assert(union.size == union.distinct.size,
+        s"restart re-emitted ${union.size - union.distinct.size} rows")
+      assert(union.sorted == full.sorted,
+        s"interrupted union (${union.size}) != uninterrupted run (${full.size}); " +
+          s"missing=${(full.toSet -- union.toSet).take(3)} " +
+          s"extra=${(union.toSet -- full.toSet).take(3)}")
+      // the two restart-specific facts, asserted by doc_id directly:
+      // rows render as "<SeqName>(doc_id, digest)" — take the first field
+      val ids = union.map(r =>
+        r.dropWhile(_ != '(').drop(1).takeWhile(_ != ',').trim.toLong).toSet
+      assert(!ids.contains(130L),
+        "cross-restart duplicate re-admitted: dedup digest state not restored")
+      assert(!ids.contains(131L),
+        "phase-B contaminated doc admitted: static side not re-resolved by the new instance")
+      val expected = ((0L to 9L) ++ (12L to 19L) ++ (22L to 29L) ++ (32L to 39L)).toSet
+      assert(ids == expected,
+        s"survivor set wrong; missing=${(expected -- ids).take(5)} extra=${(ids -- expected).take(5)}")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(root)
+  }
+
+  test("ingestion pipeline (clean_v2 shape) resumes exactly-once from a checkpoint (HDFS-backed state store)") {
+    pipelineRecoveryCase(rocksDb = false)
+  }
+  test("ingestion pipeline (clean_v2 shape) resumes exactly-once from a checkpoint (RocksDB state store)") {
+    pipelineRecoveryCase(rocksDb = true)
   }
 
   private val cases: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
