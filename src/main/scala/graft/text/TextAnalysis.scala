@@ -50,6 +50,28 @@ object TextAnalysis {
     }
   }
 
+  /** Maximum admitted document length in CHARACTERS — the explicit
+    * max-doc-length policy knob for cleaning pipelines. A document is one
+    * row on one core: partitioning cannot split it, so a single multi-GB
+    * doc serializes one task (and one state-store write in the streaming
+    * path) no matter how many executors the job has — the only scale
+    * defense is refusing it at admission. The Gopher rule already implies
+    * a bound (≤ 100k tokens × mean token length ≤ 10 ≈ 1.1 MB of text),
+    * so Gopher-gated pipelines (v2) are safe by construction;
+    * quality-score-only pipelines (v1) have NO implicit bound and must
+    * compose [[lengthGateColumns]] at 100 TB. Default 1 MiB ≈ the Gopher
+    * implied ceiling. Env-gated evidence: `ScaleStressSpec`'s
+    * long-document case runs the kernels on a ~100 MB doc and asserts
+    * both gates refuse it while the quality score alone would not.
+    */
+  val MaxDocChars: Long = 1L << 20
+
+  /** The admission gate for [[MaxDocChars]]: (n_chars, len_pass 0/1). */
+  def lengthGateColumns(text: Column,
+      maxChars: Long = MaxDocChars): Seq[(String, Column)] = Seq(
+    "n_chars" -> length(text).cast("long"),
+    "len_pass" -> (length(text).cast("long") <= maxChars).cast("int"))
+
   /** Quality features + composite score in [0,1]. Pure rational arithmetic
     * (cross-engine exact); components are standard pretraining-filter
     * signals: length, punctuation/digit density, stopword density.

@@ -314,4 +314,54 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(p1.max <= bound,
       s"unsalted pane state exceeded the purge bound: ${p1.max} > $bound")
   }
+
+  test("pathological 100 MB document: kernels complete; admission gates refuse it") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_STRESS=1 to run")
+    import spark.implicits._
+    // A document is ONE ROW on ONE CORE — no partitioning splits it, so
+    // the text kernels (GopherStats, RepetitionStats, quality columns)
+    // must stay single-pass-linear on a pathological doc, and the
+    // cleaning pipelines must REFUSE it at admission
+    // (TextAnalysis.MaxDocChars scaladoc — the max-doc-length policy
+    // knob). The doc is stopword-rich natural-ish text with line
+    // structure, deliberately built to PASS the quality score: the
+    // assertion that matters is that quality alone would admit it while
+    // the Gopher rule (v2 pipelines) and the explicit length gate (the
+    // knob v1 pipelines compose at scale) both refuse it.
+    val mb = sys.env.get("SPARK_GRAFT_LONGDOC_MB").map(_.toInt).getOrElse(100)
+    val sentence = "the quick brown fox jumps over the lazy dog and that " +
+      "it should have to be part of the record with care because many " +
+      "people read long books about science and history together\n"
+    val reps = mb * (1 << 20) / sentence.length
+    val sb = new java.lang.StringBuilder(reps * sentence.length + 16)
+    var i = 0
+    while (i < reps) { sb.append(sentence); i += 1 }
+    val text = sb.toString
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val q = graft.text.TextAnalysis.qualityColumns(org.apache.spark.sql.functions.col("text")).toMap
+    val g = graft.text.TextAnalysis.gopherColumns(org.apache.spark.sql.functions.col("text")).toMap
+    val r = graft.text.TextAnalysis.repetitionColumns(org.apache.spark.sql.functions.col("text")).toMap
+    val lg = graft.text.TextAnalysis.lengthGateColumns(org.apache.spark.sql.functions.col("text")).toMap
+    val t0 = System.nanoTime()
+    val row = df.select(
+      q("n_tokens").as("n_tokens"), q("quality_score").as("qs"),
+      g("gopher_pass").as("gp"), g("alpha_word_ratio").as("alpha"),
+      r("dup_gram2_ratio").as("g2"), r("top_token_ratio").as("tt"),
+      r("dup_line_ratio").as("dl"),
+      lg("n_chars").as("n_chars"), lg("len_pass").as("lp")).first()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"$mb MB doc: kernels ${secs}%.1f s, n_tokens=${row.getAs[Long]("n_tokens")}")
+    // single-pass kernels on ~100 MB are ~seconds of work; a blowup to
+    // minutes means a kernel went super-linear on doc length
+    assert(secs < 120.0, f"text kernels took ${secs}%.1f s on a $mb MB doc")
+    assert(row.getAs[Long]("n_chars") >= mb.toLong * (1 << 20) - sentence.length)
+    // sane, in-range signals (the kernels completed correctly, not just alive)
+    assert(row.getAs[Double]("alpha") >= 0.9 && row.getAs[Double]("g2") > 0.9 &&
+      row.getAs[Double]("dl") > 0.9 && row.getAs[Double]("tt") <= 1.0)
+    // quality alone ADMITS the monster — the v1 gap the knob exists for —
+    // while the Gopher max-words rule and the explicit gate both refuse it
+    assert(row.getAs[Double]("qs") >= 0.5, "expected the quality score alone to admit it")
+    assert(row.getAs[Int]("gp") === 0, "Gopher rule must refuse a >100k-token doc")
+    assert(row.getAs[Int]("lp") === 0, s"length gate must refuse ${row.getAs[Long]("n_chars")} chars")
+  }
 }
