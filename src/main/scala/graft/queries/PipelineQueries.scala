@@ -794,6 +794,49 @@ object PipelineQueries {
            |SELECT doc_id, n_tokens, quality_score FROM r
            |WHERE rep_id = doc_id ORDER BY doc_id""".stripMargin)),
 
+    // the v1 cleaning pipeline with the max-doc-length ADMISSION GATE
+    // (TextAnalysis.MaxDocChars — quality-score-only pipelines have no
+    // implicit length bound, and a multi-GB doc is one row on one core;
+    // see the ScaleStressSpec long-document case). Docs on the %31
+    // residue class are planted past the 1 MiB ceiling (repeat() in both
+    // engines, exact char-count parity) so the gate DISCRIMINATES: the
+    // kept set is v1's minus the planted monsters, checked value-for-
+    // value against the same replay with the length predicate.
+    Q("pipeline_corpus_clean_gated",
+      (s, dir) => {
+        val cols = TextAnalysis.qualityColumns(col("text")).toMap
+        val planted = Tables.documents(s, dir).select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(31)) === 0,
+            concat(col("text"), expr("repeat(' lorem', 175000)")))
+            .otherwise(col("text")).as("text"))
+        val lg = TextAnalysis.lengthGateColumns(col("text")).toMap
+        planted
+          .select(col("doc_id"), col("text"),
+            cols("n_tokens").as("n_tokens"),
+            cols("quality_score").as("quality_score"),
+            lg("len_pass").as("len_pass"))
+          .filter(col("quality_score") >= 0.5 && col("len_pass") === 1)
+          .withColumn("rep_id",
+            min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+          .filter(col("rep_id") === col("doc_id"))
+          .select("doc_id", "n_tokens", "quality_score")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH mm AS (SELECT doc_id, text ||
+           |         CASE WHEN doc_id % 31 = 0 THEN repeat(' lorem', 175000) ELSE '' END AS text
+           |       FROM ${Q.DocsRef}),
+           |${qualityCtesFrom("mm")},
+           |q AS (SELECT doc_id, text, n_tokens, $qualityScoreSql AS quality_score
+           |      FROM f),
+           |kept AS (SELECT doc_id, text, n_tokens, quality_score FROM q
+           |         WHERE quality_score >= 0.5e0
+           |           AND length(text) <= ${TextAnalysis.MaxDocChars}),
+           |r AS (SELECT doc_id, n_tokens, quality_score,
+           |             min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+           |      FROM kept)
+           |SELECT doc_id, n_tokens, quality_score FROM r
+           |WHERE rep_id = doc_id ORDER BY doc_id""".stripMargin)),
+
     // cleaning pipeline v2: the round-6 repetition signals composed with
     // the quality score and exact dedup in ONE declared plan — quality +
     // Gopher-style repetition thresholds are per-row column predicates

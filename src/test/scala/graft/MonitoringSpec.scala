@@ -93,11 +93,7 @@ class MonitoringSpec extends AnyFunSuite {
     // bytes/commit times. This pins the mapping on a real stateful query
     // (the rolling reduce) so a listener-based dashboard has an asserted
     // contract, not a documented hope.
-    val events = scala.collection.mutable.ArrayBuffer[
-      org.apache.spark.sql.streaming.StreamingQueryProgress]()
-    val listener = Monitoring.attach(spark) { e =>
-      if (e.progress.name == "mon_stats") events.synchronized { events += e.progress: Unit }
-    }
+    val (listener, snapshot) = Monitoring.statsCollector(spark, "mon_stats")
     val mem = MemoryStream[graft.streaming.EvRow]
     val q = graft.streaming.StatefulOps.rollingReduce(mem.toDS()).toDF()
       .writeStream.format("memory").queryName("mon_stats")
@@ -114,22 +110,20 @@ class MonitoringSpec extends AnyFunSuite {
 
       // listener delivery is async — poll until both data batches arrived
       val deadline = System.currentTimeMillis() + 15000
-      def dataProgress = events.synchronized { events.filter(_.numInputRows > 0).toList }
-      while (dataProgress.map(_.numInputRows).sum < 10 &&
+      def data = snapshot().filter(_.numInputRows > 0)
+      while (data.map(_.numInputRows).sum < 10 &&
         System.currentTimeMillis() < deadline) Thread.sleep(100)
-      val data = dataProgress
       assert(data.map(_.numInputRows).sum == 10,
         s"planted 10 rows, progress accounts ${data.map(_.numInputRows).sum}")
       data.foreach { p =>
         // per-trigger duration: the batch wall-clock the reference logs as
-        // per-operator service time rolls up into durationMs
-        assert(p.durationMs.containsKey("triggerExecution") &&
-          p.durationMs.get("triggerExecution") >= 0L, s"durationMs missing: $p")
+        // per-operator service time rolls up into triggerExecution
+        assert(p.triggerExecutionMs >= 0L, s"trigger duration missing: $p")
         assert(p.processedRowsPerSecond > 0.0, s"no processing rate: $p")
         // exactly one state operator (the rolling-reduce fold)
-        assert(p.stateOperators.length == 1, s"expected 1 state operator: $p")
-        val op = p.stateOperators(0)
-        assert(op.operatorName.nonEmpty, "state operator must be named")
+        assert(p.operators.length == 1, s"expected 1 state operator: $p")
+        val op = p.operators.head
+        assert(op.operator.nonEmpty, "state operator must be named")
         assert(op.numRowsUpdated > 0, s"data batch updated no state rows: $op")
         assert(op.memoryUsedBytes > 0, s"state bytes not reported: $op")
         assert(op.commitTimeMs >= 0 && op.allUpdatesTimeMs >= 0,
@@ -137,8 +131,15 @@ class MonitoringSpec extends AnyFunSuite {
       }
       // state rows accumulate to the key cardinality (3 users), visible on
       // the LAST data batch — the reference's per-replica keymap size
-      assert(data.last.stateOperators(0).numRowsTotal == 3,
-        s"state rows != key cardinality: ${data.last.stateOperators(0)}")
+      assert(data.last.operators.head.numRowsTotal == 3,
+        s"state rows != key cardinality: ${data.last.operators.head}")
+      // the collector is a faithful view: replaying the query's own
+      // synchronous progress log through the same mapping gives the same
+      // records (same batches, same counters)
+      val replay = q.recentProgress.toIndexedSeq
+        .filter(_.numInputRows > 0).map(Monitoring.toStats)
+      assert(replay == data,
+        s"collector diverged from recentProgress replay:\n$replay\nvs\n$data")
     } finally {
       q.stop()
       Monitoring.detach(spark, listener)
