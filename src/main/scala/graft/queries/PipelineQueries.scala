@@ -805,17 +805,31 @@ object PipelineQueries {
     Q("pipeline_corpus_clean_gated",
       (s, dir) => {
         val cols = TextAnalysis.qualityColumns(col("text")).toMap
+        // The repeat COUNT is kept non-foldable on purpose (`+ doc_id*0`):
+        // folded, ConstantFolding inlines a 1 MiB literal, and predicate
+        // pushdown then substitutes the planted-text CASE into every
+        // reference of `text` inside the quality expression — a ~13 MB
+        // filter condition that costs the DRIVER seconds to optimize,
+        // canonicalize and serialize (measured 7.3 s → 1.0 s at sf0.01).
+        // Per-row re-evaluation of repeat() is confined to the 1/31
+        // monster rows, which the gate drops before any tokenization.
         val planted = Tables.documents(s, dir).select(col("doc_id"),
           when(pmod(col("doc_id"), lit(31)) === 0,
-            concat(col("text"), expr("repeat(' lorem', 175000)")))
+            concat(col("text"),
+              expr("repeat(' lorem', 175000 + cast(doc_id * 0 as int))")))
             .otherwise(col("text")).as("text"))
         val lg = TextAnalysis.lengthGateColumns(col("text")).toMap
         planted
+          // gate FIRST: the whole point of the admission gate is that a
+          // monster doc costs one length() check, never a tokenization.
+          // The gate filter sits below the quality projection, so after
+          // predicate pushdown + CombineFilters the length conjunct stays
+          // left of the quality conjunct and codegen short-circuits it.
+          .filter(lg("len_pass") === 1)
           .select(col("doc_id"), col("text"),
             cols("n_tokens").as("n_tokens"),
-            cols("quality_score").as("quality_score"),
-            lg("len_pass").as("len_pass"))
-          .filter(col("quality_score") >= 0.5 && col("len_pass") === 1)
+            cols("quality_score").as("quality_score"))
+          .filter(col("quality_score") >= 0.5)
           .withColumn("rep_id",
             min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
           .filter(col("rep_id") === col("doc_id"))
