@@ -12,10 +12,13 @@ final case class Q(
     oracle: Option[String])
 
 object Q {
-  /** Events time convention: DuckDB reads the parquet TIMESTAMP(NANOS)
-    * column truncated to microseconds, Spark reads it as raw Long nanos
-    * (nanosAsLong). `ts div 1000` (Spark) == `epoch_us(ts)` (DuckDB),
-    * integer-exact. All window/join arithmetic runs on int64 microseconds.
+  /** Events time convention: `Tables.events` normalizes `ts` to int64
+    * epoch NANOS whatever the driver's parquet encoding (raw Long for
+    * TIMESTAMP(NANOS) via nanosAsLong; exact µs×1000 for the
+    * TIMESTAMP(MICROS) encoding rounds ≥ 10 generate). DuckDB reads the
+    * same column at microsecond precision, so `ts div 1000` (Spark) ==
+    * `epoch_us(ts)` (DuckDB), integer-exact. All window/join arithmetic
+    * runs on int64 microseconds.
     */
   val TsUsSpark = "ts div 1000"
   val TsUsDuck = "epoch_us(ts)"

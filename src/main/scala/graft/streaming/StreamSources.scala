@@ -26,10 +26,14 @@ object StreamSources {
   def events(spark: SparkSession, dir: String): DataFrame = {
     GraftSession.adopt(spark)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // file stream sources take directories; select just the events table
-    spark.readStream.schema(schema)
+    // file stream sources take directories; select just the events table.
+    // ts normalizes to the engine-wide int64-nanos contract exactly like
+    // the batch loader (the driver's parquet has carried both NANOS and
+    // MICROS encodings across rounds — graft.Tables.tsAsNanos).
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
+    raw.withColumn("ts", graft.Tables.tsAsNanos(schema("ts").dataType))
   }
 
   /** events with the engine's standard event-time columns: int64 µs
