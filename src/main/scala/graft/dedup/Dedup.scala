@@ -173,6 +173,39 @@ object Dedup {
       .filter(col("n_shared_grams") >= minShared)
       .select(col(idCol))
 
+  /** Exact substring-span dedup — the suffix-array-style rule of the
+    * "Deduplicating Training Data Makes Language Models Better" line of
+    * work, re-expressed for a distributed engine: a document is a span
+    * duplicate iff it shares ANY contiguous k-token span with an
+    * earlier (lower-id) document. Output: (id, rep_id, is_span_dup 0/1)
+    * for every document, where rep_id is the MINIMUM document id sharing
+    * at least one k-span (itself when none — including sub-k-token docs).
+    *
+    * Scale shape — deliberately NOT the candidate-pair join the near-dup
+    * family uses: pair enumeration on a shared span is quadratic in its
+    * document frequency (a boilerplate span in 10⁶ docs → 10¹² pairs).
+    * Instead the rule factors through a per-span minimum:
+    *   rep(d) = min over spans g∈d of (min id containing g)
+    * which is two map-side-partial aggregations and one equi-join on the
+    * span — every step linear in the exploded span count, no pair blowup,
+    * no df-cap needed (the cap would change semantics; here ubiquitous
+    * spans cost one aggregation row each). The span index feeds both the
+    * group-min and the join probe, so it is materialized once (tracked
+    * cache; a checkpoint at 100 TB).
+    */
+  def spanRepresentatives(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val sp = graft.Caches.track(shingles(df, idCol, textCol, k))
+    val firstPerSpan = sp.groupBy(col("gram")).agg(min(col(idCol)).as("first_id"))
+    val rep = sp.join(firstPerSpan, "gram")
+      .groupBy(col(idCol)).agg(min(col("first_id")).as("span_rep"))
+    df.select(col(idCol))
+      .join(rep, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("span_rep"), col(idCol)).as("rep_id"))
+      .withColumn("is_span_dup", (col("rep_id") < col(idCol)).cast("int"))
+  }
+
   /** MinHash signatures (id, perm, minh) from a *cached* per-doc gram-hash
     * array: each shingle is md5-hashed once, then ONE native pass
     * ([[graft.functions.expressions.MinHashSigs]]) computes all k

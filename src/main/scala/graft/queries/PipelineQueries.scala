@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.GraftFunctions._
 import graft.oracle.DuckSql
-import graft.text.TextAnalysis
+import graft.text.{CorpusStats, TextAnalysis}
 import graft.dedup.Dedup
 import graft.similarity.Similarity
 import graft.multimodal.Media
@@ -478,6 +478,48 @@ object PipelineQueries {
     FROM c ORDER BY doc_id, copy"""
   }
 
+  /** Span width of the exact-substring dedup rule (tokens). */
+  private[queries] val SpanDedupK = 8
+
+  /** The synthetic corpus has a 31-type, hapax-free vocabulary, so the
+    * df-score rows plant rarity on residue classes: a doc-unique token
+    * (guaranteed hapax, df = 1) and a shared-rare token (df ≈ N/5) —
+    * without them hapax_ratio is constant zero and pins nothing. The
+    * oracle replays the identical construction.
+    */
+  private def plantRareTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" xq"), col("doc_id").cast("string"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit(" rareshared"))
+          .otherwise(lit(""))).as("text"))
+
+  /** Shared by text_df_score and its forced-fallback twin: the join
+    * strategy must be result-invisible, so one rendering checks both.
+    */
+  private val dfScoreOracleSql: String = s"""
+    WITH m AS (SELECT doc_id, text ||
+        CASE WHEN doc_id % 3 = 0 THEN ' xq' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+        CASE WHEN doc_id % 5 = 0 THEN ' rareshared' ELSE '' END AS text
+      FROM ${Q.DocsRef}),
+    d AS (SELECT doc_id, ${graft.oracle.DuckSql.tokens("text")} AS toks FROM m),
+    t AS (SELECT doc_id, unnest(toks) AS token FROM d),
+    v AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY token),
+    j AS (SELECT t.doc_id, count(*) AS n_tokens,
+            CAST(sum(v.df) AS BIGINT) AS sum_df,
+            CAST(sum(CASE WHEN v.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+          FROM t JOIN v USING (token) GROUP BY t.doc_id)
+    SELECT m.doc_id, COALESCE(j.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+           COALESCE(j.sum_df, CAST(0 AS BIGINT)) AS sum_df,
+           CASE WHEN j.n_tokens > 0
+                THEN CAST(j.sum_df AS DOUBLE) / CAST(j.n_tokens AS DOUBLE)
+                ELSE 0.0e0 END AS mean_df,
+           CASE WHEN j.n_tokens > 0
+                THEN CAST(j.n_hapax AS DOUBLE) / CAST(j.n_tokens AS DOUBLE)
+                ELSE 0.0e0 END AS hapax_ratio
+    FROM m LEFT JOIN j USING (doc_id) ORDER BY doc_id"""
+
   def all: Seq[Q] = Seq(
 
     // ================= text analysis =================
@@ -761,6 +803,77 @@ object PipelineQueries {
                CAST(CASE WHEN len(list_filter(hosts, fh -> ${urlBlockedSql("fh")})) > 0
                     THEN 1 ELSE 0 END AS INT) AS url_blocked
         FROM u ORDER BY doc_id"""
+      }),
+
+    // corpus-frequency (CCNet-style) document scoring: vocabulary df pass
+    // + per-doc mean-df / hapax-ratio scoring through the size-guarded
+    // vocabulary join (broadcast here — 31-token synthetic vocab; the
+    // suite twin below forces the shuffle-hash fallback an adversarial
+    // vocabulary takes). The corpus vocabulary is tiny and hapax-free, so
+    // the query plants rarity on residue classes — a doc-unique token
+    // (guaranteed hapax) on doc_id%3, a shared-rare token on doc_id%5 —
+    // and the oracle replays the construction; without the plant the
+    // hapax_ratio would be constant zero and pin nothing.
+    Q("text_df_score",
+      (s, dir) => CorpusStats.dfScore(plantRareTokens(Tables.documents(s, dir)),
+          "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(dfScoreOracleSql)),
+
+    // the adversarial-vocabulary twin: same scoring through the guarded
+    // fallback path (maxBroadcastVocab = 0 forces the shuffle-hash join a
+    // types≈tokens OCR corpus would take). Join strategy must be
+    // result-invisible, so the oracle is byte-identical to
+    // text_df_score's: one DuckDB replay checks both paths.
+    Q("text_df_score_wide",
+      (s, dir) => CorpusStats.dfScore(plantRareTokens(Tables.documents(s, dir)),
+          "doc_id", "text", maxBroadcastVocab = 0L)
+        .orderBy("doc_id"),
+      Some(dfScoreOracleSql)),
+
+    // RefinedWeb-style line-wise correction: drop boilerplate/navigation
+    // lines and short fragments inside each document, reassemble, report
+    // the surviving-character ratio. The synthetic corpus is single-line,
+    // so the query builds the chrome IN the declared plan — a universal
+    // nav header, boilerplate/short lines on residue classes, one genuine
+    // closing line that must survive — and the oracle replays it.
+    Q("text_line_clean",
+      (s, dir) => {
+        val planted = Tables.documents(s, dir).select(col("doc_id"),
+          concat(lit("Home | About | Contact\n"), col("text"),
+            when(pmod(col("doc_id"), lit(2)) === 0, lit("\nClick Here")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(3)) === 0, lit("\ntiny")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(4)) === 0,
+              lit("\nA genuine closing sentence.")).otherwise(lit(""))).as("text"))
+        val lc = TextAnalysis.lineCleanColumns(col("text")).toMap
+        planted.select(col("doc_id"),
+          lc("n_lines").as("n_lines"),
+          lc("n_lines_kept").as("n_lines_kept"),
+          lc("clean_text").as("clean_text"),
+          lc("line_keep_ratio").as("line_keep_ratio"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val bp = TextAnalysis.BoilerplateLines.map(b => s"'$b'").mkString(", ")
+        s"""
+        WITH m AS (SELECT doc_id, 'Home | About | Contact' || chr(10) || text ||
+            CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'Click Here' ELSE '' END ||
+            CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'tiny' ELSE '' END ||
+            CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'A genuine closing sentence.' ELSE '' END AS text
+          FROM ${Q.DocsRef}),
+        f AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM m),
+        k AS (SELECT doc_id, text, ls,
+                list_filter(ls, l -> NOT list_contains([$bp], trim(lower(l)))
+                  AND length(trim(l)) >= 10) AS kept
+              FROM f)
+        SELECT doc_id, CAST(len(ls) AS INT) AS n_lines,
+               CAST(len(kept) AS INT) AS n_lines_kept,
+               array_to_string(kept, chr(10)) AS clean_text,
+               CASE WHEN length(text) > 0
+                    THEN CAST(length(array_to_string(kept, chr(10))) AS DOUBLE)
+                         / CAST(length(text) AS DOUBLE)
+                    ELSE 0.0e0 END AS line_keep_ratio
+        FROM k ORDER BY doc_id"""
       }),
 
     // composite cleaning pipeline — the operators composed the way a
@@ -1232,6 +1345,26 @@ object PipelineQueries {
         FROM inter iv JOIN sz sa ON sa.doc_id = iv.a_id JOIN sz sb ON sb.doc_id = iv.b_id
         WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.6e0
         ORDER BY a_id, b_id""")),
+
+    // exact substring-span dedup (suffix-array-paper rule): a doc is a
+    // span duplicate iff it shares ANY contiguous 8-token span with a
+    // lower-id doc; rep_id = the minimum such doc. Factors through a
+    // per-span min instead of a candidate-pair join (see
+    // Dedup.spanRepresentatives) — linear in the span count, no pair
+    // blowup, no df-cap distorting semantics. 24/500 docs flag at sf0.01.
+    Q("dedup_span_exact",
+      (s, dir) => Dedup.spanRepresentatives(Tables.documents(s, dir),
+          "doc_id", "text", k = SpanDedupK)
+        .orderBy("doc_id"),
+      Some(s"""
+        ${gramCtes(SpanDedupK)},
+        f AS (SELECT gram, min(doc_id) AS first_id FROM g GROUP BY gram),
+        r AS (SELECT g.doc_id, min(f.first_id) AS span_rep
+              FROM g JOIN f USING (gram) GROUP BY g.doc_id)
+        SELECT d.doc_id, COALESCE(r.span_rep, d.doc_id) AS rep_id,
+               CAST(CASE WHEN COALESCE(r.span_rep, d.doc_id) < d.doc_id
+                    THEN 1 ELSE 0 END AS INT) AS is_span_dup
+        FROM d LEFT JOIN r USING (doc_id) ORDER BY doc_id""")),
 
     // embedding near-dup routed through LSH buckets — the scale path is the
     // declared plan; the all-pairs form survives only as the test-side

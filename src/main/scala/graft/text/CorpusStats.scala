@@ -1,0 +1,88 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Corpus-derived document statistics — the "train on the corpus, score
+  * the corpus" shape of CCNet-style quality filtering: a first pass builds
+  * a token→document-frequency vocabulary, a second pass scores every
+  * document against it. Unlike the per-row ops in [[TextAnalysis]] this is
+  * a genuinely two-sided distributed operator (the vocabulary is an
+  * aggregation of the whole corpus), so its scale story is about the join:
+  * a natural-language vocabulary follows Heap's law (~10⁶–10⁷ types for a
+  * 100 TB web corpus) and usually broadcasts; an adversarial corpus
+  * (random strings, OCR noise) can grow the vocabulary to the token count,
+  * where a broadcast would OOM the driver. The join strategy is therefore
+  * size-GUARDED exactly like the decontamination probe
+  * ([[graft.dedup.Dedup.contaminationHits]]): broadcast below
+  * [[MaxBroadcastVocab]] distinct tokens, shuffle-hash join (vocabulary
+  * build side) above it — never an un-runnable broadcast, never a sort of
+  * the exploded corpus side.
+  */
+object CorpusStats {
+
+  /** Broadcast ceiling for the vocabulary join, in distinct tokens. The
+    * broadcast relation costs roughly token bytes + ~100 B map overhead
+    * per entry replicated per executor: 2·10⁶ tokens ≈ low hundreds of
+    * MB — comfortable for a healthy driver, and an order of magnitude
+    * above a natural-language vocabulary at any corpus size. Above it
+    * (adversarial/OCR corpora where types ≈ tokens) the score join
+    * degrades to shuffle-hash with the vocabulary as build side.
+    */
+  val MaxBroadcastVocab: Long = 2000000L
+
+  /** (token, df): document frequency of every distinct token — the number
+    * of documents containing it at least once. One narrow explode of the
+    * per-document DISTINCT token set (no countDistinct expand), one
+    * aggregation Exchange on the token, map-side partial counts.
+    */
+  def vocabulary(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    corpus.select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+
+  /** Score every document by corpus-frequency statistics of its tokens
+    * (with multiplicity): total and mean document frequency, and the
+    * hapax ratio (fraction of token occurrences whose type appears in
+    * exactly one document — the classic OCR-garbage / machine-noise
+    * signal: junk text is hapax-dense, natural text is not).
+    *
+    * Output keeps EVERY document: (id, n_tokens, sum_df, mean_df,
+    * hapax_ratio); zero-token docs score (0, 0, 0.0, 0.0). All doubles
+    * are single divisions of exact integer sums (order-free long adds),
+    * so the DuckDB oracle is bit-equal regardless of plan.
+    *
+    * The vocabulary is materialized once (it feeds the strategy decision
+    * AND the join; at 100 TB this would be a checkpoint, here a tracked
+    * cache) and its exact size — an O(vocab) count on the cached result,
+    * not a second corpus scan — picks the join strategy per the class
+    * scaladoc.
+    */
+  def dfScore(corpus: DataFrame, idCol: String, textCol: String,
+      maxBroadcastVocab: Long = MaxBroadcastVocab): DataFrame = {
+    val vocab = graft.Caches.track(vocabulary(corpus, idCol, textCol))
+    val probe =
+      if (vocab.count() <= maxBroadcastVocab) broadcast(vocab)
+      else vocab.hint("shuffle_hash")
+    // every corpus token is in the corpus-derived vocabulary by
+    // construction, so the inner join preserves multiplicity exactly
+    val scored = corpus
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .join(probe, "token")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("df")).as("sum_df"),
+        sum((col("df") === 1L).cast("long")).as("n_hapax"))
+    corpus.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sum_df"), lit(0L)).as("sum_df"),
+        when(col("n_tokens") > 0,
+          col("sum_df").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("mean_df"),
+        when(col("n_tokens") > 0,
+          coalesce(col("n_hapax"), lit(0L)).cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("hapax_ratio"))
+  }
+}

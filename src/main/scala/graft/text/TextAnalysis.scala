@@ -213,6 +213,46 @@ object TextAnalysis {
       "gopher_pass" -> pass)
   }
 
+  /** Boilerplate line set for [[lineCleanColumns]] — matched against the
+    * trimmed, lowercased line. A deployment swaps in its own list (policy
+    * knob, not an engine property); entries must be lowercase and
+    * space-trimmed.
+    */
+  val BoilerplateLines: Seq[String] = Seq(
+    "home | about | contact", "click here", "sign in", "accept cookies",
+    "share this article", "advertisement")
+
+  /** RefinedWeb-style LINE-WISE correction — the in-document counterpart
+    * of corpus-wide line dedup ([[graft.dedup.Dedup.dedupLinesKeepFirst]]):
+    * drop navigation/boilerplate lines (trimmed-lowercased membership in
+    * `boilerplate`) and sub-`minLineChars` fragments, reassemble the
+    * document from the surviving lines, and report how much survived so a
+    * pipeline can drop documents that were mostly chrome.
+    *
+    * Columns: n_lines, n_lines_kept, clean_text, line_keep_ratio
+    * (clean/original character ratio — a single division of exact integer
+    * lengths, bit-equal cross-engine). Pure per-row column work: no
+    * shuffle, scales linearly with corpus bytes like the other text ops.
+    * The trim is the engines' shared space-only trim (both Spark and
+    * DuckDB default-trim ' ' exactly).
+    */
+  def lineCleanColumns(text: Column,
+      boilerplate: Seq[String] = BoilerplateLines,
+      minLineChars: Int = 10): Seq[(String, Column)] = {
+    val ls = split(text, "\n")
+    val bp = array(boilerplate.map(lit): _*)
+    val kept = filter(ls, l =>
+      !array_contains(bp, trim(lower(l))) && length(trim(l)) >= minLineChars)
+    val cleanText = array_join(kept, "\n")
+    Seq(
+      "n_lines" -> size(ls),
+      "n_lines_kept" -> size(kept),
+      "clean_text" -> cleanText,
+      "line_keep_ratio" -> when(length(text) > 0,
+        length(cleanText).cast("double") / length(text).cast("double"))
+        .otherwise(lit(0.0)))
+  }
+
   /** GPT-2-style pretokenizer pattern, restricted to constructs RE2 also
     * supports (no lookahead) so the DuckDB oracle runs the byte-identical
     * regex: contractions, space-prefixed letter/digit/punctuation runs,

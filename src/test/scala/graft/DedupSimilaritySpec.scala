@@ -88,4 +88,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(banded > 0 && banded < n.toLong * 150,
       s"banded guarded pair count $banded suggests a quadratic join")
   }
+
+  test("exact span dedup: rep is the minimum doc sharing a k-token span") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "a b c d e f g h unique tail ten"),    // owns span a..h
+      (20L, "prefix words a b c d e f g h more"),  // shares a..h with 10
+      (30L, "totally different words with no shared span here"),
+      (40L, "short doc"),                          // < k tokens: no spans
+      (50L, "more stuff then a b c d e f g h end") // shares a..h → rep 10
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanRepresentatives(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(got(10L) == ((10L, 0)), "first owner is its own rep")
+    assert(got(20L) == ((10L, 1)), "span sharer points at the min owner")
+    assert(got(30L) == ((30L, 0)), "unshared spans keep the doc")
+    assert(got(40L) == ((40L, 0)), "sub-k docs have no spans and survive")
+    assert(got(50L) == ((10L, 1)), "min over ALL sharers, not pairwise order")
+  }
 }

@@ -281,6 +281,44 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(bcast == fallback, "join strategy changed the decontamination result")
   }
 
+  test("df-score broadcasts a small vocabulary; the wide twin falls back to shuffle-hash") {
+    // natural-language vocabulary (tiny here) → broadcast probe, corpus
+    // side never shuffled on the token
+    val p = plan("text_df_score")
+    assert(p.contains("BroadcastHashJoin [token"),
+      "small vocabulary should broadcast: " + p.take(3000))
+    // adversarial vocabulary (forced via maxBroadcastVocab = 0, the
+    // declared wide row's knob) must NOT broadcast and must NOT sort the
+    // exploded corpus side
+    val w = plan("text_df_score_wide")
+    assert(!w.contains("BroadcastHashJoin [token"),
+      "oversized vocabulary still broadcast: " + w.take(3000))
+    assert(w.contains("ShuffledHashJoin [token"),
+      "expected shuffle-hash vocabulary probe: " + w.take(3000))
+    assert(!w.contains("SortMergeJoin [token"),
+      "corpus side must not be sorted for the vocabulary probe: " + w.take(3000))
+    // join strategy must be result-invisible (the shared oracle re-checks
+    // this against DuckDB at the driver)
+    val bcast = SparkEntry.queries("text_df_score")(spark, TestSpark.SF)
+      .collect().map(_.toSeq).toSeq
+    val fallback = SparkEntry.queries("text_df_score_wide")(spark, TestSpark.SF)
+      .collect().map(_.toSeq).toSeq
+    assert(bcast == fallback, "join strategy changed the df-score result")
+  }
+
+  test("span dedup plans no pair join: both joins are gram/id equi-joins") {
+    // the suffix-span rule factors through a per-span min — a candidate
+    // PAIR join (a_id × b_id on the shared span) would be quadratic in a
+    // boilerplate span's document frequency; the declared plan must keep
+    // every join an equi-join on the span or the doc id, with the span
+    // side pre-aggregated (partial -> final min)
+    val p = plan("dedup_span_exact")
+    assert(!p.toLowerCase.contains("cartesian") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("partial_min") || p.contains("min#"),
+      "per-span min should pre-aggregate map-side: " + p.take(3000))
+  }
+
   test("salted join is result-identical to the plain equi-join") {
     val o = Tables.orders(spark, TestSpark.SF)
     val c = Tables.customer(spark, TestSpark.SF)
