@@ -106,4 +106,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(40L) == ((40L, 0)), "sub-k docs have no spans and survive")
     assert(got(50L) == ((10L, 1)), "min over ALL sharers, not pairwise order")
   }
+
+  test("span dedup stays linear on a pathological all-identical corpus") {
+    // 2000 identical docs share every span: a candidate-pair design would
+    // enumerate ~2·10⁶ pairs here (and df² generally); the per-span-min
+    // factoring moves |distinct spans| aggregation rows plus |doc spans|
+    // linear join rows, and every rep collapses to the min id.
+    import spark.implicits._
+    val n = 2000
+    val df = spark.range(n).select(col("id").as("doc_id"),
+      lit("alpha beta gamma delta epsilon zeta eta theta iota kappa").as("text"))
+    val got = Dedup.spanRepresentatives(df, "doc_id", "text", k = 8)
+    assert(got.count() == n)
+    assert(got.filter(col("rep_id") =!= 0L).isEmpty,
+      "all identical docs must collapse to rep 0")
+    assert(got.filter(col("doc_id") > 0L && col("is_span_dup") =!= 1).isEmpty)
+  }
 }
