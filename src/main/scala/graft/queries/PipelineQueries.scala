@@ -520,6 +520,67 @@ object PipelineQueries {
                 ELSE 0.0e0 END AS hapax_ratio
     FROM m LEFT JOIN j USING (doc_id) ORDER BY doc_id"""
 
+  /** Shared front of the round-10 line/rarity cleaning chain — the batch
+    * composite, its streaming ingestion twin, and the streaming twin's
+    * static vocabulary all run the identical construction: plant chrome +
+    * rarity on residue classes, line cleanup, surviving-ratio gate.
+    * Works on batch and streaming frames alike (pure per-row column
+    * work).
+    */
+  private[queries] def lineCleanGated(docs: DataFrame): DataFrame = {
+    val planted = docs.select(col("doc_id"),
+      concat(lit("Home | About | Contact\n"), col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" xq"), col("doc_id").cast("string"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("\nClick Here"))
+          .otherwise(lit(""))).as("text"))
+    val lc = TextAnalysis.lineCleanColumns(col("text")).toMap
+    planted.select(col("doc_id"),
+        lc("clean_text").as("text"), lc("line_keep_ratio").as("ratio"))
+      .filter(col("ratio") >= 0.7)
+      .select("doc_id", "text")
+  }
+
+  /** One oracle for the whole line/rarity cleaning chain, shared by the
+    * batch composite and the streaming ingestion twin (which must be
+    * row-identical to the batch replay by construction: per-row stages +
+    * a static vocabulary trained on the same cleaned corpus).
+    */
+  private[queries] val cleanLinesOracleSql: String = {
+    val bp = TextAnalysis.BoilerplateLines.map(b => s"'$b'").mkString(", ")
+    s"""
+    WITH m AS (SELECT doc_id, 'Home | About | Contact' || chr(10) || text ||
+        CASE WHEN doc_id % 3 = 0 THEN ' xq' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+        CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'Click Here' ELSE '' END AS text
+      FROM ${Q.DocsRef}),
+    lf AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM m),
+    lk AS (SELECT doc_id, text,
+             list_filter(ls, l -> NOT list_contains([$bp], trim(lower(l)))
+               AND length(trim(l)) >= 10) AS kept
+           FROM lf),
+    c AS (SELECT doc_id, array_to_string(kept, chr(10)) AS text
+          FROM lk
+          WHERE CAST(length(array_to_string(kept, chr(10))) AS DOUBLE)
+                / CAST(length(text) AS DOUBLE) >= 0.7e0),
+    d AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks FROM c),
+    t AS (SELECT doc_id, unnest(toks) AS token FROM d),
+    v AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY token),
+    j AS (SELECT t.doc_id, count(*) AS n_tokens,
+            CAST(sum(v.df) AS BIGINT) AS sum_df,
+            CAST(sum(CASE WHEN v.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+          FROM t JOIN v USING (token) GROUP BY t.doc_id),
+    sc AS (SELECT c.doc_id, COALESCE(j.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+             CASE WHEN j.n_tokens > 0
+                  THEN CAST(j.sum_df AS DOUBLE) / CAST(j.n_tokens AS DOUBLE)
+                  ELSE 0.0e0 END AS mean_df,
+             CASE WHEN j.n_tokens > 0
+                  THEN CAST(j.n_hapax AS DOUBLE) / CAST(j.n_tokens AS DOUBLE)
+                  ELSE 0.0e0 END AS hapax_ratio
+           FROM c LEFT JOIN j USING (doc_id))
+    SELECT doc_id, n_tokens, mean_df, hapax_ratio FROM sc
+    WHERE hapax_ratio <= 0.02e0 ORDER BY doc_id"""
+  }
+
   def all: Seq[Q] = Seq(
 
     // ================= text analysis =================
@@ -976,56 +1037,13 @@ object PipelineQueries {
     // per-row column work under the same scan.
     Q("pipeline_corpus_clean_lines",
       (s, dir) => {
-        val planted = Tables.documents(s, dir).select(col("doc_id"),
-          concat(lit("Home | About | Contact\n"), col("text"),
-            when(pmod(col("doc_id"), lit(3)) === 0,
-              concat(lit(" xq"), col("doc_id").cast("string"))).otherwise(lit("")),
-            when(pmod(col("doc_id"), lit(2)) === 0, lit("\nClick Here"))
-              .otherwise(lit(""))).as("text"))
-        val lc = TextAnalysis.lineCleanColumns(col("text")).toMap
-        val cleaned = planted.select(col("doc_id"),
-            lc("clean_text").as("text"), lc("line_keep_ratio").as("ratio"))
-          .filter(col("ratio") >= 0.7)
-          .select("doc_id", "text")
+        val cleaned = lineCleanGated(Tables.documents(s, dir))
         CorpusStats.dfScore(cleaned, "doc_id", "text")
           .filter(col("hapax_ratio") <= 0.02)
           .select("doc_id", "n_tokens", "mean_df", "hapax_ratio")
           .orderBy("doc_id")
       },
-      Some {
-        val bp = TextAnalysis.BoilerplateLines.map(b => s"'$b'").mkString(", ")
-        s"""
-        WITH m AS (SELECT doc_id, 'Home | About | Contact' || chr(10) || text ||
-            CASE WHEN doc_id % 3 = 0 THEN ' xq' || CAST(doc_id AS VARCHAR) ELSE '' END ||
-            CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'Click Here' ELSE '' END AS text
-          FROM ${Q.DocsRef}),
-        lf AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM m),
-        lk AS (SELECT doc_id, text,
-                 list_filter(ls, l -> NOT list_contains([$bp], trim(lower(l)))
-                   AND length(trim(l)) >= 10) AS kept
-               FROM lf),
-        c AS (SELECT doc_id, array_to_string(kept, chr(10)) AS text
-              FROM lk
-              WHERE CAST(length(array_to_string(kept, chr(10))) AS DOUBLE)
-                    / CAST(length(text) AS DOUBLE) >= 0.7e0),
-        d AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks FROM c),
-        t AS (SELECT doc_id, unnest(toks) AS token FROM d),
-        v AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY token),
-        j AS (SELECT t.doc_id, count(*) AS n_tokens,
-                CAST(sum(v.df) AS BIGINT) AS sum_df,
-                CAST(sum(CASE WHEN v.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
-              FROM t JOIN v USING (token) GROUP BY t.doc_id),
-        sc AS (SELECT c.doc_id, COALESCE(j.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
-                 CASE WHEN j.n_tokens > 0
-                      THEN CAST(j.sum_df AS DOUBLE) / CAST(j.n_tokens AS DOUBLE)
-                      ELSE 0.0e0 END AS mean_df,
-                 CASE WHEN j.n_tokens > 0
-                      THEN CAST(j.n_hapax AS DOUBLE) / CAST(j.n_tokens AS DOUBLE)
-                      ELSE 0.0e0 END AS hapax_ratio
-               FROM c LEFT JOIN j USING (doc_id))
-        SELECT doc_id, n_tokens, mean_df, hapax_ratio FROM sc
-        WHERE hapax_ratio <= 0.02e0 ORDER BY doc_id"""
-      }),
+      Some(cleanLinesOracleSql)),
 
     // cleaning pipeline v2: the round-6 repetition signals composed with
     // the quality score and exact dedup in ONE declared plan — quality +

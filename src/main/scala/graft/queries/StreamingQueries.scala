@@ -465,6 +465,50 @@ object StreamingQueries {
         SELECT DISTINCT md5(text) AS digest, n_tokens, quality_score
         FROM kept ORDER BY digest""")),
 
+    // the round-10 line/rarity cleaning chain at INGESTION — the CCNet
+    // deployment shape: the vocabulary is trained OFFLINE on the batch
+    // corpus (through the identical plant → line-clean → ratio-gate
+    // chain) and the document stream is scored against it as a
+    // stream-static broadcast join. Per-row stages (chrome plant, line
+    // cleanup, ratio gate) run unchanged in the stream; the per-doc
+    // re-aggregation after the token explode is a watermarked
+    // ingress-time-window aggregation, so score state evicts one
+    // watermark delay after ingest — bounded, like the dedup state of
+    // the other ingestion pipelines. A doc's exploded tokens arrive in
+    // its own micro-batch (rows never split), and single-batch delivery
+    // is ASSERTED, so update-mode emits each doc exactly once and the
+    // oracle is the batch chain's, shared verbatim.
+    Q("stream_pipeline_clean_lines",
+      (s, dir) => {
+        implicit val sp = s
+        val cleaned = PipelineQueries.lineCleanGated(StreamSources.documents(s, dir))
+        // static side cached: the vocabulary build over the batch corpus
+        // must run once, not once per trigger
+        val vocab = broadcast(graft.Caches.track(
+          graft.text.CorpusStats.vocabulary(
+            PipelineQueries.lineCleanGated(graft.Tables.documents(s, dir)),
+            "doc_id", "text")))
+        val toks = cleaned
+          .select(col("doc_id"),
+            explode(graft.functions.GraftFunctions.tokens(col("text"))).as("token"))
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+        val scored = toks.join(vocab, "token")
+          .groupBy(window(col("event_time"), "1 hour"), col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"), sum("df").as("sum_df"),
+            sum((col("df") === 1L).cast("long")).as("n_hapax"))
+          .select(col("doc_id"), col("n_tokens"),
+            (col("sum_df").cast("double") / col("n_tokens").cast("double"))
+              .as("mean_df"),
+            (col("n_hapax").cast("double") / col("n_tokens").cast("double"))
+              .as("hapax_ratio"))
+          .filter(col("hapax_ratio") <= 0.02)
+        StreamRun.toBatch(scored, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+          .orderBy("doc_id")
+      },
+      Some(PipelineQueries.cleanLinesOracleSql)),
+
     // ingestion-time DECONTAMINATION — the stream-static join shape: the
     // benchmark's distinct grams are a STATIC relation (batch-read, small
     // by definition, force-broadcast) and the document stream probes it
