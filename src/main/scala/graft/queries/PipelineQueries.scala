@@ -1572,6 +1572,34 @@ object PipelineQueries {
         SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id
         FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""")),
 
+    // SemDeDup-style SEMANTIC dedup: the trained k-means cells (same 2
+    // quantized Lloyd iterations as knn_ivf_trained — one CTE generator
+    // serves both oracles) bound the quadratic cosine comparison; within
+    // each cell, a vector is dropped iff an earlier member sits at
+    // cosine ≥ 0.4. The centroid count is the knob that bounds cell
+    // populations (k ∝ √n in the paper), and cross-cell near-dups are
+    // forfeited by construction — the recall trade that makes semantic
+    // dedup linear-ish at corpus scale.
+    Q("dedup_semantic",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.semanticDedup(emb, "vec_id", "embedding",
+          k = 16, iters = 2, threshold = 0.4)
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH ${ivfTrainedCtes(k = 16, iters = 2, nprobe = 1)},
+        p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                     ${DuckSql.cosine("a.v", "b.v")} AS cos
+              FROM cellF a JOIN cellF b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        r AS (SELECT b_id AS vec_id, min(a_id) AS sem_rep FROM p
+              WHERE cos >= 0.4e0 GROUP BY b_id)
+        SELECT e.vec_id, COALESCE(r.sem_rep, e.vec_id) AS rep_id,
+               CAST(CASE WHEN COALESCE(r.sem_rep, e.vec_id) < e.vec_id
+                    THEN 1 ELSE 0 END AS INT) AS is_sem_dup
+        FROM e LEFT JOIN r USING (vec_id) ORDER BY vec_id""")),
+
     // ================= multimodal =================
     // NOTE (oracle scope): the Spark side measures UTF-8 *bytes* of the
     // encoded payload (the real pipeline semantics for opaque media blobs);

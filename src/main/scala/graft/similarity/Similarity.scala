@@ -395,6 +395,48 @@ object Similarity {
       .select("a_id", "b_id", "cos")
   }
 
+  /** SemDeDup-style SEMANTIC dedup: cluster the embedding space with the
+    * trained quantized k-means, then within each cluster drop every
+    * vector whose cosine to an EARLIER (lower-id) cluster member is at or
+    * above `threshold`. Output for every vector: (id, rep_id,
+    * is_sem_dup 0/1), rep_id = the minimum qualifying earlier member
+    * (itself when none).
+    *
+    * Scale shape — the within-cell pair join is quadratic in the CELL
+    * size by design: that is the SemDeDup bargain. The centroid count k
+    * is the knob that bounds cell populations (size k ∝ √n and the
+    * expected Σ|cell|² stays near-linear), turning the corpus-quadratic
+    * semantic comparison into per-cell work; cross-cell near-dups are
+    * forfeited by construction (the paper's recall trade). Assignment is
+    * the zero-Exchange literal argmax (the IVF pattern); the pair join
+    * shuffles the corpus once on the cell id; norms are precomputed per
+    * vector, not per pair. The assigned/normed relation feeds both pair
+    * sides, so it is materialized once (tracked cache; a checkpoint at
+    * 100 TB).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, threshold: Double): DataFrame = {
+    val cents = kmeansCentroidsQuantized(df, idCol, vecCol, k, iters)
+    val cells = graft.Caches.track(
+      ivfAssignWith(df, idCol, vecCol, cents)
+        .select(col(idCol), col(vecCol), col("cell"),
+          sqrt(dot(col(vecCol), col(vecCol))).as("__n")))
+    val a = cells.select(col("cell"), col(idCol).as("a_id"),
+      col(vecCol).as("va"), col("__n").as("na"))
+    val b = cells.select(col("cell"), col(idCol).as("b_id"),
+      col(vecCol).as("vb"), col("__n").as("nb"))
+    val reps = a.join(b, "cell")
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("b_id").as(idCol))
+      .agg(min(col("a_id")).as("sem_rep"))
+    df.select(col(idCol))
+      .join(reps, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("sem_rep"), col(idCol)).as("rep_id"))
+      .withColumn("is_sem_dup", (col("rep_id") < col(idCol)).cast("int"))
+  }
+
   /** All-pairs cosine near-duplicates (a_id < b_id, cos ≥ threshold).
     * Quadratic verification baseline for [[embeddingPairsLsh]] recall —
     * test-only; never the declared plan (broadcasting a 100 TB corpus

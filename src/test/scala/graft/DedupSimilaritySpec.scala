@@ -89,6 +89,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"banded guarded pair count $banded suggests a quadratic join")
   }
 
+  test("semantic dedup: flagged reps are true cosine near-dups; identical vectors collapse") {
+    val emb = Tables.embeddings(spark, TestSpark.SF)
+    val sem = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      k = 8, iters = 1, threshold = 0.4)
+    val flagged = sem.filter(col("is_sem_dup") === 1)
+      .select("rep_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exact = Similarity.embeddingPairs(emb, "vec_id", "embedding", 0.4)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision: every (rep, vec) pair the cells produced is a true
+    // >= threshold cosine pair (recall is forfeited across cells by
+    // construction — the SemDeDup trade)
+    flagged.foreach { case (a, b) =>
+      assert(exact.contains((a, b)), s"($a,$b) flagged but not a true near-dup")
+    }
+    // an all-identical corpus collapses to the min id: one cell, cos = 1
+    val n = 50
+    val same = spark.range(n).select(col("id").as("vec_id"),
+      array((0 until 8).map(j => lit(0.1 * (j + 1))): _*).as("embedding"))
+    val collapsed = Similarity.semanticDedup(same, "vec_id", "embedding",
+      k = 4, iters = 1, threshold = 0.9)
+    assert(collapsed.filter(col("rep_id") =!= 0L).isEmpty)
+  }
+
   test("exact span dedup: rep is the minimum doc sharing a k-token span") {
     import spark.implicits._
     val docs = Seq(
