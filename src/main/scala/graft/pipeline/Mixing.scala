@@ -67,6 +67,52 @@ object Mixing {
       .drop("__copies")
   }
 
+  /** Temperature-scaled mixing at α = 1/2 — the multilingual
+    * temperature-sampling rule with the weights DERIVED from the corpus
+    * instead of configured: source s draws proportionally to n_s^α, so
+    * each ROW's expected copy count is
+    * w_row(s) = nTarget · √n_s / (Σ_s √n_s) / n_s — rare sources
+    * upsampled relative to proportional mixing, dominant sources
+    * downsampled. α is fixed at 1/2 because √ is a correctly-rounded
+    * IEEE operation on BOTH engines (general pow(x, α) is not
+    * cross-engine bit-stable), and the Σ folds in sorted-source order so
+    * it is order-fixed — the DuckDB oracle re-derives every weight
+    * bit-identically rather than trusting engine-side constants.
+    *
+    * The source counts collect driver-side: the source set is a policy
+    * dimension (dozens at most), not data-scale — the same bounded-
+    * collect pattern as the IVF centroids. Everything after the
+    * derivation is [[sourceMix]] verbatim (one scan, no shuffle beyond
+    * the count aggregation).
+    */
+  def temperatureMix(df: DataFrame, idCol: String, srcCol: String,
+      nTarget: Long): DataFrame = {
+    val counts = df.groupBy(col(srcCol)).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val ssum = counts.foldLeft(0.0)((a, c) => a + math.sqrt(c._2.toDouble))
+    val weights = counts.toSeq.map { case (s, n) =>
+      s -> (nTarget * math.sqrt(n.toDouble) / ssum / n)
+    }
+    sourceMix(df, idCol, srcCol, weights, defaultWeight = 0.0)
+  }
+
+  /** The DuckDB rendering of [[temperatureMix]]'s weight derivation:
+    * CTEs `cnt` (source, n) → `tot` (ordered √-fold) → `wp` (source,
+    * whole, thr) with the quantization spelled as floor() (SQL CAST of
+    * DOUBLE→BIGINT rounds; Scala `.toLong` truncates — floor is the
+    * shared rendering for non-negative weights). `rel` must provide
+    * `srcCol`.
+    */
+  def duckTemperatureWeights(rel: String, srcCol: String, nTarget: Long): String =
+    s"""cnt AS (SELECT $srcCol, count(*) AS n FROM $rel GROUP BY $srcCol),
+       |tot AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |          list(sqrt(CAST(n AS DOUBLE)) ORDER BY $srcCol)), (a,x) -> a + x) AS ssum
+       |        FROM cnt),
+       |w AS (SELECT $srcCol, CAST($nTarget AS DOUBLE) * sqrt(CAST(n AS DOUBLE)) / ssum / n AS w
+       |      FROM cnt, tot),
+       |wp AS (SELECT $srcCol, CAST(floor(w) AS BIGINT) AS whole,
+       |         CAST(floor((w - floor(w)) * $HashMod) AS BIGINT) AS thr FROM w)""".stripMargin
+
   /** The DuckDB rendering of the same decision, from the SAME weight
     * table (constants match by construction): `(whole-CASE, thr-CASE)`
     * SQL fragments over `srcCol`.

@@ -1216,6 +1216,42 @@ object PipelineQueries {
         FROM c WHERE copies > 0 ORDER BY doc_id, copy"""
       }),
 
+    // temperature-scaled mixing (α = 1/2): weights DERIVED from corpus
+    // counts instead of configured — the multilingual temperature-
+    // sampling rule, upsampling rare sources relative to proportional.
+    // The synthetic corpus's sources are uniform (20 × 25 docs), which
+    // would degenerate the rule to a constant weight, so the declared
+    // plan remaps sources to a skewed 70/20/10 split on doc_id residues
+    // and the oracle re-DERIVES every weight from the same skewed
+    // relation (ordered √-fold, floor quantization) rather than trusting
+    // engine-side constants — a Scala-vs-SQL derivation mismatch fails
+    // the hash compare.
+    Q("pipeline_source_mix_temp",
+      (s, dir) => {
+        val skewed = Tables.documents(s, dir).select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(10)) < 7, lit("web"))
+            .when(pmod(col("doc_id"), lit(10)) < 9, lit("books"))
+            .otherwise(lit("wiki")).as("source"))
+        graft.pipeline.Mixing.temperatureMix(skewed, "doc_id", "source",
+          nTarget = 600L)
+          .orderBy("doc_id", "copy")
+      },
+      Some(s"""
+        WITH sk AS (SELECT doc_id,
+                      CASE WHEN doc_id % 10 < 7 THEN 'web'
+                           WHEN doc_id % 10 < 9 THEN 'books'
+                           ELSE 'wiki' END AS source
+                    FROM ${Q.DocsRef}),
+        ${graft.pipeline.Mixing.duckTemperatureWeights("sk", "source", 600L)},
+        x AS (SELECT d.doc_id, d.source, wp.whole, wp.thr,
+                ${graft.pipeline.Mixing.duckMixHash("d.doc_id")} AS hm
+              FROM sk d JOIN wp USING (source)),
+        mx AS (SELECT doc_id, source,
+                 whole + (CASE WHEN hm < thr THEN 1 ELSE 0 END) AS copies
+               FROM x)
+        SELECT doc_id, source, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy
+        FROM mx WHERE copies > 0 ORDER BY doc_id, copy""")),
+
     // THE END-TO-END PIPELINE (chain described at the corpusFullPlan
     // builder above)
     Q("pipeline_corpus_full",

@@ -142,6 +142,23 @@ class TextEdgeCasesSpec extends AnyFunSuite {
     assert(graft.pipeline.Mixing.weightParts(0.0) == ((0L, 0L)))
   }
 
+  test("temperature mixing: derived weights follow the √n rule exactly") {
+    import spark.implicits._
+    // 4:1 skew — the α=1/2 rule gives the big source w = N·√400/(√400+√100)/400
+    // = N/600 per row, the small source w = N·√100/30/100 = N/300: exactly
+    // TWICE the per-row weight, so the rare source is upsampled 2× relative
+    // to proportional (derivation replayed here by hand)
+    val d = ((0L until 400L).map(i => (i, "big")) ++
+      (400L until 500L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val out = graft.pipeline.Mixing.temperatureMix(d, "doc_id", "source", nTarget = 600L)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // w_big = 1.0 exactly (600·20/30/400): one guaranteed copy, no draw;
+    // w_small = 2.0 exactly (600·10/30/100): two guaranteed copies
+    assert(bySrc("big") == 400L, s"big source: ${bySrc("big")}")
+    assert(bySrc("small") == 200L, s"small source: ${bySrc("small")}")
+  }
+
   test("dedup pipelines tolerate degenerate corpora") {
     val pairs = graft.dedup.Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
     assert(pairs.count() == 0) // no doc pair shares 3-gram shingles
