@@ -405,6 +405,103 @@ class RecoverySpec extends AnyFunSuite {
     pipelineRecoveryCase(rocksDb = true)
   }
 
+  // ---- the round-10 ingestion-scoring shape (lines twin / span probe):
+  // explode → stream-static vocabulary join → watermarked windowed agg.
+  // The recovery-critical state is the AGGREGATION buffer: a document
+  // arriving in parts across the restart must resume its cumulative
+  // counts from the restored store, not restart from zero.
+
+  /** Vocabulary trained on a FIXED offline corpus (`vocabDir`) — stable
+    * across restarts, as a deployed scoring artifact is; event time from
+    * the DATA so the time axis replays identically across runs.
+    */
+  private def scoringFrame(vocabDir: String)(s: SparkSession, dir: String): DataFrame = {
+    val vocab = graft.Caches.track(
+      graft.text.CorpusStats.vocabulary(
+        s.read.schema(DocSchema).parquet(vocabDir), "doc_id", "text"))
+    val toks = s.readStream.schema(DocSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withColumn("event_time", expr("timestamp_micros(ts_us)"))
+      .select(col("doc_id"), col("event_time"),
+        explode(graft.functions.GraftFunctions.tokens(col("text"))).as("token"))
+      .withWatermark("event_time", "4 hours")
+    toks.join(vocab, "token")
+      .groupBy(window(col("event_time"), "1 hour"), col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum((col("df") === 1L).cast("long")).as("n_hapax"))
+      .select("doc_id", "n_tokens", "n_hapax")
+  }
+
+  private def scoringRecoveryCase(rocksDb: Boolean): Unit = {
+    val s = spark.newSession()
+    GraftSession.adopt(s)
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    if (rocksDb) s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val root = tmpRoot(if (rocksDb) "scoring-rocks" else "scoring-hdfs")
+    val vocabDir = new java.io.File(root, "vocab")
+    val dataDir = new java.io.File(root, "in"); dataDir.mkdirs()
+    val ckptInterrupted = new java.io.File(root, "ck-interrupted").getPath
+    val ckptFull = new java.io.File(root, "ck-full").getPath
+    val stamped = scala.collection.mutable.Set[String]()
+    val clock = new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
+    // all parts inside ONE 1-hour window (minutes 110–119) so the agg
+    // group genuinely accumulates across the restart
+    def t(min: Long) = min * MinUs
+    try {
+      // offline corpus: df(alpha)=3, beta=2, gamma=2, delta=2,
+      // epsilon=1, zeta=1, rareone=1 (the hapax signals)
+      import s.implicits._
+      Seq((0L, "alpha beta gamma delta", 0L),
+        (1L, "alpha beta epsilon zeta", 0L),
+        (2L, "rareone gamma delta alpha", 0L))
+        .toDF("doc_id", "text", "ts_us")
+        .coalesce(1).write.parquet(vocabDir.getPath)
+      val frame = scoringFrame(vocabDir.getPath) _
+      // phase A: doc 10 part 1, doc 11 complete (with a hapax token)
+      writeDocs(s, dataDir, Seq(
+        (10L, "alpha beta", t(110)),
+        (11L, "alpha rareone", t(111))), stamped, clock)
+      val out1 = runToBuffer(frame(s, dataDir.getPath), ckptInterrupted, "update")
+      graft.Caches.releaseAll() // restart boundary: no warm cache survives
+
+      // phase B: doc 10 PART 2 in the same window (cumulative counts can
+      // only come from restored aggregation state), doc 12 with an
+      // out-of-vocabulary token (dropped by the join on both runs)
+      writeDocs(s, dataDir, Seq(
+        (10L, "gamma gamma epsilon", t(115)),
+        (12L, "zeta unknowntoken", t(112))), stamped, clock)
+      val out2 = runToBuffer(frame(s, dataDir.getPath), ckptInterrupted, "update")
+      graft.Caches.releaseAll()
+
+      // uninterrupted control, same files, same batch sequence
+      val full = runToBuffer(frame(s, dataDir.getPath), ckptFull, "update")
+      graft.Caches.releaseAll()
+
+      val union = out1 ++ out2
+      assert(union.sorted == full.sorted,
+        s"interrupted union (${union.size}) != uninterrupted run (${full.size}); " +
+          s"missing=${(full.toSet -- union.toSet).take(3)} " +
+          s"extra=${(union.toSet -- full.toSet).take(3)}")
+      // the restart-critical fact: doc 10's run-2 update is CUMULATIVE —
+      // part 1 (2 tokens, 0 hapax) + part 2 (3 tokens, 1 hapax: epsilon).
+      // Rows render as "<SeqName>(doc_id, n, h)" — compare from the '('.
+      val run2 = out2.map(_.dropWhile(_ != '('))
+      assert(run2.contains("(10, 5, 1)"),
+        s"doc 10 did not resume its aggregation state: run-2 rows = $out2")
+      // and run 2 never re-emitted phase-A-only groups (offsets restored)
+      assert(!run2.exists(_.startsWith("(11,")),
+        s"run 2 re-emitted a phase-A group: $out2")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(root)
+  }
+
+  test("ingestion scoring agg resumes cumulative state from a checkpoint (HDFS-backed state store)") {
+    scoringRecoveryCase(rocksDb = false)
+  }
+  test("ingestion scoring agg resumes cumulative state from a checkpoint (RocksDB state store)") {
+    scoringRecoveryCase(rocksDb = true)
+  }
+
   private val cases: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("ffat-append", ffatFrame _, "append"),
     ("interval-bucketed", intervalFrame _, "append"),
