@@ -364,4 +364,62 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(row.getAs[Int]("gp") === 0, "Gopher rule must refuse a >100k-token doc")
     assert(row.getAs[Int]("lp") === 0, s"length gate must refuse ${row.getAs[Long]("n_chars")} chars")
   }
+
+  test("10M-doc span dedup: a 100k-fold hot span stays linear (per-span min)") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_STRESS=1 to run")
+    import org.apache.spark.sql.functions._
+    // every 100th doc carries ONE shared 8-token span (df = 100k at 10M
+    // docs): a candidate-pair design owes df²/2 ≈ 5·10⁹ pairs for that
+    // span alone; the per-span-min factoring owes one aggregation row
+    val n = totalRows
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val t0 = System.nanoTime()
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(100)) === 0,
+          lit((0 until 8).map(j => s"hot$j").mkString(" ")))
+          .otherwise(concat_ws(" ", (0 until 8).map(j =>
+            concat(lit(s"u${j}x"), col("id"))): _*)).as("text"))
+      val reps = graft.dedup.Dedup.spanRepresentatives(docs, "doc_id", "text", k = 8)
+      val dups = reps.filter(col("is_span_dup") === 1).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      graft.Caches.releaseAll()
+      val expected = (n - 1) / 100 // every hot doc except id 0
+      info(f"span dedup over $n docs (hot df = ${n / 100}): ${secs}%.1f s")
+      assert(dups == expected, s"expected $expected hot-span dups, got $dups")
+      assert(secs < 600.0, f"span dedup went super-linear: ${secs}%.1f s")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("10M-doc df-score: an 80M-type vocabulary takes the shuffle-hash fallback") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_STRESS=1 to run")
+    import org.apache.spark.sql.functions._
+    // unique 8-token texts → vocabulary ≈ 8·n types, far past
+    // MaxBroadcastVocab (2·10⁶): the guarded join MUST take the
+    // shuffle-hash path (a broadcast would OOM the driver), and the
+    // scores must still be exact — unique docs are all-hapax, the hot
+    // docs (shared text every 100th id) all-common
+    val n = totalRows
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      val t0 = System.nanoTime()
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(100)) === 0,
+          lit((0 until 8).map(j => s"hot$j").mkString(" ")))
+          .otherwise(concat_ws(" ", (0 until 8).map(j =>
+            concat(lit(s"u${j}x"), col("id"))): _*)).as("text"))
+      val scored = graft.text.CorpusStats.dfScore(docs, "doc_id", "text")
+      val agg = scored.agg(
+        sum((col("hapax_ratio") === 1.0).cast("long")).as("all_hapax"),
+        sum((col("hapax_ratio") === 0.0).cast("long")).as("no_hapax")).first()
+      val secs = (System.nanoTime() - t0) / 1e9
+      graft.Caches.releaseAll()
+      val hot = (n - 1) / 100 + 1
+      info(f"df-score over $n docs (~${8 * (n - hot)} vocab types): ${secs}%.1f s")
+      assert(agg.getLong(0) == n - hot, s"unique docs must be all-hapax: $agg")
+      assert(agg.getLong(1) == hot, s"hot docs must be hapax-free: $agg")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }
