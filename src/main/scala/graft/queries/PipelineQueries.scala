@@ -395,6 +395,23 @@ object PipelineQueries {
   private[queries] val CorpusWeights = Seq("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25)
   private[queries] val CorpusDefaultWeight = 0.1
   private[queries] val CorpusShardTokens = 2000L
+  private[queries] val CorpusV3MixTarget = 600L
+
+  /** Fixed body planted on doc_id % 13 == 0 in the v3 composite so the
+    * exact-dedup and span-dedup stages BOTH do measured work: the %2/%3
+    * appends split the carriers into four residue classes — exact dedup
+    * collapses each class to its min id, then span dedup collapses the
+    * four class representatives (identical BODY spans, differing tails)
+    * to the overall min. Plain ~60-token text that passes the quality
+    * and repetition gates (distinct 2-grams, stopword-rich, no
+    * apostrophes — it is also a SQL string literal).
+    */
+  private[queries] val V3SharedBody =
+    "the careful reader will note that every word of this shared passage " +
+    "was chosen to be plain and common so the quality gates admit it while " +
+    "the corpus pipeline still finds each copy and keeps exactly one for " +
+    "training because duplicated passages teach a model nothing new and " +
+    "cost real compute at scale which is why span level rules matter"
   private[queries] val CorpusQualityMin = 0.5
   private[queries] val CorpusDupGram2Max = 0.05
   private[queries] val CorpusTopTokenMax = 0.2
@@ -1272,6 +1289,152 @@ object PipelineQueries {
     Q("pipeline_corpus_full_v2",
       (s, dir) => corpusFullPlan(s, dir, decontam = true),
       Some(corpusFullSql(decontam = true))),
+
+    // v3 of the end-to-end composite — the ROUND-10 stages threaded into
+    // the full chain a modern curation run executes: line-wise correction
+    // (ratio gate) → quality + repetition predicates → exact dedup →
+    // exact SPAN dedup (suffix-array rule, per-span-min) → benchmark
+    // decontamination (raw-text policy, shared grams) → corpus-frequency
+    // hapax gate (vocabulary from the SURVIVORS — upstream chrome must
+    // not poison it) → temperature-scaled mixing (weights DERIVED from
+    // the survivor source counts) → token-budget sharding. Chrome,
+    // rarity and the 70/20/10 source skew planted as in the component
+    // rows; every gate measured discriminating at sf0.01. Shapes: per-row
+    // stages under one scan, one digest shuffle, the span aggregations,
+    // the id-keyed anti join, the guarded vocab join, a row explode and
+    // the two-pass prefix scan — no stage barrier anywhere except the
+    // declared caches that feed two consumers.
+    Q("pipeline_corpus_full_v3",
+      (s, dir) => {
+        val planted = Tables.documents(s, dir).select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(10)) < 7, lit("web"))
+            .when(pmod(col("doc_id"), lit(10)) < 9, lit("books"))
+            .otherwise(lit("wiki")).as("source"),
+          concat(lit("Home | About | Contact\n"),
+            when(pmod(col("doc_id"), lit(13)) === 0, lit(V3SharedBody))
+              .otherwise(col("text")),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              concat(lit(" xq"), col("doc_id").cast("string"))).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(2)) === 0, lit("\nClick Here"))
+              .otherwise(lit(""))).as("text"))
+        val lc = TextAnalysis.lineCleanColumns(col("text")).toMap
+        val cleaned = planted.select(col("doc_id"), col("source"),
+            lc("clean_text").as("text"), lc("line_keep_ratio").as("ratio"))
+          .filter(col("ratio") >= 0.7)
+          .select("doc_id", "source", "text")
+        val q = TextAnalysis.qualityColumns(col("text")).toMap
+        val r = TextAnalysis.repetitionColumns(col("text")).toMap
+        val filtered = cleaned.select(col("doc_id"), col("source"), col("text"),
+            q("n_tokens").as("n_tokens"), q("quality_score").as("quality_score"),
+            r("dup_gram2_ratio").as("g2"), r("top_token_ratio").as("tt"))
+          .filter(col("quality_score") >= CorpusQualityMin &&
+            col("g2") <= CorpusDupGram2Max && col("tt") <= CorpusTopTokenMax)
+        // cached: the span stage references it twice (shingle index +
+        // id join-back), as does the df-score stage below
+        val exactDeduped = graft.Caches.track(filtered
+          .withColumn("rep_id",
+            min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+          .filter(col("rep_id") === col("doc_id"))
+          .select("doc_id", "source", "text", "n_tokens"))
+        val spanKept = exactDeduped.join(
+          Dedup.spanRepresentatives(exactDeduped, "doc_id", "text", SpanDedupK)
+            .filter(col("is_span_dup") === 0).select("doc_id"),
+          Seq("doc_id"))
+        val decontaminated = graft.Caches.track(spanKept.join(
+          Dedup.contaminatedIds(Tables.documents(s, dir), "doc_id", "text",
+            decontamBenchGrams(s, dir), DecontamN, DecontamMinShared),
+          Seq("doc_id"), "left_anti"))
+        val survivors = graft.Caches.track(decontaminated.join(
+          CorpusStats.dfScore(decontaminated.select("doc_id", "text"),
+              "doc_id", "text")
+            .filter(col("hapax_ratio") <= 0.02).select("doc_id"),
+          Seq("doc_id"))
+          .select("doc_id", "source", "n_tokens"))
+        val mixed = graft.pipeline.Mixing.temperatureMix(survivors,
+          "doc_id", "source", nTarget = CorpusV3MixTarget)
+        graft.operators.PrefixSum.runningSum(mixed, "n_tokens", Seq("doc_id", "copy"))
+          .select(col("doc_id"), col("copy"), col("n_tokens"),
+            expr(s"(running_n_tokens - n_tokens) div $CorpusShardTokens").as("shard_id"))
+          .orderBy("doc_id", "copy")
+      },
+      Some {
+        val bp = TextAnalysis.BoilerplateLines.map(b => s"'$b'").mkString(", ")
+        s"""
+        WITH m AS (SELECT doc_id,
+            CASE WHEN doc_id % 10 < 7 THEN 'web'
+                 WHEN doc_id % 10 < 9 THEN 'books'
+                 ELSE 'wiki' END AS source,
+            'Home | About | Contact' || chr(10) ||
+            CASE WHEN doc_id % 13 = 0 THEN '$V3SharedBody' ELSE text END ||
+            CASE WHEN doc_id % 3 = 0 THEN ' xq' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+            CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'Click Here' ELSE '' END AS text
+          FROM ${Q.DocsRef}),
+        lf AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM m),
+        lk AS (SELECT doc_id, text,
+                 list_filter(ls, l -> NOT list_contains([$bp], trim(lower(l)))
+                   AND length(trim(l)) >= 10) AS kept
+               FROM lf),
+        c AS (SELECT doc_id, array_to_string(kept, chr(10)) AS text
+              FROM lk
+              WHERE CAST(length(array_to_string(kept, chr(10))) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE) >= 0.7e0),
+        ${qualityCtesFrom("c")},
+        q AS (SELECT doc_id, text, n_tokens, $qualityScoreSql AS quality_score FROM f),
+        $repetitionCtes,
+        j AS (SELECT q.doc_id, q.text, q.n_tokens
+              FROM q JOIN rr ON q.doc_id = rr.doc_id
+              WHERE q.quality_score >= ${CorpusQualityMin}e0
+                AND rr.dup_gram2_ratio <= ${CorpusDupGram2Max}e0
+                AND rr.top_token_ratio <= ${CorpusTopTokenMax}e0),
+        k AS (SELECT doc_id, text, n_tokens FROM (
+                SELECT doc_id, text, n_tokens,
+                       min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+                FROM j)
+              WHERE rep_id = doc_id),
+        kd AS (SELECT doc_id, text, n_tokens, ${DuckSql.tokens("text")} AS ktoks FROM k),
+        ks AS (SELECT doc_id, text, n_tokens,
+                 ${DuckSql.wordShingles("ktoks", SpanDedupK)} AS sh FROM kd),
+        kg AS (SELECT doc_id, unnest(sh) AS gram FROM ks),
+        kf AS (SELECT gram, min(doc_id) AS first_id FROM kg GROUP BY gram),
+        kr AS (SELECT kg.doc_id, min(kf.first_id) AS span_rep
+               FROM kg JOIN kf USING (gram) GROUP BY kg.doc_id),
+        sp AS (SELECT ks.doc_id, ks.text, ks.n_tokens
+               FROM ks LEFT JOIN kr USING (doc_id)
+               WHERE COALESCE(kr.span_rep, ks.doc_id) = ks.doc_id),
+        $decontamCtes,
+        dc AS (SELECT sp.doc_id, sp.text, sp.n_tokens FROM sp
+               WHERE sp.doc_id NOT IN (SELECT doc_id FROM hits
+                                       WHERE n >= $DecontamMinShared)),
+        vd AS (SELECT doc_id, ${DuckSql.tokens("text")} AS vtoks FROM dc),
+        vt AS (SELECT doc_id, unnest(vtoks) AS token FROM vd),
+        vv AS (SELECT token, count(DISTINCT doc_id) AS df FROM vt GROUP BY token),
+        vj AS (SELECT vt.doc_id, count(*) AS nt,
+                 CAST(sum(CASE WHEN vv.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nh
+               FROM vt JOIN vv USING (token) GROUP BY vt.doc_id),
+        sv AS (SELECT dc.doc_id, dc.n_tokens FROM dc LEFT JOIN vj USING (doc_id)
+               WHERE (CASE WHEN vj.nt > 0
+                           THEN CAST(vj.nh AS DOUBLE) / CAST(vj.nt AS DOUBLE)
+                           ELSE 0.0e0 END) <= 0.02e0),
+        sv2 AS (SELECT sv.doc_id, m.source, sv.n_tokens
+                FROM sv JOIN m USING (doc_id)),
+        ${graft.pipeline.Mixing.duckTemperatureWeights("sv2", "source", CorpusV3MixTarget)},
+        x AS (SELECT s2.doc_id, s2.n_tokens, wp.whole, wp.thr,
+                ${graft.pipeline.Mixing.duckMixHash("s2.doc_id")} AS hm
+              FROM sv2 s2 JOIN wp USING (source)),
+        mx AS (SELECT doc_id, n_tokens,
+                 whole + (CASE WHEN hm < thr THEN 1 ELSE 0 END) AS copies
+               FROM x),
+        u AS (SELECT doc_id, n_tokens,
+                CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy
+              FROM mx WHERE copies > 0),
+        cum AS (SELECT doc_id, copy, n_tokens,
+                  SUM(n_tokens) OVER (ORDER BY doc_id, copy
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+                FROM u)
+        SELECT doc_id, copy, n_tokens,
+               CAST((run - n_tokens) // $CorpusShardTokens AS BIGINT) AS shard_id
+        FROM cum ORDER BY doc_id, copy"""
+      }),
 
     // ================= dedup =================
     Q("dedup_exact",
