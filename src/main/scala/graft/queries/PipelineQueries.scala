@@ -101,12 +101,20 @@ object PipelineQueries {
     * Ends with `cellF` (all vectors + trained cell) and `qp` (query ×
     * top-nprobe cells).
     */
-  private def ivfTrainedCtes(k: Int, iters: Int, nprobe: Int, dim: Int = 64,
-      scale: String = "1000000.0e0"): String = {
+  /** `trainRel` (default the full corpus CTE `e`) is the relation the
+    * Lloyd iterations TRAIN on; the final `cellF` assignment always runs
+    * over the full `e` — so a subset trainRel models "centroids trained
+    * on the existing corpus, everything (incl. new data) assigned to
+    * them" (the stream_dedup_semantic shape). The default renders
+    * byte-identically to the pre-parameter form.
+    */
+  private[queries] def ivfTrainedCtes(k: Int, iters: Int, nprobe: Int, dim: Int = 64,
+      scale: String = "1000000.0e0", trainRel: String = "e"): String = {
+    val trA = if (trainRel == "e") "e" else s"$trainRel e"
     def iter(i: Int): String =
       s"""asg$i AS (SELECT e.vec_id, e.v, c.cent_id,
          |                 ${DuckSql.cosine("e.v", "c.cv")} AS ccos
-         |          FROM e CROSS JOIN c${i - 1} c),
+         |          FROM $trA CROSS JOIN c${i - 1} c),
          |cell$i AS (SELECT vec_id, v, cent_id AS cell FROM (
          |            SELECT vec_id, v, cent_id,
          |                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS r
@@ -119,7 +127,7 @@ object PipelineQueries {
          |               list(CAST(s AS DOUBLE) / ($scale * n) ORDER BY j) AS cv
          |        FROM s$i GROUP BY cell)""".stripMargin
     s"""e AS (SELECT vec_id, embedding AS v FROM ${Q.EmbRef}),
-       |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY vec_id LIMIT $k),
+       |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM $trainRel ORDER BY vec_id LIMIT $k),
        |${(1 to iters).map(iter).mkString(",\n")},
        |asgF AS (SELECT e.vec_id, e.v, c.cent_id,
        |                ${DuckSql.cosine("e.v", "c.cv")} AS ccos

@@ -561,6 +561,64 @@ object StreamingQueries {
               FROM g JOIN idx USING (gram) GROUP BY g.doc_id)
         SELECT doc_id, rep_id, n_known_spans FROM r ORDER BY doc_id""")),
 
+    // INCREMENTAL semantic dedup at ingestion — the embedding-space
+    // counterpart of stream_dedup_span, completing the "new data versus
+    // the existing training set" pair: centroids are TRAINED offline on
+    // the existing corpus (the vec_id % 4 == 0 subset, same quantized
+    // Lloyd iterations as the batch rows), the training set's members
+    // sit in their trained cells as a cached static relation, and each
+    // incoming vector is assigned to its cell by the same zero-shuffle
+    // literal argmax (pure column work — streams unchanged), then
+    // compared against the cell's static members at cosine ≥ 0.4.
+    // Emits only flagged vectors: (vec_id, rep_id = min earlier member,
+    // n_near). Cell population bounds the per-vector comparison exactly
+    // as in batch SemDeDup; the static side is bounded by the training
+    // set and cell granularity follows the centroid count.
+    Q("stream_dedup_semantic",
+      (s, dir) => {
+        implicit val sp = s
+        val trainSet = graft.Tables.embeddings(s, dir)
+          .filter(pmod(col("vec_id"), lit(4)) === 0)
+        val cents = graft.similarity.Similarity.kmeansCentroidsQuantized(
+          trainSet, "vec_id", "embedding", k = 16, iters = 2)
+        val members = graft.Caches.track(
+          graft.similarity.Similarity.ivfAssignWith(
+            trainSet, "vec_id", "embedding", cents)
+            .select(col("cell"), col("vec_id").as("a_id"),
+              col("embedding").as("va"),
+              sqrt(graft.functions.GraftFunctions.dot(
+                col("embedding"), col("embedding"))).as("na")))
+        val incoming = graft.similarity.Similarity.ivfAssignWith(
+            StreamSources.embeddings(s, dir), "vec_id", "embedding", cents)
+          .select(col("cell"), col("vec_id"), col("embedding").as("vb"),
+            sqrt(graft.functions.GraftFunctions.dot(
+              col("embedding"), col("embedding"))).as("nb"))
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+        val flagged = incoming.join(members, Seq("cell"))
+          .filter(col("a_id") < col("vec_id"))
+          .withColumn("cos", graft.functions.GraftFunctions.dot(
+            col("va"), col("vb")) / (col("na") * col("nb")))
+          .filter(col("cos") >= 0.4)
+          .groupBy(window(col("event_time"), "1 hour"), col("vec_id"))
+          .agg(min(col("a_id")).as("rep_id"), count(lit(1)).as("n_near"))
+          .select("vec_id", "rep_id", "n_near")
+        StreamRun.toBatch(flagged, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH ${PipelineQueries.ivfTrainedCtes(k = 16, iters = 2, nprobe = 1,
+          trainRel = "(SELECT * FROM e WHERE vec_id % 4 = 0)")},
+        p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                     ${graft.oracle.DuckSql.cosine("a.v", "b.v")} AS cos
+              FROM cellF a JOIN cellF b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE a.vec_id % 4 = 0),
+        r AS (SELECT b_id AS vec_id, min(a_id) AS rep_id, count(*) AS n_near
+              FROM p WHERE cos >= 0.4e0 GROUP BY b_id)
+        SELECT vec_id, rep_id, n_near FROM r ORDER BY vec_id""")),
+
     // ingestion-time DECONTAMINATION — the stream-static join shape: the
     // benchmark's distinct grams are a STATIC relation (batch-read, small
     // by definition, force-broadcast) and the document stream probes it

@@ -55,6 +55,18 @@ object StreamSources {
       .parquet(dir)
   }
 
+  /** The embeddings table as a file stream — the ingestion side of
+    * "score/dedup new vectors against the existing corpus" pipelines
+    * (same schema as the batch reader).
+    */
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    GraftSession.adopt(spark)
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+  }
+
   /** INGRESS_TIME flavor: arrival-stamped synthetic rate source
     * (wf/source_shipper.hpp:255-256 semantics).
     */
