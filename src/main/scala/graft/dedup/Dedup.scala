@@ -173,6 +173,68 @@ object Dedup {
       .filter(col("n_shared_grams") >= minShared)
       .select(col(idCol))
 
+  /** Bloom ceiling for [[bloomMembership]], in training-set digests. The
+    * filter costs ~9.6 bits/item at 1% fpp, so 5·10⁸ items ≈ 600 MB of
+    * bits — the upper edge of a comfortable torrent-broadcast + per-task
+    * reference budget. Above the ceiling a single resident filter stops
+    * being the right shape (a real deployment would shard the filter or
+    * maintain a digest side-table) and the operator degrades to the plain
+    * digest membership join — one training-side Exchange, never an
+    * un-buildable filter.
+    */
+  val MaxBloomItems: Long = 500000000L
+
+  /** Incremental EXACT-dedup membership against an existing training set —
+    * the "is this new document already in the corpus?" probe every
+    * continuously-ingesting deployment runs, shaped for a training side
+    * orders of magnitude larger than the increment. Output: one row per
+    * new document, (id, in_training 0/1), EXACT (not probabilistic).
+    *
+    * Scale shape: the training digests fold into ONE Bloom filter
+    * (`stat.bloomFilter` — per-partition filters OR-merged, order-free)
+    * that broadcasts to every executor; the new side probes it as a pure
+    * column predicate ([[graft.functions.expressions.BloomMightContainLong]])
+    * — the overwhelming majority of genuinely-new documents are
+    * bloom-NEGATIVE and resolve with zero join work (no false negatives).
+    * Only bloom-positives (true duplicates + fpp·|new| false alarms) form
+    * the candidate digest set, which re-verifies against the real digest
+    * relation: one column-pruned pass of the training digests streamed
+    * against the (small, AQE-broadcastable) candidate table — the full
+    * md5 comparison squeezes out both Bloom false positives and 60-bit
+    * probe-hash collisions, which is what makes the flag exact at any
+    * fpp. The training side is never shuffled on the fast path.
+    *
+    * `trainingDigests` must have a `dg` column (md5 hex of the training
+    * texts). It is materialized once (tracked cache) and feeds the sizing
+    * count, the filter build, and the verify pass — at 100 TB this is the
+    * maintained digest side-table (16 B/doc), built once per increment
+    * cycle, not a re-scan of the text. Training sets above
+    * `maxBloomItems` take the guarded fallback: the plain distinct-digest
+    * membership join (one training Exchange), same result by construction.
+    */
+  def bloomMembership(newDf: DataFrame, idCol: String, textCol: String,
+      trainingDigests: DataFrame, fpp: Double = 0.01,
+      maxBloomItems: Long = MaxBloomItems): DataFrame = {
+    val tr = graft.Caches.track(trainingDigests.select(col("dg")))
+    val n = tr.count()
+    val newDg = newDf.select(col(idCol), md5(col(textCol)).as("dg"))
+    val confirmed =
+      if (n <= maxBloomItems) {
+        val bf = tr.stat.bloomFilter(hash60(col("dg")), math.max(n, 1L), fpp)
+        val bc = newDf.sparkSession.sparkContext.broadcast(bf)
+        val cand = newDg
+          .filter(graft.functions.expressions.BloomMightContainLong.of(
+            bc, hash60(col("dg"))))
+          .select(col("dg")).distinct()
+        // candidate-bounded verify: training streams once, candidates are
+        // the build side (AQE broadcasts them when small; an adversarial
+        // all-duplicate increment degrades to a shuffle join, not an OOM)
+        tr.join(cand, Seq("dg"), "left_semi").distinct()
+      } else tr.distinct()
+    newDg.join(confirmed.withColumn("in_training", lit(1)), Seq("dg"), "left")
+      .select(col(idCol), coalesce(col("in_training"), lit(0)).as("in_training"))
+  }
+
   /** Exact substring-span dedup — the suffix-array-style rule of the
     * "Deduplicating Training Data Makes Language Models Better" line of
     * work, re-expressed for a distributed engine: a document is a span

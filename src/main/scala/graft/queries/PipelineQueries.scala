@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -505,6 +505,43 @@ object PipelineQueries {
 
   /** Span width of the exact-substring dedup rule (tokens). */
   private[queries] val SpanDedupK = 8
+
+  /** The synthetic corpus has ZERO exact duplicates (500/500 distinct
+    * md5 at sf0.01), so the bloom-membership rows plant cross-subset
+    * exact copies on residue classes: every training doc ≡ 0 (mod 8) and
+    * every new doc ≡ 1 (mod 8) rewrite to the same deterministic body
+    * keyed by doc_id div 8 — doc 8k+1 is byte-identical to training doc
+    * 8k (8k ≡ 0 mod 4 → training side; 8k+1 ≡ 1 mod 4 → new side), so
+    * ~1/8 of the new side MUST flag. Applied as a pure column rewrite so
+    * the batch rows and the streaming twin share it verbatim; the oracle
+    * replays the identical CASE.
+    */
+  private[queries] def bloomPlantText: Column =
+    when(pmod(col("doc_id"), lit(8)) === 0,
+      concat(lit("GRAFT DUP BODY "), expr("doc_id div 8").cast("string")))
+      .when(pmod(col("doc_id"), lit(8)) === 1,
+        concat(lit("GRAFT DUP BODY "), expr("(doc_id - 1) div 8").cast("string")))
+      .otherwise(col("text"))
+
+  /** Shared by dedup_bloom, its forced-fallback twin, and the streaming
+    * twin: the probe/join strategy must be result-invisible (the filter
+    * only prunes; exactness comes from the md5 verify), so one DuckDB
+    * membership replay checks every path.
+    */
+  private[queries] val bloomMembershipOracleSql: String = s"""
+    WITH d AS (SELECT doc_id,
+        CASE WHEN doc_id % 8 = 0
+               THEN 'GRAFT DUP BODY ' || CAST(doc_id // 8 AS VARCHAR)
+             WHEN doc_id % 8 = 1
+               THEN 'GRAFT DUP BODY ' || CAST((doc_id - 1) // 8 AS VARCHAR)
+             ELSE text END AS text
+      FROM ${Q.DocsRef}),
+    tr AS (SELECT DISTINCT md5(text) AS dg FROM d WHERE doc_id % 4 = 0),
+    nw AS (SELECT doc_id, md5(text) AS dg FROM d WHERE doc_id % 4 <> 0)
+    SELECT nw.doc_id,
+           CASE WHEN tr.dg IS NULL THEN 0 ELSE 1 END AS in_training
+    FROM nw LEFT JOIN tr ON nw.dg = tr.dg
+    ORDER BY doc_id"""
 
   /** The synthetic corpus has a 31-type, hapax-free vocabulary, so the
     * df-score rows plant rarity on residue classes: a doc-unique token
@@ -1653,6 +1690,48 @@ object PipelineQueries {
                CAST(CASE WHEN COALESCE(r.span_rep, d.doc_id) < d.doc_id
                     THEN 1 ELSE 0 END AS INT) AS is_span_dup
         FROM d LEFT JOIN r USING (doc_id) ORDER BY doc_id""")),
+
+    // Bloom-guarded INCREMENTAL exact-dedup membership — the "is this new
+    // document already in the training set?" probe, shaped for a training
+    // side orders of magnitude larger than the increment: training digests
+    // fold into ONE broadcast Bloom filter, the new side probes it as a
+    // pure column predicate (bloom-negatives — the genuinely-new majority —
+    // resolve with zero join work; no false negatives), and only the
+    // candidate digests re-verify against the real digest relation, which
+    // makes the flag EXACT at any fpp. Training = the %4 == 0 subset, new
+    // = the rest; cross-subset exact copies planted on the %8 residue
+    // classes (63 of 375 new docs flag at sf0.01 — the corpus itself has
+    // zero exact duplicates). See Dedup.bloomMembership for the 100 TB
+    // contract (maintained digest side-table, never a text re-scan).
+    Q("dedup_bloom",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .withColumn("text", bloomPlantText)
+        Dedup.bloomMembership(
+          d.filter(pmod(col("doc_id"), lit(4)) =!= 0), "doc_id", "text",
+          d.filter(pmod(col("doc_id"), lit(4)) === 0)
+            .select(md5(col("text")).as("dg")))
+          .orderBy("doc_id")
+      },
+      Some(bloomMembershipOracleSql)),
+
+    // the oversized-training-set twin: maxBloomItems = 0 forces the
+    // guarded fallback a >5·10⁸-digest training side would take — no
+    // filter build, plain distinct-digest membership join (one training
+    // Exchange). Strategy must be result-invisible, so the oracle is
+    // byte-identical to dedup_bloom's: one DuckDB replay checks both.
+    Q("dedup_bloom_fallback",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .withColumn("text", bloomPlantText)
+        Dedup.bloomMembership(
+          d.filter(pmod(col("doc_id"), lit(4)) =!= 0), "doc_id", "text",
+          d.filter(pmod(col("doc_id"), lit(4)) === 0)
+            .select(md5(col("text")).as("dg")),
+          maxBloomItems = 0L)
+          .orderBy("doc_id")
+      },
+      Some(bloomMembershipOracleSql)),
 
     // embedding near-dup routed through LSH buckets — the scale path is the
     // declared plan; the all-pairs form survives only as the test-side

@@ -619,6 +619,48 @@ object StreamingQueries {
               FROM p WHERE cos >= 0.4e0 GROUP BY b_id)
         SELECT vec_id, rep_id, n_near FROM r ORDER BY vec_id""")),
 
+    // INCREMENTAL Bloom-guarded exact-dedup membership at ingestion — the
+    // streaming face of dedup_bloom, completing the "new data versus the
+    // existing training set" family: the training digests fold into a
+    // broadcast Bloom filter built OFFLINE (once per run, not per
+    // trigger), each incoming document probes it as a pure column
+    // predicate, and the exact verify rides the SAME stream-static left
+    // join by nulling the join key for bloom-negatives — a null key never
+    // matches and skips the hash probe, so the genuinely-new majority
+    // costs one bit-array read per row while the flag stays EXACT (md5
+    // equality decides; the filter only prunes). One scan, one plan, no
+    // join state, no watermark. The static digest side is cached but NOT
+    // force-broadcast — at training-set scale the planner's shuffle-side
+    // join is the honest fallback, and the bloom's pruning is what keeps
+    // the probe volume small either way. Same %8 plant and oracle as the
+    // batch rows.
+    Q("stream_dedup_bloom",
+      (s, dir) => {
+        implicit val sp = s
+        val tr = graft.Caches.track(
+          graft.Tables.documents(s, dir)
+            .withColumn("text", PipelineQueries.bloomPlantText)
+            .filter(pmod(col("doc_id"), lit(4)) === 0)
+            .select(md5(col("text")).as("tdg")).distinct())
+        val n = tr.count()
+        val bf = tr.stat.bloomFilter(
+          graft.functions.GraftFunctions.hash60(col("tdg")), math.max(n, 1L), 0.01)
+        val bc = s.sparkContext.broadcast(bf)
+        val probed = StreamSources.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(4)) =!= 0)
+          .withColumn("text", PipelineQueries.bloomPlantText)
+          .select(col("doc_id"), md5(col("text")).as("dg"))
+          .withColumn("pos",
+            graft.functions.expressions.BloomMightContainLong.of(
+              bc, graft.functions.GraftFunctions.hash60(col("dg"))))
+        val flagged = probed
+          .join(tr, when(col("pos"), col("dg")) === col("tdg"), "left")
+          .select(col("doc_id"), col("tdg").isNotNull.cast("int").as("in_training"))
+        StreamRun.toBatch(flagged, "append", numPartitions = 4)
+          .orderBy("doc_id")
+      },
+      Some(PipelineQueries.bloomMembershipOracleSql)),
+
     // ingestion-time DECONTAMINATION — the stream-static join shape: the
     // benchmark's distinct grams are a STATIC relation (batch-read, small
     // by definition, force-broadcast) and the document stream probes it

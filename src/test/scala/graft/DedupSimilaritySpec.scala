@@ -145,4 +145,44 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "all identical docs must collapse to rep 0")
     assert(got.filter(col("doc_id") > 0L && col("is_span_dup") =!= 1).isEmpty)
   }
+
+  test("bloom membership is exact at any fpp and on both join strategies") {
+    import spark.implicits._
+    val trDg = Seq("alpha body", "beta body", "gamma body").toDF("text")
+      .select(md5(col("text")).as("dg"))
+    val nw = Seq((1L, "alpha body"), (2L, "fresh one"), (3L, "beta body"),
+      (5L, "fresh two")).toDF("doc_id", "text")
+    val expected = Map(1L -> 1, 2L -> 0, 3L -> 1, 5L -> 0)
+    // fpp = 0.5 floods the probe with false positives; maxBloomItems = 0
+    // forces the guarded fallback — the md5 verify must make every
+    // combination produce the identical exact flags
+    for (fpp <- Seq(0.01, 0.5); maxItems <- Seq(Dedup.MaxBloomItems, 0L)) {
+      val got = Dedup.bloomMembership(nw, "doc_id", "text", trDg,
+        fpp = fpp, maxBloomItems = maxItems)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == expected, s"fpp=$fpp maxBloomItems=$maxItems")
+      Caches.releaseAll()
+    }
+  }
+
+  test("bloom probe has no false negatives; only the fast path plans it") {
+    val trDg = spark.range(1000).select(md5(col("id").cast("string")).as("dg"))
+    val bf = trDg.stat.bloomFilter(
+      graft.functions.GraftFunctions.hash60(col("dg")), 1000L, 0.01)
+    val bc = spark.sparkContext.broadcast(bf)
+    val misses = trDg.filter(!graft.functions.expressions.BloomMightContainLong.of(
+        bc, graft.functions.GraftFunctions.hash60(col("dg"))))
+      .count()
+    assert(misses == 0, "a Bloom filter must never produce a false negative")
+    val d = Tables.documents(spark, TestSpark.SF)
+    val dg = d.select(md5(col("text")).as("dg"))
+    val fast = Dedup.bloomMembership(d, "doc_id", "text", dg)
+    assert(fast.queryExecution.executedPlan.toString.contains("bloom_might_contain_long"),
+      "fast path must probe the Bloom filter")
+    Caches.releaseAll()
+    val fb = Dedup.bloomMembership(d, "doc_id", "text", dg, maxBloomItems = 0L)
+    assert(!fb.queryExecution.executedPlan.toString.contains("bloom_might_contain_long"),
+      "fallback path must not build or probe a filter")
+    Caches.releaseAll()
+  }
 }
