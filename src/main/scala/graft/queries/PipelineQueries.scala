@@ -506,6 +506,11 @@ object PipelineQueries {
   /** Span width of the exact-substring dedup rule (tokens). */
   private[queries] val SpanDedupK = 8
 
+  /** Chunking policy for pipeline_chunk_docs: context-window size and
+    * stride in tokens (overlap = size − stride). */
+  private[queries] val ChunkTokens = 32
+  private[queries] val ChunkStride = 24
+
   /** The synthetic corpus has ZERO exact duplicates (500/500 distinct
     * md5 at sf0.01), so the bloom-membership rows plant cross-subset
     * exact copies on residue classes: every training doc ≡ 0 (mod 8) and
@@ -1223,6 +1228,44 @@ object PipelineQueries {
                CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
                array_to_string(list(text ORDER BY doc_id), chr(10) || chr(10)) AS example_text
         FROM sh GROUP BY shard_id ORDER BY shard_id""")),
+
+    // sliding-window CHUNKING of long documents into fixed-token training
+    // segments with overlap — the standard alternative to dropping or
+    // truncating docs longer than the context budget (HF-style
+    // return_overflowing_tokens): chunk i covers tokens
+    // [i·stride, i·stride + size), n_chunks = 1 + ceil((n − size)/stride)
+    // for n > size (every chunk full-length except the last, no
+    // pure-suffix tail chunks), one chunk for short docs, zero for empty
+    // ones. Pure per-row tokenize + bounded explode — no shuffle, one
+    // corpus scan at 100 TB; the explode multiplier is n/stride by
+    // construction. Integer-exact chunk math on both engines (operands
+    // non-negative, so Spark div ≡ DuckDB //); 32-token chunks at
+    // stride 24 give 1–4 chunks over the 10–99-token synthetic docs.
+    Q("pipeline_chunk_docs",
+      (s, dir) => graft.pipeline.Chunking.chunkDocs(
+          Tables.documents(s, dir), "doc_id", "text",
+          size = ChunkTokens, stride = ChunkStride)
+        .orderBy("doc_id", "chunk_no"),
+      Some(s"""
+        WITH d AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks
+                   FROM ${Q.DocsRef}),
+        s AS (SELECT doc_id, toks, CAST(len(toks) AS INT) AS n FROM d
+              WHERE len(toks) > 0),
+        x AS (SELECT doc_id, toks, n,
+                CASE WHEN n <= $ChunkTokens THEN 1
+                     ELSE 1 + (n - $ChunkTokens + ${ChunkStride - 1}) // $ChunkStride
+                END AS n_chunks
+              FROM s),
+        e AS (SELECT doc_id, toks, n,
+                CAST(unnest(range(n_chunks)) AS INT) AS chunk_no
+              FROM x)
+        SELECT doc_id, chunk_no,
+               CAST(LEAST($ChunkTokens, n - chunk_no * $ChunkStride) AS INT) AS chunk_len,
+               array_to_string(
+                 toks[chunk_no * $ChunkStride + 1 :
+                      chunk_no * $ChunkStride + LEAST($ChunkTokens, n - chunk_no * $ChunkStride)],
+                 ' ') AS chunk_text
+        FROM e ORDER BY doc_id, chunk_no""")),
 
     // deterministic stratified (class-balanced) sampling: 20 vectors per
     // label, chosen by a fixed multiplicative hash of the id so the

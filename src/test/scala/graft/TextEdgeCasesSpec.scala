@@ -229,6 +229,33 @@ class TextEdgeCasesSpec extends AnyFunSuite {
       s"clean first URL laundered a blocked later one: ${rows(8L)}")
   }
 
+  test("chunking: hand-computed windows at every boundary shape") {
+    import spark.implicits._
+    def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    // size 4, stride 3 (overlap 1): boundary shapes —
+    //   n=0 → no rows; n=3 (<size) → 1 chunk; n=4 (=size) → 1 chunk;
+    //   n=5 (=size+1) → 2 chunks, tail len 2 (NOT a pure suffix);
+    //   n=7 (=size+stride) → 2 chunks, both full;
+    //   n=8 → 3 chunks (1 + ceil(4/3)), tail len 2
+    val docs = Seq(0L -> "", 3L -> words(3), 4L -> words(4), 5L -> words(5),
+      7L -> words(7), 8L -> words(8)).toDF("doc_id", "text")
+    val got = graft.pipeline.Chunking.chunkDocs(docs, "doc_id", "text", size = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getString(3)))).toMap
+    assert(!got.keys.exists(_._1 == 0L), "token-less docs emit no chunks")
+    assert(got.keys.count(_._1 == 3L) == 1 && got((3L, 0)) == ((3, "w1 w2 w3")))
+    assert(got.keys.count(_._1 == 4L) == 1 && got((4L, 0)) == ((4, "w1 w2 w3 w4")))
+    assert(got.keys.count(_._1 == 5L) == 2)
+    assert(got((5L, 0)) == ((4, "w1 w2 w3 w4")))
+    assert(got((5L, 1)) == ((2, "w4 w5")), "tail chunk starts at stride, keeps overlap")
+    assert(got.keys.count(_._1 == 7L) == 2 && got((7L, 1)) == ((4, "w4 w5 w6 w7")))
+    assert(got.keys.count(_._1 == 8L) == 3 && got((8L, 2)) == ((2, "w7 w8")))
+    // every token of every doc appears in at least one chunk (coverage)
+    for (n <- Seq(3, 4, 5, 7, 8))
+      assert(got.filter(_._1._1 == n.toLong).values.flatMap(_._2.split(" ")).toSet
+        == (1 to n).map(i => s"w$i").toSet, s"n=$n must be fully covered")
+  }
+
   test("decontaminate: self-overlap flags, zero-overlap passes, short docs survive") {
     import spark.implicits._
     val corpus = Seq(
