@@ -511,6 +511,53 @@ object PipelineQueries {
   private[queries] val ChunkTokens = 32
   private[queries] val ChunkStride = 24
 
+  /** Merge rounds of the BPE-training row. */
+  private[queries] val BpeRounds = 6
+
+  /** Round-by-round DuckDB replay of Bpe.train: m0 = the normalized
+    * symbol state, then per round r a pair-count CTE (adjacent symbols
+    * with multiplicity), a best-pair CTE (count DESC, pair ASC — the
+    * engine's exact tiebreak) consumed as scalar subqueries, and the
+    * merged state via the identical space-doubling rewrite. Requires the
+    * corpus to yield at least one pair every round (the 10–99-token
+    * synthetic docs do, round-independently); the library function
+    * itself stops early on exhaustion, spec-covered. Every CTE is
+    * MATERIALIZED: each round references its predecessor several times
+    * (pair count + the 4 scalar-subquery uses of the best pair), so
+    * DuckDB's default inlining would re-expand the chain ~5^rounds times
+    * — measured minutes at 6 rounds; materialized it replays in seconds.
+    */
+  private def bpeOracleSql(rounds: Int): String = {
+    def round(r: Int): String = s"""
+      p$r AS MATERIALIZED (
+        SELECT pair, count(*) AS cnt FROM (
+          SELECT unnest(CASE WHEN len(tk) >= 2
+            THEN list_transform(range(0, len(tk) - 1),
+                   i -> tk[CAST(i + 1 AS INT)] || ' ' || tk[CAST(i + 2 AS INT)])
+            ELSE CAST([] AS VARCHAR[]) END) AS pair
+          FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS tk
+                FROM m${r - 1})) GROUP BY pair),
+      b$r AS MATERIALIZED (SELECT string_split(pair, ' ')[1] AS a,
+                     string_split(pair, ' ')[2] AS b
+              FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+      m$r AS MATERIALIZED (SELECT doc_id,
+        trim(regexp_replace(
+          replace(' ' || replace(s, ' ', '  ') || ' ',
+                  ' ' || (SELECT a FROM b$r) || '  ' || (SELECT b FROM b$r) || ' ',
+                  ' ' || (SELECT a FROM b$r) || chr(1) || (SELECT b FROM b$r) || ' '),
+          ' +', ' ', 'g')) AS s
+        FROM m${r - 1})"""
+    s"""
+      WITH m0 AS MATERIALIZED (SELECT doc_id,
+          array_to_string(${DuckSql.tokens("text")}, ' ') AS s
+        FROM ${Q.DocsRef}),
+      ${(1 to rounds).map(round).mkString(",")}
+      SELECT doc_id,
+        CAST(len(list_filter(string_split(s, ' '), x -> x <> '')) AS INT) AS n_symbols,
+        s AS text_bpe
+      FROM m$rounds ORDER BY doc_id"""
+  }
+
   /** The synthetic corpus has ZERO exact duplicates (500/500 distinct
     * md5 at sf0.01), so the bloom-membership rows plant cross-subset
     * exact copies on residue classes: every training doc ≡ 0 (mod 8) and
@@ -826,6 +873,29 @@ object PipelineQueries {
                CAST(len(${DuckSql.tokens("text")}) AS INT) AS n_ws_tokens
         FROM ${Q.DocsRef} ORDER BY doc_id"""
       }),
+
+    // distributed BPE-merge TRAINING (Sennrich et al.): 6 rounds of
+    // "count adjacent symbol pairs corpus-wide → merge the most frequent
+    // pair everywhere" — the same iterative-refinement shape as the
+    // trained-IVF Lloyd rounds, one map-side-combined pair aggregation +
+    // one broadcast-literal rewrite per round, driver holds one best-pair
+    // row per round. Output = the final per-doc symbol state, so a wrong
+    // best pair (count OR tiebreak) in ANY round diverges the hash; the
+    // oracle replays training round-by-round with chained CTEs generated
+    // from the same parameters (scalar-subquery best pair, identical
+    // space-doubling rewrite — replace() scans left-to-right
+    // non-overlapping in both engines). See text/Bpe.scala for the
+    // greedy-merge and determinism contracts.
+    Q("text_bpe_train",
+      (s, dir) => {
+        val (_, state) = graft.text.Bpe.train(
+          Tables.documents(s, dir), "doc_id", "text", rounds = BpeRounds)
+        state.select(col("doc_id"),
+          size(tokens(col("s"))).cast("int").as("n_symbols"),
+          col("s").as("text_bpe"))
+          .orderBy("doc_id")
+      },
+      Some(bpeOracleSql(BpeRounds))),
 
     Q("text_fingerprint",
       (s, dir) => {

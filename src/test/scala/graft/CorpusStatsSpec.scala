@@ -60,4 +60,33 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got(2L) == ((1, 0, "", 0.0)), "case-insensitive boilerplate match")
     assert(got(3L)._4 == 0.0, "empty doc: ratio guards the 0/0")
   }
+
+  test("BPE training: hand-traced merges, tiebreak, greedy non-overlap, exhaustion") {
+    import spark.implicits._
+    val J = graft.text.Bpe.Joiner
+    // round 1: "a b" wins with count 3; round 2: all pairs tie at 1 and
+    // "a·b a·b" is the lexicographically smallest — both the count rule
+    // and the tiebreak are exercised
+    val docs = Seq((0L, "a b a b c"), (1L, "a b x")).toDF("doc_id", "text")
+    val (merges, state) = graft.text.Bpe.train(docs, "doc_id", "text", rounds = 2)
+    assert(merges.map(m => (m.a, m.b, m.count)) ==
+      Seq(("a", "b", 3L), (s"a${J}b", s"a${J}b", 1L)))
+    val st = state.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st(0L) == s"a${J}b${J}a${J}b c")
+    assert(st(1L) == s"a${J}b x")
+    Caches.releaseAll()
+    // greedy non-overlapping left-to-right: [a,a,a] under (a,a) → [aa, a]
+    val runs = Seq((0L, "a a a")).toDF("doc_id", "text")
+    val (m2, s2) = graft.text.Bpe.train(runs, "doc_id", "text", rounds = 1)
+    assert(m2 == Seq(graft.text.Bpe.Merge("a", "a", 2L)))
+    assert(s2.collect()(0).getString(1) == s"a${J}a a")
+    Caches.releaseAll()
+    // exhaustion: single-symbol docs have no adjacent pairs — training
+    // stops early instead of emitting degenerate merges
+    val singles = Seq((0L, "solo"), (1L, "alone")).toDF("doc_id", "text")
+    val (m3, s3) = graft.text.Bpe.train(singles, "doc_id", "text", rounds = 3)
+    assert(m3.isEmpty)
+    assert(s3.collect().map(_.getString(1)).sorted.toSeq == Seq("alone", "solo"))
+    Caches.releaseAll()
+  }
 }
