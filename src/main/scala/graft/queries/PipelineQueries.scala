@@ -527,35 +527,69 @@ object PipelineQueries {
     * DuckDB's default inlining would re-expand the chain ~5^rounds times
     * — measured minutes at 6 rounds; materialized it replays in seconds.
     */
-  private def bpeOracleSql(rounds: Int): String = {
-    def round(r: Int): String = s"""
-      p$r AS MATERIALIZED (
+  /** Adjacent-pair counts with multiplicity over a symbol-state CTE. */
+  private def bpePairSql(from: String): String = s"""
         SELECT pair, count(*) AS cnt FROM (
           SELECT unnest(CASE WHEN len(tk) >= 2
             THEN list_transform(range(0, len(tk) - 1),
                    i -> tk[CAST(i + 1 AS INT)] || ' ' || tk[CAST(i + 2 AS INT)])
             ELSE CAST([] AS VARCHAR[]) END) AS pair
           FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS tk
-                FROM m${r - 1})) GROUP BY pair),
+                FROM $from)) GROUP BY pair"""
+
+  /** One greedy merge rewrite of state `from` by best-pair CTE `b`
+    * (Bpe.mergeStep's space-doubling replace, verbatim). */
+  private def bpeRewriteSql(from: String, b: String): String = s"""
+        SELECT doc_id,
+          trim(regexp_replace(
+            replace(' ' || replace(s, ' ', '  ') || ' ',
+                    ' ' || (SELECT a FROM $b) || '  ' || (SELECT b FROM $b) || ' ',
+                    ' ' || (SELECT a FROM $b) || chr(1) || (SELECT b FROM $b) || ' '),
+            ' +', ' ', 'g')) AS s
+        FROM $from"""
+
+  private def bpeState0Sql(where: String): String = s"""
+        SELECT doc_id, array_to_string(${DuckSql.tokens("text")}, ' ') AS s
+        FROM ${Q.DocsRef}$where"""
+
+  private val bpeFinalSql: String = """
+      SELECT doc_id,
+        CAST(len(list_filter(string_split(s, ' '), x -> x <> '')) AS INT) AS n_symbols,
+        s AS text_bpe"""
+
+  private def bpeOracleSql(rounds: Int): String = {
+    def round(r: Int): String = s"""
+      p$r AS MATERIALIZED (${bpePairSql(s"m${r - 1}")}),
       b$r AS MATERIALIZED (SELECT string_split(pair, ' ')[1] AS a,
                      string_split(pair, ' ')[2] AS b
               FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
-      m$r AS MATERIALIZED (SELECT doc_id,
-        trim(regexp_replace(
-          replace(' ' || replace(s, ' ', '  ') || ' ',
-                  ' ' || (SELECT a FROM b$r) || '  ' || (SELECT b FROM b$r) || ' ',
-                  ' ' || (SELECT a FROM b$r) || chr(1) || (SELECT b FROM b$r) || ' '),
-          ' +', ' ', 'g')) AS s
-        FROM m${r - 1})"""
+      m$r AS MATERIALIZED (${bpeRewriteSql(s"m${r - 1}", s"b$r")})"""
     s"""
-      WITH m0 AS MATERIALIZED (SELECT doc_id,
-          array_to_string(${DuckSql.tokens("text")}, ' ') AS s
-        FROM ${Q.DocsRef}),
+      WITH m0 AS MATERIALIZED (${bpeState0Sql("")}),
       ${(1 to rounds).map(round).mkString(",")}
-      SELECT doc_id,
-        CAST(len(list_filter(string_split(s, ' '), x -> x <> '')) AS INT) AS n_symbols,
-        s AS text_bpe
+      $bpeFinalSql
       FROM m$rounds ORDER BY doc_id"""
+  }
+
+  /** The train-offline/apply-at-ingestion twin: the merge table derives
+    * from the %4 == 0 TRAINING subset (its own m-chain), and a second
+    * a-chain applies those same best pairs to every document — what the
+    * streaming row computes with driver-held merge literals.
+    */
+  private[queries] def bpeApplyOracleSql(rounds: Int): String = {
+    def round(r: Int): String = s"""
+      p$r AS MATERIALIZED (${bpePairSql(s"m${r - 1}")}),
+      b$r AS MATERIALIZED (SELECT string_split(pair, ' ')[1] AS a,
+                     string_split(pair, ' ')[2] AS b
+              FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+      m$r AS MATERIALIZED (${bpeRewriteSql(s"m${r - 1}", s"b$r")}),
+      a$r AS MATERIALIZED (${bpeRewriteSql(s"a${r - 1}", s"b$r")})"""
+    s"""
+      WITH m0 AS MATERIALIZED (${bpeState0Sql(" WHERE doc_id % 4 = 0")}),
+      a0 AS MATERIALIZED (${bpeState0Sql("")}),
+      ${(1 to rounds).map(round).mkString(",")}
+      $bpeFinalSql
+      FROM a$rounds ORDER BY doc_id"""
   }
 
   /** The synthetic corpus has ZERO exact duplicates (500/500 distinct

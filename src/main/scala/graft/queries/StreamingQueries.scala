@@ -619,6 +619,36 @@ object StreamingQueries {
               FROM p WHERE cos >= 0.4e0 GROUP BY b_id)
         SELECT vec_id, rep_id, n_near FROM r ORDER BY vec_id""")),
 
+    // BPE tokenization AT INGESTION against a frozen tokenizer — the
+    // production shape (training on the stream would drift the
+    // vocabulary with arrival order): merges train OFFLINE on the
+    // %4 == 0 training subset (the same distributed rounds as
+    // text_bpe_train), then the stream applies the frozen merge table as
+    // a chain of R broadcast-literal rewrites — pure per-row column
+    // work, no shuffle, no state, no watermark; the stream plan never
+    // changes shape with R. The oracle re-derives the merge table from
+    // the training subset and applies it to every doc (two CTE chains,
+    // same generator family as the batch row).
+    Q("stream_text_bpe_apply",
+      (s, dir) => {
+        implicit val sp = s
+        val (merges, _) = graft.text.Bpe.train(
+          graft.Tables.documents(s, dir)
+            .filter(pmod(col("doc_id"), lit(4)) === 0),
+          "doc_id", "text", rounds = PipelineQueries.BpeRounds)
+        val out = StreamSources.documents(s, dir)
+          .select(col("doc_id"),
+            graft.text.Bpe.applyMerges(col("text"), merges).as("s"))
+          .select(col("doc_id"),
+            org.apache.spark.sql.functions.size(
+              graft.functions.GraftFunctions.tokens(col("s")))
+              .cast("int").as("n_symbols"),
+            col("s").as("text_bpe"))
+        StreamRun.toBatch(out, "append", numPartitions = 4)
+          .orderBy("doc_id")
+      },
+      Some(PipelineQueries.bpeApplyOracleSql(PipelineQueries.BpeRounds))),
+
     // INCREMENTAL Bloom-guarded exact-dedup membership at ingestion — the
     // streaming face of dedup_bloom, completing the "new data versus the
     // existing training set" family: the training digests fold into a

@@ -60,6 +60,16 @@ object Bpe {
         lit(s" $a  $b "), lit(s" $a$joiner$b ")),
       " +", " "))
 
+  /** Apply an already-trained merge list to raw text, in training order —
+    * the inference half of the tokenizer: a frozen merge table is a
+    * handful of driver constants, so application is a chain of R
+    * broadcast-literal rewrites — pure per-row column work, no shuffle,
+    * no state, stream-safe (the production shape: BPE is trained offline
+    * on the existing corpus and applied at ingestion; training on the
+    * stream would make the vocabulary drift with arrival order). */
+  def applyMerges(text: Column, merges: Seq[Merge], joiner: String = Joiner): Column =
+    merges.foldLeft(initState(text))((s, m) => mergeStep(s, m.a, m.b, joiner))
+
   /** Train `rounds` merges over the corpus; returns the learned merge
     * table (may be shorter than `rounds` if the corpus runs out of
     * adjacent pairs) and the final per-doc state (idCol, "s"). Each
