@@ -212,6 +212,45 @@ object Dedup {
     * `maxBloomItems` take the guarded fallback: the plain distinct-digest
     * membership join (one training Exchange), same result by construction.
     */
+  /** Build a Bloom filter over a column at the REQUESTED (n, fpp) size.
+    *
+    * Spark's `stat.bloomFilter` routes through the runtime-filter
+    * aggregate (`bloom_filter_agg`), which silently CLAMPS the bit count
+    * at `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` — default
+    * 2²⁶ bits = 8 MB, sized for join pruning, not membership. At 10⁷
+    * items the clamp turns a designed 1% fpp into a MEASURED 11%
+    * (`ScaleStressSpec` caught this), and at training-set scale it would
+    * quietly defeat the probe's pruning entirely (every new doc a
+    * "candidate"). Exactness never breaks — the verify join eats false
+    * positives — but the fast path's economics do. The item ceiling
+    * (`maxNumItems`, default 4·10⁶) clamps too, which skews the
+    * hash-count choice (k picked for the clamped n ≈ 17 hashes instead
+    * of 7 — measured 4.2% fp even after un-clamping the bits alone).
+    * Raise BOTH ceilings to the requested (n, fpp) around the build;
+    * restore after.
+    */
+  private[graft] def buildBloom(df: DataFrame, c: org.apache.spark.sql.Column,
+      n: Long, fpp: Double): org.apache.spark.util.sketch.BloomFilter = {
+    val spark = df.sparkSession
+    val optimalBits = math.ceil(
+      -n.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val prevBits = spark.conf.getOption(bitsKey)
+    val prevItems = spark.conf.getOption(itemsKey)
+    spark.conf.set(bitsKey, math.max(optimalBits, 67108864L).toString)
+    spark.conf.set(itemsKey, math.max(n, 4000000L).toString)
+    try df.stat.bloomFilter(c, math.max(n, 1L), fpp)
+    finally {
+      def restore(key: String, prev: Option[String]): Unit = prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      restore(bitsKey, prevBits)
+      restore(itemsKey, prevItems)
+    }
+  }
+
   def bloomMembership(newDf: DataFrame, idCol: String, textCol: String,
       trainingDigests: DataFrame, fpp: Double = 0.01,
       maxBloomItems: Long = MaxBloomItems): DataFrame = {
@@ -220,7 +259,7 @@ object Dedup {
     val newDg = newDf.select(col(idCol), md5(col(textCol)).as("dg"))
     val confirmed =
       if (n <= maxBloomItems) {
-        val bf = tr.stat.bloomFilter(hash60(col("dg")), math.max(n, 1L), fpp)
+        val bf = buildBloom(tr, hash60(col("dg")), n, fpp)
         val bc = newDf.sparkSession.sparkContext.broadcast(bf)
         val cand = newDg
           .filter(graft.functions.expressions.BloomMightContainLong.of(

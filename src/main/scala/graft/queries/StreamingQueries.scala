@@ -673,8 +673,11 @@ object StreamingQueries {
             .filter(pmod(col("doc_id"), lit(4)) === 0)
             .select(md5(col("text")).as("tdg")).distinct())
         val n = tr.count()
-        val bf = tr.stat.bloomFilter(
-          graft.functions.GraftFunctions.hash60(col("tdg")), math.max(n, 1L), 0.01)
+        // buildBloom, not stat.bloomFilter: the raw stat call clamps the
+        // filter at the runtime-filter bit ceiling (8 MB) — see the
+        // Dedup.buildBloom scaladoc for the measured degradation
+        val bf = graft.dedup.Dedup.buildBloom(tr,
+          graft.functions.GraftFunctions.hash60(col("tdg")), n, 0.01)
         val bc = s.sparkContext.broadcast(bf)
         val probed = StreamSources.documents(s, dir)
           .filter(pmod(col("doc_id"), lit(4)) =!= 0)

@@ -392,6 +392,56 @@ class ScaleStressSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("10M-digest bloom: membership exact at scale; probe fp-rate near fpp") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_STRESS=1 to run")
+    // training side = 10⁷ digests (the filter folds to ~12 MB of bits at
+    // 1% fpp); increment = 10⁶ docs, half exact re-ingests of training
+    // texts, half fresh. The operator's flags must be EXACT (the verify
+    // join erases the filter's false positives), and the raw probe must
+    // hold the filter's statistical contract at this scale: zero false
+    // negatives on members, fp rate within 3× the configured fpp on a
+    // disjoint probe set.
+    import graft.functions.GraftFunctions.hash60
+    val n = totalRows
+    val t0 = System.nanoTime()
+    val tr = spark.range(n)
+      .select(md5(concat(lit("t"), col("id").cast("string"))).as("dg"))
+    // buildBloom raises the runtime-filter bit ceiling to the optimal
+    // size — the raw stat.bloomFilter clamps at 2^26 bits, which this
+    // test MEASURED as 11% fp at 10⁷ items before the guard existed
+    val bf = graft.dedup.Dedup.buildBloom(tr, hash60(col("dg")), n, 0.01)
+    val tBuild = (System.nanoTime() - t0) / 1e9
+    assert(bf.bitSize() >= 9.0e7.toLong,
+      s"filter must be built at the requested size, got ${bf.bitSize()} bits")
+    val bc = spark.sparkContext.broadcast(bf)
+    def probe(c: org.apache.spark.sql.Column) =
+      graft.functions.expressions.BloomMightContainLong.of(bc, hash60(c))
+    val misses = spark.range(1000000)
+      .select(md5(concat(lit("t"), col("id").cast("string"))).as("dg"))
+      .filter(!probe(col("dg"))).count()
+    assert(misses == 0, "no false negatives on a 10⁶ member sample")
+    val fps = spark.range(1000000)
+      .select(md5(concat(lit("x"), col("id").cast("string"))).as("dg"))
+      .filter(probe(col("dg"))).count()
+    assert(fps < 30000, s"fp rate ${fps / 1e6} must stay near fpp=0.01")
+    // end-to-end operator at the same scale: exact flags on the increment
+    val t1 = System.nanoTime()
+    val inc = spark.range(1000000).select(col("id").as("doc_id"),
+      when(pmod(col("id"), lit(2)) === 0,
+        concat(lit("t"), col("id").cast("string")))
+        .otherwise(concat(lit("f"), col("id").cast("string"))).as("text"))
+    val flags = graft.dedup.Dedup.bloomMembership(inc, "doc_id", "text", tr)
+      .agg(sum(col("in_training")).as("dups"),
+        count(lit(1)).as("rows")).first()
+    val tOp = (System.nanoTime() - t1) / 1e9
+    graft.Caches.releaseAll()
+    info(f"bloom build over $n digests: $tBuild%.1f s; fp=${fps / 1e6}%.4f; " +
+      f"10⁶-doc membership end-to-end: $tOp%.1f s")
+    assert(flags.getLong(1) == 1000000L)
+    assert(flags.getLong(0) == 500000L,
+      s"exactly the 5·10⁵ re-ingested texts must flag: $flags")
+  }
+
   test("10M-doc df-score: an 80M-type vocabulary takes the shuffle-hash fallback") {
     assume(enabled, "set SPARK_GRAFT_SCALE_STRESS=1 to run")
     import org.apache.spark.sql.functions._
