@@ -113,6 +113,48 @@ object Mixing {
        |wp AS (SELECT $srcCol, CAST(floor(w) AS BIGINT) AS whole,
        |         CAST(floor((w - floor(w)) * $HashMod) AS BIGINT) AS thr FROM w)""".stripMargin
 
+  /** Deterministic hash-bucketed corpus split (train/val/test) — the
+    * reproducible analog of `randomSplit`: each document's bucket is a
+    * pure function of its id (the same fixed multiplicative hash as the
+    * sampler and mixer), so the split is stable across runs, engines,
+    * partitionings AND corpus growth — a document keeps its bucket when
+    * new data arrives, the property an RNG/seed split lacks and the one
+    * that stops eval-set leakage across training increments. Percents
+    * are integers; bucket boundaries are exact int64 cumulative
+    * fractions of 2³¹ (`HashMod · cumPct / 100` in integer math), so
+    * the decision is an exact comparison on both engines. Pure per-row
+    * column work: no shuffle, one scan at 100 TB.
+    *
+    * `splits` percents must total 100; a document lands in the first
+    * bucket whose cumulative threshold exceeds its hash.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Int)]): DataFrame = {
+    val h = mixHash(idCol)
+    val split = splitThresholds(splits).init.reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, (name, thr)) =>
+        when(h < thr, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", split)
+  }
+
+  /** Cumulative int64 thresholds for [[hashSplit]] (shared with the
+    * oracle rendering so the constants cannot diverge). */
+  def splitThresholds(splits: Seq[(String, Int)]): Seq[(String, Long)] = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 100,
+      s"split percents must total 100: $splits")
+    require(splits.forall(_._2 > 0), s"zero-width split bucket: $splits")
+    val cum = splits.map(_._2).scanLeft(0L)(_ + _).tail
+    splits.map(_._1).zip(cum.map(c => HashMod * c / 100L))
+  }
+
+  /** The DuckDB rendering of [[hashSplit]]'s bucket decision. */
+  def duckSplitCase(idCol: String, splits: Seq[(String, Int)]): String = {
+    val whens = splitThresholds(splits).init
+      .map { case (name, thr) => s"WHEN ${duckMixHash(idCol)} < $thr THEN '$name'" }
+    s"CASE ${whens.mkString(" ")} ELSE '${splits.last._1}' END"
+  }
+
   /** The DuckDB rendering of the same decision, from the SAME weight
     * table (constants match by construction): `(whole-CASE, thr-CASE)`
     * SQL fragments over `srcCol`.

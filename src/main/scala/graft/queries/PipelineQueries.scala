@@ -514,6 +514,9 @@ object PipelineQueries {
   /** Merge rounds of the BPE-training row. */
   private[queries] val BpeRounds = 6
 
+  /** The split policy of pipeline_split. */
+  private[queries] val SplitSpec = Seq("train" -> 98, "val" -> 1, "test" -> 1)
+
   /** Round-by-round DuckDB replay of Bpe.train: m0 = the normalized
     * symbol state, then per round r a pair-count CTE (adjacent symbols
     * with multiplicity), a best-pair CTE (count DESC, pair ASC — the
@@ -1396,6 +1399,67 @@ object PipelineQueries {
                    FROM read_parquet('{SFDIR}/embeddings.parquet'))
         SELECT label, vec_id, CAST(rk AS INT) AS rk FROM r
         WHERE rk <= 20 ORDER BY label, rk""")),
+
+    // deterministic hash-bucketed train/val/test split — reproducible
+    // across runs, engines, partitionings and CORPUS GROWTH (a doc keeps
+    // its bucket as new data arrives, which is what stops eval-set
+    // leakage across training increments — an RNG/seed split reshuffles).
+    // Exact int64 threshold comparisons on the shared multiplicative
+    // hash; pure per-row column work, one scan at 100 TB. 98/1/1 over
+    // sf0.01: 489/5/6 docs — every bucket populated.
+    Q("pipeline_split",
+      (s, dir) => graft.pipeline.Mixing.hashSplit(
+          Tables.documents(s, dir).select("doc_id"), "doc_id", SplitSpec)
+        .orderBy("doc_id"),
+      Some(s"""
+        SELECT doc_id,
+               ${graft.pipeline.Mixing.duckSplitCase("doc_id", SplitSpec)} AS split
+        FROM ${Q.DocsRef} ORDER BY doc_id""")),
+
+    // per-source corpus PROFILE — the EDA step before mixing decisions:
+    // doc counts, token totals and EXACT token quantiles (min/median/max)
+    // per source. The exact median pays one source-keyed Exchange + an
+    // in-partition sort (rank = (cnt+1) div 2 over the per-source
+    // window; ties share the value, so the picked median is
+    // deterministic) — the honest exact-quantile cost; a 100 TB profile
+    // would swap in approx_percentile and keep the same aggregate scan.
+    // Count/sum/min/max are partial→final aggregates (map-side combine).
+    Q("pipeline_corpus_profile",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("source"),
+          size(tokens(col("text"))).as("n_tokens"))
+        val med = d
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("source").orderBy(col("n_tokens"))))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy("source")))
+          .filter(col("rk") === expr("(cnt + 1) div 2"))
+          .select(col("source"), col("n_tokens").as("median_tokens"))
+        d.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens").cast("long")).as("total_tokens"),
+            min(col("n_tokens")).as("min_tokens"),
+            max(col("n_tokens")).as("max_tokens"))
+          .join(med, "source")
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH d AS (SELECT source,
+                     CAST(len(${DuckSql.tokens("text")}) AS INT) AS n_tokens
+                   FROM ${Q.DocsRef}),
+        r AS (SELECT source, n_tokens,
+                ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tokens) AS rk,
+                COUNT(*) OVER (PARTITION BY source) AS cnt
+              FROM d),
+        med AS (SELECT source, n_tokens AS median_tokens FROM r
+                WHERE rk = (cnt + 1) // 2),
+        agg AS (SELECT source, COUNT(*) AS n_docs,
+                  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                  MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+                FROM d GROUP BY source)
+        SELECT agg.source, n_docs, total_tokens, min_tokens, max_tokens,
+               median_tokens
+        FROM agg JOIN med ON agg.source = med.source
+        ORDER BY agg.source""")),
 
     // data MIXING: per-source sampling/duplication weights — the standard
     // pretraining step between cleaning and shard assembly (upweight

@@ -236,6 +236,29 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Generate"), "simhash must not explode: " + p.take(2000))
   }
 
+  test("chunking is one scan: tokenize + bounded explode, no exchange") {
+    val p = graft.pipeline.Chunking.chunkDocs(
+      Tables.documents(spark, TestSpark.SF), "doc_id", "text", 32, 24)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "chunking must not shuffle: " + p.take(2000))
+    assert(p.contains("Generate"), "chunk explode missing: " + p.take(2000))
+  }
+
+  test("BPE apply is pure column work: no exchange, no aggregate, no generate") {
+    // a frozen merge table applies as chained per-row rewrites — the
+    // stream-safe shape (stream_text_bpe_apply rides this unchanged)
+    val merges = Seq(graft.text.Bpe.Merge("a", "b", 1L),
+      graft.text.Bpe.Merge(s"a${graft.text.Bpe.Joiner}b", "c", 1L))
+    val p = Tables.documents(spark, TestSpark.SF)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.text.Bpe.applyMerges(
+          org.apache.spark.sql.functions.col("text"), merges).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "BPE apply must not shuffle: " + p.take(2000))
+    assert(!p.contains("Aggregate"), "BPE apply must not aggregate: " + p.take(2000))
+    assert(!p.contains("Generate"), "BPE apply must not explode: " + p.take(2000))
+  }
+
   test("decontamination probes a broadcast benchmark gram set (no corpus gram shuffle)") {
     // the CORPUS side must be one scan + explode streamed against the
     // broadcast benchmark grams — a corpus-side gram Exchange would

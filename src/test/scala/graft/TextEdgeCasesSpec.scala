@@ -229,6 +229,28 @@ class TextEdgeCasesSpec extends AnyFunSuite {
       s"clean first URL laundered a blocked later one: ${rows(8L)}")
   }
 
+  test("hash split: hand-computed buckets, exact thresholds, growth stability") {
+    import spark.implicits._
+    // h(id) = (id·2654435761) mod 2³¹; 50/25/25 thresholds = 2³⁰, 3·2²⁹, 2³¹.
+    // Hand values: h(0)=0, h(1)=506952113 (0.236), h(2)=1013904226 (0.472),
+    // h(3)=1520856339 (0.708), h(4)=2027808452 (0.944), h(5)=387276917 (0.18)
+    val splits = Seq("a" -> 50, "b" -> 25, "c" -> 25)
+    val expected = Map(0L -> "a", 1L -> "a", 2L -> "a", 3L -> "b", 4L -> "c", 5L -> "a")
+    val ids6 = (0L to 5L).toDF("doc_id")
+    val got = graft.pipeline.Mixing.hashSplit(ids6, "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == expected)
+    // growth stability: the first 6 ids keep their buckets when the
+    // corpus grows 100× — the anti-leakage property an RNG split lacks
+    val grown = graft.pipeline.Mixing.hashSplit((0L to 599L).toDF("doc_id"), "doc_id", splits)
+      .filter(col("doc_id") <= 5).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(grown == expected)
+    // percents must total 100
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Mixing.hashSplit(ids6, "doc_id", Seq("a" -> 60, "b" -> 30))
+    }
+  }
+
   test("chunking: hand-computed windows at every boundary shape") {
     import spark.implicits._
     def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
