@@ -336,6 +336,30 @@ object Dedup {
       .groupBy(col(idCol), col("band"))
       .agg(sum(col("rh")).as("bandsig"))
 
+  /** The stream-safe twin of [[lshBands]]: the k minhash values collapse
+    * to band signatures as ONE per-row column expression — an array of
+    * (band, bandsig) structs ready to explode — instead of the
+    * explode + groupBy the batch table uses. Value-identical by
+    * construction (the same per-row hash terms, summed in-expression
+    * rather than by the aggregate; integer addition is order-free), so
+    * a stream's bands join the batch-built static band table directly.
+    * Docs with no shingles yield null bandsigs (element_at past the
+    * empty sigs array), which no equi-join key matches — the same
+    * no-signature contract as the batch path. */
+  def lshBandsColumn(sigs: org.apache.spark.sql.Column, numPerms: Int,
+      rowsPerBand: Int): org.apache.spark.sql.Column = {
+    val nBands = numPerms / rowsPerBand
+    array((0 until nBands).map { b =>
+      val bandsig = (0 until rowsPerBand).map { r =>
+        hash60(concat(lit(r.toString), lit(":"),
+          element_at(sigs, b * rowsPerBand + r + 1).cast("string")))
+      }.reduce(_ + _)
+      // batch `lshBands` derives band via SQL `div`, which yields LONG —
+      // match the type so the stream side joins the static table cleanly
+      struct(lit(b.toLong).as("band"), bandsig.as("bandsig"))
+    }: _*)
+  }
+
   /** Candidate pairs (a_id < b_id) colliding in ≥1 LSH band. */
   def lshCandidates(bands: DataFrame, idCol: String): DataFrame =
     bands.select(col(idCol).as("a_id"), col("band"), col("bandsig"))

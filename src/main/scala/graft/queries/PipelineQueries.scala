@@ -45,8 +45,8 @@ object PipelineQueries {
        |  FROM inter iv JOIN sz sa ON sa.doc_id = iv.a_id JOIN sz sb ON sb.doc_id = iv.b_id
        |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= ${threshold}e0)""".stripMargin
 
-  /** Whole minhash-LSH pipeline as a CTE chain ending in `pairs`. */
-  private def minhashCtes(threshold: Double): String = {
+  /** Shared minhash sig/band chain (grams → perm minima → band sigs). */
+  private def minhashBandCtes: String = {
     val perms = (0 until 12).map { p =>
       val (a, b) = graft.functions.GraftFunctions.permHashParams(p)
       s"($p, $a, $b)"
@@ -61,13 +61,35 @@ object PipelineQueries {
        |bands AS (
        |  SELECT doc_id, p // 3 AS band,
        |         sum(${DuckSql.hash60("CAST(p % 3 AS VARCHAR) || ':' || CAST(minh AS VARCHAR)")}) AS bandsig
-       |  FROM hp GROUP BY doc_id, band),
+       |  FROM hp GROUP BY doc_id, band)""".stripMargin
+  }
+
+  /** Whole minhash-LSH pipeline as a CTE chain ending in `pairs`. */
+  private def minhashCtes(threshold: Double): String =
+    s"""$minhashBandCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id),
        |${jaccardTail(threshold)}""".stripMargin
-  }
+
+  /** The incremental (stream-vs-training-set) minhash replay: candidates
+    * are (training a, any b) band collisions — self-pairs included, so a
+    * re-ingested training doc flags against itself at jaccard 1 exactly
+    * like the span twin — aggregated per stream doc with min/max (both
+    * duplicate-insensitive, which is what lets the engine skip a
+    * distinct-pair stage in the stream).
+    */
+  private[queries] def minhashIncrementalSql(threshold: Double): String =
+    s"""$minhashBandCtes,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bandsig = b.bandsig
+       |  WHERE a.doc_id % 4 = 0),
+       |${jaccardTail(threshold)}
+       |SELECT b_id AS doc_id, min(a_id) AS rep_id, max(jaccard) AS j_max
+       |FROM pairs GROUP BY b_id ORDER BY doc_id""".stripMargin
 
   /** Hyperplane-LSH bucket assignment as DuckDB CTEs (`e`, `dots`, `b`) —
     * same deterministic plane weights as [[Similarity.planeWeights]], same

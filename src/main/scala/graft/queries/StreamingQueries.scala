@@ -619,6 +619,72 @@ object StreamingQueries {
               FROM p WHERE cos >= 0.4e0 GROUP BY b_id)
         SELECT vec_id, rep_id, n_near FROM r ORDER BY vec_id""")),
 
+    // INCREMENTAL MinHash-LSH near-dup at ingestion — the jaccard face
+    // of the "new data versus the existing training set" family
+    // (exact/bloom, span, semantic, and now near-dup): the training
+    // subset's band-signature table and per-doc shingle arrays are
+    // static cached relations built offline; each incoming document
+    // computes its signatures and band sigs as PURE COLUMN work (the
+    // native MinHashSigs kernel + the stream-safe lshBandsColumn — no
+    // groupBy, so the band stage needs no streaming-aggregation state),
+    // explodes to (band, bandsig) rows, equi-joins the static band
+    // table for candidates, and exact-verifies each candidate pair with
+    // a per-row array_intersect on the carried shingle arrays (distinct
+    // string grams — the same |A∩B|/|A∪B| the oracle computes; no
+    // hash-space intersection, so a gram-hash collision cannot skew the
+    // count). Multi-band collisions duplicate candidate pairs; the
+    // per-doc aggregation uses ONLY duplicate-insensitive min/max
+    // (rep_id, j_max), which is what makes a distinct-pair stage — a
+    // second streaming aggregation — unnecessary. Self-pairs included:
+    // a re-ingested training doc flags against itself at jaccard 1,
+    // like the span twin. Carrying the gram arrays through the ×4 band
+    // explode multiplies payload modestly; the alternative (re-joining
+    // the raw stream by id post-candidate) would cost a second stateful
+    // join — the carried-array shape is the honest streaming plan.
+    Q("stream_dedup_minhash",
+      (s, dir) => {
+        implicit val sp = s
+        import graft.functions.GraftFunctions.{hash60, wordShingles}
+        val training = graft.Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(4)) === 0)
+        val trBands = graft.Caches.track(
+          graft.dedup.Dedup.lshBands(
+            graft.dedup.Dedup.minhashSignatures(
+              training.select(col("doc_id"),
+                transform(wordShingles(col("text"), 3), g => hash60(g)).as("hs")),
+              "doc_id", 12),
+            "doc_id", 3)
+            .select(col("doc_id").as("a_id"), col("band"), col("bandsig")))
+        val trVerify = graft.Caches.track(
+          training.select(col("doc_id").as("a_id"),
+            wordShingles(col("text"), 3).as("sh_a")))
+        val incoming = StreamSources.documents(s, dir)
+          .select(col("doc_id"), wordShingles(col("text"), 3).as("sh_b"))
+          .withColumn("sigs", graft.functions.expressions.MinHashSigs.of(
+            transform(col("sh_b"), g => hash60(g)), 12))
+          .withColumn("bb", explode(
+            graft.dedup.Dedup.lshBandsColumn(col("sigs"), 12, 3)))
+          .select(col("doc_id"), col("sh_b"),
+            col("bb.band").as("band"), col("bb.bandsig").as("bandsig"))
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+        val verified = incoming
+          .join(trBands, Seq("band", "bandsig"))
+          .join(trVerify, Seq("a_id"))
+          .withColumn("inter", size(array_intersect(col("sh_b"), col("sh_a"))))
+          .withColumn("jaccard", col("inter").cast("double") /
+            (size(col("sh_b")) + size(col("sh_a")) - col("inter")).cast("double"))
+          .filter(col("jaccard") >= 0.6)
+        val flagged = verified
+          .groupBy(window(col("event_time"), "1 hour"), col("doc_id"))
+          .agg(min(col("a_id")).as("rep_id"), max(col("jaccard")).as("j_max"))
+          .select("doc_id", "rep_id", "j_max")
+        StreamRun.toBatch(flagged, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+          .orderBy("doc_id")
+      },
+      Some(PipelineQueries.minhashIncrementalSql(0.6))),
+
     // BPE tokenization AT INGESTION against a frozen tokenizer — the
     // production shape (training on the stream would drift the
     // vocabulary with arrival order): merges train OFFLINE on the

@@ -146,6 +146,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.filter(col("doc_id") > 0L && col("is_span_dup") =!= 1).isEmpty)
   }
 
+  test("stream-safe band column equals the aggregate band table") {
+    import graft.functions.GraftFunctions.{hash60, wordShingles}
+    val docs = Tables.documents(spark, TestSpark.SF)
+    val hs = docs.select(col("doc_id"),
+      transform(wordShingles(col("text"), 3), g => hash60(g)).as("hs"))
+    val agg = Dedup.lshBands(Dedup.minhashSignatures(hs, "doc_id", 12), "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val colForm = hs
+      .select(col("doc_id"), explode(Dedup.lshBandsColumn(
+        graft.functions.expressions.MinHashSigs.of(col("hs"), 12), 12, 3)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bandsig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(agg == colForm,
+      "per-row band expression must reproduce the groupBy band table exactly")
+    assert(agg.nonEmpty)
+  }
+
   test("bloom membership is exact at any fpp and on both join strategies") {
     import spark.implicits._
     val trDg = Seq("alpha body", "beta body", "gamma body").toDF("text")
