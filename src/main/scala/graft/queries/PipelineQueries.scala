@@ -539,6 +539,140 @@ object PipelineQueries {
   /** The split policy of pipeline_split. */
   private[queries] val SplitSpec = Seq("train" -> 98, "val" -> 1, "test" -> 1)
 
+  /** The v3/v4 composites' shared survivor chain (plants → line-wise
+    * correction → quality + repetition predicates → exact dedup → exact
+    * span dedup → decontamination → corpus-frequency hapax gate):
+    * (doc_id, source, text, n_tokens), cached. v3 mixes and shards the
+    * documents; v4 additionally chunks the surviving texts and splits.
+    */
+  private def corpusV3Survivors(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(s, dir).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(10)) < 7, lit("web"))
+        .when(pmod(col("doc_id"), lit(10)) < 9, lit("books"))
+        .otherwise(lit("wiki")).as("source"),
+      concat(lit("Home | About | Contact\n"),
+        when(pmod(col("doc_id"), lit(13)) === 0, lit(V3SharedBody))
+          .otherwise(col("text")),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" xq"), col("doc_id").cast("string"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("\nClick Here"))
+          .otherwise(lit(""))).as("text"))
+    val lc = TextAnalysis.lineCleanColumns(col("text")).toMap
+    val cleaned = planted.select(col("doc_id"), col("source"),
+        lc("clean_text").as("text"), lc("line_keep_ratio").as("ratio"))
+      .filter(col("ratio") >= 0.7)
+      .select("doc_id", "source", "text")
+    val q = TextAnalysis.qualityColumns(col("text")).toMap
+    val r = TextAnalysis.repetitionColumns(col("text")).toMap
+    val filtered = cleaned.select(col("doc_id"), col("source"), col("text"),
+        q("n_tokens").as("n_tokens"), q("quality_score").as("quality_score"),
+        r("dup_gram2_ratio").as("g2"), r("top_token_ratio").as("tt"))
+      .filter(col("quality_score") >= CorpusQualityMin &&
+        col("g2") <= CorpusDupGram2Max && col("tt") <= CorpusTopTokenMax)
+    // cached: the span stage references it twice (shingle index +
+    // id join-back), as does the df-score stage below
+    val exactDeduped = graft.Caches.track(filtered
+      .withColumn("rep_id",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .filter(col("rep_id") === col("doc_id"))
+      .select("doc_id", "source", "text", "n_tokens"))
+    val spanKept = exactDeduped.join(
+      Dedup.spanRepresentatives(exactDeduped, "doc_id", "text", SpanDedupK)
+        .filter(col("is_span_dup") === 0).select("doc_id"),
+      Seq("doc_id"))
+    val decontaminated = graft.Caches.track(spanKept.join(
+      Dedup.contaminatedIds(Tables.documents(s, dir), "doc_id", "text",
+        decontamBenchGrams(s, dir), DecontamN, DecontamMinShared),
+      Seq("doc_id"), "left_anti"))
+    graft.Caches.track(decontaminated.join(
+      CorpusStats.dfScore(decontaminated.select("doc_id", "text"),
+          "doc_id", "text")
+        .filter(col("hapax_ratio") <= 0.02).select("doc_id"),
+      Seq("doc_id"))
+      .select("doc_id", "source", "text", "n_tokens"))
+  }
+
+  /** The v3/v4 composites' shared oracle prefix: the survivor chain
+    * (plants → line cleanup → quality/repetition → exact dedup → span
+    * dedup → decontamination → hapax gate, ending in `sv2` with TEXT
+    * retained for v4's chunk stage) plus the temperature mix through
+    * `u` (doc_id, n_tokens, copy). v3 appends the doc-level shard
+    * cumsum; v4 appends the chunk explode, the copy join, the
+    * chunk-level cumsum and the split CASE.
+    */
+  private def corpusV3MixedCtes: String = {
+    val bp = TextAnalysis.BoilerplateLines.map(b => s"'$b'").mkString(", ")
+    s"""
+        WITH m AS (SELECT doc_id,
+            CASE WHEN doc_id % 10 < 7 THEN 'web'
+                 WHEN doc_id % 10 < 9 THEN 'books'
+                 ELSE 'wiki' END AS source,
+            'Home | About | Contact' || chr(10) ||
+            CASE WHEN doc_id % 13 = 0 THEN '$V3SharedBody' ELSE text END ||
+            CASE WHEN doc_id % 3 = 0 THEN ' xq' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+            CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'Click Here' ELSE '' END AS text
+          FROM ${Q.DocsRef}),
+        lf AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM m),
+        lk AS (SELECT doc_id, text,
+                 list_filter(ls, l -> NOT list_contains([$bp], trim(lower(l)))
+                   AND length(trim(l)) >= 10) AS kept
+               FROM lf),
+        c AS (SELECT doc_id, array_to_string(kept, chr(10)) AS text
+              FROM lk
+              WHERE CAST(length(array_to_string(kept, chr(10))) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE) >= 0.7e0),
+        ${qualityCtesFrom("c")},
+        q AS (SELECT doc_id, text, n_tokens, $qualityScoreSql AS quality_score FROM f),
+        $repetitionCtes,
+        j AS (SELECT q.doc_id, q.text, q.n_tokens
+              FROM q JOIN rr ON q.doc_id = rr.doc_id
+              WHERE q.quality_score >= ${CorpusQualityMin}e0
+                AND rr.dup_gram2_ratio <= ${CorpusDupGram2Max}e0
+                AND rr.top_token_ratio <= ${CorpusTopTokenMax}e0),
+        k AS (SELECT doc_id, text, n_tokens FROM (
+                SELECT doc_id, text, n_tokens,
+                       min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+                FROM j)
+              WHERE rep_id = doc_id),
+        kd AS (SELECT doc_id, text, n_tokens, ${DuckSql.tokens("text")} AS ktoks FROM k),
+        ks AS (SELECT doc_id, text, n_tokens,
+                 ${DuckSql.wordShingles("ktoks", SpanDedupK)} AS sh FROM kd),
+        kg AS (SELECT doc_id, unnest(sh) AS gram FROM ks),
+        kf AS (SELECT gram, min(doc_id) AS first_id FROM kg GROUP BY gram),
+        kr AS (SELECT kg.doc_id, min(kf.first_id) AS span_rep
+               FROM kg JOIN kf USING (gram) GROUP BY kg.doc_id),
+        sp AS (SELECT ks.doc_id, ks.text, ks.n_tokens
+               FROM ks LEFT JOIN kr USING (doc_id)
+               WHERE COALESCE(kr.span_rep, ks.doc_id) = ks.doc_id),
+        $decontamCtes,
+        dc AS (SELECT sp.doc_id, sp.text, sp.n_tokens FROM sp
+               WHERE sp.doc_id NOT IN (SELECT doc_id FROM hits
+                                       WHERE n >= $DecontamMinShared)),
+        vd AS (SELECT doc_id, ${DuckSql.tokens("text")} AS vtoks FROM dc),
+        vt AS (SELECT doc_id, unnest(vtoks) AS token FROM vd),
+        vv AS (SELECT token, count(DISTINCT doc_id) AS df FROM vt GROUP BY token),
+        vj AS (SELECT vt.doc_id, count(*) AS nt,
+                 CAST(sum(CASE WHEN vv.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nh
+               FROM vt JOIN vv USING (token) GROUP BY vt.doc_id),
+        sv AS (SELECT dc.doc_id, dc.text, dc.n_tokens
+               FROM dc LEFT JOIN vj USING (doc_id)
+               WHERE (CASE WHEN vj.nt > 0
+                           THEN CAST(vj.nh AS DOUBLE) / CAST(vj.nt AS DOUBLE)
+                           ELSE 0.0e0 END) <= 0.02e0),
+        sv2 AS (SELECT sv.doc_id, m.source, sv.text, sv.n_tokens
+                FROM sv JOIN m USING (doc_id)),
+        ${graft.pipeline.Mixing.duckTemperatureWeights("sv2", "source", CorpusV3MixTarget)},
+        x AS (SELECT s2.doc_id, s2.n_tokens, wp.whole, wp.thr,
+                ${graft.pipeline.Mixing.duckMixHash("s2.doc_id")} AS hm
+              FROM sv2 s2 JOIN wp USING (source)),
+        mx AS (SELECT doc_id, n_tokens,
+                 whole + (CASE WHEN hm < thr THEN 1 ELSE 0 END) AS copies
+               FROM x),
+        u AS (SELECT doc_id, n_tokens,
+                CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy
+              FROM mx WHERE copies > 0)"""
+  }
+
   /** Round-by-round DuckDB replay of Bpe.train: m0 = the normalized
     * symbol state, then per round r a pair-count CTE (adjacent symbols
     * with multiplicity), a best-pair CTE (count DESC, pair ASC — the
@@ -1584,135 +1718,81 @@ object PipelineQueries {
     // declared caches that feed two consumers.
     Q("pipeline_corpus_full_v3",
       (s, dir) => {
-        val planted = Tables.documents(s, dir).select(col("doc_id"),
-          when(pmod(col("doc_id"), lit(10)) < 7, lit("web"))
-            .when(pmod(col("doc_id"), lit(10)) < 9, lit("books"))
-            .otherwise(lit("wiki")).as("source"),
-          concat(lit("Home | About | Contact\n"),
-            when(pmod(col("doc_id"), lit(13)) === 0, lit(V3SharedBody))
-              .otherwise(col("text")),
-            when(pmod(col("doc_id"), lit(3)) === 0,
-              concat(lit(" xq"), col("doc_id").cast("string"))).otherwise(lit("")),
-            when(pmod(col("doc_id"), lit(2)) === 0, lit("\nClick Here"))
-              .otherwise(lit(""))).as("text"))
-        val lc = TextAnalysis.lineCleanColumns(col("text")).toMap
-        val cleaned = planted.select(col("doc_id"), col("source"),
-            lc("clean_text").as("text"), lc("line_keep_ratio").as("ratio"))
-          .filter(col("ratio") >= 0.7)
-          .select("doc_id", "source", "text")
-        val q = TextAnalysis.qualityColumns(col("text")).toMap
-        val r = TextAnalysis.repetitionColumns(col("text")).toMap
-        val filtered = cleaned.select(col("doc_id"), col("source"), col("text"),
-            q("n_tokens").as("n_tokens"), q("quality_score").as("quality_score"),
-            r("dup_gram2_ratio").as("g2"), r("top_token_ratio").as("tt"))
-          .filter(col("quality_score") >= CorpusQualityMin &&
-            col("g2") <= CorpusDupGram2Max && col("tt") <= CorpusTopTokenMax)
-        // cached: the span stage references it twice (shingle index +
-        // id join-back), as does the df-score stage below
-        val exactDeduped = graft.Caches.track(filtered
-          .withColumn("rep_id",
-            min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
-          .filter(col("rep_id") === col("doc_id"))
-          .select("doc_id", "source", "text", "n_tokens"))
-        val spanKept = exactDeduped.join(
-          Dedup.spanRepresentatives(exactDeduped, "doc_id", "text", SpanDedupK)
-            .filter(col("is_span_dup") === 0).select("doc_id"),
-          Seq("doc_id"))
-        val decontaminated = graft.Caches.track(spanKept.join(
-          Dedup.contaminatedIds(Tables.documents(s, dir), "doc_id", "text",
-            decontamBenchGrams(s, dir), DecontamN, DecontamMinShared),
-          Seq("doc_id"), "left_anti"))
-        val survivors = graft.Caches.track(decontaminated.join(
-          CorpusStats.dfScore(decontaminated.select("doc_id", "text"),
-              "doc_id", "text")
-            .filter(col("hapax_ratio") <= 0.02).select("doc_id"),
-          Seq("doc_id"))
-          .select("doc_id", "source", "n_tokens"))
-        val mixed = graft.pipeline.Mixing.temperatureMix(survivors,
+        val mixed = graft.pipeline.Mixing.temperatureMix(
+          corpusV3Survivors(s, dir).select("doc_id", "source", "n_tokens"),
           "doc_id", "source", nTarget = CorpusV3MixTarget)
         graft.operators.PrefixSum.runningSum(mixed, "n_tokens", Seq("doc_id", "copy"))
           .select(col("doc_id"), col("copy"), col("n_tokens"),
             expr(s"(running_n_tokens - n_tokens) div $CorpusShardTokens").as("shard_id"))
           .orderBy("doc_id", "copy")
       },
-      Some {
-        val bp = TextAnalysis.BoilerplateLines.map(b => s"'$b'").mkString(", ")
-        s"""
-        WITH m AS (SELECT doc_id,
-            CASE WHEN doc_id % 10 < 7 THEN 'web'
-                 WHEN doc_id % 10 < 9 THEN 'books'
-                 ELSE 'wiki' END AS source,
-            'Home | About | Contact' || chr(10) ||
-            CASE WHEN doc_id % 13 = 0 THEN '$V3SharedBody' ELSE text END ||
-            CASE WHEN doc_id % 3 = 0 THEN ' xq' || CAST(doc_id AS VARCHAR) ELSE '' END ||
-            CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'Click Here' ELSE '' END AS text
-          FROM ${Q.DocsRef}),
-        lf AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM m),
-        lk AS (SELECT doc_id, text,
-                 list_filter(ls, l -> NOT list_contains([$bp], trim(lower(l)))
-                   AND length(trim(l)) >= 10) AS kept
-               FROM lf),
-        c AS (SELECT doc_id, array_to_string(kept, chr(10)) AS text
-              FROM lk
-              WHERE CAST(length(array_to_string(kept, chr(10))) AS DOUBLE)
-                    / CAST(length(text) AS DOUBLE) >= 0.7e0),
-        ${qualityCtesFrom("c")},
-        q AS (SELECT doc_id, text, n_tokens, $qualityScoreSql AS quality_score FROM f),
-        $repetitionCtes,
-        j AS (SELECT q.doc_id, q.text, q.n_tokens
-              FROM q JOIN rr ON q.doc_id = rr.doc_id
-              WHERE q.quality_score >= ${CorpusQualityMin}e0
-                AND rr.dup_gram2_ratio <= ${CorpusDupGram2Max}e0
-                AND rr.top_token_ratio <= ${CorpusTopTokenMax}e0),
-        k AS (SELECT doc_id, text, n_tokens FROM (
-                SELECT doc_id, text, n_tokens,
-                       min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
-                FROM j)
-              WHERE rep_id = doc_id),
-        kd AS (SELECT doc_id, text, n_tokens, ${DuckSql.tokens("text")} AS ktoks FROM k),
-        ks AS (SELECT doc_id, text, n_tokens,
-                 ${DuckSql.wordShingles("ktoks", SpanDedupK)} AS sh FROM kd),
-        kg AS (SELECT doc_id, unnest(sh) AS gram FROM ks),
-        kf AS (SELECT gram, min(doc_id) AS first_id FROM kg GROUP BY gram),
-        kr AS (SELECT kg.doc_id, min(kf.first_id) AS span_rep
-               FROM kg JOIN kf USING (gram) GROUP BY kg.doc_id),
-        sp AS (SELECT ks.doc_id, ks.text, ks.n_tokens
-               FROM ks LEFT JOIN kr USING (doc_id)
-               WHERE COALESCE(kr.span_rep, ks.doc_id) = ks.doc_id),
-        $decontamCtes,
-        dc AS (SELECT sp.doc_id, sp.text, sp.n_tokens FROM sp
-               WHERE sp.doc_id NOT IN (SELECT doc_id FROM hits
-                                       WHERE n >= $DecontamMinShared)),
-        vd AS (SELECT doc_id, ${DuckSql.tokens("text")} AS vtoks FROM dc),
-        vt AS (SELECT doc_id, unnest(vtoks) AS token FROM vd),
-        vv AS (SELECT token, count(DISTINCT doc_id) AS df FROM vt GROUP BY token),
-        vj AS (SELECT vt.doc_id, count(*) AS nt,
-                 CAST(sum(CASE WHEN vv.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nh
-               FROM vt JOIN vv USING (token) GROUP BY vt.doc_id),
-        sv AS (SELECT dc.doc_id, dc.n_tokens FROM dc LEFT JOIN vj USING (doc_id)
-               WHERE (CASE WHEN vj.nt > 0
-                           THEN CAST(vj.nh AS DOUBLE) / CAST(vj.nt AS DOUBLE)
-                           ELSE 0.0e0 END) <= 0.02e0),
-        sv2 AS (SELECT sv.doc_id, m.source, sv.n_tokens
-                FROM sv JOIN m USING (doc_id)),
-        ${graft.pipeline.Mixing.duckTemperatureWeights("sv2", "source", CorpusV3MixTarget)},
-        x AS (SELECT s2.doc_id, s2.n_tokens, wp.whole, wp.thr,
-                ${graft.pipeline.Mixing.duckMixHash("s2.doc_id")} AS hm
-              FROM sv2 s2 JOIN wp USING (source)),
-        mx AS (SELECT doc_id, n_tokens,
-                 whole + (CASE WHEN hm < thr THEN 1 ELSE 0 END) AS copies
-               FROM x),
-        u AS (SELECT doc_id, n_tokens,
-                CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy
-              FROM mx WHERE copies > 0),
+      Some(s"""
+        $corpusV3MixedCtes,
         cum AS (SELECT doc_id, copy, n_tokens,
                   SUM(n_tokens) OVER (ORDER BY doc_id, copy
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
                 FROM u)
         SELECT doc_id, copy, n_tokens,
                CAST((run - n_tokens) // $CorpusShardTokens AS BIGINT) AS shard_id
-        FROM cum ORDER BY doc_id, copy"""
-      }),
+        FROM cum ORDER BY doc_id, copy""")),
+
+    // v4 — the round-10 EXTENSION composite: v3's survivor chain and
+    // temperature mix, then the session's new tail — each surviving
+    // document CHUNKED into fixed-token overlapping training segments
+    // (chunked ONCE per doc, joined to its mixed copies — identical
+    // chunks across copies are never recomputed), the CHUNKS token-
+    // sharded by the two-pass prefix scan (budgeted over emitted tokens,
+    // overlap included — what the trainer actually consumes), and every
+    // row stamped with the deterministic hash split bucket (a function
+    // of doc_id, so all copies/chunks of a document land in the same
+    // bucket — chunk-level splitting would leak overlapping text across
+    // train/val). One declared plan: the v3 stages + one chunk explode,
+    // one doc_id equi-join, the prefix scan, and a per-row split CASE.
+    Q("pipeline_corpus_full_v4",
+      (s, dir) => {
+        val surv = corpusV3Survivors(s, dir)
+        val mixed = graft.pipeline.Mixing.temperatureMix(
+          surv.select("doc_id", "source", "n_tokens"),
+          "doc_id", "source", nTarget = CorpusV3MixTarget)
+        val chunks = graft.pipeline.Chunking.chunkDocs(
+          surv.select("doc_id", "text"), "doc_id", "text",
+          size = ChunkTokens, stride = ChunkStride)
+        val rows = mixed.select("doc_id", "copy").join(chunks, "doc_id")
+        val sharded = graft.operators.PrefixSum.runningSum(rows, "chunk_len",
+            Seq("doc_id", "copy", "chunk_no"))
+          .select(col("doc_id"), col("copy"), col("chunk_no"), col("chunk_len"),
+            expr(s"(running_chunk_len - chunk_len) div $CorpusShardTokens")
+              .as("shard_id"))
+        graft.pipeline.Mixing.hashSplit(sharded, "doc_id", SplitSpec)
+          .orderBy("doc_id", "copy", "chunk_no")
+      },
+      Some(s"""
+        $corpusV3MixedCtes,
+        ch0 AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks FROM sv2),
+        ch1 AS (SELECT doc_id, toks, CAST(len(toks) AS INT) AS n FROM ch0
+                WHERE len(toks) > 0),
+        ch2 AS (SELECT doc_id, toks, n,
+                  CASE WHEN n <= $ChunkTokens THEN 1
+                       ELSE 1 + (n - $ChunkTokens + ${ChunkStride - 1}) // $ChunkStride
+                  END AS n_chunks
+                FROM ch1),
+        ch AS (SELECT doc_id,
+                 CAST(unnest(range(n_chunks)) AS INT) AS chunk_no, n
+               FROM ch2),
+        chl AS (SELECT doc_id, chunk_no,
+                  CAST(LEAST($ChunkTokens, n - chunk_no * $ChunkStride) AS INT)
+                    AS chunk_len
+                FROM ch),
+        rows AS (SELECT u.doc_id, u.copy, chl.chunk_no, chl.chunk_len
+                 FROM u JOIN chl USING (doc_id)),
+        cum AS (SELECT doc_id, copy, chunk_no, chunk_len,
+                  SUM(chunk_len) OVER (ORDER BY doc_id, copy, chunk_no
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+                FROM rows)
+        SELECT doc_id, copy, chunk_no, chunk_len,
+               CAST((run - chunk_len) // $CorpusShardTokens AS BIGINT) AS shard_id,
+               ${graft.pipeline.Mixing.duckSplitCase("doc_id", SplitSpec)} AS split
+        FROM cum ORDER BY doc_id, copy, chunk_no""")),
 
     // ================= dedup =================
     Q("dedup_exact",
