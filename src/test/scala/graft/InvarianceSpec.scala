@@ -33,4 +33,26 @@ class InvarianceSpec extends AnyFunSuite {
       assert(results(0)(q) == results(2)(q), s"$q differs between 1 and 9 partitions")
     }
   }
+
+  test("BPE training is invariant under shuffle partitions") {
+    // the best-pair selection is a global orderBy().limit(1) over a
+    // partial→final count aggregate — exactly the shape where an
+    // incomplete tiebreak (count only) would let partition scheduling
+    // pick different-but-equal-count pairs on different runs; the
+    // (count DESC, pair ASC) total order must make every round's choice,
+    // and therefore the whole merge table and final state, identical
+    val runs = Seq(1, 7).map { n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      try {
+        val (merges, state) = graft.text.Bpe.train(
+          Tables.documents(spark, TestSpark.SF), "doc_id", "text", rounds = 4)
+        val out = (merges, canon(state))
+        Caches.releaseAll()
+        out
+      } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+    assert(runs(0)._1 == runs(1)._1, "merge tables differ across partitionings")
+    assert(runs(0)._2 == runs(1)._2, "final states differ across partitionings")
+    assert(runs(0)._1.size == 4)
+  }
 }
