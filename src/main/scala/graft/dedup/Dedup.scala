@@ -307,6 +307,61 @@ object Dedup {
       .withColumn("is_span_dup", (col("rep_id") < col(idCol)).cast("int"))
   }
 
+  /** Exact span SCRUBBING — the remedy half of the suffix-array rule
+    * ([[spanRepresentatives]] is the detection half): instead of dropping
+    * a span-duplicate document wholesale, REMOVE the duplicated spans
+    * and keep the rest — every token covered by a contiguous k-token
+    * span that also occurs in an earlier (lower-id) document is cut, and
+    * the document reassembles from its surviving tokens in order. The
+    * earliest owner of each span keeps it (its own tokens are never cut
+    * by its own spans), so exactly one copy of every duplicated span
+    * survives corpus-wide. Output: one row per input doc —
+    * (id, n_kept, n_removed, text_scrub) — docs scrubbed to nothing kept
+    * with empty text, sub-k docs untouched.
+    *
+    * Scale shape — same linearity argument as the detection side: spans
+    * factor through the per-span min owner (map-side-partial min, one
+    * span equi-join — never a doc-pair join), coverage is a bounded
+    * explode (k rows per flagged span position) deduplicated on
+    * (doc, token-index), and reassembly groups each doc's own surviving
+    * tokens. The rebuilt text is the normalized token stream (the same
+    * whitespace normalization the chunker emits), not raw bytes.
+    */
+  def scrubSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val d = graft.Caches.track(
+      df.select(col(idCol), tokens(col(textCol)).as("toks")))
+    val firstPerSpan = d
+      .select(col(idCol),
+        explode(array_distinct(wordGramsFromTokens(col("toks"), k))).as("gram"))
+      .groupBy(col("gram"))
+      .agg(min(col(idCol)).as("first_id"))
+    val flagged = d
+      .select(col(idCol), posexplode(wordGramsFromTokens(col("toks"), k))
+        .as(Seq("pos", "gram")))
+      .join(firstPerSpan, "gram")
+      .filter(col("first_id") < col(idCol))
+    val covered = flagged
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (k - 1)))
+        .as("idx"))
+      .distinct()
+    val kept = d
+      .select(col(idCol), posexplode(col("toks")).as(Seq("idx", "tok")))
+      .join(covered, Seq(idCol, "idx"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("tok")))),
+            x => x.getField("tok")), " ").as("text_scrub"))
+    d.select(col(idCol), size(col("toks")).as("n_total"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_kept"), lit(0L)).cast("int").as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).cast("int")
+          .as("n_removed"),
+        coalesce(col("text_scrub"), lit("")).as("text_scrub"))
+  }
+
   /** MinHash signatures (id, perm, minh) from a *cached* per-doc gram-hash
     * array: each shingle is md5-hashed once, then ONE native pass
     * ([[graft.functions.expressions.MinHashSigs]]) computes all k

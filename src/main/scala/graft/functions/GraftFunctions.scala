@@ -93,8 +93,13 @@ object GraftFunctions {
     * [[wordShingles]], same shifted-slice construction) — the denominator
     * and duplicate signal of repetition-based quality filters.
     */
-  def wordGrams(text: Column, n: Int): Column = {
-    val t = tokens(text)
+  def wordGrams(text: Column, n: Int): Column =
+    wordGramsFromTokens(tokens(text), n)
+
+  /** [[wordGrams]] over an already-tokenized column — for callers that
+    * hold the token array (scrubbing, BPE states) and must not pay or
+    * re-trigger the tokenization. */
+  def wordGramsFromTokens(t: Column, n: Int): Column = {
     val zipped = arrays_zip((0 until n).map(j => slice(t, lit(j + 1), size(t) - (n - 1))): _*)
     val grams = transform(zipped, s =>
       concat_ws(" ", (0 until n).map(j => s.getField(j.toString)): _*))

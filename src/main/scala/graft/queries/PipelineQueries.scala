@@ -2046,6 +2046,53 @@ object PipelineQueries {
       },
       Some(bloomMembershipOracleSql)),
 
+    // exact span SCRUBBING — the remedy half of the suffix-array rule
+    // (dedup_span_exact detects, this removes): every token covered by a
+    // k-token span that also occurs in an earlier doc is cut, the doc
+    // reassembles from its surviving tokens, and exactly one copy of
+    // each duplicated span survives corpus-wide (the earliest owner's).
+    // Same linear factoring as detection (per-span min owner, span
+    // equi-joins, never a doc-pair join) + a bounded k-per-position
+    // coverage explode deduplicated on (doc, token index). 24/500 docs
+    // lose tokens at sf0.01 (the natural span-dup population).
+    Q("dedup_span_scrub",
+      (s, dir) => Dedup.scrubSpans(Tables.documents(s, dir),
+          "doc_id", "text", k = SpanDedupK)
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH d AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks
+                   FROM ${Q.DocsRef}),
+        s AS (SELECT doc_id, ${DuckSql.wordShingles("toks", SpanDedupK)} AS sh
+              FROM d),
+        g AS (SELECT doc_id, unnest(sh) AS gram FROM s),
+        f AS (SELECT gram, min(doc_id) AS first_id FROM g GROUP BY gram),
+        gp AS (SELECT doc_id,
+                 unnest(range(0, len(toks) - ${SpanDedupK - 1})) AS pos,
+                 unnest(list_transform(range(0, len(toks) - ${SpanDedupK - 1}),
+                   i -> ${(0 until SpanDedupK).map(j => s"toks[CAST(i + ${j + 1} AS INT)]").mkString(" || ' ' || ")})) AS gram
+               FROM d WHERE len(toks) >= $SpanDedupK),
+        fl AS (SELECT gp.doc_id, gp.pos FROM gp
+               JOIN f USING (gram) WHERE f.first_id < gp.doc_id),
+        cov AS (SELECT DISTINCT doc_id, idx FROM
+                 (SELECT doc_id, unnest(range(pos, pos + $SpanDedupK)) AS idx
+                  FROM fl)),
+        tp AS (SELECT doc_id, unnest(range(0, len(toks))) AS idx,
+                 unnest(toks) AS tok
+               FROM d WHERE len(toks) > 0),
+        kept AS (SELECT tp.doc_id, tp.idx, tp.tok FROM tp
+                 LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.idx = cov.idx
+                 WHERE cov.idx IS NULL),
+        ag AS (SELECT doc_id, count(*) AS n_kept,
+                 array_to_string(list(tok ORDER BY idx), ' ') AS text_scrub
+               FROM kept GROUP BY doc_id),
+        tot AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_total FROM d)
+        SELECT tot.doc_id,
+               CAST(COALESCE(ag.n_kept, 0) AS INT) AS n_kept,
+               CAST(tot.n_total - COALESCE(ag.n_kept, 0) AS INT) AS n_removed,
+               COALESCE(ag.text_scrub, '') AS text_scrub
+        FROM tot LEFT JOIN ag ON tot.doc_id = ag.doc_id
+        ORDER BY tot.doc_id""")),
+
     // embedding near-dup routed through LSH buckets — the scale path is the
     // declared plan; the all-pairs form survives only as the test-side
     // recall baseline (DedupSimilaritySpec)

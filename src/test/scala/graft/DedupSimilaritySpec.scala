@@ -146,6 +146,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.filter(col("doc_id") > 0L && col("is_span_dup") =!= 1).isEmpty)
   }
 
+  test("span scrubbing cuts exactly the earlier-owned spans, keeps the rest") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f g h i j"), // owner of span a..h (and its tail spans)
+      (1L, "x a b c d e f g h z"), // shares a..h at pos 1-8 → keeps "x z"
+      (2L, "a b c d e f g h i j"), // full duplicate → scrubbed to nothing
+      (3L, "p q r s t u v w"), // unique 8-token doc → untouched
+      (4L, "tiny doc"), // sub-k: no spans, untouched
+      (5L, "m1 m2 m3 m4 m5 m6 m7 m8 m1 m2 m3 m4 m5 m6 m7 m8")
+      // within-doc repeat ONLY: first owner is doc 5 itself, and the rule
+      // cuts only spans owned by an EARLIER doc — untouched
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.scrubSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+      .toMap
+    assert(got(0L) == ((10, 0, "a b c d e f g h i j")), "owner keeps its spans")
+    assert(got(1L) == ((2, 8, "x z")), "only the shared span's tokens are cut")
+    assert(got(2L) == ((0, 10, "")), "full duplicate scrubs to empty")
+    assert(got(3L) == ((8, 0, "p q r s t u v w")))
+    assert(got(4L) == ((2, 0, "tiny doc")), "sub-k docs have no spans")
+    assert(got(5L)._2 == 0, "within-doc repeats are not cross-doc duplicates")
+    Caches.releaseAll()
+  }
+
   test("stream-safe band column equals the aggregate band table") {
     import graft.functions.GraftFunctions.{hash60, wordShingles}
     val docs = Tables.documents(spark, TestSpark.SF)
