@@ -342,6 +342,18 @@ class PlanQualitySpec extends AnyFunSuite {
       "per-span min should pre-aggregate map-side: " + p.take(3000))
   }
 
+  test("span scrubbing plans no pair join and pre-aggregates the span min") {
+    // same linearity contract as dedup_span_exact: the coverage
+    // computation must stay span/id equi-joins with a map-side-partial
+    // min over the span index — a doc-pair join on a shared span would
+    // be quadratic in a boilerplate span's document frequency
+    val p = plan("dedup_span_scrub")
+    assert(!p.toLowerCase.contains("cartesian") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("partial_min") || p.contains("min#"),
+      "per-span min should pre-aggregate map-side: " + p.take(3000))
+  }
+
   test("salted join is result-identical to the plain equi-join") {
     val o = Tables.orders(spark, TestSpark.SF)
     val c = Tables.customer(spark, TestSpark.SF)
