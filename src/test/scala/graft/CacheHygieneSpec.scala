@@ -25,6 +25,24 @@ class CacheHygieneSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
   }
 
+  test("round-10 cachers (BPE states, scrub corpus, bloom digests) release cleanly") {
+    Caches.releaseAll()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val docs = Tables.documents(spark, TestSpark.SF)
+    // BPE training tracks one state per round plus the initial state
+    graft.text.Bpe.train(docs, "doc_id", "text", rounds = 2)._2.count()
+    // span scrubbing tracks the tokenized corpus
+    Dedup.scrubSpans(docs, "doc_id", "text", k = 8).count()
+    // bloom membership tracks the training digest relation
+    Dedup.bloomMembership(docs, "doc_id", "text",
+      docs.select(md5(col("text")).as("dg"))).count()
+    val during = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(during.nonEmpty, "the cachers should have tracked intermediates")
+    Caches.releaseAll()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
+  }
+
   test("prefix-scan cache is released by Caches.releaseAll") {
     Caches.releaseAll()
     val before = spark.sparkContext.getPersistentRDDs.keySet
