@@ -536,6 +536,30 @@ object PipelineQueries {
   /** Merge rounds of the BPE-training row. */
   private[queries] val BpeRounds = 6
 
+  /** Shared by pipeline_chunk_docs and its streaming twin — chunking is
+    * pure per-row column work, so both engines' renderings and both
+    * execution modes share one replay. */
+  private[queries] val chunkOracleSql: String = s"""
+        WITH d AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks
+                   FROM ${Q.DocsRef}),
+        s AS (SELECT doc_id, toks, CAST(len(toks) AS INT) AS n FROM d
+              WHERE len(toks) > 0),
+        x AS (SELECT doc_id, toks, n,
+                CASE WHEN n <= $ChunkTokens THEN 1
+                     ELSE 1 + (n - $ChunkTokens + ${ChunkStride - 1}) // $ChunkStride
+                END AS n_chunks
+              FROM s),
+        e AS (SELECT doc_id, toks, n,
+                CAST(unnest(range(n_chunks)) AS INT) AS chunk_no
+              FROM x)
+        SELECT doc_id, chunk_no,
+               CAST(LEAST($ChunkTokens, n - chunk_no * $ChunkStride) AS INT) AS chunk_len,
+               array_to_string(
+                 toks[chunk_no * $ChunkStride + 1 :
+                      chunk_no * $ChunkStride + LEAST($ChunkTokens, n - chunk_no * $ChunkStride)],
+                 ' ') AS chunk_text
+        FROM e ORDER BY doc_id, chunk_no"""
+
   /** The split policy of pipeline_split. */
   private[queries] val SplitSpec = Seq("train" -> 98, "val" -> 1, "test" -> 1)
 
@@ -1509,26 +1533,7 @@ object PipelineQueries {
           Tables.documents(s, dir), "doc_id", "text",
           size = ChunkTokens, stride = ChunkStride)
         .orderBy("doc_id", "chunk_no"),
-      Some(s"""
-        WITH d AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks
-                   FROM ${Q.DocsRef}),
-        s AS (SELECT doc_id, toks, CAST(len(toks) AS INT) AS n FROM d
-              WHERE len(toks) > 0),
-        x AS (SELECT doc_id, toks, n,
-                CASE WHEN n <= $ChunkTokens THEN 1
-                     ELSE 1 + (n - $ChunkTokens + ${ChunkStride - 1}) // $ChunkStride
-                END AS n_chunks
-              FROM s),
-        e AS (SELECT doc_id, toks, n,
-                CAST(unnest(range(n_chunks)) AS INT) AS chunk_no
-              FROM x)
-        SELECT doc_id, chunk_no,
-               CAST(LEAST($ChunkTokens, n - chunk_no * $ChunkStride) AS INT) AS chunk_len,
-               array_to_string(
-                 toks[chunk_no * $ChunkStride + 1 :
-                      chunk_no * $ChunkStride + LEAST($ChunkTokens, n - chunk_no * $ChunkStride)],
-                 ' ') AS chunk_text
-        FROM e ORDER BY doc_id, chunk_no""")),
+      Some(chunkOracleSql)),
 
     // deterministic stratified (class-balanced) sampling: 20 vectors per
     // label, chosen by a fixed multiplicative hash of the id so the

@@ -619,6 +619,24 @@ object StreamingQueries {
               FROM p WHERE cos >= 0.4e0 GROUP BY b_id)
         SELECT vec_id, rep_id, n_near FROM r ORDER BY vec_id""")),
 
+    // CHUNKING at ingestion — the context-window segmentation running in
+    // the stream: pure per-row tokenize + bounded explode (no state, no
+    // watermark, no aggregation), so the operator rides the micro-batch
+    // engine unchanged and the batch row's oracle replays it verbatim.
+    // The shape every streaming pre-tokenization pipeline needs between
+    // cleaning and shard assembly.
+    Q("stream_pipeline_chunk_docs",
+      (s, dir) => {
+        implicit val sp = s
+        val out = graft.pipeline.Chunking.chunkDocs(
+          StreamSources.documents(s, dir), "doc_id", "text",
+          size = PipelineQueries.ChunkTokens,
+          stride = PipelineQueries.ChunkStride)
+        StreamRun.toBatch(out, "append", numPartitions = 4)
+          .orderBy("doc_id", "chunk_no")
+      },
+      Some(PipelineQueries.chunkOracleSql)),
+
     // INCREMENTAL MinHash-LSH near-dup at ingestion — the jaccard face
     // of the "new data versus the existing training set" family
     // (exact/bloom, span, semantic, and now near-dup): the training
