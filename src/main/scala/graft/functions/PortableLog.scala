@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** A logarithm both engines can compute BIT-IDENTICALLY.
+  *
+  * `ln` is not reproducible across the oracle boundary: Java's `Math.log`
+  * and DuckDB's libm may disagree in the last ulp, and any quantizing
+  * `floor` downstream amplifies an ulp into an off-by-one. IEEE-754,
+  * however, specifies +, −, ×, ÷ and sqrt EXACTLY (correctly rounded), so
+  * a fixed dag built only from those ops yields the same double on every
+  * conforming engine. plog is such a dag:
+  *
+  *   y = x^(1/2^16)  (16 nested square roots)
+  *   z = (y − 1)/(y + 1)
+  *   plog(x) = 2·2^16 · (z + z³/3 + z⁵/5)   (atanh series, factored as
+  *             131072 · z·(1 + z²/3 + z²·z²/5))
+  *
+  * At depth 16, |z| ≤ |ln x|/2^17, so the series truncation is ≤ ~z⁶
+  * relative — far below double ulp even at x = 1e-12; accumulated sqrt
+  * rounding dominates at ~2⁻³⁷ relative (~1e-8 observed, spec-pinned in
+  * DsirSpec). The approximation quality is fidelity headroom only:
+  * determinism comes from every engine running the SAME ops.
+  *
+  * Three renderings, one definition: [[plog]] (driver-side Scala),
+  * [[plogCol]] (Catalyst column — Spark's double ops are the same IEEE
+  * primitives), and the DuckDB SQL fragments ([[sqrtNestSql]] /
+  * [[zSql]] / [[seriesSql]], staged by the caller's CTEs). Any caller
+  * pairing them across engines gets hash-identical quantized results.
+  */
+object PortableLog {
+
+  val SqrtDepth: Int = 16
+  private val SeriesScale: Double = 131072.0 // 2 · 2^SqrtDepth
+
+  /** Driver-side rendering. */
+  def plog(x: Double): Double = {
+    var y = x
+    var i = 0
+    while (i < SqrtDepth) { y = math.sqrt(y); i += 1 }
+    val z = (y - 1.0) / (y + 1.0)
+    val z2 = z * z
+    SeriesScale * (z * (1.0 + z2 / 3.0 + z2 * z2 / 5.0))
+  }
+
+  /** Catalyst rendering — the identical dag as column ops (codegen'd;
+    * textual subtree duplication is value-identical and CSE'd).
+    */
+  def plogCol(x: Column): Column = {
+    val y = (1 to SqrtDepth).foldLeft(x)((e, _) => sqrt(e))
+    val z = (y - lit(1.0)) / (y + lit(1.0))
+    val z2 = z * z
+    lit(SeriesScale) * (z * (lit(1.0) + z2 / lit(3.0) + z2 * z2 / lit(5.0)))
+  }
+
+  /** DuckDB fragments; stage y and z as CTE columns: y =
+    * sqrtNestSql(x), z = zSql("y"), plog = seriesSql("z").
+    */
+  def sqrtNestSql(x: String): String =
+    (1 to SqrtDepth).foldLeft(x)((e, _) => s"sqrt($e)")
+
+  def zSql(y: String): String = s"(($y) - 1.0e0)/(($y) + 1.0e0)"
+
+  def seriesSql(z: String): String =
+    s"131072.0e0*(($z)*(1.0e0 + ($z)*($z)/3.0e0 + (($z)*($z))*(($z)*($z))/5.0e0))"
+
+  /** One-expression DuckDB rendering (no CTE staging needed): the same
+    * dag with z's subtree textually replicated — recomputation of a
+    * deterministic subtree is value-identical. Keep `x` simple (a column
+    * reference or a cast of one) or stage it first.
+    */
+  def plogSql(x: String): String = seriesSql(zSql(sqrtNestSql(x)))
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.GraftFunctions._
 import graft.oracle.DuckSql
-import graft.text.{CorpusStats, TextAnalysis}
+import graft.text.{CorpusStats, Dsir, TextAnalysis}
 import graft.dedup.Dedup
 import graft.similarity.Similarity
 import graft.multimodal.Media
@@ -851,6 +851,177 @@ object PipelineQueries {
                 ELSE 0.0e0 END AS hapax_ratio
     FROM m LEFT JOIN j USING (doc_id) ORDER BY doc_id"""
 
+  /** Corpus-wide SimHash signatures + 4×15-bit banding, ending at CTE
+    * `banded` (doc_id, simhash, band, bkey) — shared by the batch pair
+    * row (`dedup_simhash`) and the incremental ingestion twin
+    * (`stream_dedup_simhash`), so both engines and both rows compute the
+    * identical signature.
+    */
+  private[queries] val simhashBandedCtes: String = s"""
+    d AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks FROM ${Q.DocsRef}),
+    t AS (SELECT doc_id, ${DuckSql.hash60("tok")} AS h
+          FROM (SELECT doc_id, unnest(toks) AS tok FROM d)),
+    bits AS (
+      SELECT doc_id, jj.j, sum(((h >> CAST(jj.j AS INT)) & 1) * 2 - 1) AS s
+      FROM t CROSS JOIN (SELECT unnest(range(60)) AS j) jj
+      GROUP BY doc_id, jj.j),
+    sh AS (
+      SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END) AS simhash
+      FROM bits GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, simhash, bb.band,
+             (simhash >> CAST(bb.band * 15 AS INT)) & 32767 AS bkey
+      FROM sh CROSS JOIN (SELECT unnest(range(4)) AS band) bb)"""
+
+  /** Oracle for the incremental SimHash twin: candidates are (incoming ×
+    * training-subset) band collisions, verified at hamming ≤ maxHamming;
+    * per incoming doc the flag keeps the lowest-id near-dup and the best
+    * hamming (both duplicate-insensitive, so multi-band collisions need
+    * no distinct stage — the same argument as the minhash twin).
+    */
+  private[queries] def simhashIncrementalSql(maxHamming: Int): String = s"""
+    WITH $simhashBandedCtes,
+    cand AS (
+      SELECT b.doc_id AS doc_id, a.doc_id AS a_id,
+             bit_count(xor(b.simhash, a.simhash)) AS hamming
+      FROM banded b JOIN banded a
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id % 4 = 0
+      WHERE bit_count(xor(b.simhash, a.simhash)) <= $maxHamming)
+    SELECT doc_id, min(a_id) AS rep_id, CAST(min(hamming) AS INT) AS h_min
+    FROM cand GROUP BY doc_id ORDER BY doc_id"""
+
+  /** n-gram LM rows: gibberish (doc-unique token pairs → bigrams no
+    * reference model can contain) is planted on doc_id ≡ 0 mod 9, so the
+    * unseen-transition penalty discriminates; the model trains on the
+    * %4 == 0 subset OF THE PLANTED corpus (a training doc's own plant
+    * makes its gibberish "seen" — the score separates seen-junk from
+    * unseen-junk too). The oracle re-derives counts, V, smoothing and
+    * the portable-log quantization per bigram.
+    */
+  private[queries] def lmPlant(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(9)) === 0,
+          concat(lit(" zz"), col("doc_id").cast("string"),
+            lit(" qx"), col("doc_id").cast("string")))
+          .otherwise(lit(""))).as("text"))
+
+  /** Oracle chain ending at CTE `fin` (doc_id, n_bigrams, lm_logp_q,
+    * xent) over every doc, and `sc2` (same columns, scored docs only —
+    * what the streaming twin emits: a zero-bigram doc produces no
+    * exploded rows, hence no aggregation state, hence no output row).
+    */
+  private[queries] val lmCtes: String = {
+    import graft.functions.PortableLog
+    val bigrams = "CASE WHEN len(toks) >= 2 THEN list_transform(range(0, len(toks) - 1), " +
+      "i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]) " +
+      "ELSE CAST([] AS VARCHAR[]) END"
+    s"""WITH m AS (SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 9 = 0 THEN ' zz' || CAST(doc_id AS VARCHAR) ||
+       |         ' qx' || CAST(doc_id AS VARCHAR) ELSE '' END AS text
+       |  FROM ${Q.DocsRef}),
+       |tk AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks FROM m),
+       |bg AS (SELECT doc_id, unnest($bigrams) AS bigram FROM tk),
+       |c1 AS (SELECT token, count(*) AS c1 FROM
+       |         (SELECT unnest(toks) AS token FROM tk WHERE doc_id % 4 = 0) t1
+       |       GROUP BY token),
+       |vv AS (SELECT count(*) AS v FROM c1),
+       |c2 AS (SELECT bigram, count(*) AS c2 FROM bg WHERE doc_id % 4 = 0 GROUP BY bigram),
+       |pr AS (SELECT b.doc_id, COALESCE(c2.c2, 0) AS c2v, COALESCE(c1.c1, 0) AS c1v
+       |       FROM bg b LEFT JOIN c2 USING (bigram)
+       |         LEFT JOIN c1 ON c1.token = split_part(b.bigram, ' ', 1)),
+       |xx AS (SELECT doc_id,
+       |         CAST(c2v + 1 AS DOUBLE) / CAST(c1v + (SELECT v FROM vv) AS DOUBLE) AS x
+       |       FROM pr),
+       |yy AS (SELECT doc_id, ${PortableLog.sqrtNestSql("x")} AS y FROM xx),
+       |zq AS (SELECT doc_id, ${PortableLog.zSql("y")} AS z FROM yy),
+       |qz AS (SELECT doc_id,
+       |         CAST(floor(1.0e6 * ${PortableLog.seriesSql("z")}) AS BIGINT) AS q
+       |       FROM zq),
+       |sc AS (SELECT doc_id, count(*) AS n_bigrams, sum(q) AS lm FROM qz GROUP BY doc_id),
+       |sc2 AS (SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       |          CAST(lm AS BIGINT) AS lm_logp_q,
+       |          CAST(-lm AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1.0e6) AS xent
+       |        FROM sc),
+       |fin AS (SELECT m.doc_id, CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |          CAST(COALESCE(sc.lm, 0) AS BIGINT) AS lm_logp_q,
+       |          CASE WHEN sc.n_bigrams > 0
+       |               THEN CAST(-sc.lm AS DOUBLE) / (CAST(sc.n_bigrams AS DOUBLE) * 1.0e6)
+       |               ELSE 0.0e0 END AS xent
+       |        FROM m LEFT JOIN sc USING (doc_id))""".stripMargin
+  }
+
+  private[queries] val lmScoreOracleSql: String =
+    s"$lmCtes\nSELECT doc_id, n_bigrams, lm_logp_q, xent FROM fin ORDER BY doc_id"
+
+  private[queries] val lmScoreStreamOracleSql: String =
+    s"$lmCtes\nSELECT doc_id, n_bigrams, lm_logp_q, xent FROM sc2 ORDER BY doc_id"
+
+  /** DSIR rows: the synthetic corpus is distribution-uniform, so the
+    * target subset (doc_id ≡ 0 mod 7) is marked with a planted phrase —
+    * the target model's buckets become genuinely distinctive — and a
+    * second residue class (≡ 3 mod 7) gets a PARTIAL overlap so the score
+    * separates full-target / partial / background docs. The oracle
+    * replays the construction.
+    */
+  private def dsirPlant(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          lit(" dsir target phrase quality prose")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 3, lit(" quality prose"))
+          .otherwise(lit(""))).as("text"))
+
+  /** Shared oracle chain for the DSIR rows: re-derives the WHOLE model —
+    * hashed-gram bucket counts, smoothing, and the portable-log
+    * transform ([[Dsir.plog]]'s exact IEEE dag rendered in SQL) — from
+    * the same relation, then scores every document. Ends at CTE `fin`
+    * (doc_id, n_grams, dsir_score).
+    */
+  private val dsirCtes: String = {
+    val bigrams = "CASE WHEN len(toks) >= 2 THEN list_transform(range(0, len(toks) - 1), " +
+      "i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]) " +
+      "ELSE CAST([] AS VARCHAR[]) END"
+    val b = Dsir.Buckets
+    s"""WITH m AS (SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 7 = 0 THEN ' dsir target phrase quality prose' ELSE '' END ||
+       |    CASE WHEN doc_id % 7 = 3 THEN ' quality prose' ELSE '' END AS text
+       |  FROM ${Q.DocsRef}),
+       |tk AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks FROM m),
+       |gr AS (SELECT doc_id, unnest(list_concat(toks, $bigrams)) AS gram FROM tk),
+       |bk AS (SELECT doc_id, (${DuckSql.hash60("gram")}) % $b AS bucket FROM gr),
+       |cnt AS (SELECT bucket, count(*) AS cr,
+       |          sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS ct
+       |        FROM bk GROUP BY bucket),
+       |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt FROM cnt),
+       |ab AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(0, $b)),
+       |sm AS (SELECT ab.bucket,
+       |         CAST(COALESCE(cnt.ct, 0) + 1 AS DOUBLE) / CAST(tot.nt + $b AS DOUBLE) AS xt,
+       |         CAST(COALESCE(cnt.cr, 0) + 1 AS DOUBLE) / CAST(tot.nr + $b AS DOUBLE) AS xr
+       |       FROM ab LEFT JOIN cnt USING (bucket) CROSS JOIN tot),
+       |yy AS (SELECT bucket, ${Dsir.plogSqrtNestSql("xt")} AS yt,
+       |         ${Dsir.plogSqrtNestSql("xr")} AS yr FROM sm),
+       |zz AS (SELECT bucket, ${Dsir.plogZSql("yt")} AS zt, ${Dsir.plogZSql("yr")} AS zr FROM yy),
+       |pp AS (SELECT bucket, ${Dsir.plogSeriesSql("zt")} AS pt, ${Dsir.plogSeriesSql("zr")} AS pr FROM zz),
+       |qq AS (SELECT bucket, CAST(floor(1.0e6*(pt - pr)) AS BIGINT) AS qlr FROM pp),
+       |sc AS (SELECT bk.doc_id, count(*) AS n_grams, sum(qq.qlr) AS score
+       |       FROM bk JOIN qq USING (bucket) GROUP BY bk.doc_id),
+       |fin AS (SELECT m.doc_id, CAST(COALESCE(sc.n_grams, 0) AS BIGINT) AS n_grams,
+       |          CAST(COALESCE(sc.score, 0) AS BIGINT) AS dsir_score
+       |        FROM m LEFT JOIN sc USING (doc_id))""".stripMargin
+  }
+
+  private val dsirScoreOracleSql: String =
+    s"$dsirCtes\nSELECT doc_id, n_grams, dsir_score FROM fin ORDER BY doc_id"
+
+  private val dsirSelectOracleSql: String =
+    s"""$dsirCtes,
+       |rk AS (SELECT doc_id, n_grams, dsir_score,
+       |         row_number() OVER (ORDER BY dsir_score DESC, doc_id) AS rn FROM fin)
+       |SELECT doc_id, n_grams, dsir_score FROM rk
+       |WHERE rn <= (SELECT count(*) // 5 FROM m) ORDER BY doc_id""".stripMargin
+
   /** Shared front of the round-10 line/rarity cleaning chain — the batch
     * composite, its streaming ingestion twin, and the streaming twin's
     * static vocabulary all run the identical construction: plant chrome +
@@ -1245,6 +1416,84 @@ object PipelineQueries {
           "doc_id", "text", maxBroadcastVocab = 0L)
         .orderBy("doc_id"),
       Some(dfScoreOracleSql)),
+
+    // n-gram LM scoring (CCNet shape): bigram model with add-one
+    // smoothing trained on the %4 reference subset, every doc scored by
+    // quantized portable-log likelihood — the sequence-aware complement
+    // of text_df_score. Training = two token-keyed aggregations + a
+    // vocabulary-sized model join; scoring = one corpus scan probing the
+    // size-guarded model relation.
+    Q("text_lm_score",
+      (s, dir) => {
+        val docs = lmPlant(Tables.documents(s, dir))
+        val m = graft.text.NgramLm.train(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
+        graft.text.NgramLm.score(docs, "doc_id", "text", m).orderBy("doc_id")
+      },
+      Some(lmScoreOracleSql)),
+
+    // forced shuffle-hash fallback twin — the strategy must be
+    // result-invisible, so the same oracle checks both paths.
+    Q("text_lm_score_wide",
+      (s, dir) => {
+        val docs = lmPlant(Tables.documents(s, dir))
+        val m = graft.text.NgramLm.train(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
+        graft.text.NgramLm.score(docs, "doc_id", "text", m,
+          maxBroadcastModel = 0L).orderBy("doc_id")
+      },
+      Some(lmScoreOracleSql)),
+
+    // DSIR importance scoring (Xie et al. 2023): hashed unigram+bigram
+    // models fit on a target subset vs the raw corpus, every doc scored
+    // by the quantized log-likelihood ratio. Fitting = one bucket-count
+    // Exchange + a ≤1024-row collect; scoring = zero-shuffle column work
+    // against the plan-literal model. The oracle re-derives counts AND
+    // the portable-log transform, so any divergence in hashing, counting,
+    // smoothing or rounding fails the hash.
+    Q("text_dsir_score",
+      (s, dir) => {
+        val docs = dsirPlant(Tables.documents(s, dir))
+        val m = Dsir.fit(docs, "text", pmod(col("doc_id"), lit(7)) === 0)
+        Dsir.score(docs, "doc_id", "text", m).orderBy("doc_id")
+      },
+      Some(dsirScoreOracleSql)),
+
+    // the selection half: keep the top 20% by (score DESC, doc_id) via
+    // the distributed two-pass prefix rank — no global-sort collapse, no
+    // driver-side top-k collect (k is a corpus fraction).
+    Q("pipeline_dsir_select",
+      (s, dir) => {
+        val docs = dsirPlant(Tables.documents(s, dir))
+        val m = Dsir.fit(docs, "text", pmod(col("doc_id"), lit(7)) === 0)
+        val scored = Dsir.score(docs, "doc_id", "text", m)
+        Dsir.selectTopK(scored, "doc_id", docs.count() / 5).orderBy("doc_id")
+      },
+      Some(dsirSelectOracleSql)),
+
+    // exact heavy hitters via the sketch-guided two-pass shape: a
+    // mergeable Misra-Gries pass bounds per-partition state at m=64
+    // counters, then only the ≤64 candidates are exact-counted and
+    // thresholded at T = N div 65 + 1 (> the sketch's N/65 undercount
+    // bound, so the final set is exact and partitioning-independent —
+    // the sketch only prunes). Doc-unique tokens are planted so the
+    // vocabulary (531 types at sf0.01) genuinely exceeds the counter
+    // budget and the sketch does real pruning work; the oracle computes
+    // the same set with a plain GROUP BY + HAVING over the total count.
+    Q("text_heavy_hitters",
+      (s, dir) => {
+        val planted = Tables.documents(s, dir).select(col("doc_id"),
+          concat(col("text"), lit(" xq"), col("doc_id").cast("string")).as("text"))
+        CorpusStats.heavyHitters(planted, "text").orderBy("token")
+      },
+      Some(s"""
+        WITH m AS (SELECT doc_id, text || ' xq' || CAST(doc_id AS VARCHAR) AS text
+                   FROM ${Q.DocsRef}),
+        t AS (SELECT unnest(${DuckSql.tokens("text")}) AS token FROM m),
+        tot AS (SELECT count(*) AS n FROM t)
+        SELECT token, count(*) AS cnt FROM t GROUP BY token
+        HAVING count(*) >= (SELECT n // ${CorpusStats.HeavyHitterCounters + 1} + 1 FROM tot)
+        ORDER BY token""")),
 
     // RefinedWeb-style line-wise correction: drop boilerplate/navigation
     // lines and short fragments inside each document, reassemble, report
@@ -1946,21 +2195,7 @@ object PipelineQueries {
         Dedup.simhash(Tables.documents(s, dir), "doc_id", "text"), "doc_id", maxHamming = 10)
         .orderBy("a_id", "b_id"),
       Some(s"""
-        WITH d AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks FROM ${Q.DocsRef}),
-        t AS (SELECT doc_id, ${DuckSql.hash60("tok")} AS h
-              FROM (SELECT doc_id, unnest(toks) AS tok FROM d)),
-        bits AS (
-          SELECT doc_id, jj.j, sum(((h >> CAST(jj.j AS INT)) & 1) * 2 - 1) AS s
-          FROM t CROSS JOIN (SELECT unnest(range(60)) AS j) jj
-          GROUP BY doc_id, jj.j),
-        sh AS (
-          SELECT doc_id,
-                 sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END) AS simhash
-          FROM bits GROUP BY doc_id),
-        banded AS (
-          SELECT doc_id, simhash, bb.band,
-                 (simhash >> CAST(bb.band * 15 AS INT)) & 32767 AS bkey
-          FROM sh CROSS JOIN (SELECT unnest(range(4)) AS band) bb),
+        WITH $simhashBandedCtes,
         cand AS (
           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
                  a.simhash AS sh_a, b.simhash AS sh_b

@@ -703,6 +703,98 @@ object StreamingQueries {
       },
       Some(PipelineQueries.minhashIncrementalSql(0.6))),
 
+    // INCREMENTAL SimHash near-dup at ingestion — the hamming face of
+    // the new-data-vs-training-set family, completing the dedup-family
+    // symmetry (exact/bloom, span, semantic, minhash-jaccard, and now
+    // simhash). The training subset's banded signature table is a static
+    // cached relation; each incoming doc reduces to ONE int64 signature
+    // via the native single-pass SimHashSig kernel (pure column work —
+    // stream-safe, the signature never leaves its row), explodes to 4
+    // band keys, equi-joins the static bands, and verifies candidates
+    // with a per-row bit_count xor — no stream-side shuffle before the
+    // final flag aggregation. Multi-band collisions are absorbed by the
+    // duplicate-insensitive min/min flag (rep_id, h_min), the same
+    // argument that spares the minhash twin a distinct-pair stage.
+    // Self-pairs included: a re-ingested training doc flags against
+    // itself at hamming 0.
+    Q("stream_dedup_simhash",
+      (s, dir) => {
+        implicit val sp = s
+        import graft.functions.GraftFunctions.{hash60, tokens}
+        val training = graft.Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(4)) === 0)
+        val trBanded = graft.Caches.track(
+          graft.dedup.Dedup.simhash(training, "doc_id", "text")
+            .select(col("doc_id").as("a_id"), col("simhash").as("sh_a"),
+              explode(sequence(lit(0), lit(3))).as("band"))
+            .withColumn("bkey",
+              expr("shiftright(sh_a, CAST(band * 15 AS INT)) & 32767")))
+        val incoming = StreamSources.documents(s, dir)
+          .select(col("doc_id"),
+            transform(tokens(col("text")), t => hash60(t)).as("hs"))
+          .filter(size(col("hs")) > 0)
+          .select(col("doc_id"),
+            graft.functions.expressions.SimHashSig.of(col("hs")).as("sh_b"))
+          .withColumn("band", explode(sequence(lit(0), lit(3))))
+          .withColumn("bkey",
+            expr("shiftright(sh_b, CAST(band * 15 AS INT)) & 32767"))
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+        val flagged = incoming
+          .join(trBanded, Seq("band", "bkey"))
+          .withColumn("hamming", expr("CAST(bit_count(sh_b ^ sh_a) AS INT)"))
+          .filter(col("hamming") <= 10)
+          .groupBy(window(col("event_time"), "1 hour"), col("doc_id"))
+          .agg(min(col("a_id")).as("rep_id"), min(col("hamming")).as("h_min"))
+          .select("doc_id", "rep_id", "h_min")
+        StreamRun.toBatch(flagged, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+          .orderBy("doc_id")
+      },
+      Some(PipelineQueries.simhashIncrementalSql(10))),
+
+    // n-gram LM scoring AT INGESTION — the literal CCNet deployment: the
+    // bigram model trains OFFLINE on the reference subset (same
+    // derivation as text_lm_score), the stream probes the static model
+    // relations per micro-batch (stream-static LEFT joins — no join
+    // state, no watermark on the probe; smoothing covers misses) and the
+    // per-doc sum rides a watermarked ingress-window aggregation (update
+    // mode, single-batch delivery asserted). Zero-bigram docs emit no
+    // rows (no exploded input → no aggregation state), hence the
+    // scored-docs-only oracle variant.
+    Q("stream_text_lm_score",
+      (s, dir) => {
+        implicit val sp = s
+        import graft.functions.GraftFunctions.wordGrams
+        val docs = PipelineQueries.lmPlant(graft.Tables.documents(s, dir))
+        val m = graft.text.NgramLm.train(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
+        val incoming = PipelineQueries.lmPlant(StreamSources.documents(s, dir))
+          .select(col("doc_id"), explode(wordGrams(col("text"), 2)).as("bigram"))
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+        val qq = incoming
+          .join(broadcast(m.qSeen.select(col("bigram"), col("q"))),
+            Seq("bigram"), "left")
+          .join(broadcast(m.heads),
+            substring_index(col("bigram"), " ", 1) === col("__w1"), "left")
+          .select(col("doc_id"), col("event_time"),
+            coalesce(col("q"),
+              graft.text.NgramLm.qCol(lit(0L), coalesce(col("c1"), lit(0L)), m.v)
+                .cast("long")).as("qq"))
+        val scored = qq
+          .groupBy(window(col("event_time"), "1 hour"), col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("qq")).as("lm_logp_q"))
+          .select(col("doc_id"), col("n_bigrams"), col("lm_logp_q"),
+            ((-col("lm_logp_q")).cast("double") /
+              (col("n_bigrams").cast("double") * lit(graft.text.NgramLm.Scale)))
+              .as("xent"))
+        StreamRun.toBatch(scored, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+          .orderBy("doc_id")
+      },
+      Some(PipelineQueries.lmScoreStreamOracleSql)),
+
     // BPE tokenization AT INGESTION against a frozen tokenizer — the
     // production shape (training on the stream would drift the
     // vocabulary with arrival order): merges train OFFLINE on the

@@ -32,6 +32,50 @@ object CorpusStats {
     */
   val MaxBroadcastVocab: Long = 2000000L
 
+  /** Counter budget for the heavy-hitter sketch pass; the exactness
+    * threshold is tied to it (T = N div (m+1) + 1 > N/(m+1), the
+    * Misra-Gries undercount bound), so m bounds BOTH the sketch state and
+    * how deep into the head the operator can see. 64 counters resolve
+    * every token above ~1.5% of corpus mass.
+    */
+  val HeavyHitterCounters: Int = 64
+
+  /** Exact heavy hitters without a full-vocabulary shuffle — the
+    * sketch-guided two-pass shape: (1) ONE scan folds the token stream
+    * into a mergeable Misra-Gries summary
+    * ([[graft.functions.expressions.MisraGriesAgg]] — O(m) state per
+    * partition, a single m-entry partial per partition moves to the
+    * final merge) plus the exact total token count; (2) a second scan
+    * exact-counts ONLY the ≤ m candidate tokens (literal isin filter —
+    * no join, the aggregation Exchange moves candidate occurrences, not
+    * the vocabulary) and keeps those with count ≥ T = N div (m+1) + 1.
+    *
+    * Output (token, cnt) is EXACTLY {token : count(token) ≥ T},
+    * independent of partitioning and merge order: T exceeds the sketch's
+    * undercount bound N/(m+1), so every qualifying token is guaranteed a
+    * candidate (superset property), and the verify counts are exact —
+    * the sketch only prunes. Contrast [[vocabulary]]: that pass shuffles
+    * every distinct type (the honest cost when the whole distribution is
+    * needed); this one replaces it with O(m) state when only the head is
+    * — stopword extraction, boilerplate-token detection, tokenizer
+    * seeding.
+    */
+  def heavyHitters(corpus: DataFrame, textCol: String,
+      m: Int = HeavyHitterCounters): DataFrame = {
+    val toks = corpus.select(explode(tokens(col(textCol))).as("token"))
+    val row = toks.agg(
+      graft.functions.expressions.MisraGriesAgg.of(col("token"), m).as("cands"),
+      count(lit(1)).as("n")).head()
+    val cands: Seq[String] = row.getSeq[String](0)
+    val n = row.getLong(1)
+    val t = n / (m + 1) + 1
+    val candToks =
+      if (cands.isEmpty) toks.filter(lit(false))
+      else toks.filter(col("token").isin(cands: _*))
+    candToks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= t)
+  }
+
   /** (token, df): document frequency of every distinct token — the number
     * of documents containing it at least once. One narrow explode of the
     * per-document DISTINCT token set (no countDistinct expand), one

@@ -1,0 +1,106 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+import graft.functions.PortableLog
+
+/** CCNet-style n-gram language-model scoring — "train a small LM on the
+  * reference corpus, score every raw document by per-token log-likelihood"
+  * (Wenzek et al. 2020 do it with KenLM 5-grams; the operator here is an
+  * add-one-smoothed BIGRAM model, the same deployment shape at the
+  * engine's determinism standard). Low likelihood under a clean reference
+  * model is the classic gibberish/OCR/boilerplate signal, complementary to
+  * the corpus-frequency scorer ([[CorpusStats.dfScore]] — that one is
+  * sequence-blind; this one charges for improbable TRANSITIONS).
+  *
+  * Model: p(w2|w1) = (c2(w1 w2) + 1) / (c1(w1) + V), counts from the
+  * training corpus, V = its distinct-type count. A document's score is the
+  * sum over its bigrams (with multiplicity) of
+  * floor(1e6 · plog(p(w2|w1))) — quantized per bigram, then an INTEGER
+  * sum, so the total is order-free and exact; the logarithm is the
+  * engine's portable dag ([[PortableLog]]), so the DuckDB oracle
+  * re-derives model AND scores bit-identically.
+  *
+  * Scale shape: training = two token-keyed aggregations (map-side
+  * partials) + one model-side join of c2 with c1 (vocabulary-sized);
+  * scoring = one corpus scan probing the model relation, size-GUARDED
+  * like the vocabulary join ([[CorpusStats.MaxBroadcastVocab]] applied to
+  * the bigram table): broadcast below the ceiling, shuffle-hash with the
+  * model as build side above it — never an un-runnable broadcast, never a
+  * sort of the exploded corpus. Unseen bigrams/heads cost nothing extra:
+  * the probe is a left join and smoothing covers the misses.
+  */
+object NgramLm {
+
+  val Scale: Double = 1.0e6
+
+  /** Trained model: bigram → quantized conditional log-prob for SEEN
+    * bigrams, head-token counts for the unseen-bigram smoothing path, and
+    * the type count V. `qSeen` carries q = floor(1e6·plog((c2+1)/(c1+V)))
+    * precomputed per distinct bigram (cheaper than per occurrence);
+    * misses re-derive q from (0+1)/(c1+V) at probe time.
+    */
+  final case class Model(qSeen: DataFrame, heads: DataFrame, v: Long)
+
+  /** Quantized conditional log-prob for a (c2, c1) count pair — shared by
+    * the seen-bigram precompute, the batch miss path, and the streaming
+    * twin's miss path, so every caller quantizes identically.
+    */
+  def qCol(c2: Column, c1: Column, v: Long): Column =
+    floor(lit(Scale) * PortableLog.plogCol(
+      (c2 + lit(1L)).cast("double") / (c1 + lit(v)).cast("double")))
+
+  /** Fit the bigram model on `training`. Both relations are cached (they
+    * feed the guard count AND the probe; at 100 TB they would be
+    * checkpointed tables refreshed offline, exactly KenLM's role in
+    * CCNet).
+    */
+  def train(training: DataFrame, textCol: String): Model = {
+    val c1 = graft.Caches.track(
+      training.select(explode(tokens(col(textCol))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("c1")))
+    val v = c1.count()
+    val c2 = training.select(explode(wordGrams(col(textCol), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c2"))
+    val qSeen = graft.Caches.track(
+      c2.join(c1.withColumnRenamed("token", "__w1"),
+          substring_index(col("bigram"), " ", 1) === col("__w1"))
+        .select(col("bigram"), col("c1"),
+          qCol(col("c2"), col("c1"), v).cast("long").as("q")))
+    Model(qSeen, c1.withColumnRenamed("token", "__w1"), v)
+  }
+
+  /** Score every document: (id, n_bigrams, lm_logp_q, xent) where
+    * lm_logp_q = Σ q over the doc's bigrams and xent =
+    * (−lm_logp_q)/(n·1e6) — mean negative log-likelihood per bigram, a
+    * single exact-input double division. Docs with < 2 tokens score
+    * (0, 0, 0.0).
+    */
+  def score(corpus: DataFrame, idCol: String, textCol: String, m: Model,
+      maxBroadcastModel: Long = CorpusStats.MaxBroadcastVocab): DataFrame = {
+    val big = m.qSeen.count() <= maxBroadcastModel
+    val qProbe = if (big) broadcast(m.qSeen) else m.qSeen.hint("shuffle_hash")
+    val hProbe = if (big) broadcast(m.heads) else m.heads.hint("shuffle_hash")
+    val exploded = corpus
+      .select(col(idCol), explode(wordGrams(col(textCol), 2)).as("bigram"))
+    val scored = exploded
+      .join(qProbe.select(col("bigram"), col("q")), Seq("bigram"), "left")
+      .join(hProbe, substring_index(col("bigram"), " ", 1) === col("__w1"), "left")
+      .select(col(idCol),
+        coalesce(col("q"),
+          qCol(lit(0L), coalesce(col("c1"), lit(0L)), m.v).cast("long"))
+          .as("qq"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("qq")).as("lm_logp_q"))
+    corpus.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_logp_q"), lit(0L)).as("lm_logp_q"),
+        when(col("n_bigrams") > 0,
+          (-coalesce(col("lm_logp_q"), lit(0L))).cast("double") /
+            (col("n_bigrams").cast("double") * lit(Scale)))
+          .otherwise(lit(0.0)).as("xent"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.text.CorpusStats
+
+/** Sketch-guided exact heavy hitters: hand-checked output, merge/shrink
+  * correctness under real eviction pressure (local type count well above
+  * the counter budget, 20-way partial merge), and partitioning-invariance
+  * of the final exact set.
+  */
+class HeavyHittersSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("exact head by hand: output is {token : count ≥ N div (m+1) + 1}") {
+    import spark.implicits._
+    // 40 'a', 30 'b', 8 'c', 22 singletons → N = 100; m = 4 → T = 21
+    val text = (Seq.fill(40)("a") ++ Seq.fill(30)("b") ++ Seq.fill(8)("c") ++
+      (1 to 22).map(i => s"u$i")).mkString(" ")
+    val got = CorpusStats.heavyHitters(Seq((1L, text)).toDF("doc_id", "text"),
+      "text", m = 4).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 40L, "b" -> 30L), "c (8 < T=21) must not appear")
+  }
+
+  test("20-way merge under eviction pressure keeps the exact head") {
+    import spark.implicits._
+    // 20 partitions, 13 local types vs m = 8 counters → every partial
+    // evicts; per partition the heavy token appears 8× among 12 fillers
+    // (4× each, partition-local names). Globally: heavy = 160,
+    // N = 20·(8+48) = 1120, T = 1120 div 9 + 1 = 125 → exactly {heavy}.
+    // (MG's guarantee makes this safe by construction: heavy's local
+    // count 8 exceeds the local bound 56/9, so every partial retains it;
+    // the test exercises shrink() on update AND on the 20-way merge.)
+    val rows = (0 until 20).flatMap { p =>
+      val fillers = (0 until 12).flatMap(f => Seq.fill(4)(s"f${p}_$f"))
+      (Seq.fill(8)("heavy") ++ fillers).map(t => (p, t))
+    }
+    val docs = rows.zipWithIndex
+      .map { case ((p, t), i) => (i.toLong, p, t) }
+      .toDF("doc_id", "part", "text")
+      .repartition(20, col("part"))
+    val got = CorpusStats.heavyHitters(docs, "text", m = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("heavy" -> 160L))
+  }
+
+  test("final set is partitioning-invariant (sketch only prunes)") {
+    import spark.implicits._
+    // one token per doc so repartitioning genuinely respreads the stream
+    val docs = ((1 to 200).map(_ => "alpha") ++ (1 to 150).map(_ => "beta") ++
+      (1 to 650).map(i => s"tail$i")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val a = CorpusStats.heavyHitters(docs.repartition(1), "text", m = 8)
+      .orderBy("token").collect().map(_.toSeq).toSeq
+    val b = CorpusStats.heavyHitters(docs.repartition(13), "text", m = 8)
+      .orderBy("token").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // N = 1000, m = 8 → T = 112: alpha (200) and beta (150) qualify
+    assert(a.map(_.head) == Seq("alpha", "beta"))
+  }
+}

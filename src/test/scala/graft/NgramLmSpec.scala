@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.PortableLog
+import graft.text.NgramLm
+
+/** Bigram-LM scorer: hand-computed model and scores (seen, unseen-bigram,
+  * unseen-head smoothing paths), guarded-join result identity, and the
+  * degenerate-doc contract.
+  */
+class NgramLmSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def training = {
+    import spark.implicits._
+    // bigrams: "a b" ×2, "b a" ×1  (tokens: a×2, b×2 → V = 2)
+    Seq((1L, "a b"), (2L, "b a b")).toDF("doc_id", "text")
+  }
+
+  private def q(c2: Long, c1: Long, v: Long): Long =
+    math.floor(1e6 * PortableLog.plog(
+      (c2 + 1L).toDouble / (c1 + v).toDouble)).toLong
+
+  test("model and scores by hand across all three probe paths") {
+    import spark.implicits._
+    val m = NgramLm.train(training, "text")
+    assert(m.v == 2L)
+    val seen = m.qSeen.collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // c1: a→2, b→3... recount: "a b" tokens a,b; "b a b" tokens b,a,b →
+    // a×2, b×3; V=2. bigrams: "a b"×2, "b a"×1.
+    assert(seen == Map("a b" -> q(2, 2, 2), "b a" -> q(1, 3, 2)))
+
+    val corpus = Seq(
+      (10L, "a b a"), // seen "a b", seen? "b a" seen → both seen
+      (11L, "a c"),   // unseen bigram with seen head a (c1=2)
+      (12L, "z z"),   // unseen head (c1=0)
+      (13L, "solo"),  // < 2 tokens → (0, 0, 0.0)
+      (14L, "")
+    ).toDF("doc_id", "text")
+    val got = NgramLm.score(corpus, "doc_id", "text", m).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val s10 = q(2, 2, 2) + q(1, 3, 2)
+    val s11 = q(0, 2, 2)
+    val s12 = q(0, 0, 2)
+    assert(got(10L) == ((2L, s10, (-s10).toDouble / (2.0 * 1e6))))
+    assert(got(11L) == ((1L, s11, (-s11).toDouble / 1e6)))
+    assert(got(12L) == ((1L, s12, (-s12).toDouble / 1e6)))
+    assert(got(13L) == ((0L, 0L, 0.0)))
+    assert(got(14L) == ((0L, 0L, 0.0)))
+    // add-one smoothing quirk, pinned deliberately: an unseen HEAD yields
+    // p = 1/V (denominator collapses to V), which can exceed an unseen
+    // bigram under a well-attested head (1/(c1+V)) — the classic
+    // Laplace-smoothing artifact; a backoff model would order these the
+    // other way. Both are negative (improbable) as expected.
+    assert(s12 == q(0, 0, 2) && s11 == q(0, 2, 2) && s12 > s11 && s11 < 0L)
+  }
+
+  test("guarded model join: fallback strategy is result-identical") {
+    import spark.implicits._
+    val m = NgramLm.train(training, "text")
+    val corpus = Seq((10L, "a b a"), (11L, "a c z q")).toDF("doc_id", "text")
+    val bcast = NgramLm.score(corpus, "doc_id", "text", m)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val fallback = NgramLm.score(corpus, "doc_id", "text", m, maxBroadcastModel = 0L)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(bcast == fallback)
+  }
+}
