@@ -71,4 +71,58 @@ object PortableLog {
     * reference or a cast of one) or stage it first.
     */
   def plogSql(x: String): String = seriesSql(zSql(sqrtNestSql(x)))
+
+  // ---- portable exponential (same doctrine, inverse trick) ------------
+
+  /** pexp: e^u as a fixed dag — scale u down by 2^16 (exact: division by
+    * a power of two), a 5-term Taylor series with one canonical factoring
+    * (v² = v·v, v³ = v²·v, v⁴ = v³·v), then 16 squarings. |v| ≤ 2⁻¹⁶·|u|
+    * keeps truncation ≤ ~v⁵/120 — negligible at any |u| the sigmoid ever
+    * sees; extreme |u| saturates identically on both engines (IEEE
+    * inf/0 semantics are part of the spec). Feeds [[psig]], the portable
+    * logistic sigmoid of the quality classifier.
+    */
+  def pexp(u: Double): Double = {
+    val v = u / 65536.0
+    val v2 = v * v
+    val v3 = v2 * v
+    val v4 = v3 * v
+    var y = 1.0 + v + v2 / 2.0 + v3 / 6.0 + v4 / 24.0
+    var i = 0
+    while (i < 16) { y = y * y; i += 1 }
+    y
+  }
+
+  /** Portable logistic sigmoid: 1/(1 + pexp(−u)); psig(0) = 0.5 exactly. */
+  def psig(u: Double): Double = 1.0 / (1.0 + pexp(-u))
+
+  /** Catalyst rendering — a native expression whose eval/codegen CALL
+    * [[pexp]] (a pure-column fold would textually nest the 16 squarings
+    * into a 2^16-node tree).
+    */
+  def pexpCol(u: Column): Column =
+    graft.functions.expressions.PortableExpExpr(u)
+
+  def psigCol(u: Column): Column = lit(1.0) / (lit(1.0) + pexpCol(-u))
+
+  /** DuckDB rendering of psig as a NESTED-SUBQUERY pyramid. The 16
+    * squarings cannot ride lateral column aliases or plain CTE columns:
+    * DuckDB expands those by SUBSTITUTION, so e16 = e15·e15 = … becomes a
+    * 2^16-node tree and planning alone takes ~30 s per occurrence
+    * (measured). Each squaring gets its own subquery projection instead —
+    * a real evaluation boundary, same doubles, constant-size plan.
+    *
+    * Emits a full SELECT producing `keepCols` plus `psig` =
+    * 1/(1 + pexp(uExpr)), where `innerSql` is a query exposing keepCols
+    * and whatever uExpr references. Callers wanting the sigmoid of margin
+    * s pass uExpr = "-(s)".
+    */
+  def psigSelectSql(innerSql: String, keepCols: String, uExpr: String): String = {
+    val v = s"SELECT $keepCols, ($uExpr)/65536.0e0 AS v FROM ($innerSql) pq0"
+    val ser = s"SELECT $keepCols, 1.0e0 + v + v2/2.0e0 + v3/6.0e0 + v4/24.0e0 AS e " +
+      s"FROM (SELECT $keepCols, v, v*v AS v2, v2*v AS v3, v3*v AS v4 FROM ($v) pq1) pq2"
+    val squared = (1 to 16).foldLeft(ser)((q, i) =>
+      s"SELECT $keepCols, e*e AS e FROM ($q) ps$i")
+    s"SELECT $keepCols, 1.0e0/(1.0e0 + e) AS psig FROM ($squared) psF"
+  }
 }

@@ -891,6 +891,106 @@ object PipelineQueries {
     SELECT doc_id, min(a_id) AS rep_id, CAST(min(hamming) AS INT) AS h_min
     FROM cand GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Quality-classifier rows: positives (doc_id ≡ 0 mod 6) carry a
+    * planted marker phrase so the hashed-feature LR has signal to learn;
+    * the oracle replays BOTH training rounds — features, the exact
+    * psig(0)=0.5 first round, the portable-sigmoid second round,
+    * per-(doc,bucket) gradient quantization, weight folds — and the final
+    * scoring pass, so a divergence anywhere in the training loop fails
+    * the hash.
+    */
+  private[queries] def classifierPlant(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(6)) === 0,
+          lit(" high quality curated encyclopedic prose")).otherwise(lit("")))
+        .as("text"))
+
+  private[queries] val classifierLabelSql: String =
+    "CASE WHEN doc_id % 6 = 0 THEN 1.0e0 ELSE 0.0e0 END"
+
+  /** Shared chain ending at `fb` (doc_id, fx sorted presence-feature
+    * structs incl bias), `lab`, `nn`, `sp` and the trained weight lists
+    * `wl1`..`wl<Rounds>`. Round 1 exploits psig(0) = 0.5 exactly (w = 0,
+    * engine-pinned); rounds 2..R replay the portable-sigmoid fold. The
+    * per-round CTEs are generated by the same loop for every round, so
+    * the round count is one constant. fb/fe/lab are MATERIALIZED — each
+    * round references them, and inlining would re-run the tokenization
+    * per round (the BPE-oracle lesson).
+    */
+  private[queries] val classifierTrainCtes: String = {
+    import graft.functions.PortableLog
+    val qc = graft.text.QualityClassifier
+    val b = qc.Buckets
+    val eta = s"${qc.Eta}e0"
+    def fold(wl: String): String =
+      s"list_reduce(list_prepend(0.0e0, list_transform(fb.fx, " +
+        s"f -> $wl[CAST(f.b + 1 AS INT)] * CAST(f.c AS DOUBLE))), (a, x) -> a + x)"
+    val head =
+      s"""WITH m AS MATERIALIZED (SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 6 = 0 THEN ' high quality curated encyclopedic prose'
+         |         ELSE '' END AS text
+         |  FROM ${Q.DocsRef}),
+         |lab AS MATERIALIZED (SELECT doc_id, $classifierLabelSql AS y FROM m),
+         |tk AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks FROM m),
+         |bkr AS (SELECT doc_id, (${DuckSql.hash60("tok")}) % $b AS b
+         |        FROM (SELECT doc_id, unnest(toks) AS tok FROM tk) tt),
+         |fc AS (SELECT DISTINCT doc_id, b, CAST(1 AS BIGINT) AS c FROM bkr),
+         |fl AS (SELECT doc_id, list(struct_pack(b := b, c := c) ORDER BY b) AS fx
+         |       FROM fc GROUP BY doc_id),
+         |fb AS MATERIALIZED (SELECT m.doc_id,
+         |         COALESCE(fl.fx, CAST([] AS STRUCT(b BIGINT, c BIGINT)[])) ||
+         |           [struct_pack(b := CAST($b AS BIGINT), c := CAST(1 AS BIGINT))] AS fx
+         |       FROM m LEFT JOIN fl USING (doc_id)),
+         |nn AS (SELECT count(*) AS n FROM m),
+         |sp AS (SELECT CAST(range AS BIGINT) AS b FROM range(0, ${b + 1})),
+         |fe AS MATERIALIZED (SELECT doc_id, unnest(fx, recursive := true) FROM fb),
+         |g1 AS (SELECT b,
+         |         sum(CAST(floor((0.5e0 - lab.y) * CAST(c AS DOUBLE) * 1.0e6) AS BIGINT)) AS g
+         |       FROM fe JOIN lab USING (doc_id) GROUP BY b),
+         |w1 AS (SELECT sp.b,
+         |         0.0e0 - $eta * (CAST(COALESCE(g1.g, 0) AS DOUBLE)
+         |           / (1.0e6 * CAST(nn.n AS DOUBLE))) AS w
+         |       FROM sp LEFT JOIN g1 USING (b) CROSS JOIN nn),
+         |wl1 AS MATERIALIZED (SELECT list(w ORDER BY b) AS wl FROM w1)""".stripMargin
+    // w$t and wl$t MUST be materialized: each is referenced twice by the
+    // next round (the weight carry AND the margin fold), so inlining
+    // re-expands the whole training prefix 2^rounds times — the query
+    // never finishes at 6 rounds.
+    val rounds = (2 to qc.Rounds).map { t =>
+      s"""s$t AS (SELECT fb.doc_id, ${fold(s"wl${t - 1}.wl")} AS s
+         |       FROM fb CROSS JOIN wl${t - 1}),
+         |r$t AS (SELECT px.doc_id, px.psig - lab.y AS r
+         |       FROM (${PortableLog.psigSelectSql(s"SELECT doc_id, s FROM s$t", "doc_id", "-(s)")}) px
+         |       JOIN lab USING (doc_id)),
+         |g$t AS (SELECT b,
+         |         sum(CAST(floor(r$t.r * CAST(c AS DOUBLE) * 1.0e6) AS BIGINT)) AS g
+         |       FROM fe JOIN r$t USING (doc_id) GROUP BY b),
+         |w$t AS MATERIALIZED (SELECT sp.b,
+         |         w${t - 1}.w - $eta * (CAST(COALESCE(g$t.g, 0) AS DOUBLE)
+         |           / (1.0e6 * CAST(nn.n AS DOUBLE))) AS w
+         |       FROM sp JOIN w${t - 1} USING (b) LEFT JOIN g$t USING (b) CROSS JOIN nn),
+         |wl$t AS MATERIALIZED (SELECT list(w ORDER BY b) AS wl FROM w$t)""".stripMargin
+    }.mkString(",\n")
+    s"$head,\n$rounds"
+  }
+
+  /** One oracle for BOTH classifier rows: the streaming scorer's
+    * presence-fold margin is bit-identical to the batch feature-fold
+    * (sorted buckets then bias; ×1.0 exact), so one rendering checks the
+    * batch row and the ingestion twin.
+    */
+  private[queries] val classifierOracleSql: String = {
+    val r = graft.text.QualityClassifier.Rounds
+    val fold = s"list_reduce(list_prepend(0.0e0, list_transform(fb.fx, " +
+      s"f -> wl$r.wl[CAST(f.b + 1 AS INT)] * CAST(f.c AS DOUBLE))), (a, x) -> a + x)"
+    s"""$classifierTrainCtes,
+       |sF AS (SELECT fb.doc_id, $fold AS s FROM fb CROSS JOIN wl$r)
+       |SELECT doc_id, CAST(floor(1.0e6 * s) AS BIGINT) AS score_q,
+       |       CASE WHEN s >= 0.0e0 THEN 1 ELSE 0 END AS pred
+       |FROM sF ORDER BY doc_id""".stripMargin
+  }
+
   /** n-gram LM rows: gibberish (doc-unique token pairs → bigrams no
     * reference model can contain) is planted on doc_id ≡ 0 mod 9, so the
     * unseen-transition penalty discriminates; the model trains on the
@@ -1416,6 +1516,24 @@ object PipelineQueries {
           "doc_id", "text", maxBroadcastVocab = 0L)
         .orderBy("doc_id"),
       Some(dfScoreOracleSql)),
+
+    // model-based quality filtering (the GPT-3/LLaMA recipe): logistic
+    // regression over hashed token features, trained distributed — two
+    // full-batch GD rounds, each ONE corpus pass with quantized integer
+    // gradient sums (order-free) and the portable sigmoid, the ≤257-row
+    // gradient collect folding into the next weights driver-side. The
+    // oracle replays the entire training loop round-by-round plus the
+    // scoring pass.
+    Q("text_quality_classifier",
+      (s, dir) => {
+        val qc = graft.text.QualityClassifier
+        val feats = graft.Caches.track(qc.features(
+          classifierPlant(Tables.documents(s, dir)), "doc_id", "text",
+          (pmod(col("doc_id"), lit(6)) === 0).cast("int")))
+        val m = qc.train(feats)
+        qc.score(feats, "doc_id", m).orderBy("doc_id")
+      },
+      Some(classifierOracleSql)),
 
     // n-gram LM scoring (CCNet shape): bigram model with add-one
     // smoothing trained on the %4 reference subset, every doc scored by

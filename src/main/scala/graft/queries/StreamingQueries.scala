@@ -795,6 +795,30 @@ object StreamingQueries {
       },
       Some(PipelineQueries.lmScoreStreamOracleSql)),
 
+    // CLASSIFIER scoring AT INGESTION — the production shape of
+    // model-based quality filtering: the LR trains OFFLINE (same two
+    // distributed GD rounds as text_quality_classifier), the stream
+    // scores each doc as a pure per-token fold against the plan-literal
+    // weights — no feature aggregation, no state, no watermark, append
+    // mode; the plan never changes shape with the model. The margin's
+    // summation order differs from the batch scorer (per token vs per
+    // sorted bucket) and is pinned by its own oracle rendering.
+    Q("stream_text_classifier",
+      (s, dir) => {
+        implicit val sp = s
+        val qc = graft.text.QualityClassifier
+        val docs = PipelineQueries.classifierPlant(graft.Tables.documents(s, dir))
+        val feats = graft.Caches.track(qc.features(docs, "doc_id", "text",
+          (pmod(col("doc_id"), lit(6)) === 0).cast("int")))
+        val m = qc.train(feats)
+        val out = qc.scorePresenceFold(
+          PipelineQueries.classifierPlant(StreamSources.documents(s, dir)),
+          "doc_id", "text", m)
+        StreamRun.toBatch(out, "append", numPartitions = 4)
+          .orderBy("doc_id")
+      },
+      Some(PipelineQueries.classifierOracleSql)),
+
     // BPE tokenization AT INGESTION against a frozen tokenizer — the
     // production shape (training on the stream would drift the
     // vocabulary with arrival order): merges train OFFLINE on the

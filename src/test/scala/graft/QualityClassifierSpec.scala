@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.PortableLog
+import graft.text.QualityClassifier
+
+/** Distributed-LR quality classifier: portable-sigmoid fidelity, an
+  * independent driver-side replay of the full training loop, margin
+  * identity between the batch and streaming scorers, separation on a
+  * learnable corpus, and partitioning-invariance of the trained weights
+  * (the quantized-gradient guarantee).
+  */
+class QualityClassifierSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("pexp/psig: ~1e-8 relative fidelity; psig(0) is exactly 0.5") {
+    assert(PortableLog.pexp(0.0) == 1.0)
+    assert(PortableLog.psig(0.0) == 0.5)
+    for (u <- Seq(-30.0, -5.0, -0.7, -1e-4, 1e-4, 0.7, 5.0, 30.0)) {
+      val want = math.exp(u)
+      val got = PortableLog.pexp(u)
+      assert(math.abs(got - want) <= 1e-8 * want, s"pexp($u) = $got vs $want")
+    }
+  }
+
+  private def corpus = {
+    import spark.implicits._
+    // positives (y = 1) carry marker tokens; shared filler on both sides
+    Seq(
+      (1L, "good clean prose text", 1),
+      (2L, "good curated prose text", 1),
+      (3L, "junk spam noise text", 0),
+      (4L, "junk garbled noise text", 0),
+      (5L, "", 0)
+    ).toDF("doc_id", "text", "y")
+  }
+
+  test("training replays driver-side: features, rounds, weights, scores") {
+    val qc = QualityClassifier
+    val feats = qc.features(corpus, "doc_id", "text", col("y"))
+    val m = qc.train(feats)
+
+    // independent replay with plain Scala maps over the same definitions
+    def buckets(t: String): Seq[Int] =
+      t.split("\\s+").filter(_.nonEmpty).map(_.toLowerCase).distinct
+        .map(tok => (graft.functions.GraftFunctions.hash60Scala(tok) %
+          qc.Buckets).toInt).distinct.sorted.toSeq
+    val docs = Seq(
+      (1L, "good clean prose text", 1.0), (2L, "good curated prose text", 1.0),
+      (3L, "junk spam noise text", 0.0), (4L, "junk garbled noise text", 0.0),
+      (5L, "", 0.0))
+    val fx = docs.map { case (id, t, y) => (id, buckets(t) :+ qc.Buckets, y) }
+    var w = Array.fill(qc.Buckets + 1)(0.0)
+    for (_ <- 0 until qc.Rounds) {
+      val grad = Array.fill(qc.Buckets + 1)(0L)
+      fx.foreach { case (_, bs, y) =>
+        val s = bs.foldLeft(0.0)((acc, b) => acc + w(b) * 1.0)
+        val r = PortableLog.psig(s) - y
+        bs.foreach(b => grad(b) += math.floor(r * 1.0 * qc.GradScale).toLong)
+      }
+      w = Array.tabulate(qc.Buckets + 1) { b =>
+        val d = grad(b).toDouble / (qc.GradScale * fx.size.toDouble)
+        w(b) - qc.Eta * d
+      }
+    }
+    assert(m.w.toSeq == w.toSeq, "bit-identical weights")
+
+    val got = qc.score(feats, "doc_id", m).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    fx.foreach { case (id, bs, _) =>
+      val s = bs.foldLeft(0.0)((acc, b) => acc + w(b) * 1.0)
+      assert(got(id) == ((math.floor(1.0e6 * s).toLong, if (s >= 0.0) 1 else 0)))
+    }
+    // the classifier separates the hand corpus
+    assert(got(1L)._2 == 1 && got(2L)._2 == 1)
+    assert(got(3L)._2 == 0 && got(4L)._2 == 0 && got(5L)._2 == 0)
+  }
+
+  test("streaming presence-fold margin is bit-identical to the batch fold") {
+    val qc = QualityClassifier
+    val feats = qc.features(corpus, "doc_id", "text", col("y"))
+    val m = qc.train(feats)
+    val batch = qc.score(feats, "doc_id", m)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val stream = qc.scorePresenceFold(corpus, "doc_id", "text", m)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(batch == stream)
+  }
+
+  test("trained weights are partitioning-invariant (quantized gradients)") {
+    val qc = QualityClassifier
+    val a = qc.train(qc.features(corpus.repartition(1), "doc_id", "text", col("y")))
+    val b = qc.train(qc.features(corpus.repartition(7), "doc_id", "text", col("y")))
+    assert(a.w.toSeq == b.w.toSeq)
+  }
+}
