@@ -918,6 +918,19 @@ object PipelineQueries {
     * round references them, and inlining would re-run the tokenization
     * per round (the BPE-oracle lesson).
     */
+  /** The classifier rows' own plant as an m-CTE body; the model-gate
+    * composite swaps in a combined plant and reuses the same core.
+    */
+  private[queries] val classifierMPlantSql: String =
+    s"""SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 6 = 0 THEN ' high quality curated encyclopedic prose'
+       |         ELSE '' END AS text
+       |  FROM ${Q.DocsRef}""".stripMargin
+
+  /** Shared tokenization CTE over whatever `m` the caller defined. */
+  private[queries] val tkCteSql: String =
+    s"tk AS MATERIALIZED (SELECT doc_id, ${DuckSql.tokens("text")} AS toks FROM m)"
+
   private[queries] val classifierTrainCtes: String = {
     import graft.functions.PortableLog
     val qc = graft.text.QualityClassifier
@@ -927,12 +940,7 @@ object PipelineQueries {
       s"list_reduce(list_prepend(0.0e0, list_transform(fb.fx, " +
         s"f -> $wl[CAST(f.b + 1 AS INT)] * CAST(f.c AS DOUBLE))), (a, x) -> a + x)"
     val head =
-      s"""WITH m AS MATERIALIZED (SELECT doc_id, text ||
-         |    CASE WHEN doc_id % 6 = 0 THEN ' high quality curated encyclopedic prose'
-         |         ELSE '' END AS text
-         |  FROM ${Q.DocsRef}),
-         |lab AS MATERIALIZED (SELECT doc_id, $classifierLabelSql AS y FROM m),
-         |tk AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks FROM m),
+      s"""lab AS MATERIALIZED (SELECT doc_id, $classifierLabelSql AS y FROM m),
          |bkr AS (SELECT doc_id, (${DuckSql.hash60("tok")}) % $b AS b
          |        FROM (SELECT doc_id, unnest(toks) AS tok FROM tk) tt),
          |fc AS (SELECT DISTINCT doc_id, b, CAST(1 AS BIGINT) AS c FROM bkr),
@@ -975,21 +983,29 @@ object PipelineQueries {
     s"$head,\n$rounds"
   }
 
+  /** Classifier core ending at `sF` (doc_id, s — the final margin over
+    * the trained weights); assumes CTEs `m` and `tk` are defined.
+    */
+  private[queries] val classifierCoreCtes: String = {
+    val r = graft.text.QualityClassifier.Rounds
+    val fold = s"list_reduce(list_prepend(0.0e0, list_transform(fb.fx, " +
+      s"f -> wl$r.wl[CAST(f.b + 1 AS INT)] * CAST(f.c AS DOUBLE))), (a, x) -> a + x)"
+    s"""$classifierTrainCtes,
+       |sF AS (SELECT fb.doc_id, $fold AS s FROM fb CROSS JOIN wl$r)""".stripMargin
+  }
+
   /** One oracle for BOTH classifier rows: the streaming scorer's
     * presence-fold margin is bit-identical to the batch feature-fold
     * (sorted buckets then bias; ×1.0 exact), so one rendering checks the
     * batch row and the ingestion twin.
     */
-  private[queries] val classifierOracleSql: String = {
-    val r = graft.text.QualityClassifier.Rounds
-    val fold = s"list_reduce(list_prepend(0.0e0, list_transform(fb.fx, " +
-      s"f -> wl$r.wl[CAST(f.b + 1 AS INT)] * CAST(f.c AS DOUBLE))), (a, x) -> a + x)"
-    s"""$classifierTrainCtes,
-       |sF AS (SELECT fb.doc_id, $fold AS s FROM fb CROSS JOIN wl$r)
+  private[queries] val classifierOracleSql: String =
+    s"""WITH m AS MATERIALIZED ($classifierMPlantSql),
+       |$tkCteSql,
+       |$classifierCoreCtes
        |SELECT doc_id, CAST(floor(1.0e6 * s) AS BIGINT) AS score_q,
        |       CASE WHEN s >= 0.0e0 THEN 1 ELSE 0 END AS pred
        |FROM sF ORDER BY doc_id""".stripMargin
-  }
 
   /** n-gram LM rows: gibberish (doc-unique token pairs → bigrams no
     * reference model can contain) is planted on doc_id ≡ 0 mod 9, so the
@@ -1012,17 +1028,21 @@ object PipelineQueries {
     * what the streaming twin emits: a zero-bigram doc produces no
     * exploded rows, hence no aggregation state, hence no output row).
     */
-  private[queries] val lmCtes: String = {
+  private[queries] val lmMPlantSql: String =
+    s"""SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 9 = 0 THEN ' zz' || CAST(doc_id AS VARCHAR) ||
+       |         ' qx' || CAST(doc_id AS VARCHAR) ELSE '' END AS text
+       |  FROM ${Q.DocsRef}""".stripMargin
+
+  /** LM core ending at `sc2` (scored docs) and `fin` (every doc);
+    * assumes CTEs `m` and `tk` are defined.
+    */
+  private[queries] val lmCoreCtes: String = {
     import graft.functions.PortableLog
     val bigrams = "CASE WHEN len(toks) >= 2 THEN list_transform(range(0, len(toks) - 1), " +
       "i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]) " +
       "ELSE CAST([] AS VARCHAR[]) END"
-    s"""WITH m AS (SELECT doc_id, text ||
-       |    CASE WHEN doc_id % 9 = 0 THEN ' zz' || CAST(doc_id AS VARCHAR) ||
-       |         ' qx' || CAST(doc_id AS VARCHAR) ELSE '' END AS text
-       |  FROM ${Q.DocsRef}),
-       |tk AS (SELECT doc_id, ${DuckSql.tokens("text")} AS toks FROM m),
-       |bg AS (SELECT doc_id, unnest($bigrams) AS bigram FROM tk),
+    s"""bg AS (SELECT doc_id, unnest($bigrams) AS bigram FROM tk),
        |c1 AS (SELECT token, count(*) AS c1 FROM
        |         (SELECT unnest(toks) AS token FROM tk WHERE doc_id % 4 = 0) t1
        |       GROUP BY token),
@@ -1053,10 +1073,43 @@ object PipelineQueries {
   }
 
   private[queries] val lmScoreOracleSql: String =
-    s"$lmCtes\nSELECT doc_id, n_bigrams, lm_logp_q, xent FROM fin ORDER BY doc_id"
+    s"WITH m AS MATERIALIZED ($lmMPlantSql),\n$tkCteSql,\n$lmCoreCtes\n" +
+      "SELECT doc_id, n_bigrams, lm_logp_q, xent FROM fin ORDER BY doc_id"
 
   private[queries] val lmScoreStreamOracleSql: String =
-    s"$lmCtes\nSELECT doc_id, n_bigrams, lm_logp_q, xent FROM sc2 ORDER BY doc_id"
+    s"WITH m AS MATERIALIZED ($lmMPlantSql),\n$tkCteSql,\n$lmCoreCtes\n" +
+      "SELECT doc_id, n_bigrams, lm_logp_q, xent FROM sc2 ORDER BY doc_id"
+
+  /** Model-gate composite: the session's two trained models composed the
+    * way a production curation run uses them — classifier keeps the
+    * reference-like docs, then the CCNet perplexity split drops the
+    * worst-xent THIRD of survivors by rank (CCNet itself buckets by
+    * perplexity quantiles; a fixed xent threshold cannot separate
+    * overlapping distributions and would not survive a corpus change).
+    * Both models train on the SAME combined-plant corpus; the oracle
+    * re-derives both training loops over one shared `m`/`tk` and replays
+    * the rank gate with the identical (xent, doc_id) total order.
+    */
+  private[queries] val modelGateOracleSql: String = {
+    val plant =
+      s"""SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 6 = 0 THEN ' high quality curated encyclopedic prose'
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 9 = 0 THEN ' zz' || CAST(doc_id AS VARCHAR) ||
+         |         ' qx' || CAST(doc_id AS VARCHAR) ELSE '' END AS text
+         |  FROM ${Q.DocsRef}""".stripMargin
+    s"""WITH m AS MATERIALIZED ($plant),
+       |$tkCteSql,
+       |$classifierCoreCtes,
+       |$lmCoreCtes,
+       |surv AS (SELECT sF.doc_id, sF.s, fin.xent
+       |         FROM sF JOIN fin USING (doc_id) WHERE sF.s >= 0.0e0),
+       |ns AS (SELECT count(*) AS n FROM surv),
+       |rk AS (SELECT doc_id, s, xent,
+       |         row_number() OVER (ORDER BY xent, doc_id) AS r FROM surv)
+       |SELECT doc_id, CAST(floor(1.0e6 * s) AS BIGINT) AS score_q, xent
+       |FROM rk CROSS JOIN ns WHERE r <= n - n // 3 ORDER BY doc_id""".stripMargin
+  }
 
   /** DSIR rows: the synthetic corpus is distribution-uniform, so the
     * target subset (doc_id ≡ 0 mod 7) is marked with a planted phrase —
@@ -1065,7 +1118,7 @@ object PipelineQueries {
     * separates full-target / partial / background docs. The oracle
     * replays the construction.
     */
-  private def dsirPlant(docs: DataFrame): DataFrame =
+  private[queries] def dsirPlant(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       concat(col("text"),
         when(pmod(col("doc_id"), lit(7)) === 0,
@@ -1112,7 +1165,7 @@ object PipelineQueries {
        |        FROM m LEFT JOIN sc USING (doc_id))""".stripMargin
   }
 
-  private val dsirScoreOracleSql: String =
+  private[queries] val dsirScoreOracleSql: String =
     s"$dsirCtes\nSELECT doc_id, n_grams, dsir_score FROM fin ORDER BY doc_id"
 
   private val dsirSelectOracleSql: String =
@@ -1534,6 +1587,32 @@ object PipelineQueries {
         qc.score(feats, "doc_id", m).orderBy("doc_id")
       },
       Some(classifierOracleSql)),
+
+    // model-gate composite: classifier gate → CCNet perplexity split
+    // (drop the worst-xent third of survivors by distributed rank). Both
+    // models train on the same combined-plant corpus in ONE declared
+    // plan; selection is the two-pass prefix rank, not a global sort.
+    Q("pipeline_model_gate",
+      (s, dir) => {
+        val qc = graft.text.QualityClassifier
+        val docs = lmPlant(classifierPlant(Tables.documents(s, dir)))
+        val feats = graft.Caches.track(qc.features(docs, "doc_id", "text",
+          (pmod(col("doc_id"), lit(6)) === 0).cast("int")))
+        val cm = qc.train(feats)
+        val lmm = graft.text.NgramLm.train(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
+        val surv = qc.score(feats, "doc_id", cm)
+          .filter(col("pred") === 1).select(col("doc_id"), col("score_q"))
+          .join(graft.text.NgramLm.score(docs, "doc_id", "text", lmm)
+            .select(col("doc_id"), col("xent")), Seq("doc_id"))
+        val n = surv.count()
+        val ranked = graft.operators.PrefixSum.runningSum(
+          surv.withColumn("__one", lit(1L)), "__one", Seq("xent", "doc_id"))
+        ranked.filter(col("running___one") <= n - n / 3)
+          .select("doc_id", "score_q", "xent")
+          .orderBy("doc_id")
+      },
+      Some(modelGateOracleSql)),
 
     // n-gram LM scoring (CCNet shape): bigram model with add-one
     // smoothing trained on the %4 reference subset, every doc scored by

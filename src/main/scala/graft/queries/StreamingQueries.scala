@@ -795,6 +795,27 @@ object StreamingQueries {
       },
       Some(PipelineQueries.lmScoreStreamOracleSql)),
 
+    // DSIR scoring AT INGESTION — importance-score the stream against a
+    // model fit OFFLINE on the batch corpus (the production DSIR shape:
+    // fit once on target+raw, score new data as it arrives). The scorer
+    // is already pure per-row column work (plan-literal qlr array, one
+    // gram fold, no aggregation), so the stream plan is the batch plan
+    // on a streaming frame — append mode, no state, no watermark; the
+    // batch row's oracle checks it verbatim.
+    Q("stream_text_dsir_score",
+      (s, dir) => {
+        implicit val sp = s
+        val docs = PipelineQueries.dsirPlant(graft.Tables.documents(s, dir))
+        val m = graft.text.Dsir.fit(docs, "text",
+          pmod(col("doc_id"), lit(7)) === 0)
+        val out = graft.text.Dsir.score(
+          PipelineQueries.dsirPlant(StreamSources.documents(s, dir)),
+          "doc_id", "text", m)
+        StreamRun.toBatch(out, "append", numPartitions = 4)
+          .orderBy("doc_id")
+      },
+      Some(PipelineQueries.dsirScoreOracleSql)),
+
     // CLASSIFIER scoring AT INGESTION — the production shape of
     // model-based quality filtering: the LR trains OFFLINE (same two
     // distributed GD rounds as text_quality_classifier), the stream
