@@ -2007,6 +2007,35 @@ object PipelineQueries {
         SELECT label, vec_id, CAST(rk AS INT) AS rk FROM r
         WHERE rk <= 20 ORDER BY label, rk""")),
 
+    // cluster-capped DIVERSITY sampling — the embedding-space twin of
+    // stratified sampling: the strata are LEARNED (trained IVF cells,
+    // same quantized-Lloyd generator as knn_ivf_trained), and each cell
+    // is capped at 20 draws by the deterministic multiplicative-hash
+    // order — dense embedding regions can't dominate the sample, sparse
+    // regions keep coverage (the SemDeDup-adjacent diversity-selection
+    // shape). Assignment is the zero-Exchange literal argmax; the cap
+    // compiles to WindowGroupLimit (shuffle moves O(cells·cap))
+    Q("pipeline_diverse_sample",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val assigned = Similarity.ivfAssignWith(emb, "vec_id", "embedding",
+          Similarity.kmeansCentroidsQuantized(emb, "vec_id", "embedding",
+            k = 16, iters = 2))
+        val h = expr("pmod(pmod(vec_id, 2147483648) * 2654435761, 2147483648)")
+        val w = Window.partitionBy("cell").orderBy(h.asc, col("vec_id").asc)
+        assigned.select(col("cell"), col("vec_id"), row_number().over(w).as("rk"))
+          .filter(col("rk") <= 20)
+          .orderBy("cell", "rk")
+      },
+      Some(s"""
+        WITH ${ivfTrainedCtes(k = 16, iters = 2, nprobe = 1)},
+        r AS (SELECT cell, vec_id,
+                ROW_NUMBER() OVER (PARTITION BY cell
+                  ORDER BY ((vec_id % 2147483648) * 2654435761) % 2147483648, vec_id) AS rk
+              FROM cellF)
+        SELECT cell, vec_id, CAST(rk AS INT) AS rk FROM r
+        WHERE rk <= 20 ORDER BY cell, rk""")),
+
     // deterministic hash-bucketed train/val/test split — reproducible
     // across runs, engines, partitionings and CORPUS GROWTH (a doc keeps
     // its bucket as new data arrives, which is what stops eval-set

@@ -354,6 +354,55 @@ class PlanQualitySpec extends AnyFunSuite {
       "per-span min should pre-aggregate map-side: " + p.take(3000))
   }
 
+  test("DSIR scoring is zero-shuffle: no Exchange, no Join in the scoring stage") {
+    // fit pays its one bucket-count Exchange; SCORING must stay a pure
+    // scan — the model rides as a plan-literal array, the fold is per-row
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.SF)
+    val m = graft.text.Dsir.fit(docs, "text", pmod(col("doc_id"), lit(7)) === 0)
+    val p = graft.text.Dsir.score(docs, "doc_id", "text", m)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      "DSIR scoring should be a single scan: " + p.take(3000))
+  }
+
+  test("classifier streaming scorer is zero-shuffle; batch margin fold joins nothing") {
+    import org.apache.spark.sql.functions._
+    val qc = graft.text.QualityClassifier
+    val docs = Tables.documents(spark, TestSpark.SF)
+    val feats = qc.features(docs, "doc_id", "text",
+      (pmod(col("doc_id"), lit(6)) === 0).cast("int"))
+    val m = qc.train(feats)
+    val p = qc.scorePresenceFold(docs, "doc_id", "text", m)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      "presence-fold scoring should be a single scan: " + p.take(3000))
+  }
+
+  test("LM model probe broadcasts; the wide twin falls back without sorting the corpus") {
+    val p = plan("text_lm_score")
+    assert(p.contains("BroadcastHashJoin [bigram"),
+      "small model should broadcast: " + p.take(3000))
+    val w = plan("text_lm_score_wide")
+    assert(!w.contains("BroadcastHashJoin [bigram"),
+      "oversized model still broadcast: " + w.take(3000))
+    assert(w.contains("ShuffledHashJoin [bigram"),
+      "expected shuffle-hash model probe: " + w.take(3000))
+    assert(!w.contains("SortMergeJoin [bigram"),
+      "corpus side must not be sorted for the model probe: " + w.take(3000))
+  }
+
+  test("heavy hitters plans no join: sketch pass + literal-filtered exact pass") {
+    // the candidate filter is a plan-literal isin — the exact pass must
+    // not join the candidate set, and the only aggregations are the
+    // token-keyed exact count (partial → final)
+    val p = plan("text_heavy_hitters")
+    assert(!p.contains("Join"),
+      "candidate verification should be literal-filtered, not joined: " + p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final exact count: " + p.take(3000))
+  }
+
   test("salted join is result-identical to the plain equi-join") {
     val o = Tables.orders(spark, TestSpark.SF)
     val c = Tables.customer(spark, TestSpark.SF)
