@@ -163,6 +163,32 @@ object Dedup {
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** SUITE attribution: which benchmark(s) contaminated each document,
+    * not just whether. `benchGrams` carries (bench_id, gram) for the
+    * whole suite; output is (id, bench_id, n_shared_grams) for every
+    * pair at or above `minShared`. Same size-guarded probe as
+    * [[contaminationHits]] — the join key stays the gram (a gram shared
+    * by several benchmarks multiplies matches only by its benchmark
+    * multiplicity, bounded by the suite size), the count is per
+    * (doc, benchmark), and the corpus is still one scan + explode with
+    * no gram Exchange on the broadcast path.
+    */
+  def contaminationHitsBy(corpus: DataFrame, idCol: String, textCol: String,
+      benchGrams: DataFrame, n: Int, minShared: Long,
+      maxBroadcastGrams: Long = MaxBroadcastGrams): DataFrame = {
+    val grams = benchGrams.select(col("bench_id"), col("gram")).distinct()
+    val est = benchGrams
+      .select(approx_count_distinct(struct(col("bench_id"), col("gram"))).as("c"))
+      .first().getLong(0)
+    val probe =
+      if (est <= maxBroadcastGrams) broadcast(grams) else grams.hint("shuffle_hash")
+    shingles(corpus, idCol, textCol, n)
+      .join(probe, "gram")
+      .groupBy(col(idCol), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .filter(col("n_shared_grams") >= minShared)
+  }
+
   /** Ids of docs at or above the contamination threshold (the anti-join
     * side of a decontaminating pipeline stage). */
   def contaminatedIds(corpus: DataFrame, idCol: String, textCol: String,

@@ -2335,6 +2335,44 @@ object PipelineQueries {
         .orderBy("doc_id"),
       Some(decontamOracleSql)),
 
+    // per-benchmark ATTRIBUTION over a suite: two benchmarks planted on
+    // disjoint residue classes and token spans (doc_id % 17, tokens
+    // 3-17 → bench 0; doc_id % 13, tokens 20-34 → bench 1); the output
+    // names WHICH benchmark each flagged doc overlaps — docs on both
+    // residues (% 221) attribute to both. One corpus scan, one guarded
+    // (bench_id, gram) probe, count per (doc, benchmark).
+    Q("pipeline_decontaminate_by",
+      (s, dir) => {
+        val toks0 = Tables.documents(s, dir)
+        def bench(res: Int, start: Int, id: Int) = toks0
+          .filter(pmod(col("doc_id"), lit(res)) === 0)
+          .select(array_join(slice(tokens(col("text")), start, 15), " ").as("btext"))
+          .select(lit(id).as("bench_id"),
+            explode(wordShingles(col("btext"), DecontamN)).as("gram"))
+        Dedup.contaminationHitsBy(toks0, "doc_id", "text",
+          bench(17, 3, 0).union(bench(13, 20, 1)),
+          n = DecontamN, minShared = DecontamMinShared)
+          .orderBy("doc_id", "bench_id")
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, ${DuckSql.tokens("text")} AS t FROM ${Q.DocsRef}),
+        b0s AS (SELECT array_to_string(list_slice(t, 3, 17), ' ') AS btext
+                FROM toks WHERE doc_id % 17 = 0),
+        b1s AS (SELECT array_to_string(list_slice(t, 20, 34), ' ') AS btext
+                FROM toks WHERE doc_id % 13 = 0),
+        b0t AS (SELECT ${DuckSql.tokens("btext")} AS t FROM b0s),
+        b1t AS (SELECT ${DuckSql.tokens("btext")} AS t FROM b1s),
+        bg AS (SELECT DISTINCT bench_id, gram FROM (
+                 SELECT 0 AS bench_id, unnest(${DuckSql.wordShingles("t", DecontamN)}) AS gram FROM b0t
+                 UNION ALL
+                 SELECT 1 AS bench_id, unnest(${DuckSql.wordShingles("t", DecontamN)}) AS gram FROM b1t) u),
+        dg AS (SELECT doc_id, unnest(${DuckSql.wordShingles("t", DecontamN)}) AS gram FROM toks),
+        hits AS (SELECT dg.doc_id, bg.bench_id, count(*) AS n
+                 FROM dg JOIN bg USING (gram) GROUP BY dg.doc_id, bg.bench_id)
+        SELECT doc_id, bench_id, CAST(n AS BIGINT) AS n_shared_grams
+        FROM hits WHERE n >= $DecontamMinShared
+        ORDER BY doc_id, bench_id""")),
+
     // the SUITE-scale twin: same contamination rule through the guarded
     // fallback path (maxBroadcastGrams = 0 forces the shuffle-hash probe
     // a 10⁸-gram benchmark suite would take — no broadcast of the gram

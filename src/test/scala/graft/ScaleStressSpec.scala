@@ -392,6 +392,34 @@ class ScaleStressSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("10M-token heavy hitters: sketch prunes a 8M-type tail, head exact") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_STRESS=1 to run")
+    import org.apache.spark.sql.functions._
+    // 10 head tokens at 2% mass each + a distinct-singleton tail (~8M
+    // types): the full-vocabulary pass would shuffle 8M aggregation
+    // keys; the sketch pass carries 64 counters per partition and the
+    // verify pass shuffles only head-candidate occurrences. T =
+    // n div 65 + 1 ≈ 1.54% < 2%, so the head — and nothing else — must
+    // come back with EXACT counts.
+    val n = totalRows - (totalRows % 50) // divisible by 50
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val t0 = System.nanoTime()
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(50)) < 10,
+          concat(lit("head"), pmod(col("id"), lit(50)).cast("string")))
+          .otherwise(concat(lit("tail"), col("id").cast("string"))).as("text"))
+      val got = graft.text.CorpusStats.heavyHitters(docs, "text", m = 64)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val secs = (System.nanoTime() - t0) / 1e9
+      info(f"heavy hitters over $n tokens (${n * 4 / 5} tail types): ${secs}%.1f s")
+      val want = (0 until 10).map(i => s"head$i" -> n / 50).toMap
+      assert(got == want, s"head must be exact: got $got")
+      assert(secs < 600.0, f"heavy hitters went super-linear: ${secs}%.1f s")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("10M-digest bloom: membership exact at scale; probe fp-rate near fpp") {
     assume(enabled, "set SPARK_GRAFT_SCALE_STRESS=1 to run")
     // training side = 10⁷ digests (the filter folds to ~12 MB of bits at
