@@ -1614,6 +1614,72 @@ object PipelineQueries {
       },
       Some(modelGateOracleSql)),
 
+    // per-source QUALITY PROFILE — the corpus dashboard a curation run
+    // reads before setting mixing weights: per source, doc count,
+    // classifier-positive count, exact margin/log-likelihood sums
+    // (integer, order-free) and mean xent (one division of exact sums).
+    // Both models trained once on the same combined-plant corpus; one
+    // source-keyed aggregation (20 sources → partial→final, tiny output).
+    Q("pipeline_quality_profile",
+      (s, dir) => {
+        val qc = graft.text.QualityClassifier
+        val base = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(6)) === 0,
+              lit(" high quality curated encyclopedic prose")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(9)) === 0,
+              concat(lit(" zz"), col("doc_id").cast("string"),
+                lit(" qx"), col("doc_id").cast("string"))).otherwise(lit("")))
+            .as("text"))
+        val feats = graft.Caches.track(qc.features(base, "doc_id", "text",
+          (pmod(col("doc_id"), lit(6)) === 0).cast("int")))
+        val cm = qc.train(feats)
+        val lmm = graft.text.NgramLm.train(
+          base.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
+        val agg = base.select(col("doc_id"), col("source"))
+          .join(qc.score(feats, "doc_id", cm), Seq("doc_id"))
+          .join(graft.text.NgramLm.score(base, "doc_id", "text", lmm), Seq("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("pred")).cast("long").as("n_pred_pos"),
+            sum(col("score_q")).as("sum_score_q"),
+            sum(col("n_bigrams")).as("sum_bigrams"),
+            sum(col("lm_logp_q")).as("sum_lm_q"))
+        agg.select(col("source"), col("n_docs"), col("n_pred_pos"),
+            col("sum_score_q"), col("sum_bigrams"), col("sum_lm_q"),
+            when(col("sum_bigrams") > 0,
+              (-col("sum_lm_q")).cast("double") /
+                (col("sum_bigrams").cast("double") * lit(1.0e6)))
+              .otherwise(lit(0.0)).as("mean_xent"))
+          .orderBy("source")
+      },
+      Some {
+        val plant =
+          s"""SELECT doc_id, source, text ||
+             |    CASE WHEN doc_id % 6 = 0 THEN ' high quality curated encyclopedic prose'
+             |         ELSE '' END ||
+             |    CASE WHEN doc_id % 9 = 0 THEN ' zz' || CAST(doc_id AS VARCHAR) ||
+             |         ' qx' || CAST(doc_id AS VARCHAR) ELSE '' END AS text
+             |  FROM ${Q.DocsRef}""".stripMargin
+        s"""WITH m AS MATERIALIZED ($plant),
+           |$tkCteSql,
+           |$classifierCoreCtes,
+           |$lmCoreCtes,
+           |pj AS (SELECT m.doc_id, m.source, sF.s, fin.n_bigrams, fin.lm_logp_q
+           |       FROM m JOIN sF USING (doc_id) JOIN fin USING (doc_id)),
+           |ag AS (SELECT source, count(*) AS n_docs,
+           |         CAST(sum(CASE WHEN s >= 0.0e0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+           |         CAST(sum(CAST(floor(1.0e6 * s) AS BIGINT)) AS BIGINT) AS sum_score_q,
+           |         CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
+           |         CAST(sum(lm_logp_q) AS BIGINT) AS sum_lm_q
+           |       FROM pj GROUP BY source)
+           |SELECT source, n_docs, n_pred_pos, sum_score_q, sum_bigrams, sum_lm_q,
+           |       CASE WHEN sum_bigrams > 0
+           |            THEN CAST(-sum_lm_q AS DOUBLE) / (CAST(sum_bigrams AS DOUBLE) * 1.0e6)
+           |            ELSE 0.0e0 END AS mean_xent
+           |FROM ag ORDER BY source""".stripMargin
+      }),
+
     // n-gram LM scoring (CCNet shape): bigram model with add-one
     // smoothing trained on the %4 reference subset, every doc scored by
     // quantized portable-log likelihood — the sequence-aware complement
@@ -1918,6 +1984,42 @@ object PipelineQueries {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
               FROM d)
         SELECT doc_id, n_tokens, CAST((run - n_tokens) // 2000 AS BIGINT) AS shard_id
+        FROM c ORDER BY doc_id""")),
+
+    // CURRICULUM sharding — token-budget shards in difficulty order:
+    // docs sorted easy→hard by LM cross-entropy (offline-trained bigram
+    // model, the engine's xent) with doc_id tiebreak, then the same
+    // two-pass prefix scan packs the running token count into
+    // budget-sized shards — shard k is strictly easier than shard k+1,
+    // the data-ordering half of curriculum training. xent doubles are
+    // bit-identical cross-engine, so the order (and every shard
+    // boundary) replays exactly.
+    Q("pipeline_curriculum_shards",
+      (s, dir) => {
+        val budget = 2000L
+        val docs = lmPlant(Tables.documents(s, dir))
+        val lmm = graft.text.NgramLm.train(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
+        val withTok = docs
+          .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+          .join(graft.text.NgramLm.score(docs, "doc_id", "text", lmm)
+            .select(col("doc_id"), col("xent")), Seq("doc_id"))
+        graft.operators.PrefixSum.runningSum(withTok, "n_tokens", Seq("xent", "doc_id"))
+          .select(col("doc_id"), col("xent"), col("n_tokens"),
+            expr(s"(running_n_tokens - n_tokens) div $budget").as("shard_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH m AS MATERIALIZED ($lmMPlantSql),
+        $tkCteSql,
+        $lmCoreCtes,
+        d AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens FROM tk),
+        j AS (SELECT d.doc_id, fin.xent, d.n_tokens FROM d JOIN fin USING (doc_id)),
+        c AS (SELECT doc_id, xent, n_tokens,
+                SUM(n_tokens) OVER (ORDER BY xent, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+              FROM j)
+        SELECT doc_id, xent, n_tokens, CAST((run - n_tokens) // 2000 AS BIGINT) AS shard_id
         FROM c ORDER BY doc_id""")),
 
     // training-example assembly: the step AFTER token-budget sharding —
