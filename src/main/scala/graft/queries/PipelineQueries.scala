@@ -1090,15 +1090,43 @@ object PipelineQueries {
     * re-derives both training loops over one shared `m`/`tk` and replays
     * the rank gate with the identical (xent, doc_id) total order.
     */
+  private[queries] val modelGatePlantSql: String =
+    s"""SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 6 = 0 THEN ' high quality curated encyclopedic prose'
+       |         ELSE '' END ||
+       |    CASE WHEN doc_id % 9 = 0 THEN ' zz' || CAST(doc_id AS VARCHAR) ||
+       |         ' qx' || CAST(doc_id AS VARCHAR) ELSE '' END AS text
+       |  FROM ${Q.DocsRef}""".stripMargin
+
+  /** Ingestion-twin oracle: the SAME two trained models, but the gate is
+    * the OFFLINE-DERIVED xent threshold τ (the smallest xent among the
+    * docs the batch rank gate drops; +∞ when nothing is dropped) applied
+    * per doc as it streams — the production deployment: rank over a
+    * static corpus offline, ship a scalar to the ingest path. Keeps
+    * xent < τ strictly, so boundary TIES all drop (a rank gate can split
+    * a tie; a threshold cannot — pinned semantics, not an accident), and
+    * zero-bigram docs — unscorable in-flight — are absent rather than
+    * auto-kept.
+    */
+  private[queries] val modelGateStreamOracleSql: String =
+    s"""WITH m AS MATERIALIZED ($modelGatePlantSql),
+       |$tkCteSql,
+       |$classifierCoreCtes,
+       |$lmCoreCtes,
+       |surv AS (SELECT sF.doc_id, sF.s, fin.xent
+       |         FROM sF JOIN fin USING (doc_id) WHERE sF.s >= 0.0e0),
+       |ns AS (SELECT count(*) AS n FROM surv),
+       |rk AS (SELECT doc_id, xent,
+       |         row_number() OVER (ORDER BY xent, doc_id) AS r FROM surv),
+       |tau AS (SELECT COALESCE(min(xent), 'infinity'::DOUBLE) AS t
+       |        FROM rk CROSS JOIN ns WHERE r > n - n // 3),
+       |so AS (SELECT sF.doc_id, sF.s, sc2.xent
+       |       FROM sF JOIN sc2 USING (doc_id) WHERE sF.s >= 0.0e0)
+       |SELECT doc_id, CAST(floor(1.0e6 * s) AS BIGINT) AS score_q, xent
+       |FROM so CROSS JOIN tau WHERE xent < t ORDER BY doc_id""".stripMargin
+
   private[queries] val modelGateOracleSql: String = {
-    val plant =
-      s"""SELECT doc_id, text ||
-         |    CASE WHEN doc_id % 6 = 0 THEN ' high quality curated encyclopedic prose'
-         |         ELSE '' END ||
-         |    CASE WHEN doc_id % 9 = 0 THEN ' zz' || CAST(doc_id AS VARCHAR) ||
-         |         ' qx' || CAST(doc_id AS VARCHAR) ELSE '' END AS text
-         |  FROM ${Q.DocsRef}""".stripMargin
-    s"""WITH m AS MATERIALIZED ($plant),
+    s"""WITH m AS MATERIALIZED ($modelGatePlantSql),
        |$tkCteSql,
        |$classifierCoreCtes,
        |$lmCoreCtes,

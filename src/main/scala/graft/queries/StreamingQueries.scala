@@ -840,6 +840,72 @@ object StreamingQueries {
       },
       Some(PipelineQueries.classifierOracleSql)),
 
+    // MODEL GATE AT INGESTION — both models train OFFLINE, the batch
+    // rank gate's xent boundary ships to the ingest path as ONE scalar
+    // (τ = the smallest dropped xent; the production shape: rank a
+    // static corpus offline, apply a threshold in flight — a rank is
+    // not streamable, a scalar is). The classifier margin computes per
+    // row BEFORE the bigram explode and gates there (pruning LM state
+    // for rejected docs); the duplicate-insensitive min() re-surfaces
+    // it after the LM aggregation; the xent gate applies to the
+    // aggregated row. Ties at τ all drop (threshold semantics, pinned
+    // in the oracle) where the batch rank gate could split them.
+    Q("stream_pipeline_model_gate",
+      (s, dir) => {
+        implicit val sp = s
+        import graft.functions.GraftFunctions.wordGrams
+        val qc = graft.text.QualityClassifier
+        val docs = PipelineQueries.lmPlant(
+          PipelineQueries.classifierPlant(graft.Tables.documents(s, dir)))
+        val feats = graft.Caches.track(qc.features(docs, "doc_id", "text",
+          (pmod(col("doc_id"), lit(6)) === 0).cast("int")))
+        val cm = qc.train(feats)
+        val lmm = graft.text.NgramLm.train(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
+        // offline τ: rank the batch survivors exactly as the batch gate
+        val surv = qc.score(feats, "doc_id", cm).filter(col("pred") === 1)
+          .join(graft.text.NgramLm.score(docs, "doc_id", "text", lmm)
+            .select(col("doc_id"), col("xent")), Seq("doc_id"))
+        val n = surv.count()
+        val ranked = graft.operators.PrefixSum.runningSum(
+          surv.withColumn("__one", lit(1L)), "__one", Seq("xent", "doc_id"))
+        val tauRow = ranked.filter(col("running___one") > n - n / 3)
+          .agg(min(col("xent"))).first()
+        val tau = if (tauRow.isNullAt(0)) Double.PositiveInfinity
+          else tauRow.getDouble(0)
+        val incoming = PipelineQueries.lmPlant(
+          PipelineQueries.classifierPlant(StreamSources.documents(s, dir)))
+          .select(col("doc_id"),
+            qc.presenceMarginCol(col("text"), cm).as("margin"), col("text"))
+          .filter(col("margin") >= 0.0)
+          .select(col("doc_id"), col("margin"),
+            explode(wordGrams(col("text"), 2)).as("bigram"))
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+        val qq = incoming
+          .join(broadcast(lmm.qSeen.select(col("bigram"), col("q"))),
+            Seq("bigram"), "left")
+          .join(broadcast(lmm.heads),
+            substring_index(col("bigram"), " ", 1) === col("__w1"), "left")
+          .select(col("doc_id"), col("event_time"), col("margin"),
+            coalesce(col("q"),
+              graft.text.NgramLm.qCol(lit(0L), coalesce(col("c1"), lit(0L)), lmm.v)
+                .cast("long")).as("qq"))
+        val out = qq
+          .groupBy(window(col("event_time"), "1 hour"), col("doc_id"))
+          .agg(min(col("margin")).as("margin"),
+            count(lit(1)).as("n_bigrams"), sum(col("qq")).as("lm_logp_q"))
+          .select(col("doc_id"),
+            floor(lit(1.0e6) * col("margin")).cast("long").as("score_q"),
+            ((-col("lm_logp_q")).cast("double") /
+              (col("n_bigrams").cast("double") * lit(1.0e6))).as("xent"))
+          .filter(col("xent") < lit(tau))
+        StreamRun.toBatch(out, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+          .orderBy("doc_id")
+      },
+      Some(PipelineQueries.modelGateStreamOracleSql)),
+
     // BPE tokenization AT INGESTION against a frozen tokenizer — the
     // production shape (training on the stream would drift the
     // vocabulary with arrival order): merges train OFFLINE on the

@@ -134,14 +134,23 @@ object QualityClassifier {
     */
   def scorePresenceFold(corpus: DataFrame, idCol: String, textCol: String,
       m: Model): DataFrame = {
-    val wLit = typedLit(m.w.toSeq)
-    val bks = array_sort(array_distinct(
-      transform(tokens(col(textCol)), t => pmod(hash60(t), lit(Buckets.toLong)))))
-    val s = aggregate(bks, lit(0.0), (acc, bb) =>
-      acc + element_at(wLit, (bb + lit(1L)).cast("int"))) +
-      lit(m.w(Buckets))
+    val s = presenceMarginCol(col(textCol), m)
     corpus.select(col(idCol),
       floor(lit(1.0e6) * s).cast("long").as("score_q"),
       (s >= lit(0.0)).cast("int").as("pred"))
+  }
+
+  /** The streaming margin as a bare column — for pipelines that carry it
+    * through further stages (e.g. the ingestion model gate computes it
+    * per row BEFORE the bigram explode and lets the duplicate-insensitive
+    * min() re-surface it after the LM aggregation).
+    */
+  def presenceMarginCol(text: Column, m: Model): Column = {
+    val wLit = typedLit(m.w.toSeq)
+    val bks = array_sort(array_distinct(
+      transform(tokens(text), t => pmod(hash60(t), lit(Buckets.toLong)))))
+    aggregate(bks, lit(0.0), (acc, bb) =>
+      acc + element_at(wLit, (bb + lit(1L)).cast("int"))) +
+      lit(m.w(Buckets))
   }
 }
