@@ -1196,6 +1196,21 @@ object PipelineQueries {
   private[queries] val dsirScoreOracleSql: String =
     s"$dsirCtes\nSELECT doc_id, n_grams, dsir_score FROM fin ORDER BY doc_id"
 
+  /** Ingestion twin of the DSIR selection: τ = the k-th ranked batch
+    * score (min over the top-k set), stream keeps score > τ strictly —
+    * boundary ties drop, pinned here rather than inherited from the
+    * rank. All docs above the boundary score pass regardless of id, so
+    * the stream set is the rank set minus the boundary-score class.
+    */
+  private[queries] val dsirSelectStreamOracleSql: String =
+    s"""$dsirCtes,
+       |rk AS (SELECT doc_id, n_grams, dsir_score,
+       |         row_number() OVER (ORDER BY dsir_score DESC, doc_id) AS rn FROM fin),
+       |tau AS (SELECT min(dsir_score) AS t FROM rk
+       |        WHERE rn <= (SELECT count(*) // 5 FROM m))
+       |SELECT doc_id, n_grams, dsir_score FROM fin CROSS JOIN tau
+       |WHERE dsir_score > t ORDER BY doc_id""".stripMargin
+
   private val dsirSelectOracleSql: String =
     s"""$dsirCtes,
        |rk AS (SELECT doc_id, n_grams, dsir_score,

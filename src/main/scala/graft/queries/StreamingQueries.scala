@@ -816,6 +816,33 @@ object StreamingQueries {
       },
       Some(PipelineQueries.dsirScoreOracleSql)),
 
+    // DSIR SELECTION AT INGESTION — the top-k rank is batch-shaped, so
+    // the deployment twin ships the boundary as a scalar derived
+    // offline: τ = the k-th (score, doc_id)-ranked score of the batch
+    // corpus; the stream keeps docs scoring STRICTLY above τ (boundary
+    // ties drop — threshold semantics, same pinning as the model gate).
+    // Scoring stays pure per-row column work; the keep decision adds one
+    // literal comparison.
+    Q("stream_pipeline_dsir_select",
+      (s, dir) => {
+        implicit val sp = s
+        val docs = PipelineQueries.dsirPlant(graft.Tables.documents(s, dir))
+        val m = graft.text.Dsir.fit(docs, "text",
+          pmod(col("doc_id"), lit(7)) === 0)
+        val scored = graft.text.Dsir.score(docs, "doc_id", "text", m)
+        val k = docs.count() / 5
+        val boundary = graft.text.Dsir.selectTopK(scored, "doc_id", k)
+          .agg(min(col("dsir_score"))).first()
+        val tau = if (boundary.isNullAt(0)) Long.MaxValue else boundary.getLong(0)
+        val out = graft.text.Dsir.score(
+          PipelineQueries.dsirPlant(StreamSources.documents(s, dir)),
+          "doc_id", "text", m)
+          .filter(col("dsir_score") > tau)
+        StreamRun.toBatch(out, "append", numPartitions = 4)
+          .orderBy("doc_id")
+      },
+      Some(PipelineQueries.dsirSelectStreamOracleSql)),
+
     // CLASSIFIER scoring AT INGESTION — the production shape of
     // model-based quality filtering: the LR trains OFFLINE (same two
     // distributed GD rounds as text_quality_classifier), the stream
