@@ -1692,7 +1692,7 @@ object PipelineQueries {
             col("sum_score_q"), col("sum_bigrams"), col("sum_lm_q"),
             when(col("sum_bigrams") > 0,
               (-col("sum_lm_q")).cast("double") /
-                (col("sum_bigrams").cast("double") * lit(1.0e6)))
+                (col("sum_bigrams").cast("double") * lit(graft.text.NgramLm.Scale)))
               .otherwise(lit(0.0)).as("mean_xent"))
           .orderBy("source")
       },

@@ -773,16 +773,7 @@ object StreamingQueries {
           .select(col("doc_id"), explode(wordGrams(col("text"), 2)).as("bigram"))
           .withColumn("event_time", current_timestamp())
           .withWatermark("event_time", "1 hour")
-        val qq = incoming
-          .join(broadcast(m.qSeen.select(col("bigram"), col("q"))),
-            Seq("bigram"), "left")
-          .join(broadcast(m.heads),
-            substring_index(col("bigram"), " ", 1) === col("__w1"), "left")
-          .select(col("doc_id"), col("event_time"),
-            coalesce(col("q"),
-              graft.text.NgramLm.qCol(lit(0L), coalesce(col("c1"), lit(0L)), m.v)
-                .cast("long")).as("qq"))
-        val scored = qq
+        val scored = graft.text.NgramLm.probeQq(incoming, m, fitsBroadcast = true)
           .groupBy(window(col("event_time"), "1 hour"), col("doc_id"))
           .agg(count(lit(1)).as("n_bigrams"), sum(col("qq")).as("lm_logp_q"))
           .select(col("doc_id"), col("n_bigrams"), col("lm_logp_q"),
@@ -909,23 +900,16 @@ object StreamingQueries {
             explode(wordGrams(col("text"), 2)).as("bigram"))
           .withColumn("event_time", current_timestamp())
           .withWatermark("event_time", "1 hour")
-        val qq = incoming
-          .join(broadcast(lmm.qSeen.select(col("bigram"), col("q"))),
-            Seq("bigram"), "left")
-          .join(broadcast(lmm.heads),
-            substring_index(col("bigram"), " ", 1) === col("__w1"), "left")
-          .select(col("doc_id"), col("event_time"), col("margin"),
-            coalesce(col("q"),
-              graft.text.NgramLm.qCol(lit(0L), coalesce(col("c1"), lit(0L)), lmm.v)
-                .cast("long")).as("qq"))
-        val out = qq
+        val out = graft.text.NgramLm.probeQq(incoming, lmm, fitsBroadcast = true)
           .groupBy(window(col("event_time"), "1 hour"), col("doc_id"))
           .agg(min(col("margin")).as("margin"),
             count(lit(1)).as("n_bigrams"), sum(col("qq")).as("lm_logp_q"))
           .select(col("doc_id"),
-            floor(lit(1.0e6) * col("margin")).cast("long").as("score_q"),
+            floor(lit(graft.text.QualityClassifier.ScoreScale) * col("margin"))
+              .cast("long").as("score_q"),
             ((-col("lm_logp_q")).cast("double") /
-              (col("n_bigrams").cast("double") * lit(1.0e6))).as("xent"))
+              (col("n_bigrams").cast("double") * lit(graft.text.NgramLm.Scale)))
+              .as("xent"))
           .filter(col("xent") < lit(tau))
         StreamRun.toBatch(out, "update", numPartitions = 4,
           requireSingleDataBatch = true)

@@ -75,9 +75,13 @@ object Dsir {
   /** Unigrams + bigrams WITH multiplicity — the paper's feature stream.
     * Tokenization is evaluated a constant number of times per row
     * (shifted-slice bigrams, no lambda-embedded re-tokenization).
+    * NULL text reads as empty (→ zero grams → the documented (0, 0)
+    * score): a PERMISSIVE JSONL line can parse clean yet lack the text
+    * field, and `concat` of a NULL token array would otherwise poison
+    * the whole gram column to NULL.
     */
   def gramsCol(text: Column): Column = {
-    val t = tokens(text)
+    val t = tokens(coalesce(text, lit("")))
     concat(t, wordGramsFromTokens(t, 2))
   }
 

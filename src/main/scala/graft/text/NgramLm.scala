@@ -63,12 +63,33 @@ object NgramLm {
     val v = c1.count()
     val c2 = training.select(explode(wordGrams(col(textCol), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("c2"))
+    // q only — c1 rides in `heads`; a dead column here would inflate the
+    // cached/broadcast model relation for every probe
     val qSeen = graft.Caches.track(
       c2.join(c1.withColumnRenamed("token", "__w1"),
           substring_index(col("bigram"), " ", 1) === col("__w1"))
-        .select(col("bigram"), col("c1"),
+        .select(col("bigram"),
           qCol(col("c2"), col("c1"), v).cast("long").as("q")))
     Model(qSeen, c1.withColumnRenamed("token", "__w1"), v)
+  }
+
+  /** The join-probe-and-smooth step, single-sourced for the batch scorer
+    * and both streaming rows: rows carrying a `bigram` column gain `qq`
+    * (the quantized conditional log-prob — seen path from the model,
+    * miss path re-derived via [[qCol]] smoothing) and lose the probe
+    * plumbing columns. `fitsBroadcast` picks the guarded strategy.
+    */
+  def probeQq(rows: DataFrame, m: Model, fitsBroadcast: Boolean): DataFrame = {
+    val q0 = m.qSeen
+    val (qp, hp) =
+      if (fitsBroadcast) (broadcast(q0), broadcast(m.heads))
+      else (q0.hint("shuffle_hash"), m.heads.hint("shuffle_hash"))
+    rows.join(qp, Seq("bigram"), "left")
+      .join(hp, substring_index(col("bigram"), " ", 1) === col("__w1"), "left")
+      .withColumn("qq",
+        coalesce(col("q"),
+          qCol(lit(0L), coalesce(col("c1"), lit(0L)), m.v).cast("long")))
+      .drop("bigram", "q", "c1", "__w1")
   }
 
   /** Score every document: (id, n_bigrams, lm_logp_q, xent) where
@@ -79,18 +100,10 @@ object NgramLm {
     */
   def score(corpus: DataFrame, idCol: String, textCol: String, m: Model,
       maxBroadcastModel: Long = CorpusStats.MaxBroadcastVocab): DataFrame = {
-    val big = m.qSeen.count() <= maxBroadcastModel
-    val qProbe = if (big) broadcast(m.qSeen) else m.qSeen.hint("shuffle_hash")
-    val hProbe = if (big) broadcast(m.heads) else m.heads.hint("shuffle_hash")
-    val exploded = corpus
-      .select(col(idCol), explode(wordGrams(col(textCol), 2)).as("bigram"))
-    val scored = exploded
-      .join(qProbe.select(col("bigram"), col("q")), Seq("bigram"), "left")
-      .join(hProbe, substring_index(col("bigram"), " ", 1) === col("__w1"), "left")
-      .select(col(idCol),
-        coalesce(col("q"),
-          qCol(lit(0L), coalesce(col("c1"), lit(0L)), m.v).cast("long"))
-          .as("qq"))
+    val fitsBroadcast = m.qSeen.count() <= maxBroadcastModel
+    val scored = probeQq(
+      corpus.select(col(idCol), explode(wordGrams(col(textCol), 2)).as("bigram")),
+      m, fitsBroadcast)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("qq")).as("lm_logp_q"))
     corpus.select(col(idCol))

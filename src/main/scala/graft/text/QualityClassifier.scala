@@ -29,8 +29,8 @@ import graft.functions.PortableLog
   *     (the policy-dimension collect; never data).
   *
   * Scoring is a zero-shuffle pass over the cached features (batch) or a
-  * direct per-token fold (streaming — no feature aggregation, no state;
-  * see [[scoreTokenFold]]).
+  * direct per-row presence fold (streaming — no feature aggregation, no
+  * state; see [[scorePresenceFold]]).
   */
 object QualityClassifier {
 
@@ -39,6 +39,11 @@ object QualityClassifier {
 
   /** Fixed-point scale for per-(doc,bucket) gradient quantization. */
   val GradScale: Double = 1.0e6
+
+  /** Fixed-point scale for the emitted margin (`score_q`); every scorer
+    * and every composite quantizing a margin must use this constant.
+    */
+  val ScoreScale: Double = 1.0e6
 
   /** η = 2.0 over 6 rounds: tuned on the planted synthetic corpus —
     * full-batch GD on presence features oscillates at fewer rounds
@@ -62,13 +67,16 @@ object QualityClassifier {
     */
   def features(corpus: DataFrame, idCol: String, textCol: String,
       labelCol: Column): DataFrame = {
+    // dedup INSIDE the aggregation buffer (collect_set, bounded at
+    // ≤ Buckets entries per doc): a distinct() + groupBy would pay two
+    // full exchanges of the exploded token stream for the same result
     val fx = corpus
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .select(col(idCol), pmod(hash60(col("tok")), lit(Buckets.toLong)).as("b"))
-      .distinct()
-      .withColumn("c", lit(1L))
       .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("b"), col("c")))).as("fx"))
+      .agg(sort_array(collect_set(col("b"))).as("bs"))
+      .select(col(idCol),
+        transform(col("bs"), b => struct(b.as("b"), lit(1L).as("c"))).as("fx"))
     corpus.select(col(idCol), labelCol.cast("double").as("y"))
       .join(fx, Seq(idCol), "left")
       .select(col(idCol), col("y"),
@@ -121,7 +129,7 @@ object QualityClassifier {
   def score(feats: DataFrame, idCol: String, m: Model): DataFrame = {
     val s = marginCol(col("fx"), m.w)
     feats.select(col(idCol),
-      floor(lit(1.0e6) * s).cast("long").as("score_q"),
+      floor(lit(ScoreScale) * s).cast("long").as("score_q"),
       (s >= lit(0.0)).cast("int").as("pred"))
   }
 
@@ -136,7 +144,7 @@ object QualityClassifier {
       m: Model): DataFrame = {
     val s = presenceMarginCol(col(textCol), m)
     corpus.select(col(idCol),
-      floor(lit(1.0e6) * s).cast("long").as("score_q"),
+      floor(lit(ScoreScale) * s).cast("long").as("score_q"),
       (s >= lit(0.0)).cast("int").as("pred"))
   }
 
@@ -147,8 +155,13 @@ object QualityClassifier {
     */
   def presenceMarginCol(text: Column, m: Model): Column = {
     val wLit = typedLit(m.w.toSeq)
+    // NULL text reads as empty → bias-only margin, matching the batch
+    // path (features() explodes NULL to zero rows and keeps the bias
+    // entry); without the coalesce the fold is NULL and the documented
+    // bit-identity with score() breaks on PERMISSIVE-parsed rows
     val bks = array_sort(array_distinct(
-      transform(tokens(text), t => pmod(hash60(t), lit(Buckets.toLong)))))
+      transform(tokens(coalesce(text, lit(""))),
+        t => pmod(hash60(t), lit(Buckets.toLong)))))
     aggregate(bks, lit(0.0), (acc, bb) =>
       acc + element_at(wLit, (bb + lit(1L)).cast("int"))) +
       lit(m.w(Buckets))

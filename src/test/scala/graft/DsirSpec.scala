@@ -88,6 +88,16 @@ class DsirSpec extends AnyFunSuite {
     assert(got == Seq(1L, 4L))
   }
 
+  test("NULL text scores (0, 0) like empty text (PERMISSIVE-parsed rows)") {
+    import spark.implicits._
+    val m = Dsir.fit(corpus, "text", col("doc_id") === 1L)
+    val withNull = Seq((20L, null.asInstanceOf[String]), (21L, "")).toDF("doc_id", "text")
+    val got = Dsir.score(withNull, "doc_id", "text", m).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(20L) == ((0L, 0L)) && got(21L) == ((0L, 0L)),
+      "a clean-parsed JSONL row missing the text field must score, not null out")
+  }
+
   test("score is partitioning-invariant (integer fold, plan-literal model)") {
     val m = Dsir.fit(corpus, "text", col("doc_id") === 1L)
     val a = Dsir.score(corpus.repartition(1), "doc_id", "text", m)

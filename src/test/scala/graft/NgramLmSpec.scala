@@ -27,7 +27,7 @@ class NgramLmSpec extends AnyFunSuite {
     val m = NgramLm.train(training, "text")
     assert(m.v == 2L)
     val seen = m.qSeen.collect()
-      .map(r => r.getString(0) -> r.getLong(2)).toMap
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     // c1: a→2, b→3... recount: "a b" tokens a,b; "b a b" tokens b,a,b →
     // a×2, b×3; V=2. bigrams: "a b"×2, "b a"×1.
     assert(seen == Map("a b" -> q(2, 2, 2), "b a" -> q(1, 3, 2)))

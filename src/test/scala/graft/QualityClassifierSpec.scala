@@ -88,6 +88,21 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(batch == stream)
   }
 
+  test("NULL text gets the bias-only margin on BOTH scorers (batch ≡ stream)") {
+    import spark.implicits._
+    val qc = QualityClassifier
+    val m = qc.train(qc.features(corpus, "doc_id", "text", col("y")))
+    val withNull = Seq((20L, null.asInstanceOf[String], 0), (21L, "", 0))
+      .toDF("doc_id", "text", "y")
+    val batch = qc.score(qc.features(withNull, "doc_id", "text", col("y")), "doc_id", m)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val stream = qc.scorePresenceFold(withNull, "doc_id", "text", m)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(batch == stream, "PERMISSIVE-parsed null-text rows must not split the twins")
+    val wantQ = math.floor(qc.ScoreScale * m.w(qc.Buckets)).toLong
+    assert(batch.forall(r => r(1) == wantQ), "margin must be bias-only, never NULL")
+  }
+
   test("trained weights are partitioning-invariant (quantized gradients)") {
     val qc = QualityClassifier
     val a = qc.train(qc.features(corpus.repartition(1), "doc_id", "text", col("y")))
