@@ -379,6 +379,19 @@ class PlanQualitySpec extends AnyFunSuite {
       "presence-fold scoring should be a single scan: " + p.take(3000))
   }
 
+  test("classifier feature build pays exactly one Exchange (in-buffer dedup)") {
+    import org.apache.spark.sql.functions._
+    val qc = graft.text.QualityClassifier
+    val p = qc.features(Tables.documents(spark, TestSpark.SF), "doc_id", "text",
+      (pmod(col("doc_id"), lit(6)) === 0).cast("int"))
+      .queryExecution.executedPlan.toString
+    // collect_set dedups inside the aggregation buffer; a distinct() +
+    // groupBy rendering would show two exchanges of the exploded stream
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, // one for the agg + at most one for the left join back
+      s"feature build should shuffle once (+ join), saw $exchanges: " + p.take(3000))
+  }
+
   test("LM model probe broadcasts; the wide twin falls back without sorting the corpus") {
     val p = plan("text_lm_score")
     assert(p.contains("BroadcastHashJoin [bigram"),
