@@ -1072,6 +1072,55 @@ object PipelineQueries {
        |        FROM m LEFT JOIN sc USING (doc_id))""".stripMargin
   }
 
+  /** Self-contained oracle for the stupid-backoff row: same plant/base
+    * counts as the add-one chain, then MLE bigram probs for seen bigrams
+    * and the 0.4·c1(w2)/N backoff per miss, both through the staged
+    * portable log; an unseen target bottoms out at plog(0), the dag's
+    * finite OOV floor. The backoff value is staged for every row and
+    * COALESCE discards it on the seen path — value-identical to Spark's
+    * short-circuiting coalesce.
+    */
+  private[queries] val lmBackoffOracleSql: String = {
+    import graft.functions.PortableLog
+    val bigrams = "CASE WHEN len(toks) >= 2 THEN list_transform(range(0, len(toks) - 1), " +
+      "i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]) " +
+      "ELSE CAST([] AS VARCHAR[]) END"
+    s"""WITH m AS MATERIALIZED ($lmMPlantSql),
+       |$tkCteSql,
+       |bg AS (SELECT doc_id, unnest($bigrams) AS bigram FROM tk),
+       |c1 AS (SELECT token, count(*) AS c1 FROM
+       |         (SELECT unnest(toks) AS token FROM tk WHERE doc_id % 4 = 0) t1
+       |       GROUP BY token),
+       |n1 AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM c1),
+       |c2 AS (SELECT bigram, count(*) AS c2 FROM bg WHERE doc_id % 4 = 0 GROUP BY bigram),
+       |c2h AS (SELECT c2.bigram, c2.c2, c1.c1 FROM c2
+       |        JOIN c1 ON c1.token = split_part(c2.bigram, ' ', 1)),
+       |q0 AS (SELECT bigram, CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE) AS xs FROM c2h),
+       |q1 AS (SELECT bigram, ${PortableLog.sqrtNestSql("xs")} AS y FROM q0),
+       |q2 AS (SELECT bigram, ${PortableLog.zSql("y")} AS z FROM q1),
+       |qsn AS (SELECT bigram,
+       |          CAST(floor(1.0e6 * ${PortableLog.seriesSql("z")}) AS BIGINT) AS qb
+       |        FROM q2),
+       |pr AS (SELECT b.doc_id, qsn.qb, c1.c1 AS c1t
+       |       FROM bg b LEFT JOIN qsn USING (bigram)
+       |         LEFT JOIN c1 ON c1.token = split_part(b.bigram, ' ', 2)),
+       |b0 AS (SELECT doc_id, qb,
+       |         0.4e0 * (CAST(COALESCE(c1t, 0) AS DOUBLE) / CAST(n1.n AS DOUBLE)) AS xb
+       |       FROM pr CROSS JOIN n1),
+       |b1 AS (SELECT doc_id, qb, ${PortableLog.sqrtNestSql("xb")} AS y FROM b0),
+       |b2 AS (SELECT doc_id, qb, ${PortableLog.zSql("y")} AS z FROM b1),
+       |qz AS (SELECT doc_id,
+       |         COALESCE(qb, CAST(floor(1.0e6 * ${PortableLog.seriesSql("z")}) AS BIGINT)) AS q
+       |       FROM b2),
+       |sc AS (SELECT doc_id, count(*) AS n_bigrams, sum(q) AS lm FROM qz GROUP BY doc_id)
+       |SELECT m.doc_id, CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |       CAST(COALESCE(sc.lm, 0) AS BIGINT) AS lm_logp_q,
+       |       CASE WHEN sc.n_bigrams > 0
+       |            THEN CAST(-sc.lm AS DOUBLE) / (CAST(sc.n_bigrams AS DOUBLE) * 1.0e6)
+       |            ELSE 0.0e0 END AS xent
+       |FROM m LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   private[queries] val lmScoreOracleSql: String =
     s"WITH m AS MATERIALIZED ($lmMPlantSql),\n$tkCteSql,\n$lmCoreCtes\n" +
       "SELECT doc_id, n_bigrams, lm_logp_q, xent FROM fin ORDER BY doc_id"
@@ -1737,6 +1786,23 @@ object PipelineQueries {
         graft.text.NgramLm.score(docs, "doc_id", "text", m).orderBy("doc_id")
       },
       Some(lmScoreOracleSql)),
+
+    // stupid-backoff variant (Brants et al. 2007 — the smoothing scheme
+    // designed FOR distributed LMs: raw relative frequencies, fixed 0.4
+    // backoff weight, no discounting statistics): attested bigrams score
+    // their MLE conditional, misses back off to 0.4·c1(w2)/N, fully-OOV
+    // targets bottom out at the portable log's finite floor. Same plant
+    // and output contract as text_lm_score, so the two schemes are
+    // directly comparable per doc.
+    Q("text_lm_score_backoff",
+      (s, dir) => {
+        val docs = lmPlant(Tables.documents(s, dir))
+        val m = graft.text.NgramLm.trainBackoff(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
+        graft.text.NgramLm.scoreBackoff(docs, "doc_id", "text", m)
+          .orderBy("doc_id")
+      },
+      Some(lmBackoffOracleSql)),
 
     // forced shuffle-hash fallback twin — the strategy must be
     // result-invisible, so the same oracle checks both paths.

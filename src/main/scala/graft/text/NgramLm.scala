@@ -92,6 +92,64 @@ object NgramLm {
       .drop("bigram", "q", "c1", "__w1")
   }
 
+  /** Stupid-backoff model (Brants et al. 2007, "Large Language Models in
+    * Machine Translation" — the smoothing scheme DESIGNED for distributed
+    * LMs: raw relative frequencies, no normalization, a fixed 0.4 backoff
+    * weight): p(w2|w1) = c2/c1 when the bigram is attested, else
+    * 0.4·c1(w2)/N. Cheaper to build than any discounted model (pure
+    * counts — no continuation statistics) and the published choice at
+    * web corpus scale. An entirely unseen target bottoms out at plog(0) —
+    * the portable dag's FINITE floor (≈ −2.01·10⁵ where ln gives −∞; the
+    * sqrt-nest of 0 is 0, z = −1, series finite) — which both engines
+    * compute identically, so the OOV penalty is deterministic by
+    * construction rather than by an ad-hoc epsilon.
+    */
+  final case class BackoffModel(qSeen: DataFrame, unigrams: DataFrame, n1: Long)
+
+  def trainBackoff(training: DataFrame, textCol: String): BackoffModel = {
+    val c1 = graft.Caches.track(
+      training.select(explode(tokens(col(textCol))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("c1")))
+    val n1 = c1.agg(coalesce(sum(col("c1")), lit(0L))).first().getLong(0)
+    require(n1 > 0, "backoff LM needs a non-empty training corpus")
+    val c2 = training.select(explode(wordGrams(col(textCol), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c2"))
+    val qSeen = graft.Caches.track(
+      c2.join(c1.withColumnRenamed("token", "__w1"),
+          substring_index(col("bigram"), " ", 1) === col("__w1"))
+        .select(col("bigram"),
+          floor(lit(Scale) * graft.functions.PortableLog.plogCol(
+            col("c2").cast("double") / col("c1").cast("double")))
+            .cast("long").as("qb")))
+    BackoffModel(qSeen, c1.withColumnRenamed("token", "__w2"), n1)
+  }
+
+  /** Backoff scoring — same output contract as [[score]], same guarded
+    * probe shape; the miss path re-derives 0.4·c1(w2)/N per row via the
+    * portable log (the backoff expression is only EVALUATED on misses —
+    * coalesce short-circuits — but is staged unconditionally in the
+    * oracle, value-identically).
+    */
+  def scoreBackoff(corpus: DataFrame, idCol: String, textCol: String,
+      m: BackoffModel,
+      maxBroadcastModel: Long = CorpusStats.MaxBroadcastVocab): DataFrame = {
+    val fitsBroadcast = m.qSeen.count() <= maxBroadcastModel
+    val (qp, up) =
+      if (fitsBroadcast) (broadcast(m.qSeen), broadcast(m.unigrams))
+      else (m.qSeen.hint("shuffle_hash"), m.unigrams.hint("shuffle_hash"))
+    val backoffQ = floor(lit(Scale) * graft.functions.PortableLog.plogCol(
+      lit(0.4) * (coalesce(col("c1"), lit(0L)).cast("double") /
+        lit(m.n1).cast("double")))).cast("long")
+    val scored = corpus
+      .select(col(idCol), explode(wordGrams(col(textCol), 2)).as("bigram"))
+      .join(qp, Seq("bigram"), "left")
+      .join(up, substring_index(col("bigram"), " ", -1) === col("__w2"), "left")
+      .select(col(idCol), coalesce(col("qb"), backoffQ).as("qq"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("qq")).as("lm_logp_q"))
+    perDocTotals(corpus, idCol, scored)
+  }
+
   /** Score every document: (id, n_bigrams, lm_logp_q, xent) where
     * lm_logp_q = Σ q over the doc's bigrams and xent =
     * (−lm_logp_q)/(n·1e6) — mean negative log-likelihood per bigram, a
@@ -106,6 +164,14 @@ object NgramLm {
       m, fitsBroadcast)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("qq")).as("lm_logp_q"))
+    perDocTotals(corpus, idCol, scored)
+  }
+
+  /** Shared output tail: every doc kept (zero-bigram docs as (0, 0,
+    * 0.0)), xent = mean negative log-likelihood per bigram.
+    */
+  private def perDocTotals(corpus: DataFrame, idCol: String,
+      scored: DataFrame): DataFrame =
     corpus.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
@@ -115,5 +181,4 @@ object NgramLm {
           (-coalesce(col("lm_logp_q"), lit(0L))).cast("double") /
             (col("n_bigrams").cast("double") * lit(Scale)))
           .otherwise(lit(0.0)).as("xent"))
-  }
 }

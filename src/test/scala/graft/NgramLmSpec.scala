@@ -57,6 +57,27 @@ class NgramLmSpec extends AnyFunSuite {
     assert(s12 == q(0, 0, 2) && s11 == q(0, 2, 2) && s12 > s11 && s11 < 0L)
   }
 
+  test("stupid backoff by hand: MLE seen path, 0.4 backoff, finite OOV floor") {
+    import spark.implicits._
+    val m = NgramLm.trainBackoff(training, "text")
+    assert(m.n1 == 5L) // tokens: a×2, b×3
+    def q(x: Double): Long =
+      math.floor(1e6 * PortableLog.plog(x)).toLong
+    val corpus = Seq(
+      (10L, "a b"),   // seen: c2("a b")=2, c1(a)=2 → MLE 1.0 → q(1)=0
+      (11L, "b b"),   // unseen bigram, seen target b → 0.4·(3/5)
+      (12L, "a z")    // unseen bigram, OOV target → 0.4·(0/5) → plog(0) floor
+    ).toDF("doc_id", "text")
+    val got = NgramLm.scoreBackoff(corpus, "doc_id", "text", m).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(10L) == q(2.0 / 2.0), "attested bigram scores its MLE")
+    assert(got(11L) == q(0.4 * (3.0 / 5.0)))
+    assert(got(12L) == q(0.4 * (0.0 / 5.0)),
+      "OOV bottoms out at the portable log's finite floor")
+    assert(got(12L) < -2.0e11 && got(12L) > -2.1e11,
+      "the plog(0) floor is ≈ −2.01e5 · 1e6 — finite and deterministic")
+  }
+
   test("guarded model join: fallback strategy is result-identical") {
     import spark.implicits._
     val m = NgramLm.train(training, "text")
