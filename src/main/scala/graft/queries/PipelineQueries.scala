@@ -1080,7 +1080,7 @@ object PipelineQueries {
     * COALESCE discards it on the seen path — value-identical to Spark's
     * short-circuiting coalesce.
     */
-  private[queries] val lmBackoffOracleSql: String = {
+  private[queries] val lmBackoffCtes: String = {
     import graft.functions.PortableLog
     val bigrams = "CASE WHEN len(toks) >= 2 THEN list_transform(range(0, len(toks) - 1), " +
       "i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]) " +
@@ -1112,14 +1112,24 @@ object PipelineQueries {
        |qz AS (SELECT doc_id,
        |         COALESCE(qb, CAST(floor(1.0e6 * ${PortableLog.seriesSql("z")}) AS BIGINT)) AS q
        |       FROM b2),
-       |sc AS (SELECT doc_id, count(*) AS n_bigrams, sum(q) AS lm FROM qz GROUP BY doc_id)
-       |SELECT m.doc_id, CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-       |       CAST(COALESCE(sc.lm, 0) AS BIGINT) AS lm_logp_q,
-       |       CASE WHEN sc.n_bigrams > 0
-       |            THEN CAST(-sc.lm AS DOUBLE) / (CAST(sc.n_bigrams AS DOUBLE) * 1.0e6)
-       |            ELSE 0.0e0 END AS xent
-       |FROM m LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin
+       |sc AS (SELECT doc_id, count(*) AS n_bigrams, sum(q) AS lm FROM qz GROUP BY doc_id),
+       |bfin AS (SELECT m.doc_id, CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |          CAST(COALESCE(sc.lm, 0) AS BIGINT) AS lm_logp_q,
+       |          CASE WHEN sc.n_bigrams > 0
+       |               THEN CAST(-sc.lm AS DOUBLE) / (CAST(sc.n_bigrams AS DOUBLE) * 1.0e6)
+       |               ELSE 0.0e0 END AS xent
+       |        FROM m LEFT JOIN sc USING (doc_id)),
+       |bsc2 AS (SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       |          CAST(lm AS BIGINT) AS lm_logp_q,
+       |          CAST(-lm AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1.0e6) AS xent
+       |        FROM sc)""".stripMargin
   }
+
+  private[queries] val lmBackoffScoreOracleSql: String =
+    s"$lmBackoffCtes\nSELECT doc_id, n_bigrams, lm_logp_q, xent FROM bfin ORDER BY doc_id"
+
+  private[queries] val lmBackoffStreamOracleSql: String =
+    s"$lmBackoffCtes\nSELECT doc_id, n_bigrams, lm_logp_q, xent FROM bsc2 ORDER BY doc_id"
 
   private[queries] val lmScoreOracleSql: String =
     s"WITH m AS MATERIALIZED ($lmMPlantSql),\n$tkCteSql,\n$lmCoreCtes\n" +
@@ -1802,7 +1812,7 @@ object PipelineQueries {
         graft.text.NgramLm.scoreBackoff(docs, "doc_id", "text", m)
           .orderBy("doc_id")
       },
-      Some(lmBackoffOracleSql)),
+      Some(lmBackoffScoreOracleSql)),
 
     // forced shuffle-hash fallback twin — the strategy must be
     // result-invisible, so the same oracle checks both paths.

@@ -786,6 +786,37 @@ object StreamingQueries {
       },
       Some(PipelineQueries.lmScoreStreamOracleSql)),
 
+    // stupid-backoff LM scoring AT INGESTION — the backoff variant of
+    // stream_text_lm_score: offline-trained MLE bigram table + unigram
+    // table probed per micro-batch (stream-static LEFT joins, no join
+    // state; the miss path re-derives 0.4·c1(w2)/N per row), per-doc sum
+    // as the same watermarked ingress-window aggregation. OOV gibberish
+    // hits the portable log's finite floor in-flight exactly as in batch.
+    Q("stream_text_lm_score_backoff",
+      (s, dir) => {
+        implicit val sp = s
+        import graft.functions.GraftFunctions.wordGrams
+        val docs = PipelineQueries.lmPlant(graft.Tables.documents(s, dir))
+        val m = graft.text.NgramLm.trainBackoff(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
+        val incoming = PipelineQueries.lmPlant(StreamSources.documents(s, dir))
+          .select(col("doc_id"), explode(wordGrams(col("text"), 2)).as("bigram"))
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+        val scored = graft.text.NgramLm
+          .probeQqBackoff(incoming, m, fitsBroadcast = true)
+          .groupBy(window(col("event_time"), "1 hour"), col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("qq")).as("lm_logp_q"))
+          .select(col("doc_id"), col("n_bigrams"), col("lm_logp_q"),
+            ((-col("lm_logp_q")).cast("double") /
+              (col("n_bigrams").cast("double") * lit(graft.text.NgramLm.Scale)))
+              .as("xent"))
+        StreamRun.toBatch(scored, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+          .orderBy("doc_id")
+      },
+      Some(PipelineQueries.lmBackoffStreamOracleSql)),
+
     // DSIR scoring AT INGESTION — importance-score the stream against a
     // model fit OFFLINE on the batch corpus (the production DSIR shape:
     // fit once on target+raw, score new data as it arrives). The scorer

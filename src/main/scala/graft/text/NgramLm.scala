@@ -134,20 +134,30 @@ object NgramLm {
       m: BackoffModel,
       maxBroadcastModel: Long = CorpusStats.MaxBroadcastVocab): DataFrame = {
     val fitsBroadcast = m.qSeen.count() <= maxBroadcastModel
+    val scored = probeQqBackoff(
+      corpus.select(col(idCol), explode(wordGrams(col(textCol), 2)).as("bigram")),
+      m, fitsBroadcast)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("qq")).as("lm_logp_q"))
+    perDocTotals(corpus, idCol, scored)
+  }
+
+  /** Backoff twin of [[probeQq]] — rows carrying `bigram` gain `qq`
+    * (seen-path MLE from the model, miss-path 0.4·c1(w2)/N via the
+    * portable log) and lose the probe plumbing columns.
+    */
+  def probeQqBackoff(rows: DataFrame, m: BackoffModel,
+      fitsBroadcast: Boolean): DataFrame = {
     val (qp, up) =
       if (fitsBroadcast) (broadcast(m.qSeen), broadcast(m.unigrams))
       else (m.qSeen.hint("shuffle_hash"), m.unigrams.hint("shuffle_hash"))
     val backoffQ = floor(lit(Scale) * graft.functions.PortableLog.plogCol(
       lit(0.4) * (coalesce(col("c1"), lit(0L)).cast("double") /
         lit(m.n1).cast("double")))).cast("long")
-    val scored = corpus
-      .select(col(idCol), explode(wordGrams(col(textCol), 2)).as("bigram"))
-      .join(qp, Seq("bigram"), "left")
+    rows.join(qp, Seq("bigram"), "left")
       .join(up, substring_index(col("bigram"), " ", -1) === col("__w2"), "left")
-      .select(col(idCol), coalesce(col("qb"), backoffQ).as("qq"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("qq")).as("lm_logp_q"))
-    perDocTotals(corpus, idCol, scored)
+      .withColumn("qq", coalesce(col("qb"), backoffQ))
+      .drop("bigram", "qb", "c1", "__w2")
   }
 
   /** Score every document: (id, n_bigrams, lm_logp_q, xent) where
