@@ -1125,6 +1125,71 @@ object PipelineQueries {
        |        FROM sc)""".stripMargin
   }
 
+  /** Self-contained oracle for the multi-order backoff row: trigram →
+    * bigram → unigram chain with 0.4 per level, the fallback tables'
+    * quantized values derived per attested key and the unigram level per
+    * row, all through the staged portable log.
+    */
+  private[queries] val lmBackoff3OracleSql: String = {
+    import graft.functions.PortableLog
+    def grams(n: Int): String = {
+      val g = (0 until n).map(j => s"toks[CAST(i+${j + 1} AS INT)]").mkString(" || ' ' || ")
+      s"CASE WHEN len(toks) >= $n THEN list_transform(range(0, len(toks) - ${n - 1}), i -> $g) " +
+        s"ELSE CAST([] AS VARCHAR[]) END"
+    }
+    s"""WITH m AS MATERIALIZED ($lmMPlantSql),
+       |$tkCteSql,
+       |tg AS (SELECT doc_id, unnest(${grams(3)}) AS trigram FROM tk),
+       |c1 AS (SELECT token, count(*) AS c1 FROM
+       |         (SELECT unnest(toks) AS token FROM tk WHERE doc_id % 4 = 0) t1
+       |       GROUP BY token),
+       |n1 AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM c1),
+       |c2 AS (SELECT bigram, count(*) AS c2 FROM
+       |         (SELECT unnest(${grams(2)}) AS bigram FROM tk WHERE doc_id % 4 = 0) t2
+       |       GROUP BY bigram),
+       |c3 AS (SELECT trigram, count(*) AS c3 FROM
+       |         (SELECT unnest(${grams(3)}) AS trigram FROM tk WHERE doc_id % 4 = 0) t3
+       |       GROUP BY trigram),
+       |c3h AS (SELECT c3.trigram, c3.c3, c2.c2 FROM c3
+       |        JOIN c2 ON c2.bigram =
+       |          split_part(c3.trigram, ' ', 1) || ' ' || split_part(c3.trigram, ' ', 2)),
+       |t0 AS (SELECT trigram, CAST(c3 AS DOUBLE) / CAST(c2 AS DOUBLE) AS xs FROM c3h),
+       |t1q AS (SELECT trigram, ${PortableLog.sqrtNestSql("xs")} AS y FROM t0),
+       |t2q AS (SELECT trigram, ${PortableLog.zSql("y")} AS z FROM t1q),
+       |q3n AS (SELECT trigram,
+       |          CAST(floor(1.0e6 * ${PortableLog.seriesSql("z")}) AS BIGINT) AS qb3
+       |        FROM t2q),
+       |c2h AS (SELECT c2.bigram, c2.c2, c1.c1 FROM c2
+       |        JOIN c1 ON c1.token = split_part(c2.bigram, ' ', 1)),
+       |s0 AS (SELECT bigram, 0.4e0 * (CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) AS xs FROM c2h),
+       |s1 AS (SELECT bigram, ${PortableLog.sqrtNestSql("xs")} AS y FROM s0),
+       |s2 AS (SELECT bigram, ${PortableLog.zSql("y")} AS z FROM s1),
+       |q2n AS (SELECT bigram,
+       |          CAST(floor(1.0e6 * ${PortableLog.seriesSql("z")}) AS BIGINT) AS qb2
+       |        FROM s2),
+       |pr AS (SELECT g.doc_id, q3n.qb3, q2n.qb2, c1.c1 AS c1t
+       |       FROM tg g LEFT JOIN q3n USING (trigram)
+       |         LEFT JOIN q2n ON q2n.bigram =
+       |           split_part(g.trigram, ' ', 2) || ' ' || split_part(g.trigram, ' ', 3)
+       |         LEFT JOIN c1 ON c1.token = split_part(g.trigram, ' ', 3)),
+       |b0 AS (SELECT doc_id, qb3, qb2,
+       |         0.4e0 * (0.4e0 * (CAST(COALESCE(c1t, 0) AS DOUBLE) / CAST(n1.n AS DOUBLE))) AS xb
+       |       FROM pr CROSS JOIN n1),
+       |b1 AS (SELECT doc_id, qb3, qb2, ${PortableLog.sqrtNestSql("xb")} AS y FROM b0),
+       |b2 AS (SELECT doc_id, qb3, qb2, ${PortableLog.zSql("y")} AS z FROM b1),
+       |qz AS (SELECT doc_id,
+       |         COALESCE(qb3, qb2,
+       |           CAST(floor(1.0e6 * ${PortableLog.seriesSql("z")}) AS BIGINT)) AS q
+       |       FROM b2),
+       |sc AS (SELECT doc_id, count(*) AS n_trigrams, sum(q) AS lm FROM qz GROUP BY doc_id)
+       |SELECT m.doc_id, CAST(COALESCE(sc.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+       |       CAST(COALESCE(sc.lm, 0) AS BIGINT) AS lm_logp_q,
+       |       CASE WHEN sc.n_trigrams > 0
+       |            THEN CAST(-sc.lm AS DOUBLE) / (CAST(sc.n_trigrams AS DOUBLE) * 1.0e6)
+       |            ELSE 0.0e0 END AS xent
+       |FROM m LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   private[queries] val lmBackoffScoreOracleSql: String =
     s"$lmBackoffCtes\nSELECT doc_id, n_bigrams, lm_logp_q, xent FROM bfin ORDER BY doc_id"
 
@@ -1813,6 +1878,21 @@ object PipelineQueries {
           .orderBy("doc_id")
       },
       Some(lmBackoffScoreOracleSql)),
+
+    // the MULTI-ORDER chain (trigram → bigram → unigram, 0.4 per level)
+    // — the scheme as Brants et al. actually deploy it: three left-join
+    // probes on one exploded trigram stream, fallback tables precompute
+    // their quantized values per attested key, only the unigram level
+    // derives per row.
+    Q("text_lm_score_backoff3",
+      (s, dir) => {
+        val docs = lmPlant(Tables.documents(s, dir))
+        val m = graft.text.NgramLm.trainBackoff3(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
+        graft.text.NgramLm.scoreBackoff3(docs, "doc_id", "text", m)
+          .orderBy("doc_id")
+      },
+      Some(lmBackoff3OracleSql)),
 
     // forced shuffle-hash fallback twin — the strategy must be
     // result-invisible, so the same oracle checks both paths.

@@ -177,18 +177,81 @@ object NgramLm {
     perDocTotals(corpus, idCol, scored)
   }
 
-  /** Shared output tail: every doc kept (zero-bigram docs as (0, 0,
-    * 0.0)), xent = mean negative log-likelihood per bigram.
+  /** Shared output tail: every doc kept (zero-gram docs as (0, 0,
+    * 0.0)), xent = mean negative log-likelihood per scored gram.
     */
   private def perDocTotals(corpus: DataFrame, idCol: String,
-      scored: DataFrame): DataFrame =
+      scored: DataFrame, nCol: String = "n_bigrams"): DataFrame =
     corpus.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col(nCol), lit(0L)).as(nCol),
         coalesce(col("lm_logp_q"), lit(0L)).as("lm_logp_q"),
-        when(col("n_bigrams") > 0,
+        when(col(nCol) > 0,
           (-coalesce(col("lm_logp_q"), lit(0L))).cast("double") /
-            (col("n_bigrams").cast("double") * lit(Scale)))
+            (col(nCol).cast("double") * lit(Scale)))
           .otherwise(lit(0.0)).as("xent"))
+
+  /** MULTI-ORDER stupid backoff — the scheme as actually deployed
+    * (Brants et al. chain down from the highest order with a fixed 0.4
+    * per level): p(w3|w1w2) = c3/c2(w1w2) when the trigram is attested,
+    * else 0.4·c2(w2w3)/c1(w2), else 0.4·0.4·c1(w3)/N. Both fallback
+    * tables precompute their quantized values per attested key; only the
+    * final unigram level derives per row. Three left-join probes on the
+    * exploded trigram stream — no extra scans, same guarded strategy.
+    */
+  final case class Backoff3Model(q3: DataFrame, q2: DataFrame,
+      unigrams: DataFrame, n1: Long)
+
+  def trainBackoff3(training: DataFrame, textCol: String): Backoff3Model = {
+    import graft.functions.PortableLog
+    val c1 = graft.Caches.track(
+      training.select(explode(tokens(col(textCol))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("c1")))
+    val n1 = c1.agg(coalesce(sum(col("c1")), lit(0L))).first().getLong(0)
+    require(n1 > 0, "backoff LM needs a non-empty training corpus")
+    val c2 = graft.Caches.track(
+      training.select(explode(wordGrams(col(textCol), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("c2")))
+    val c3 = training.select(explode(wordGrams(col(textCol), 3)).as("trigram"))
+      .groupBy("trigram").agg(count(lit(1)).as("c3"))
+    val q3 = graft.Caches.track(
+      c3.join(c2.withColumnRenamed("bigram", "__ctx"),
+          substring_index(col("trigram"), " ", 2) === col("__ctx"))
+        .select(col("trigram"),
+          floor(lit(Scale) * PortableLog.plogCol(
+            col("c3").cast("double") / col("c2").cast("double")))
+            .cast("long").as("qb3")))
+    val q2 = graft.Caches.track(
+      c2.join(c1.withColumnRenamed("token", "__w1"),
+          substring_index(col("bigram"), " ", 1) === col("__w1"))
+        .select(col("bigram").as("__sfx"),
+          floor(lit(Scale) * PortableLog.plogCol(
+            lit(0.4) * (col("c2").cast("double") / col("c1").cast("double"))))
+            .cast("long").as("qb2")))
+    Backoff3Model(q3, q2, c1.withColumnRenamed("token", "__w3"), n1)
+  }
+
+  def scoreBackoff3(corpus: DataFrame, idCol: String, textCol: String,
+      m: Backoff3Model,
+      maxBroadcastModel: Long = CorpusStats.MaxBroadcastVocab): DataFrame = {
+    import graft.functions.PortableLog
+    val fitsBroadcast = m.q3.count() <= maxBroadcastModel
+    def p(df: DataFrame) =
+      if (fitsBroadcast) broadcast(df) else df.hint("shuffle_hash")
+    val uniQ = floor(lit(Scale) * PortableLog.plogCol(
+      lit(0.4) * (lit(0.4) * (coalesce(col("c1"), lit(0L)).cast("double") /
+        lit(m.n1).cast("double"))))).cast("long")
+    val scored = corpus
+      .select(col(idCol), explode(wordGrams(col(textCol), 3)).as("trigram"))
+      .join(p(m.q3), Seq("trigram"), "left")
+      .join(p(m.q2),
+        substring_index(col("trigram"), " ", -2) === col("__sfx"), "left")
+      .join(p(m.unigrams),
+        substring_index(col("trigram"), " ", -1) === col("__w3"), "left")
+      .select(col(idCol), coalesce(col("qb3"), col("qb2"), uniQ).as("qq"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("qq")).as("lm_logp_q"))
+    perDocTotals(corpus, idCol, scored, nCol = "n_trigrams")
+  }
 }

@@ -78,6 +78,29 @@ class NgramLmSpec extends AnyFunSuite {
       "the plog(0) floor is ≈ −2.01e5 · 1e6 — finite and deterministic")
   }
 
+  test("multi-order backoff by hand: trigram MLE, one-level and two-level backoff") {
+    import spark.implicits._
+    // training tokens: a b a b  → c1: a×2 b×2 (N=4); c2: "a b"×2, "b a"×1;
+    // c3: "a b a"×1, "b a b"×1
+    val m = NgramLm.trainBackoff3(
+      Seq((1L, "a b a b")).toDF("doc_id", "text"), "text")
+    assert(m.n1 == 4L)
+    def q(x: Double): Long =
+      math.floor(1e6 * PortableLog.plog(x)).toLong
+    val corpus = Seq(
+      (10L, "a b a"),  // seen trigram: c3/c2("a b") = 1/2
+      (11L, "b a a"),  // unseen trigram; bigram "a a" unseen too → unigram: 0.4·0.4·(2/4)
+      (12L, "a a b"),  // unseen trigram; bigram "a b" seen → 0.4·(2/2)
+      (13L, "a z q")   // full OOV target → 0.4·0.4·(0/4) → plog(0) floor
+    ).toDF("doc_id", "text")
+    val got = NgramLm.scoreBackoff3(corpus, "doc_id", "text", m).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(10L) == q(1.0 / 2.0))
+    assert(got(11L) == q(0.4 * (0.4 * (2.0 / 4.0))))
+    assert(got(12L) == q(0.4 * (2.0 / 2.0)))
+    assert(got(13L) == q(0.4 * (0.4 * (0.0 / 4.0))))
+  }
+
   test("guarded model join: fallback strategy is result-identical") {
     import spark.implicits._
     val m = NgramLm.train(training, "text")
