@@ -153,11 +153,15 @@ object Dedup {
   def contaminationHits(corpus: DataFrame, idCol: String, textCol: String,
       benchGrams: DataFrame, n: Int,
       maxBroadcastGrams: Long = MaxBroadcastGrams): DataFrame = {
-    val grams = benchGrams.select(col("gram")).distinct()
-    val est = benchGrams.select(approx_count_distinct(col("gram")).as("c"))
-      .first().getLong(0)
+    // EXACT count of the very relation that would be broadcast (it is
+    // materialized for the join anyway — cached so the count and the
+    // probe share one computation): the ceiling is a hard memory bound,
+    // and approx_count_distinct's ~2% error could let a suite just over
+    // it slip through
+    val grams = graft.Caches.track(benchGrams.select(col("gram")).distinct())
     val probe =
-      if (est <= maxBroadcastGrams) broadcast(grams) else grams.hint("shuffle_hash")
+      if (grams.count() <= maxBroadcastGrams) broadcast(grams)
+      else grams.hint("shuffle_hash")
     shingles(corpus, idCol, textCol, n)
       .join(probe, "gram")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared_grams"))
@@ -176,12 +180,13 @@ object Dedup {
   def contaminationHitsBy(corpus: DataFrame, idCol: String, textCol: String,
       benchGrams: DataFrame, n: Int, minShared: Long,
       maxBroadcastGrams: Long = MaxBroadcastGrams): DataFrame = {
-    val grams = benchGrams.select(col("bench_id"), col("gram")).distinct()
-    val est = benchGrams
-      .select(approx_count_distinct(struct(col("bench_id"), col("gram"))).as("c"))
-      .first().getLong(0)
+    // same exact-count guard as [[contaminationHits]] — the distinct
+    // (bench_id, gram) relation is what gets broadcast, so IT is counted
+    val grams = graft.Caches.track(
+      benchGrams.select(col("bench_id"), col("gram")).distinct())
     val probe =
-      if (est <= maxBroadcastGrams) broadcast(grams) else grams.hint("shuffle_hash")
+      if (grams.count() <= maxBroadcastGrams) broadcast(grams)
+      else grams.hint("shuffle_hash")
     shingles(corpus, idCol, textCol, n)
       .join(probe, "gram")
       .groupBy(col(idCol), col("bench_id"))

@@ -64,9 +64,20 @@ case class MisraGriesAgg(child: Expression, mExpr: Expression,
     */
   private def shrink(b: mutable.HashMap[String, Long]): Unit =
     while (b.size > m) {
-      val vs = b.values.toArray
-      java.util.Arrays.sort(vs)
-      val cut = vs(vs.length - (m + 1)) // (m+1)-th largest
+      val cut =
+        if (b.size == m + 1) {
+          // update path: with exactly m+1 entries the (m+1)-th largest IS
+          // the min — one O(m) pass, not an O(m log m) sort + array copy
+          // per inserted token once the buffer saturates
+          var mn = Long.MaxValue
+          b.valuesIterator.foreach(v => if (v < mn) mn = v)
+          mn
+        } else {
+          // merge path only (≤ 2m entries, once per partition combine)
+          val vs = b.values.toArray
+          java.util.Arrays.sort(vs)
+          vs(vs.length - (m + 1)) // (m+1)-th largest
+        }
       b.filterInPlace((_, v) => v - cut > 0L)
       b.mapValuesInPlace((_, v) => v - cut)
     }

@@ -133,7 +133,11 @@ object NgramLm {
   def scoreBackoff(corpus: DataFrame, idCol: String, textCol: String,
       m: BackoffModel,
       maxBroadcastModel: Long = CorpusStats.MaxBroadcastVocab): DataFrame = {
-    val fitsBroadcast = m.qSeen.count() <= maxBroadcastModel
+    // guard on the LARGEST probed relation — both qSeen and the unigram
+    // table are broadcast together, so an under-ceiling bigram table must
+    // not smuggle an oversized vocabulary past the memory bound
+    val fitsBroadcast =
+      math.max(m.qSeen.count(), m.unigrams.count()) <= maxBroadcastModel
     val scored = probeQqBackoff(
       corpus.select(col(idCol), explode(wordGrams(col(textCol), 2)).as("bigram")),
       m, fitsBroadcast)
@@ -168,7 +172,10 @@ object NgramLm {
     */
   def score(corpus: DataFrame, idCol: String, textCol: String, m: Model,
       maxBroadcastModel: Long = CorpusStats.MaxBroadcastVocab): DataFrame = {
-    val fitsBroadcast = m.qSeen.count() <= maxBroadcastModel
+    // max over BOTH probed relations (seen bigrams + head counts) — the
+    // strategy applies to each, so each must clear the ceiling
+    val fitsBroadcast =
+      math.max(m.qSeen.count(), m.heads.count()) <= maxBroadcastModel
     val scored = probeQq(
       corpus.select(col(idCol), explode(wordGrams(col(textCol), 2)).as("bigram")),
       m, fitsBroadcast)
@@ -236,7 +243,11 @@ object NgramLm {
       m: Backoff3Model,
       maxBroadcastModel: Long = CorpusStats.MaxBroadcastVocab): DataFrame = {
     import graft.functions.PortableLog
-    val fitsBroadcast = m.q3.count() <= maxBroadcastModel
+    // all three orders are probed with ONE strategy — guard on the max
+    // (heavy trigram pruning or skewed vocab can leave q2 or unigrams
+    // larger than q3; an under-ceiling q3 must not broadcast them)
+    val fitsBroadcast =
+      Seq(m.q3.count(), m.q2.count(), m.unigrams.count()).max <= maxBroadcastModel
     def p(df: DataFrame) =
       if (fitsBroadcast) broadcast(df) else df.hint("shuffle_hash")
     val uniQ = floor(lit(Scale) * PortableLog.plogCol(

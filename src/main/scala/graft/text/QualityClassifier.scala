@@ -103,6 +103,7 @@ object QualityClassifier {
     */
   def train(feats: DataFrame, rounds: Int = Rounds, eta: Double = Eta): Model = {
     val n = feats.count()
+    require(n > 0, "classifier needs a non-empty training corpus")
     var w = Array.fill(Buckets + 1)(0.0)
     for (_ <- 0 until rounds) {
       val rows = feats
