@@ -113,6 +113,33 @@ object Mixing {
        |wp AS (SELECT $srcCol, CAST(floor(w) AS BIGINT) AS whole,
        |         CAST(floor((w - floor(w)) * $HashMod) AS BIGINT) AS thr FROM w)""".stripMargin
 
+  /** Deterministic training-sample predicate — the production knob the
+    * model-fitting operators take (CCNet/GPT-3 fit their filters on a
+    * SAMPLE of the corpus, never the corpus): keep a document iff its
+    * [[mixHash]] lands under the exact int64 threshold `2³¹·pct/100`.
+    * A pure per-row decision — stable across runs, engines,
+    * partitionings and corpus growth (a doc keeps its draw as new data
+    * arrives, so an incremental refit sees a superset of the old
+    * sample, never a reshuffle) — and the SAME hash family as
+    * [[hashSplit]], so "train on the sample" composes with "score only
+    * the train split" without correlation surprises ONLY via different
+    * id columns; on one id column the two predicates are nested by
+    * construction (pct ≤ split-threshold ⊂ split), which is the
+    * documented semantics, not a bug.
+    */
+  def sampleThreshold(pct: Int): Long = {
+    require(pct > 0 && pct <= 100, s"sample percent out of range: $pct")
+    HashMod * pct / 100L
+  }
+
+  def samplePred(idCol: String, pct: Int): Column =
+    mixHash(idCol) < lit(sampleThreshold(pct))
+
+  /** The DuckDB rendering of [[samplePred]] — same sign-exact hash dag,
+    * same integer threshold. */
+  def duckSamplePred(idCol: String, pct: Int): String =
+    s"${duckMixHash(idCol)} < ${sampleThreshold(pct)}"
+
   /** Deterministic hash-bucketed corpus split (train/val/test) — the
     * reproducible analog of `randomSplit`: each document's bucket is a
     * pure function of its id (the same fixed multiplicative hash as the

@@ -931,7 +931,7 @@ object PipelineQueries {
   private[queries] val tkCteSql: String =
     s"tk AS MATERIALIZED (SELECT doc_id, ${DuckSql.tokens("text")} AS toks FROM m)"
 
-  private[queries] val classifierTrainCtes: String = {
+  private[queries] def classifierTrainCtesFor(trainPred: String): String = {
     import graft.functions.PortableLog
     val qc = graft.text.QualityClassifier
     val b = qc.Buckets
@@ -939,8 +939,13 @@ object PipelineQueries {
     def fold(wl: String): String =
       s"list_reduce(list_prepend(0.0e0, list_transform(fb.fx, " +
         s"f -> $wl[CAST(f.b + 1 AS INT)] * CAST(f.c AS DOUBLE))), (a, x) -> a + x)"
+    // ft = the TRAINING docs (the sampled-fit rows restrict it with the
+    // deterministic hash predicate; TRUE for the fit-on-everything rows):
+    // n, the margin rounds and the gradient explosion all range over ft,
+    // while fb — and therefore the final scoring pass — keeps every doc
     val head =
       s"""lab AS MATERIALIZED (SELECT doc_id, $classifierLabelSql AS y FROM m),
+         |ft AS MATERIALIZED (SELECT doc_id FROM m WHERE $trainPred),
          |bkr AS (SELECT doc_id, (${DuckSql.hash60("tok")}) % $b AS b
          |        FROM (SELECT doc_id, unnest(toks) AS tok FROM tk) tt),
          |fc AS (SELECT DISTINCT doc_id, b, CAST(1 AS BIGINT) AS c FROM bkr),
@@ -950,9 +955,10 @@ object PipelineQueries {
          |         COALESCE(fl.fx, CAST([] AS STRUCT(b BIGINT, c BIGINT)[])) ||
          |           [struct_pack(b := CAST($b AS BIGINT), c := CAST(1 AS BIGINT))] AS fx
          |       FROM m LEFT JOIN fl USING (doc_id)),
-         |nn AS (SELECT count(*) AS n FROM m),
+         |nn AS (SELECT count(*) AS n FROM ft),
          |sp AS (SELECT CAST(range AS BIGINT) AS b FROM range(0, ${b + 1})),
-         |fe AS MATERIALIZED (SELECT doc_id, unnest(fx, recursive := true) FROM fb),
+         |fe AS MATERIALIZED (SELECT fb.doc_id, unnest(fx, recursive := true)
+         |       FROM fb JOIN ft USING (doc_id)),
          |g1 AS (SELECT b,
          |         sum(CAST(floor((0.5e0 - lab.y) * CAST(c AS DOUBLE) * 1.0e6) AS BIGINT)) AS g
          |       FROM fe JOIN lab USING (doc_id) GROUP BY b),
@@ -967,7 +973,7 @@ object PipelineQueries {
     // never finishes at 6 rounds.
     val rounds = (2 to qc.Rounds).map { t =>
       s"""s$t AS (SELECT fb.doc_id, ${fold(s"wl${t - 1}.wl")} AS s
-         |       FROM fb CROSS JOIN wl${t - 1}),
+         |       FROM fb JOIN ft USING (doc_id) CROSS JOIN wl${t - 1}),
          |r$t AS (SELECT px.doc_id, px.psig - lab.y AS r
          |       FROM (${PortableLog.psigSelectSql(s"SELECT doc_id, s FROM s$t", "doc_id", "-(s)")}) px
          |       JOIN lab USING (doc_id)),
@@ -983,16 +989,21 @@ object PipelineQueries {
     s"$head,\n$rounds"
   }
 
+  private[queries] val classifierTrainCtes: String = classifierTrainCtesFor("TRUE")
+
   /** Classifier core ending at `sF` (doc_id, s — the final margin over
-    * the trained weights); assumes CTEs `m` and `tk` are defined.
+    * the trained weights, for EVERY doc regardless of the training
+    * restriction); assumes CTEs `m` and `tk` are defined.
     */
-  private[queries] val classifierCoreCtes: String = {
+  private[queries] def classifierCoreCtesFor(trainPred: String): String = {
     val r = graft.text.QualityClassifier.Rounds
     val fold = s"list_reduce(list_prepend(0.0e0, list_transform(fb.fx, " +
       s"f -> wl$r.wl[CAST(f.b + 1 AS INT)] * CAST(f.c AS DOUBLE))), (a, x) -> a + x)"
-    s"""$classifierTrainCtes,
+    s"""${classifierTrainCtesFor(trainPred)},
        |sF AS (SELECT fb.doc_id, $fold AS s FROM fb CROSS JOIN wl$r)""".stripMargin
   }
+
+  private[queries] val classifierCoreCtes: String = classifierCoreCtesFor("TRUE")
 
   /** One oracle for BOTH classifier rows: the streaming scorer's
     * presence-fold margin is bit-identical to the batch feature-fold
@@ -1003,6 +1014,30 @@ object PipelineQueries {
     s"""WITH m AS MATERIALIZED ($classifierMPlantSql),
        |$tkCteSql,
        |$classifierCoreCtes
+       |SELECT doc_id, CAST(floor(1.0e6 * s) AS BIGINT) AS score_q,
+       |       CASE WHEN s >= 0.0e0 THEN 1 ELSE 0 END AS pred
+       |FROM sF ORDER BY doc_id""".stripMargin
+
+  /** Sampled-fit twins (the production recipe — CCNet/GPT-3 fit their
+    * filters on a sample, then score the corpus): the training
+    * restriction is the deterministic 30% hash-sample
+    * ([[graft.pipeline.Mixing.samplePred]] — same fixed multiplicative
+    * hash as the mixer/splitter, so the sample is stable under corpus
+    * growth and identical on both engines), scoring stays corpus-wide.
+    * 30% keeps both planted classes well-represented at sf0.01 while the
+    * trained weights genuinely differ from the full-fit rows'; at 100 TB
+    * the same knob at 1% decouples the R training passes from corpus
+    * size entirely (env-gated stress evidence in ScaleStressSpec).
+    */
+  private[queries] val SampledFitPct: Int = 30
+
+  private[queries] val sampledFitPredSql: String =
+    graft.pipeline.Mixing.duckSamplePred("doc_id", SampledFitPct)
+
+  private[queries] val classifierSampledOracleSql: String =
+    s"""WITH m AS MATERIALIZED ($classifierMPlantSql),
+       |$tkCteSql,
+       |${classifierCoreCtesFor(sampledFitPredSql)}
        |SELECT doc_id, CAST(floor(1.0e6 * s) AS BIGINT) AS score_q,
        |       CASE WHEN s >= 0.0e0 THEN 1 ELSE 0 END AS pred
        |FROM sF ORDER BY doc_id""".stripMargin
@@ -1035,19 +1070,22 @@ object PipelineQueries {
        |  FROM ${Q.DocsRef}""".stripMargin
 
   /** LM core ending at `sc2` (scored docs) and `fin` (every doc);
-    * assumes CTEs `m` and `tk` are defined.
+    * assumes CTEs `m` and `tk` are defined. `trainPred` is the model's
+    * training-subset predicate over doc_id — the reference residue class
+    * for the declared rows, the deterministic hash-sample for the
+    * sampled-fit twin.
     */
-  private[queries] val lmCoreCtes: String = {
+  private[queries] def lmCoreCtesFor(trainPred: String): String = {
     import graft.functions.PortableLog
     val bigrams = "CASE WHEN len(toks) >= 2 THEN list_transform(range(0, len(toks) - 1), " +
       "i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]) " +
       "ELSE CAST([] AS VARCHAR[]) END"
     s"""bg AS (SELECT doc_id, unnest($bigrams) AS bigram FROM tk),
        |c1 AS (SELECT token, count(*) AS c1 FROM
-       |         (SELECT unnest(toks) AS token FROM tk WHERE doc_id % 4 = 0) t1
+       |         (SELECT unnest(toks) AS token FROM tk WHERE $trainPred) t1
        |       GROUP BY token),
        |vv AS (SELECT count(*) AS v FROM c1),
-       |c2 AS (SELECT bigram, count(*) AS c2 FROM bg WHERE doc_id % 4 = 0 GROUP BY bigram),
+       |c2 AS (SELECT bigram, count(*) AS c2 FROM bg WHERE $trainPred GROUP BY bigram),
        |pr AS (SELECT b.doc_id, COALESCE(c2.c2, 0) AS c2v, COALESCE(c1.c1, 0) AS c1v
        |       FROM bg b LEFT JOIN c2 USING (bigram)
        |         LEFT JOIN c1 ON c1.token = split_part(b.bigram, ' ', 1)),
@@ -1071,6 +1109,8 @@ object PipelineQueries {
        |               ELSE 0.0e0 END AS xent
        |        FROM m LEFT JOIN sc USING (doc_id))""".stripMargin
   }
+
+  private[queries] val lmCoreCtes: String = lmCoreCtesFor("doc_id % 4 = 0")
 
   /** Self-contained oracle for the stupid-backoff row: same plant/base
     * counts as the add-one chain, then MLE bigram probs for seen bigrams
@@ -1200,6 +1240,14 @@ object PipelineQueries {
     s"WITH m AS MATERIALIZED ($lmMPlantSql),\n$tkCteSql,\n$lmCoreCtes\n" +
       "SELECT doc_id, n_bigrams, lm_logp_q, xent FROM fin ORDER BY doc_id"
 
+  /** Sampled-fit twin: model trained on the deterministic hash-sample
+    * instead of the %4 residue class; the whole chain (counts, V,
+    * smoothing, quantization) re-derives under the sampled predicate.
+    */
+  private[queries] val lmScoreSampledOracleSql: String =
+    s"WITH m AS MATERIALIZED ($lmMPlantSql),\n$tkCteSql,\n${lmCoreCtesFor(sampledFitPredSql)}\n" +
+      "SELECT doc_id, n_bigrams, lm_logp_q, xent FROM fin ORDER BY doc_id"
+
   private[queries] val lmScoreStreamOracleSql: String =
     s"WITH m AS MATERIALIZED ($lmMPlantSql),\n$tkCteSql,\n$lmCoreCtes\n" +
       "SELECT doc_id, n_bigrams, lm_logp_q, xent FROM sc2 ORDER BY doc_id"
@@ -1284,7 +1332,7 @@ object PipelineQueries {
     * the same relation, then scores every document. Ends at CTE `fin`
     * (doc_id, n_grams, dsir_score).
     */
-  private val dsirCtes: String = {
+  private def dsirCtesFor(fitPred: String): String = {
     val bigrams = "CASE WHEN len(toks) >= 2 THEN list_transform(range(0, len(toks) - 1), " +
       "i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]) " +
       "ELSE CAST([] AS VARCHAR[]) END"
@@ -1298,7 +1346,7 @@ object PipelineQueries {
        |bk AS (SELECT doc_id, (${DuckSql.hash60("gram")}) % $b AS bucket FROM gr),
        |cnt AS (SELECT bucket, count(*) AS cr,
        |          sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS ct
-       |        FROM bk GROUP BY bucket),
+       |        FROM bk WHERE $fitPred GROUP BY bucket),
        |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt FROM cnt),
        |ab AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(0, $b)),
        |sm AS (SELECT ab.bucket,
@@ -1317,8 +1365,15 @@ object PipelineQueries {
        |        FROM m LEFT JOIN sc USING (doc_id))""".stripMargin
   }
 
+  private val dsirCtes: String = dsirCtesFor("TRUE")
+
   private[queries] val dsirScoreOracleSql: String =
     s"$dsirCtes\nSELECT doc_id, n_grams, dsir_score FROM fin ORDER BY doc_id"
+
+  /** Sampled-fit twin: BOTH models (target and raw) fit on the
+    * deterministic hash-sample, scoring corpus-wide. */
+  private[queries] val dsirScoreSampledOracleSql: String =
+    s"${dsirCtesFor(sampledFitPredSql)}\nSELECT doc_id, n_grams, dsir_score FROM fin ORDER BY doc_id"
 
   /** Ingestion twin of the DSIR selection: τ = the k-th ranked batch
     * score (min over the top-k set), stream keeps score > τ strictly —
@@ -1755,6 +1810,24 @@ object PipelineQueries {
       },
       Some(classifierOracleSql)),
 
+    // SAMPLED-fit classifier — the production recipe: the R GD rounds
+    // scan only the deterministic 30% hash-sample (training cost
+    // decoupled from corpus size — at 100 TB the same knob at 1% makes
+    // the fit O(sample), not O(corpus)), scoring stays corpus-wide. The
+    // oracle re-derives the sample AND replays the full training loop
+    // under it, so sample membership, counts and weights are all pinned.
+    Q("text_quality_classifier_sampled",
+      (s, dir) => {
+        val qc = graft.text.QualityClassifier
+        val feats = graft.Caches.track(qc.features(
+          classifierPlant(Tables.documents(s, dir)), "doc_id", "text",
+          (pmod(col("doc_id"), lit(6)) === 0).cast("int")))
+        val m = qc.train(feats.filter(
+          graft.pipeline.Mixing.samplePred("doc_id", SampledFitPct)))
+        qc.score(feats, "doc_id", m).orderBy("doc_id")
+      },
+      Some(classifierSampledOracleSql)),
+
     // model-gate composite: classifier gate → CCNet perplexity split
     // (drop the worst-xent third of survivors by distributed rank). Both
     // models train on the same combined-plant corpus in ONE declared
@@ -1862,6 +1935,21 @@ object PipelineQueries {
       },
       Some(lmScoreOracleSql)),
 
+    // SAMPLED-fit LM — the reference corpus is the deterministic 30%
+    // hash-sample instead of a residue class: the two training
+    // aggregations scan only the sample (the CCNet deployment fits KenLM
+    // on curated Wikipedia, a fixed-size set, never the crawl), scoring
+    // stays corpus-wide through the same guarded probe.
+    Q("text_lm_score_sampled",
+      (s, dir) => {
+        val docs = lmPlant(Tables.documents(s, dir))
+        val m = graft.text.NgramLm.train(
+          docs.filter(graft.pipeline.Mixing.samplePred("doc_id", SampledFitPct)),
+          "text")
+        graft.text.NgramLm.score(docs, "doc_id", "text", m).orderBy("doc_id")
+      },
+      Some(lmScoreSampledOracleSql)),
+
     // stupid-backoff variant (Brants et al. 2007 — the smoothing scheme
     // designed FOR distributed LMs: raw relative frequencies, fixed 0.4
     // backoff weight, no discounting statistics): attested bigrams score
@@ -1920,6 +2008,22 @@ object PipelineQueries {
         Dsir.score(docs, "doc_id", "text", m).orderBy("doc_id")
       },
       Some(dsirScoreOracleSql)),
+
+    // SAMPLED-fit DSIR — both hashed-gram models (target and raw) fit on
+    // the deterministic 30% hash-sample; scoring stays the zero-shuffle
+    // corpus-wide fold against the plan-literal model. The importance
+    // estimator is ratio-of-frequencies, so a uniform sample preserves
+    // its expectation — the paper's own deployment fits on feature
+    // samples, not the full raw distribution.
+    Q("text_dsir_score_sampled",
+      (s, dir) => {
+        val docs = dsirPlant(Tables.documents(s, dir))
+        val m = Dsir.fit(
+          docs.filter(graft.pipeline.Mixing.samplePred("doc_id", SampledFitPct)),
+          "text", pmod(col("doc_id"), lit(7)) === 0)
+        Dsir.score(docs, "doc_id", "text", m).orderBy("doc_id")
+      },
+      Some(dsirScoreSampledOracleSql)),
 
     // the selection half: keep the top 20% by (score DESC, doc_id) via
     // the distributed two-pass prefix rank — no global-sort collapse, no
