@@ -1170,7 +1170,7 @@ object PipelineQueries {
     * quantized values derived per attested key and the unigram level per
     * row, all through the staged portable log.
     */
-  private[queries] val lmBackoff3OracleSql: String = {
+  private[queries] val lmBackoff3Ctes: String = {
     import graft.functions.PortableLog
     def grams(n: Int): String = {
       val g = (0 until n).map(j => s"toks[CAST(i+${j + 1} AS INT)]").mkString(" || ' ' || ")
@@ -1221,14 +1221,28 @@ object PipelineQueries {
        |         COALESCE(qb3, qb2,
        |           CAST(floor(1.0e6 * ${PortableLog.seriesSql("z")}) AS BIGINT)) AS q
        |       FROM b2),
-       |sc AS (SELECT doc_id, count(*) AS n_trigrams, sum(q) AS lm FROM qz GROUP BY doc_id)
+       |sc AS (SELECT doc_id, count(*) AS n_trigrams, sum(q) AS lm FROM qz GROUP BY doc_id)""".stripMargin
+  }
+
+  private[queries] val lmBackoff3OracleSql: String =
+    s"""$lmBackoff3Ctes
        |SELECT m.doc_id, CAST(COALESCE(sc.n_trigrams, 0) AS BIGINT) AS n_trigrams,
        |       CAST(COALESCE(sc.lm, 0) AS BIGINT) AS lm_logp_q,
        |       CASE WHEN sc.n_trigrams > 0
        |            THEN CAST(-sc.lm AS DOUBLE) / (CAST(sc.n_trigrams AS DOUBLE) * 1.0e6)
        |            ELSE 0.0e0 END AS xent
        |FROM m LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin
-  }
+
+  /** Scored-docs-only variant for the ingestion twin: a doc with < 3
+    * tokens produces no exploded trigrams, hence no aggregation state,
+    * hence no output row — same argument as the bigram twins' `sc2`.
+    */
+  private[queries] val lmBackoff3StreamOracleSql: String =
+    s"""$lmBackoff3Ctes
+       |SELECT doc_id, CAST(n_trigrams AS BIGINT) AS n_trigrams,
+       |       CAST(lm AS BIGINT) AS lm_logp_q,
+       |       CAST(-lm AS DOUBLE) / (CAST(n_trigrams AS DOUBLE) * 1.0e6) AS xent
+       |FROM sc ORDER BY doc_id""".stripMargin
 
   private[queries] val lmBackoffScoreOracleSql: String =
     s"$lmBackoffCtes\nSELECT doc_id, n_bigrams, lm_logp_q, xent FROM bfin ORDER BY doc_id"

@@ -817,6 +817,39 @@ object StreamingQueries {
       },
       Some(PipelineQueries.lmBackoffStreamOracleSql)),
 
+    // MULTI-ORDER backoff LM scoring AT INGESTION — the trigram →
+    // bigram → unigram chain (0.4 per level) applied per micro-batch:
+    // all three model tables train OFFLINE and are probed by
+    // stream-static LEFT joins on one exploded trigram stream (no join
+    // state; the unigram level derives per row), the per-doc sum rides
+    // the same watermarked ingress-window aggregation as the bigram
+    // twins. Closes the one batch/ingestion asymmetry in the LM family:
+    // every LM scheme now has both a batch row and its deployment twin.
+    Q("stream_text_lm_score_backoff3",
+      (s, dir) => {
+        implicit val sp = s
+        import graft.functions.GraftFunctions.wordGrams
+        val docs = PipelineQueries.lmPlant(graft.Tables.documents(s, dir))
+        val m = graft.text.NgramLm.trainBackoff3(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
+        val incoming = PipelineQueries.lmPlant(StreamSources.documents(s, dir))
+          .select(col("doc_id"), explode(wordGrams(col("text"), 3)).as("trigram"))
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+        val scored = graft.text.NgramLm
+          .probeQqBackoff3(incoming, m, fitsBroadcast = true)
+          .groupBy(window(col("event_time"), "1 hour"), col("doc_id"))
+          .agg(count(lit(1)).as("n_trigrams"), sum(col("qq")).as("lm_logp_q"))
+          .select(col("doc_id"), col("n_trigrams"), col("lm_logp_q"),
+            ((-col("lm_logp_q")).cast("double") /
+              (col("n_trigrams").cast("double") * lit(graft.text.NgramLm.Scale)))
+              .as("xent"))
+        StreamRun.toBatch(scored, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+          .orderBy("doc_id")
+      },
+      Some(PipelineQueries.lmBackoff3StreamOracleSql)),
+
     // DSIR scoring AT INGESTION — importance-score the stream against a
     // model fit OFFLINE on the batch corpus (the production DSIR shape:
     // fit once on target+raw, score new data as it arrives). The scorer

@@ -239,28 +239,40 @@ object NgramLm {
     Backoff3Model(q3, q2, c1.withColumnRenamed("token", "__w3"), n1)
   }
 
-  def scoreBackoff3(corpus: DataFrame, idCol: String, textCol: String,
-      m: Backoff3Model,
-      maxBroadcastModel: Long = CorpusStats.MaxBroadcastVocab): DataFrame = {
+  /** Multi-order twin of [[probeQq]]/[[probeQqBackoff]] — rows carrying a
+    * `trigram` column gain `qq` (trigram MLE → 0.4·bigram → 0.4²·unigram,
+    * the unigram level derived per row via the portable log) and lose the
+    * probe plumbing columns. Shared by the batch scorer and the ingestion
+    * twin, so both rows chain down the orders identically.
+    */
+  def probeQqBackoff3(rows: DataFrame, m: Backoff3Model,
+      fitsBroadcast: Boolean): DataFrame = {
     import graft.functions.PortableLog
-    // all three orders are probed with ONE strategy — guard on the max
-    // (heavy trigram pruning or skewed vocab can leave q2 or unigrams
-    // larger than q3; an under-ceiling q3 must not broadcast them)
-    val fitsBroadcast =
-      Seq(m.q3.count(), m.q2.count(), m.unigrams.count()).max <= maxBroadcastModel
     def p(df: DataFrame) =
       if (fitsBroadcast) broadcast(df) else df.hint("shuffle_hash")
     val uniQ = floor(lit(Scale) * PortableLog.plogCol(
       lit(0.4) * (lit(0.4) * (coalesce(col("c1"), lit(0L)).cast("double") /
         lit(m.n1).cast("double"))))).cast("long")
-    val scored = corpus
-      .select(col(idCol), explode(wordGrams(col(textCol), 3)).as("trigram"))
-      .join(p(m.q3), Seq("trigram"), "left")
+    rows.join(p(m.q3), Seq("trigram"), "left")
       .join(p(m.q2),
         substring_index(col("trigram"), " ", -2) === col("__sfx"), "left")
       .join(p(m.unigrams),
         substring_index(col("trigram"), " ", -1) === col("__w3"), "left")
-      .select(col(idCol), coalesce(col("qb3"), col("qb2"), uniQ).as("qq"))
+      .withColumn("qq", coalesce(col("qb3"), col("qb2"), uniQ))
+      .drop("trigram", "qb3", "qb2", "c1", "__sfx", "__w3")
+  }
+
+  def scoreBackoff3(corpus: DataFrame, idCol: String, textCol: String,
+      m: Backoff3Model,
+      maxBroadcastModel: Long = CorpusStats.MaxBroadcastVocab): DataFrame = {
+    // all three orders are probed with ONE strategy — guard on the max
+    // (heavy trigram pruning or skewed vocab can leave q2 or unigrams
+    // larger than q3; an under-ceiling q3 must not broadcast them)
+    val fitsBroadcast =
+      Seq(m.q3.count(), m.q2.count(), m.unigrams.count()).max <= maxBroadcastModel
+    val scored = probeQqBackoff3(
+      corpus.select(col(idCol), explode(wordGrams(col(textCol), 3)).as("trigram")),
+      m, fitsBroadcast)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_trigrams"), sum(col("qq")).as("lm_logp_q"))
     perDocTotals(corpus, idCol, scored, nCol = "n_trigrams")
