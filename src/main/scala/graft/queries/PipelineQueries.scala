@@ -1325,6 +1325,26 @@ object PipelineQueries {
        |FROM rk CROSS JOIN ns WHERE r <= n - n // 3 ORDER BY doc_id""".stripMargin
   }
 
+  /** Heavy-hitter rows: doc-unique tokens are planted so the vocabulary
+    * genuinely exceeds the m=64 counter budget and the sketch does real
+    * pruning; the oracle computes the exact same head set with a plain
+    * GROUP BY + HAVING over the total count — one rendering for the
+    * batch row AND the ingestion twin (same exactness contract by the
+    * mergeable-summaries superset argument).
+    */
+  private[queries] def heavyHitterPlant(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"), lit(" xq"), col("doc_id").cast("string")).as("text"))
+
+  private[queries] val heavyHittersOracleSql: String = s"""
+    WITH m AS (SELECT doc_id, text || ' xq' || CAST(doc_id AS VARCHAR) AS text
+               FROM ${Q.DocsRef}),
+    t AS (SELECT unnest(${DuckSql.tokens("text")}) AS token FROM m),
+    tot AS (SELECT count(*) AS n FROM t)
+    SELECT token, count(*) AS cnt FROM t GROUP BY token
+    HAVING count(*) >= (SELECT n // ${CorpusStats.HeavyHitterCounters + 1} + 1 FROM tot)
+    ORDER BY token"""
+
   /** DSIR rows: the synthetic corpus is distribution-uniform, so the
     * target subset (doc_id ≡ 0 mod 7) is marked with a planted phrase —
     * the target model's buckets become genuinely distinctive — and a
@@ -2062,18 +2082,10 @@ object PipelineQueries {
     // the same set with a plain GROUP BY + HAVING over the total count.
     Q("text_heavy_hitters",
       (s, dir) => {
-        val planted = Tables.documents(s, dir).select(col("doc_id"),
-          concat(col("text"), lit(" xq"), col("doc_id").cast("string")).as("text"))
-        CorpusStats.heavyHitters(planted, "text").orderBy("token")
+        CorpusStats.heavyHitters(heavyHitterPlant(Tables.documents(s, dir)),
+          "text").orderBy("token")
       },
-      Some(s"""
-        WITH m AS (SELECT doc_id, text || ' xq' || CAST(doc_id AS VARCHAR) AS text
-                   FROM ${Q.DocsRef}),
-        t AS (SELECT unnest(${DuckSql.tokens("text")}) AS token FROM m),
-        tot AS (SELECT count(*) AS n FROM t)
-        SELECT token, count(*) AS cnt FROM t GROUP BY token
-        HAVING count(*) >= (SELECT n // ${CorpusStats.HeavyHitterCounters + 1} + 1 FROM tot)
-        ORDER BY token""")),
+      Some(heavyHittersOracleSql)),
 
     // RefinedWeb-style line-wise correction: drop boilerplate/navigation
     // lines and short fragments inside each document, reassemble, report

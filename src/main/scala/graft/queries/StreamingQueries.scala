@@ -850,6 +850,25 @@ object StreamingQueries {
       },
       Some(PipelineQueries.lmBackoff3StreamOracleSql)),
 
+    // INCREMENTAL heavy hitters — the ingest-side corpus profiler: each
+    // micro-batch folds into a distributed m=64-entry Misra-Gries
+    // sketch, merged per trigger into running cross-batch state with the
+    // same mergeable-summaries combine as the in-plan partials (a valid
+    // MG summary of everything ingested so far, O(m) state however long
+    // the stream runs); at end of stream the ≤ m candidates exact-verify
+    // against the archived corpus, so the output is the batch operator's
+    // exact head — and shares its oracle verbatim. Same plant as the
+    // batch row (doc-unique tokens make the sketch prune for real).
+    Q("stream_text_heavy_hitters",
+      (s, dir) => {
+        implicit val sp = s
+        graft.text.CorpusStats.heavyHittersIngest(
+          PipelineQueries.heavyHitterPlant(StreamSources.documents(s, dir)),
+          PipelineQueries.heavyHitterPlant(graft.Tables.documents(s, dir)),
+          "text").orderBy("token")
+      },
+      Some(PipelineQueries.heavyHittersOracleSql)),
+
     // DSIR scoring AT INGESTION — importance-score the stream against a
     // model fit OFFLINE on the batch corpus (the production DSIR shape:
     // fit once on target+raw, score new data as it arrives). The scorer

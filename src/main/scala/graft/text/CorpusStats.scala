@@ -66,14 +66,77 @@ object CorpusStats {
     val row = toks.agg(
       graft.functions.expressions.MisraGriesAgg.of(col("token"), m).as("cands"),
       count(lit(1)).as("n")).head()
-    val cands: Seq[String] = row.getSeq[String](0)
-    val n = row.getLong(1)
+    exactHead(toks, row.getSeq[String](0), row.getLong(1), m)
+  }
+
+  /** The exact verify pass both heavy-hitter shapes end in: count ONLY
+    * the ≤ m sketch candidates (literal isin — the aggregation Exchange
+    * moves candidate occurrences, never the vocabulary) and keep those
+    * at or above T = N div (m+1) + 1.
+    */
+  private def exactHead(toks: DataFrame, cands: Seq[String], n: Long,
+      m: Int): DataFrame = {
     val t = n / (m + 1) + 1
     val candToks =
       if (cands.isEmpty) toks.filter(lit(false))
       else toks.filter(col("token").isin(cands: _*))
     candToks.groupBy("token").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= t)
+  }
+
+  /** INCREMENTAL heavy hitters — the ingest-side corpus profiler the
+    * batch operator implies: each micro-batch folds its token stream
+    * into a distributed ≤ m-entry sketch ([[graft.functions.expressions.
+    * MisraGriesSketchAgg]] — map-side partials, one m-entry row per
+    * partition to the final merge), which then merges into the running
+    * cross-batch sketch with the SAME mergeable-summaries combine the
+    * in-plan partials use — so the accumulated state is a valid
+    * Misra-Gries summary of everything ingested so far (the combine
+    * preserves the N/(m+1) undercount bound across any batch split),
+    * bounded at m counters + one token total however long the stream
+    * runs. `onBatch` observes (sketch size, running N) per trigger — the
+    * spec's state-bound hook.
+    *
+    * At end of stream the candidates exact-verify against `archive` (the
+    * retained ingested data — the batch table here; every production
+    * ingest lands its accepted rows somewhere) exactly as the batch
+    * operator does, so the output is the same EXACT, partitioning- and
+    * batch-split-independent head: {token : count ≥ T}, T = N div (m+1)
+    * + 1. Candidates and total ride the stream; only they — never a
+    * vocabulary — touch the second pass.
+    */
+  def heavyHittersIngest(stream: DataFrame, archive: DataFrame,
+      textCol: String, m: Int = HeavyHitterCounters,
+      onBatch: (Int, Long) => Unit = (_, _) => ())(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    val sketch = scala.collection.mutable.HashMap.empty[String, Long]
+    var n = 0L
+    val shm = new java.io.File("/dev/shm")
+    val base =
+      if (shm.isDirectory && shm.canWrite) shm.toPath
+      else java.nio.file.Files.createTempDirectory("graft").getParent
+    val ckpt = java.nio.file.Files.createTempDirectory(base, "graft-hh-ingest").toString
+    val q = stream.select(explode(tokens(col(textCol))).as("token"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val row = batch.agg(
+          graft.functions.expressions.MisraGriesAgg
+            .sketchOf(col("token"), m).as("sk"),
+          count(lit(1)).as("nb")).head()
+        val entries = row.getSeq[Row](0).map(r => (r.getString(0), r.getLong(1)))
+        graft.functions.expressions.MisraGriesAgg.mergeInto(sketch, entries, m)
+        n += row.getLong(1)
+        onBatch(sketch.size, n)
+        ()
+      }
+      .start()
+    try q.awaitTermination()
+    finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    exactHead(archive.select(explode(tokens(col(textCol))).as("token")),
+      sketch.keys.toSeq, n, m)
   }
 
   /** (token, df): document frequency of every distinct token — the number

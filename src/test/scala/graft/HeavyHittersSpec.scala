@@ -44,6 +44,39 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(got == Map("heavy" -> 160L))
   }
 
+  test("ingestion fold: multi-batch merge ends in the batch-exact head with O(m) state per trigger") {
+    import spark.implicits._
+    implicit val sp = spark
+    // same distribution as the invariance test, delivered as SIX
+    // micro-batches (one file per trigger): the cross-batch fold must
+    // end in exactly the batch operator's head — batch-split
+    // independence, the streaming analog of partitioning invariance —
+    // while the running sketch never exceeds m counters at any trigger
+    val docs = ((1 to 200).map(_ => "alpha") ++ (1 to 150).map(_ => "beta") ++
+      (1 to 650).map(i => s"tail$i")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-hh-stream").toString
+    try {
+      docs.repartition(6).write.mode("overwrite").parquet(dir)
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val batches = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+      val got = CorpusStats.heavyHittersIngest(stream,
+          spark.read.parquet(dir), "text", m = 8,
+          onBatch = (sz, n) => { batches += ((sz, n)); () })
+        .orderBy("token").collect().map(_.toSeq).toSeq
+      val want = CorpusStats.heavyHitters(docs, "text", m = 8)
+        .orderBy("token").collect().map(_.toSeq).toSeq
+      assert(got == want, "ingestion head must equal the batch head")
+      assert(got.map(_.head) == Seq("alpha", "beta"))
+      assert(batches.size >= 6,
+        s"expected one trigger per file (6), saw ${batches.size}")
+      assert(batches.forall(_._1 <= 8),
+        s"sketch state exceeded m counters: $batches")
+      assert(batches.map(_._2).max == 1000L, "running N must total the stream")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("final set is partitioning-invariant (sketch only prunes)") {
     import spark.implicits._
     // one token per doc so repartitioning genuinely respreads the stream
