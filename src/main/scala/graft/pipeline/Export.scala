@@ -44,6 +44,86 @@ object Export {
     manifest
   }
 
+  /** Streaming terminal stage — the batch writer's contract held PER
+    * MICRO-BATCH: each trigger appends its rows to the same Hive-style
+    * shard tree (with the batch id as a third partition level, so every
+    * batch's files live in addressable `…/split=<s>/shard_id=<k>/
+    * batch=<b>/` leaves) and then — only after the data is fully
+    * written — commits a per-batch manifest at
+    * `_graft_manifest/batch=<b>/`. The manifest is the commit marker:
+    * two-phase-commit-lite per batch, so a reader trusting the manifest
+    * never sees a half-written batch.
+    *
+    * Restart safety (exactly-once against the data tree): foreachBatch
+    * replays the last uncommitted batch id after a crash, so the writer
+    * is idempotent per batch — a batch whose manifest exists is skipped
+    * whole; a batch whose manifest is missing first scrubs its own
+    * batch-tagged data leaves (the partials of the crashed attempt —
+    * addressable precisely BECAUSE the batch id is a partition level)
+    * and rewrites. Append without the tag could not be made idempotent:
+    * parquet part files get fresh UUID names per attempt, so a replay
+    * would silently double the batch.
+    *
+    * `beforeCommit` runs between the data write and the manifest write —
+    * the crash window the design defends; specs inject faults there.
+    */
+  def writeShardsIngest(stream: DataFrame, root: String, splitCol: String,
+      shardCol: String, tokenCol: String, checkpoint: String,
+      beforeCommit: Long => Unit = _ => ()): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        writeShardsBatch(df, root, splitCol, shardCol, tokenCol, batchId,
+          beforeCommit)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One micro-batch's idempotent shard append (see
+    * [[writeShardsIngest]]). Public so a caller wiring its own
+    * foreachBatch (different trigger, extra sinks) reuses the exact
+    * commit protocol.
+    */
+  def writeShardsBatch(df: DataFrame, root: String, splitCol: String,
+      shardCol: String, tokenCol: String, batchId: Long,
+      beforeCommit: Long => Unit = _ => ()): Unit = {
+    val spark = df.sparkSession
+    val hconf = spark.sessionState.newHadoopConf()
+    val mPath = new org.apache.hadoop.fs.Path(s"$root/$ManifestDir/batch=$batchId")
+    val fs = mPath.getFileSystem(hconf)
+    if (fs.exists(mPath)) return // fully committed by a prior attempt
+    // scrub partial data from a crashed attempt: exactly the three-level
+    // batch=<id> leaves (the two-level manifest path cannot match)
+    val partials = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$root/*/*/batch=$batchId"))
+    if (partials != null)
+      partials.foreach(st => fs.delete(st.getPath, true))
+    // the batch feeds the data write AND the manifest aggregation — one
+    // persist, released before the next trigger
+    val data = df.persist()
+    try {
+      data.withColumn("batch", lit(batchId))
+        .write.mode(SaveMode.Append)
+        .partitionBy(splitCol, shardCol, "batch")
+        .parquet(root)
+      val manifest = data.groupBy(col(splitCol), col(shardCol))
+        .agg(count(lit(1)).as("n_rows"), sum(col(tokenCol)).as("n_tokens"))
+      beforeCommit(batchId)
+      manifest.write.mode(SaveMode.Overwrite).parquet(mPath.toString)
+    } finally data.unpersist(blocking = false)
+  }
+
+  /** The ingest manifest: one row per (split, shard, batch) — only
+    * COMMITTED batches appear (the manifest is the commit marker), so
+    * aggregating it equals a re-scan of exactly the trustworthy data.
+    */
+  def readIngestManifest(spark: org.apache.spark.sql.SparkSession,
+      root: String): DataFrame =
+    spark.read.parquet(s"$root/$ManifestDir")
+      .withColumn("batch", col("batch").cast("long"))
+
   /** Read a split back through the partition-pruned path. */
   def readSplit(spark: org.apache.spark.sql.SparkSession, root: String,
       split: String): DataFrame = {

@@ -48,6 +48,78 @@ class ExportSpec extends AnyFunSuite {
     assert(manifest.keySet.map(_._1) == Set("train", "val"))
   }
 
+  test("ingest writer: crash between data and manifest replays idempotently") {
+    // the assembled shards staged as FOUR files → four micro-batches
+    // (maxFilesPerTrigger=1); a control run and a crash-resume run must
+    // end byte-identical, with the manifest agreeing with a re-scan
+    val staging = tmpDir()
+    shards.repartition(4).write.mode("overwrite").parquet(staging)
+    val schema = spark.read.parquet(staging).schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staging)
+    def readBack(root: String) = spark.read.parquet(root)
+      .select(col("doc_id"), col("n_tokens"), col("split"),
+        col("shard_id").cast("long").as("shard_id"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+
+    val rootA = tmpDir(); val rootB = tmpDir()
+    Export.writeShardsIngest(stream, rootA, "split", "shard_id", "n_tokens",
+      checkpoint = tmpDir() + "/ckpt")
+
+    // crash run: fail once in the commit window of the SECOND batch —
+    // after its data is on disk, before its manifest exists
+    val ckptB = tmpDir() + "/ckpt"
+    var armed = true
+    val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Export.writeShardsIngest(stream, rootB, "split", "shard_id", "n_tokens",
+        checkpoint = ckptB,
+        beforeCommit = id => if (id == 1 && armed) {
+          armed = false
+          throw new RuntimeException("injected crash in the commit window")
+        })
+    }
+    assert(crashed.getMessage.contains("injected crash") ||
+      crashed.getCause.getMessage.contains("injected crash"))
+    // mid-crash state: batch 0 committed, batch 1 data ORPHANED (present
+    // in the tree, absent from the manifest) — the reader-trust contract
+    val committed = Export.readIngestManifest(spark, rootB)
+      .select("batch").distinct().collect().map(_.getLong(0)).toSet
+    assert(committed == Set(0L), s"only batch 0 may be committed: $committed")
+    val onDisk = spark.read.parquet(rootB)
+      .select(col("batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(onDisk == Set(0L, 1L), s"batch 1 partials must be on disk: $onDisk")
+
+    // resume from the same checkpoint: batch 1 replays (scrub + rewrite),
+    // batches 2..3 complete; result ≡ the uninterrupted control run
+    Export.writeShardsIngest(stream, rootB, "split", "shard_id", "n_tokens",
+      checkpoint = ckptB)
+    assert(readBack(rootB) == readBack(rootA), "resume must equal control")
+    assert(readBack(rootA) ==
+      shards.select("doc_id", "n_tokens", "split", "shard_id")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq)
+    // manifest ≡ independent re-scan of the data tree, for both runs
+    for (root <- Seq(rootA, rootB)) {
+      // manifest carries shard_id as written (long); the data-tree
+      // re-scan infers the partition dir as int — normalize both
+      val manifest = Export.readIngestManifest(spark, root)
+        .select(col("split"), col("shard_id").cast("long").as("shard_id"),
+          col("n_rows"), col("n_tokens"))
+        .groupBy("split", "shard_id")
+        .agg(sum("n_rows").as("n_rows"), sum("n_tokens").as("n_tokens"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      val rescan = spark.read.parquet(root)
+        .select(col("split"), col("shard_id").cast("long").as("shard_id"),
+          col("n_tokens"))
+        .groupBy("split", "shard_id")
+        .agg(count(lit(1)).as("n_rows"), sum("n_tokens").as("n_tokens"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      assert(manifest == rescan, s"manifest/data divergence under $root")
+    }
+  }
+
   test("reading one split prunes the other at the scan") {
     val root = tmpDir()
     Export.writeShards(shards, root, "split", "shard_id", "n_tokens")
