@@ -392,6 +392,39 @@ class ScaleStressSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("10M-doc span dedup AT k=50: the published operating point stays linear") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_STRESS=1 to run")
+    import org.apache.spark.sql.functions._
+    // k is POLICY: the suffix-array paper (Lee et al., "Deduplicating
+    // Training Data Makes Language Models Better") deduplicates ~50-token
+    // spans; the declared rows use k=8 because the synthetic corpus's
+    // docs are short. The factoring is k-independent (per-span min, one
+    // agg row per distinct span however hot), but the claim should hold
+    // AT the published k too: 54-token docs → 5 overlapping 50-token
+    // spans each, every 100th doc all-hot (each of its spans at
+    // df = 100k — a pair design owes 5·(100k)²/2 pairs; this owes 5 agg
+    // rows), linearity asserted on the same budget as the k=8 run.
+    val n = totalRows
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val t0 = System.nanoTime()
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(100)) === 0,
+          lit((0 until 54).map(j => s"hot$j").mkString(" ")))
+          .otherwise(concat_ws(" ", (0 until 54).map(j =>
+            concat(lit(s"u${j}x"), col("id"))): _*)).as("text"))
+      val reps = graft.dedup.Dedup.spanRepresentatives(docs, "doc_id", "text", k = 50)
+      val dups = reps.filter(col("is_span_dup") === 1).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      graft.Caches.releaseAll()
+      val expected = (n - 1) / 100
+      info(f"span dedup at k=50 over $n docs (hot df = ${n / 100}): ${secs}%.1f s")
+      assert(dups == expected, s"expected $expected hot-span dups, got $dups")
+      assert(secs < 600.0, f"k=50 span dedup went super-linear: ${secs}%.1f s")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("10M-token heavy hitters: sketch prunes a 8M-type tail, head exact") {
     assume(enabled, "set SPARK_GRAFT_SCALE_STRESS=1 to run")
     import org.apache.spark.sql.functions._
