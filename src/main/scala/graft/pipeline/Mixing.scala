@@ -86,14 +86,24 @@ object Mixing {
     * the count aggregation).
     */
   def temperatureMix(df: DataFrame, idCol: String, srcCol: String,
-      nTarget: Long): DataFrame = {
+      nTarget: Long): DataFrame =
+    sourceMix(df, idCol, srcCol, temperatureWeights(df, srcCol, nTarget),
+      defaultWeight = 0.0)
+
+  /** The weight DERIVATION alone — public so an ingestion path can fit
+    * the weights on the archived corpus offline and apply them to the
+    * stream as plain [[sourceMix]] constants (a per-source count is not
+    * streamable; a weight table is — the same offline-derive/
+    * stream-apply split as the model-gate τ).
+    */
+  def temperatureWeights(df: DataFrame, srcCol: String,
+      nTarget: Long): Seq[(String, Double)] = {
     val counts = df.groupBy(col(srcCol)).count()
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     val ssum = counts.foldLeft(0.0)((a, c) => a + math.sqrt(c._2.toDouble))
-    val weights = counts.toSeq.map { case (s, n) =>
+    counts.toSeq.map { case (s, n) =>
       s -> (nTarget * math.sqrt(n.toDouble) / ssum / n)
     }
-    sourceMix(df, idCol, srcCol, weights, defaultWeight = 0.0)
   }
 
   /** The DuckDB rendering of [[temperatureMix]]'s weight derivation:

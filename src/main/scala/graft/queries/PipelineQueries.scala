@@ -563,6 +563,59 @@ object PipelineQueries {
   /** The split policy of pipeline_split. */
   private[queries] val SplitSpec = Seq("train" -> 98, "val" -> 1, "test" -> 1)
 
+  private[queries] val splitOracleSql: String = s"""
+    SELECT doc_id,
+           ${graft.pipeline.Mixing.duckSplitCase("doc_id", SplitSpec)} AS split
+    FROM ${Q.DocsRef} ORDER BY doc_id"""
+
+  /** The mixing policy of pipeline_source_mix — one definition feeds the
+    * batch row, its ingestion twin and the oracle's CASE constants. */
+  private[queries] val MixWeights = Seq("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25)
+  private[queries] val MixDefaultWeight = 0.1
+
+  private[queries] val sourceMixOracleSql: String = {
+    val (whole, thr) = graft.pipeline.Mixing.duckCases("source",
+      MixWeights, MixDefaultWeight)
+    s"""
+    WITH h AS (SELECT doc_id, source,
+                 ${graft.pipeline.Mixing.duckMixHash("doc_id")} AS hm
+               FROM ${Q.DocsRef}),
+    c AS (SELECT doc_id, source,
+            ($whole) + (CASE WHEN hm < ($thr) THEN 1 ELSE 0 END) AS copies
+          FROM h)
+    SELECT doc_id, source, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy
+    FROM c WHERE copies > 0 ORDER BY doc_id, copy"""
+  }
+
+  /** The temperature-mix rows' skewed source mapping (the synthetic
+    * corpus's uniform sources would degenerate the rule to a constant
+    * weight) + target, shared by the batch row, the ingestion twin and
+    * the oracle's re-derivation.
+    */
+  private[queries] val TempMixTarget = 600L
+
+  private[queries] def skewedSources(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(10)) < 7, lit("web"))
+        .when(pmod(col("doc_id"), lit(10)) < 9, lit("books"))
+        .otherwise(lit("wiki")).as("source"))
+
+  private[queries] val sourceMixTempOracleSql: String = s"""
+    WITH sk AS (SELECT doc_id,
+                  CASE WHEN doc_id % 10 < 7 THEN 'web'
+                       WHEN doc_id % 10 < 9 THEN 'books'
+                       ELSE 'wiki' END AS source
+                FROM ${Q.DocsRef}),
+    ${graft.pipeline.Mixing.duckTemperatureWeights("sk", "source", TempMixTarget)},
+    x AS (SELECT d.doc_id, d.source, wp.whole, wp.thr,
+            ${graft.pipeline.Mixing.duckMixHash("d.doc_id")} AS hm
+          FROM sk d JOIN wp USING (source)),
+    mx AS (SELECT doc_id, source,
+             whole + (CASE WHEN hm < thr THEN 1 ELSE 0 END) AS copies
+           FROM x)
+    SELECT doc_id, source, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy
+    FROM mx WHERE copies > 0 ORDER BY doc_id, copy"""
+
   /** The v3/v4 composites' shared survivor chain (plants → line-wise
     * correction → quality + repetition predicates → exact dedup → exact
     * span dedup → decontamination → corpus-frequency hapax gate):
@@ -818,7 +871,7 @@ object PipelineQueries {
     * without them hapax_ratio is constant zero and pins nothing. The
     * oracle replays the identical construction.
     */
-  private def plantRareTokens(docs: DataFrame): DataFrame =
+  private[queries] def plantRareTokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       concat(col("text"),
         when(pmod(col("doc_id"), lit(3)) === 0,
@@ -826,10 +879,9 @@ object PipelineQueries {
         when(pmod(col("doc_id"), lit(5)) === 0, lit(" rareshared"))
           .otherwise(lit(""))).as("text"))
 
-  /** Shared by text_df_score and its forced-fallback twin: the join
-    * strategy must be result-invisible, so one rendering checks both.
-    */
-  private val dfScoreOracleSql: String = s"""
+  /** Shared chain for the df-score family, ending at `j` (scored docs'
+    * exact integer sums). */
+  private val dfScoreCtes: String = s"""
     WITH m AS (SELECT doc_id, text ||
         CASE WHEN doc_id % 3 = 0 THEN ' xq' || CAST(doc_id AS VARCHAR) ELSE '' END ||
         CASE WHEN doc_id % 5 = 0 THEN ' rareshared' ELSE '' END AS text
@@ -840,7 +892,12 @@ object PipelineQueries {
     j AS (SELECT t.doc_id, count(*) AS n_tokens,
             CAST(sum(v.df) AS BIGINT) AS sum_df,
             CAST(sum(CASE WHEN v.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
-          FROM t JOIN v USING (token) GROUP BY t.doc_id)
+          FROM t JOIN v USING (token) GROUP BY t.doc_id)"""
+
+  /** Shared by text_df_score and its forced-fallback twin: the join
+    * strategy must be result-invisible, so one rendering checks both.
+    */
+  private val dfScoreOracleSql: String = s"""$dfScoreCtes
     SELECT m.doc_id, COALESCE(j.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
            COALESCE(j.sum_df, CAST(0 AS BIGINT)) AS sum_df,
            CASE WHEN j.n_tokens > 0
@@ -850,6 +907,16 @@ object PipelineQueries {
                 THEN CAST(j.n_hapax AS DOUBLE) / CAST(j.n_tokens AS DOUBLE)
                 ELSE 0.0e0 END AS hapax_ratio
     FROM m LEFT JOIN j USING (doc_id) ORDER BY doc_id"""
+
+  /** Scored-docs-only tail for the ingestion twin: a zero-token doc
+    * yields no exploded rows, hence no aggregation state, hence no
+    * output row — the same argument as the LM twins' `sc2`.
+    */
+  private[queries] val dfScoreStreamOracleSql: String = s"""$dfScoreCtes
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, sum_df,
+           CAST(sum_df AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_df,
+           CAST(n_hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS hapax_ratio
+    FROM j ORDER BY doc_id"""
 
   /** Corpus-wide SimHash signatures + 4×15-bit banding, ending at CTE
     * `banded` (doc_id, simhash, band, bkey) — shared by the batch pair
@@ -2478,10 +2545,7 @@ object PipelineQueries {
       (s, dir) => graft.pipeline.Mixing.hashSplit(
           Tables.documents(s, dir).select("doc_id"), "doc_id", SplitSpec)
         .orderBy("doc_id"),
-      Some(s"""
-        SELECT doc_id,
-               ${graft.pipeline.Mixing.duckSplitCase("doc_id", SplitSpec)} AS split
-        FROM ${Q.DocsRef} ORDER BY doc_id""")),
+      Some(splitOracleSql)),
 
     // per-source corpus PROFILE — the EDA step before mixing decisions:
     // doc counts, token totals and EXACT token quantiles (min/median/max)
@@ -2535,26 +2599,11 @@ object PipelineQueries {
     // multiplicative hash (deterministic, no RNG state); the oracle's
     // CASE constants are generated from the same weight table.
     Q("pipeline_source_mix",
-      (s, dir) => {
-        val weights = Seq("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25)
-        graft.pipeline.Mixing.sourceMix(
+      (s, dir) => graft.pipeline.Mixing.sourceMix(
           Tables.documents(s, dir).select("doc_id", "source"),
-          "doc_id", "source", weights, defaultWeight = 0.1)
-          .orderBy("doc_id", "copy")
-      },
-      Some {
-        val (whole, thr) = graft.pipeline.Mixing.duckCases("source",
-          Seq("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25), 0.1)
-        s"""
-        WITH h AS (SELECT doc_id, source,
-                     ${graft.pipeline.Mixing.duckMixHash("doc_id")} AS hm
-                   FROM ${Q.DocsRef}),
-        c AS (SELECT doc_id, source,
-                ($whole) + (CASE WHEN hm < ($thr) THEN 1 ELSE 0 END) AS copies
-              FROM h)
-        SELECT doc_id, source, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy
-        FROM c WHERE copies > 0 ORDER BY doc_id, copy"""
-      }),
+          "doc_id", "source", MixWeights, MixDefaultWeight)
+        .orderBy("doc_id", "copy"),
+      Some(sourceMixOracleSql)),
 
     // temperature-scaled mixing (α = 1/2): weights DERIVED from corpus
     // counts instead of configured — the multilingual temperature-
@@ -2567,30 +2616,11 @@ object PipelineQueries {
     // engine-side constants — a Scala-vs-SQL derivation mismatch fails
     // the hash compare.
     Q("pipeline_source_mix_temp",
-      (s, dir) => {
-        val skewed = Tables.documents(s, dir).select(col("doc_id"),
-          when(pmod(col("doc_id"), lit(10)) < 7, lit("web"))
-            .when(pmod(col("doc_id"), lit(10)) < 9, lit("books"))
-            .otherwise(lit("wiki")).as("source"))
-        graft.pipeline.Mixing.temperatureMix(skewed, "doc_id", "source",
-          nTarget = 600L)
-          .orderBy("doc_id", "copy")
-      },
-      Some(s"""
-        WITH sk AS (SELECT doc_id,
-                      CASE WHEN doc_id % 10 < 7 THEN 'web'
-                           WHEN doc_id % 10 < 9 THEN 'books'
-                           ELSE 'wiki' END AS source
-                    FROM ${Q.DocsRef}),
-        ${graft.pipeline.Mixing.duckTemperatureWeights("sk", "source", 600L)},
-        x AS (SELECT d.doc_id, d.source, wp.whole, wp.thr,
-                ${graft.pipeline.Mixing.duckMixHash("d.doc_id")} AS hm
-              FROM sk d JOIN wp USING (source)),
-        mx AS (SELECT doc_id, source,
-                 whole + (CASE WHEN hm < thr THEN 1 ELSE 0 END) AS copies
-               FROM x)
-        SELECT doc_id, source, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy
-        FROM mx WHERE copies > 0 ORDER BY doc_id, copy""")),
+      (s, dir) => graft.pipeline.Mixing.temperatureMix(
+          skewedSources(Tables.documents(s, dir)), "doc_id", "source",
+          nTarget = TempMixTarget)
+        .orderBy("doc_id", "copy"),
+      Some(sourceMixTempOracleSql)),
 
     // THE END-TO-END PIPELINE (chain described at the corpusFullPlan
     // builder above)

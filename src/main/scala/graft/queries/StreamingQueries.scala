@@ -869,6 +869,97 @@ object StreamingQueries {
       },
       Some(PipelineQueries.heavyHittersOracleSql)),
 
+    // corpus-frequency scoring AT INGESTION — the CCNet deployment split
+    // for df statistics: the vocabulary (token → document frequency)
+    // derives OFFLINE from the archived corpus, the stream probes it as
+    // a stream-static broadcast join per exploded token and the per-doc
+    // sums ride the same watermarked ingress-window aggregation as the
+    // LM twins. Zero-token docs emit no rows (no exploded input → no
+    // aggregation state), hence the scored-docs-only oracle tail.
+    Q("stream_text_df_score",
+      (s, dir) => {
+        implicit val sp = s
+        import graft.functions.GraftFunctions.tokens
+        val docs = PipelineQueries.plantRareTokens(graft.Tables.documents(s, dir))
+        val vocab = graft.Caches.track(
+          graft.text.CorpusStats.vocabulary(docs, "doc_id", "text"))
+        val incoming = PipelineQueries.plantRareTokens(StreamSources.documents(s, dir))
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+        val scored = incoming.join(broadcast(vocab), "token")
+          .groupBy(window(col("event_time"), "1 hour"), col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("df")).as("sum_df"),
+            sum((col("df") === 1L).cast("long")).as("n_hapax"))
+          .select(col("doc_id"), col("n_tokens"), col("sum_df"),
+            (col("sum_df").cast("double") / col("n_tokens").cast("double"))
+              .as("mean_df"),
+            (col("n_hapax").cast("double") / col("n_tokens").cast("double"))
+              .as("hapax_ratio"))
+        StreamRun.toBatch(scored, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+          .orderBy("doc_id")
+      },
+      Some(PipelineQueries.dfScoreStreamOracleSql)),
+
+    // source MIXING AT INGESTION — the resampling step applied in
+    // flight: the weight table is configuration (the same one the batch
+    // row uses), the keep/copy decision is the fixed multiplicative hash
+    // per row — pure column work, append mode, no state, no watermark;
+    // the batch oracle checks it verbatim because the decision never
+    // depended on anything but the row.
+    Q("stream_pipeline_source_mix",
+      (s, dir) => {
+        implicit val sp = s
+        val out = graft.pipeline.Mixing.sourceMix(
+          StreamSources.documents(s, dir).select("doc_id", "source"),
+          "doc_id", "source", PipelineQueries.MixWeights,
+          PipelineQueries.MixDefaultWeight)
+        StreamRun.toBatch(out, "append", numPartitions = 4)
+          .orderBy("doc_id", "copy")
+      },
+      Some(PipelineQueries.sourceMixOracleSql)),
+
+    // TEMPERATURE mixing AT INGESTION — the derived-weight variant with
+    // the production split: per-source counts are not streamable, so the
+    // α = 1/2 weights derive OFFLINE from the archived corpus
+    // (Mixing.temperatureWeights — the same ordered √-fold) and ship to
+    // the ingest path as plain sourceMix constants, exactly how the
+    // model gate ships τ. The stream then pays pure per-row column work;
+    // the batch oracle re-derives the weights AND checks the stream's
+    // draws verbatim.
+    Q("stream_pipeline_source_mix_temp",
+      (s, dir) => {
+        implicit val sp = s
+        val weights = graft.pipeline.Mixing.temperatureWeights(
+          PipelineQueries.skewedSources(graft.Tables.documents(s, dir)),
+          "source", PipelineQueries.TempMixTarget)
+        val out = graft.pipeline.Mixing.sourceMix(
+          PipelineQueries.skewedSources(StreamSources.documents(s, dir)),
+          "doc_id", "source", weights, defaultWeight = 0.0)
+        StreamRun.toBatch(out, "append", numPartitions = 4)
+          .orderBy("doc_id", "copy")
+      },
+      Some(PipelineQueries.sourceMixTempOracleSql)),
+
+    // deterministic SPLIT AT INGESTION — the property that makes the
+    // hash split right for a growing corpus, exercised where it matters:
+    // a document arriving in a stream gets the same bucket the batch
+    // split gives it (pure per-row hash, no RNG state, no dependence on
+    // what else arrived), so eval membership never leaks across
+    // increments. Append mode, zero state; the batch oracle verbatim.
+    Q("stream_pipeline_split",
+      (s, dir) => {
+        implicit val sp = s
+        val out = graft.pipeline.Mixing.hashSplit(
+          StreamSources.documents(s, dir).select("doc_id"),
+          "doc_id", PipelineQueries.SplitSpec)
+        StreamRun.toBatch(out, "append", numPartitions = 4)
+          .orderBy("doc_id")
+      },
+      Some(PipelineQueries.splitOracleSql)),
+
     // DSIR scoring AT INGESTION — importance-score the stream against a
     // model fit OFFLINE on the batch corpus (the production DSIR shape:
     // fit once on target+raw, score new data as it arrives). The scorer
