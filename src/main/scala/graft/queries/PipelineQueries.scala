@@ -1378,11 +1378,40 @@ object PipelineQueries {
        |SELECT doc_id, CAST(floor(1.0e6 * s) AS BIGINT) AS score_q, xent
        |FROM so CROSS JOIN tau WHERE xent < t ORDER BY doc_id""".stripMargin
 
-  private[queries] val modelGateOracleSql: String = {
+  /** The model-gate composite's declared plan, shared by the full-fit
+    * and sampled-fit rows: classifier gate → CCNet rank split dropping
+    * the worst-xent third of survivors via the two-pass prefix rank.
+    * `cTrain`/`lmTrain` restrict each model's TRAINING relation
+    * (identity / the %4 reference class / the hash-sample); scoring and
+    * the gate always range over the whole corpus.
+    */
+  private def modelGatePlan(s: SparkSession, dir: String,
+      cTrain: DataFrame => DataFrame,
+      lmTrain: DataFrame => DataFrame): DataFrame = {
+    val qc = graft.text.QualityClassifier
+    val docs = lmPlant(classifierPlant(Tables.documents(s, dir)))
+    val feats = graft.Caches.track(qc.features(docs, "doc_id", "text",
+      (pmod(col("doc_id"), lit(6)) === 0).cast("int")))
+    val cm = qc.train(cTrain(feats))
+    val lmm = graft.text.NgramLm.train(lmTrain(docs), "text")
+    val surv = qc.score(feats, "doc_id", cm)
+      .filter(col("pred") === 1).select(col("doc_id"), col("score_q"))
+      .join(graft.text.NgramLm.score(docs, "doc_id", "text", lmm)
+        .select(col("doc_id"), col("xent")), Seq("doc_id"))
+    val n = surv.count()
+    val ranked = graft.operators.PrefixSum.runningSum(
+      surv.withColumn("__one", lit(1L)), "__one", Seq("xent", "doc_id"))
+    ranked.filter(col("running___one") <= n - n / 3)
+      .select("doc_id", "score_q", "xent")
+      .orderBy("doc_id")
+  }
+
+  private[queries] def modelGateOracleSqlFor(cPred: String,
+      lmPred: String): String = {
     s"""WITH m AS MATERIALIZED ($modelGatePlantSql),
        |$tkCteSql,
-       |$classifierCoreCtes,
-       |$lmCoreCtes,
+       |${classifierCoreCtesFor(cPred)},
+       |${lmCoreCtesFor(lmPred)},
        |surv AS (SELECT sF.doc_id, sF.s, fin.xent
        |         FROM sF JOIN fin USING (doc_id) WHERE sF.s >= 0.0e0),
        |ns AS (SELECT count(*) AS n FROM surv),
@@ -1391,6 +1420,14 @@ object PipelineQueries {
        |SELECT doc_id, CAST(floor(1.0e6 * s) AS BIGINT) AS score_q, xent
        |FROM rk CROSS JOIN ns WHERE r <= n - n // 3 ORDER BY doc_id""".stripMargin
   }
+
+  private[queries] val modelGateOracleSql: String =
+    modelGateOracleSqlFor("TRUE", "doc_id % 4 = 0")
+
+  /** The composite under SAMPLED fits: both models train on the
+    * deterministic hash-sample, the gate itself is unchanged. */
+  private[queries] val modelGateSampledOracleSql: String =
+    modelGateOracleSqlFor(sampledFitPredSql, sampledFitPredSql)
 
   /** Heavy-hitter rows: doc-unique tokens are planted so the vocabulary
     * genuinely exceeds the m=64 counter budget and the sketch does real
@@ -1934,26 +1971,24 @@ object PipelineQueries {
     // models train on the same combined-plant corpus in ONE declared
     // plan; selection is the two-pass prefix rank, not a global sort.
     Q("pipeline_model_gate",
-      (s, dir) => {
-        val qc = graft.text.QualityClassifier
-        val docs = lmPlant(classifierPlant(Tables.documents(s, dir)))
-        val feats = graft.Caches.track(qc.features(docs, "doc_id", "text",
-          (pmod(col("doc_id"), lit(6)) === 0).cast("int")))
-        val cm = qc.train(feats)
-        val lmm = graft.text.NgramLm.train(
-          docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
-        val surv = qc.score(feats, "doc_id", cm)
-          .filter(col("pred") === 1).select(col("doc_id"), col("score_q"))
-          .join(graft.text.NgramLm.score(docs, "doc_id", "text", lmm)
-            .select(col("doc_id"), col("xent")), Seq("doc_id"))
-        val n = surv.count()
-        val ranked = graft.operators.PrefixSum.runningSum(
-          surv.withColumn("__one", lit(1L)), "__one", Seq("xent", "doc_id"))
-        ranked.filter(col("running___one") <= n - n / 3)
-          .select("doc_id", "score_q", "xent")
-          .orderBy("doc_id")
-      },
+      (s, dir) => modelGatePlan(s, dir,
+        cTrain = identity,
+        lmTrain = _.filter(pmod(col("doc_id"), lit(4)) === 0)),
       Some(modelGateOracleSql)),
+
+    // the composite under SAMPLED fits — the production end-to-end:
+    // BOTH models (classifier and LM) train on the deterministic 30%
+    // hash-sample, the rank gate itself is unchanged. At 100 TB this is
+    // the shape a real curation run takes (R training passes over the
+    // sample, one scoring+gating pass over the corpus); the oracle
+    // replays both sampled training loops and the gate.
+    Q("pipeline_model_gate_sampled",
+      (s, dir) => {
+        val samp = graft.pipeline.Mixing.samplePred("doc_id", SampledFitPct)
+        modelGatePlan(s, dir,
+          cTrain = _.filter(samp), lmTrain = _.filter(samp))
+      },
+      Some(modelGateSampledOracleSql)),
 
     // per-source QUALITY PROFILE — the corpus dashboard a curation run
     // reads before setting mixing weights: per source, doc count,
