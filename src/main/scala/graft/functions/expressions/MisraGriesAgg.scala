@@ -208,7 +208,7 @@ object MisraGriesAgg {
     b
   }
 
-  private[expressions] def serializeBuffer(
+  private[graft] def serializeBuffer(
       b: mutable.HashMap[String, Long]): Array[Byte] = {
     val items = b.toArray.map { case (k, v) =>
       (k.getBytes(StandardCharsets.UTF_8), v)
@@ -221,7 +221,7 @@ object MisraGriesAgg {
     bb.array()
   }
 
-  private[expressions] def deserializeBuffer(
+  private[graft] def deserializeBuffer(
       bytes: Array[Byte]): mutable.HashMap[String, Long] = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt

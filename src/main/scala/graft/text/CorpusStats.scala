@@ -107,36 +107,110 @@ object CorpusStats {
     */
   def heavyHittersIngest(stream: DataFrame, archive: DataFrame,
       textCol: String, m: Int = HeavyHitterCounters,
-      onBatch: (Int, Long) => Unit = (_, _) => ())(
+      onBatch: (Int, Long) => Unit = (_, _) => (),
+      checkpoint: Option[String] = None,
+      stateDir: Option[String] = None)(
       implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import org.apache.spark.sql.{Dataset, Row}
-    val sketch = scala.collection.mutable.HashMap.empty[String, Long]
-    var n = 0L
+    // resume from the latest persisted fold, if any (see HhState): the
+    // sketch is DRIVER state, so without persistence a restart would
+    // silently forget every batch the checkpoint says are done
+    val resumed = stateDir.flatMap(HhState.loadLatest)
+    val sketch = resumed.map(_.sketch)
+      .getOrElse(scala.collection.mutable.HashMap.empty[String, Long])
+    var n = resumed.map(_.n).getOrElse(0L)
+    var lastBatch = resumed.map(_.batchId).getOrElse(-1L)
     val shm = new java.io.File("/dev/shm")
     val base =
       if (shm.isDirectory && shm.canWrite) shm.toPath
       else java.nio.file.Files.createTempDirectory("graft").getParent
-    val ckpt = java.nio.file.Files.createTempDirectory(base, "graft-hh-ingest").toString
+    val ckpt = checkpoint.getOrElse(
+      java.nio.file.Files.createTempDirectory(base, "graft-hh-ingest").toString)
     val q = stream.select(explode(tokens(col(textCol))).as("token"))
       .writeStream
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        val row = batch.agg(
-          graft.functions.expressions.MisraGriesAgg
-            .sketchOf(col("token"), m).as("sk"),
-          count(lit(1)).as("nb")).head()
-        val entries = row.getSeq[Row](0).map(r => (r.getString(0), r.getLong(1)))
-        graft.functions.expressions.MisraGriesAgg.mergeInto(sketch, entries, m)
-        n += row.getLong(1)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // idempotent per batch: a replayed id at or below the persisted
+        // fold is already IN the state (the crash fell between the state
+        // write and the offset commit) — merging again would double-count
+        if (batchId > lastBatch) {
+          val row = batch.agg(
+            graft.functions.expressions.MisraGriesAgg
+              .sketchOf(col("token"), m).as("sk"),
+            count(lit(1)).as("nb")).head()
+          val entries = row.getSeq[Row](0).map(r => (r.getString(0), r.getLong(1)))
+          graft.functions.expressions.MisraGriesAgg.mergeInto(sketch, entries, m)
+          n += row.getLong(1)
+          lastBatch = batchId
+          stateDir.foreach(d => HhState.save(d, HhState(sketch, n, batchId)))
+        }
         onBatch(sketch.size, n)
         ()
       }
       .start()
     try q.awaitTermination()
-    finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    finally if (checkpoint.isEmpty)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     exactHead(archive.select(explode(tokens(col(textCol))).as("token")),
       sketch.keys.toSeq, n, m)
+  }
+
+  /** Persisted cross-batch fold for [[heavyHittersIngest]] — the commit
+    * protocol the export writer uses, applied to DRIVER state: after
+    * merging batch b the fold (sketch, running N, b) writes atomically
+    * to `state-<b>.bin` (tmp + rename), so on restart the latest file
+    * IS the last completed fold and every batch id at or below it is
+    * skipped on replay. Either crash window is safe: before the state
+    * write the replayed batch re-merges from the previous fold (the
+    * partial never persisted); after it, the id check skips the merge
+    * (the offset commit is the only thing the crash lost). O(m) bytes
+    * per file; all but the newest two are pruned on each save.
+    */
+  private[text] final case class HhState(
+      sketch: scala.collection.mutable.HashMap[String, Long], n: Long,
+      batchId: Long)
+
+  private[text] object HhState {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    private val Pat = """state-(\d+)\.bin""".r
+
+    def save(dir: String, st: HhState): Unit = {
+      Files.createDirectories(Paths.get(dir))
+      val buf = graft.functions.expressions.MisraGriesAgg
+        .serializeBuffer(st.sketch)
+      val bb = java.nio.ByteBuffer.allocate(16 + buf.length)
+      bb.putLong(st.batchId); bb.putLong(st.n); bb.put(buf)
+      val tmp = Paths.get(dir, s".state-${st.batchId}.tmp")
+      Files.write(tmp, bb.array())
+      Files.move(tmp, Paths.get(dir, s"state-${st.batchId}.bin"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      // prune all but the newest two (the previous fold stays as safety)
+      batchIds(dir).sorted.dropRight(2)
+        .foreach(b => Files.deleteIfExists(Paths.get(dir, s"state-$b.bin")))
+    }
+
+    def loadLatest(dir: String): Option[HhState] = {
+      val ids = batchIds(dir)
+      if (ids.isEmpty) None
+      else {
+        val b = ids.max
+        val bytes = Files.readAllBytes(Paths.get(dir, s"state-$b.bin"))
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        val batchId = bb.getLong
+        val n = bb.getLong
+        val rest = new Array[Byte](bytes.length - 16)
+        bb.get(rest)
+        Some(HhState(graft.functions.expressions.MisraGriesAgg
+          .deserializeBuffer(rest), n, batchId))
+      }
+    }
+
+    private def batchIds(dir: String): Seq[Long] = {
+      val d = new java.io.File(dir)
+      if (!d.isDirectory) Seq.empty
+      else d.list().toSeq.collect { case Pat(b) => b.toLong }
+    }
   }
 
   /** (token, df): document frequency of every distinct token — the number

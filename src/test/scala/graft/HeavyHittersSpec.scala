@@ -77,6 +77,53 @@ class HeavyHittersSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("ingestion fold: crash after the state commit resumes without double-counting") {
+    import spark.implicits._
+    implicit val sp = spark
+    // the sketch is DRIVER state — without persistence a restart forgets
+    // every batch the checkpoint says are done. With stateDir set, the
+    // fold persists after each merge; the injected crash lands in the
+    // nastiest window (state committed, offset NOT committed), so the
+    // replayed batch must be SKIPPED on resume or alpha/beta would
+    // double-count, shifting both the threshold and the head counts.
+    val docs = ((1 to 200).map(_ => "alpha") ++ (1 to 150).map(_ => "beta") ++
+      (1 to 650).map(i => s"tail$i")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-hh-resume").toString
+    try {
+      val staging = s"$root/staging"
+      docs.repartition(6).write.mode("overwrite").parquet(staging)
+      def stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staging)
+      val archive = spark.read.parquet(staging)
+      var calls = 0
+      val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        graft.text.CorpusStats.heavyHittersIngest(stream, archive, "text", m = 8,
+          onBatch = (_, _) => {
+            calls += 1
+            if (calls == 2) throw new RuntimeException("injected crash after fold")
+            ()
+          },
+          checkpoint = Some(s"$root/ckpt"), stateDir = Some(s"$root/state"))
+      }
+      assert(crashed.getMessage.contains("injected crash") ||
+        crashed.getCause.getMessage.contains("injected crash"))
+      // resume from the same checkpoint + state: batch 1 replays but its
+      // merge is skipped (already in the persisted fold); 2..5 complete
+      var ns = List.empty[Long]
+      val got = graft.text.CorpusStats.heavyHittersIngest(stream, archive,
+          "text", m = 8,
+          onBatch = (_, n) => { ns = n :: ns; () },
+          checkpoint = Some(s"$root/ckpt"), stateDir = Some(s"$root/state"))
+        .orderBy("token").collect().map(_.toSeq).toSeq
+      val want = CorpusStats.heavyHitters(docs, "text", m = 8)
+        .orderBy("token").collect().map(_.toSeq).toSeq
+      assert(got == want, "resumed head must equal the batch head")
+      assert(ns.max == 1000L,
+        s"running N must end exact (no double-count): ${ns.sorted}")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("final set is partitioning-invariant (sketch only prunes)") {
     import spark.implicits._
     // one token per doc so repartitioning genuinely respreads the stream

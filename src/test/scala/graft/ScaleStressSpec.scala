@@ -401,10 +401,14 @@ class ScaleStressSpec extends AnyFunSuite {
     // docs are short. The factoring is k-independent (per-span min, one
     // agg row per distinct span however hot), but the claim should hold
     // AT the published k too: 54-token docs → 5 overlapping 50-token
-    // spans each, every 100th doc all-hot (each of its spans at
-    // df = 100k — a pair design owes 5·(100k)²/2 pairs; this owes 5 agg
-    // rows), linearity asserted on the same budget as the k=8 run.
-    val n = totalRows
+    // spans each, every 100th doc all-hot (each of its spans shared by
+    // n/100 docs — a pair design owes 5·(n/100)²/2 pairs; this owes 5
+    // agg rows). The doc count scales DOWN 20× against the k=8 run
+    // because the per-doc work scales UP ~60× with k (5 spans × ~12×
+    // the bytes per span: a 50-token span is ~600 chars against k=8's
+    // ~50) — the budget holds exploded SPAN BYTES roughly constant,
+    // which is the unit the operator is linear in.
+    val n = totalRows / 20
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     try {
@@ -419,7 +423,7 @@ class ScaleStressSpec extends AnyFunSuite {
       val secs = (System.nanoTime() - t0) / 1e9
       graft.Caches.releaseAll()
       val expected = (n - 1) / 100
-      info(f"span dedup at k=50 over $n docs (hot df = ${n / 100}): ${secs}%.1f s")
+      info(f"span dedup at k=50 over $n docs (hot df = ${n / 100}, 5 spans/doc): ${secs}%.1f s")
       assert(dups == expected, s"expected $expected hot-span dups, got $dups")
       assert(secs < 600.0, f"k=50 span dedup went super-linear: ${secs}%.1f s")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
