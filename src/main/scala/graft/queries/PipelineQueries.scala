@@ -812,7 +812,8 @@ object PipelineQueries {
     * a-chain applies those same best pairs to every document — what the
     * streaming row computes with driver-held merge literals.
     */
-  private[queries] def bpeApplyOracleSql(rounds: Int): String = {
+  private[queries] def bpeApplyOracleSqlFor(rounds: Int,
+      trainPred: String): String = {
     def round(r: Int): String = s"""
       p$r AS MATERIALIZED (${bpePairSql(s"m${r - 1}")}),
       b$r AS MATERIALIZED (SELECT string_split(pair, ' ')[1] AS a,
@@ -821,12 +822,15 @@ object PipelineQueries {
       m$r AS MATERIALIZED (${bpeRewriteSql(s"m${r - 1}", s"b$r")}),
       a$r AS MATERIALIZED (${bpeRewriteSql(s"a${r - 1}", s"b$r")})"""
     s"""
-      WITH m0 AS MATERIALIZED (${bpeState0Sql(" WHERE doc_id % 4 = 0")}),
+      WITH m0 AS MATERIALIZED (${bpeState0Sql(s" WHERE $trainPred")}),
       a0 AS MATERIALIZED (${bpeState0Sql("")}),
       ${(1 to rounds).map(round).mkString(",")}
       $bpeFinalSql
       FROM a$rounds ORDER BY doc_id"""
   }
+
+  private[queries] def bpeApplyOracleSql(rounds: Int): String =
+    bpeApplyOracleSqlFor(rounds, "doc_id % 4 = 0")
 
   /** The synthetic corpus has ZERO exact duplicates (500/500 distinct
     * md5 at sf0.01), so the bloom-membership rows plant cross-subset
@@ -1321,6 +1325,21 @@ object PipelineQueries {
     s"WITH m AS MATERIALIZED ($lmMPlantSql),\n$tkCteSql,\n$lmCoreCtes\n" +
       "SELECT doc_id, n_bigrams, lm_logp_q, xent FROM fin ORDER BY doc_id"
 
+  /** CCNet bucketing: the LM chain + an exact-thirds rank split. Integer
+    * division matches Scala's truncation (operands non-negative). */
+  private[queries] val ccnetBucketsOracleSql: String =
+    s"""WITH m AS MATERIALIZED ($lmMPlantSql),
+       |$tkCteSql,
+       |$lmCoreCtes,
+       |ns AS (SELECT count(*) AS n FROM fin),
+       |rk AS (SELECT doc_id, xent,
+       |         row_number() OVER (ORDER BY xent, doc_id) AS r FROM fin)
+       |SELECT doc_id, xent,
+       |       CASE WHEN r <= n // 3 THEN 'head'
+       |            WHEN r <= (2 * n) // 3 THEN 'middle'
+       |            ELSE 'tail' END AS ppl_bucket
+       |FROM rk CROSS JOIN ns ORDER BY doc_id""".stripMargin
+
   /** Sampled-fit twin: model trained on the deterministic hash-sample
     * instead of the %4 residue class; the whole chain (counts, V,
     * smoothing, quantization) re-derives under the sampled predicate.
@@ -1797,6 +1816,53 @@ object PipelineQueries {
           .orderBy("doc_id")
       },
       Some(bpeOracleSql(BpeRounds))),
+
+    // SAMPLED-fit tokenizer — completes the sampled knob across ALL four
+    // trained-model families (classifier, LM, DSIR, BPE): merges train
+    // on the deterministic 30% hash-sample (the production recipe — a
+    // tokenizer trains on a fixed-size corpus sample, never the crawl),
+    // then apply to every document as the frozen R-rewrite chain. The
+    // oracle replays training under the sample predicate and the
+    // corpus-wide application.
+    Q("text_bpe_train_sampled",
+      (s, dir) => {
+        val (merges, _) = graft.text.Bpe.train(
+          Tables.documents(s, dir).filter(
+            graft.pipeline.Mixing.samplePred("doc_id", SampledFitPct)),
+          "doc_id", "text", rounds = BpeRounds)
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            graft.text.Bpe.applyMerges(col("text"), merges).as("s"))
+          .select(col("doc_id"),
+            size(tokens(col("s"))).cast("int").as("n_symbols"),
+            col("s").as("text_bpe"))
+          .orderBy("doc_id")
+      },
+      Some(bpeApplyOracleSqlFor(BpeRounds, sampledFitPredSql))),
+
+    // CCNet's ACTUAL output shape — perplexity-bucketed corpora: rank
+    // every doc by LM cross-entropy and split into head/middle/tail
+    // thirds (Wenzek et al. keep the buckets, not a single cut, so
+    // downstream mixing can weight them differently). Rank rides the
+    // two-pass prefix rank on (xent, doc_id) — no global-sort collapse;
+    // boundaries are exact integer thirds of the corpus count.
+    Q("pipeline_ccnet_buckets",
+      (s, dir) => {
+        val docs = lmPlant(Tables.documents(s, dir))
+        val m = graft.text.NgramLm.train(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
+        val scored = graft.text.NgramLm.score(docs, "doc_id", "text", m)
+          .select(col("doc_id"), col("xent"))
+        val n = scored.count()
+        val ranked = graft.operators.PrefixSum.runningSum(
+          scored.withColumn("__one", lit(1L)), "__one", Seq("xent", "doc_id"))
+        ranked.select(col("doc_id"), col("xent"),
+          when(col("running___one") <= n / 3, "head")
+            .when(col("running___one") <= 2 * n / 3, "middle")
+            .otherwise("tail").as("ppl_bucket"))
+          .orderBy("doc_id")
+      },
+      Some(ccnetBucketsOracleSql)),
 
     Q("text_fingerprint",
       (s, dir) => {
