@@ -1340,6 +1340,31 @@ object PipelineQueries {
        |            ELSE 'tail' END AS ppl_bucket
        |FROM rk CROSS JOIN ns ORDER BY doc_id""".stripMargin
 
+  /** Ingestion twin: the two bucket BOUNDARIES derive offline (the xent
+    * at ranks n/3 and 2n/3 — -inf when the rank does not exist) and ship
+    * to the ingest path as scalars; the stream assigns head iff
+    * xent ≤ τ1, middle iff xent ≤ τ2, else tail — boundary ties take the
+    * BETTER bucket with the lower-id docs (a rank can split a tie class,
+    * a threshold cannot; ≤ keeps the full tie class together, pinned
+    * here). Zero-bigram docs — unscorable in flight — are absent.
+    */
+  private[queries] val ccnetBucketsStreamOracleSql: String =
+    s"""WITH m AS MATERIALIZED ($lmMPlantSql),
+       |$tkCteSql,
+       |$lmCoreCtes,
+       |ns AS (SELECT count(*) AS n FROM fin),
+       |rk AS (SELECT doc_id, xent,
+       |         row_number() OVER (ORDER BY xent, doc_id) AS r FROM fin),
+       |t1 AS (SELECT COALESCE(min(xent), '-infinity'::DOUBLE) AS t
+       |       FROM rk CROSS JOIN ns WHERE r = n // 3),
+       |t2 AS (SELECT COALESCE(min(xent), '-infinity'::DOUBLE) AS t
+       |       FROM rk CROSS JOIN ns WHERE r = (2 * n) // 3)
+       |SELECT doc_id, xent,
+       |       CASE WHEN xent <= t1.t THEN 'head'
+       |            WHEN xent <= t2.t THEN 'middle'
+       |            ELSE 'tail' END AS ppl_bucket
+       |FROM sc2 CROSS JOIN t1 CROSS JOIN t2 ORDER BY doc_id""".stripMargin
+
   /** Sampled-fit twin: model trained on the deterministic hash-sample
     * instead of the %4 residue class; the whole chain (counts, V,
     * smoothing, quantization) re-derives under the sampled predicate.

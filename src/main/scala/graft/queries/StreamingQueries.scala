@@ -960,6 +960,53 @@ object StreamingQueries {
       },
       Some(PipelineQueries.splitOracleSql)),
 
+    // CCNet BUCKETING AT INGESTION — the tertile boundaries derive
+    // OFFLINE (the xent at ranks n/3 and 2n/3 of the archived corpus)
+    // and ship as two scalars; each streamed doc scores through the
+    // stream-static LM probe and lands in a bucket by two comparisons.
+    // Ties at a boundary take the better bucket with their class (≤ —
+    // a threshold keeps a tie class together where the rank split it;
+    // pinned in the twin's own oracle).
+    Q("stream_pipeline_ccnet_buckets",
+      (s, dir) => {
+        implicit val sp = s
+        import graft.functions.GraftFunctions.wordGrams
+        val docs = PipelineQueries.lmPlant(graft.Tables.documents(s, dir))
+        val m = graft.text.NgramLm.train(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
+        val scored = graft.text.NgramLm.score(docs, "doc_id", "text", m)
+          .select(col("doc_id"), col("xent"))
+        val n = scored.count()
+        val ranked = graft.operators.PrefixSum.runningSum(
+          scored.withColumn("__one", lit(1L)), "__one", Seq("xent", "doc_id"))
+        def boundary(rank: Long): Double = {
+          val row = ranked.filter(col("running___one") === rank)
+            .agg(min(col("xent"))).first()
+          if (row.isNullAt(0)) Double.NegativeInfinity else row.getDouble(0)
+        }
+        val t1 = boundary(n / 3)
+        val t2 = boundary(2 * n / 3)
+        val incoming = PipelineQueries.lmPlant(StreamSources.documents(s, dir))
+          .select(col("doc_id"), explode(wordGrams(col("text"), 2)).as("bigram"))
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+        val out = graft.text.NgramLm.probeQq(incoming, m, fitsBroadcast = true)
+          .groupBy(window(col("event_time"), "1 hour"), col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("qq")).as("lm_logp_q"))
+          .select(col("doc_id"),
+            ((-col("lm_logp_q")).cast("double") /
+              (col("n_bigrams").cast("double") * lit(graft.text.NgramLm.Scale)))
+              .as("xent"))
+          .select(col("doc_id"), col("xent"),
+            when(col("xent") <= lit(t1), "head")
+              .when(col("xent") <= lit(t2), "middle")
+              .otherwise("tail").as("ppl_bucket"))
+        StreamRun.toBatch(out, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+          .orderBy("doc_id")
+      },
+      Some(PipelineQueries.ccnetBucketsStreamOracleSql)),
+
     // DSIR scoring AT INGESTION — importance-score the stream against a
     // model fit OFFLINE on the batch corpus (the production DSIR shape:
     // fit once on target+raw, score new data as it arrives). The scorer
