@@ -750,6 +750,112 @@ object PipelineQueries {
               FROM mx WHERE copies > 0)"""
   }
 
+  /** v5 — the MODEL-ERA composite: where v2–v4 chain the heuristic
+    * stages, v5 chains the TRAINED-model stages exactly as a modern
+    * curation run deploys them, in ONE declared plan: sampled-fit
+    * classifier gate (keep reference-like docs) → CCNet perplexity
+    * tertiles over the survivors (drop the worst third) → exact dedup →
+    * temperature mixing at derived weights → deterministic hash split.
+    * Both models train INSIDE the plan (classifier on the 30%
+    * hash-sample — the round-11 knob; LM on the %4 reference class) and
+    * the oracle replays both training loops, the rank gates, the weight
+    * derivation and the split.
+    */
+  private[queries] val CorpusV5MixTarget = 150L
+
+  private def corpusV5Plant(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      // source on a residue COPRIME with the %6 class plant (gcd(6,10)=2
+      // would make 'wiki' and the positive class disjoint — the gate
+      // would erase a whole source before the mix ever saw it)
+      when(pmod(col("doc_id"), lit(7)) < 5, lit("web"))
+        .when(pmod(col("doc_id"), lit(7)) === 5, lit("books"))
+        .otherwise(lit("wiki")).as("source"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(6)) === 0,
+          lit(" high quality curated encyclopedic prose")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(9)) === 0,
+          concat(lit(" zz"), col("doc_id").cast("string"),
+            lit(" qx"), col("doc_id").cast("string"))).otherwise(lit("")))
+        .as("text"))
+
+  private def corpusV5Plan(s: SparkSession, dir: String): DataFrame = {
+    val qc = graft.text.QualityClassifier
+    val docs = graft.Caches.track(corpusV5Plant(s, dir))
+    val feats = graft.Caches.track(qc.features(docs, "doc_id", "text",
+      (pmod(col("doc_id"), lit(6)) === 0).cast("int")))
+    val cm = qc.train(feats.filter(
+      graft.pipeline.Mixing.samplePred("doc_id", SampledFitPct)))
+    val lmm = graft.text.NgramLm.train(
+      docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
+    val surv = graft.Caches.track(
+      qc.score(feats, "doc_id", cm).filter(col("pred") === 1)
+        .select(col("doc_id")).join(docs, Seq("doc_id")))
+    val scored = graft.text.NgramLm.score(surv, "doc_id", "text", lmm)
+      .select(col("doc_id"), col("xent"))
+    val ns = scored.count()
+    val ranked = graft.operators.PrefixSum.runningSum(
+      scored.withColumn("__one", lit(1L)), "__one", Seq("xent", "doc_id"))
+    val kept = surv.join(
+      ranked.filter(col("running___one") <= 2 * ns / 3).select("doc_id"),
+      Seq("doc_id"))
+    val deduped = graft.Caches.track(kept
+      .withColumn("rep_id",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .filter(col("rep_id") === col("doc_id"))
+      .select("doc_id", "source"))
+    val mixed = graft.pipeline.Mixing.temperatureMix(deduped, "doc_id",
+      "source", nTarget = CorpusV5MixTarget)
+    graft.pipeline.Mixing.hashSplit(mixed, "doc_id", SplitSpec)
+      .select("doc_id", "source", "copy", "split")
+      .orderBy("doc_id", "copy")
+  }
+
+  private def corpusV5Sql: String = {
+    val plant =
+      s"""SELECT doc_id,
+         |    CASE WHEN doc_id % 7 < 5 THEN 'web'
+         |         WHEN doc_id % 7 = 5 THEN 'books'
+         |         ELSE 'wiki' END AS source,
+         |    text ||
+         |    CASE WHEN doc_id % 6 = 0 THEN ' high quality curated encyclopedic prose'
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 9 = 0 THEN ' zz' || CAST(doc_id AS VARCHAR) ||
+         |         ' qx' || CAST(doc_id AS VARCHAR) ELSE '' END AS text
+         |  FROM ${Q.DocsRef}""".stripMargin
+    s"""WITH m AS MATERIALIZED ($plant),
+       |$tkCteSql,
+       |${classifierCoreCtesFor(sampledFitPredSql)},
+       |$lmCoreCtes,
+       |sv AS (SELECT m.doc_id, m.source, m.text
+       |       FROM m JOIN sF USING (doc_id) WHERE sF.s >= 0.0e0),
+       |svx AS (SELECT sv.doc_id, fin.xent FROM sv JOIN fin USING (doc_id)),
+       |vns AS (SELECT count(*) AS n FROM svx),
+       |vrk AS (SELECT doc_id,
+       |          row_number() OVER (ORDER BY xent, doc_id) AS r FROM svx),
+       |kp AS (SELECT sv.doc_id, sv.source, sv.text
+       |       FROM sv JOIN vrk USING (doc_id) CROSS JOIN vns
+       |       WHERE vrk.r <= (2 * vns.n) // 3),
+       |dd AS (SELECT doc_id, source FROM (
+       |         SELECT doc_id, source,
+       |                min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+       |         FROM kp)
+       |       WHERE rep_id = doc_id),
+       |${graft.pipeline.Mixing.duckTemperatureWeights("dd", "source", CorpusV5MixTarget)},
+       |vx AS (SELECT d.doc_id, d.source, wp.whole, wp.thr,
+       |         ${graft.pipeline.Mixing.duckMixHash("d.doc_id")} AS hm
+       |       FROM dd d JOIN wp USING (source)),
+       |vmx AS (SELECT doc_id, source,
+       |          whole + (CASE WHEN hm < thr THEN 1 ELSE 0 END) AS copies
+       |        FROM vx),
+       |vu AS (SELECT doc_id, source,
+       |         CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy
+       |       FROM vmx WHERE copies > 0)
+       |SELECT doc_id, source, copy,
+       |       ${graft.pipeline.Mixing.duckSplitCase("doc_id", SplitSpec)} AS split
+       |FROM vu ORDER BY doc_id, copy""".stripMargin
+  }
+
   /** Round-by-round DuckDB replay of Bpe.train: m0 = the normalized
     * symbol state, then per round r a pair-count CTE (adjacent symbols
     * with multiplicity), a best-pair CTE (count DESC, pair ASC — the
@@ -2783,6 +2889,14 @@ object PipelineQueries {
     // the id-keyed anti join, the guarded vocab join, a row explode and
     // the two-pass prefix scan — no stage barrier anywhere except the
     // declared caches that feed two consumers.
+    // v5 — the MODEL-ERA composite (see corpusV5Plan): sampled-fit
+    // classifier gate → CCNet tertile drop over survivors → exact dedup
+    // → derived-weight temperature mix → deterministic split, both
+    // models trained inside the one declared chain.
+    Q("pipeline_corpus_full_v5",
+      (s, dir) => corpusV5Plan(s, dir),
+      Some(corpusV5Sql)),
+
     Q("pipeline_corpus_full_v3",
       (s, dir) => {
         val mixed = graft.pipeline.Mixing.temperatureMix(
