@@ -1289,6 +1289,50 @@ object PipelineQueries {
 
   private[queries] val lmCoreCtes: String = lmCoreCtesFor("doc_id % 4 = 0")
 
+  /** The quality-profile rows' combined plant (classifier marker + LM
+    * gibberish, SOURCE retained) and oracle — one definition for the
+    * batch row and the ingestion twin (their values are identical: the
+    * per-source sums are order-free integer adds of per-doc values both
+    * paths compute bit-identically).
+    */
+  private[queries] def qualityProfilePlant(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(6)) === 0,
+          lit(" high quality curated encyclopedic prose")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(9)) === 0,
+          concat(lit(" zz"), col("doc_id").cast("string"),
+            lit(" qx"), col("doc_id").cast("string"))).otherwise(lit("")))
+        .as("text"))
+
+  private[queries] val qualityProfileOracleSql: String = {
+    val plant =
+      s"""SELECT doc_id, source, text ||
+         |    CASE WHEN doc_id % 6 = 0 THEN ' high quality curated encyclopedic prose'
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 9 = 0 THEN ' zz' || CAST(doc_id AS VARCHAR) ||
+         |         ' qx' || CAST(doc_id AS VARCHAR) ELSE '' END AS text
+         |  FROM ${Q.DocsRef}""".stripMargin
+    s"""WITH m AS MATERIALIZED ($plant),
+       |$tkCteSql,
+       |$classifierCoreCtes,
+       |$lmCoreCtes,
+       |pj AS (SELECT m.doc_id, m.source, sF.s, fin.n_bigrams, fin.lm_logp_q
+       |       FROM m JOIN sF USING (doc_id) JOIN fin USING (doc_id)),
+       |ag AS (SELECT source, count(*) AS n_docs,
+       |         CAST(sum(CASE WHEN s >= 0.0e0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+       |         CAST(sum(CAST(floor(1.0e6 * s) AS BIGINT)) AS BIGINT) AS sum_score_q,
+       |         CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
+       |         CAST(sum(lm_logp_q) AS BIGINT) AS sum_lm_q
+       |       FROM pj GROUP BY source)
+       |SELECT source, n_docs, n_pred_pos, sum_score_q, sum_bigrams, sum_lm_q,
+       |       CASE WHEN sum_bigrams > 0
+       |            THEN CAST(-sum_lm_q AS DOUBLE) / (CAST(sum_bigrams AS DOUBLE) * 1.0e6)
+       |            ELSE 0.0e0 END AS mean_xent
+       |FROM ag ORDER BY source""".stripMargin
+  }
+
+
   /** Self-contained oracle for the stupid-backoff row: same plant/base
     * counts as the add-one chain, then MLE bigram probs for seen bigrams
     * and the 0.4·c1(w2)/N backoff per miss, both through the staged
@@ -2196,14 +2240,7 @@ object PipelineQueries {
     Q("pipeline_quality_profile",
       (s, dir) => {
         val qc = graft.text.QualityClassifier
-        val base = Tables.documents(s, dir).select(col("doc_id"), col("source"),
-          concat(col("text"),
-            when(pmod(col("doc_id"), lit(6)) === 0,
-              lit(" high quality curated encyclopedic prose")).otherwise(lit("")),
-            when(pmod(col("doc_id"), lit(9)) === 0,
-              concat(lit(" zz"), col("doc_id").cast("string"),
-                lit(" qx"), col("doc_id").cast("string"))).otherwise(lit("")))
-            .as("text"))
+        val base = qualityProfilePlant(Tables.documents(s, dir))
         val feats = graft.Caches.track(qc.features(base, "doc_id", "text",
           (pmod(col("doc_id"), lit(6)) === 0).cast("int")))
         val cm = qc.train(feats)
@@ -2226,32 +2263,7 @@ object PipelineQueries {
               .otherwise(lit(0.0)).as("mean_xent"))
           .orderBy("source")
       },
-      Some {
-        val plant =
-          s"""SELECT doc_id, source, text ||
-             |    CASE WHEN doc_id % 6 = 0 THEN ' high quality curated encyclopedic prose'
-             |         ELSE '' END ||
-             |    CASE WHEN doc_id % 9 = 0 THEN ' zz' || CAST(doc_id AS VARCHAR) ||
-             |         ' qx' || CAST(doc_id AS VARCHAR) ELSE '' END AS text
-             |  FROM ${Q.DocsRef}""".stripMargin
-        s"""WITH m AS MATERIALIZED ($plant),
-           |$tkCteSql,
-           |$classifierCoreCtes,
-           |$lmCoreCtes,
-           |pj AS (SELECT m.doc_id, m.source, sF.s, fin.n_bigrams, fin.lm_logp_q
-           |       FROM m JOIN sF USING (doc_id) JOIN fin USING (doc_id)),
-           |ag AS (SELECT source, count(*) AS n_docs,
-           |         CAST(sum(CASE WHEN s >= 0.0e0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
-           |         CAST(sum(CAST(floor(1.0e6 * s) AS BIGINT)) AS BIGINT) AS sum_score_q,
-           |         CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
-           |         CAST(sum(lm_logp_q) AS BIGINT) AS sum_lm_q
-           |       FROM pj GROUP BY source)
-           |SELECT source, n_docs, n_pred_pos, sum_score_q, sum_bigrams, sum_lm_q,
-           |       CASE WHEN sum_bigrams > 0
-           |            THEN CAST(-sum_lm_q AS DOUBLE) / (CAST(sum_bigrams AS DOUBLE) * 1.0e6)
-           |            ELSE 0.0e0 END AS mean_xent
-           |FROM ag ORDER BY source""".stripMargin
-      }),
+      Some(qualityProfileOracleSql)),
 
     // n-gram LM scoring (CCNet shape): bigram model with add-one
     // smoothing trained on the %4 reference subset, every doc scored by

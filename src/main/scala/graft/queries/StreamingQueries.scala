@@ -960,6 +960,67 @@ object StreamingQueries {
       },
       Some(PipelineQueries.splitOracleSql)),
 
+    // per-source QUALITY PROFILE AT INGESTION — the curation dashboard
+    // maintained as data arrives: both models train OFFLINE, then the
+    // stream feeds TWO ingest aggregations over the same source (a real
+    // deployment runs them as two sinks of one stream): doc-level
+    // (n_docs, classifier positives, exact margin sums via the
+    // presence fold — bit-identical to the batch margin) and
+    // bigram-level (exact LM log-likelihood sums through the
+    // stream-static model probe). The halves join batch-side into the
+    // batch row's exact output — every column is an order-free integer
+    // sum or one division of exact sums, so the BATCH oracle checks the
+    // ingest path verbatim.
+    Q("stream_pipeline_quality_profile",
+      (s, dir) => {
+        implicit val sp = s
+        import graft.functions.GraftFunctions.wordGrams
+        val qc = graft.text.QualityClassifier
+        val base = PipelineQueries.qualityProfilePlant(graft.Tables.documents(s, dir))
+        val feats = graft.Caches.track(qc.features(base, "doc_id", "text",
+          (pmod(col("doc_id"), lit(6)) === 0).cast("int")))
+        val cm = qc.train(feats)
+        val lmm = graft.text.NgramLm.train(
+          base.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
+        // ingest aggregation 1: doc-level counts + margin sums
+        val s1 = PipelineQueries.qualityProfilePlant(StreamSources.documents(s, dir))
+          .select(col("source"),
+            qc.presenceMarginCol(col("text"), cm).as("mg"))
+          .select(col("source"),
+            floor(lit(qc.ScoreScale) * col("mg")).cast("long").as("score_q"),
+            (col("mg") >= lit(0.0)).cast("long").as("pred"))
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+          .groupBy(window(col("event_time"), "1 hour"), col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("pred")).as("n_pred_pos"),
+            sum(col("score_q")).as("sum_score_q"))
+          .select("source", "n_docs", "n_pred_pos", "sum_score_q")
+        val d1 = StreamRun.toBatch(s1, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+        // ingest aggregation 2: bigram-level LM sums via the model probe
+        val s2 = PipelineQueries.qualityProfilePlant(StreamSources.documents(s, dir))
+          .select(col("source"), explode(wordGrams(col("text"), 2)).as("bigram"))
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+        val lmAgg = graft.text.NgramLm.probeQq(s2, lmm, fitsBroadcast = true)
+          .groupBy(window(col("event_time"), "1 hour"), col("source"))
+          .agg(count(lit(1)).as("sum_bigrams"), sum(col("qq")).as("sum_lm_q"))
+          .select("source", "sum_bigrams", "sum_lm_q")
+        val d2 = StreamRun.toBatch(lmAgg, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+        d1.join(d2, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("n_pred_pos"),
+            col("sum_score_q"),
+            coalesce(col("sum_bigrams"), lit(0L)).as("sum_bigrams"),
+            coalesce(col("sum_lm_q"), lit(0L)).as("sum_lm_q"),
+            when(coalesce(col("sum_bigrams"), lit(0L)) > 0,
+              (-col("sum_lm_q")).cast("double") /
+                (col("sum_bigrams").cast("double") * lit(graft.text.NgramLm.Scale)))
+              .otherwise(lit(0.0)).as("mean_xent"))
+          .orderBy("source")
+      },
+      Some(PipelineQueries.qualityProfileOracleSql)),
+
     // CCNet BUCKETING AT INGESTION — the tertile boundaries derive
     // OFFLINE (the xent at ranks n/3 and 2n/3 of the archived corpus)
     // and ship as two scalars; each streamed doc scores through the
