@@ -2327,6 +2327,30 @@ object PipelineQueries {
       },
       Some(lmBackoff3OracleSql)),
 
+    // forced shuffle-hash fallback twins for BOTH backoff scorers — the
+    // round-11 guard sizes on the MAX of all probed model tables, and
+    // the strategy it picks must be result-invisible: the byte-identical
+    // oracles check the fallback paths the full-model rows never take.
+    Q("text_lm_score_backoff_wide",
+      (s, dir) => {
+        val docs = lmPlant(Tables.documents(s, dir))
+        val m = graft.text.NgramLm.trainBackoff(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
+        graft.text.NgramLm.scoreBackoff(docs, "doc_id", "text", m,
+          maxBroadcastModel = 0L).orderBy("doc_id")
+      },
+      Some(lmBackoffScoreOracleSql)),
+
+    Q("text_lm_score_backoff3_wide",
+      (s, dir) => {
+        val docs = lmPlant(Tables.documents(s, dir))
+        val m = graft.text.NgramLm.trainBackoff3(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
+        graft.text.NgramLm.scoreBackoff3(docs, "doc_id", "text", m,
+          maxBroadcastModel = 0L).orderBy("doc_id")
+      },
+      Some(lmBackoff3OracleSql)),
+
     // forced shuffle-hash fallback twin — the strategy must be
     // result-invisible, so the same oracle checks both paths.
     Q("text_lm_score_wide",
