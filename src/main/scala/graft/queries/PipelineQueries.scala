@@ -763,8 +763,8 @@ object PipelineQueries {
     */
   private[queries] val CorpusV5MixTarget = 150L
 
-  private def corpusV5Plant(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(col("doc_id"),
+  private[queries] def corpusV5PlantOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       // source on a residue COPRIME with the %6 class plant (gcd(6,10)=2
       // would make 'wiki' and the positive class disjoint — the gate
       // would erase a whole source before the mix ever saw it)
@@ -778,6 +778,9 @@ object PipelineQueries {
           concat(lit(" zz"), col("doc_id").cast("string"),
             lit(" qx"), col("doc_id").cast("string"))).otherwise(lit("")))
         .as("text"))
+
+  private[queries] def corpusV5Plant(s: SparkSession, dir: String): DataFrame =
+    corpusV5PlantOf(Tables.documents(s, dir))
 
   private def corpusV5Plan(s: SparkSession, dir: String): DataFrame = {
     val qc = graft.text.QualityClassifier
@@ -811,7 +814,7 @@ object PipelineQueries {
       .orderBy("doc_id", "copy")
   }
 
-  private def corpusV5Sql: String = {
+  private[queries] def corpusV5Sql: String = {
     val plant =
       s"""SELECT doc_id,
          |    CASE WHEN doc_id % 7 < 5 THEN 'web'

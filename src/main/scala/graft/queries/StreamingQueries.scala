@@ -960,6 +960,89 @@ object StreamingQueries {
       },
       Some(PipelineQueries.splitOracleSql)),
 
+    // the MODEL-ERA composite AT INGESTION — v5's whole chain in its
+    // deployment shape: both models and every boundary derive OFFLINE
+    // (sampled-fit classifier, LM, the tertile xent cut τ2, the archive's
+    // canonical-digest map, the temperature weight table), the stream
+    // pays one pass — presence-margin gate (pure column work, BEFORE any
+    // explode), canonical-copy probe (stream-static join on md5 digest:
+    // a doc survives iff it IS the archive's minimum-id copy — the
+    // re-ingestion dedup rule), LM scoring through the stream-static
+    // probe + one watermarked window agg, the τ2 threshold (≤ keeps
+    // boundary tie classes whole, which here coincides with the batch
+    // rank gate: rank ≤ 2n/3 implies xent ≤ τ2 and every canonical doc
+    // is rank-kept), then per-row mixing draws and the split CASE. The
+    // stream emits exactly the batch composite's rows, so the batch v5
+    // oracle checks the ingest path verbatim.
+    Q("stream_pipeline_corpus_full_v5",
+      (s, dir) => {
+        implicit val sp = s
+        import graft.functions.GraftFunctions.wordGrams
+        val qc = graft.text.QualityClassifier
+        val docs = graft.Caches.track(PipelineQueries.corpusV5Plant(s, dir))
+        val feats = graft.Caches.track(qc.features(docs, "doc_id", "text",
+          (pmod(col("doc_id"), lit(6)) === 0).cast("int")))
+        val cm = qc.train(feats.filter(
+          graft.pipeline.Mixing.samplePred("doc_id", PipelineQueries.SampledFitPct)))
+        val lmm = graft.text.NgramLm.train(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
+        val surv = graft.Caches.track(
+          qc.score(feats, "doc_id", cm).filter(col("pred") === 1)
+            .select(col("doc_id")).join(docs, Seq("doc_id")))
+        val scored = graft.text.NgramLm.score(surv, "doc_id", "text", lmm)
+          .select(col("doc_id"), col("xent"))
+        val ns = scored.count()
+        val ranked = graft.operators.PrefixSum.runningSum(
+          scored.withColumn("__one", lit(1L)), "__one", Seq("xent", "doc_id"))
+        val t2Row = ranked.filter(col("running___one") === 2 * ns / 3)
+          .agg(min(col("xent"))).first()
+        val tau2 =
+          if (t2Row.isNullAt(0)) Double.NegativeInfinity else t2Row.getDouble(0)
+        val kp = surv.join(
+          ranked.filter(col("running___one") <= 2 * ns / 3).select("doc_id"),
+          Seq("doc_id"))
+        val dd = graft.Caches.track(kp
+          .withColumn("rep_id",
+            min(col("doc_id")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
+          .filter(col("rep_id") === col("doc_id"))
+          .select("doc_id", "source"))
+        val repMap = graft.Caches.track(kp
+          .groupBy(md5(col("text")).as("__dg"))
+          .agg(min(col("doc_id")).as("__rep_id")))
+        val weights = graft.pipeline.Mixing.temperatureWeights(dd, "source",
+          PipelineQueries.CorpusV5MixTarget)
+        val incoming = PipelineQueries.corpusV5PlantOf(StreamSources.documents(s, dir))
+          .withColumn("__mg", qc.presenceMarginCol(col("text"), cm))
+          .filter(col("__mg") >= lit(0.0))
+          .withColumn("__dg", md5(col("text")))
+          .join(repMap, Seq("__dg"))
+          .filter(col("__rep_id") === col("doc_id"))
+          .select(col("doc_id"), col("source"),
+            explode(wordGrams(col("text"), 2)).as("bigram"))
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+        val agg = graft.text.NgramLm.probeQq(incoming, lmm, fitsBroadcast = true)
+          .groupBy(window(col("event_time"), "1 hour"), col("doc_id"))
+          .agg(min(col("source")).as("source"),
+            count(lit(1)).as("nb"), sum(col("qq")).as("lq"))
+          .select(col("doc_id"), col("source"),
+            ((-col("lq")).cast("double") /
+              (col("nb").cast("double") * lit(graft.text.NgramLm.Scale)))
+              .as("xent"))
+          .filter(col("xent") <= lit(tau2))
+        val mixed = graft.pipeline.Mixing.sourceMix(
+          agg.select("doc_id", "source"), "doc_id", "source", weights,
+          defaultWeight = 0.0)
+        val out = graft.pipeline.Mixing.hashSplit(mixed, "doc_id",
+          PipelineQueries.SplitSpec)
+          .select("doc_id", "source", "copy", "split")
+        StreamRun.toBatch(out, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+          .orderBy("doc_id", "copy")
+      },
+      Some(PipelineQueries.corpusV5Sql)),
+
     // per-source QUALITY PROFILE AT INGESTION — the curation dashboard
     // maintained as data arrives: both models train OFFLINE, then the
     // stream feeds TWO ingest aggregations over the same source (a real
