@@ -761,6 +761,28 @@ object PipelineQueries {
     * the oracle replays both training loops, the rank gates, the weight
     * derivation and the split.
     */
+  /** Stub-centroid IVF oracle — one rendering for knn_ivf and its
+    * serving twin (their outputs are rank-identical by construction). */
+  private[queries] val knnIvfOracleSql: String = s"""
+        WITH e AS (SELECT vec_id, embedding AS v FROM ${Q.EmbRef}),
+        cents AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        asg AS (SELECT e.vec_id, e.v, c.cent_id,
+                       ${DuckSql.cosine("e.v", "c.cv")} AS ccos
+                FROM e CROSS JOIN cents c),
+        cell AS (SELECT vec_id, v, cent_id AS cell FROM (
+                   SELECT vec_id, v, cent_id,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS r
+                   FROM asg) WHERE r = 1),
+        sc AS (SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id,
+                      ${DuckSql.cosine("q.v", "cd.v")} AS cos
+               FROM cell q JOIN cell cd ON q.cell = cd.cell
+                AND q.vec_id < 100 AND q.vec_id <> cd.vec_id),
+        r AS (SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM sc)
+        SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id
+        FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
+
   private[queries] val CorpusV5MixTarget = 150L
 
   private[queries] def corpusV5PlantOf(docs: DataFrame): DataFrame =
@@ -3416,25 +3438,41 @@ object PipelineQueries {
         k = 5, numCentroids = 16, queryFilter = col("vec_id") < 100)
         .withColumnRenamed("rank", "rnk")
         .orderBy("query_id", "rnk"),
-      Some(s"""
-        WITH e AS (SELECT vec_id, embedding AS v FROM ${Q.EmbRef}),
-        cents AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
-        asg AS (SELECT e.vec_id, e.v, c.cent_id,
-                       ${DuckSql.cosine("e.v", "c.cv")} AS ccos
-                FROM e CROSS JOIN cents c),
-        cell AS (SELECT vec_id, v, cent_id AS cell FROM (
-                   SELECT vec_id, v, cent_id,
-                          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS r
-                   FROM asg) WHERE r = 1),
-        sc AS (SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id,
-                      ${DuckSql.cosine("q.v", "cd.v")} AS cos
-               FROM cell q JOIN cell cd ON q.cell = cd.cell
-                AND q.vec_id < 100 AND q.vec_id <> cd.vec_id),
-        r AS (SELECT query_id, neighbor_id,
-                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-              FROM sc)
-        SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id
-        FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""")),
+      Some(knnIvfOracleSql)),
+
+    // ANN SERVING AT INGESTION — the deployment shape of similarity
+    // search: the IVF index (cells + norms) builds OFFLINE from the
+    // archived corpus, each incoming query vector assigns to its cell as
+    // pure column work (plan-literal argmax, no state), candidates come
+    // from one stream-static equi-join on the cell, and the per-query
+    // top-k is taken INSIDE the windowed aggregation (collect the
+    // cell-bounded candidate set, then ONE post-agg sort+slice pinning
+    // the batch operator's exact (cos DESC, neighbor ASC) order — a rank
+    // window is not streamable, a bounded candidate set is). Emits the
+    // batch row's exact ranks, so the batch oracle checks it verbatim.
+    Q("stream_knn_ivf",
+      (s, dir) => {
+        implicit val sp = s
+        val emb = graft.Caches.track(Tables.embeddings(s, dir))
+        val cents = Similarity.firstKCentroids(emb, "vec_id", "embedding", 16)
+        val scored = Similarity.knnIvfServeScored(
+          graft.streaming.StreamSources.embeddings(s, dir)
+            .filter(col("vec_id") < 100),
+          emb, "vec_id", "embedding", cents)
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+          .groupBy(window(col("event_time"), "1 hour"), col("query_id"))
+          .agg(collect_list(struct((-col("cos")).as("nc"),
+            col("neighbor_id").as("nid"))).as("cand"))
+          .select(col("query_id"),
+            posexplode(slice(array_sort(col("cand")), 1, 5)))
+          .select(col("query_id"), (col("pos") + 1).cast("int").as("rnk"),
+            col("col.nid").as("neighbor_id"))
+        graft.streaming.StreamRun.toBatch(scored, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+          .orderBy("query_id", "rnk")
+      },
+      Some(knnIvfOracleSql)),
 
     // trained IVF as a declared, oracle-checked plan: 2 quantized Lloyd
     // iterations (deterministic + order-free, see kmeansCentroidsQuantized)

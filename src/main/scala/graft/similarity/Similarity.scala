@@ -334,6 +334,31 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** ANN SERVING shape — the half of [[knnIvf]] that streams: the INDEX
+    * side (cells + norms) builds offline against a fixed centroid set,
+    * each incoming query assigns to its cell as pure column work (the
+    * same plan-literal argmax — no join, no state) and candidates come
+    * from one stream-static equi-join on the cell. Returns the scored
+    * candidate relation (query_id, neighbor_id, cos); the caller owns
+    * the per-query top-k (batch: a rank window; ingest: sort+slice after
+    * a windowed collect — ranks are not streamable, candidate sets are).
+    * Per-query work is bounded by its cell population — the same bound
+    * that sizes the batch join.
+    */
+  def knnIvfServeScored(queries: DataFrame, index: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame): DataFrame = {
+    val cents = collectCentroids(centroids)
+    val q = assignCollected(queries, idCol, vecCol, cents)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col("cell"), col("__n").as("qn"))
+    val c = assignCollected(index, idCol, vecCol, cents)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col("cell"), col("__n").as("cn"))
+    q.join(c, Seq("cell")).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .select("query_id", "neighbor_id", "cos")
+  }
+
   /** Embedding near-duplicates via hyperplane LSH buckets: candidates are
     * bucket-mates (one int key per vector, one hash shuffle), verified by
     * exact cosine. Each vector lands in exactly one bucket, so a pair is

@@ -55,6 +55,7 @@ object StreamSources {
       .parquet(dir)
   }
 
+
   /** The embeddings table as a file stream — the ingestion side of
     * "score/dedup new vectors against the existing corpus" pipelines
     * (same schema as the batch reader).
