@@ -91,6 +91,28 @@ object PipelineQueries {
        |SELECT b_id AS doc_id, min(a_id) AS rep_id, max(jaccard) AS j_max
        |FROM pairs GROUP BY b_id ORDER BY doc_id""".stripMargin
 
+  /** The incremental n-gram-Jaccard replay — [[minhashIncrementalSql]]'s
+    * EXACT-candidate sibling: candidates are (training a, any b) pairs
+    * sharing at least one gram whose TRAINING document frequency clears
+    * the df cap (the inverted index a deployment maintains offline;
+    * boilerplate grams never index, so the hot-gram blowup is capped at
+    * the index, not the join). Verification and the per-stream-doc
+    * min/max aggregation are identical to the minhash twin — same
+    * self-pair rule, same duplicate-insensitivity argument.
+    */
+  private[queries] def ngramIncrementalSql(threshold: Double,
+      maxDf: Long): String =
+    s"""${gramCtes(3)},
+       |tdf AS (SELECT gram, count(*) AS c FROM g
+       |        WHERE doc_id % 4 = 0 GROUP BY gram),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM g a JOIN tdf USING (gram) JOIN g b USING (gram)
+       |  WHERE a.doc_id % 4 = 0 AND tdf.c <= $maxDf),
+       |${jaccardTail(threshold)}
+       |SELECT b_id AS doc_id, min(a_id) AS rep_id, max(jaccard) AS j_max
+       |FROM pairs GROUP BY b_id ORDER BY doc_id""".stripMargin
+
   /** Hyperplane-LSH bucket assignment as DuckDB CTEs (`e`, `dots`, `b`) —
     * same deterministic plane weights as [[Similarity.planeWeights]], same
     * in-order dot-product folds, so bucket ids match Spark bit-exactly.

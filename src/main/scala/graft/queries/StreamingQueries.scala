@@ -703,6 +703,53 @@ object StreamingQueries {
       },
       Some(PipelineQueries.minhashIncrementalSql(0.6))),
 
+    // INCREMENTAL n-gram-Jaccard near-dup — the EXACT-candidate sibling
+    // of stream_dedup_minhash: instead of probabilistic band collisions,
+    // candidates come from the training set's df-capped inverted gram
+    // index (built offline; grams above the cap never index, so a
+    // boilerplate gram costs nothing at the join). Each incoming doc
+    // explodes its grams (pure column work), probes the index
+    // stream-static, row-verifies the candidate with exact set Jaccard
+    // on the carried shingle arrays, and the per-doc flag aggregates
+    // with the same duplicate-insensitive min/max as the LSH twins —
+    // multi-gram collisions need no distinct stage.
+    Q("stream_dedup_ngram",
+      (s, dir) => {
+        implicit val sp = s
+        import graft.functions.GraftFunctions.wordShingles
+        val training = graft.Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(4)) === 0)
+        val trGrams = graft.Caches.track(
+          graft.dedup.Dedup.shingles(training, "doc_id", "text", 3)
+            .withColumn("__df", count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window.partitionBy("gram")))
+            .filter(col("__df") <= 100)
+            .select(col("doc_id").as("a_id"), col("gram")))
+        val trVerify = graft.Caches.track(
+          training.select(col("doc_id").as("a_id"),
+            wordShingles(col("text"), 3).as("sh_a")))
+        val incoming = StreamSources.documents(s, dir)
+          .select(col("doc_id"), wordShingles(col("text"), 3).as("sh_b"))
+          .select(col("doc_id"), col("sh_b"), explode(col("sh_b")).as("gram"))
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+        val verified = incoming
+          .join(trGrams, Seq("gram"))
+          .join(trVerify, Seq("a_id"))
+          .withColumn("inter", size(array_intersect(col("sh_b"), col("sh_a"))))
+          .withColumn("jaccard", col("inter").cast("double") /
+            (size(col("sh_b")) + size(col("sh_a")) - col("inter")).cast("double"))
+          .filter(col("jaccard") >= 0.6)
+        val flagged = verified
+          .groupBy(window(col("event_time"), "1 hour"), col("doc_id"))
+          .agg(min(col("a_id")).as("rep_id"), max(col("jaccard")).as("j_max"))
+          .select("doc_id", "rep_id", "j_max")
+        StreamRun.toBatch(flagged, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+          .orderBy("doc_id")
+      },
+      Some(PipelineQueries.ngramIncrementalSql(0.6, 100))),
+
     // INCREMENTAL SimHash near-dup at ingestion — the hamming face of
     // the new-data-vs-training-set family, completing the dedup-family
     // symmetry (exact/bloom, span, semantic, minhash-jaccard, and now
