@@ -109,4 +109,20 @@ class QualityClassifierSpec extends AnyFunSuite {
     val b = qc.train(qc.features(corpus.repartition(7), "doc_id", "text", col("y")))
     assert(a.w.toSeq == b.w.toSeq)
   }
+
+  test("SAMPLED-fit weights are partitioning-invariant and differ from the full fit") {
+    // the round-11 knob: restricting training to the deterministic
+    // hash-sample must not break the quantized-gradient invariance (the
+    // sample is a pure per-row predicate — partitioning cannot move a
+    // doc in or out of it), and it must genuinely change the model
+    val qc = QualityClassifier
+    val samp = graft.pipeline.Mixing.samplePred("doc_id", 50)
+    val a = qc.train(qc.features(corpus.repartition(1), "doc_id", "text", col("y"))
+      .filter(samp))
+    val b = qc.train(qc.features(corpus.repartition(7), "doc_id", "text", col("y"))
+      .filter(samp))
+    assert(a.w.toSeq == b.w.toSeq)
+    val full = qc.train(qc.features(corpus, "doc_id", "text", col("y")))
+    assert(a.w.toSeq != full.w.toSeq, "a 50% sample must change the fit")
+  }
 }
