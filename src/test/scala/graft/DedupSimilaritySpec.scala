@@ -226,4 +226,52 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "fallback path must not build or probe a filter")
     Caches.releaseAll()
   }
+
+  test("SortedJaccard: hand cases, builtin agreement, codegen survival") {
+    import graft.functions.expressions.SortedJaccard
+    import graft.functions.GraftFunctions.wordShingles
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      // hand cases: identical, disjoint, partial overlap, one empty, both
+      // empty (defined 0.0), and the long-element flavor — several
+      // jaccards in ONE projection so generated locals must not collide
+      def arr(xs: String*) = array(xs.map(lit): _*).cast("array<string>")
+      val hand = spark.range(1).select(
+        SortedJaccard.of(arr("a", "b", "c"), arr("a", "b", "c")).as("same"),
+        SortedJaccard.of(arr("a", "b"), arr("c", "d")).as("disj"),
+        SortedJaccard.of(arr("a", "b", "c"), arr("b", "c", "d")).as("part"),
+        SortedJaccard.of(arr(), arr("a")).as("half_empty"),
+        SortedJaccard.of(arr(), arr()).as("both_empty"),
+        SortedJaccard.of(
+          array(lit(1L), lit(5L), lit(9L)), array(lit(5L), lit(9L), lit(11L)))
+          .as("longs")).head()
+      assert(hand.getDouble(0) == 1.0)
+      assert(hand.getDouble(1) == 0.0)
+      assert(hand.getDouble(2) == 2.0 / 4.0)
+      assert(hand.getDouble(3) == 0.0)
+      assert(hand.getDouble(4) == 0.0)
+      assert(hand.getDouble(5) == 2.0 / 4.0)
+      // bit-agreement with the spelled-out builtin rendering over real
+      // shingle sets (same single IEEE division) — the contract that lets
+      // the near-dup verify rows keep their existing oracles
+      val docs = Tables.documents(spark, TestSpark.SF).limit(50)
+        .select(col("doc_id"), sort_array(wordShingles(col("text"), 3)).as("sh"))
+      val pairs = docs.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
+        .join(docs.select(col("doc_id").as("b_id"), col("sh").as("sh_b")),
+          col("a_id") < col("b_id"))
+      val mism = pairs.select(
+        SortedJaccard.of(col("sh_a"), col("sh_b")).as("fused"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) -
+            size(array_intersect(col("sh_a"), col("sh_b")))).cast("double"))
+          .as("spelled"))
+        .filter(col("fused") =!= col("spelled")).count()
+      assert(mism == 0, s"fused jaccard diverged from builtin on $mism pairs")
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
 }
