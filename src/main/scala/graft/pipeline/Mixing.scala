@@ -150,6 +150,86 @@ object Mixing {
   def duckSamplePred(idCol: String, pct: Int): String =
     s"${duckMixHash(idCol)} < ${sampleThreshold(pct)}"
 
+  /** Deterministic EXACT-k uniform sample without replacement — the
+    * order-statistic complement of [[samplePred]]: where the percentage
+    * predicate draws a binomially-sized sample (each doc an independent
+    * coin), bottom-k keeps precisely the k documents with the smallest
+    * portable 60-bit hash of their id, totally ordered by (hash, id) so
+    * a hash collision cannot make the cut ambiguous. A pure function of
+    * the document SET — stable across runs, engines and partitionings,
+    * and mergeable (bottomK(A ∪ B) = bottomK(bottomK(A) ∪ bottomK(B)),
+    * the property the ingestion fold rides).
+    *
+    * Scale shape: orderBy+limit plans as TakeOrderedAndProject — each
+    * partition keeps its local top-k, ≤ k rows per partition move, no
+    * global sort ever materializes. k is a policy dimension (an eval
+    * set, a labeling budget), not data-scale. Output: input columns +
+    * `sample_h` (the draw), the k winners only.
+    */
+  def bottomKSample(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive: $k")
+    df.withColumn("sample_h",
+        graft.functions.GraftFunctions.hash60(col(idCol)))
+      .orderBy(col("sample_h"), col(idCol)).limit(k)
+  }
+
+  /** [[bottomKSample]] AT INGESTION: each micro-batch's local bottom-k
+    * (TakeOrdered — ≤ k rows to the driver per trigger) merges into a
+    * running (hash, id) set capped at k, which by the merge identity is
+    * exactly the batch sample of everything ingested so far — O(k)
+    * driver state however long the stream runs, persisted per batch via
+    * [[graft.streaming.DriverFold]] so a restart resumes without
+    * re-drawing. Emits (idCol, sample_h) only: at 100 TB the sample's
+    * PAYLOAD re-fetches from the archived corpus by id (k point
+    * lookups), the same candidates-then-verify split as the heavy-hitter
+    * profiler — the stream state must never grow with document size.
+    */
+  def bottomKSampleIngest(stream: DataFrame, idCol: String, k: Int,
+      onBatch: Int => Unit = _ => (),
+      checkpoint: Option[String] = None,
+      stateDir: Option[String] = None)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import graft.streaming.DriverFold
+    require(k > 0, s"sample size must be positive: $k")
+    val resumed = stateDir.flatMap(DriverFold.loadLatest)
+    val state = resumed.map(r => decodePairs(r._2))
+      .getOrElse(scala.collection.mutable.TreeSet.empty[(Long, Long)])
+    var lastBatch = resumed.map(_._1).getOrElse(-1L)
+    DriverFold.run(
+      stream.select(col(idCol).cast("long").as("id"),
+        graft.functions.GraftFunctions.hash60(col(idCol)).as("sample_h")),
+      (batch, batchId) => {
+        if (batchId > lastBatch) {
+          batch.orderBy(col("sample_h"), col("id")).limit(k).collect()
+            .foreach { r =>
+              val p = (r.getLong(1), r.getLong(0))
+              if (state.size < k) state.add(p)
+              else if (Ordering[(Long, Long)].lt(p, state.last) && state.add(p))
+                state.remove(state.last)
+            }
+          lastBatch = batchId
+          stateDir.foreach(d => DriverFold.save(d, batchId, encodePairs(state)))
+        }
+        onBatch(state.size)
+      },
+      checkpoint)
+    import spark.implicits._
+    state.toSeq.map { case (h, id) => (id, h) }.toDF(idCol, "sample_h")
+  }
+
+  private def encodePairs(s: scala.collection.mutable.TreeSet[(Long, Long)]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16 * s.size)
+    s.foreach { case (h, id) => bb.putLong(h); bb.putLong(id) }
+    bb.array()
+  }
+
+  private def decodePairs(bytes: Array[Byte]): scala.collection.mutable.TreeSet[(Long, Long)] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val s = scala.collection.mutable.TreeSet.empty[(Long, Long)]
+    while (bb.hasRemaining) s.add((bb.getLong, bb.getLong))
+    s
+  }
+
   /** Deterministic hash-bucketed corpus split (train/val/test) — the
     * reproducible analog of `randomSplit`: each document's bucket is a
     * pure function of its id (the same fixed multiplicative hash as the

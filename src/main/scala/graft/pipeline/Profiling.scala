@@ -1,0 +1,137 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution profiling by FIXED-WIDTH HISTOGRAM — the deterministic
+  * scale path for percentile questions over a 100 TB corpus. The exact
+  * alternatives both fail at scale or at the oracle: a true percentile
+  * needs a global sort (or the two-pass prefix rank — an extra full
+  * shuffle when only summary statistics are wanted), and
+  * `approx_percentile`'s sketch is merge-order-dependent (no cross-engine
+  * replay). Quantizing the value into `width`-sized bins makes the whole
+  * profile ONE map-side-combined aggregation keyed by bin — O(B) state,
+  * B = maxValue/width + 1, a policy dimension set by the metric's range
+  * (document lengths, token counts), never data-scale — after which every
+  * quantile answer is exact integer arithmetic over the bin counts: the
+  * p-th percentile lands in the first bin whose cumulative count reaches
+  * ceil(p·N/100). The answer is the bin [lo, hi) — resolution `width` by
+  * construction, deterministic by construction (order-free integer adds,
+  * integer ceil both engines render the same way: `(n·p + 99) div 100` ≡
+  * `(n*p + 99) // 100` on non-negative operands, the engine's pinned
+  * division convention).
+  *
+  * The cumulative pass runs as a window over the BIN table — B bounded
+  * rows through one single-partition sort, the same policy-dimension
+  * cost class as the temperature-weight or centroid collects, never the
+  * corpus (the corpus is reduced by the histogram aggregation first).
+  */
+object Profiling {
+
+  /** Default bin width for character-length profiling: 64 chars keeps a
+    * 100 MB-doc corpus (the admission-gated maximum) under ~1.6M bins
+    * worst-case and a normal web corpus under a few thousand — either
+    * way an aggregation output that fits one executor partition and a
+    * driver screen. */
+  val LengthBinWidth: Long = 64L
+
+  val DefaultPercents: Seq[Int] = Seq(50, 90, 99)
+
+  /** (bin, cnt) histogram of `valueCol` (non-negative int64). */
+  def histogram(df: DataFrame, valueCol: Column, width: Long): DataFrame = {
+    require(width > 0, s"bin width must be positive: $width")
+    df.select(valueCol.cast("long").as("v"))
+      .selectExpr(s"v div $width AS bin")
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Percentile profile over a histogram: one row per requested percent
+    * p — (pct, bin, lo, hi, cum_cnt), where [lo, hi) is the first bin
+    * whose cumulative count reaches ceil(p·N/100) and cum_cnt that
+    * cumulative count. The percent axis attaches by exploding a LITERAL
+    * array (pure column work — no nested-loop join for a 3-element
+    * policy list). Shared by the batch scan and the ingestion fold so
+    * the arithmetic cannot diverge between them.
+    */
+  def quantileReport(hist: DataFrame, width: Long,
+      percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p > 0 && p <= 100),
+      s"percents must be in (0, 100]: $percents")
+    val ord = Window.orderBy("bin")
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(ord))
+      .withColumn("n", sum("cnt").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // cum increases with bin, so min(struct(bin, cum)) picks the first
+    // qualifying bin together with its own cumulative count
+    cum.withColumn("pct", explode(typedLit(percents)))
+      .filter(col("cum") >= expr("(n * pct + 99) div 100"))
+      .groupBy("pct")
+      .agg(min(struct(col("bin"), col("cum"))).as("bc"))
+      .select(col("pct"), col("bc.bin").as("bin"),
+        (col("bc.bin") * lit(width)).as("lo"),
+        ((col("bc.bin") + lit(1L)) * lit(width)).as("hi"),
+        col("bc.cum").as("cum_cnt"))
+  }
+
+  /** Character-length percentile profile of a corpus — ONE aggregation
+    * scan + the O(B) quantile tail. */
+  def lengthQuantiles(corpus: DataFrame, textCol: String,
+      width: Long = LengthBinWidth,
+      percents: Seq[Int] = DefaultPercents): DataFrame =
+    quantileReport(histogram(corpus, length(col(textCol)), width), width,
+      percents)
+
+  /** [[lengthQuantiles]] AT INGESTION: each micro-batch reduces to its
+    * own (bin, cnt) histogram in the cluster (bounded B rows to the
+    * driver per trigger), which merges into a running bin→count map by
+    * plain addition — histograms are the trivially mergeable sketch, so
+    * the folded state is EXACTLY the batch histogram of everything
+    * ingested, independent of batch split, O(B) driver state persisted
+    * per batch via [[graft.streaming.DriverFold]] (restart-safe, no
+    * double counts on replay). Output ≡ the batch profile.
+    */
+  def lengthQuantilesIngest(stream: DataFrame, textCol: String,
+      width: Long = LengthBinWidth,
+      percents: Seq[Int] = DefaultPercents,
+      onBatch: Int => Unit = _ => (),
+      checkpoint: Option[String] = None,
+      stateDir: Option[String] = None)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import graft.streaming.DriverFold
+    val resumed = stateDir.flatMap(DriverFold.loadLatest)
+    val bins = resumed.map(r => decodeBins(r._2))
+      .getOrElse(scala.collection.mutable.HashMap.empty[Long, Long])
+    var lastBatch = resumed.map(_._1).getOrElse(-1L)
+    DriverFold.run(
+      stream.select(length(col(textCol)).cast("long").as("len")),
+      (batch, batchId) => {
+        if (batchId > lastBatch) {
+          histogram(batch, col("len"), width).collect().foreach { r =>
+            val bin = r.getLong(0)
+            bins.update(bin, bins.getOrElse(bin, 0L) + r.getLong(1))
+          }
+          lastBatch = batchId
+          stateDir.foreach(d => DriverFold.save(d, batchId, encodeBins(bins)))
+        }
+        onBatch(bins.size)
+      },
+      checkpoint)
+    import spark.implicits._
+    quantileReport(bins.toSeq.toDF("bin", "cnt"), width, percents)
+  }
+
+  private def encodeBins(m: scala.collection.mutable.HashMap[Long, Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16 * m.size)
+    m.foreach { case (b, c) => bb.putLong(b); bb.putLong(c) }
+    bb.array()
+  }
+
+  private def decodeBins(bytes: Array[Byte]): scala.collection.mutable.HashMap[Long, Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val m = scala.collection.mutable.HashMap.empty[Long, Long]
+    while (bb.hasRemaining) m.put(bb.getLong, bb.getLong)
+    m
+  }
+}

@@ -213,6 +213,116 @@ object CorpusStats {
     }
   }
 
+  /** Retained-minima budget for the KMV distinct-count sketch. 256
+    * minima give ~1/√(k−2) ≈ 6% expected relative error (Beyer et al.,
+    * SIGMOD'07) at 2 KB of state — the operating point where "how many
+    * distinct token types does this 100 TB corpus have" stops being a
+    * vocabulary-sized shuffle and becomes one bounded aggregation row.
+    */
+  val KmvK: Int = 256
+
+  /** hash60's range [0, 2⁶⁰) as an exact double (a power of two) — the M
+    * in the KMV estimator (k−1)·M/h₍k₎. */
+  val KmvHashRange: Double = 1152921504606846976L.toDouble
+
+  /** KMV distinct-type counting — cardinality profiling without the
+    * vocabulary shuffle: ONE scan folds every token's portable 60-bit
+    * hash into a mergeable k-minimum-values sketch
+    * ([[graft.functions.expressions.BottomKDistinctAgg]] — O(k) state
+    * per partition, one ≤ k-entry partial per partition to the final
+    * merge), and the k-th smallest retained hash h₍k₎ estimates the
+    * distinct count as (k−1)·2⁶⁰/h₍k₎. Below k distinct values the
+    * sketch IS the distinct set and the estimate is exact.
+    *
+    * Everything is deterministic — the k smallest distinct hashes are a
+    * pure function of the token SET (partitioning-, merge-order- and
+    * batch-split-independent), and the estimate is two IEEE double ops
+    * in a fixed order — so a DuckDB oracle re-derives sketch and
+    * estimate bit-identically (ORDER BY hash LIMIT k + the same
+    * multiply/divide). Contrast [[vocabulary]]: exact but shuffles every
+    * distinct type; and HLL-style synopses: cheaper state but
+    * merge-order-dependent registers that no cross-engine oracle can
+    * replay. Output: one row (k_cap, sketch_size, kth_hash,
+    * est_distinct).
+    */
+  def distinctKmv(corpus: DataFrame, textCol: String,
+      k: Int = KmvK): DataFrame =
+    kmvReport(
+      corpus.select(explode(tokens(col(textCol))).as("token"))
+        .agg(graft.functions.expressions.BottomKDistinctAgg
+          .of(hash60(col("token")), k).as("sk")), k)
+
+  /** The estimate tail over a one-row DataFrame holding the sketch array
+    * `sk` (ascending) — shared by the batch scan and the ingestion fold
+    * so the double dag cannot diverge between them: (k−1)·2⁶⁰ (exact —
+    * small int × power of two) then one correctly-rounded division by
+    * h₍k₎.
+    */
+  private def kmvReport(sk: DataFrame, k: Int): DataFrame =
+    sk.select(lit(k).as("k_cap"),
+      size(col("sk")).cast("long").as("sketch_size"),
+      when(size(col("sk")) > 0, element_at(col("sk"), -1))
+        .otherwise(lit(0L)).as("kth_hash"),
+      when(size(col("sk")) < k, size(col("sk")).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(KmvHashRange) /
+          element_at(col("sk"), -1).cast("double"))
+        .as("est_distinct"))
+
+  /** INCREMENTAL KMV — cardinality profiling at ingest: each micro-batch
+    * folds its token hashes into a distributed ≤ k-entry sketch (one
+    * aggregation row moves to the driver), which merges into the running
+    * cross-batch sketch with the same bottom-k combine the in-plan
+    * partials use — bottomK(A ∪ B) = bottomK(bottomK(A) ∪ bottomK(B)),
+    * so the accumulated state is THE KMV sketch of everything ingested,
+    * independent of batch split, bounded at k longs however long the
+    * stream runs. The fold persists per batch via [[graft.streaming.
+    * DriverFold]] (atomic tmp+rename; replayed ids at or below the
+    * watermark skip their merge), so a driver restart resumes without
+    * double-counting. Output ≡ [[distinctKmv]] of the ingested corpus.
+    */
+  def distinctKmvIngest(stream: DataFrame, textCol: String,
+      k: Int = KmvK,
+      onBatch: Int => Unit = _ => (),
+      checkpoint: Option[String] = None,
+      stateDir: Option[String] = None)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import graft.streaming.DriverFold
+    val resumed = stateDir.flatMap(DriverFold.loadLatest)
+    val sketch = resumed.map(r => kmvDecode(r._2))
+      .getOrElse(scala.collection.mutable.TreeSet.empty[Long])
+    var lastBatch = resumed.map(_._1).getOrElse(-1L)
+    DriverFold.run(
+      stream.select(explode(tokens(col(textCol))).as("token")),
+      (batch, batchId) => {
+        if (batchId > lastBatch) {
+          val arr = batch.agg(graft.functions.expressions.BottomKDistinctAgg
+            .of(hash60(col("token")), k).as("sk")).head().getSeq[Long](0)
+          arr.foreach(
+            graft.functions.expressions.BottomKDistinctAgg.add(sketch, _, k))
+          lastBatch = batchId
+          stateDir.foreach(d =>
+            DriverFold.save(d, batchId, kmvEncode(sketch)))
+        }
+        onBatch(sketch.size)
+      },
+      checkpoint)
+    import spark.implicits._
+    kmvReport(Seq(sketch.toSeq).toDF("sk"), k)
+  }
+
+  private def kmvEncode(s: scala.collection.mutable.TreeSet[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * s.size)
+    s.foreach(bb.putLong)
+    bb.array()
+  }
+
+  private def kmvDecode(bytes: Array[Byte]): scala.collection.mutable.TreeSet[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val s = scala.collection.mutable.TreeSet.empty[Long]
+    while (bb.hasRemaining) s.add(bb.getLong)
+    s
+  }
+
   /** (token, df): document frequency of every distinct token — the number
     * of documents containing it at least once. One narrow explode of the
     * per-document DISTINCT token set (no countDistinct expand), one
