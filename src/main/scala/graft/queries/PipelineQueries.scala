@@ -1690,6 +1690,58 @@ object PipelineQueries {
     HAVING count(*) >= (SELECT n // ${CorpusStats.HeavyHitterCounters + 1} + 1 FROM tot)
     ORDER BY token"""
 
+  /** KMV oracle — re-derives the sketch as the literal k smallest
+    * distinct token hashes (the determinism that lets a SQL oracle check
+    * a cardinality SKETCH at all) and the estimate as the same exact
+    * double product-then-divide. Shares [[heavyHitterPlant]] so the type
+    * count exceeds the default sketch budget and the estimator path is
+    * live, not the small-cardinality identity. */
+  private[queries] def kmvOracleSql(k: Int): String = s"""
+    WITH m AS (SELECT doc_id, text || ' xq' || CAST(doc_id AS VARCHAR) AS text
+               FROM ${Q.DocsRef}),
+    t AS (SELECT unnest(${DuckSql.tokens("text")}) AS token FROM m),
+    hs AS (SELECT DISTINCT ${DuckSql.hash60("token")} AS h FROM t),
+    bk AS (SELECT h FROM hs ORDER BY h LIMIT $k),
+    agg AS (SELECT count(*) AS sz, max(h) AS hk FROM bk)
+    SELECT CAST($k AS INTEGER) AS k_cap, sz AS sketch_size,
+           COALESCE(hk, 0) AS kth_hash,
+           CASE WHEN sz < $k THEN CAST(sz AS DOUBLE)
+                ELSE CAST(${k - 1} AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                     / CAST(hk AS DOUBLE) END AS est_distinct
+    FROM agg"""
+
+  // declared BEFORE the oracle string that interpolates it — a forward
+  // val reference would silently interpolate the default 0
+  private[queries] val BottomKSampleSize: Int = 100
+
+  /** Bottom-k sample oracle: the k smallest (hash, id) order statistics,
+    * literally. */
+  private[queries] val bottomKOracleSql: String = s"""
+    SELECT doc_id, h AS sample_h FROM (
+      SELECT doc_id, ${DuckSql.hash60("doc_id")} AS h
+      FROM ${Q.DocsRef} ORDER BY h, doc_id LIMIT ${BottomKSampleSize})
+    ORDER BY doc_id"""
+
+  /** Length-quantile oracle: same fixed-width bins, same cumulative
+    * walk, same integer ceil — `//` on non-negative operands matches
+    * Spark `div` (the pinned division convention). DuckDB's windowed sum
+    * returns HUGEINT; the output column casts back to BIGINT to match
+    * Spark's long. */
+  private[queries] val lengthQuantilesOracleSql: String = {
+    val w = graft.pipeline.Profiling.LengthBinWidth
+    val pcts = graft.pipeline.Profiling.DefaultPercents.mkString(", ")
+    s"""
+    WITH v AS (SELECT length(text) AS v FROM ${Q.DocsRef}),
+    b AS (SELECT v // $w AS bin, count(*) AS cnt FROM v GROUP BY 1),
+    c AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum,
+                 sum(cnt) OVER () AS n FROM b),
+    p AS (SELECT unnest([$pcts]) AS pct),
+    q AS (SELECT pct, bin, cum FROM c, p WHERE cum >= (n * pct + 99) // 100)
+    SELECT pct, min(bin) AS bin, min(bin) * $w AS lo, (min(bin) + 1) * $w AS hi,
+           CAST(min(cum) AS BIGINT) AS cum_cnt
+    FROM q GROUP BY pct ORDER BY pct"""
+  }
+
   /** DSIR rows: the synthetic corpus is distribution-uniform, so the
     * target subset (doc_id ≡ 0 mod 7) is marked with a planted phrase —
     * the target model's buckets become genuinely distinctive — and a
@@ -2468,6 +2520,52 @@ object PipelineQueries {
           "text").orderBy("token")
       },
       Some(heavyHittersOracleSql)),
+
+    // KMV distinct-type counting — the cardinality face of corpus
+    // profiling, same plant as the heavy-hitter rows so the type count
+    // (531 at sf0.01) exceeds the k=256 sketch budget and the ESTIMATOR
+    // path is live: one mergeable bottom-k-distinct aggregation row,
+    // distinct count estimated from the k-th smallest hash. The sketch
+    // is a pure function of the token set — deterministic where an
+    // HLL register array is merge-order-dependent — so the oracle
+    // re-derives sketch AND estimate exactly (ORDER BY hash LIMIT k +
+    // the same two IEEE double ops).
+    Q("text_distinct_kmv",
+      (s, dir) => CorpusStats.distinctKmv(
+        heavyHitterPlant(Tables.documents(s, dir)), "text"),
+      Some(kmvOracleSql(CorpusStats.KmvK))),
+
+    // the small-cardinality identity path: a budget above the type
+    // count makes the sketch the distinct set and the estimate EXACT —
+    // the same operator answers exactly when the distinct count is
+    // small and estimates when it is not, with the crossover at k.
+    Q("text_distinct_kmv_exact",
+      (s, dir) => CorpusStats.distinctKmv(
+        heavyHitterPlant(Tables.documents(s, dir)), "text", k = 65536),
+      Some(kmvOracleSql(65536))),
+
+    // EXACT-k uniform sample without replacement — the order-statistic
+    // complement of the percentage sampler (samplePred draws a
+    // binomially-sized sample; an eval set or labeling budget needs
+    // exactly k): the k smallest (hash60(id), id) rows, planned as
+    // TakeOrderedAndProject — per-partition top-k, no global sort.
+    Q("pipeline_sample_bottomk",
+      (s, dir) => graft.pipeline.Mixing.bottomKSample(
+        Tables.documents(s, dir).select("doc_id"), "doc_id",
+        BottomKSampleSize).orderBy("doc_id"),
+      Some(bottomKOracleSql)),
+
+    // percentile profile by fixed-width histogram — the deterministic
+    // scale path for "what's the p99 document length of this corpus":
+    // ONE map-side-combined aggregation keyed by 64-char bin (O(bins)
+    // state, never a global sort), then exact integer arithmetic over
+    // the bounded bin table. Resolution is the bin width by
+    // construction; approx_percentile's sketch would be
+    // merge-order-dependent and oracle-uncheckable.
+    Q("pipeline_length_quantiles",
+      (s, dir) => graft.pipeline.Profiling.lengthQuantiles(
+        Tables.documents(s, dir), "text").orderBy("pct"),
+      Some(lengthQuantilesOracleSql)),
 
     // RefinedWeb-style line-wise correction: drop boilerplate/navigation
     // lines and short fragments inside each document, reassemble, report

@@ -934,6 +934,49 @@ object StreamingQueries {
       },
       Some(PipelineQueries.heavyHittersOracleSql)),
 
+    // INCREMENTAL KMV distinct counting — cardinality profiling at
+    // ingest: each micro-batch reduces to one ≤ k-entry bottom-k
+    // aggregation row, merged into O(k) driver state with the sketch's
+    // own combine (bottomK(A ∪ B) = bottomK(bottomK(A) ∪ bottomK(B)),
+    // so the fold is batch-split-independent and shares the batch
+    // oracle verbatim). The estimate tail is the same shared column dag
+    // as the batch row.
+    Q("stream_text_distinct_kmv",
+      (s, dir) => {
+        implicit val sp = s
+        graft.text.CorpusStats.distinctKmvIngest(
+          PipelineQueries.heavyHitterPlant(StreamSources.documents(s, dir)),
+          "text")
+      },
+      Some(PipelineQueries.kmvOracleSql(graft.text.CorpusStats.KmvK))),
+
+    // bottom-k sampling AT INGESTION — a continuously-maintained exact-k
+    // uniform sample of everything ingested: per trigger the batch's
+    // local bottom-k (≤ k rows to the driver) merges into the capped
+    // (hash, id) state, which by the same merge identity IS the batch
+    // sample of the ingested corpus — identical output, shared oracle.
+    Q("stream_pipeline_sample_bottomk",
+      (s, dir) => {
+        implicit val sp = s
+        graft.pipeline.Mixing.bottomKSampleIngest(
+          StreamSources.documents(s, dir).select("doc_id"), "doc_id",
+          PipelineQueries.BottomKSampleSize).orderBy("doc_id")
+      },
+      Some(PipelineQueries.bottomKOracleSql)),
+
+    // length-quantile profiling AT INGESTION — histograms are the
+    // trivially mergeable sketch (bin counts add), so the per-batch
+    // (bin, cnt) tables fold into an O(bins) driver map that is EXACTLY
+    // the batch histogram of the ingested corpus; the quantile tail is
+    // the same shared column dag, hence the shared oracle.
+    Q("stream_pipeline_length_quantiles",
+      (s, dir) => {
+        implicit val sp = s
+        graft.pipeline.Profiling.lengthQuantilesIngest(
+          StreamSources.documents(s, dir), "text").orderBy("pct")
+      },
+      Some(PipelineQueries.lengthQuantilesOracleSql)),
+
     // corpus-frequency scoring AT INGESTION — the CCNet deployment split
     // for df statistics: the vocabulary (token → document frequency)
     // derives OFFLINE from the archived corpus, the stream probes it as
