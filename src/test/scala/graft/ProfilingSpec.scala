@@ -1,0 +1,205 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Mixing, Profiling}
+import graft.text.CorpusStats
+
+/** The corpus-profiling sketch family added in round 11: KMV distinct
+  * counting, bottom-k exact sampling, histogram quantiles — hand-checked
+  * outputs, partitioning/batch-split invariance, estimator accuracy, and
+  * the DriverFold crash-resume contract each ingestion fold rides.
+  */
+class ProfilingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // ---------- KMV distinct counting ----------
+
+  test("bottom-k-distinct sketch is the k smallest distinct values, any partitioning") {
+    import spark.implicits._
+    // values with heavy duplication; k = 4 → sketch must be {1,2,3,5}
+    val vals = Seq(9L, 5L, 9L, 3L, 1L, 7L, 2L, 2L, 8L, 1L, 5L, 30L)
+    def sk(parts: Int) = vals.toDF("v").repartition(parts)
+      .agg(graft.functions.expressions.BottomKDistinctAgg.of(col("v"), 4).as("sk"))
+      .head().getSeq[Long](0)
+    assert(sk(1) == Seq(1L, 2L, 3L, 5L))
+    assert(sk(7) == Seq(1L, 2L, 3L, 5L), "sketch must be partitioning-invariant")
+    // below k distinct values the sketch IS the distinct set
+    val small = Seq(4L, 4L, 2L).toDF("v")
+      .agg(graft.functions.expressions.BottomKDistinctAgg.of(col("v"), 8).as("sk"))
+      .head().getSeq[Long](0)
+    assert(small == Seq(2L, 4L))
+  }
+
+  test("KMV estimate is exact below k and within theory error above it") {
+    import spark.implicits._
+    // below k: 40 distinct planted tokens, k = 256 → est == 40 exactly
+    val smallDocs = (1 to 40).map(i => (i.toLong, s"tok$i")).toDF("doc_id", "text")
+    val exact = CorpusStats.distinctKmv(smallDocs, "text").head()
+    assert(exact.getLong(1) == 40L && exact.getDouble(3) == 40.0)
+    // above k: 50,000 distinct tokens, k = 256 → expected relative error
+    // ~1/sqrt(k-2) ≈ 6.3%; assert a generous 4-sigma band (the draw is
+    // deterministic, so this is a fixed property of md5, not flakiness)
+    val bigDocs = (1 to 50000).map(i => (i.toLong, s"u$i")).toDF("doc_id", "text")
+    val est = CorpusStats.distinctKmv(bigDocs, "text").head().getDouble(3)
+    assert(math.abs(est - 50000.0) / 50000.0 < 0.25,
+      s"KMV estimate $est too far from 50000")
+  }
+
+  test("KMV ingestion fold: multi-batch merge equals the batch sketch; crash resumes exactly") {
+    import spark.implicits._
+    implicit val sp = spark
+    val docs = (1 to 3000).map(i => (i.toLong, s"w${i % 700} u$i"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-kmv").toString
+    try {
+      docs.repartition(5).write.mode("overwrite").parquet(s"$root/in")
+      def stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      val want = CorpusStats.distinctKmv(spark.read.parquet(s"$root/in"), "text")
+        .collect().map(_.toSeq).toSeq
+      // plain multi-batch fold ≡ batch (bottomK merge identity), state ≤ k
+      var sizes = List.empty[Int]
+      val got = CorpusStats.distinctKmvIngest(stream, "text",
+          onBatch = sz => { sizes = sz :: sizes; () })
+        .collect().map(_.toSeq).toSeq
+      assert(got == want, "ingested KMV must equal the batch sketch")
+      assert(sizes.size >= 5 && sizes.forall(_ <= CorpusStats.KmvK))
+      // crash in the nastiest window (state committed, offset not):
+      // resumed fold must skip the replayed batch's merge — KMV dedups
+      // values so a double merge would be INVISIBLE here; the assertion
+      // that matters is the final equality and that resume starts from
+      // the persisted fold, not empty
+      var calls = 0
+      val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        CorpusStats.distinctKmvIngest(stream, "text",
+          onBatch = _ => {
+            calls += 1
+            if (calls == 2) throw new RuntimeException("injected crash after fold")
+            ()
+          },
+          checkpoint = Some(s"$root/ckpt"), stateDir = Some(s"$root/state"))
+      }
+      assert(crashed.getMessage.contains("injected crash") ||
+        crashed.getCause.getMessage.contains("injected crash"))
+      var resumedFrom = Int.MaxValue
+      val resumed = CorpusStats.distinctKmvIngest(stream, "text",
+          onBatch = sz => { resumedFrom = math.min(resumedFrom, sz); () },
+          checkpoint = Some(s"$root/ckpt"), stateDir = Some(s"$root/state"))
+        .collect().map(_.toSeq).toSeq
+      assert(resumed == want, "resumed KMV must equal the batch sketch")
+      assert(resumedFrom > 0, "resume must start from the persisted fold, not empty")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  // ---------- bottom-k sampling ----------
+
+  test("bottom-k sample is the exact k-head of the full (hash, id) order") {
+    val docs = Tables.documents(spark, TestSpark.SF)
+    val got = Mixing.bottomKSample(docs.select("doc_id"), "doc_id", 20)
+      .orderBy("sample_h", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = docs.select(col("doc_id"),
+        graft.functions.GraftFunctions.hash60(col("doc_id")).as("h"))
+      .orderBy("h", "doc_id").limit(20).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+    assert(got.size == 20)
+    // payload columns survive the batch sampler (the ingest twin
+    // deliberately carries only (id, hash) — payload re-fetches by id)
+    val withText = Mixing.bottomKSample(docs, "doc_id", 5)
+    assert(withText.columns.contains("text") &&
+      withText.columns.contains("sample_h"), "sample must keep input columns")
+    assert(withText.count() == 5)
+  }
+
+  test("bottom-k ingestion fold: batch-split independent, crash resumes without re-draw") {
+    import spark.implicits._
+    implicit val sp = spark
+    val docs = (1 to 2000).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-bk").toString
+    try {
+      docs.repartition(5).write.mode("overwrite").parquet(s"$root/in")
+      def stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+        .select("doc_id")
+      val want = Mixing.bottomKSample(
+          spark.read.parquet(s"$root/in").select("doc_id"), "doc_id", 50)
+        .select("doc_id", "sample_h").orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq
+      val got = Mixing.bottomKSampleIngest(stream, "doc_id", 50)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(got == want, "ingested sample must equal the batch sample")
+      var calls = 0
+      val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        Mixing.bottomKSampleIngest(stream, "doc_id", 50,
+          onBatch = _ => {
+            calls += 1
+            if (calls == 2) throw new RuntimeException("injected crash after fold")
+            ()
+          },
+          checkpoint = Some(s"$root/ckpt"), stateDir = Some(s"$root/state"))
+      }
+      assert(crashed.getMessage.contains("injected crash") ||
+        crashed.getCause.getMessage.contains("injected crash"))
+      val resumed = Mixing.bottomKSampleIngest(stream, "doc_id", 50,
+          checkpoint = Some(s"$root/ckpt"), stateDir = Some(s"$root/state"))
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(resumed == want, "resumed sample must equal the batch sample")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  // ---------- histogram quantiles ----------
+
+  test("histogram quantiles by hand: first bin whose cumulative count reaches ceil(p·N/100)") {
+    import spark.implicits._
+    // lengths 10×[0,8), 5×[8,16), 4×[16,24), 1×[24,32) with width 8;
+    // N=20 → p50 rank 10 → bin 0; p90 rank 18 → bin 2; p99 rank 20 → bin 3
+    val lens = Seq.fill(10)(3L) ++ Seq.fill(5)(9L) ++ Seq.fill(4)(17L) ++ Seq(25L)
+    val df = lens.map(l => ("x" * l.toInt)).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Profiling.lengthQuantiles(df, "text", width = 8L,
+        percents = Seq(50, 90, 99))
+      .orderBy("pct").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (50, 0L, 0L, 8L, 10L),
+      (90, 2L, 16L, 24L, 19L),
+      (99, 3L, 24L, 32L, 20L)))
+  }
+
+  test("histogram-quantile ingestion fold: batch-split independent, crash-safe (no double counts)") {
+    import spark.implicits._
+    implicit val sp = spark
+    val docs = (1 to 1500).map(i => (i.toLong, "x" * (i % 400))).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-lq").toString
+    try {
+      docs.repartition(5).write.mode("overwrite").parquet(s"$root/in")
+      def stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      val want = Profiling.lengthQuantiles(spark.read.parquet(s"$root/in"), "text")
+        .orderBy("pct").collect().map(_.toSeq).toSeq
+      val got = Profiling.lengthQuantilesIngest(stream, "text")
+        .orderBy("pct").collect().map(_.toSeq).toSeq
+      assert(got == want, "ingested quantiles must equal the batch profile")
+      // histogram counts ADD on merge, so a replayed batch would shift
+      // cum_cnt — the crash-resume equality is the double-count detector
+      var calls = 0
+      val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        Profiling.lengthQuantilesIngest(stream, "text",
+          onBatch = _ => {
+            calls += 1
+            if (calls == 2) throw new RuntimeException("injected crash after fold")
+            ()
+          },
+          checkpoint = Some(s"$root/ckpt"), stateDir = Some(s"$root/state"))
+      }
+      assert(crashed.getMessage.contains("injected crash") ||
+        crashed.getCause.getMessage.contains("injected crash"))
+      val resumed = Profiling.lengthQuantilesIngest(stream, "text",
+          checkpoint = Some(s"$root/ckpt"), stateDir = Some(s"$root/state"))
+        .orderBy("pct").collect().map(_.toSeq).toSeq
+      assert(resumed == want, "resumed quantiles must equal the batch profile")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+}
