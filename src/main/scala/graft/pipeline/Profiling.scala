@@ -122,6 +122,117 @@ object Profiling {
     quantileReport(bins.toSeq.toDF("bin", "cnt"), width, percents)
   }
 
+  /** GROUPED percentile profile — one histogram per key (per-source
+    * length profiles, per-language token-count profiles): the hist
+    * aggregation keys on (group, bin) — still one map-side-combined
+    * Exchange, O(groups·B) output — and the cumulative pass becomes a
+    * window PARTITIONED by group, so unlike the ungrouped tail it
+    * parallelizes across groups with no single-partition stage at all.
+    * Output: (key, pct, bin, lo, hi, cum_cnt), one row per group per
+    * requested percent.
+    */
+  def groupedQuantileReport(hist: DataFrame, keyCol: String, width: Long,
+      percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p > 0 && p <= 100),
+      s"percents must be in (0, 100]: $percents")
+    val ord = Window.partitionBy(keyCol).orderBy("bin")
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(ord))
+      .withColumn("n", sum("cnt").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    cum.withColumn("pct", explode(typedLit(percents)))
+      .filter(col("cum") >= expr("(n * pct + 99) div 100"))
+      .groupBy(col(keyCol), col("pct"))
+      .agg(min(struct(col("bin"), col("cum"))).as("bc"))
+      .select(col(keyCol), col("pct"), col("bc.bin").as("bin"),
+        (col("bc.bin") * lit(width)).as("lo"),
+        ((col("bc.bin") + lit(1L)) * lit(width)).as("hi"),
+        col("bc.cum").as("cum_cnt"))
+  }
+
+  /** Per-group character-length percentile profile of a corpus. */
+  def lengthQuantilesBy(corpus: DataFrame, keyCol: String, textCol: String,
+      width: Long = LengthBinWidth,
+      percents: Seq[Int] = DefaultPercents): DataFrame =
+    groupedQuantileReport(
+      corpus.select(col(keyCol), length(col(textCol)).cast("long").as("v"))
+        .selectExpr(keyCol, s"v div $width AS bin")
+        .groupBy(keyCol, "bin").agg(count(lit(1)).as("cnt")),
+      keyCol, width, percents)
+
+  /** [[lengthQuantilesBy]] AT INGESTION — the grouped histogram fold:
+    * per batch a (key, bin, cnt) table (bounded at groups·B rows) adds
+    * into the running map, `DriverFold`-persisted like the ungrouped
+    * twin. Output ≡ the batch profile.
+    */
+  def lengthQuantilesByIngest(stream: DataFrame, keyCol: String,
+      textCol: String,
+      width: Long = LengthBinWidth,
+      percents: Seq[Int] = DefaultPercents,
+      onBatch: Int => Unit = _ => (),
+      checkpoint: Option[String] = None,
+      stateDir: Option[String] = None)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import graft.streaming.DriverFold
+    val resumed = stateDir.flatMap(DriverFold.loadLatest)
+    val bins = resumed.map(r => decodeKeyedBins(r._2))
+      .getOrElse(scala.collection.mutable.HashMap.empty[(String, Long), Long])
+    var lastBatch = resumed.map(_._1).getOrElse(-1L)
+    DriverFold.run(
+      stream.select(col(keyCol).cast("string").as("k"),
+        length(col(textCol)).cast("long").as("v")),
+      (batch, batchId) => {
+        if (batchId > lastBatch) {
+          batch.selectExpr("k", s"v div $width AS bin")
+            .groupBy("k", "bin").agg(count(lit(1)).as("cnt"))
+            .collect().foreach { r =>
+              val key = (r.getString(0), r.getLong(1))
+              bins.update(key, bins.getOrElse(key, 0L) + r.getLong(2))
+            }
+          lastBatch = batchId
+          stateDir.foreach(d =>
+            DriverFold.save(d, batchId, encodeKeyedBins(bins)))
+        }
+        onBatch(bins.size)
+      },
+      checkpoint)
+    import spark.implicits._
+    groupedQuantileReport(
+      bins.toSeq.map { case ((k, b), c) => (k, b, c) }
+        .toDF(keyCol, "bin", "cnt"),
+      keyCol, width, percents)
+  }
+
+  private def encodeKeyedBins(
+      m: scala.collection.mutable.HashMap[(String, Long), Long]): Array[Byte] = {
+    val items = m.toArray.map { case ((k, b), c) =>
+      (k.getBytes(java.nio.charset.StandardCharsets.UTF_8), b, c)
+    }
+    val bb = java.nio.ByteBuffer.allocate(4 + items.map(_._1.length + 20).sum)
+    bb.putInt(items.length)
+    items.foreach { case (kb, b, c) =>
+      bb.putInt(kb.length); bb.put(kb); bb.putLong(b); bb.putLong(c)
+    }
+    bb.array()
+  }
+
+  private def decodeKeyedBins(
+      bytes: Array[Byte]): scala.collection.mutable.HashMap[(String, Long), Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val m = scala.collection.mutable.HashMap.empty[(String, Long), Long]
+    var i = 0
+    while (i < n) {
+      val kl = bb.getInt
+      val kb = new Array[Byte](kl)
+      bb.get(kb)
+      m.put((new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+        bb.getLong), bb.getLong)
+      i += 1
+    }
+    m
+  }
+
   private def encodeBins(m: scala.collection.mutable.HashMap[Long, Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(16 * m.size)
     m.foreach { case (b, c) => bb.putLong(b); bb.putLong(c) }

@@ -1742,6 +1742,25 @@ object PipelineQueries {
     FROM q GROUP BY pct ORDER BY pct"""
   }
 
+  /** The grouped rendering — identical arithmetic, windows PARTITIONED
+    * by source. */
+  private[queries] val sourceLengthQuantilesOracleSql: String = {
+    val w = graft.pipeline.Profiling.LengthBinWidth
+    val pcts = graft.pipeline.Profiling.DefaultPercents.mkString(", ")
+    s"""
+    WITH v AS (SELECT source, length(text) AS v FROM ${Q.DocsRef}),
+    b AS (SELECT source, v // $w AS bin, count(*) AS cnt FROM v GROUP BY 1, 2),
+    c AS (SELECT source, bin,
+                 sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
+                 sum(cnt) OVER (PARTITION BY source) AS n FROM b),
+    p AS (SELECT unnest([$pcts]) AS pct),
+    q AS (SELECT source, pct, bin, cum FROM c, p
+          WHERE cum >= (n * pct + 99) // 100)
+    SELECT source, pct, min(bin) AS bin, min(bin) * $w AS lo,
+           (min(bin) + 1) * $w AS hi, CAST(min(cum) AS BIGINT) AS cum_cnt
+    FROM q GROUP BY source, pct ORDER BY source, pct"""
+  }
+
   /** DSIR rows: the synthetic corpus is distribution-uniform, so the
     * target subset (doc_id ≡ 0 mod 7) is marked with a planted phrase —
     * the target model's buckets become genuinely distinctive — and a
@@ -2566,6 +2585,18 @@ object PipelineQueries {
       (s, dir) => graft.pipeline.Profiling.lengthQuantiles(
         Tables.documents(s, dir), "text").orderBy("pct"),
       Some(lengthQuantilesOracleSql)),
+
+    // the GROUPED profile — one percentile row per (source, percent):
+    // histogram keyed by (source, bin) in the same single Exchange, and
+    // the cumulative window partitions by source, so the grouped tail
+    // parallelizes across groups with no single-partition stage at all
+    // (the per-source answer the quality-profile row's exact median
+    // can't give at scale).
+    Q("pipeline_source_length_quantiles",
+      (s, dir) => graft.pipeline.Profiling.lengthQuantilesBy(
+        Tables.documents(s, dir), "source", "text")
+        .orderBy("source", "pct"),
+      Some(sourceLengthQuantilesOracleSql)),
 
     // RefinedWeb-style line-wise correction: drop boilerplate/navigation
     // lines and short fragments inside each document, reassemble, report

@@ -977,6 +977,18 @@ object StreamingQueries {
       },
       Some(PipelineQueries.lengthQuantilesOracleSql)),
 
+    // the grouped fold: per batch a (source, bin, cnt) table adds into
+    // the running keyed map — still the trivially-mergeable histogram,
+    // state bounded at groups·bins however long the stream runs.
+    Q("stream_pipeline_source_length_quantiles",
+      (s, dir) => {
+        implicit val sp = s
+        graft.pipeline.Profiling.lengthQuantilesByIngest(
+          StreamSources.documents(s, dir), "source", "text")
+          .orderBy("source", "pct")
+      },
+      Some(PipelineQueries.sourceLengthQuantilesOracleSql)),
+
     // corpus-frequency scoring AT INGESTION — the CCNet deployment split
     // for df statistics: the vocabulary (token → document frequency)
     // derives OFFLINE from the archived corpus, the stream probes it as

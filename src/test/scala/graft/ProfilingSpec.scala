@@ -168,6 +168,37 @@ class ProfilingSpec extends AnyFunSuite {
       (99, 3L, 24L, 32L, 20L)))
   }
 
+  test("grouped quantiles: per-key profile equals the ungrouped profile of each key's slice") {
+    import spark.implicits._
+    implicit val sp = spark
+    val docs = (1 to 900).map { i =>
+      val src = s"s${i % 3}"
+      // distinct length regimes per source so the profiles genuinely differ
+      (i.toLong, src, "x" * ((i % 3) * 100 + i % 50))
+    }.toDF("doc_id", "source", "text")
+    val grouped = Profiling.lengthQuantilesBy(docs, "source", "text")
+      .orderBy("source", "pct").collect().map(_.toSeq).toSeq
+    val sliced = Seq("s0", "s1", "s2").flatMap { s =>
+      Profiling.lengthQuantiles(docs.filter(col("source") === s), "text")
+        .orderBy("pct").collect().map(r => s +: r.toSeq)
+    }
+    assert(grouped == sliced,
+      "grouped profile must equal per-slice ungrouped profiles")
+    // and the ingestion fold matches the batch profile across a 4-batch split
+    val root = java.nio.file.Files.createTempDirectory("graft-glq").toString
+    try {
+      docs.repartition(4).write.mode("overwrite").parquet(s"$root/in")
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      val got = Profiling.lengthQuantilesByIngest(stream, "source", "text")
+        .orderBy("source", "pct").collect().map(_.toSeq).toSeq
+      val want = Profiling.lengthQuantilesBy(
+          spark.read.parquet(s"$root/in"), "source", "text")
+        .orderBy("source", "pct").collect().map(_.toSeq).toSeq
+      assert(got == want)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("histogram-quantile ingestion fold: batch-split independent, crash-safe (no double counts)") {
     import spark.implicits._
     implicit val sp = spark

@@ -642,4 +642,82 @@ class ScaleStressSpec extends AnyFunSuite {
       assert(agg.getLong(1) == hot, s"hot docs must be hapax-free: $agg")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  test("10M-token KMV: distinct count estimated from one 256-entry row, no vocabulary shuffle") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_STRESS=1 to run")
+    import org.apache.spark.sql.functions._
+    // ~9M distinct single-token docs (every 10th id repeats a shared
+    // token): the exact answer needs a 9M-key aggregation; the KMV scan
+    // moves one ≤256-entry partial per partition. True distinct count is
+    // known in closed form, so the estimator's relative error is checked
+    // against its ~6% theory bound (4-sigma band; the draw is a fixed
+    // property of md5, not flakiness), and the plan is asserted
+    // Exchange-light: a SinglePartition gather of 256-entry partials,
+    // never a hash repartition of the token stream.
+    val n = totalRows
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val t0 = System.nanoTime()
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(10)) === 0, lit("shared"))
+          .otherwise(concat(lit("u"), col("id").cast("string"))).as("text"))
+      val df = graft.text.CorpusStats.distinctKmv(docs, "text")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("hashpartitioning"),
+        "KMV must not hash-shuffle the token stream: " + p.take(2000))
+      val row = df.head()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val trueDistinct = (n - (n - 1) / 10 - 1 + 1).toDouble // uniques + "shared"
+      val est = row.getDouble(3)
+      info(f"KMV over $n tokens (true distinct $trueDistinct%.0f): est $est%.0f, ${secs}%.1f s")
+      assert(row.getLong(1) == graft.text.CorpusStats.KmvK.toLong)
+      assert(math.abs(est - trueDistinct) / trueDistinct < 0.25,
+        s"KMV estimate $est too far from $trueDistinct")
+      assert(secs < 300.0, f"KMV went super-linear: ${secs}%.1f s")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("10M-row bottom-k sample: local top-k per partition, no global sort, partitioning-invariant") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_STRESS=1 to run")
+    import org.apache.spark.sql.functions._
+    val n = totalRows
+    val t0 = System.nanoTime()
+    val ids = spark.range(n).select(col("id").as("doc_id"))
+    val df = graft.pipeline.Mixing.bottomKSample(ids, "doc_id", 100)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      "bottom-k must plan as TakeOrderedAndProject: " + p.take(2000))
+    val a = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = graft.pipeline.Mixing.bottomKSample(ids.repartition(97), "doc_id", 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"bottom-100 of $n ids twice: ${secs}%.1f s")
+    assert(a.size == 100 && a == b,
+      "the k-head must be a pure function of the id set")
+  }
+
+  test("10M-value histogram quantiles: closed-form percentiles from O(bins) state") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_STRESS=1 to run")
+    import org.apache.spark.sql.functions._
+    // lengths uniform over [0, 4000): with width 64 the p-th percentile
+    // bin is exactly floor((ceil(p·N/100) - 1) / (N/4000) / 64) — checked
+    // in closed form at three percents over n rows
+    val n = totalRows - (totalRows % 4000L)
+    val t0 = System.nanoTime()
+    val vals = spark.range(n).select(pmod(col("id"), lit(4000L)).as("v"))
+    val hist = graft.pipeline.Profiling.histogram(vals, col("v"), 64L)
+    val got = graft.pipeline.Profiling.quantileReport(hist, 64L, Seq(50, 90, 99))
+      .orderBy("pct").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val secs = (System.nanoTime() - t0) / 1e9
+    val perValue = n / 4000L
+    def wantBin(pct: Int): Long = {
+      val rank = (n * pct + 99L) / 100L
+      ((rank - 1) / perValue) / 64L
+    }
+    info(f"histogram quantiles over $n values: ${secs}%.1f s")
+    assert(got == Seq(50, 90, 99).map(p => (p, wantBin(p))),
+      s"closed-form percentile bins must match: $got")
+    assert(secs < 300.0, f"histogram profile went super-linear: ${secs}%.1f s")
+  }
 }
