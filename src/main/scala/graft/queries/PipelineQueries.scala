@@ -1681,6 +1681,11 @@ object PipelineQueries {
     docs.select(col("doc_id"),
       concat(col("text"), lit(" xq"), col("doc_id").cast("string")).as("text"))
 
+  /** The same plant, keeping the grouping key — for the per-source rows. */
+  private[queries] def heavyHitterPlantKeyed(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+      concat(col("text"), lit(" xq"), col("doc_id").cast("string")).as("text"))
+
   private[queries] val heavyHittersOracleSql: String = s"""
     WITH m AS (SELECT doc_id, text || ' xq' || CAST(doc_id AS VARCHAR) AS text
                FROM ${Q.DocsRef}),
@@ -1709,6 +1714,88 @@ object PipelineQueries {
                 ELSE CAST(${k - 1} AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
                      / CAST(hk AS DOUBLE) END AS est_distinct
     FROM agg"""
+
+  /** Grouped KMV oracle: every per-group sketch is independently the k
+    * smallest distinct hashes OF THAT GROUP — row_number per group ≤ k —
+    * and the estimate dag is the shared rendering per row. */
+  private[queries] def groupedKmvOracleSql(k: Int): String = s"""
+    WITH m AS (SELECT doc_id, source, text || ' xq' || CAST(doc_id AS VARCHAR) AS text
+               FROM ${Q.DocsRef}),
+    t AS (SELECT source, unnest(${DuckSql.tokens("text")}) AS token FROM m),
+    hs AS (SELECT DISTINCT source, ${DuckSql.hash60("token")} AS h FROM t),
+    rk AS (SELECT source, h,
+                  row_number() OVER (PARTITION BY source ORDER BY h) AS r FROM hs),
+    agg AS (SELECT source, count(*) AS sz, max(h) AS hk FROM rk
+            WHERE r <= $k GROUP BY source)
+    SELECT source, CAST($k AS INTEGER) AS k_cap, sz AS sketch_size,
+           COALESCE(hk, 0) AS kth_hash,
+           CASE WHEN sz < $k THEN CAST(sz AS DOUBLE)
+                ELSE CAST(${k - 1} AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                     / CAST(hk AS DOUBLE) END AS est_distinct
+    FROM agg ORDER BY source"""
+
+  /** Grouped heavy-hitter oracle: plain per-group GROUP BY + HAVING at
+    * the per-group threshold — the sketch pass only prunes, exactly as
+    * the ungrouped contract. */
+  private[queries] def groupedHhOracleSql(m: Int): String = s"""
+    WITH mm AS (SELECT doc_id, source, text || ' xq' || CAST(doc_id AS VARCHAR) AS text
+                FROM ${Q.DocsRef}),
+    t AS (SELECT source, unnest(${DuckSql.tokens("text")}) AS token FROM mm),
+    n AS (SELECT source, count(*) AS n FROM t GROUP BY 1)
+    SELECT t.source AS source, token, count(*) AS cnt
+    FROM t JOIN n ON t.source = n.source
+    GROUP BY t.source, token, n.n
+    HAVING count(*) >= n.n // ${m + 1} + 1
+    ORDER BY source, token"""
+
+  /** Corpus-overlap oracle: re-derives both per-side sketches (k
+    * smallest distinct hashes per side), the union sketch (k smallest of
+    * their union — the bottom-k identity), ρ (union-sketch hashes
+    * retained by BOTH sides) and the five estimates through the same
+    * IEEE dags in the same order: per-side/union (k−1)·2⁶⁰/h₍k₎,
+    * Jaccard = ρ/k_U (one guarded division), intersection = Jaccard ·
+    * union (one product). */
+  private[queries] def kmvOverlapOracleSql(k: Int): String = {
+    def est(t: String) = s"""CASE WHEN $t.sz < $k THEN CAST($t.sz AS DOUBLE)
+           ELSE CAST(${k - 1} AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                / CAST($t.mx AS DOUBLE) END"""
+    val jac = "CASE WHEN su.sz = 0 THEN 0.0 ELSE CAST(r.rho AS DOUBLE) / CAST(su.sz AS DOUBLE) END"
+    s"""
+    WITH a AS (SELECT text || ' xa' || CAST(doc_id AS VARCHAR) AS text
+               FROM ${Q.DocsRef} WHERE doc_id % 2 = 0),
+    b AS (SELECT text || ' xb' || CAST(doc_id AS VARCHAR) AS text
+          FROM ${Q.DocsRef} WHERE doc_id % 2 = 1),
+    ta AS (SELECT unnest(${DuckSql.tokens("text")}) AS token FROM a),
+    tb AS (SELECT unnest(${DuckSql.tokens("text")}) AS token FROM b),
+    ha AS (SELECT DISTINCT ${DuckSql.hash60("token")} AS h FROM ta ORDER BY h LIMIT $k),
+    hb AS (SELECT DISTINCT ${DuckSql.hash60("token")} AS h FROM tb ORDER BY h LIMIT $k),
+    hu AS (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb) q
+           ORDER BY h LIMIT $k),
+    sa AS (SELECT count(*) AS sz, max(h) AS mx FROM ha),
+    sb AS (SELECT count(*) AS sz, max(h) AS mx FROM hb),
+    su AS (SELECT count(*) AS sz, max(h) AS mx FROM hu),
+    r AS (SELECT count(*) AS rho FROM hu
+          WHERE h IN (SELECT h FROM ha) AND h IN (SELECT h FROM hb))
+    SELECT CAST($k AS INTEGER) AS k_cap,
+           sa.sz AS size_a, sb.sz AS size_b, su.sz AS union_size,
+           r.rho AS shared_in_union,
+           ${est("sa")} AS est_a,
+           ${est("sb")} AS est_b,
+           ${est("su")} AS est_union,
+           $jac AS jaccard_est,
+           ($jac) * (${est("su")}) AS est_intersection
+    FROM sa, sb, su, r"""
+  }
+
+  /** The two overlap sides: disjoint halves of the corpus, each planted
+    * with side-unique tokens so the type sets share the base vocabulary
+    * but not the plants — a Jaccard strictly inside (0, 1) that makes
+    * every estimator path live. */
+  private[queries] def overlapSides(docs: DataFrame): (DataFrame, DataFrame) = (
+    docs.filter(col("doc_id") % 2 === 0).select(
+      concat(col("text"), lit(" xa"), col("doc_id").cast("string")).as("text")),
+    docs.filter(col("doc_id") % 2 === 1).select(
+      concat(col("text"), lit(" xb"), col("doc_id").cast("string")).as("text")))
 
   // declared BEFORE the oracle string that interpolates it — a forward
   // val reference would silently interpolate the default 0
@@ -2562,6 +2649,47 @@ object PipelineQueries {
       (s, dir) => CorpusStats.distinctKmv(
         heavyHitterPlant(Tables.documents(s, dir)), "text", k = 65536),
       Some(kmvOracleSql(65536))),
+
+    // GROUPED KMV — one distinct-type estimate per source from the same
+    // one-scan fold keyed by the group (O(groups·k) aggregation output,
+    // the vocabulary never shuffles). k = 32 < every group's type count
+    // under the plant, so the ESTIMATOR path is live in every group at
+    // both SFs; each group's sketch is independently deterministic, so
+    // the oracle re-derives all 20 rows with a per-group row_number ≤ k.
+    Q("text_distinct_kmv_by_source",
+      (s, dir) => CorpusStats.distinctKmvBy(
+        heavyHitterPlantKeyed(Tables.documents(s, dir)), "source", "text")
+        .orderBy("source"),
+      Some(groupedKmvOracleSql(CorpusStats.KmvGroupK))),
+
+    // GROUPED exact heavy hitters — per-source head sets: per-group
+    // Misra-Gries summaries + exact per-group counts in ONE aggregation
+    // keyed by the source, candidates exact-verified through a broadcast
+    // of the exploded (source, token, T_src) table (groups·m rows — no
+    // driver collect at all, unlike the ungrouped row). m = 32 keeps the
+    // per-group sketch genuinely pruning (56–281 types per source vs 32
+    // counters) while T_src = N_src div 33 + 1 sits below the per-source
+    // head frequencies at both SFs, so every source contributes rows.
+    Q("text_heavy_hitters_by_source",
+      (s, dir) => CorpusStats.heavyHittersBy(
+        heavyHitterPlantKeyed(Tables.documents(s, dir)),
+        "source", "text").orderBy("source", "token"),
+      Some(groupedHhOracleSql(CorpusStats.HeavyHitterGroupCounters))),
+
+    // KMV corpus-overlap estimation — union/Jaccard/intersection of two
+    // corpora's type sets from two bounded sketches with NO join between
+    // the corpora (Beyer et al.: the k smallest hashes of A ∪ B derive
+    // from the per-side sketches; ρ/k_U of them in both sides estimates
+    // Jaccard). Both sketches fold in ONE pass over the tagged union of
+    // the token streams. Sides = disjoint corpus halves with side-unique
+    // plants: base vocabulary shared, plants not — true Jaccard ≈ 0.06
+    // at sf0.01, every estimator path live.
+    Q("text_corpus_overlap_kmv",
+      (s, dir) => {
+        val (a, b) = overlapSides(Tables.documents(s, dir))
+        CorpusStats.corpusOverlapKmv(a, b, "text")
+      },
+      Some(kmvOverlapOracleSql(CorpusStats.KmvK))),
 
     // EXACT-k uniform sample without replacement — the order-statistic
     // complement of the percentage sampler (samplePred draws a

@@ -950,6 +950,26 @@ object StreamingQueries {
       },
       Some(PipelineQueries.kmvOracleSql(graft.text.CorpusStats.KmvK))),
 
+    // KMV corpus-overlap AT INGESTION — the monitor a pipeline runs
+    // while a new crawl streams in ("how much of this is already in the
+    // corpus?"): the reference side's sketch derives offline from the
+    // archived corpus, the stream side folds per micro-batch into O(k)
+    // driver state with the sketch's own combine (batch-split
+    // independent), and the report is the shared overlap tail — batch
+    // output, batch oracle, verbatim. Stream = the xa-planted even half,
+    // reference = the xb-planted odd half.
+    Q("stream_text_corpus_overlap_kmv",
+      (s, dir) => {
+        implicit val sp = s
+        val (_, refB) = PipelineQueries.overlapSides(graft.Tables.documents(s, dir))
+        val streamA = StreamSources.documents(s, dir)
+          .filter(col("doc_id") % 2 === 0)
+          .select(concat(col("text"), lit(" xa"),
+            col("doc_id").cast("string")).as("text"))
+        graft.text.CorpusStats.corpusOverlapKmvIngest(streamA, refB, "text")
+      },
+      Some(PipelineQueries.kmvOverlapOracleSql(graft.text.CorpusStats.KmvK))),
+
     // bottom-k sampling AT INGESTION — a continuously-maintained exact-k
     // uniform sample of everything ingested: per trigger the batch's
     // local bottom-k (≤ k rows to the driver) merges into the capped

@@ -69,6 +69,46 @@ object CorpusStats {
     exactHead(toks, row.getSeq[String](0), row.getLong(1), m)
   }
 
+  /** Counter budget for the GROUPED heavy-hitter pass — per-group token
+    * mass is corpus mass divided by the group fan-out, so the grouped
+    * row runs a smaller m than [[HeavyHitterCounters]] to keep the
+    * sketch genuinely pruning (m below the per-group type count) while
+    * T = N_g div (m+1) + 1 stays below the per-group head frequencies.
+    */
+  val HeavyHitterGroupCounters: Int = 32
+
+  /** GROUPED exact heavy hitters — one head set per key (per-source
+    * stopword/boilerplate profiles): pass 1 folds the token stream into
+    * a PER-GROUP Misra-Gries summary + exact per-group token count in
+    * one aggregation keyed by the group (O(groups·m) output — the
+    * vocabulary still never shuffles); pass 2 exact-counts only the
+    * candidate (group, token) pairs via a broadcast of the exploded
+    * candidate table (bounded at groups·m rows — the per-group threshold
+    * T_g = N_g div (m+1) + 1 rides the broadcast so the filter needs no
+    * second pass over the sketch output). Per group the superset
+    * guarantee is the ungrouped one verbatim — T_g exceeds that group's
+    * N_g/(m+1) undercount bound — so the output is EXACTLY
+    * {(g, token) : count_g(token) ≥ T_g}, independent of partitioning
+    * and merge order. Unlike [[heavyHitters]] no candidate list touches
+    * the driver at all: the candidates flow sketch → explode → broadcast
+    * inside one plan.
+    */
+  def heavyHittersBy(corpus: DataFrame, keyCol: String, textCol: String,
+      m: Int = HeavyHitterGroupCounters): DataFrame = {
+    val toks = graft.Caches.track(
+      corpus.select(col(keyCol), explode(tokens(col(textCol))).as("token")))
+    val sk = toks.groupBy(keyCol).agg(
+      graft.functions.expressions.MisraGriesAgg.of(col("token"), m).as("cands"),
+      count(lit(1)).as("n"))
+    val cands = sk.select(col(keyCol), explode(col("cands")).as("token"),
+      (expr(s"n div ${m + 1}") + lit(1L)).as("t"))
+    toks.join(broadcast(cands), Seq(keyCol, "token"))
+      .groupBy(keyCol, "token")
+      .agg(count(lit(1)).as("cnt"), max("t").as("__t"))
+      .filter(col("cnt") >= col("__t"))
+      .drop("__t")
+  }
+
   /** The exact verify pass both heavy-hitter shapes end in: count ONLY
     * the ≤ m sketch candidates (literal isin — the aggregation Exchange
     * moves candidate occurrences, never the vocabulary) and keep those
@@ -252,21 +292,53 @@ object CorpusStats {
         .agg(graft.functions.expressions.BottomKDistinctAgg
           .of(hash60(col("token")), k).as("sk")), k)
 
-  /** The estimate tail over a one-row DataFrame holding the sketch array
-    * `sk` (ascending) — shared by the batch scan and the ingestion fold
-    * so the double dag cannot diverge between them: (k−1)·2⁶⁰ (exact —
-    * small int × power of two) then one correctly-rounded division by
-    * h₍k₎.
+  /** The estimate tail over a frame holding the sketch array `sk`
+    * (ascending) — ONE column dag shared by the batch scan, the GROUPED
+    * scan and the ingestion fold so the double arithmetic cannot diverge
+    * between them: (k−1)·2⁶⁰ (exact — small int × power of two) then one
+    * correctly-rounded division by h₍k₎.
     */
+  private def kmvReportCols(k: Int): Seq[org.apache.spark.sql.Column] = Seq(
+    lit(k).as("k_cap"),
+    size(col("sk")).cast("long").as("sketch_size"),
+    when(size(col("sk")) > 0, element_at(col("sk"), -1))
+      .otherwise(lit(0L)).as("kth_hash"),
+    when(size(col("sk")) < k, size(col("sk")).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(KmvHashRange) /
+        element_at(col("sk"), -1).cast("double"))
+      .as("est_distinct"))
+
   private def kmvReport(sk: DataFrame, k: Int): DataFrame =
-    sk.select(lit(k).as("k_cap"),
-      size(col("sk")).cast("long").as("sketch_size"),
-      when(size(col("sk")) > 0, element_at(col("sk"), -1))
-        .otherwise(lit(0L)).as("kth_hash"),
-      when(size(col("sk")) < k, size(col("sk")).cast("double"))
-        .otherwise(lit((k - 1).toDouble) * lit(KmvHashRange) /
-          element_at(col("sk"), -1).cast("double"))
-        .as("est_distinct"))
+    sk.select(kmvReportCols(k): _*)
+
+  /** Sketch budget for the GROUPED cardinality profile: per-group type
+    * counts are corpus-count divided by the group fan-out, so the grouped
+    * row runs a smaller k than the corpus-wide [[KmvK]] to keep the
+    * estimator path (not just the exact small-cardinality identity)
+    * live per group. 32 minima ≈ 18% expected relative error at 256 B of
+    * state per group — the profiling operating point, where the answer
+    * drives mixing weights, not billing.
+    */
+  val KmvGroupK: Int = 32
+
+  /** GROUPED KMV — one distinct-type estimate per key (per-source,
+    * per-language): the same one-scan bottom-k-distinct fold keyed by the
+    * group, so the aggregation output is O(groups·k) and the vocabulary
+    * still never shuffles (contrast a per-group `vocabulary` pass: every
+    * distinct (group, type) pair through the Exchange). Each group's
+    * sketch is independently a pure function of that group's token set —
+    * the grouped oracle re-derives every row with a per-group
+    * row_number ≤ k — and groups below k distinct types take the exact
+    * identity path while larger ones estimate, per group, with the
+    * crossover at k.
+    */
+  def distinctKmvBy(corpus: DataFrame, keyCol: String, textCol: String,
+      k: Int = KmvGroupK): DataFrame =
+    corpus.select(col(keyCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(keyCol)
+      .agg(graft.functions.expressions.BottomKDistinctAgg
+        .of(hash60(col("token")), k).as("sk"))
+      .select(col(keyCol) +: kmvReportCols(k): _*)
 
   /** INCREMENTAL KMV — cardinality profiling at ingest: each micro-batch
     * folds its token hashes into a distributed ≤ k-entry sketch (one
@@ -321,6 +393,120 @@ object CorpusStats {
     val s = scala.collection.mutable.TreeSet.empty[Long]
     while (bb.hasRemaining) s.add(bb.getLong)
     s
+  }
+
+  /** KMV corpus-overlap estimation — union size, Jaccard and
+    * intersection size of two corpora's token-type SETS from two bounded
+    * sketches, with NO join between the corpora (Beyer et al. SIGMOD'07
+    * §5: the k smallest hashes of A ∪ B are computable from the two
+    * per-side sketches, and the fraction ρ/k_U of them present in BOTH
+    * sides estimates the Jaccard similarity; intersection = Jaccard ·
+    * union). The exact alternative is a full vocabulary-vs-vocabulary
+    * anti/semi join — two type-keyed shuffles of every distinct token in
+    * each corpus; this is one aggregation ROW per side: both sketches
+    * fold in a single pass over the tagged union of the two token
+    * streams (the side tag routes each hash to its sketch via the
+    * aggregate's null-skip — no second scan, no join at any point).
+    *
+    * Every output is deterministic: the per-side sketches are pure
+    * functions of the token sets, the union sketch is the k smallest of
+    * their union (computed as pure column work over the one row —
+    * array_union/sort/slice), ρ is set arithmetic over those arrays, and
+    * the estimates are the same fixed IEEE dags as [[distinctKmv]] — so
+    * a DuckDB oracle re-derives sketches, ρ and all five estimates
+    * bit-identically. The use cases are the cross-CORPUS questions a
+    * training-data pipeline asks before mixing: how much does a new
+    * crawl overlap the existing corpus, did two sources scrape the same
+    * site, is a benchmark's vocabulary disjoint from the training mix.
+    */
+  def corpusOverlapKmv(a: DataFrame, b: DataFrame, textCol: String,
+      k: Int = KmvK): DataFrame = {
+    def side(df: DataFrame, tag: Int) =
+      df.select(explode(tokens(col(textCol))).as("token"))
+        .select(hash60(col("token")).as("h"), lit(tag).as("side"))
+    overlapReport(side(a, 1).unionByName(side(b, 2)).agg(
+      graft.functions.expressions.BottomKDistinctAgg
+        .of(when(col("side") === 1, col("h")), k).as("ska"),
+      graft.functions.expressions.BottomKDistinctAgg
+        .of(when(col("side") === 2, col("h")), k).as("skb")), k)
+  }
+
+  /** The overlap estimate tail over a one-row frame bearing the two
+    * per-side sketch arrays `ska`/`skb` (ascending) — shared by the
+    * batch scan and the ingestion fold. Union sketch = k smallest of the
+    * merged retained sets (the bottom-k identity makes that THE sketch
+    * of A ∪ B); ρ = how many of those are retained by BOTH sides. All
+    * double arithmetic is the [[distinctKmv]] estimator dag plus one
+    * guarded division (ρ/k_U) and one product (Jaccard · union).
+    */
+  private[text] def overlapReport(row: DataFrame, k: Int): DataFrame = {
+    def est(sk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(size(sk) < k, size(sk).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(KmvHashRange) /
+          element_at(sk, -1).cast("double"))
+    val withU = row
+      .withColumn("u", slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
+      .withColumn("ku", size(col("u")).cast("long"))
+      .withColumn("rho",
+        size(array_intersect(array_intersect(col("u"), col("ska")),
+          col("skb"))).cast("long"))
+    val jac = when(col("ku") === 0, lit(0.0))
+      .otherwise(col("rho").cast("double") / col("ku").cast("double"))
+    withU.select(
+      lit(k).as("k_cap"),
+      size(col("ska")).cast("long").as("size_a"),
+      size(col("skb")).cast("long").as("size_b"),
+      col("ku").as("union_size"),
+      col("rho").as("shared_in_union"),
+      est(col("ska")).as("est_a"),
+      est(col("skb")).as("est_b"),
+      est(col("u")).as("est_union"),
+      jac.as("jaccard_est"),
+      (jac * est(col("u"))).as("est_intersection"))
+  }
+
+  /** [[corpusOverlapKmv]] AT INGESTION — the overlap monitor a pipeline
+    * runs while a new crawl streams in ("how much of this is already in
+    * the corpus?"): the REFERENCE side's sketch derives offline from the
+    * archived corpus (one aggregation row, computed once), the stream
+    * side folds per micro-batch into O(k) driver state exactly as
+    * [[distinctKmvIngest]] (one ≤ k-entry aggregation row per trigger,
+    * merged with the sketch's own combine, [[graft.streaming.
+    * DriverFold]]-persisted — restart resumes without double-folding).
+    * Output ≡ the batch report over (ingested, reference), shared tail,
+    * shared oracle.
+    */
+  def corpusOverlapKmvIngest(stream: DataFrame, reference: DataFrame,
+      textCol: String, k: Int = KmvK,
+      onBatch: Int => Unit = _ => (),
+      checkpoint: Option[String] = None,
+      stateDir: Option[String] = None)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import graft.streaming.DriverFold
+    val resumed = stateDir.flatMap(DriverFold.loadLatest)
+    val sketch = resumed.map(r => kmvDecode(r._2))
+      .getOrElse(scala.collection.mutable.TreeSet.empty[Long])
+    var lastBatch = resumed.map(_._1).getOrElse(-1L)
+    DriverFold.run(
+      stream.select(explode(tokens(col(textCol))).as("token")),
+      (batch, batchId) => {
+        if (batchId > lastBatch) {
+          val arr = batch.agg(graft.functions.expressions.BottomKDistinctAgg
+            .of(hash60(col("token")), k).as("sk")).head().getSeq[Long](0)
+          arr.foreach(
+            graft.functions.expressions.BottomKDistinctAgg.add(sketch, _, k))
+          lastBatch = batchId
+          stateDir.foreach(d =>
+            DriverFold.save(d, batchId, kmvEncode(sketch)))
+        }
+        onBatch(sketch.size)
+      },
+      checkpoint)
+    val skb = reference.select(explode(tokens(col(textCol))).as("token"))
+      .agg(graft.functions.expressions.BottomKDistinctAgg
+        .of(hash60(col("token")), k).as("sk")).head().getSeq[Long](0)
+    import spark.implicits._
+    overlapReport(Seq((sketch.toSeq, skb)).toDF("ska", "skb"), k)
   }
 
   /** (token, df): document frequency of every distinct token — the number

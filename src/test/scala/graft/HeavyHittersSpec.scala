@@ -138,4 +138,33 @@ class HeavyHittersSpec extends AnyFunSuite {
     // N = 1000, m = 8 → T = 112: alpha (200) and beta (150) qualify
     assert(a.map(_.head) == Seq("alpha", "beta"))
   }
+
+  test("grouped head: exact per-group thresholds, no cross-group bleed, partitioning-invariant") {
+    import spark.implicits._
+    // g0: 40 'hot' + 60 fillers (N=100, m=4 → T=21) → {hot: 40}
+    // g1: 'hot' only 10× + 50 'cold' + 40 fillers (T=21) → {cold: 50} —
+    //     'hot' is heavy in g0 but must NOT leak into g1's head
+    // g2: 30 uniques (T=7) → empty head
+    val rows =
+      (Seq.fill(40)(("g0", "hot")) ++ (1 to 60).map(i => ("g0", s"f0_$i")) ++
+       Seq.fill(10)(("g1", "hot")) ++ Seq.fill(50)(("g1", "cold")) ++
+         (1 to 40).map(i => ("g1", s"f1_$i")) ++
+       (1 to 30).map(i => ("g2", s"f2_$i")))
+    val docs = rows.zipWithIndex
+      .map { case ((g, t), i) => (i.toLong, g, t) }.toDF("doc_id", "grp", "text")
+    def head(parts: Int) = CorpusStats.heavyHittersBy(
+        docs.repartition(parts), "grp", "text", m = 4)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = head(1)
+    assert(got == Map(("g0", "hot") -> 40L, ("g1", "cold") -> 50L))
+    assert(head(17) == got, "grouped head must be partitioning-invariant")
+    // and the grouped operator agrees with the ungrouped one per slice
+    for (g <- Seq("g0", "g1", "g2")) {
+      val slice = CorpusStats.heavyHitters(
+          docs.filter(col("grp") === g), "text", m = 4)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val mine = got.collect { case ((`g`, t), c) => t -> c }.toMap
+      assert(mine == slice, s"group $g must match its own slice")
+    }
+  }
 }

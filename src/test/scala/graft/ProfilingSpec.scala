@@ -233,4 +233,94 @@ class ProfilingSpec extends AnyFunSuite {
       assert(resumed == want, "resumed quantiles must equal the batch profile")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
+
+  // ---------- grouped KMV ----------
+
+  test("grouped KMV equals the ungrouped sketch run per slice") {
+    import spark.implicits._
+    val docs = (1 to 600).map { i =>
+      (i.toLong, s"g${i % 3}", s"w${i % 50} u$i")
+    }.toDF("doc_id", "grp", "text")
+    val grouped = CorpusStats.distinctKmvBy(docs, "grp", "text", k = 64)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val slice = CorpusStats.distinctKmv(
+        docs.filter(col("grp") === g), "text", k = 64).head().toSeq
+      assert(grouped(g) == slice, s"group $g must match its own slice")
+    }
+    // partitioning invariance rides on the per-group slice equality
+    val reparted = CorpusStats.distinctKmvBy(docs.repartition(13), "grp",
+      "text", k = 64).collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(reparted == grouped)
+  }
+
+  // ---------- KMV corpus overlap ----------
+
+  test("overlap report by hand: below k everything is exact") {
+    import spark.implicits._
+    // A types {a,b,c,xx}, B types {b,c,yy,zz} → union 6, shared 2
+    val a = Seq((1L, "a b c"), (2L, "xx b")).toDF("doc_id", "text")
+    val b = Seq((1L, "b c yy"), (2L, "zz c")).toDF("doc_id", "text")
+    val r = CorpusStats.corpusOverlapKmv(a, b, "text", k = 256).head()
+    assert(r.getLong(1) == 4L && r.getLong(2) == 4L, "per-side sizes")
+    assert(r.getLong(3) == 6L, "union size")
+    assert(r.getLong(4) == 2L, "shared-in-union = |{b, c}|")
+    assert(r.getDouble(5) == 4.0 && r.getDouble(6) == 4.0 &&
+      r.getDouble(7) == 6.0, "below k the estimates are the exact sizes")
+    assert(r.getDouble(8) == 2.0 / 6.0, "jaccard = rho / ku exactly")
+    assert(r.getDouble(9) == (2.0 / 6.0) * 6.0, "intersection = jaccard * union")
+  }
+
+  test("overlap estimator: 20% true Jaccard lands in the theory band") {
+    import spark.implicits._
+    // A = shared + a-only (30k types each side, 10k shared): true
+    // J = 10000/50000 = 0.2. k = 256 → expected rel error ~1/sqrt(k)
+    // on each estimate; the draw is deterministic (md5), so the band
+    // checks a fixed property, not luck.
+    val a = (1 to 30000).map(i =>
+      (i.toLong, if (i <= 10000) s"s$i" else s"a$i")).toDF("doc_id", "text")
+    val b = (1 to 30000).map(i =>
+      (i.toLong, if (i <= 10000) s"s$i" else s"b$i")).toDF("doc_id", "text")
+    val r = CorpusStats.corpusOverlapKmv(a, b, "text").head()
+    val jac = r.getDouble(8); val inter = r.getDouble(9); val uni = r.getDouble(7)
+    assert(math.abs(uni - 50000.0) / 50000.0 < 0.2, s"union est $uni")
+    assert(math.abs(jac - 0.2) < 0.08, s"jaccard est $jac")
+    assert(math.abs(inter - 10000.0) / 10000.0 < 0.45, s"intersection est $inter")
+  }
+
+  test("overlap ingestion fold equals the batch report; crash resumes exactly") {
+    import spark.implicits._
+    implicit val sp = spark
+    val aDocs = (1 to 2000).map(i =>
+      (i.toLong, if (i % 2 == 0) s"s${i / 2} w${i % 97}" else s"a$i")).toDF("doc_id", "text")
+    val bDocs = (1 to 1500).map(i =>
+      (i.toLong, if (i % 3 == 0) s"s${i / 3}" else s"b$i")).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-ovl").toString
+    try {
+      aDocs.repartition(5).write.mode("overwrite").parquet(s"$root/in")
+      def stream = spark.readStream.schema(aDocs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      val want = CorpusStats.corpusOverlapKmv(
+        spark.read.parquet(s"$root/in"), bDocs, "text").head().toSeq
+      val got = CorpusStats.corpusOverlapKmvIngest(stream, bDocs, "text")
+        .head().toSeq
+      assert(got == want, "ingested overlap must equal the batch report")
+      var calls = 0
+      val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        CorpusStats.corpusOverlapKmvIngest(stream, bDocs, "text",
+          onBatch = _ => {
+            calls += 1
+            if (calls == 2) throw new RuntimeException("injected crash after fold")
+            ()
+          },
+          checkpoint = Some(s"$root/ckpt"), stateDir = Some(s"$root/state"))
+      }
+      assert(crashed.getMessage.contains("injected crash") ||
+        crashed.getCause.getMessage.contains("injected crash"))
+      val resumed = CorpusStats.corpusOverlapKmvIngest(stream, bDocs, "text",
+          checkpoint = Some(s"$root/ckpt"), stateDir = Some(s"$root/state"))
+        .head().toSeq
+      assert(resumed == want, "resumed overlap must equal the batch report")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
 }
