@@ -203,6 +203,127 @@ object Profiling {
       keyCol, width, percents)
   }
 
+  /** Distribution-DRIFT scoring by Population Stability Index — the
+    * standard production monitor for "has this slice's distribution
+    * moved away from the baseline": PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i)
+    * over the same fixed-width histogram the quantile profile uses, p =
+    * the slice's bin shares, q = the baseline's. PSI < 0.1 is
+    * conventionally "no shift", > 0.25 "major shift"; here the score is
+    * emitted quantized (Σ floor(10⁹·term), an ORDER-FREE integer sum —
+    * the engine's determinism convention for float accumulations) so
+    * psi_q/10⁹ is the PSI.
+    *
+    * Determinism end to end: counts are exact integers; add-one
+    * smoothing ((c+1)/(N+B)) keeps every share strictly positive with no
+    * conditional branches; the logarithm is the portable
+    * correctly-rounded dag ([[graft.functions.PortableLog]], the same
+    * one the LM/DSIR rows replay), and each per-bin term is a fixed
+    * sequence of IEEE ops — so a DuckDB oracle re-derives every PSI
+    * bit-identically. Scale: the whole computation happens AFTER the
+    * histogram aggregation — O(groups·B) rows of pure column work; the
+    * corpus is touched by exactly one map-side-combined scan.
+    *
+    * `byKey` is the (key, bin, cnt) slice histogram, `base` the
+    * (bin, cnt) baseline. The key set is collected (a policy-dimension
+    * reduction, as the mixer's source set) to build the key×bin grid by
+    * exploding a literal — slices missing a baseline bin contribute the
+    * smoothed floor for it, which is what charges a slice for mass it
+    * does NOT have where the baseline does. Baseline bins are a superset
+    * of slice bins whenever the baseline aggregates the slices; bins
+    * outside the baseline's support are absent from the grid by
+    * construction.
+    */
+  def psiReport(byKey: DataFrame, base: DataFrame, keyCol: String): DataFrame = {
+    import graft.functions.PortableLog
+    val keys = byKey.select(col(keyCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val baseW = base.withColumnRenamed("cnt", "cb")
+      .withColumn("nb", sum("cb").over(w))
+      .withColumn("b", count(lit(1)).over(w))
+    val grid = baseW.withColumn(keyCol, explode(typedLit(keys)))
+    val ns = byKey.groupBy(keyCol).agg(sum("cnt").as("ns"))
+    val joined = grid
+      .join(broadcast(ns), keyCol)
+      .join(broadcast(byKey.withColumnRenamed("cnt", "cs")),
+        Seq(keyCol, "bin"), "left")
+      .withColumn("cs", coalesce(col("cs"), lit(0L)))
+    val p = (col("cs") + lit(1L)).cast("double") /
+      (col("ns") + col("b")).cast("double")
+    val q = (col("cb") + lit(1L)).cast("double") /
+      (col("nb") + col("b")).cast("double")
+    val term = (p - q) * PortableLog.plogCol(p / q)
+    joined
+      .select(col(keyCol), col("b"),
+        floor(lit(1.0e9) * term).cast("long").as("tq"))
+      .groupBy(keyCol)
+      .agg(max("b").as("n_bins"), sum("tq").as("psi_q"))
+  }
+
+  /** Per-key character-length drift vs the corpus marginal: ONE corpus
+    * scan builds the keyed histogram; the baseline is its bin marginal
+    * (a re-aggregation of the O(groups·B) table, not a second scan), so
+    * the row answers "which sources' length distributions deviate from
+    * the corpus mixture". */
+  def lengthDriftPsi(corpus: DataFrame, keyCol: String, textCol: String,
+      width: Long = LengthBinWidth): DataFrame = {
+    val byKey = graft.Caches.track(
+      corpus.select(col(keyCol), length(col(textCol)).cast("long").as("v"))
+        .selectExpr(keyCol, s"v div $width AS bin")
+        .groupBy(keyCol, "bin").agg(count(lit(1)).as("cnt")))
+    psiReport(byKey, byKey.groupBy("bin").agg(sum("cnt").as("cnt")), keyCol)
+  }
+
+  /** [[lengthDriftPsi]] AT INGESTION — the crawl-drift monitor: the
+    * baseline histogram derives OFFLINE from the archived reference
+    * corpus, the stream folds its keyed histogram per batch into the
+    * O(groups·B) `DriverFold`-persisted map (the
+    * [[lengthQuantilesByIngest]] fold verbatim), and the PSI tail runs
+    * the same shared column dag — so streaming the archive itself
+    * reproduces the batch row exactly (shared oracle), and in production
+    * the stream side is the new crawl scored against the corpus.
+    */
+  def lengthDriftPsiIngest(stream: DataFrame, reference: DataFrame,
+      keyCol: String, textCol: String,
+      width: Long = LengthBinWidth,
+      onBatch: Int => Unit = _ => (),
+      checkpoint: Option[String] = None,
+      stateDir: Option[String] = None)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import graft.streaming.DriverFold
+    val resumed = stateDir.flatMap(DriverFold.loadLatest)
+    val bins = resumed.map(r => decodeKeyedBins(r._2))
+      .getOrElse(scala.collection.mutable.HashMap.empty[(String, Long), Long])
+    var lastBatch = resumed.map(_._1).getOrElse(-1L)
+    DriverFold.run(
+      stream.select(col(keyCol).cast("string").as("k"),
+        length(col(textCol)).cast("long").as("v")),
+      (batch, batchId) => {
+        if (batchId > lastBatch) {
+          batch.selectExpr("k", s"v div $width AS bin")
+            .groupBy("k", "bin").agg(count(lit(1)).as("cnt"))
+            .collect().foreach { r =>
+              val key = (r.getString(0), r.getLong(1))
+              bins.update(key, bins.getOrElse(key, 0L) + r.getLong(2))
+            }
+          lastBatch = batchId
+          stateDir.foreach(d =>
+            DriverFold.save(d, batchId, encodeKeyedBins(bins)))
+        }
+        onBatch(bins.size)
+      },
+      checkpoint)
+    import spark.implicits._
+    val byKey = bins.toSeq.map { case ((k, b), c) => (k, b, c) }
+      .toDF(keyCol, "bin", "cnt")
+    val base = reference
+      .select(length(col(textCol)).cast("long").as("v"))
+      .selectExpr(s"v div $width AS bin")
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    psiReport(byKey, base, keyCol)
+  }
+
   private def encodeKeyedBins(
       m: scala.collection.mutable.HashMap[(String, Long), Long]): Array[Byte] = {
     val items = m.toArray.map { case ((k, b), c) =>

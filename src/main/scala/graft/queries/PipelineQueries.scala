@@ -1787,6 +1787,45 @@ object PipelineQueries {
     FROM sa, sb, su, r"""
   }
 
+  /** Drift plant: one source's documents double in length, so its PSI
+    * visibly dominates the near-uniform background sources. */
+  private[queries] def driftPlant(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+      when(col("source") === "src7", concat(col("text"), col("text")))
+        .otherwise(col("text")).as("text"))
+
+  /** PSI drift oracle: same histogram, same add-one smoothing, same
+    * portable-log dag staged through CTE columns (the LM-oracle
+    * convention), same order-free quantized integer sum. */
+  private[queries] val driftPsiOracleSql: String = {
+    val w = graft.pipeline.Profiling.LengthBinWidth
+    import graft.functions.PortableLog
+    s"""
+    WITH m AS (SELECT source,
+                 CASE WHEN source = 'src7' THEN text || text ELSE text END AS text
+               FROM ${Q.DocsRef}),
+    v AS (SELECT source, length(text) AS v FROM m),
+    bk AS (SELECT source, v // $w AS bin, count(*) AS cnt FROM v GROUP BY 1, 2),
+    base AS (SELECT bin, sum(cnt) AS cb FROM bk GROUP BY 1),
+    tot AS (SELECT sum(cb) AS nb, count(*) AS b FROM base),
+    ns AS (SELECT source, sum(cnt) AS ns FROM bk GROUP BY 1),
+    srcs AS (SELECT DISTINCT source FROM bk),
+    grid AS (SELECT srcs.source, base.bin, base.cb FROM srcs CROSS JOIN base),
+    j AS (SELECT g.source, g.cb, ns.ns, COALESCE(bk.cnt, 0) AS cs, tot.nb, tot.b
+          FROM grid g JOIN ns ON ns.source = g.source
+          LEFT JOIN bk ON bk.source = g.source AND bk.bin = g.bin, tot),
+    x AS (SELECT source, b, CAST(cs + 1 AS DOUBLE) / CAST(ns + b AS DOUBLE) AS p,
+                 CAST(cb + 1 AS DOUBLE) / CAST(nb + b AS DOUBLE) AS q FROM j),
+    y0 AS (SELECT source, b, p, q, p / q AS r FROM x),
+    y1 AS (SELECT source, b, p, q, ${PortableLog.sqrtNestSql("r")} AS y FROM y0),
+    y2 AS (SELECT source, b, p, q, ${PortableLog.zSql("y")} AS z FROM y1),
+    t AS (SELECT source, b,
+            CAST(floor(1.0e9 * ((p - q) * ${PortableLog.seriesSql("z")})) AS BIGINT) AS tq
+          FROM y2)
+    SELECT source, max(b) AS n_bins, CAST(sum(tq) AS BIGINT) AS psi_q
+    FROM t GROUP BY source ORDER BY source"""
+  }
+
   /** The two overlap sides: disjoint halves of the corpus, each planted
     * with side-unique tokens so the type sets share the base vocabulary
     * but not the plants — a Jaccard strictly inside (0, 1) that makes
@@ -2725,6 +2764,20 @@ object PipelineQueries {
         Tables.documents(s, dir), "source", "text")
         .orderBy("source", "pct"),
       Some(sourceLengthQuantilesOracleSql)),
+
+    // distribution-DRIFT scoring by Population Stability Index — "which
+    // sources' length distributions deviate from the corpus mixture":
+    // PSI = Σ_bins (p−q)·ln(p/q) over the same fixed-width histogram,
+    // quantized per bin then an order-free integer sum; the logarithm is
+    // the portable dag, so the oracle replays every score exactly. The
+    // drift plant doubles src7's lengths — its psi_q dominates the
+    // near-uniform background by construction. Everything after the one
+    // histogram scan is O(groups·bins) column work.
+    Q("pipeline_source_drift_psi",
+      (s, dir) => graft.pipeline.Profiling.lengthDriftPsi(
+        driftPlant(Tables.documents(s, dir)), "source", "text")
+        .orderBy("source"),
+      Some(driftPsiOracleSql)),
 
     // RefinedWeb-style line-wise correction: drop boilerplate/navigation
     // lines and short fragments inside each document, reassemble, report

@@ -1009,6 +1009,23 @@ object StreamingQueries {
       },
       Some(PipelineQueries.sourceLengthQuantilesOracleSql)),
 
+    // PSI drift AT INGESTION — the crawl-drift monitor: the baseline
+    // histogram derives offline from the archived corpus, the stream
+    // folds its (source, bin) histogram per batch into the
+    // DriverFold-persisted keyed map, and the PSI tail is the shared
+    // column dag — streaming the archive reproduces the batch row
+    // exactly (shared oracle); in production the stream is the new
+    // crawl scored against the corpus.
+    Q("stream_pipeline_source_drift_psi",
+      (s, dir) => {
+        implicit val sp = s
+        graft.pipeline.Profiling.lengthDriftPsiIngest(
+          PipelineQueries.driftPlant(StreamSources.documents(s, dir)),
+          PipelineQueries.driftPlant(graft.Tables.documents(s, dir)),
+          "source", "text").orderBy("source")
+      },
+      Some(PipelineQueries.driftPsiOracleSql)),
+
     // corpus-frequency scoring AT INGESTION — the CCNet deployment split
     // for df statistics: the vocabulary (token → document frequency)
     // derives OFFLINE from the archived corpus, the stream probes it as

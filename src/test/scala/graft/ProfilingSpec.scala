@@ -234,6 +234,79 @@ class ProfilingSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  // ---------- PSI drift ----------
+
+  test("PSI report replays by hand; identical slice scores ~0, drifted slice dominates") {
+    import spark.implicits._
+    import graft.functions.PortableLog
+    // two identical big slices pin the marginal near their own mixture;
+    // the small all-high-bin slice is the planted drift. Bins via
+    // width=10 over planted lengths.
+    val docs = (
+      (1 to 40).map(i => ("a", "x" * (if (i <= 20) 5 else 15))) ++
+      (1 to 40).map(i => ("b", "x" * (if (i <= 20) 5 else 15))) ++
+      (1 to 10).map(_ => ("drift", "x" * 15))
+    ).zipWithIndex.map { case ((g, t), i) => (i.toLong, g, t) }
+      .toDF("doc_id", "grp", "text")
+    val got = Profiling.lengthDriftPsi(docs, "grp", "text", width = 10L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // independent driver-side replay of the whole dag
+    val byKey = Map(("a", 0L) -> 20L, ("a", 1L) -> 20L,
+      ("b", 0L) -> 20L, ("b", 1L) -> 20L, ("drift", 1L) -> 10L)
+    val base = Map(0L -> 40L, 1L -> 50L)
+    val (bCnt, nb) = (base.size.toLong, base.values.sum)
+    def psi(g: String): Long = {
+      val ns = byKey.collect { case ((`g`, _), c) => c }.sum
+      base.toSeq.sortBy(_._1).map { case (bin, cb) =>
+        val p = (byKey.getOrElse((g, bin), 0L) + 1L).toDouble / (ns + bCnt).toDouble
+        val q = (cb + 1L).toDouble / (nb + bCnt).toDouble
+        math.floor(1.0e9 * ((p - q) * PortableLog.plog(p / q))).toLong
+      }.sum
+    }
+    assert(got == Map("a" -> ((2L, psi("a"))), "b" -> ((2L, psi("b"))),
+      "drift" -> ((2L, psi("drift")))))
+    // the marginal sits at the big slices' mixture, so they score low
+    // and the planted slice dominates by an order of magnitude
+    assert(got("drift")._2 > 4L * math.max(1L, got("a")._2.abs))
+    assert(got("a")._2 == got("b")._2, "identical slices score identically")
+  }
+
+  test("PSI ingestion fold equals the batch report; crash resumes exactly") {
+    import spark.implicits._
+    implicit val sp = spark
+    val docs = (1 to 900).map { i =>
+      (i.toLong, s"g${i % 3}", "x" * (20 + (i % 7) * 30 + (i % 3) * 40))
+    }.toDF("doc_id", "grp", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-psi").toString
+    try {
+      docs.repartition(5).write.mode("overwrite").parquet(s"$root/in")
+      def stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      val batchDocs = spark.read.parquet(s"$root/in")
+      val want = Profiling.lengthDriftPsi(batchDocs, "grp", "text")
+        .orderBy("grp").collect().map(_.toSeq).toSeq
+      val got = Profiling.lengthDriftPsiIngest(stream, batchDocs, "grp", "text")
+        .orderBy("grp").collect().map(_.toSeq).toSeq
+      assert(got == want, "ingested PSI must equal the batch report")
+      var calls = 0
+      val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        Profiling.lengthDriftPsiIngest(stream, batchDocs, "grp", "text",
+          onBatch = _ => {
+            calls += 1
+            if (calls == 2) throw new RuntimeException("injected crash after fold")
+            ()
+          },
+          checkpoint = Some(s"$root/ckpt"), stateDir = Some(s"$root/state"))
+      }
+      assert(crashed.getMessage.contains("injected crash") ||
+        crashed.getCause.getMessage.contains("injected crash"))
+      val resumed = Profiling.lengthDriftPsiIngest(stream, batchDocs, "grp",
+          "text", checkpoint = Some(s"$root/ckpt"), stateDir = Some(s"$root/state"))
+        .orderBy("grp").collect().map(_.toSeq).toSeq
+      assert(resumed == want, "resumed PSI must equal the batch report")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   // ---------- grouped KMV ----------
 
   test("grouped KMV equals the ungrouped sketch run per slice") {
