@@ -217,6 +217,117 @@ object Mixing {
     state.toSeq.map { case (h, id) => (id, h) }.toDF(idCol, "sample_h")
   }
 
+  /** WEIGHTED sampling without replacement — Efraimidis–Spirakis A-ES
+    * (IPL 2006) at the engine's determinism standard: each row draws
+    * u ∈ (0, 1] from its id's portable 60-bit hash (u = (h+1)/2⁶⁰ —
+    * cast, add, power-of-two divide, each correctly rounded), ranks by
+    * es_key = ln(u)/w (the log of the paper's u^(1/w), monotone-
+    * equivalent; ln is the portable [[graft.functions.PortableLog]]
+    * dag), and the k LARGEST keys (ties by id) are the sample —
+    * inclusion probability proportional to weight, exactly-k rows,
+    * without replacement, and a pure function of (id set, weights):
+    * stable across runs, engines and partitionings, re-derivable by the
+    * oracle through the same staged dag. This is the quality-weighted
+    * complement of [[bottomKSample]] (which is the w ≡ 1 special case up
+    * to key transform): "sample 10k docs for human eval, proportional to
+    * quality score / length / mixing weight".
+    *
+    * Plans as TakeOrderedAndProject over pure column work — per-
+    * partition local top-k, ≤ k rows per partition move, no global sort,
+    * no shuffle of the corpus. Weights must be strictly positive (the
+    * key divides by w; w ≤ 0 would flip the ranking), enforced by a
+    * filter so zero-weight rows are simply never sampled — the paper's
+    * own convention.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive: $k")
+    val u = (graft.functions.GraftFunctions.hash60(col(idCol)).cast("double") +
+      lit(1.0)) / lit(1152921504606846976L.toDouble)
+    df.filter(weightCol > lit(0))
+      .withColumn("es_key",
+        graft.functions.PortableLog.plogCol(u) / weightCol.cast("double"))
+      .orderBy(col("es_key").desc, col(idCol)).limit(k)
+  }
+
+  /** [[weightedSample]] AT INGESTION — a continuously-valid exact-k
+    * weighted sample of everything ingested: per trigger the batch's
+    * local top-k by (es_key desc, id) — ≤ k rows to the driver — merges
+    * into capped driver state under the same total order, which by the
+    * top-k merge identity (topK(A ∪ B) = topK(topK(A) ∪ topK(B))) IS
+    * the batch sample of the ingested corpus. State carries
+    * (es_key, id, weight) — O(k) · 24 bytes however long the stream
+    * runs; the payload re-fetches from the archive by id, as the
+    * unweighted twin. [[graft.streaming.DriverFold]]-persisted:
+    * restart resumes without re-drawing.
+    */
+  def weightedSampleIngest(stream: DataFrame, idCol: String,
+      weightCol: Column, k: Int,
+      onBatch: Int => Unit = _ => (),
+      checkpoint: Option[String] = None,
+      stateDir: Option[String] = None)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import graft.streaming.DriverFold
+    require(k > 0, s"sample size must be positive: $k")
+    // ascending-first element = the WORST retained row: (-es_key, id)
+    // ascending puts the largest key first in reverse, so keep the set
+    // ordered by (-key, id) and evict from the END (`last` = smallest
+    // key, the sample's boundary row)
+    implicit val ord: Ordering[(Double, Long, Double)] =
+      Ordering.by { case (key, id, _) => (-key, id) }
+    val resumed = stateDir.flatMap(DriverFold.loadLatest)
+    val state = resumed.map(r => decodeWeighted(r._2))
+      .getOrElse(scala.collection.mutable.TreeSet.empty[(Double, Long, Double)])
+    var lastBatch = resumed.map(_._1).getOrElse(-1L)
+    val u = (graft.functions.GraftFunctions.hash60(col(idCol)).cast("double") +
+      lit(1.0)) / lit(1152921504606846976L.toDouble)
+    DriverFold.run(
+      stream.filter(weightCol > lit(0)).select(col(idCol).cast("long").as("id"),
+        weightCol.cast("double").as("w"),
+        (graft.functions.PortableLog.plogCol(u) / weightCol.cast("double"))
+          .as("es_key")),
+      (batch, batchId) => {
+        if (batchId > lastBatch) {
+          batch.orderBy(col("es_key").desc, col("id")).limit(k).collect()
+            .foreach { r =>
+              val t = (r.getDouble(2), r.getLong(0), r.getDouble(1))
+              if (state.size < k) state.add(t)
+              else if (ord.lt(t, state.last) && state.add(t))
+                state.remove(state.last)
+            }
+          lastBatch = batchId
+          stateDir.foreach(d =>
+            DriverFold.save(d, batchId, encodeWeighted(state)))
+        }
+        onBatch(state.size)
+      },
+      checkpoint)
+    import spark.implicits._
+    state.toSeq.map { case (key, id, w) => (id, w, key) }
+      .toDF(idCol, "w", "es_key")
+  }
+
+  private def encodeWeighted(
+      s: scala.collection.mutable.TreeSet[(Double, Long, Double)]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(24 * s.size)
+    s.foreach { case (key, id, w) =>
+      bb.putLong(java.lang.Double.doubleToLongBits(key)); bb.putLong(id)
+      bb.putLong(java.lang.Double.doubleToLongBits(w))
+    }
+    bb.array()
+  }
+
+  private def decodeWeighted(bytes: Array[Byte])(
+      implicit ord: Ordering[(Double, Long, Double)])
+      : scala.collection.mutable.TreeSet[(Double, Long, Double)] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val s = scala.collection.mutable.TreeSet.empty[(Double, Long, Double)]
+    while (bb.hasRemaining)
+      s.add((java.lang.Double.longBitsToDouble(bb.getLong), bb.getLong,
+        java.lang.Double.longBitsToDouble(bb.getLong)))
+    s
+  }
+
   private def encodePairs(s: scala.collection.mutable.TreeSet[(Long, Long)]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(16 * s.size)
     s.foreach { case (h, id) => bb.putLong(h); bb.putLong(id) }

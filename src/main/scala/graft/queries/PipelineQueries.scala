@@ -1848,6 +1848,26 @@ object PipelineQueries {
       FROM ${Q.DocsRef} ORDER BY h, doc_id LIMIT ${BottomKSampleSize})
     ORDER BY doc_id"""
 
+  /** Weighted-sample oracle: the same Efraimidis–Spirakis keys through
+    * the staged portable-log dag, the same (key DESC, id) order
+    * statistics — literally ORDER BY ... LIMIT k. */
+  private[queries] val weightedSampleOracleSql: String = {
+    import graft.functions.PortableLog
+    s"""
+    WITH h AS (SELECT doc_id, n_chars, ${DuckSql.hash60("doc_id")} AS hh
+               FROM ${Q.DocsRef}),
+    u0 AS (SELECT doc_id, n_chars,
+             (CAST(hh AS DOUBLE) + 1.0e0) / CAST(1152921504606846976 AS DOUBLE) AS u
+           FROM h WHERE n_chars > 0),
+    y1 AS (SELECT doc_id, n_chars, ${PortableLog.sqrtNestSql("u")} AS y FROM u0),
+    y2 AS (SELECT doc_id, n_chars, ${PortableLog.zSql("y")} AS z FROM y1),
+    kk AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+             (${PortableLog.seriesSql("z")}) / CAST(n_chars AS DOUBLE) AS es_key
+           FROM y2)
+    SELECT doc_id, w, es_key FROM kk
+    ORDER BY es_key DESC, doc_id LIMIT ${BottomKSampleSize}"""
+  }
+
   /** Length-quantile oracle: same fixed-width bins, same cumulative
     * walk, same integer ceil — `//` on non-negative operands matches
     * Spark `div` (the pinned division convention). DuckDB's windowed sum
@@ -2740,6 +2760,21 @@ object PipelineQueries {
         Tables.documents(s, dir).select("doc_id"), "doc_id",
         BottomKSampleSize).orderBy("doc_id"),
       Some(bottomKOracleSql)),
+
+    // WEIGHTED sampling without replacement (Efraimidis–Spirakis):
+    // inclusion probability ∝ n_chars, exactly k rows, keys
+    // ln(u)/w through the portable-log dag over the id hash — a pure
+    // function of (ids, weights), re-derived by the oracle through the
+    // same staged dag + ORDER BY key DESC, id LIMIT k. Plans as
+    // TakeOrderedAndProject: per-partition top-k, no global sort.
+    Q("pipeline_sample_weighted",
+      (s, dir) => graft.pipeline.Mixing.weightedSample(
+        Tables.documents(s, dir).select("doc_id", "n_chars"), "doc_id",
+        col("n_chars"), BottomKSampleSize)
+        .select(col("doc_id"), col("n_chars").cast("double").as("w"),
+          col("es_key"))
+        .orderBy("doc_id"),
+      Some(weightedSampleOracleSql)),
 
     // percentile profile by fixed-width histogram — the deterministic
     // scale path for "what's the p99 document length of this corpus":

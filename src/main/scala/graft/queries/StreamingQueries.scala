@@ -984,6 +984,21 @@ object StreamingQueries {
       },
       Some(PipelineQueries.bottomKOracleSql)),
 
+    // WEIGHTED sampling AT INGESTION — a continuously-valid exact-k
+    // weighted sample of everything ingested: per trigger the batch's
+    // local top-k by (es_key desc, id) merges into capped driver state
+    // under the same total order (the top-k merge identity), so the
+    // fold IS the batch sample — identical output, shared oracle.
+    Q("stream_pipeline_sample_weighted",
+      (s, dir) => {
+        implicit val sp = s
+        graft.pipeline.Mixing.weightedSampleIngest(
+          StreamSources.documents(s, dir).select("doc_id", "n_chars"),
+          "doc_id", col("n_chars"), PipelineQueries.BottomKSampleSize)
+          .orderBy("doc_id")
+      },
+      Some(PipelineQueries.weightedSampleOracleSql)),
+
     // length-quantile profiling AT INGESTION — histograms are the
     // trivially mergeable sketch (bin counts add), so the per-batch
     // (bin, cnt) tables fold into an O(bins) driver map that is EXACTLY

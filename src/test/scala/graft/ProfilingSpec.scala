@@ -234,6 +234,79 @@ class ProfilingSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  // ---------- weighted sampling ----------
+
+  test("weighted sample: driver replay, weight bias, zero-weight exclusion, invariance") {
+    import spark.implicits._
+    import graft.functions.{GraftFunctions, PortableLog}
+    // 2000 light (w=1) + 2000 heavy (w=100) ids; k=200
+    val rows = (1 to 4000).map(i =>
+      (i.toLong, if (i <= 2000) 1L else 100L))
+    val df = rows.toDF("doc_id", "w")
+    val got = graft.pipeline.Mixing.weightedSample(df, "doc_id", col("w"), 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // independent driver-side replay of the key dag + order statistics
+    val want = rows.map { case (id, w) =>
+      val u = (GraftFunctions.hash60Scala(id.toString).toDouble + 1.0) /
+        1152921504606846976L.toDouble
+      (id, w, PortableLog.plog(u) / w.toDouble)
+    }.sortBy { case (id, _, key) => (-key, id) }.take(200)
+    assert(got.sortBy(t => (-t._3, t._1)).toSeq == want,
+      "sample must equal the driver-side ES replay")
+    // ES guarantees inclusion ∝ weight: heavies dominate 100:1
+    val heavies = got.count(_._2 == 100L)
+    assert(heavies > 180, s"expected heavy-weight dominance, got $heavies/200")
+    // partitioning invariance (TakeOrdered is a total order)
+    val reparted = graft.pipeline.Mixing.weightedSample(
+        df.repartition(13), "doc_id", col("w"), 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(reparted.sortBy(t => (-t._3, t._1)).toSeq == want)
+    // zero/negative weights are never sampled
+    val withZero = (rows ++ Seq((9001L, 0L), (9002L, -5L))).toDF("doc_id", "w")
+    val ids = graft.pipeline.Mixing.weightedSample(withZero, "doc_id",
+      col("w"), 4002).collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(9001L) && !ids.contains(9002L))
+  }
+
+  test("weighted sample ingestion fold equals the batch sample; crash resumes without re-draw") {
+    import spark.implicits._
+    implicit val sp = spark
+    val docs = (1 to 3000).map(i => (i.toLong, 1L + (i % 50)))
+      .toDF("doc_id", "w")
+    val root = java.nio.file.Files.createTempDirectory("graft-ws").toString
+    try {
+      docs.repartition(5).write.mode("overwrite").parquet(s"$root/in")
+      def stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      val want = graft.pipeline.Mixing.weightedSample(
+          spark.read.parquet(s"$root/in"), "doc_id", col("w"), 150)
+        .select(col("doc_id"), col("w").cast("double").as("w"), col("es_key"))
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val got = graft.pipeline.Mixing.weightedSampleIngest(
+          stream, "doc_id", col("w"), 150)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(got == want, "ingested weighted sample must equal the batch draw")
+      var calls = 0
+      val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        graft.pipeline.Mixing.weightedSampleIngest(stream, "doc_id", col("w"),
+          150,
+          onBatch = _ => {
+            calls += 1
+            if (calls == 2) throw new RuntimeException("injected crash after fold")
+            ()
+          },
+          checkpoint = Some(s"$root/ckpt"), stateDir = Some(s"$root/state"))
+      }
+      assert(crashed.getMessage.contains("injected crash") ||
+        crashed.getCause.getMessage.contains("injected crash"))
+      val resumed = graft.pipeline.Mixing.weightedSampleIngest(
+          stream, "doc_id", col("w"), 150,
+          checkpoint = Some(s"$root/ckpt"), stateDir = Some(s"$root/state"))
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(resumed == want, "resumed weighted sample must equal the batch draw")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   // ---------- PSI drift ----------
 
   test("PSI report replays by hand; identical slice scores ~0, drifted slice dominates") {
