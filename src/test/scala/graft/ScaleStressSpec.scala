@@ -720,4 +720,108 @@ class ScaleStressSpec extends AnyFunSuite {
       s"closed-form percentile bins must match: $got")
     assert(secs < 300.0, f"histogram profile went super-linear: ${secs}%.1f s")
   }
+
+  test("10M-token GROUPED heavy hitters: 100 per-group sketches, heads exact in closed form") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_STRESS=1 to run")
+    import org.apache.spark.sql.functions._
+    // 100 groups; 5% of each group's tokens are its hot token, the rest
+    // unique — per group N_g = n/100, hot count = N_g/20, tail ≈ N_g
+    // types vs m=32 counters. T_g = N_g div 33 + 1 ≈ 3% of N_g < 5% ⟺
+    // the hot token is the whole head, with its exact count, in closed
+    // form.
+    val n = totalRows
+    val t0 = System.nanoTime()
+    val docs = spark.range(n).select(
+      concat(lit("g"), pmod(col("id"), lit(100L)).cast("string")).as("grp"),
+      when(pmod(col("id"), lit(2000L)) < lit(100L),
+        concat(lit("hot"), pmod(col("id"), lit(100L)).cast("string")))
+        .otherwise(concat(lit("u"), col("id").cast("string"))).as("text"))
+    val got = graft.text.CorpusStats.heavyHittersBy(docs, "grp", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    val perGroup = n / 100L
+    info(f"grouped heads over $n tokens, 100 groups: ${got.size} rows, ${secs}%.1f s")
+    assert(got.size == 100, s"one hot token per group: ${got.size}")
+    assert((0 until 100).forall(g =>
+      got.get(("g" + g, "hot" + g)).contains(perGroup / 20L)),
+      "every group's head must be exactly its hot token with its exact count")
+    assert(secs < 300.0, f"grouped heavy hitters went super-linear: ${secs}%.1f s")
+  }
+
+  test("10M-id weighted sample: TakeOrderedAndProject, invariant across a 97-way repartition") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_STRESS=1 to run")
+    import org.apache.spark.sql.functions._
+    val n = totalRows
+    val t0 = System.nanoTime()
+    val ids = spark.range(n).select(col("id").as("doc_id"),
+      (pmod(col("id"), lit(1000L)) + lit(1L)).as("w"))
+    val df = graft.pipeline.Mixing.weightedSample(ids, "doc_id", col("w"), 100)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      "weighted sample must plan as TakeOrderedAndProject: " + p.take(2000))
+    val a = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = graft.pipeline.Mixing.weightedSample(ids.repartition(97), "doc_id",
+      col("w"), 100).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"weighted-100 of $n ids twice: ${secs}%.1f s")
+    assert(a.size == 100 && a == b,
+      "the weighted head must be a pure function of (ids, weights)")
+    // the weight bias is visible at scale: mean sampled weight ≫ the
+    // population mean 500.5 (ES inclusion ∝ w)
+    val meanW = a.map(_._2).sum.toDouble / a.size
+    assert(meanW > 650.0, f"expected weight bias in the sample, mean $meanW%.0f")
+  }
+
+  test("10M-doc PSI drift: 50 sources scored from one histogram scan, planted drift dominates") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_STRESS=1 to run")
+    import org.apache.spark.sql.functions._
+    // source s0 gets lengths shifted +2000; the other 49 share one
+    // distribution. Everything after the histogram aggregation is
+    // O(50·bins) column work.
+    val n = totalRows
+    val t0 = System.nanoTime()
+    val docs = spark.range(n).select(
+      concat(lit("s"), pmod(col("id"), lit(50L)).cast("string")).as("src"),
+      (pmod(col("id"), lit(2000L)) +
+        when(pmod(col("id"), lit(50L)) === 0, lit(2000L)).otherwise(lit(0L)))
+        .as("v"))
+    val byKey = docs.selectExpr("src", s"v div 64 AS bin")
+      .groupBy("src", "bin").agg(count(lit(1)).as("cnt"))
+    val base = byKey.groupBy("bin").agg(sum("cnt").as("cnt"))
+    val got = graft.pipeline.Profiling.psiReport(byKey, base, "src")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    val background = (1 until 50).map(g => got(s"s$g"))
+    info(f"PSI over $n rows, 50 sources: drifted ${got("s0")}, " +
+      f"background max ${background.max}, ${secs}%.1f s")
+    assert(got.size == 50)
+    assert(got("s0") > 10L * math.max(1L, background.max),
+      s"planted drift must dominate: ${got("s0")} vs ${background.max}")
+    assert(secs < 300.0, f"PSI went super-linear: ${secs}%.1f s")
+  }
+
+  test("2x10M-token corpus overlap: both sketches in one pass, estimates inside theory bands") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_STRESS=1 to run")
+    import org.apache.spark.sql.functions._
+    // side A types = {s0..s(n/4-1)} ∪ {a...}, side B = {s...} ∪ {b...}:
+    // |A| = |B| = 3n/4 types over n tokens per side, shared n/4 → true
+    // Jaccard = (n/4)/(5n/4) = 0.2, union = 5n/4 in closed form.
+    val n = totalRows
+    val t0 = System.nanoTime()
+    def side(tag: String) = spark.range(n).select(
+      when(pmod(col("id"), lit(2L)) === 0,
+        concat(lit("s"), (col("id") / 4L).cast("long").cast("string")))
+        .otherwise(concat(lit(tag), col("id").cast("string"))).as("text"))
+    val r = graft.text.CorpusStats.corpusOverlapKmv(side("a"), side("b"), "text")
+      .head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // per side: n/2 unique-tag types + n/4 shared types = 3n/4; union 5n/4
+    val wantUnion = 1.25 * n
+    val jac = r.getDouble(8); val uni = r.getDouble(7)
+    info(f"overlap of 2x$n tokens: union est $uni%.0f (want $wantUnion%.0f), " +
+      f"jaccard $jac%.3f (want 0.200), ${secs}%.1f s")
+    assert(math.abs(uni - wantUnion) / wantUnion < 0.25, s"union est $uni")
+    assert(math.abs(jac - 0.2) < 0.08, s"jaccard est $jac")
+    assert(secs < 300.0, f"overlap went super-linear: ${secs}%.1f s")
+  }
 }
