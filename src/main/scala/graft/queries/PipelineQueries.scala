@@ -1826,6 +1826,56 @@ object PipelineQueries {
     FROM t GROUP BY source ORDER BY source"""
   }
 
+  /** Pairwise overlap-matrix oracle: per-source sketches by per-group
+    * row_number ≤ k, per-pair union sketches by row_number over the
+    * union partitioned by the pair, ρ by membership joins — the same
+    * dags as the two-corpus oracle, keyed by the pair. */
+  private[queries] def overlapMatrixOracleSql(k: Int): String = {
+    def est(t: String) = s"""CASE WHEN $t.sz < $k THEN CAST($t.sz AS DOUBLE)
+           ELSE CAST(${k - 1} AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                / CAST($t.mx AS DOUBLE) END"""
+    val jac = "CASE WHEN su.sz = 0 THEN 0.0 ELSE " +
+      "CAST(COALESCE(rh.rho, 0) AS DOUBLE) / CAST(su.sz AS DOUBLE) END"
+    s"""
+    WITH mm AS (SELECT doc_id, source, text || ' xq' || CAST(doc_id AS VARCHAR) AS text
+                FROM ${Q.DocsRef}),
+    t AS (SELECT source, unnest(${DuckSql.tokens("text")}) AS token FROM mm),
+    hs AS (SELECT DISTINCT source, ${DuckSql.hash60("token")} AS h FROM t),
+    rk AS (SELECT source, h,
+                  row_number() OVER (PARTITION BY source ORDER BY h) AS r FROM hs),
+    sk AS (SELECT source, h FROM rk WHERE r <= $k),
+    srcs AS (SELECT DISTINCT source FROM sk),
+    pairs AS (SELECT a.source AS key_a, b.source AS key_b
+              FROM srcs a CROSS JOIN srcs b WHERE a.source < b.source),
+    pu AS (SELECT p.key_a, p.key_b, s.h FROM pairs p
+           JOIN sk s ON s.source = p.key_a OR s.source = p.key_b
+           GROUP BY 1, 2, 3),
+    pur AS (SELECT key_a, key_b, h,
+              row_number() OVER (PARTITION BY key_a, key_b ORDER BY h) AS r
+            FROM pu),
+    u AS (SELECT key_a, key_b, h FROM pur WHERE r <= $k),
+    sa AS (SELECT source, count(*) AS sz, max(h) AS mx FROM sk GROUP BY 1),
+    su AS (SELECT key_a, key_b, count(*) AS sz, max(h) AS mx FROM u GROUP BY 1, 2),
+    rh AS (SELECT u.key_a, u.key_b, count(*) AS rho FROM u
+           JOIN sk x ON x.source = u.key_a AND x.h = u.h
+           JOIN sk y ON y.source = u.key_b AND y.h = u.h
+           GROUP BY 1, 2)
+    SELECT p.key_a, p.key_b, CAST($k AS INTEGER) AS k_cap,
+           a.sz AS size_a, b.sz AS size_b, su.sz AS union_size,
+           COALESCE(rh.rho, 0) AS shared_in_union,
+           ${est("a")} AS est_a,
+           ${est("b")} AS est_b,
+           ${est("su")} AS est_union,
+           $jac AS jaccard_est,
+           ($jac) * (${est("su")}) AS est_intersection
+    FROM pairs p
+    JOIN sa a ON a.source = p.key_a
+    JOIN sa b ON b.source = p.key_b
+    JOIN su ON su.key_a = p.key_a AND su.key_b = p.key_b
+    LEFT JOIN rh ON rh.key_a = p.key_a AND rh.key_b = p.key_b
+    ORDER BY p.key_a, p.key_b"""
+  }
+
   /** The two overlap sides: disjoint halves of the corpus, each planted
     * with side-unique tokens so the type sets share the base vocabulary
     * but not the plants — a Jaccard strictly inside (0, 1) that makes
@@ -2749,6 +2799,20 @@ object PipelineQueries {
         CorpusStats.corpusOverlapKmv(a, b, "text")
       },
       Some(kmvOverlapOracleSql(CorpusStats.KmvK))),
+
+    // PAIRWISE source-overlap matrix — "which sources scraped the same
+    // content": Jaccard/union/intersection for all 190 source pairs from
+    // ONE grouped sketch pass (O(groups·k) state; the exact answer is
+    // 190 vocabulary-keyed joins). The pair grid explodes the collected
+    // key list against the sketch table — equi-joins only. With the
+    // doc-unique plant each pair shares the base vocabulary but not the
+    // plants; at sf0.01 pairs fit k (exact pairwise identity), at sf0.1
+    // they exceed it (estimator live) — both paths covered across SFs.
+    Q("text_source_overlap_matrix",
+      (s, dir) => CorpusStats.sourceOverlapMatrix(
+        heavyHitterPlantKeyed(Tables.documents(s, dir)), "source", "text")
+        .orderBy("key_a", "key_b"),
+      Some(overlapMatrixOracleSql(CorpusStats.KmvK))),
 
     // EXACT-k uniform sample without replacement — the order-statistic
     // complement of the percentage sampler (samplePred draws a

@@ -439,7 +439,8 @@ object CorpusStats {
     * double arithmetic is the [[distinctKmv]] estimator dag plus one
     * guarded division (ρ/k_U) and one product (Jaccard · union).
     */
-  private[text] def overlapReport(row: DataFrame, k: Int): DataFrame = {
+  private[text] def overlapReport(row: DataFrame, k: Int,
+      keyCols: Seq[String] = Nil): DataFrame = {
     def est(sk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       when(size(sk) < k, size(sk).cast("double"))
         .otherwise(lit((k - 1).toDouble) * lit(KmvHashRange) /
@@ -452,7 +453,7 @@ object CorpusStats {
           col("skb"))).cast("long"))
     val jac = when(col("ku") === 0, lit(0.0))
       .otherwise(col("rho").cast("double") / col("ku").cast("double"))
-    withU.select(
+    withU.select(keyCols.map(col) ++ Seq(
       lit(k).as("k_cap"),
       size(col("ska")).cast("long").as("size_a"),
       size(col("skb")).cast("long").as("size_b"),
@@ -462,7 +463,40 @@ object CorpusStats {
       est(col("skb")).as("est_b"),
       est(col("u")).as("est_union"),
       jac.as("jaccard_est"),
-      (jac * est(col("u"))).as("est_intersection"))
+      (jac * est(col("u"))).as("est_intersection")): _*)
+  }
+
+  /** PAIRWISE source-overlap matrix — the dedup-planning profile "which
+    * sources scraped the same content": Jaccard/union/intersection
+    * estimates for EVERY pair of sources, from one grouped sketch pass.
+    * The exact answer is a quadratic blow-up (per-pair vocabulary
+    * intersections — at 20 sources, 190 type-keyed joins); here ONE scan
+    * builds a per-source KMV sketch (O(groups·k) total state), the pair
+    * grid comes from exploding the collected key list against the
+    * sketch table (equi-joins only — no non-equi pair join anywhere),
+    * and every pair's report is the [[overlapReport]] column dag over
+    * its two sketch arrays. Each per-source sketch is deterministic, so
+    * all O(groups²) estimates re-derive in the oracle. Pairs whose
+    * combined types fit k get EXACT answers (the small-cardinality
+    * identity pairwise); bigger pairs estimate — at any corpus size the
+    * cost after the scan is groups²·k column work, never data-scale.
+    */
+  def sourceOverlapMatrix(corpus: DataFrame, keyCol: String, textCol: String,
+      k: Int = KmvK): DataFrame = {
+    val sk = graft.Caches.track(
+      corpus.select(col(keyCol), explode(tokens(col(textCol))).as("token"))
+        .groupBy(keyCol)
+        .agg(graft.functions.expressions.BottomKDistinctAgg
+          .of(hash60(col("token")), k).as("sk")))
+    val keys = sk.select(col(keyCol).cast("string")).collect()
+      .map(_.getString(0)).sorted.toSeq
+    val pairs = sk
+      .select(col(keyCol).cast("string").as("key_a"), col("sk").as("ska"))
+      .withColumn("key_b", explode(typedLit(keys)))
+      .filter(col("key_a") < col("key_b"))
+      .join(broadcast(sk.select(col(keyCol).cast("string").as("key_b"),
+        col("sk").as("skb"))), "key_b")
+    overlapReport(pairs, k, Seq("key_a", "key_b"))
   }
 
   /** [[corpusOverlapKmv]] AT INGESTION — the overlap monitor a pipeline

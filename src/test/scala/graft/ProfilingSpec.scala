@@ -434,6 +434,27 @@ class ProfilingSpec extends AnyFunSuite {
     assert(math.abs(inter - 10000.0) / 10000.0 < 0.45, s"intersection est $inter")
   }
 
+  test("overlap matrix: every pair equals the two-corpus report run on its slices") {
+    import spark.implicits._
+    val docs = (1 to 900).map { i =>
+      val g = s"g${i % 3}"
+      (i.toLong, g, if (i % 4 == 0) s"sh${i % 40}" else s"o$g$i")
+    }.toDF("doc_id", "grp", "text")
+    val got = CorpusStats.sourceOverlapMatrix(docs, "grp", "text", k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2)).toMap
+    assert(got.keySet == Set(("g0", "g1"), ("g0", "g2"), ("g1", "g2")))
+    for (((a, b), row) <- got) {
+      val want = CorpusStats.corpusOverlapKmv(
+        docs.filter(col("grp") === a), docs.filter(col("grp") === b),
+        "text", k = 64).head().toSeq
+      assert(row == want, s"pair ($a,$b) must match its own two-corpus report")
+    }
+    val reparted = CorpusStats.sourceOverlapMatrix(docs.repartition(13),
+        "grp", "text", k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2)).toMap
+    assert(reparted == got)
+  }
+
   test("overlap ingestion fold equals the batch report; crash resumes exactly") {
     import spark.implicits._
     implicit val sp = spark
