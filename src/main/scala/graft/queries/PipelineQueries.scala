@@ -1790,41 +1790,74 @@ object PipelineQueries {
   /** Drift plant: one source's documents double in length, so its PSI
     * visibly dominates the near-uniform background sources. */
   private[queries] def driftPlant(docs: DataFrame): DataFrame =
-    docs.select(col("source"),
+    docs.select(col("doc_id"), col("source"),
       when(col("source") === "src7", concat(col("text"), col("text")))
         .otherwise(col("text")).as("text"))
 
-  /** PSI drift oracle: same histogram, same add-one smoothing, same
-    * portable-log dag staged through CTE columns (the LM-oracle
-    * convention), same order-free quantized integer sum. */
-  private[queries] val driftPsiOracleSql: String = {
+  /** PSI drift oracle CTE chain (through `t`, the quantized per-bin
+    * terms): same histogram, same add-one smoothing, same portable-log
+    * dag staged through CTE columns (the LM-oracle convention), same
+    * order-free quantized integer sum. Shared by the profile rows and
+    * the drift-GATE composite. */
+  private[queries] val driftPsiCtes: String = {
     val w = graft.pipeline.Profiling.LengthBinWidth
     import graft.functions.PortableLog
-    s"""
-    WITH m AS (SELECT source,
+    s"""m AS (SELECT doc_id, source,
                  CASE WHEN source = 'src7' THEN text || text ELSE text END AS text
                FROM ${Q.DocsRef}),
     v AS (SELECT source, length(text) AS v FROM m),
     bk AS (SELECT source, v // $w AS bin, count(*) AS cnt FROM v GROUP BY 1, 2),
     base AS (SELECT bin, sum(cnt) AS cb FROM bk GROUP BY 1),
-    tot AS (SELECT sum(cb) AS nb, count(*) AS b FROM base),
+    ptot AS (SELECT sum(cb) AS nb, count(*) AS b FROM base),
     ns AS (SELECT source, sum(cnt) AS ns FROM bk GROUP BY 1),
     srcs AS (SELECT DISTINCT source FROM bk),
     grid AS (SELECT srcs.source, base.bin, base.cb FROM srcs CROSS JOIN base),
-    j AS (SELECT g.source, g.cb, ns.ns, COALESCE(bk.cnt, 0) AS cs, tot.nb, tot.b
+    j AS (SELECT g.source, g.cb, ns.ns, COALESCE(bk.cnt, 0) AS cs, ptot.nb, ptot.b
           FROM grid g JOIN ns ON ns.source = g.source
-          LEFT JOIN bk ON bk.source = g.source AND bk.bin = g.bin, tot),
-    x AS (SELECT source, b, CAST(cs + 1 AS DOUBLE) / CAST(ns + b AS DOUBLE) AS p,
+          LEFT JOIN bk ON bk.source = g.source AND bk.bin = g.bin, ptot),
+    px AS (SELECT source, b, CAST(cs + 1 AS DOUBLE) / CAST(ns + b AS DOUBLE) AS p,
                  CAST(cb + 1 AS DOUBLE) / CAST(nb + b AS DOUBLE) AS q FROM j),
-    y0 AS (SELECT source, b, p, q, p / q AS r FROM x),
+    y0 AS (SELECT source, b, p, q, p / q AS r FROM px),
     y1 AS (SELECT source, b, p, q, ${PortableLog.sqrtNestSql("r")} AS y FROM y0),
     y2 AS (SELECT source, b, p, q, ${PortableLog.zSql("y")} AS z FROM y1),
     t AS (SELECT source, b,
             CAST(floor(1.0e9 * ((p - q) * ${PortableLog.seriesSql("z")})) AS BIGINT) AS tq
-          FROM y2)
+          FROM y2)"""
+  }
+
+  private[queries] val driftPsiOracleSql: String = s"""
+    WITH $driftPsiCtes
     SELECT source, max(b) AS n_bins, CAST(sum(tq) AS BIGINT) AS psi_q
     FROM t GROUP BY source ORDER BY source"""
-  }
+
+  /** PSI gate for the drift composite: PSI 0.5 in quantized units —
+    * comfortably between the planted source (~1.7·10⁹ at both SFs) and
+    * the near-uniform background (~5·10⁷). */
+  private[queries] val DriftTau: Long = 500000000L
+
+  /** The drift-GATE composite oracle: the PSI chain, the τ gate, the
+    * survivor skew remap, the temperature-weight derivation and the mix
+    * explode — one declared chain, every constant re-derived. */
+  private[queries] val driftGateOracleSql: String = s"""
+    WITH $driftPsiCtes,
+    psig AS (SELECT source, CAST(sum(tq) AS BIGINT) AS psi_q
+             FROM t GROUP BY source),
+    surv AS (SELECT doc_id FROM m WHERE m.source NOT IN
+               (SELECT source FROM psig WHERE psi_q > $DriftTau)),
+    sk AS (SELECT doc_id,
+             CASE WHEN doc_id % 10 < 7 THEN 'web'
+                  WHEN doc_id % 10 < 9 THEN 'books'
+                  ELSE 'wiki' END AS source
+           FROM surv),
+    ${graft.pipeline.Mixing.duckTemperatureWeights("sk", "source", TempMixTarget)},
+    x AS (SELECT d.doc_id, d.source, wp.whole, wp.thr,
+            ${graft.pipeline.Mixing.duckMixHash("d.doc_id")} AS hm
+          FROM sk d JOIN wp USING (source)),
+    mx AS (SELECT doc_id, source,
+             whole + (CASE WHEN hm < thr THEN 1 ELSE 0 END) AS copies
+           FROM x)
+    SELECT doc_id, source, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy
+    FROM mx WHERE copies > 0 ORDER BY doc_id, copy"""
 
   /** Pairwise overlap-matrix oracle: per-source sketches by per-group
     * row_number ≤ k, per-pair union sketches by row_number over the
@@ -2877,6 +2910,26 @@ object PipelineQueries {
         driftPlant(Tables.documents(s, dir)), "source", "text")
         .orderBy("source"),
       Some(driftPsiOracleSql)),
+
+    // the drift-GATE composite — the profiling family closed into a
+    // curation loop: score every source's PSI against the corpus
+    // mixture, DROP sources above τ (the planted src7, and only it, at
+    // both SFs), then temperature-mix the survivors with weights DERIVED
+    // from the survivor counts (the skew remap keeps the derivation
+    // non-degenerate). Profile → gate → mix in one declared chain; the
+    // oracle re-derives the PSI scores, the gate, the weights and the
+    // mix explode end to end.
+    Q("pipeline_drift_gate",
+      (s, dir) => {
+        val docs = driftPlant(Tables.documents(s, dir))
+        val bad = graft.pipeline.Profiling.lengthDriftPsi(docs, "source", "text")
+          .filter(col("psi_q") > lit(DriftTau)).select("source")
+        val surv = docs.join(broadcast(bad), Seq("source"), "left_anti")
+        graft.pipeline.Mixing.temperatureMix(
+          skewedSources(surv), "doc_id", "source", TempMixTarget)
+          .orderBy("doc_id", "copy")
+      },
+      Some(driftGateOracleSql)),
 
     // RefinedWeb-style line-wise correction: drop boilerplate/navigation
     // lines and short fragments inside each document, reassemble, report
