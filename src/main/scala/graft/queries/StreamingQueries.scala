@@ -950,6 +950,32 @@ object StreamingQueries {
       },
       Some(PipelineQueries.kmvOracleSql(graft.text.CorpusStats.KmvK))),
 
+    // GROUPED KMV AT INGESTION — per-source cardinality profiling of
+    // everything ingested: per trigger one grouped bottom-k aggregation
+    // (O(groups·k) rows to the driver) merges into the key→sketch map
+    // with the sketch's own combine, so per key the fold IS the batch
+    // sketch (bottom-k identity) — identical output, shared oracle.
+    Q("stream_text_distinct_kmv_by_source",
+      (s, dir) => {
+        implicit val sp = s
+        graft.text.CorpusStats.distinctKmvByIngest(
+          PipelineQueries.heavyHitterPlantKeyed(StreamSources.documents(s, dir)),
+          "source", "text").orderBy("source")
+      },
+      Some(PipelineQueries.groupedKmvOracleSql(graft.text.CorpusStats.KmvGroupK))),
+
+    // pairwise overlap matrix AT INGESTION — the same keyed fold at the
+    // matrix's k, then the shared pair-grid tail: the full source-pair
+    // overlap profile continuously maintained with O(groups·k) state.
+    Q("stream_text_source_overlap_matrix",
+      (s, dir) => {
+        implicit val sp = s
+        graft.text.CorpusStats.sourceOverlapMatrixIngest(
+          PipelineQueries.heavyHitterPlantKeyed(StreamSources.documents(s, dir)),
+          "source", "text").orderBy("key_a", "key_b")
+      },
+      Some(PipelineQueries.overlapMatrixOracleSql(graft.text.CorpusStats.KmvK))),
+
     // KMV corpus-overlap AT INGESTION — the monitor a pipeline runs
     // while a new crawl streams in ("how much of this is already in the
     // corpus?"): the reference side's sketch derives offline from the

@@ -482,12 +482,19 @@ object CorpusStats {
     * cost after the scan is groups²·k column work, never data-scale.
     */
   def sourceOverlapMatrix(corpus: DataFrame, keyCol: String, textCol: String,
-      k: Int = KmvK): DataFrame = {
-    val sk = graft.Caches.track(
+      k: Int = KmvK): DataFrame =
+    matrixFromSketches(graft.Caches.track(
       corpus.select(col(keyCol), explode(tokens(col(textCol))).as("token"))
         .groupBy(keyCol)
         .agg(graft.functions.expressions.BottomKDistinctAgg
-          .of(hash60(col("token")), k).as("sk")))
+          .of(hash60(col("token")), k).as("sk"))), keyCol, k)
+
+  /** The matrix tail over a (key, sk) sketch table — shared by the batch
+    * scan and the ingestion fold: pair grid by exploding the collected
+    * key list (equi-joins only), then the [[overlapReport]] dag per
+    * pair. */
+  private def matrixFromSketches(sk: DataFrame, keyCol: String,
+      k: Int): DataFrame = {
     val keys = sk.select(col(keyCol).cast("string")).collect()
       .map(_.getString(0)).sorted.toSeq
     val pairs = sk
@@ -497,6 +504,113 @@ object CorpusStats {
       .join(broadcast(sk.select(col(keyCol).cast("string").as("key_b"),
         col("sk").as("skb"))), "key_b")
     overlapReport(pairs, k, Seq("key_a", "key_b"))
+  }
+
+  /** The keyed-sketch ingestion fold shared by [[distinctKmvByIngest]]
+    * and [[sourceOverlapMatrixIngest]]: per micro-batch one grouped
+    * bottom-k aggregation (O(groups·k) rows to the driver) merges into a
+    * key→sketch map with the sketch's own combine — per key the fold IS
+    * the batch sketch of that key's ingested tokens (the bottom-k
+    * identity), O(groups·k) driver state however long the stream runs,
+    * [[graft.streaming.DriverFold]]-persisted (restart skips replayed
+    * batches). Returns the folded (key, sk) table.
+    */
+  private def keyedKmvFold(stream: DataFrame, keyCol: String,
+      textCol: String, k: Int,
+      onBatch: Int => Unit,
+      checkpoint: Option[String],
+      stateDir: Option[String])(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import graft.streaming.DriverFold
+    val resumed = stateDir.flatMap(DriverFold.loadLatest)
+    val sketches = resumed.map(r => decodeKeyedKmv(r._2))
+      .getOrElse(scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.TreeSet[Long]])
+    var lastBatch = resumed.map(_._1).getOrElse(-1L)
+    DriverFold.run(
+      stream.select(col(keyCol).cast("string").as("k"),
+        explode(tokens(col(textCol))).as("token")),
+      (batch, batchId) => {
+        if (batchId > lastBatch) {
+          batch.groupBy("k")
+            .agg(graft.functions.expressions.BottomKDistinctAgg
+              .of(hash60(col("token")), k).as("sk"))
+            .collect().foreach { r =>
+              val s = sketches.getOrElseUpdate(r.getString(0),
+                scala.collection.mutable.TreeSet.empty[Long])
+              r.getSeq[Long](1).foreach(
+                graft.functions.expressions.BottomKDistinctAgg.add(s, _, k))
+            }
+          lastBatch = batchId
+          stateDir.foreach(d =>
+            DriverFold.save(d, batchId, encodeKeyedKmv(sketches)))
+        }
+        onBatch(sketches.size)
+      },
+      checkpoint)
+    import spark.implicits._
+    sketches.toSeq.map { case (key, s) => (key, s.toSeq) }
+      .toDF(keyCol, "sk")
+  }
+
+  /** [[distinctKmvBy]] AT INGESTION — per-key cardinality profiling of
+    * everything ingested, through [[keyedKmvFold]] + the shared estimate
+    * tail; output ≡ the batch row, shared oracle. */
+  def distinctKmvByIngest(stream: DataFrame, keyCol: String,
+      textCol: String, k: Int = KmvGroupK,
+      onBatch: Int => Unit = _ => (),
+      checkpoint: Option[String] = None,
+      stateDir: Option[String] = None)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame =
+    keyedKmvFold(stream, keyCol, textCol, k, onBatch, checkpoint, stateDir)
+      .select(col(keyCol) +: kmvReportCols(k): _*)
+
+  /** [[sourceOverlapMatrix]] AT INGESTION — the pairwise overlap profile
+    * maintained while the corpus streams in, through [[keyedKmvFold]] +
+    * the shared matrix tail; output ≡ the batch row, shared oracle. */
+  def sourceOverlapMatrixIngest(stream: DataFrame, keyCol: String,
+      textCol: String, k: Int = KmvK,
+      onBatch: Int => Unit = _ => (),
+      checkpoint: Option[String] = None,
+      stateDir: Option[String] = None)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame =
+    matrixFromSketches(
+      keyedKmvFold(stream, keyCol, textCol, k, onBatch, checkpoint, stateDir),
+      keyCol, k)
+
+  private def encodeKeyedKmv(
+      m: scala.collection.mutable.HashMap[String, scala.collection.mutable.TreeSet[Long]])
+      : Array[Byte] = {
+    val items = m.toArray.map { case (k, s) =>
+      (k.getBytes(java.nio.charset.StandardCharsets.UTF_8), s.toArray)
+    }
+    val bb = java.nio.ByteBuffer.allocate(
+      4 + items.map(i => 8 + i._1.length + 8 * i._2.length).sum)
+    bb.putInt(items.length)
+    items.foreach { case (kb, arr) =>
+      bb.putInt(kb.length); bb.put(kb)
+      bb.putInt(arr.length); arr.foreach(bb.putLong)
+    }
+    bb.array()
+  }
+
+  private def decodeKeyedKmv(bytes: Array[Byte])
+      : scala.collection.mutable.HashMap[String, scala.collection.mutable.TreeSet[Long]] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val m = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.TreeSet[Long]]
+    var i = 0
+    while (i < n) {
+      val kb = new Array[Byte](bb.getInt)
+      bb.get(kb)
+      val s = scala.collection.mutable.TreeSet.empty[Long]
+      var j = bb.getInt
+      while (j > 0) { s.add(bb.getLong); j -= 1 }
+      m.put(new String(kb, java.nio.charset.StandardCharsets.UTF_8), s)
+      i += 1
+    }
+    m
   }
 
   /** [[corpusOverlapKmv]] AT INGESTION — the overlap monitor a pipeline

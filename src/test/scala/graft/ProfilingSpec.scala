@@ -400,6 +400,49 @@ class ProfilingSpec extends AnyFunSuite {
     assert(reparted == grouped)
   }
 
+  test("keyed KMV ingestion fold: per-key sketches equal batch; crash resumes; matrix tail shared") {
+    import spark.implicits._
+    implicit val sp = spark
+    val docs = (1 to 1200).map { i =>
+      val g = s"g${i % 3}"
+      (i.toLong, g, if (i % 5 == 0) s"sh${i % 60}" else s"o$g$i")
+    }.toDF("doc_id", "grp", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-kkmv").toString
+    try {
+      docs.repartition(5).write.mode("overwrite").parquet(s"$root/in")
+      def stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      val batchDocs = spark.read.parquet(s"$root/in")
+      val want = CorpusStats.distinctKmvBy(batchDocs, "grp", "text", k = 64)
+        .orderBy("grp").collect().map(_.toSeq).toSeq
+      val got = CorpusStats.distinctKmvByIngest(stream, "grp", "text", k = 64)
+        .orderBy("grp").collect().map(_.toSeq).toSeq
+      assert(got == want, "keyed ingested sketches must equal the batch row")
+      val wantM = CorpusStats.sourceOverlapMatrix(batchDocs, "grp", "text",
+        k = 64).orderBy("key_a", "key_b").collect().map(_.toSeq).toSeq
+      val gotM = CorpusStats.sourceOverlapMatrixIngest(stream, "grp", "text",
+        k = 64).orderBy("key_a", "key_b").collect().map(_.toSeq).toSeq
+      assert(gotM == wantM, "ingested matrix must equal the batch matrix")
+      var calls = 0
+      val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        CorpusStats.distinctKmvByIngest(stream, "grp", "text", k = 64,
+          onBatch = _ => {
+            calls += 1
+            if (calls == 2) throw new RuntimeException("injected crash after fold")
+            ()
+          },
+          checkpoint = Some(s"$root/ckpt"), stateDir = Some(s"$root/state"))
+      }
+      assert(crashed.getMessage.contains("injected crash") ||
+        crashed.getCause.getMessage.contains("injected crash"))
+      val resumed = CorpusStats.distinctKmvByIngest(stream, "grp", "text",
+          k = 64, checkpoint = Some(s"$root/ckpt"),
+          stateDir = Some(s"$root/state"))
+        .orderBy("grp").collect().map(_.toSeq).toSeq
+      assert(resumed == want, "resumed keyed sketches must equal the batch row")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   // ---------- KMV corpus overlap ----------
 
   test("overlap report by hand: below k everything is exact") {
