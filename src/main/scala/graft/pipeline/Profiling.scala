@@ -203,6 +203,52 @@ object Profiling {
       keyCol, width, percents)
   }
 
+  /** Per-key Pearson CORRELATION (+ regression slope) between two
+    * integer metrics — the metadata-sanity profile ("does document
+    * length track token diversity per source; did a crawler change break
+    * the relationship"): one grouped aggregation collects the six
+    * sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) as EXACT integer
+    * sums — DECIMAL(38,0) accumulators, so 100 TB of squared metrics
+    * cannot overflow where an int64 sum silently wraps; DuckDB mirrors
+    * with HUGEINT — and the estimates are a fixed IEEE dag over the six
+    * values cast to double once each: num = n·Σxy − Σx·Σy, corr =
+    * num/(√(n·Σx²−Σx²)·√(n·Σy²−Σy²)) (the two square roots deliberately
+    * NOT fused into one — √a·√b and √(ab) round differently), slope =
+    * num/denx. Deterministic end to end: integer sums are order-free,
+    * every double op is correctly rounded in a pinned order — the oracle
+    * re-derives each per-key coefficient bit-identically. Degenerate
+    * slices (a constant metric) emit 0.0 by a guarded CASE, mirrored in
+    * SQL. Built-in `corr()` on either engine is an order-dependent
+    * streaming accumulation — uncheckable, hence this shape.
+    */
+  def metricCorrBy(df: DataFrame, keyCol: String, x: Column,
+      y: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val a = df
+      .select(col(keyCol), x.cast("long").as("x"), y.cast("long").as("y"))
+      .groupBy(keyCol).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"))
+    val nD = col("n_docs").cast("double")
+    val num = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val denx = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val deny = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    a.withColumn("num", num).withColumn("denx", denx).withColumn("deny", deny)
+      .select(col(keyCol), col("n_docs"),
+        when(col("denx") <= 0.0 || col("deny") <= 0.0, lit(0.0))
+          .otherwise(col("num") / (sqrt(col("denx")) * sqrt(col("deny"))))
+          .as("corr"),
+        when(col("denx") <= 0.0, lit(0.0))
+          .otherwise(col("num") / col("denx")).as("slope"))
+  }
+
   /** Distribution-DRIFT scoring by Population Stability Index — the
     * standard production monitor for "has this slice's distribution
     * moved away from the baseline": PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i)

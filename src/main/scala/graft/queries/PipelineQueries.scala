@@ -1787,6 +1787,30 @@ object PipelineQueries {
     FROM sa, sb, su, r"""
   }
 
+  /** Metric-correlation oracle: the six sufficient statistics as exact
+    * HUGEINT sums, then the same pinned double dag (casts once each,
+    * √·√ unfused, guarded CASE for degenerate slices). */
+  private[queries] val metricCorrOracleSql: String = s"""
+    WITH d AS (SELECT source, length(text) AS x,
+                 len(list_distinct(${DuckSql.tokens("text")})) AS y
+               FROM ${Q.DocsRef}),
+    a AS (SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+            sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+          FROM d GROUP BY 1),
+    c AS (SELECT source, n,
+            CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+            CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+            CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
+          FROM a)
+    SELECT source, n AS n_docs,
+           CASE WHEN denx <= 0.0 OR deny <= 0.0 THEN 0.0
+                ELSE num / (sqrt(denx) * sqrt(deny)) END AS corr,
+           CASE WHEN denx <= 0.0 THEN 0.0 ELSE num / denx END AS slope
+    FROM c ORDER BY source"""
+
   /** Drift plant: one source's documents double in length, so its PSI
     * visibly dominates the near-uniform background sources. */
   private[queries] def driftPlant(docs: DataFrame): DataFrame =
@@ -2910,6 +2934,23 @@ object PipelineQueries {
         driftPlant(Tables.documents(s, dir)), "source", "text")
         .orderBy("source"),
       Some(driftPsiOracleSql)),
+
+    // per-source metric CORRELATION — metadata sanity profiling ("does
+    // length track token diversity; did a crawler change break the
+    // relationship"): six exact integer sufficient statistics per source
+    // (DECIMAL(38,0) accumulators — int64 sums of squares wrap at
+    // 100 TB) then a pinned double dag for Pearson r and the regression
+    // slope; built-in corr() is an order-dependent streaming
+    // accumulation on both engines — uncheckable, hence this shape.
+    Q("pipeline_source_metric_corr",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.pipeline.Profiling.metricCorrBy(docs, "source",
+          length(col("text")),
+          size(array_distinct(graft.functions.GraftFunctions.tokens(col("text")))))
+          .orderBy("source")
+      },
+      Some(metricCorrOracleSql)),
 
     // the drift-GATE composite — the profiling family closed into a
     // curation loop: score every source's PSI against the corpus

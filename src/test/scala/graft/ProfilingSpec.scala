@@ -234,6 +234,49 @@ class ProfilingSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  // ---------- metric correlation ----------
+
+  test("metric correlation: driver-dag replay, sign behavior, degenerate guard, invariance") {
+    import spark.implicits._
+    // g_pos: y rises with x; g_neg: y falls with x; g_const: x constant
+    val rows =
+      (1 to 50).map(i => ("g_pos", i.toLong, (2 * i + 3).toLong)) ++
+      (1 to 50).map(i => ("g_neg", i.toLong, (200 - 3 * i).toLong)) ++
+      (1 to 50).map(i => ("g_const", 7L, i.toLong))
+    val df = rows.toDF("grp", "x", "y")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Profiling.metricCorrBy(d, "grp", col("x"), col("y"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val got = run(df)
+    // independent driver-side replay of the exact dag
+    def replay(g: String): (Long, Double, Double) = {
+      val s = rows.filter(_._1 == g)
+      val n = s.size.toLong
+      val (sx, sy) = (s.map(_._2).sum, s.map(_._3).sum)
+      val sxy = s.map(t => t._2 * t._3).sum
+      val sxx = s.map(t => t._2 * t._2).sum
+      val syy = s.map(t => t._3 * t._3).sum
+      val num = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+      val denx = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+      val deny = n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble
+      val corr = if (denx <= 0.0 || deny <= 0.0) 0.0
+        else num / (math.sqrt(denx) * math.sqrt(deny))
+      val slope = if (denx <= 0.0) 0.0 else num / denx
+      (n, corr, slope)
+    }
+    assert(got == Map("g_pos" -> replay("g_pos"), "g_neg" -> replay("g_neg"),
+      "g_const" -> replay("g_const")))
+    // perfectly linear slices: r = ±1 up to the dag's rounding; exact
+    // slopes in closed form; constant-x slice takes the guard exactly
+    assert(math.abs(got("g_pos")._2 - 1.0) < 1e-12 &&
+      math.abs(got("g_pos")._3 - 2.0) < 1e-12)
+    assert(math.abs(got("g_neg")._2 + 1.0) < 1e-12 &&
+      math.abs(got("g_neg")._3 + 3.0) < 1e-12)
+    assert(got("g_const")._2 == 0.0 && got("g_const")._3 == 0.0)
+    assert(run(df.repartition(13)) == got, "corr must be partitioning-invariant")
+  }
+
   // ---------- weighted sampling ----------
 
   test("weighted sample: driver replay, weight bias, zero-weight exclusion, invariance") {
