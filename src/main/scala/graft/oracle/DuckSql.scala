@@ -42,11 +42,17 @@ object DuckSql {
   }
 
   /** Exact in-order cosine == GraftFunctions.cosine. */
-  def cosine(a: String, b: String): String = {
-    def fold(l: String) = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $l), (acc, x) -> acc + x)"
-    val dot = fold(s"list_transform(range(1, len($a)+1), i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE))")
-    val na = fold(s"list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
-    val nb = fold(s"list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
-    s"($dot) / (sqrt($na) * sqrt($nb))"
-  }
+  private def fold(l: String) =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $l), (acc, x) -> acc + x)"
+
+  /** In-order dot product == GraftFunctions.dot (ArrayDotProduct's fold). */
+  def ip(a: String, b: String): String =
+    fold(s"list_transform(range(1, len($a)+1), i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE))")
+
+  /** In-order squared norm == GraftFunctions.dot(v, v). */
+  def normSq(a: String): String =
+    fold(s"list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+
+  def cosine(a: String, b: String): String =
+    s"(${ip(a, b)}) / (sqrt(${normSq(a)}) * sqrt(${normSq(b)}))"
 }

@@ -152,6 +152,82 @@ object PipelineQueries {
     * them" (the stream_dedup_semantic shape). The default renders
     * byte-identically to the pre-parameter form.
     */
+  /** IVF-PQ oracle tail over [[ivfTrainedCtes]]'s `e`/`cellF`/`qp`: per
+    * subvector a full quantized-Lloyd codebook replay on the slice
+    * (the same iteration shape, dims = sub), codes as the positional
+    * row_number in ascending-cent_id order, per-(query, code) IP lookup
+    * tables, ADC = Σ_m t_m / (‖q‖·‖x̂‖), top-`rerank` per query, exact
+    * cosine re-rank, top-k. Every double dag mirrors the Spark plan op
+    * for op (ip/normSq are the shared fold renderings).
+    */
+  private[queries] def ivfPqCtes(subvectors: Int, codes: Int, iters: Int,
+      nprobe: Int, rerank: Int, dim: Int = 64,
+      scale: String = "1000000.0e0"): String = {
+    val sub = dim / subvectors
+    def book(m: Int): String = {
+      val off = m * sub
+      def iter(i: Int): String =
+        s"""pasg${i}_$m AS (SELECT e.vec_id, e.v, c.cent_id,
+           |                 ${DuckSql.cosine("e.v", "c.cv")} AS ccos
+           |          FROM pe_$m e CROSS JOIN pb${i - 1}_$m c),
+           |pcell${i}_$m AS (SELECT vec_id, v, cent_id AS cell FROM (
+           |            SELECT vec_id, v, cent_id,
+           |                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS r
+           |            FROM pasg${i}_$m) WHERE r = 1),
+           |ps${i}_$m AS (SELECT cell, j,
+           |               SUM(CAST(floor(v[CAST(j+1 AS INT)] * $scale) AS BIGINT)) AS s,
+           |               COUNT(*) AS n
+           |        FROM pcell${i}_$m, range($sub) t(j) GROUP BY cell, j),
+           |pb${i}_$m AS (SELECT cell AS cent_id,
+           |               list(CAST(s AS DOUBLE) / ($scale * n) ORDER BY j) AS cv
+           |        FROM ps${i}_$m GROUP BY cell)""".stripMargin
+      s"""pe_$m AS (SELECT vec_id, list_slice(v, ${off + 1}, ${off + sub}) AS v FROM e),
+         |pb0_$m AS (SELECT vec_id AS cent_id, v AS cv FROM pe_$m ORDER BY vec_id LIMIT $codes),
+         |${(1 to iters).map(iter).mkString(",\n")},
+         |pbk_$m AS (SELECT cent_id, cv,
+         |             ROW_NUMBER() OVER (ORDER BY cent_id) - 1 AS code,
+         |             ${DuckSql.normSq("cv")} AS nsq
+         |           FROM pb${iters}_$m),
+         |pea_$m AS (SELECT e.vec_id, b.code, b.nsq, b.cent_id,
+         |             ${DuckSql.cosine("e.v", "b.cv")} AS ccos
+         |           FROM pe_$m e CROSS JOIN pbk_$m b),
+         |penc_$m AS (SELECT vec_id, code, nsq FROM (
+         |             SELECT vec_id, code, nsq,
+         |                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS r
+         |             FROM pea_$m) WHERE r = 1),
+         |ptq_$m AS (SELECT q.query_id, b.code,
+         |             ${DuckSql.ip(s"list_slice(q.qv, ${off + 1}, ${off + sub})", "b.cv")} AS t
+         |           FROM pqv q CROSS JOIN pbk_$m b)""".stripMargin
+    }
+    val ms = 0 until subvectors
+    val encJoins = ms.map(m =>
+      s"JOIN penc_$m e$m ON e$m.vec_id = pr.neighbor_id").mkString("\n           ")
+    val tqJoins = ms.map(m =>
+      s"JOIN ptq_$m t$m ON t$m.query_id = pr.query_id AND t$m.code = e$m.code")
+      .mkString("\n           ")
+    val ipSum = ms.map(m => s"t$m.t").mkString(" + ")
+    val nsqSum = ms.map(m => s"e$m.nsq").mkString(" + ")
+    s"""pqv AS (SELECT DISTINCT query_id, qv FROM qp),
+       |${ms.map(book).mkString(",\n")},
+       |pr AS (SELECT q.query_id, d.vec_id AS neighbor_id
+       |       FROM qp q JOIN cellF d ON q.cell = d.cell AND q.query_id <> d.vec_id),
+       |padc AS (SELECT pr.query_id, pr.neighbor_id,
+       |           ($ipSum) / (sqrt(${DuckSql.normSq("pq2.qv")}) * sqrt($nsqSum)) AS adc
+       |         FROM pr
+       |           JOIN pqv pq2 ON pq2.query_id = pr.query_id
+       |           $encJoins
+       |           $tqJoins),
+       |pcand AS (SELECT query_id, neighbor_id FROM (
+       |           SELECT query_id, neighbor_id,
+       |                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS r
+       |           FROM padc) WHERE r <= $rerank),
+       |pex AS (SELECT c.query_id, c.neighbor_id,
+       |          ${DuckSql.cosine("q.qv", "d.v")} AS cos
+       |        FROM pcand c
+       |          JOIN pqv q ON q.query_id = c.query_id
+       |          JOIN e d ON d.vec_id = c.neighbor_id)""".stripMargin
+  }
+
   private[queries] def ivfTrainedCtes(k: Int, iters: Int, nprobe: Int, dim: Int = 64,
       scale: String = "1000000.0e0", trainRel: String = "e"): String = {
     val trA = if (trainRel == "e") "e" else s"$trainRel e"
@@ -4024,6 +4100,28 @@ object PipelineQueries {
               FROM sc)
         SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id
         FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""")),
+
+    // IVF-PQ — the billion-scale ANN serving shape (Jégou et al.): the
+    // trained coarse index limits each query to nprobe cells; within
+    // them candidates rank by asymmetric distance against
+    // product-quantized codes (4 codes + 1 norm per vector moves through
+    // the scored join instead of 64 floats — the memory/bandwidth story
+    // that makes 100 TB of embeddings searchable), then the top-40 ADC
+    // candidates re-rank by true cosine fetched by id. Four per-subvector
+    // quantized-Lloyd codebooks + coarse Lloyd all replay in the oracle.
+    Q("knn_ivf_pq",
+      (s, dir) => Similarity.knnIvfPq(Tables.embeddings(s, dir), "vec_id",
+          "embedding", k = 5, queryFilter = col("vec_id") < 100,
+          numCentroids = 16, iters = 2, nprobe = 3,
+          subvectors = 4, codes = 16, rerank = 40)
+        .orderBy("query_id", "rnk"),
+      Some(s"""
+        WITH ${ivfTrainedCtes(k = 16, iters = 2, nprobe = 3)},
+        ${ivfPqCtes(subvectors = 4, codes = 16, iters = 2, nprobe = 3, rerank = 40)}
+        SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM pex) WHERE rnk <= 5 ORDER BY query_id, rnk""")),
 
     // SemDeDup-style SEMANTIC dedup: the trained k-means cells (same 2
     // quantized Lloyd iterations as knn_ivf_trained — one CTE generator

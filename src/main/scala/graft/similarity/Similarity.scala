@@ -359,6 +359,112 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos")
   }
 
+  /** Product-quantization codebooks — one spherical quantized-Lloyd
+    * codebook per subvector slice (FAISS-style PQ made deterministic):
+    * the D-dim space factors into `subvectors` slices of D/M dims, each
+    * trained by the SAME order-free quantized Lloyd the IVF path uses,
+    * so every codebook is bit-reproducible by the SQL oracle. Collected
+    * ascending by cent_id; the positional index in that order IS the
+    * code (what the compressed index stores).
+    */
+  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      subvectors: Int, codes: Int, iters: Int,
+      dim: Int = 64): Seq[Seq[(Any, Seq[Double])]] = {
+    val sub = dim / subvectors
+    require(sub * subvectors == dim,
+      s"dim $dim must split evenly into $subvectors subvectors")
+    (0 until subvectors).map { m =>
+      collectCentroids(kmeansCentroidsQuantized(
+        df.select(col(idCol),
+          slice(col(vecCol).cast("array<double>"), m * sub + 1, sub).as("__sv")),
+        idCol, "__sv", codes, iters))
+    }
+  }
+
+  /** 0-based code of `sv` in `book` (ascending cent_id order): the
+    * max-cosine centroid, ties toward the lowest cent_id — the same
+    * struct-argmax as cell assignment, emitting the INDEX instead of the
+    * id. */
+  private def codeIndex(book: Seq[(Any, Seq[Double])],
+      sv: org.apache.spark.sql.Column,
+      svn: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    -array_max(centroidEntries(book, sv, svn)).getField("ni")
+
+  /** IVF-PQ approximate top-k — the billion-scale serving shape (Jégou
+    * et al., TPAMI 2011) at the engine's determinism standard: a coarse
+    * trained-IVF index limits each query to its `nprobe` cells, and
+    * within them candidates rank by ASYMMETRIC DISTANCE against
+    * product-quantized codes — the scored join moves `subvectors` small
+    * ints + one norm per data vector instead of D floats (64-dim floats
+    * → 4 codes ≈ 64× less index bandwidth; at 100 TB of embeddings the
+    * index fits where the vectors do not). Per query, the M per-subvector
+    * lookup tables <q_m, c> are pure column work against the codebook
+    * literals (no join); adc = Σ_m t_m[code_m] / (‖q‖·‖x̂‖) is the exact
+    * cosine between the query and the RECONSTRUCTION x̂, with ‖x̂‖ from
+    * code-norm literals. The top `rerank` ADC candidates per query then
+    * re-rank by TRUE cosine (vectors fetched by id — the
+    * candidates-then-verify split), and the top k of those are the
+    * answer. Every stage is deterministic (trained books ≡ oracle
+    * replay, fixed double dags, id tie-breaks), so the full
+    * train→encode→ADC→re-rank chain hash-checks against DuckDB.
+    */
+  def knnIvfPq(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      queryFilter: org.apache.spark.sql.Column,
+      numCentroids: Int = 16, iters: Int = 2, nprobe: Int = 3,
+      subvectors: Int = 4, codes: Int = 16, rerank: Int = 20,
+      dim: Int = 64): DataFrame = {
+    val sub = dim / subvectors
+    val coarse = collectCentroids(
+      kmeansCentroidsQuantized(df, idCol, vecCol, numCentroids, iters))
+    val books = pqCodebooks(df, idCol, vecCol, subvectors, codes, iters, dim)
+    // code norms as plan literals, same fold order as the oracle's normSq
+    val normsq: Seq[Seq[Double]] =
+      books.map(_.map { case (_, cv) => cv.foldLeft(0.0)((a, x) => a + x * x) })
+    val v = graft.Caches.track(
+      df.select(col(idCol), col(vecCol).cast("array<double>").as("v")))
+    val cells = assignCollected(v, idCol, "v", coarse)
+    val encoded = books.zipWithIndex.foldLeft(cells) { case (d, (book, m)) =>
+      val sv = slice(col("v"), m * sub + 1, sub)
+      d.withColumn(s"__c$m", codeIndex(book, sv, sqrt(dot(sv, sv))))
+    }
+    val rn = sqrt((0 until subvectors).map(m =>
+        element_at(array(normsq(m).map(lit): _*), col(s"__c$m") + 1))
+      .reduce(_ + _))
+    val index = encoded.select(
+      Seq(col(idCol).as("neighbor_id"), col("cell"), rn.as("__rn")) ++
+        (0 until subvectors).map(m => col(s"__c$m")): _*)
+    val qn0 = sqrt(dot(col("v"), col("v")))
+    val q0 = v.filter(queryFilter)
+      .select(col(idCol).as("query_id"), col("v").as("qv"), qn0.as("qn"),
+        explode(slice(reverse(array_sort(
+          centroidEntries(coarse, col("v"), qn0))), 1, nprobe)).as("__e"))
+      .select(col("query_id"), col("qv"), col("qn"), col("__e.cell").as("cell"))
+    val q = books.zipWithIndex.foldLeft(q0) { case (d, (book, m)) =>
+      val sv = slice(col("qv"), m * sub + 1, sub)
+      d.withColumn(s"__t$m",
+        array(book.map { case (_, cv) => dot(sv, array(cv.map(lit): _*)) }: _*))
+    }
+    val ip = (0 until subvectors).map(m =>
+      element_at(col(s"__t$m"), col(s"__c$m") + 1)).reduce(_ + _)
+    val scored = q.join(index, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", ip / (col("qn") * col("__rn")))
+    val wA = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val cand = scored.withColumn("__r", row_number().over(wA))
+      .filter(col("__r") <= rerank)
+      .select("query_id", "qv", "qn", "neighbor_id")
+    val fetch = v.select(col(idCol).as("neighbor_id"), col("v").as("cv"),
+      sqrt(dot(col("v"), col("v"))).as("cn"))
+    val exact = cand.join(fetch, Seq("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val wE = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    exact.withColumn("rnk", row_number().over(wE)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("int").as("rnk"),
+        col("neighbor_id"))
+  }
+
   /** Embedding near-duplicates via hyperplane LSH buckets: candidates are
     * bucket-mates (one int key per vector, one hash shuffle), verified by
     * exact cosine. Each vector lands in exactly one bucket, so a pair is

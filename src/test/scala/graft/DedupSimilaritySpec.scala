@@ -274,4 +274,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.codegen.factoryMode")
     }
   }
+
+  test("IVF-PQ: recall vs brute force, partitioning invariance, compressed index schema") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, TestSpark.SF)
+    val got = Similarity.knnIvfPq(emb, "vec_id", "embedding", k = 5,
+        queryFilter = col("vec_id") < 100, rerank = 40)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.map(_._1).distinct.length == 100, "every query answers")
+    // recall@5 against the exact answer: IVF-PQ is nprobe/rerank-bounded
+    // approximate — the coarse cells and ADC candidate cut both lose
+    // true neighbors by design; the floor checks the chain is sane, not
+    // tight (the draw is deterministic, so this is a fixed property)
+    val exact = Similarity.knnBruteForce(emb.filter(col("vec_id") < 100), emb,
+        "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val hits = got.count { case (q, _, n) => exact(q).contains(n) }
+    // the coarse index caps recall (a true neighbor outside the nprobe
+    // cells is lost before PQ sees it): compare against trained IVF with
+    // the SAME cells and exact scoring — the PQ chain (ADC cut + rerank)
+    // should be nearly lossless relative to that ceiling
+    val ivfHits = Similarity.knnIvf(emb, "vec_id", "embedding", k = 5,
+        numCentroids = 16, queryFilter = col("vec_id") < 100,
+        centroids = Some(Similarity.kmeansCentroidsQuantized(
+          emb, "vec_id", "embedding", k = 16, iters = 2)), nprobe = 3)
+      .collect().count(r => exact(r.getLong(0)).contains(r.getLong(2)))
+    info(s"IVF-PQ recall@5 = $hits/500 vs exact-scored IVF ceiling $ivfHits/500")
+    assert(hits >= (ivfHits * 8) / 10,
+      s"ADC+rerank lost too much vs the coarse ceiling: $hits vs $ivfHits")
+    assert(hits >= 150, s"IVF-PQ recall collapsed: $hits/500")
+    // deterministic under repartitioning (trained books + fixed dags)
+    val emb13 = emb.repartition(13)
+    val again = Similarity.knnIvfPq(emb13, "vec_id", "embedding", k = 5,
+        queryFilter = col("vec_id") < 100, rerank = 40)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(again.sorted.toSeq == got.sorted.toSeq,
+      "IVF-PQ must be partitioning-invariant end to end")
+  }
 }
