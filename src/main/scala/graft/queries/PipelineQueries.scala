@@ -4123,6 +4123,49 @@ object PipelineQueries {
                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
           FROM pex) WHERE rnk <= 5 ORDER BY query_id, rnk""")),
 
+    // IVF-PQ SERVING AT INGESTION — the deployment shape of compressed
+    // ANN: model + index build offline from the archive; each incoming
+    // query probes its nprobe cells and derives its M lookup tables as
+    // pure column work (no state), candidates come from one
+    // stream-static cell join, and the TWO-STAGE cut — top-40 by ADC,
+    // then top-5 of those by exact cosine — happens inside the windowed
+    // aggregation over the bounded candidate set (sort by (−adc, id),
+    // slice 40, re-sort by (−cos, id), slice 5 — the logical rendering
+    // of "fetch the ADC head by id and re-rank"; a rank window is not
+    // streamable, a bounded candidate set is). Emits the batch row's
+    // exact ranks — shared oracle.
+    Q("stream_knn_ivf_pq",
+      (s, dir) => {
+        implicit val sp = s
+        val emb = graft.Caches.track(Tables.embeddings(s, dir))
+        val scored = Similarity.knnIvfPqServeScored(
+          graft.streaming.StreamSources.embeddings(s, dir)
+            .filter(col("vec_id") < 100),
+          emb, "vec_id", "embedding")
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+          .groupBy(window(col("event_time"), "1 hour"), col("query_id"))
+          .agg(collect_list(struct((-col("adc")).as("na"),
+            col("neighbor_id").as("nid"), (-col("cos")).as("nc"))).as("cand"))
+          .select(col("query_id"),
+            posexplode(slice(array_sort(transform(
+              slice(array_sort(col("cand")), 1, 40),
+              c => struct(c.getField("nc").as("nc"),
+                c.getField("nid").as("nid")))), 1, 5)))
+          .select(col("query_id"), (col("pos") + 1).cast("int").as("rnk"),
+            col("col.nid").as("neighbor_id"))
+        graft.streaming.StreamRun.toBatch(scored, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+          .orderBy("query_id", "rnk")
+      },
+      Some(s"""
+        WITH ${ivfTrainedCtes(k = 16, iters = 2, nprobe = 3)},
+        ${ivfPqCtes(subvectors = 4, codes = 16, iters = 2, nprobe = 3, rerank = 40)}
+        SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM pex) WHERE rnk <= 5 ORDER BY query_id, rnk""")),
+
     // SemDeDup-style SEMANTIC dedup: the trained k-means cells (same 2
     // quantized Lloyd iterations as knn_ivf_trained — one CTE generator
     // serves both oracles) bound the quadratic cosine comparison; within

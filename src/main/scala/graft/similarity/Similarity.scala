@@ -408,47 +408,81 @@ object Similarity {
     * replay, fixed double dags, id tie-breaks), so the full
     * train→encode→ADC→re-rank chain hash-checks against DuckDB.
     */
+  /** The trained PQ model: coarse centroids, per-subvector codebooks,
+    * code norms (the shared fold order), slice width. */
+  private case class PqModel(coarse: Seq[(Any, Seq[Double])],
+      books: Seq[Seq[(Any, Seq[Double])]], normsq: Seq[Seq[Double]], sub: Int)
+
+  private def pqTrain(archive: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int, iters: Int, subvectors: Int, codes: Int,
+      dim: Int): PqModel = {
+    val books = pqCodebooks(archive, idCol, vecCol, subvectors, codes, iters, dim)
+    PqModel(
+      collectCentroids(
+        kmeansCentroidsQuantized(archive, idCol, vecCol, numCentroids, iters)),
+      books,
+      books.map(_.map { case (_, cv) => cv.foldLeft(0.0)((a, x) => a + x * x) }),
+      dim / subvectors)
+  }
+
+  /** The compressed index over the archive: (neighbor_id, cell,
+    * reconstructed norm, code_0..M−1[, cv, cn when `withVectors`]). */
+  private def pqIndex(cells: DataFrame, idCol: String, m: PqModel,
+      withVectors: Boolean): DataFrame = {
+    val encoded = m.books.zipWithIndex.foldLeft(cells) { case (d, (book, i)) =>
+      val sv = slice(col("v"), i * m.sub + 1, m.sub)
+      d.withColumn(s"__c$i", codeIndex(book, sv, sqrt(dot(sv, sv))))
+    }
+    val rn = sqrt(m.books.indices.map(i =>
+        element_at(array(m.normsq(i).map(lit): _*), col(s"__c$i") + 1))
+      .reduce(_ + _))
+    val base = Seq(col(idCol).as("neighbor_id"), col("cell"), rn.as("__rn")) ++
+      m.books.indices.map(i => col(s"__c$i"))
+    val cols: Seq[org.apache.spark.sql.Column] =
+      if (withVectors) base ++ Seq(col("v").as("cv"), col("__n").as("cn"))
+      else base
+    encoded.select(cols: _*)
+  }
+
+  /** Query side: nprobe cell probes + the M per-subvector lookup tables
+    * <q_m, c> as pure column work against the codebook literals. */
+  private def pqQueryProbes(queries: DataFrame, idCol: String,
+      vecCol: String, m: PqModel, nprobe: Int): DataFrame = {
+    val qv = queries.select(col(idCol),
+      col(vecCol).cast("array<double>").as("v"))
+    val qn0 = sqrt(dot(col("v"), col("v")))
+    val q0 = qv
+      .select(col(idCol).as("query_id"), col("v").as("qv"), qn0.as("qn"),
+        explode(slice(reverse(array_sort(
+          centroidEntries(m.coarse, col("v"), qn0))), 1, nprobe)).as("__e"))
+      .select(col("query_id"), col("qv"), col("qn"), col("__e.cell").as("cell"))
+    m.books.zipWithIndex.foldLeft(q0) { case (d, (book, i)) =>
+      val sv = slice(col("qv"), i * m.sub + 1, m.sub)
+      d.withColumn(s"__t$i",
+        array(book.map { case (_, cv) => dot(sv, array(cv.map(lit): _*)) }: _*))
+    }
+  }
+
+  private def pqAdc(m: PqModel): org.apache.spark.sql.Column =
+    m.books.indices.map(i =>
+      element_at(col(s"__t$i"), col(s"__c$i") + 1)).reduce(_ + _) /
+      (col("qn") * col("__rn"))
+
   def knnIvfPq(df: DataFrame, idCol: String, vecCol: String, k: Int,
       queryFilter: org.apache.spark.sql.Column,
       numCentroids: Int = 16, iters: Int = 2, nprobe: Int = 3,
       subvectors: Int = 4, codes: Int = 16, rerank: Int = 20,
       dim: Int = 64): DataFrame = {
-    val sub = dim / subvectors
-    val coarse = collectCentroids(
-      kmeansCentroidsQuantized(df, idCol, vecCol, numCentroids, iters))
-    val books = pqCodebooks(df, idCol, vecCol, subvectors, codes, iters, dim)
-    // code norms as plan literals, same fold order as the oracle's normSq
-    val normsq: Seq[Seq[Double]] =
-      books.map(_.map { case (_, cv) => cv.foldLeft(0.0)((a, x) => a + x * x) })
+    val m = pqTrain(df, idCol, vecCol, numCentroids, iters, subvectors,
+      codes, dim)
     val v = graft.Caches.track(
       df.select(col(idCol), col(vecCol).cast("array<double>").as("v")))
-    val cells = assignCollected(v, idCol, "v", coarse)
-    val encoded = books.zipWithIndex.foldLeft(cells) { case (d, (book, m)) =>
-      val sv = slice(col("v"), m * sub + 1, sub)
-      d.withColumn(s"__c$m", codeIndex(book, sv, sqrt(dot(sv, sv))))
-    }
-    val rn = sqrt((0 until subvectors).map(m =>
-        element_at(array(normsq(m).map(lit): _*), col(s"__c$m") + 1))
-      .reduce(_ + _))
-    val index = encoded.select(
-      Seq(col(idCol).as("neighbor_id"), col("cell"), rn.as("__rn")) ++
-        (0 until subvectors).map(m => col(s"__c$m")): _*)
-    val qn0 = sqrt(dot(col("v"), col("v")))
-    val q0 = v.filter(queryFilter)
-      .select(col(idCol).as("query_id"), col("v").as("qv"), qn0.as("qn"),
-        explode(slice(reverse(array_sort(
-          centroidEntries(coarse, col("v"), qn0))), 1, nprobe)).as("__e"))
-      .select(col("query_id"), col("qv"), col("qn"), col("__e.cell").as("cell"))
-    val q = books.zipWithIndex.foldLeft(q0) { case (d, (book, m)) =>
-      val sv = slice(col("qv"), m * sub + 1, sub)
-      d.withColumn(s"__t$m",
-        array(book.map { case (_, cv) => dot(sv, array(cv.map(lit): _*)) }: _*))
-    }
-    val ip = (0 until subvectors).map(m =>
-      element_at(col(s"__t$m"), col(s"__c$m") + 1)).reduce(_ + _)
+    val index = pqIndex(assignCollected(v, idCol, "v", m.coarse), idCol, m,
+      withVectors = false)
+    val q = pqQueryProbes(v.filter(queryFilter), idCol, "v", m, nprobe)
     val scored = q.join(index, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", ip / (col("qn") * col("__rn")))
+      .withColumn("adc", pqAdc(m))
     val wA = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("neighbor_id").asc)
     val cand = scored.withColumn("__r", row_number().over(wA))
@@ -463,6 +497,35 @@ object Similarity {
     exact.withColumn("rnk", row_number().over(wE)).filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk").cast("int").as("rnk"),
         col("neighbor_id"))
+  }
+
+  /** IVF-PQ SERVING — the streamable half: model + compressed index
+    * build OFFLINE from the archive; each incoming query probes its
+    * nprobe cells and computes its lookup tables as pure column work (no
+    * state), candidates come from ONE stream-static equi-join on the
+    * cell, and both scores ride the joined row — adc from the codes, cos
+    * from the archived vector (the index carries it here: a rank window
+    * is not streamable, so the two-stage ADC-cut→exact-re-rank happens
+    * INSIDE the caller's windowed aggregation over the bounded candidate
+    * set, the logical rendering of "fetch the top-C by id"). Returns
+    * (query_id, neighbor_id, adc, cos).
+    */
+  def knnIvfPqServeScored(queries: DataFrame, archive: DataFrame,
+      idCol: String, vecCol: String,
+      numCentroids: Int = 16, iters: Int = 2, nprobe: Int = 3,
+      subvectors: Int = 4, codes: Int = 16, dim: Int = 64): DataFrame = {
+    val m = pqTrain(archive, idCol, vecCol, numCentroids, iters, subvectors,
+      codes, dim)
+    val v = graft.Caches.track(
+      archive.select(col(idCol), col(vecCol).cast("array<double>").as("v")))
+    val index = pqIndex(assignCollected(v, idCol, "v", m.coarse), idCol, m,
+      withVectors = true)
+    val q = pqQueryProbes(queries, idCol, vecCol, m, nprobe)
+    q.join(index, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", pqAdc(m))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .select("query_id", "neighbor_id", "adc", "cos")
   }
 
   /** Embedding near-duplicates via hyperplane LSH buckets: candidates are
