@@ -1863,6 +1863,53 @@ object PipelineQueries {
     FROM sa, sb, su, r"""
   }
 
+  /** BM25 oracle: same matched-occurrence tf/df, same driver-derivable
+    * N/avgdl as SQL divisions, idf through the staged portable-log
+    * chain, same pinned contribution dag quantized before the order-free
+    * integer sum, same (score DESC, doc) ranks. */
+  private[queries] val bm25OracleSql: String = {
+    import graft.functions.PortableLog
+    s"""
+    WITH m AS (SELECT doc_id, text || ' xq' || CAST(doc_id AS VARCHAR) AS text
+               FROM ${Q.DocsRef}),
+    qq AS (SELECT doc_id AS query_id,
+             array_to_string(list_slice(${DuckSql.tokens("text")}, 3, 10), ' ') ||
+               ' xq' || CAST(doc_id AS VARCHAR) AS qtext
+           FROM m WHERE doc_id % 31 = 0),
+    qt AS (SELECT DISTINCT query_id, unnest(${DuckSql.tokens("qtext")}) AS token FROM qq),
+    t AS (SELECT doc_id, unnest(${DuckSql.tokens("text")}) AS token FROM m),
+    dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+    nn AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+    mt AS (SELECT t.doc_id, t.token FROM t
+           JOIN (SELECT DISTINCT token FROM qt) x USING (token)),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM mt GROUP BY 1, 2),
+    dfc AS (SELECT token, count(DISTINCT doc_id) AS df FROM mt GROUP BY 1),
+    i0 AS (SELECT token,
+             (CAST(nn.n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+               / (CAST(df AS DOUBLE) + 0.5) + 1.0 AS x
+           FROM dfc, nn),
+    i1 AS (SELECT token, ${PortableLog.sqrtNestSql("x")} AS y FROM i0),
+    i2 AS (SELECT token, ${PortableLog.zSql("y")} AS z FROM i1),
+    idf AS (SELECT token, ${PortableLog.seriesSql("z")} AS idf FROM i2),
+    sc AS (SELECT qt.query_id, tf.doc_id,
+             CAST(floor(1.0e6 * (idf.idf *
+               ((CAST(tf.tf AS DOUBLE) * 2.2) /
+                (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 +
+                 0.75 * (CAST(dl.dl AS DOUBLE) /
+                         (CAST(nn.sumdl AS DOUBLE) / CAST(nn.n AS DOUBLE)))))))) AS BIGINT) AS c
+           FROM tf
+             JOIN qt ON qt.token = tf.token
+             JOIN idf ON idf.token = tf.token
+             JOIN dl ON dl.doc_id = tf.doc_id, nn),
+    agg AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_q
+            FROM sc GROUP BY 1, 2),
+    r AS (SELECT query_id, doc_id, score_q,
+            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rnk
+          FROM agg)
+    SELECT query_id, CAST(rnk AS INT) AS rnk, doc_id, score_q
+    FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
+  }
+
   /** Metric-correlation oracle: the six sufficient statistics as exact
     * HUGEINT sums, then the same pinned double dag (casts once each,
     * √·√ unfused, guarded CASE for degenerate slices). */
@@ -3010,6 +3057,31 @@ object PipelineQueries {
         driftPlant(Tables.documents(s, dir)), "source", "text")
         .orderBy("source"),
       Some(driftPsiOracleSql)),
+
+    // BM25 retrieval — the retrieval face of decontamination and
+    // targeted selection ("which documents does this benchmark question
+    // retrieve" catches paraphrase contamination that exact n-gram
+    // overlap misses): queries = 8-token spans of every doc_id % 31
+    // document plus that document's planted rare marker (the doc-unique
+    // plant, shared with the profiling rows), so idf does exactly what
+    // BM25 exists for — the rare term dominates and every query's source
+    // doc ranks #1 (162/162 at sf0.1, asserted in spec). One probe scan
+    // against the broadcast query-term set (a policy dimension), tf/df
+    // from matched occurrences only, idf through the portable log,
+    // contributions quantized before the order-free per-(query, doc)
+    // sum.
+    Q("text_bm25_topk",
+      (s, dir) => {
+        val docs = heavyHitterPlant(Tables.documents(s, dir))
+        val queries = docs.filter(pmod(col("doc_id"), lit(31)) === 0)
+          .select(col("doc_id").as("query_id"),
+            concat(array_join(
+              slice(graft.functions.GraftFunctions.tokens(col("text")), 3, 8), " "),
+              lit(" xq"), col("doc_id").cast("string")).as("qtext"))
+        graft.text.Bm25.topk(docs, "doc_id", "text", queries, "query_id",
+          "qtext", k = 5).orderBy("query_id", "rnk")
+      },
+      Some(bm25OracleSql)),
 
     // per-source metric CORRELATION — metadata sanity profiling ("does
     // length track token diversity; did a crawler change break the

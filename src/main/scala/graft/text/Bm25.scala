@@ -1,0 +1,87 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** BM25 retrieval scoring — rank corpus documents against a query set
+  * (Robertson–Walker's Okapi weighting, the lexical-retrieval standard).
+  * In a training-data pipeline this is the RETRIEVAL face of
+  * decontamination and targeted selection: "which documents does this
+  * benchmark question retrieve" catches paraphrased contamination that
+  * exact n-gram overlap misses, and "retrieve the corpus for these seed
+  * queries" is the lexical twin of DSIR-style targeted selection.
+  *
+  * score(q, d) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))
+  * with the standard k1 = 1.2, b = 0.75 and
+  * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1) (the non-negative variant).
+  *
+  * Determinism at the engine standard: the logarithm is the portable
+  * [[graft.functions.PortableLog]] dag; N and avgdl derive once
+  * driver-side as exact-integer→double divisions the oracle re-derives
+  * in SQL (the temperature-weights pattern); every per-term contribution
+  * is a fixed double dag QUANTIZED to int64 before the per-(query, doc)
+  * sum — order-free, so the DuckDB oracle replays every score and rank
+  * bit-identically.
+  *
+  * Scale shape: the query-term set is a POLICY dimension (a benchmark
+  * suite's distinct terms — thousands, not corpus-scale), so it
+  * broadcasts and the corpus pays ONE probe scan (token explode against
+  * the broadcast set — no vocabulary-keyed Exchange); tf/df/idf are
+  * aggregations of the MATCHED occurrences only, and the per-(query,
+  * doc) aggregation moves matching occurrences, never the corpus. The
+  * doc-length join is id-keyed on the matched docs. Contrast
+  * [[CorpusStats.dfScore]]: that scores every doc against the whole
+  * vocabulary (corpus profiling); this ranks docs against queries
+  * (retrieval).
+  */
+object Bm25 {
+
+  /** Top-k corpus documents per query by BM25. `queries` carries
+    * (`qidCol`, `qtextCol`). Output: (query_id, rnk, `idCol`, score_q) —
+    * score_q = Σ floor(10⁶·contribution), ties broken by ascending doc
+    * id.
+    */
+  def topk(corpus: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int): DataFrame = {
+    import graft.functions.PortableLog
+    val toks = graft.Caches.track(
+      corpus.select(col(idCol), explode(tokens(col(textCol))).as("token")))
+    val dl = graft.Caches.track(
+      toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl")))
+    val row = dl.agg(count(lit(1)).as("n"), sum("dl").as("sumdl")).head()
+    val n = row.getLong(0)
+    require(n > 0, "BM25 needs a non-empty corpus")
+    val avgdl = row.getLong(1).toDouble / n.toDouble
+    val qt = graft.Caches.track(
+      queries.select(col(qidCol).as("query_id"),
+        explode(tokens(col(qtextCol))).as("token")).distinct())
+    val mt = graft.Caches.track(
+      toks.join(broadcast(qt.select("token").distinct()), "token"))
+    val tf = mt.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val idf = mt.groupBy(col("token"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .withColumn("x",
+        (lit(n.toDouble) - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0))
+      .select(col("token"), PortableLog.plogCol(col("x")).as("idf"))
+    val contrib = tf
+      .join(broadcast(qt), "token")
+      .join(broadcast(idf), "token")
+      .join(dl, idCol)
+      .withColumn("c", floor(lit(1.0e6) * (col("idf") *
+        ((col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * (col("dl").cast("double") / lit(avgdl)))))))
+        .cast("long"))
+    val agg = contrib.groupBy(col("query_id"), col(idCol))
+      .agg(sum("c").as("score_q"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_q").desc, col(idCol).asc)
+    agg.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("int").as("rnk"), col(idCol),
+        col("score_q"))
+  }
+}
