@@ -950,6 +950,41 @@ object StreamingQueries {
       },
       Some(PipelineQueries.kmvOracleSql(graft.text.CorpusStats.KmvK))),
 
+    // BM25 AT INGESTION — the streaming decontamination monitor: the
+    // model (query term lists, idf, avgdl) derives offline from the
+    // archive; each incoming doc scores against every query as pure
+    // column work (literal query explode, tf = filter-count over the
+    // doc's own token array, idf from a literal map, the same pinned
+    // quantized dag), and the per-query top-k happens inside the
+    // windowed aggregation over the bounded scored set. Streaming the
+    // archive reproduces the batch ranks — shared oracle.
+    Q("stream_text_bm25_topk",
+      (s, dir) => {
+        implicit val sp = s
+        val docs = PipelineQueries.heavyHitterPlant(graft.Tables.documents(s, dir))
+        val queries = docs.filter(pmod(col("doc_id"), lit(31)) === 0)
+          .select(col("doc_id").as("query_id"),
+            concat(array_join(
+              slice(graft.functions.GraftFunctions.tokens(col("text")), 3, 8), " "),
+              lit(" xq"), col("doc_id").cast("string")).as("qtext"))
+        val scored = graft.text.Bm25.streamScored(
+          PipelineQueries.heavyHitterPlant(StreamSources.documents(s, dir)),
+          docs, "doc_id", "text", queries, "query_id", "qtext")
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+          .groupBy(window(col("event_time"), "1 hour"), col("query_id"))
+          .agg(collect_list(struct((-col("score_q")).as("ns"),
+            col("doc_id").as("did"), col("score_q").as("sq"))).as("cand"))
+          .select(col("query_id"),
+            posexplode(slice(array_sort(col("cand")), 1, 5)))
+          .select(col("query_id"), (col("pos") + 1).cast("int").as("rnk"),
+            col("col.did").as("doc_id"), col("col.sq").as("score_q"))
+        graft.streaming.StreamRun.toBatch(scored, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+          .orderBy("query_id", "rnk")
+      },
+      Some(PipelineQueries.bm25OracleSql)),
+
     // GROUPED KMV AT INGESTION — per-source cardinality profiling of
     // everything ingested: per trigger one grouped bottom-k aggregation
     // (O(groups·k) rows to the driver) merges into the key→sketch map

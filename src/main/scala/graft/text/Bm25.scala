@@ -43,6 +43,81 @@ object Bm25 {
     * score_q = Σ floor(10⁶·contribution), ties broken by ascending doc
     * id.
     */
+  /** The BM25 model the serving path ships to the stream: query term
+    * lists, per-term idf, and the corpus length statistics — all policy-
+    * dimension small (a benchmark suite), all derived offline. */
+  private[text] case class Bm25Model(queries: Seq[(Long, Seq[String])],
+      idf: Map[String, Double], avgdl: Double)
+
+  private def fit(corpus: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String): Bm25Model = {
+    import graft.functions.PortableLog
+    val toks = corpus.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val row = dl.agg(count(lit(1)).as("n"), sum("dl").as("sumdl")).head()
+    val n = row.getLong(0)
+    require(n > 0, "BM25 needs a non-empty corpus")
+    val qt = queries.select(col(qidCol).cast("long").as("query_id"),
+      explode(tokens(col(qtextCol))).as("token")).distinct()
+    val ql = qt.collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (q, ts) => q -> ts.map(_._2).sorted.toSeq }
+      .toSeq.sortBy(_._1)
+    val idf = toks.join(broadcast(qt.select("token").distinct()), "token")
+      .groupBy(col("token")).agg(countDistinct(col(idCol)).as("df"))
+      .withColumn("x",
+        (lit(n.toDouble) - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0))
+      .select(col("token"), PortableLog.plogCol(col("x")).as("idf"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Bm25Model(ql, idf, row.getLong(1).toDouble / n.toDouble)
+  }
+
+  /** BM25 AT INGESTION — the streaming decontamination monitor: the
+    * model ([[Bm25Model]] — query term lists, idf, avgdl) derives
+    * OFFLINE from the archived corpus, and each incoming document scores
+    * against EVERY query as pure column work: the query set explodes
+    * from a plan literal, tf(term, doc) = a filter-count over the doc's
+    * own token array, idf looks up a literal map, and each contribution
+    * is the SAME pinned quantized dag as the batch scorer, summed by the
+    * same order-free fold. No state before the final aggregation; the
+    * per-query top-k happens INSIDE the windowed aggregation over the
+    * bounded scored set (sort by (−score, doc), slice k — a rank window
+    * is not streamable, a bounded candidate set is). Streaming the
+    * archive reproduces [[topk]] exactly — shared oracle; in production
+    * the stream is the new crawl and high scorers are contamination
+    * flags. Returns the pre-aggregation scored relation
+    * (query_id, `idCol`, score_q) — the caller owns the windowed cut.
+    */
+  def streamScored(stream: DataFrame, archive: DataFrame, idCol: String,
+      textCol: String, queries: DataFrame, qidCol: String,
+      qtextCol: String): DataFrame = {
+    val m = fit(archive, idCol, textCol, queries, qidCol, qtextCol)
+    val idfKeys = m.idf.keys.toSeq.sorted
+    val idfMap = map_from_arrays(
+      array(idfKeys.map(lit): _*),
+      array(idfKeys.map(k => lit(m.idf(k))): _*))
+    val qArr = array(m.queries.map { case (qid, terms) =>
+      struct(lit(qid).as("qid"), array(terms.map(lit): _*).as("terms"))
+    }: _*)
+    stream
+      .select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .withColumn("__dl", size(col("__tk")).cast("double"))
+      .select(col(idCol), col("__tk"), col("__dl"), explode(qArr).as("__q"))
+      .withColumn("__nmatch", aggregate(col("__q.terms"), lit(0),
+        (acc, t) => acc + when(size(filter(col("__tk"), x => x === t)) > 0, 1)
+          .otherwise(0)))
+      .filter(col("__nmatch") > 0)
+      .withColumn("score_q", aggregate(col("__q.terms"), lit(0L), (acc, t) => {
+        val tf = size(filter(col("__tk"), x => x === t)).cast("double")
+        acc + when(tf === 0.0, lit(0L)).otherwise(
+          floor(lit(1.0e6) * (element_at(idfMap, t) *
+            ((tf * lit(2.2)) /
+              (tf + lit(1.2) * (lit(0.25) +
+                lit(0.75) * (col("__dl") / lit(m.avgdl))))))).cast("long"))
+      }))
+      .select(col("__q.qid").as("query_id"), col(idCol), col("score_q"))
+  }
+
   def topk(corpus: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
       k: Int): DataFrame = {

@@ -72,4 +72,29 @@ class Bm25Spec extends AnyFunSuite {
     assert(got.length == 10 && got.forall { case (q, d) => q == d },
       s"every query must retrieve its source doc first: ${got.toSeq}")
   }
+
+  test("streaming scorer equals the batch scored relation term for term") {
+    import spark.implicits._
+    implicit val sp = spark
+    val corpus = (1 to 80).map(i =>
+      (i.toLong, s"w${i % 5} w${i % 7} w${i % 5} w${i % 3} mark$i")).toDF("doc_id", "text")
+    val queries = Seq((6L, "w1 w3 mark6"), (14L, "w4 mark14")).toDF("qid", "qtext")
+    // batch relation: the pre-rank (query, doc, score) aggregation
+    val want = Bm25.topk(corpus, "doc_id", "text", queries, "qid", "qtext",
+        k = 1000)
+      .select("query_id", "doc_id", "score_q")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    try {
+      corpus.repartition(3).write.mode("overwrite").parquet(s"$root/in")
+      val stream = spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      val scored = Bm25.streamScored(stream,
+        spark.read.parquet(s"$root/in"), "doc_id", "text", queries, "qid", "qtext")
+      val got = graft.streaming.StreamRun.toBatch(
+          scored, "append", numPartitions = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want, "streamed scores must equal the batch relation")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
 }
