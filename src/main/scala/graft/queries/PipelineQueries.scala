@@ -229,7 +229,8 @@ object PipelineQueries {
   }
 
   private[queries] def ivfTrainedCtes(k: Int, iters: Int, nprobe: Int, dim: Int = 64,
-      scale: String = "1000000.0e0", trainRel: String = "e"): String = {
+      scale: String = "1000000.0e0", trainRel: String = "e",
+      queryPred: String = "vec_id < 100"): String = {
     val trA = if (trainRel == "e") "e" else s"$trainRel e"
     def iter(i: Int): String =
       s"""asg$i AS (SELECT e.vec_id, e.v, c.cent_id,
@@ -259,7 +260,7 @@ object PipelineQueries {
        |qp AS (SELECT vec_id AS query_id, v AS qv, cent_id AS cell FROM (
        |        SELECT vec_id, v, cent_id,
        |               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS r
-       |        FROM asgF WHERE vec_id < 100) WHERE r <= $nprobe)""".stripMargin
+       |        FROM asgF WHERE $queryPred) WHERE r <= $nprobe)""".stripMargin
   }
 
   /** Quality-feature CTE chain ending in `f` (doc_id, text, n_tokens,
@@ -1867,10 +1868,9 @@ object PipelineQueries {
     * N/avgdl as SQL divisions, idf through the staged portable-log
     * chain, same pinned contribution dag quantized before the order-free
     * integer sum, same (score DESC, doc) ranks. */
-  private[queries] val bm25OracleSql: String = {
+  private[queries] val bm25Ctes: String = {
     import graft.functions.PortableLog
-    s"""
-    WITH m AS (SELECT doc_id, text || ' xq' || CAST(doc_id AS VARCHAR) AS text
+    s"""m AS (SELECT doc_id, text || ' xq' || CAST(doc_id AS VARCHAR) AS text
                FROM ${Q.DocsRef}),
     qq AS (SELECT doc_id AS query_id,
              array_to_string(list_slice(${DuckSql.tokens("text")}, 3, 10), ' ') ||
@@ -1905,10 +1905,42 @@ object PipelineQueries {
             FROM sc GROUP BY 1, 2),
     r AS (SELECT query_id, doc_id, score_q,
             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rnk
-          FROM agg)
+          FROM agg)"""
+  }
+
+  private[queries] val bm25OracleSql: String = s"""
+    WITH $bm25Ctes
     SELECT query_id, CAST(rnk AS INT) AS rnk, doc_id, score_q
     FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
-  }
+
+  /** Hybrid-retrieval oracle: the trained-IVF chain (query predicate =
+    * the BM25 rows' residue class), the BM25 chain, top-10 per system,
+    * reciprocal-rank fusion in PURE INTEGER arithmetic
+    * (floor(10⁶/(60+rank)) = integer division — no doubles anywhere in
+    * the fusion), top-5 by (rrf DESC, id). */
+  private[queries] val hybridRetrievalOracleSql: String = s"""
+    WITH ${ivfTrainedCtes(k = 16, iters = 2, nprobe = 3,
+      queryPred = "vec_id % 31 = 0")},
+    $bm25Ctes,
+    annsc AS (SELECT q.query_id, d.vec_id AS neighbor_id,
+                ${DuckSql.cosine("q.qv", "d.v")} AS cos
+              FROM qp q JOIN cellF d ON q.cell = d.cell AND q.query_id <> d.vec_id),
+    annr AS (SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+             FROM annsc),
+    bt AS (SELECT query_id, doc_id AS id, rnk FROM r WHERE rnk <= 10),
+    at2 AS (SELECT query_id, neighbor_id AS id, rnk FROM annr WHERE rnk <= 10),
+    fu AS (SELECT COALESCE(b.query_id, a.query_id) AS query_id,
+                  COALESCE(b.id, a.id) AS id,
+                  CAST(COALESCE(1000000 // (60 + b.rnk), 0) +
+                       COALESCE(1000000 // (60 + a.rnk), 0) AS BIGINT) AS rrf_q
+           FROM bt b FULL OUTER JOIN at2 a
+             ON a.query_id = b.query_id AND a.id = b.id),
+    fr AS (SELECT query_id, id, rrf_q,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_q DESC, id) AS rnk
+           FROM fu)
+    SELECT query_id, CAST(rnk AS INT) AS rnk, id, rrf_q
+    FROM fr WHERE rnk <= 5 ORDER BY query_id, rnk"""
 
   /** Metric-correlation oracle: the six sufficient statistics as exact
     * HUGEINT sums, then the same pinned double dag (casts once each,
@@ -3082,6 +3114,45 @@ object PipelineQueries {
           "qtext", k = 5).orderBy("query_id", "rnk")
       },
       Some(bm25OracleSql)),
+
+    // HYBRID retrieval — reciprocal-rank fusion of the lexical (BM25)
+    // and semantic (trained IVF) rankers over the SAME query set (the
+    // %31 residue docs; testdata aligns doc_id ↔ vec_id), the modern
+    // RAG-stack retrieval shape: each system contributes
+    // floor(10⁶/(60+rank)) for its top-10 — RRF in PURE INTEGER
+    // arithmetic, no doubles anywhere in the fusion — and the fused
+    // top-5 answers. Items only one system surfaces still rank (the
+    // full-outer join); both systems' chains replay in one oracle.
+    Q("pipeline_hybrid_retrieval",
+      (s, dir) => {
+        val docs = heavyHitterPlant(Tables.documents(s, dir))
+        val queries = docs.filter(pmod(col("doc_id"), lit(31)) === 0)
+          .select(col("doc_id").as("query_id"),
+            concat(array_join(
+              slice(graft.functions.GraftFunctions.tokens(col("text")), 3, 8), " "),
+              lit(" xq"), col("doc_id").cast("string")).as("qtext"))
+        val b = graft.text.Bm25.topk(docs, "doc_id", "text", queries,
+            "query_id", "qtext", k = 10)
+          .select(col("query_id"), col("doc_id").as("id"), col("rnk").as("brnk"))
+        val emb = Tables.embeddings(s, dir)
+        val a = Similarity.knnIvf(emb, "vec_id", "embedding", k = 10,
+            numCentroids = 16, queryFilter = pmod(col("vec_id"), lit(31)) === 0,
+            centroids = Some(Similarity.kmeansCentroidsQuantized(
+              emb, "vec_id", "embedding", k = 16, iters = 2)), nprobe = 3)
+          .select(col("query_id"), col("neighbor_id").as("id"),
+            col("rank").as("arnk"))
+        val fused = b.join(a, Seq("query_id", "id"), "full_outer")
+          .withColumn("rrf_q",
+            coalesce(expr("1000000 div (60 + brnk)"), lit(0L)) +
+              coalesce(expr("1000000 div (60 + arnk)"), lit(0L)))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("rrf_q").desc, col("id").asc)
+        fused.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+          .select(col("query_id"), col("rnk").cast("int").as("rnk"),
+            col("id"), col("rrf_q"))
+          .orderBy("query_id", "rnk")
+      },
+      Some(hybridRetrievalOracleSql)),
 
     // per-source metric CORRELATION — metadata sanity profiling ("does
     // length track token diversity; did a crawler change break the
