@@ -90,32 +90,67 @@ object Bm25 {
     */
   def streamScored(stream: DataFrame, archive: DataFrame, idCol: String,
       textCol: String, queries: DataFrame, qidCol: String,
-      qtextCol: String): DataFrame = {
+      qtextCol: String, parallelism: Int = 32): DataFrame = {
     val m = fit(archive, idCol, textCol, queries, qidCol, qtextCol)
-    val idfKeys = m.idf.keys.toSeq.sorted
-    val idfMap = map_from_arrays(
-      array(idfKeys.map(lit): _*),
-      array(idfKeys.map(k => lit(m.idf(k))): _*))
-    val qArr = array(m.queries.map { case (qid, terms) =>
-      struct(lit(qid).as("qid"), array(terms.map(lit): _*).as("terms"))
-    }: _*)
+    import stream.sparkSession.implicits._
+    // the query set rides as a BROADCAST relation (qid, [(term, idf)]),
+    // joined on a constant key — not a plan literal: a 10³-entry literal
+    // array re-plans and re-compiles every micro-batch (measured as the
+    // dominant cost of this row), a broadcast table does not; idf rides
+    // inside each term struct so no shared-map probe is ever needed
+    val qdf = broadcast(m.queries.map { case (qid, terms) =>
+      (qid, terms.map(t => (t, m.idf(t))))
+    }.toDF("__qid", "__terms")
+      .select(col("__qid"), col("__terms").cast(
+        "array<struct<t:string,idf:double>>").as("__terms"),
+        lit(1).as("__k")))
+    val allTerms = m.queries.flatMap(_._2).distinct.sorted
+    // per-doc tf map over QUERY terms only, built in ONE pass over the
+    // token array (intersect the distinct tokens with the global term
+    // set, count each survivor) — every per-(query, term) probe below is
+    // then a small-map lookup, not a token-array rescan (measured 10×+
+    // on the sf0.1 sweep)
+    val tfMap = map_from_entries(transform(
+      array_intersect(array_distinct(col("__tk")), typedLit(allTerms)),
+      t => struct(t.as("k"),
+        size(filter(col("__tk"), x => x === t)).cast("long").as("v"))))
     stream
+      // a file-stream batch arrives in as few partitions as it has files
+      // (often ONE) — without an explicit stateless shuffle here the
+      // whole scoring projection would run single-threaded upstream of
+      // the aggregation exchange
+      .select(col(idCol), col(textCol))
+      .repartition(parallelism)
       .select(col(idCol), tokens(col(textCol)).as("__tk"))
       .withColumn("__dl", size(col("__tk")).cast("double"))
-      .select(col(idCol), col("__tk"), col("__dl"), explode(qArr).as("__q"))
-      .withColumn("__nmatch", aggregate(col("__q.terms"), lit(0),
-        (acc, t) => acc + when(size(filter(col("__tk"), x => x === t)) > 0, 1)
-          .otherwise(0)))
-      .filter(col("__nmatch") > 0)
-      .withColumn("score_q", aggregate(col("__q.terms"), lit(0L), (acc, t) => {
-        val tf = size(filter(col("__tk"), x => x === t)).cast("double")
-        acc + when(tf === 0.0, lit(0L)).otherwise(
-          floor(lit(1.0e6) * (element_at(idfMap, t) *
-            ((tf * lit(2.2)) /
-              (tf + lit(1.2) * (lit(0.25) +
-                lit(0.75) * (col("__dl") / lit(m.avgdl))))))).cast("long"))
-      }))
-      .select(col("__q.qid").as("query_id"), col(idCol), col("score_q"))
+      .withColumn("__tf", tfMap)
+      .filter(size(col("__tf")) > 0)
+      .withColumn("__k", lit(1))
+      .join(qdf, Seq("__k"))
+      // one tf-map probe per term (transform materializes it), then a
+      // single fused fold carrying (score, matched-count) — the HOF cost
+      // per pair is 9 probes + 9 accumulator steps, nothing evaluated
+      // twice
+      .withColumn("__tfs", transform(col("__terms"), e => struct(
+        element_at(col("__tf"), e.getField("t")).cast("double").as("tf"),
+        e.getField("idf").as("idf"))))
+      .withColumn("__sn", aggregate(col("__tfs"),
+        struct(lit(0L).as("s"), lit(0).as("n")),
+        (acc, e) => {
+          val tf = e.getField("tf")
+          struct(
+            (acc.getField("s") + when(tf.isNull, lit(0L)).otherwise(
+              floor(lit(1.0e6) * (e.getField("idf") *
+                ((tf * lit(2.2)) /
+                  (tf + lit(1.2) * (lit(0.25) +
+                    lit(0.75) * (col("__dl") / lit(m.avgdl)))))))
+                .cast("long"))).as("s"),
+            (acc.getField("n") + when(tf.isNull, lit(0)).otherwise(lit(1)))
+              .as("n"))
+        }))
+      .filter(col("__sn.n") > 0)
+      .select(col("__qid").as("query_id"), col(idCol),
+        col("__sn.s").as("score_q"))
   }
 
   def topk(corpus: DataFrame, idCol: String, textCol: String,
