@@ -172,19 +172,40 @@ object Profiling {
       onBatch: Int => Unit = _ => (),
       checkpoint: Option[String] = None,
       stateDir: Option[String] = None)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame =
+    groupedQuantileReport(
+      keyedBinFold(
+        stream.select(col(keyCol).cast("string").as("k"),
+          length(col(textCol)).cast("long").as("v"))
+          .selectExpr("k", s"v div $width AS bin"),
+        onBatch, checkpoint, stateDir)
+        .withColumnRenamed("k", keyCol),
+      keyCol, width, percents)
+
+  /** The shared keyed-histogram ingestion fold: a stream of (k, bin)
+    * rows reduces per micro-batch to its own (k, bin, cnt) table in the
+    * cluster (bounded at groups·B rows to the driver per trigger), which
+    * adds into the running map — histograms are the trivially mergeable
+    * sketch, so the folded state is EXACTLY the batch histogram of
+    * everything ingested, independent of batch split, O(groups·B)
+    * driver state `DriverFold`-persisted per batch (restart-safe: a
+    * replayed batch is skipped, not double-added). Shared by the
+    * grouped-quantile, length-drift and token-drift ingestion twins.
+    */
+  private def keyedBinFold(binned: DataFrame,
+      onBatch: Int => Unit,
+      checkpoint: Option[String],
+      stateDir: Option[String])(
       implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import graft.streaming.DriverFold
     val resumed = stateDir.flatMap(DriverFold.loadLatest)
     val bins = resumed.map(r => decodeKeyedBins(r._2))
       .getOrElse(scala.collection.mutable.HashMap.empty[(String, Long), Long])
     var lastBatch = resumed.map(_._1).getOrElse(-1L)
-    DriverFold.run(
-      stream.select(col(keyCol).cast("string").as("k"),
-        length(col(textCol)).cast("long").as("v")),
+    DriverFold.run(binned,
       (batch, batchId) => {
         if (batchId > lastBatch) {
-          batch.selectExpr("k", s"v div $width AS bin")
-            .groupBy("k", "bin").agg(count(lit(1)).as("cnt"))
+          batch.groupBy("k", "bin").agg(count(lit(1)).as("cnt"))
             .collect().foreach { r =>
               val key = (r.getString(0), r.getLong(1))
               bins.update(key, bins.getOrElse(key, 0L) + r.getLong(2))
@@ -197,10 +218,7 @@ object Profiling {
       },
       checkpoint)
     import spark.implicits._
-    groupedQuantileReport(
-      bins.toSeq.map { case ((k, b), c) => (k, b, c) }
-        .toDF(keyCol, "bin", "cnt"),
-      keyCol, width, percents)
+    bins.toSeq.map { case ((k, b), c) => (k, b, c) }.toDF("k", "bin", "cnt")
   }
 
   /** Per-key Pearson CORRELATION (+ regression slope) between two
@@ -337,36 +355,83 @@ object Profiling {
       checkpoint: Option[String] = None,
       stateDir: Option[String] = None)(
       implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
-    import graft.streaming.DriverFold
-    val resumed = stateDir.flatMap(DriverFold.loadLatest)
-    val bins = resumed.map(r => decodeKeyedBins(r._2))
-      .getOrElse(scala.collection.mutable.HashMap.empty[(String, Long), Long])
-    var lastBatch = resumed.map(_._1).getOrElse(-1L)
-    DriverFold.run(
+    val byKey = keyedBinFold(
       stream.select(col(keyCol).cast("string").as("k"),
-        length(col(textCol)).cast("long").as("v")),
-      (batch, batchId) => {
-        if (batchId > lastBatch) {
-          batch.selectExpr("k", s"v div $width AS bin")
-            .groupBy("k", "bin").agg(count(lit(1)).as("cnt"))
-            .collect().foreach { r =>
-              val key = (r.getString(0), r.getLong(1))
-              bins.update(key, bins.getOrElse(key, 0L) + r.getLong(2))
-            }
-          lastBatch = batchId
-          stateDir.foreach(d =>
-            DriverFold.save(d, batchId, encodeKeyedBins(bins)))
-        }
-        onBatch(bins.size)
-      },
-      checkpoint)
-    import spark.implicits._
-    val byKey = bins.toSeq.map { case ((k, b), c) => (k, b, c) }
-      .toDF(keyCol, "bin", "cnt")
+        length(col(textCol)).cast("long").as("v"))
+        .selectExpr("k", s"v div $width AS bin"),
+      onBatch, checkpoint, stateDir)
+      .withColumnRenamed("k", keyCol)
     val base = reference
       .select(length(col(textCol)).cast("long").as("v"))
       .selectExpr(s"v div $width AS bin")
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    psiReport(byKey, base, keyCol)
+  }
+
+  /** Feature-space size for hashed-token vocabulary profiles: 64 buckets
+    * keeps the grid at O(groups·64) rows whatever the vocabulary size
+    * (the DSIR feature-hashing move applied to monitoring) while leaving
+    * each bucket coarse enough that every one is populated — the PSI
+    * smoothing floor stays far below a real vocabulary shift. */
+  val TokenDriftBuckets: Long = 64L
+
+  /** (key, bin, cnt) TOKEN-occurrence histogram over hashed token
+    * buckets — bin = hash60(token) mod `buckets`, so the vocabulary
+    * (unbounded, data-scale) projects onto a fixed policy-dimension
+    * feature space and the histogram aggregation stays one map-side-
+    * combined Exchange with O(groups·buckets) output at 100 TB. */
+  def tokenHistogramBy(corpus: DataFrame, keyCol: String, textCol: String,
+      buckets: Long = TokenDriftBuckets): DataFrame = {
+    import graft.functions.GraftFunctions.{hash60, tokens}
+    corpus
+      .select(col(keyCol), explode(tokens(col(textCol))).as("__tok"))
+      .select(col(keyCol), pmod(hash60(col("__tok")), lit(buckets)).as("bin"))
+      .groupBy(keyCol, "bin").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-key TOKEN-distribution drift vs the corpus marginal — the
+    * VOCABULARY-drift monitor complementary to [[lengthDriftPsi]]
+    * ("which sources' word distributions deviate from the corpus
+    * mixture" — a crawler swapping language, a source flooding novel
+    * boilerplate — shifts token mass where document lengths may not move
+    * at all; conversely the length plant leaves token shares untouched).
+    * Same PSI dag over a different histogram: hashed-token buckets keep
+    * the whole profile O(groups·buckets) however large the vocabulary,
+    * and everything downstream of the one token-explode scan is bounded
+    * column work. */
+  def tokenDriftPsi(corpus: DataFrame, keyCol: String, textCol: String,
+      buckets: Long = TokenDriftBuckets): DataFrame = {
+    val byKey = graft.Caches.track(
+      tokenHistogramBy(corpus, keyCol, textCol, buckets))
+    psiReport(byKey, byKey.groupBy("bin").agg(sum("cnt").as("cnt")), keyCol)
+  }
+
+  /** [[tokenDriftPsi]] AT INGESTION — the vocabulary-drift crawl
+    * monitor: baseline token histogram OFFLINE from the archived
+    * reference corpus, the stream explodes tokens to (key, bucket) as
+    * pure column work and folds per-batch counts into the shared
+    * `DriverFold`-persisted keyed map, PSI tail shared — so streaming
+    * the archive reproduces the batch row exactly (shared oracle), and
+    * in production the stream is the new crawl's vocabulary scored
+    * against the corpus, O(groups·buckets) state for any stream length.
+    */
+  def tokenDriftPsiIngest(stream: DataFrame, reference: DataFrame,
+      keyCol: String, textCol: String,
+      buckets: Long = TokenDriftBuckets,
+      onBatch: Int => Unit = _ => (),
+      checkpoint: Option[String] = None,
+      stateDir: Option[String] = None)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import graft.functions.GraftFunctions.{hash60, tokens}
+    val byKey = keyedBinFold(
+      stream
+        .select(col(keyCol).cast("string").as("k"),
+          explode(tokens(col(textCol))).as("__tok"))
+        .select(col("k"), pmod(hash60(col("__tok")), lit(buckets)).as("bin")),
+      onBatch, checkpoint, stateDir)
+      .withColumnRenamed("k", keyCol)
+    val base = tokenHistogramBy(reference, keyCol, textCol, buckets)
+      .groupBy("bin").agg(sum("cnt").as("cnt"))
     psiReport(byKey, base, keyCol)
   }
 

@@ -1973,20 +1973,14 @@ object PipelineQueries {
       when(col("source") === "src7", concat(col("text"), col("text")))
         .otherwise(col("text")).as("text"))
 
-  /** PSI drift oracle CTE chain (through `t`, the quantized per-bin
-    * terms): same histogram, same add-one smoothing, same portable-log
-    * dag staged through CTE columns (the LM-oracle convention), same
-    * order-free quantized integer sum. Shared by the profile rows and
-    * the drift-GATE composite. */
-  private[queries] val driftPsiCtes: String = {
-    val w = graft.pipeline.Profiling.LengthBinWidth
+  /** The PSI tail shared by every drift oracle (through `t`, the
+    * quantized per-bin terms): expects a `bk (source, bin, cnt)` keyed
+    * histogram CTE upstream — baseline = its bin marginal, add-one
+    * smoothing, the portable-log dag staged through CTE columns (the
+    * LM-oracle convention), order-free quantized integer sum. */
+  private[queries] val psiTailCtes: String = {
     import graft.functions.PortableLog
-    s"""m AS (SELECT doc_id, source,
-                 CASE WHEN source = 'src7' THEN text || text ELSE text END AS text
-               FROM ${Q.DocsRef}),
-    v AS (SELECT source, length(text) AS v FROM m),
-    bk AS (SELECT source, v // $w AS bin, count(*) AS cnt FROM v GROUP BY 1, 2),
-    base AS (SELECT bin, sum(cnt) AS cb FROM bk GROUP BY 1),
+    s"""base AS (SELECT bin, sum(cnt) AS cb FROM bk GROUP BY 1),
     ptot AS (SELECT sum(cb) AS nb, count(*) AS b FROM base),
     ns AS (SELECT source, sum(cnt) AS ns FROM bk GROUP BY 1),
     srcs AS (SELECT DISTINCT source FROM bk),
@@ -2003,6 +1997,62 @@ object PipelineQueries {
             CAST(floor(1.0e9 * ((p - q) * ${PortableLog.seriesSql("z")})) AS BIGINT) AS tq
           FROM y2)"""
   }
+
+  /** PSI drift oracle CTE chain: the length histogram + the shared
+    * tail. Shared by the profile rows and the drift-GATE composite. */
+  private[queries] val driftPsiCtes: String = {
+    val w = graft.pipeline.Profiling.LengthBinWidth
+    s"""m AS (SELECT doc_id, source,
+                 CASE WHEN source = 'src7' THEN text || text ELSE text END AS text
+               FROM ${Q.DocsRef}),
+    v AS (SELECT source, length(text) AS v FROM m),
+    bk AS (SELECT source, v // $w AS bin, count(*) AS cnt FROM v GROUP BY 1, 2),
+    $psiTailCtes"""
+  }
+
+  /** Vocabulary plant for the TOKEN-drift rows: src7 gains four novel
+    * tokens per document — a token-share shift the length plant cannot
+    * produce (doubling text moves every length bin but leaves token
+    * SHARES exactly where they were) and the length monitor cannot see.
+    */
+  private[queries] def tokenDriftPlant(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      when(col("source") === "src7",
+        concat(col("text"), lit(" zqdrifta zqdriftb zqdriftc zqdriftd")))
+        .otherwise(col("text")).as("text"))
+
+  /** TOKEN-drift PSI oracle: hashed-token-bucket histogram (hash60 mod
+    * the fixed feature-space size — the DSIR hashing move) + the shared
+    * PSI tail. */
+  private[queries] val tokenDriftPsiCtes: String = {
+    val b = graft.pipeline.Profiling.TokenDriftBuckets
+    s"""m AS (SELECT doc_id, source,
+                 CASE WHEN source = 'src7'
+                      THEN text || ' zqdrifta zqdriftb zqdriftc zqdriftd'
+                      ELSE text END AS text
+               FROM ${Q.DocsRef}),
+    tok AS (SELECT source, unnest(${DuckSql.tokens("text")}) AS token FROM m),
+    bk AS (SELECT source, ${DuckSql.hash60("token")} % $b AS bin, count(*) AS cnt
+           FROM tok GROUP BY 1, 2),
+    $psiTailCtes"""
+  }
+
+  private[queries] val tokenDriftPsiOracleSql: String = s"""
+    WITH $tokenDriftPsiCtes
+    SELECT source, max(b) AS n_bins, CAST(sum(tq) AS BIGINT) AS psi_q
+    FROM t GROUP BY source ORDER BY source"""
+
+  /** Semantic-decontamination oracle: the trained-IVF replay (benchmark
+    * = the vec_id % 41 residue class probing its top-3 cells) + the
+    * exact-cosine gate and per-vector aggregate — the same recall trade
+    * as the Spark plan, so the two sides agree row for row. */
+  private[queries] val semanticContamOracleSql: String = s"""
+    WITH ${ivfTrainedCtes(k = 16, iters = 2, nprobe = 3,
+      queryPred = "vec_id % 41 = 0")},
+    h AS (SELECT d.vec_id, q.query_id, ${DuckSql.cosine("q.qv", "d.v")} AS cos
+          FROM qp q JOIN cellF d ON q.cell = d.cell AND q.query_id <> d.vec_id)
+    SELECT vec_id, min(query_id) AS bench_id, count(*) AS n_bench_hits
+    FROM h WHERE cos >= 0.35e0 GROUP BY vec_id ORDER BY vec_id"""
 
   private[queries] val driftPsiOracleSql: String = s"""
     WITH $driftPsiCtes
@@ -3089,6 +3139,22 @@ object PipelineQueries {
         driftPlant(Tables.documents(s, dir)), "source", "text")
         .orderBy("source"),
       Some(driftPsiOracleSql)),
+
+    // VOCABULARY-drift scoring — the token-distribution face of the PSI
+    // monitor ("which sources' word distributions deviate from the
+    // corpus mixture"): the same PSI dag over a histogram of HASHED
+    // TOKEN BUCKETS (hash60 mod 64 — the DSIR feature-hashing move), so
+    // the profile is O(groups·64) whatever the vocabulary size and the
+    // corpus pays one token-explode scan. Complementary by construction:
+    // the length plant (doubling text) moves every length bin but leaves
+    // token SHARES untouched; the vocabulary plant (four novel tokens on
+    // src7) shifts token mass where lengths barely move — each monitor
+    // sees exactly the drift the other is blind to.
+    Q("pipeline_token_drift_psi",
+      (s, dir) => graft.pipeline.Profiling.tokenDriftPsi(
+        tokenDriftPlant(Tables.documents(s, dir)), "source", "text")
+        .orderBy("source"),
+      Some(tokenDriftPsiOracleSql)),
 
     // BM25 retrieval — the retrieval face of decontamination and
     // targeted selection ("which documents does this benchmark question
@@ -4336,6 +4402,30 @@ object PipelineQueries {
                CAST(CASE WHEN COALESCE(r.sem_rep, e.vec_id) < e.vec_id
                     THEN 1 ELSE 0 END AS INT) AS is_sem_dup
         FROM e LEFT JOIN r USING (vec_id) ORDER BY vec_id""")),
+
+    // SEMANTIC decontamination — the embedding-space complement of the
+    // n-gram benchmark gate (a paraphrased eval item keeps its embedding
+    // neighborhood while sharing no 8-gram, so pipeline_decontaminate
+    // never sees it): flag corpus vectors at cosine ≥ 0.35 to any
+    // benchmark vector (the vec_id % 41 residue class stands in for the
+    // eval suite). The benchmark side is a policy dimension, so the plan
+    // never shuffles the corpus: trained cells (the shared Lloyd
+    // generator), zero-Exchange corpus assignment, benchmark probes its
+    // top-3 cells (the retrieval recall knob), one BROADCAST equi-join
+    // on the cell id, a per-vector aggregate. A benchmark's probe cells
+    // are distinct and a corpus vector lives in one cell, so the join
+    // yields ≤ 1 row per (benchmark, corpus) pair — hit counts exact
+    // without dedup. 9 / 95 contaminated vectors at sf0.01 / sf0.1.
+    Q("pipeline_decontaminate_semantic",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.semanticContamination(
+          emb, emb.filter(pmod(col("vec_id"), lit(41)) === 0),
+          "vec_id", "embedding", k = 16, iters = 2, nprobe = 3,
+          threshold = 0.35)
+          .orderBy("vec_id")
+      },
+      Some(semanticContamOracleSql)),
 
     // ================= multimodal =================
     // NOTE (oracle scope): the Spark side measures UTF-8 *bytes* of the

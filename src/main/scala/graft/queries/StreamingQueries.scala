@@ -619,6 +619,38 @@ object StreamingQueries {
               FROM p WHERE cos >= 0.4e0 GROUP BY b_id)
         SELECT vec_id, rep_id, n_near FROM r ORDER BY vec_id""")),
 
+    // SEMANTIC decontamination AT INGESTION — the production shape of
+    // the embedding gate ("score the new crawl against the frozen eval
+    // suite"): centroids train OFFLINE on the archived corpus, the
+    // benchmark probe set (top-3 cells per eval vector) is a static
+    // broadcast, every incoming vector assigns to its cell by the
+    // plan-literal argmax (pure column work — streams unchanged) and
+    // qualifying hits come from the stream-static broadcast equi-join;
+    // only the per-vector aggregate (min benchmark id, hit count) waits
+    // for the watermark window. Streaming the archive reproduces the
+    // batch row exactly — shared oracle.
+    Q("stream_pipeline_decontaminate_semantic",
+      (s, dir) => {
+        implicit val sp = s
+        val emb = graft.Tables.embeddings(s, dir)
+        val cents = graft.similarity.Similarity.kmeansCentroidsQuantized(
+          emb, "vec_id", "embedding", k = 16, iters = 2)
+        val scored = graft.similarity.Similarity.semanticContaminationScored(
+            StreamSources.embeddings(s, dir),
+            emb.filter(pmod(col("vec_id"), lit(41)) === 0),
+            cents, "vec_id", "embedding", nprobe = 3, threshold = 0.35)
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+          .groupBy(window(col("event_time"), "1 hour"), col("vec_id"))
+          .agg(min(col("bench_id")).as("bench_id"),
+            count(lit(1)).as("n_bench_hits"))
+          .select("vec_id", "bench_id", "n_bench_hits")
+        StreamRun.toBatch(scored, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+          .orderBy("vec_id")
+      },
+      Some(PipelineQueries.semanticContamOracleSql)),
+
     // CHUNKING at ingestion — the context-window segmentation running in
     // the stream: pure per-row tokenize + bounded explode (no state, no
     // watermark, no aggregation), so the operator rides the micro-batch
@@ -1101,6 +1133,26 @@ object StreamingQueries {
           "source", "text").orderBy("source")
       },
       Some(PipelineQueries.driftPsiOracleSql)),
+
+    // VOCABULARY drift AT INGESTION — the crawl monitor for token-
+    // distribution shift: the baseline token-bucket histogram derives
+    // offline from the archived corpus, the stream explodes tokens to
+    // (source, bucket) as pure column work and folds per-batch counts
+    // into the shared DriverFold-persisted keyed map (O(groups·64)
+    // state for any stream length), and the PSI tail is the shared
+    // column dag — streaming the archive reproduces the batch row
+    // exactly (shared oracle); in production the stream is the new
+    // crawl's vocabulary scored against the corpus ("did the crawler
+    // start pulling a different language / boilerplate flood").
+    Q("stream_pipeline_token_drift_psi",
+      (s, dir) => {
+        implicit val sp = s
+        graft.pipeline.Profiling.tokenDriftPsiIngest(
+          PipelineQueries.tokenDriftPlant(StreamSources.documents(s, dir)),
+          PipelineQueries.tokenDriftPlant(graft.Tables.documents(s, dir)),
+          "source", "text").orderBy("source")
+      },
+      Some(PipelineQueries.tokenDriftPsiOracleSql)),
 
     // corpus-frequency scoring AT INGESTION — the CCNet deployment split
     // for df statistics: the vocabulary (token → document frequency)

@@ -631,6 +631,78 @@ object Similarity {
       .withColumn("is_sem_dup", (col("rep_id") < col(idCol)).cast("int"))
   }
 
+  /** SEMANTIC decontamination — CROSS-SET embedding contamination, the
+    * embedding-space complement of n-gram benchmark decontamination (a
+    * paraphrased eval item keeps its embedding neighborhood while
+    * sharing no 8-gram, so the exact-overlap gate never sees it): flag
+    * every CORPUS vector whose cosine to any BENCHMARK vector reaches
+    * `threshold`.
+    *
+    * Scale shape — the benchmark suite is a POLICY dimension (thousands
+    * of eval items, not data-scale), so the 100 TB plan never shuffles
+    * the corpus: centroids train on the corpus (the shared quantized
+    * Lloyd), every corpus vector assigns to its cell by the
+    * zero-Exchange literal argmax, each benchmark vector probes its
+    * top-`nprobe` cells (the retrieval recall knob — candidates within
+    * any probed cell are caught, beyond-nprobe misses are the standard
+    * IVF recall trade), and the candidate join BROADCASTS the exploded
+    * benchmark probes — one corpus scan, a broadcast equi-join on the
+    * cell id, a per-vector aggregate. A benchmark vector's probe cells
+    * are distinct and a corpus vector lives in exactly one cell, so the
+    * join yields at most one row per (benchmark, corpus) pair — the hit
+    * count needs no dedup. Output (contaminated vectors only):
+    * (id, bench_id = min qualifying benchmark id, n_bench_hits).
+    */
+  def semanticContamination(corpus: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, k: Int, iters: Int, nprobe: Int,
+      threshold: Double): DataFrame = {
+    val cents = kmeansCentroidsQuantized(corpus, idCol, vecCol, k, iters)
+    semanticContaminationScored(corpus, bench, cents, idCol, vecCol,
+      nprobe, threshold)
+      .groupBy(col(idCol))
+      .agg(min(col("bench_id")).as("bench_id"),
+        count(lit(1)).as("n_bench_hits"))
+  }
+
+  /** The SERVING half of [[semanticContamination]] (the
+    * [[knnIvfServeScored]] split): centroids and the benchmark probe
+    * set are fixed inputs, `corpus` assigns by the plan-literal argmax
+    * (pure column work — streams unchanged) and the qualifying
+    * (id, bench_id, cos) rows come from one broadcast equi-join on the
+    * cell. The caller owns the per-vector aggregate (batch: groupBy;
+    * ingest: a watermarked window agg — hit sets are streamable where
+    * the min/count must wait for the window to close).
+    */
+  def semanticContaminationScored(corpus: DataFrame, bench: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String, nprobe: Int,
+      threshold: Double): DataFrame = {
+    val cents = collectCentroids(centroids)
+    val c = assignCollected(corpus, idCol, vecCol, cents)
+      .select(col(idCol), col(vecCol).as("cv"), col("cell"),
+        col("__n").as("cn"))
+    val q =
+      if (nprobe <= 1)
+        assignCollected(bench, idCol, vecCol, cents)
+          .select(col(idCol).as("bench_id"), col(vecCol).as("qv"),
+            col("cell"), col("__n").as("qn"))
+      else
+        bench
+          .select(col(idCol).as("bench_id"), col(vecCol).as("qv"),
+            sqrt(dot(col(vecCol), col(vecCol))).as("qn"))
+          .select(col("bench_id"), col("qv"), col("qn"),
+            explode(slice(reverse(array_sort(
+              centroidEntries(cents, col("qv"), col("qn")))), 1, nprobe))
+              .as("__e"))
+          .select(col("bench_id"), col("qv"), col("__e.cell").as("cell"),
+            col("qn"))
+    c.join(broadcast(q), Seq("cell"))
+      .filter(col(idCol) =!= col("bench_id"))
+      .withColumn("cos",
+        dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+      .filter(col("cos") >= threshold)
+      .select(col(idCol), col("bench_id"), col("cos"))
+  }
+
   /** All-pairs cosine near-duplicates (a_id < b_id, cos ≥ threshold).
     * Quadratic verification baseline for [[embeddingPairsLsh]] recall —
     * test-only; never the declared plan (broadcasting a 100 TB corpus

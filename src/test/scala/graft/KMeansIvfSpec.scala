@@ -100,4 +100,57 @@ class KMeansIvfSpec extends AnyFunSuite {
       assert(rt > 0.0, "trained-centroid IVF must return meaningful neighbors")
     } finally Caches.releaseAll()
   }
+
+  test("semantic contamination: exact at nprobe=k, monotone recall, hits verify, serve path identical") {
+    val bench = emb.filter(pmod(col("vec_id"), lit(41)) === 0)
+    val tau = 0.3
+    def hits(nprobe: Int): Map[Long, (Long, Long)] =
+      Similarity.semanticContamination(emb, bench, "vec_id", "embedding",
+          k = 16, iters = 2, nprobe = nprobe, threshold = tau)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    try {
+      // probing ALL cells makes the candidate join exhaustive, so the
+      // output must equal the brute-force cross-set τ-gate exactly
+      val benchRows = bench.select(col("vec_id"),
+          col("embedding").cast("array<double>")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val corpusRows = emb.select(col("vec_id"),
+          col("embedding").cast("array<double>")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        def fold(xs: Seq[Double]): Double = xs.foldLeft(0.0)(_ + _)
+        val ip = fold(a.indices.map(i => a(i) * b(i)))
+        ip / (math.sqrt(fold(a.map(x => x * x))) *
+          math.sqrt(fold(b.map(x => x * x))))
+      }
+      val brute = corpusRows.flatMap { case (cid, cv) =>
+        val q = benchRows.filter { case (bid, bv) =>
+          bid != cid && cos(bv, cv) >= tau }
+        if (q.isEmpty) None
+        else Some(cid -> ((q.map(_._1).min, q.size.toLong)))
+      }.toMap
+      val exhaustive = hits(nprobe = 16)
+      assert(exhaustive == brute,
+        "nprobe = k probes every cell: must equal brute force exactly")
+      // recall is monotone in nprobe, and every reported hit is real
+      val h1 = hits(1); val h3 = hits(3)
+      assert(h1.keySet.subsetOf(h3.keySet) &&
+        h3.keySet.subsetOf(exhaustive.keySet),
+        "probing more cells must not lose contaminated vectors")
+      h3.foreach { case (cid, (bid, n)) =>
+        val (ebid, en) = exhaustive(cid)
+        assert(n <= en && bid >= ebid,
+          "per-vector hit evidence must be a subset of the exhaustive set")
+      }
+      // the serving split is the same relation pre-aggregation
+      val cents = Similarity.kmeansCentroidsQuantized(
+        emb, "vec_id", "embedding", 16, 2)
+      val served = Similarity.semanticContaminationScored(
+          emb, bench, cents, "vec_id", "embedding", nprobe = 3, threshold = tau)
+        .groupBy("vec_id")
+        .agg(min("bench_id").as("bench_id"), count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(served == h3, "serve-scored + aggregate must equal the batch row")
+    } finally Caches.releaseAll()
+  }
 }

@@ -576,4 +576,75 @@ class ProfilingSpec extends AnyFunSuite {
       assert(resumed == want, "resumed overlap must equal the batch report")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
+
+  // ---------- token-distribution drift ----------
+
+  test("token-drift PSI: vocabulary shift dominates; a pure length shift is invisible") {
+    import spark.implicits._
+    // ten groups over a shared 10-token vocabulary (uniform shares by
+    // rotation); g0 gains four novel tokens per doc — the vocabulary
+    // plant. The planted group must be a small corpus share: PSI
+    // penalizes MISSING baseline mass harder than extra mass (the
+    // smoothed floor's log), so a plant that dominates the marginal
+    // would flag the clean groups instead — the production setup (one
+    // drifting crawl among many sources), not a 3-way split.
+    val docs = (1 to 300).map { i =>
+      val g = s"g${i % 10}"
+      val base = (0 until 10).map(j => s"w${(i + j) % 10}").mkString(" ")
+      (i.toLong, g, if (g == "g0") base + " zqa zqb zqc zqd" else base)
+    }.toDF("doc_id", "grp", "text")
+    val got = Profiling.tokenDriftPsi(docs, "grp", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val background = (1 to 9).map(g => got(s"g$g").abs).max
+    assert(got("g0") > 4L * math.max(1L, background),
+      s"vocabulary plant must dominate: $got")
+    // complementarity, the exact direction: doubling a group's text
+    // moves every LENGTH bin but leaves its token SHARES untouched, so
+    // the token monitor must keep scoring it as background
+    val lenPlant = docs.select(col("doc_id"), col("grp"),
+      when(col("grp") === "g1",
+        concat(col("text"), lit(" "), col("text")))
+        .otherwise(col("text")).as("text"))
+    val tok2 = Profiling.tokenDriftPsi(lenPlant, "grp", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(tok2("g0") > 4L * math.max(1L, tok2("g1").abs),
+      s"length doubling must stay invisible to the token monitor: $tok2")
+  }
+
+  test("token-drift ingestion fold equals the batch report; crash resumes exactly") {
+    import spark.implicits._
+    implicit val sp = spark
+    val docs = (1 to 600).map { i =>
+      val base = (0 until 8).map(j => s"w${(i * 3 + j) % 12}").mkString(" ")
+      (i.toLong, s"g${i % 3}", if (i % 3 == 0) base + " zq novel" else base)
+    }.toDF("doc_id", "grp", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-tokpsi").toString
+    try {
+      docs.repartition(5).write.mode("overwrite").parquet(s"$root/in")
+      def stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      val batchDocs = spark.read.parquet(s"$root/in")
+      val want = Profiling.tokenDriftPsi(batchDocs, "grp", "text")
+        .orderBy("grp").collect().map(_.toSeq).toSeq
+      val got = Profiling.tokenDriftPsiIngest(stream, batchDocs, "grp", "text")
+        .orderBy("grp").collect().map(_.toSeq).toSeq
+      assert(got == want, "ingested token PSI must equal the batch report")
+      var calls = 0
+      val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        Profiling.tokenDriftPsiIngest(stream, batchDocs, "grp", "text",
+          onBatch = _ => {
+            calls += 1
+            if (calls == 2) throw new RuntimeException("injected crash after fold")
+            ()
+          },
+          checkpoint = Some(s"$root/ckpt"), stateDir = Some(s"$root/state"))
+      }
+      assert(crashed.getMessage.contains("injected crash") ||
+        crashed.getCause.getMessage.contains("injected crash"))
+      val resumed = Profiling.tokenDriftPsiIngest(stream, batchDocs, "grp",
+          "text", checkpoint = Some(s"$root/ckpt"), stateDir = Some(s"$root/state"))
+        .orderBy("grp").collect().map(_.toSeq).toSeq
+      assert(resumed == want, "resumed token PSI must equal the batch report")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
 }
