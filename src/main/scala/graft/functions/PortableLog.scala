@@ -117,12 +117,21 @@ object PortableLog {
     * and whatever uExpr references. Callers wanting the sigmoid of margin
     * s pass uExpr = "-(s)".
     */
-  def psigSelectSql(innerSql: String, keepCols: String, uExpr: String): String = {
+  def psigSelectSql(innerSql: String, keepCols: String, uExpr: String): String =
+    s"SELECT $keepCols, 1.0e0/(1.0e0 + e) AS psig " +
+      s"FROM (${pexpSelectSql(innerSql, keepCols, uExpr)}) psF"
+
+  /** The bare exponential half of [[psigSelectSql]] — emits `keepCols`
+    * plus `e` = pexp(uExpr), through the same nested-subquery pyramid
+    * (the 16 squarings must be real evaluation boundaries, never lateral
+    * aliases or plain CTE columns — substitution expands those into a
+    * 2^16-node tree). Used directly by the DoReMi weight tilt.
+    */
+  def pexpSelectSql(innerSql: String, keepCols: String, uExpr: String): String = {
     val v = s"SELECT $keepCols, ($uExpr)/65536.0e0 AS v FROM ($innerSql) pq0"
     val ser = s"SELECT $keepCols, 1.0e0 + v + v2/2.0e0 + v3/6.0e0 + v4/24.0e0 AS e " +
       s"FROM (SELECT $keepCols, v, v*v AS v2, v2*v AS v3, v3*v AS v4 FROM ($v) pq1) pq2"
-    val squared = (1 to 16).foldLeft(ser)((q, i) =>
+    (1 to 16).foldLeft(ser)((q, i) =>
       s"SELECT $keepCols, e*e AS e FROM ($q) ps$i")
-    s"SELECT $keepCols, 1.0e0/(1.0e0 + e) AS psig FROM ($squared) psF"
   }
 }

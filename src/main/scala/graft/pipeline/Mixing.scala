@@ -123,6 +123,41 @@ object Mixing {
        |wp AS (SELECT $srcCol, CAST(floor(w) AS BIGINT) AS whole,
        |         CAST(floor((w - floor(w)) * $HashMod) AS BIGINT) AS thr FROM w)""".stripMargin
 
+  /** DoReMi-flavored EXCESS-LOSS domain weights (Xie et al., NeurIPS
+    * 2023, the fixed-proxy reduction): a domain's mixture share tilts
+    * exponentially in its excess per-token loss over the corpus mean —
+    * α_s ∝ exp(η·(X_s − X̄)) — so high-loss (hard / under-learned)
+    * domains are upweighted, the multiplicative-weights step DoReMi
+    * iterates applied once against a fixed scorer. Inputs are the
+    * per-source EXACT integer sums the LM scorer emits ((source,
+    * n_docs, Σ lm_logp_q, Σ n_grams), sorted by source): per-token mean
+    * xent X_s = −Σq/(Σn·1e6) is one double division over exact int64
+    * sums (order-free — a per-doc double mean would be merge-order-
+    * dependent and oracle-uncheckable), the tilt is the portable
+    * [[graft.functions.PortableLog.pexp]] dag, and the normalizing sum
+    * folds in source order — every step a pinned IEEE dag the oracle
+    * re-derives. Output: per-doc copy weights w_s = nTarget·α_s/n_s
+    * (the [[sourceMix]] contract — domain shares α at target corpus
+    * size nTarget).
+    */
+  def doremiWeights(stats: Seq[(String, Long, Long, Long)],
+      nTarget: Long, eta: Double): Seq[(String, Double)] = {
+    import graft.functions.PortableLog
+    require(stats.nonEmpty, "doremi weights need per-source stats")
+    val sorted = stats.sortBy(_._1)
+    val tlm = sorted.foldLeft(0L)((a, s) => a + s._3)
+    val tng = sorted.foldLeft(0L)((a, s) => a + s._4)
+    val xAll = -tlm.toDouble / (tng.toDouble * 1.0e6)
+    val tilts = sorted.map { case (src, n, slm, sng) =>
+      val xs = -slm.toDouble / (sng.toDouble * 1.0e6)
+      (src, n, PortableLog.pexp(eta * (xs - xAll)))
+    }
+    val ssum = tilts.foldLeft(0.0)((a, t) => a + t._3)
+    tilts.map { case (src, n, t) =>
+      src -> (nTarget.toDouble * t / ssum / n.toDouble)
+    }
+  }
+
   /** Deterministic training-sample predicate — the production knob the
     * model-fitting operators take (CCNet/GPT-3 fit their filters on a
     * SAMPLE of the corpus, never the corpus): keep a document iff its

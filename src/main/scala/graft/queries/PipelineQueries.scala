@@ -699,6 +699,102 @@ object PipelineQueries {
         .when(pmod(col("doc_id"), lit(10)) < 9, lit("books"))
         .otherwise(lit("wiki")).as("source"))
 
+  /** DoReMi step size: the tilt exponent η·excess must stay in pexp's
+    * well-conditioned range while the OOV-floor plant drives the planted
+    * source's mean xent thousands of nats above the corpus mean — η
+    * scales nat-domain excess into an O(1) exponent (a policy knob, as
+    * the paper's learning rate). */
+  private[queries] val DoremiEta = 1.0e-4
+  private[queries] val DoremiEtaSql = "1.0e-4"
+  private[queries] val DoremiTarget = 600L
+
+  /** DoReMi corpus plant: the skewed 70/20/10 source remap (uniform
+    * sources degenerate any derived-weight rule) + doc-unique tokens on
+    * the rare 'wiki' source, so its per-token backoff xent — OOV bigrams
+    * bottom out at the portable log's floor — sits far above the corpus
+    * mean and the excess-loss tilt visibly upweights it. */
+  private[queries] def doremiPlant(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) < 7, lit("web"))
+          .when(pmod(col("doc_id"), lit(10)) < 9, lit("books"))
+          .otherwise(lit("wiki")).as("source"),
+        col("text"))
+      .select(col("doc_id"), col("source"),
+        when(col("source") === "wiki",
+          concat(col("text"), lit(" qq"), col("doc_id").cast("string")))
+          .otherwise(col("text")).as("text"))
+
+  private[queries] val doremiPlantSql: String =
+    s"""SELECT doc_id, source,
+       |       CASE WHEN source = 'wiki'
+       |            THEN text || ' qq' || CAST(doc_id AS VARCHAR)
+       |            ELSE text END AS text
+       |FROM (SELECT doc_id,
+       |        CASE WHEN doc_id % 10 < 7 THEN 'web'
+       |             WHEN doc_id % 10 < 9 THEN 'books'
+       |             ELSE 'wiki' END AS source, text
+       |      FROM ${Q.DocsRef}) sk0""".stripMargin
+
+  /** DoReMi-mix oracle: the full backoff-LM replay over the planted
+    * corpus, per-source EXACT integer loss sums, the excess dag, the
+    * pexp tilt pyramid, the source-ordered normalizing fold and the mix
+    * explode — every weight re-derived, no engine-side constants. */
+  // lazy: composes lmBackoffCtesFrom, whose tk CTE fragment initializes
+  // later in this object — eager init would interpolate a null
+  private[queries] lazy val doremiMixOracleSql: String = {
+    import graft.functions.PortableLog
+    val pexpSel = PortableLog.pexpSelectSql(
+      "SELECT source, nd, ex FROM xst", "source, nd", s"$DoremiEtaSql * ex")
+    s"""${lmBackoffCtesFrom(doremiPlantSql, "doc_id % 4 = 0")},
+    st AS (SELECT m.source, count(*) AS nd,
+             CAST(COALESCE(sum(sc.lm), 0) AS BIGINT) AS slm,
+             CAST(COALESCE(sum(sc.n_bigrams), 0) AS BIGINT) AS sng
+           FROM m LEFT JOIN sc USING (doc_id) GROUP BY m.source),
+    tot AS (SELECT CAST(sum(slm) AS BIGINT) AS tlm,
+              CAST(sum(sng) AS BIGINT) AS tng FROM st),
+    xst AS (SELECT source, nd,
+              (-(CAST(slm AS DOUBLE)) / (CAST(sng AS DOUBLE) * 1.0e6))
+                - (-(CAST(tlm AS DOUBLE)) / (CAST(tng AS DOUBLE) * 1.0e6)) AS ex
+            FROM st CROSS JOIN tot),
+    tw AS ($pexpSel),
+    tts AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(e ORDER BY source)), (a,x) -> a + x) AS ssum FROM tw),
+    w AS (SELECT source,
+            CAST($DoremiTarget AS DOUBLE) * e / ssum / nd AS w
+          FROM tw CROSS JOIN tts),
+    wp AS (SELECT source, CAST(floor(w) AS BIGINT) AS whole,
+             CAST(floor((w - floor(w)) * ${graft.pipeline.Mixing.HashMod}) AS BIGINT) AS thr
+           FROM w),
+    x2 AS (SELECT d.doc_id, d.source, wp.whole, wp.thr,
+             ${graft.pipeline.Mixing.duckMixHash("d.doc_id")} AS hm
+           FROM m d JOIN wp USING (source)),
+    mx AS (SELECT doc_id, source,
+             whole + (CASE WHEN hm < thr THEN 1 ELSE 0 END) AS copies FROM x2)
+    SELECT doc_id, source, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy
+    FROM mx WHERE copies > 0 ORDER BY doc_id, copy"""
+  }
+
+  /** The DoReMi weight table the batch row and the ingestion twin both
+    * apply: backoff LM trained on the %4 residue of the planted corpus,
+    * per-source exact integer loss sums collected (a policy-dimension
+    * collect — one row per source), the excess-loss tilt and
+    * normalization in [[graft.pipeline.Mixing.doremiWeights]]. */
+  private[queries] def doremiWeightTable(s: SparkSession,
+      dir: String): Seq[(String, Double)] = {
+    val docs = graft.Caches.track(doremiPlant(Tables.documents(s, dir)))
+    val m = graft.text.NgramLm.trainBackoff(
+      docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
+    val stats = graft.text.NgramLm.scoreBackoff(docs, "doc_id", "text", m)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("nd"), sum("lm_logp_q").as("slm"),
+        sum("n_bigrams").as("sng"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    graft.pipeline.Mixing.doremiWeights(stats, DoremiTarget, DoremiEta)
+  }
+
   private[queries] val sourceMixTempOracleSql: String = s"""
     WITH sk AS (SELECT doc_id,
                   CASE WHEN doc_id % 10 < 7 THEN 'web'
@@ -1465,19 +1561,29 @@ object PipelineQueries {
     * COALESCE discards it on the seen path — value-identical to Spark's
     * short-circuiting coalesce.
     */
-  private[queries] val lmBackoffCtes: String = {
+  private[queries] val lmBackoffCtes: String =
+    lmBackoffCtesFrom(lmMPlantSql, "doc_id % 4 = 0")
+
+  /** The backoff chain parameterized over the plant (must provide
+    * doc_id + text; extra columns ride through untouched) and the
+    * training predicate — the default rendering is the declared
+    * `text_lm_score_backoff` oracle verbatim; the DoReMi row reuses the
+    * chain over its source-planted corpus.
+    */
+  private[queries] def lmBackoffCtesFrom(mPlantSql: String,
+      trainPred: String): String = {
     import graft.functions.PortableLog
     val bigrams = "CASE WHEN len(toks) >= 2 THEN list_transform(range(0, len(toks) - 1), " +
       "i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]) " +
       "ELSE CAST([] AS VARCHAR[]) END"
-    s"""WITH m AS MATERIALIZED ($lmMPlantSql),
+    s"""WITH m AS MATERIALIZED ($mPlantSql),
        |$tkCteSql,
        |bg AS (SELECT doc_id, unnest($bigrams) AS bigram FROM tk),
        |c1 AS (SELECT token, count(*) AS c1 FROM
-       |         (SELECT unnest(toks) AS token FROM tk WHERE doc_id % 4 = 0) t1
+       |         (SELECT unnest(toks) AS token FROM tk WHERE $trainPred) t1
        |       GROUP BY token),
        |n1 AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM c1),
-       |c2 AS (SELECT bigram, count(*) AS c2 FROM bg WHERE doc_id % 4 = 0 GROUP BY bigram),
+       |c2 AS (SELECT bigram, count(*) AS c2 FROM bg WHERE $trainPred GROUP BY bigram),
        |c2h AS (SELECT c2.bigram, c2.c2, c1.c1 FROM c2
        |        JOIN c1 ON c1.token = split_part(c2.bigram, ' ', 1)),
        |q0 AS (SELECT bigram, CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE) AS xs FROM c2h),
@@ -3521,6 +3627,45 @@ object PipelineQueries {
         SELECT doc_id, xent, n_tokens, CAST((run - n_tokens) // 2000 AS BIGINT) AS shard_id
         FROM c ORDER BY doc_id""")),
 
+    // SEMANTIC sharding — in-context-pretraining document ordering (Shi
+    // et al. 2024: a context window filled with RELATED documents beats
+    // random packing): documents order by their trained IVF cell (the
+    // shared quantized-Lloyd generator, doc_id ↔ vec_id aligned), so
+    // same-cluster docs pack contiguously and each ~2000-token shard is
+    // semantically coherent by construction — the curriculum row's exact
+    // shape with the difficulty key swapped for the semantic key, same
+    // scalable two-pass prefix scan (a keyless ORDER BY window would
+    // collapse to one task at 100 TB), zero-Exchange cell assignment.
+    Q("pipeline_semantic_shards",
+      (s, dir) => {
+        val budget = 2000L
+        val emb = Tables.embeddings(s, dir)
+        val cells = Similarity.ivfAssignWith(emb, "vec_id", "embedding",
+            Similarity.kmeansCentroidsQuantized(emb, "vec_id", "embedding",
+              k = 16, iters = 2))
+          .select(col("vec_id").as("doc_id"), col("cell"))
+        val withTok = Tables.documents(s, dir)
+          .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+          .join(cells, "doc_id")
+        graft.operators.PrefixSum.runningSum(withTok, "n_tokens",
+            Seq("cell", "doc_id"))
+          .select(col("doc_id"), col("cell"), col("n_tokens"),
+            expr(s"(running_n_tokens - n_tokens) div $budget").as("shard_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH ${ivfTrainedCtes(k = 16, iters = 2, nprobe = 1)},
+        d AS (SELECT doc_id, CAST(len(${DuckSql.tokens("text")}) AS INT) AS n_tokens
+              FROM ${Q.DocsRef}),
+        j AS (SELECT d.doc_id, cellF.cell, d.n_tokens
+              FROM d JOIN cellF ON cellF.vec_id = d.doc_id),
+        c AS (SELECT doc_id, cell, n_tokens,
+                SUM(n_tokens) OVER (ORDER BY cell, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+              FROM j)
+        SELECT doc_id, cell, n_tokens, CAST((run - n_tokens) // 2000 AS BIGINT) AS shard_id
+        FROM c ORDER BY doc_id""")),
+
     // training-example assembly: the step AFTER token-budget sharding —
     // each shard's documents concatenate (doc_id order, blank-line
     // separator) into ONE context-window-sized example. The only
@@ -3724,6 +3869,28 @@ object PipelineQueries {
           nTarget = TempMixTarget)
         .orderBy("doc_id", "copy"),
       Some(sourceMixTempOracleSql)),
+
+    // DoReMi-flavored EXCESS-LOSS mixing — the MODEL-era weight
+    // derivation next to the √-rule: domain shares tilt exponentially in
+    // each source's excess per-token LM loss over the corpus mean
+    // (α_s ∝ exp(η·(X_s − X̄)), the DoReMi multiplicative-weights step
+    // against a fixed scorer), so hard / under-learned domains are
+    // upweighted where temperature mixing only sees counts. The chain a
+    // production run executes: train the backoff LM (%4 residue), score
+    // every doc, reduce to per-source EXACT integer loss sums (order-
+    // free — a per-doc double mean would be merge-order-dependent and
+    // uncheckable), tilt through the portable pexp dag, normalize by the
+    // source-ordered fold, mix by the fixed per-doc hash. The plant
+    // gives 'wiki' doc-unique tokens: OOV bigrams bottom out at the
+    // portable log's floor, its mean xent dwarfs the corpus mean, and
+    // the tilt visibly flips the mixture toward the rare hard source
+    // (α_wiki ≈ 0.53 vs its 10% corpus share at sf0.01).
+    Q("pipeline_doremi_mix",
+      (s, dir) => graft.pipeline.Mixing.sourceMix(
+          doremiPlant(Tables.documents(s, dir)).select("doc_id", "source"),
+          "doc_id", "source", doremiWeightTable(s, dir), defaultWeight = 0.0)
+        .orderBy("doc_id", "copy"),
+      Some(doremiMixOracleSql)),
 
     // THE END-TO-END PIPELINE (chain described at the corpusFullPlan
     // builder above)

@@ -1228,6 +1228,29 @@ object StreamingQueries {
       },
       Some(PipelineQueries.sourceMixTempOracleSql)),
 
+    // DoReMi mixing AT INGESTION — the offline-derive/stream-apply split
+    // the model-era weights force (per-source loss sums are not
+    // streamable; a weight table is): the backoff LM trains on the
+    // archive, every archived doc is scored and reduced to per-source
+    // exact integer loss sums, the excess-loss tilt and normalization
+    // run driver-side (the policy-dimension collect), and the stream
+    // pays only the per-row mixing draw — pure column work, append
+    // mode, no state. Streaming the archive reproduces the batch row
+    // exactly (shared oracle); in production the stream is the new
+    // crawl resampled under last night's domain weights.
+    Q("stream_pipeline_doremi_mix",
+      (s, dir) => {
+        implicit val sp = s
+        val weights = PipelineQueries.doremiWeightTable(s, dir)
+        val out = graft.pipeline.Mixing.sourceMix(
+          PipelineQueries.doremiPlant(StreamSources.documents(s, dir))
+            .select("doc_id", "source"),
+          "doc_id", "source", weights, defaultWeight = 0.0)
+        StreamRun.toBatch(out, "append", numPartitions = 4)
+          .orderBy("doc_id", "copy")
+      },
+      Some(PipelineQueries.doremiMixOracleSql)),
+
     // deterministic SPLIT AT INGESTION — the property that makes the
     // hash split right for a growing corpus, exercised where it matters:
     // a document arriving in a stream gets the same bucket the batch

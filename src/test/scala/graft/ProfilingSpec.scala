@@ -577,6 +577,37 @@ class ProfilingSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  // ---------- DoReMi excess-loss weights ----------
+
+  test("DoReMi weights: exact hand replay, hard domain upweighted, target mass conserved") {
+    import graft.functions.PortableLog
+    // (source, n_docs, Σ lm_logp_q, Σ n_grams): token-level mean xents
+    // 7 / 4 / 30 nats; corpus mean 10 — 'c' is the hard domain
+    val stats = Seq(("a", 70L, -700000000L, 100L),
+      ("b", 20L, -200000000L, 50L), ("c", 10L, -900000000L, 30L))
+    val eta = 0.05
+    val got = Mixing.doremiWeights(stats, 1000L, eta).toMap
+    // independent replay of the pinned dag
+    val xAll = -(-1800000000L).toDouble / (180L.toDouble * 1.0e6)
+    val tilts = stats.map { case (s, n, slm, sng) =>
+      (s, n, PortableLog.pexp(eta *
+        (-slm.toDouble / (sng.toDouble * 1.0e6) - xAll)))
+    }
+    val ssum = tilts.foldLeft(0.0)(_ + _._3)
+    val want = tilts.map { case (s, n, t) =>
+      s -> (1000L.toDouble * t / ssum / n.toDouble) }.toMap
+    assert(got == want, "weights must replay the pinned dag exactly")
+    // input order must not matter (the fold is source-ordered inside)
+    assert(Mixing.doremiWeights(stats.reverse, 1000L, eta).toMap == want)
+    // expected copies sum to the target (Σ n_s·w_s = N by construction)
+    val mass = stats.map { case (s, n, _, _) => n * got(s) }.sum
+    assert(math.abs(mass - 1000.0) < 1e-6, s"mass $mass must hit the target")
+    // the hard domain's share rises above its corpus share, the easy
+    // domain's falls below
+    assert(10L * got("c") / 1000.0 > 0.10, "hard domain must be upweighted")
+    assert(20L * got("b") / 1000.0 < 0.20, "easy domain must be downweighted")
+  }
+
   // ---------- token-distribution drift ----------
 
   test("token-drift PSI: vocabulary shift dominates; a pure length shift is invisible") {
