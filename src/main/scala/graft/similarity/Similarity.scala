@@ -373,12 +373,54 @@ object Similarity {
     val sub = dim / subvectors
     require(sub * subvectors == dim,
       s"dim $dim must split evenly into $subvectors subvectors")
-    (0 until subvectors).map { m =>
-      collectCentroids(kmeansCentroidsQuantized(
-        df.select(col(idCol),
-          slice(col(vecCol).cast("array<double>"), m * sub + 1, sub).as("__sv")),
-        idCol, "__sv", codes, iters))
+    // ALL M codebooks train against ONE cached frame of (vid, m, slice)
+    // rows, so each Lloyd round is a single aggregation keyed (m, cell)
+    // — M× fewer corpus scans (and Spark jobs) than training each book
+    // in its own loop, with BIT-IDENTICAL output: the chained-when
+    // argmax dispatches each row to its own book's literal centroids,
+    // and the quantized per-(m, cell) integer sums are exactly the
+    // per-book sums (order-free by construction). The slice norm is
+    // computed once here instead of once per iteration.
+    val sv = graft.Caches.track(
+      df.select(col(idCol).as("__vid"),
+          col(vecCol).cast("array<double>").as("__v"))
+        .select(col("__vid"),
+          explode(typedLit((0 until subvectors).toList)).as("__m"), col("__v"))
+        .select(col("__vid"), col("__m"),
+          slice(col("__v"), col("__m") * lit(sub) + lit(1), lit(sub))
+            .as("__sv"))
+        .withColumn("__n", sqrt(dot(col("__sv"), col("__sv")))))
+    // per-book seeds = slices of the first `codes` vectors by id — the
+    // firstKCentroids-of-the-sliced-frame seed, sliced driver-side
+    val seedRows = df.orderBy(col(idCol)).limit(codes)
+      .select(col(idCol).as("cent_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .collect().map(r => (r.get(0), r.getSeq[Double](1))).toSeq
+    var books: Seq[Seq[(Any, Seq[Double])]] = (0 until subvectors).map(m =>
+      seedRows.map { case (cid, cv) => (cid, cv.slice(m * sub, (m + 1) * sub)) })
+    var i = 0
+    while (i < iters) {
+      val cellCol = books.zipWithIndex.tail.foldLeft(
+        when(col("__m") === 0,
+          array_max(centroidEntries(books.head, col("__sv"), col("__n")))
+            .getField("cell"))) { case (acc, (book, m)) =>
+        acc.when(col("__m") === m,
+          array_max(centroidEntries(book, col("__sv"), col("__n")))
+            .getField("cell"))
+      }
+      val updated = sv
+        .select(col("__m"), cellCol.as("cent_id"), col("__sv"))
+        .groupBy(col("__m"), col("cent_id"))
+        .agg(graft.functions.expressions.VectorQuantMeanAgg
+          .of(col("__sv"), 1e6).as("cv"))
+        .orderBy("__m", "cent_id")
+        .collect()
+      books = (0 until subvectors).map(m =>
+        updated.filter(_.getInt(0) == m).toSeq
+          .map(r => (r.get(1), r.getSeq[Double](2))))
+      i += 1
     }
+    books
   }
 
   /** 0-based code of `sv` in `book` (ascending cent_id order): the
