@@ -1745,6 +1745,35 @@ object PipelineQueries {
        |            ELSE 'tail' END AS ppl_bucket
        |FROM sc2 CROSS JOIN t1 CROSS JOIN t2 ORDER BY doc_id""".stripMargin
 
+  /** Per-source twin of [[ccnetBucketsStreamOracleSql]]: boundaries at
+    * each source's n/3 and 2n/3 ranks (−∞ where the rank does not
+    * exist), the same ≤-keeps-the-tie-class semantics per source,
+    * scored docs only. */
+  private[queries] val ccnetBucketsBySourceStreamOracleSql: String =
+    s"""WITH m AS MATERIALIZED ($lmMPlantSql),
+       |$tkCteSql,
+       |$lmCoreCtes,
+       |j AS (SELECT fin.doc_id, d.source, fin.xent
+       |      FROM fin JOIN ${Q.DocsRef} d ON d.doc_id = fin.doc_id),
+       |rk AS (SELECT doc_id, source, xent,
+       |         row_number() OVER (PARTITION BY source ORDER BY xent, doc_id) AS r,
+       |         count(*) OVER (PARTITION BY source) AS n
+       |       FROM j),
+       |b1r AS (SELECT source, min(xent) AS t1 FROM rk WHERE r = n // 3 GROUP BY source),
+       |b2r AS (SELECT source, min(xent) AS t2 FROM rk WHERE r = (2 * n) // 3 GROUP BY source),
+       |srcs AS (SELECT DISTINCT source FROM j),
+       |bd AS (SELECT srcs.source,
+       |         COALESCE(b1r.t1, '-infinity'::DOUBLE) AS t1,
+       |         COALESCE(b2r.t2, '-infinity'::DOUBLE) AS t2
+       |       FROM srcs LEFT JOIN b1r USING (source) LEFT JOIN b2r USING (source)),
+       |s2 AS (SELECT sc2.doc_id, d.source, sc2.xent
+       |       FROM sc2 JOIN ${Q.DocsRef} d ON d.doc_id = sc2.doc_id)
+       |SELECT s2.doc_id, s2.source, s2.xent,
+       |       CASE WHEN s2.xent <= bd.t1 THEN 'head'
+       |            WHEN s2.xent <= bd.t2 THEN 'middle'
+       |            ELSE 'tail' END AS ppl_bucket
+       |FROM s2 JOIN bd USING (source) ORDER BY doc_id""".stripMargin
+
   /** Sampled-fit twin: model trained on the deterministic hash-sample
     * instead of the %4 residue class; the whole chain (counts, V,
     * smoothing, quantization) re-derives under the sampled predicate.
@@ -2720,6 +2749,50 @@ object PipelineQueries {
           .orderBy("doc_id")
       },
       Some(ccnetBucketsOracleSql)),
+
+    // CCNet bucketing BY SOURCE — the published design exactly (Wenzek
+    // et al. compute perplexity quantiles PER LANGUAGE, never pooled: a
+    // hard language's tail would swallow an easy language's head under
+    // one global cut). Tertile ranks ride a window PARTITIONED by
+    // source, so unlike the global row's two-pass prefix rank the
+    // grouped split parallelizes across sources with no single-partition
+    // stage — the grouped-quantile scale argument applied to the rank
+    // gate. Same trained LM, same (xent, doc_id) total order within
+    // each source, exact integer thirds of each source's count.
+    Q("pipeline_ccnet_buckets_by_source",
+      (s, dir) => {
+        val raw = Tables.documents(s, dir)
+        val docs = lmPlant(raw)
+        val m = graft.text.NgramLm.train(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
+        val scored = graft.text.NgramLm.score(docs, "doc_id", "text", m)
+          .join(raw.select("doc_id", "source"), "doc_id")
+        val w = Window.partitionBy("source")
+          .orderBy(col("xent"), col("doc_id"))
+        scored
+          .withColumn("r", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+          .select(col("doc_id"), col("source"), col("xent"),
+            when(col("r") <= expr("n div 3"), "head")
+              .when(col("r") <= expr("(2 * n) div 3"), "middle")
+              .otherwise("tail").as("ppl_bucket"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH m AS MATERIALIZED ($lmMPlantSql),
+        $tkCteSql,
+        $lmCoreCtes,
+        j AS (SELECT fin.doc_id, d.source, fin.xent
+              FROM fin JOIN ${Q.DocsRef} d ON d.doc_id = fin.doc_id),
+        rk AS (SELECT doc_id, source, xent,
+                 row_number() OVER (PARTITION BY source ORDER BY xent, doc_id) AS r,
+                 count(*) OVER (PARTITION BY source) AS n
+               FROM j)
+        SELECT doc_id, source, xent,
+               CASE WHEN r <= n // 3 THEN 'head'
+                    WHEN r <= (2 * n) // 3 THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM rk ORDER BY doc_id""")),
 
     Q("text_fingerprint",
       (s, dir) => {

@@ -1470,6 +1470,68 @@ object StreamingQueries {
       },
       Some(PipelineQueries.ccnetBucketsStreamOracleSql)),
 
+    // CCNet bucketing BY SOURCE at ingestion — the deployment the paper
+    // actually ships (per-LANGUAGE perplexity cutoffs computed offline
+    // on Wikipedia-trained models, applied to the crawl in flight): the
+    // per-source tertile boundaries derive offline from the archive
+    // (one keyed rank window — parallel across sources — then a
+    // #sources-row collect), ride as a BROADCAST table, and each
+    // streamed doc lands in its source's bucket by two comparisons
+    // after the stream-static LM probe. Tie/absence semantics exactly
+    // as the global twin: ≤ keeps a tie class together, a source too
+    // small to have a rank gets −∞ boundaries (everything 'tail'...
+    // after 'head'/'middle' fail), zero-bigram docs are absent.
+    Q("stream_pipeline_ccnet_buckets_by_source",
+      (s, dir) => {
+        implicit val sp = s
+        import graft.functions.GraftFunctions.wordGrams
+        import org.apache.spark.sql.expressions.Window
+        val raw = graft.Tables.documents(s, dir)
+        val docs = PipelineQueries.lmPlant(raw)
+        val m = graft.text.NgramLm.train(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
+        val scored = graft.text.NgramLm.score(docs, "doc_id", "text", m)
+          .join(raw.select("doc_id", "source"), "doc_id")
+        val w = Window.partitionBy("source")
+          .orderBy(col("xent"), col("doc_id"))
+        val rk = graft.Caches.track(scored
+          .withColumn("r", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("source"))))
+        val b1 = rk.filter(col("r") === expr("n div 3"))
+          .groupBy("source").agg(min("xent").as("t1"))
+        val b2 = rk.filter(col("r") === expr("(2 * n) div 3"))
+          .groupBy("source").agg(min("xent").as("t2"))
+        val bounds = rk.select("source").distinct()
+          .join(b1, Seq("source"), "left").join(b2, Seq("source"), "left")
+          .select(col("source"),
+            coalesce(col("t1"), lit(Double.NegativeInfinity)).as("t1"),
+            coalesce(col("t2"), lit(Double.NegativeInfinity)).as("t2"))
+        val incoming = PipelineQueries.lmPlant(StreamSources.documents(s, dir))
+          .join(broadcast(graft.Caches.track(raw.select("doc_id", "source"))),
+            "doc_id")
+          .select(col("doc_id"), col("source"),
+            explode(wordGrams(col("text"), 2)).as("bigram"))
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+        val out = graft.text.NgramLm.probeQq(incoming, m, fitsBroadcast = true)
+          .groupBy(window(col("event_time"), "1 hour"), col("doc_id"))
+          .agg(min(col("source")).as("source"),
+            count(lit(1)).as("n_bigrams"), sum(col("qq")).as("lm_logp_q"))
+          .select(col("doc_id"), col("source"),
+            ((-col("lm_logp_q")).cast("double") /
+              (col("n_bigrams").cast("double") * lit(graft.text.NgramLm.Scale)))
+              .as("xent"))
+          .join(broadcast(bounds), "source")
+          .select(col("doc_id"), col("source"), col("xent"),
+            when(col("xent") <= col("t1"), "head")
+              .when(col("xent") <= col("t2"), "middle")
+              .otherwise("tail").as("ppl_bucket"))
+        StreamRun.toBatch(out, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+          .orderBy("doc_id")
+      },
+      Some(PipelineQueries.ccnetBucketsBySourceStreamOracleSql)),
+
     // DSIR scoring AT INGESTION — importance-score the stream against a
     // model fit OFFLINE on the batch corpus (the production DSIR shape:
     // fit once on target+raw, score new data as it arrives). The scorer
