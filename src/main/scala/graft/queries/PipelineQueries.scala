@@ -1158,6 +1158,37 @@ object PipelineQueries {
   private[queries] def bpeApplyOracleSql(rounds: Int): String =
     bpeApplyOracleSqlFor(rounds, "doc_id % 4 = 0")
 
+  /** Per-source tokenizer-compression oracle: the frozen-merge apply
+    * chain (training replayed under `trainPred`), symbol counts per doc,
+    * whitespace-token counts from the raw corpus, exact integer sums
+    * per source and one exact division. */
+  private[queries] def bpeCompressionOracleSql(rounds: Int,
+      trainPred: String): String = {
+    def round(r: Int): String = s"""
+      p$r AS MATERIALIZED (${bpePairSql(s"m${r - 1}")}),
+      b$r AS MATERIALIZED (SELECT string_split(pair, ' ')[1] AS a,
+                     string_split(pair, ' ')[2] AS b
+              FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+      m$r AS MATERIALIZED (${bpeRewriteSql(s"m${r - 1}", s"b$r")}),
+      a$r AS MATERIALIZED (${bpeRewriteSql(s"a${r - 1}", s"b$r")})"""
+    s"""
+      WITH m0 AS MATERIALIZED (${bpeState0Sql(s" WHERE $trainPred")}),
+      a0 AS MATERIALIZED (${bpeState0Sql("")}),
+      ${(1 to rounds).map(round).mkString(",")},
+      sy AS (SELECT doc_id,
+               CAST(len(list_filter(string_split(s, ' '), x -> x <> '')) AS BIGINT) AS n_symbols
+             FROM a$rounds),
+      wt AS (SELECT doc_id, source, CAST(len(${DuckSql.tokens("text")}) AS BIGINT) AS n_ws
+             FROM ${Q.DocsRef}),
+      g AS (SELECT wt.source, count(*) AS n_docs,
+              CAST(sum(sy.n_symbols) AS BIGINT) AS sum_symbols,
+              CAST(sum(wt.n_ws) AS BIGINT) AS sum_ws
+            FROM wt JOIN sy USING (doc_id) GROUP BY wt.source)
+      SELECT source, n_docs, sum_symbols, sum_ws,
+             CAST(sum_symbols AS DOUBLE) / CAST(sum_ws AS DOUBLE) AS compression
+      FROM g ORDER BY source"""
+  }
+
   /** The synthetic corpus has ZERO exact duplicates (500/500 distinct
     * md5 at sf0.01), so the bloom-membership rows plant cross-subset
     * exact copies on residue classes: every training doc ≡ 0 (mod 8) and
@@ -1414,6 +1445,29 @@ object PipelineQueries {
        |SELECT doc_id, CAST(floor(1.0e6 * s) AS BIGINT) AS score_q,
        |       CASE WHEN s >= 0.0e0 THEN 1 ELSE 0 END AS pred
        |FROM sF ORDER BY doc_id""".stripMargin
+
+  /** Calibration bucket width: 10⁶ score_q units = 1.0 of margin. */
+  private[queries] val CalBinW: Long = 1000000L
+
+  /** Calibration oracle: the full classifier-training replay, scores
+    * bucketed by the sign-safe floor division (margins are negative for
+    * most docs; `//` floors where Spark's `div` truncates, so both
+    * engines render (q − pmod(q, W)) / W with a non-negative pmod),
+    * label positives and the exact positive rate per bucket. */
+  private[queries] val classifierCalibrationOracleSql: String =
+    s"""WITH m AS MATERIALIZED ($classifierMPlantSql),
+       |$tkCteSql,
+       |$classifierCoreCtes,
+       |sc AS (SELECT doc_id, CAST(floor(1.0e6 * s) AS BIGINT) AS q FROM sF),
+       |bk AS (SELECT doc_id,
+       |         (q - (((q % $CalBinW) + $CalBinW) % $CalBinW)) // $CalBinW AS bucket
+       |       FROM sc),
+       |g AS (SELECT bucket, count(*) AS n_docs,
+       |        CAST(sum(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+       |      FROM bk GROUP BY bucket)
+       |SELECT bucket, n_docs, n_pos,
+       |       CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pos_rate
+       |FROM g ORDER BY bucket""".stripMargin
 
   /** Sampled-fit twins (the production recipe — CCNet/GPT-3 fit their
     * filters on a sample, then score the corpus): the training
@@ -2703,6 +2757,35 @@ object PipelineQueries {
       },
       Some(bpeOracleSql(BpeRounds))),
 
+    // per-source tokenizer COMPRESSION profile — "how well does the
+    // trained tokenizer fit each source": the frozen merge table (the
+    // %4 training subset, as the apply twin) rewrites every document,
+    // and each source reports symbols-per-whitespace-token from EXACT
+    // integer sums + one exact division. The engine's BPE merges
+    // adjacent word symbols, so a source the tokenizer fits well
+    // compresses toward fewer symbols (ratio < 1) while out-of-domain
+    // text stays near 1.0 — the per-source gauge a tokenizer-selection
+    // or mixture decision reads (the word-level analog of subword
+    // fertility). One apply pass + one aggregation; O(sources) output.
+    Q("text_bpe_compression",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val (merges, _) = graft.text.Bpe.train(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+          "doc_id", "text", rounds = BpeRounds)
+        docs.select(col("source"),
+            size(tokens(col("text"))).cast("long").as("n_ws"),
+            size(tokens(graft.text.Bpe.applyMerges(col("text"), merges)))
+              .cast("long").as("n_symbols"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_symbols").as("sum_symbols"), sum("n_ws").as("sum_ws"))
+          .withColumn("compression",
+            col("sum_symbols").cast("double") / col("sum_ws").cast("double"))
+          .orderBy("source")
+      },
+      Some(bpeCompressionOracleSql(BpeRounds, "doc_id % 4 = 0"))),
+
     // SAMPLED-fit tokenizer — completes the sampled knob across ALL four
     // trained-model families (classifier, LM, DSIR, BPE): merges train
     // on the deterministic 30% hash-sample (the production recipe — a
@@ -2961,6 +3044,37 @@ object PipelineQueries {
         qc.score(feats, "doc_id", m).orderBy("doc_id")
       },
       Some(classifierSampledOracleSql)),
+
+    // classifier CALIBRATION profile — the reliability-diagram data
+    // behind every "keep score ≥ τ" decision (a threshold is only as
+    // meaningful as the empirical positive rate at that score): margin
+    // buckets of width 1.0 (10⁶ in score_q units) × (doc count, label
+    // positives, exact positive rate). Buckets use the SIGN-SAFE floor
+    // division — margins are negative for most docs, and Spark's `div`
+    // truncates toward zero where DuckDB's `//` floors, so the shared
+    // rendering is (q − pmod(q, W)) div W with a non-negative pmod (the
+    // mixHash convention applied to bucketing). One aggregation over
+    // the scored table; O(buckets) output.
+    Q("text_classifier_calibration",
+      (s, dir) => {
+        val qc = graft.text.QualityClassifier
+        val feats = graft.Caches.track(qc.features(
+          classifierPlant(Tables.documents(s, dir)), "doc_id", "text",
+          (pmod(col("doc_id"), lit(6)) === 0).cast("int")))
+        val m = qc.train(feats)
+        qc.score(feats, "doc_id", m)
+          .select(col("doc_id"), col("score_q"),
+            expr(s"(score_q - pmod(score_q, $CalBinW)) div $CalBinW")
+              .as("bucket"))
+          .withColumn("y",
+            (pmod(col("doc_id"), lit(6)) === 0).cast("long"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"))
+          .withColumn("pos_rate",
+            col("n_pos").cast("double") / col("n_docs").cast("double"))
+          .orderBy("bucket")
+      },
+      Some(classifierCalibrationOracleSql)),
 
     // model-gate composite: classifier gate → CCNet perplexity split
     // (drop the worst-xent third of survivors by distributed rank). Both
@@ -4092,6 +4206,45 @@ object PipelineQueries {
       Some(s"""
         SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
         FROM ${Q.DocsRef} ORDER BY doc_id""")),
+
+    // per-source DEDUP REPORT CARD — the curation dashboard row every
+    // production run publishes ("which sources are duplicate-heavy;
+    // whose crawler re-fetches"): exact-dedup rep assignment reduced to
+    // (source, doc count, duplicate count, exact ratio). Same digest
+    // shuffle as dedup_exact + one O(sources) aggregation; the %8 copy
+    // plant (the bloom rows' shared rewrite) gives the synthetic
+    // corpus's zero-natural-dup sources a real signal — sources owning
+    // the 8k+1 residues carry ~12% duplicates, the rest 0.
+    Q("pipeline_dedup_report",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("text", bloomPlantText)
+        Dedup.exact(docs, "doc_id", "text")
+          .join(docs.select("doc_id", "source"), "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum((col("rep_id") < col("doc_id")).cast("long")).as("n_dups"))
+          .withColumn("dup_ratio",
+            col("n_dups").cast("double") / col("n_docs").cast("double"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH d AS (SELECT doc_id, source,
+            CASE WHEN doc_id % 8 = 0
+                   THEN 'GRAFT DUP BODY ' || CAST(doc_id // 8 AS VARCHAR)
+                 WHEN doc_id % 8 = 1
+                   THEN 'GRAFT DUP BODY ' || CAST((doc_id - 1) // 8 AS VARCHAR)
+                 ELSE text END AS text
+          FROM ${Q.DocsRef}),
+        r AS (SELECT doc_id, source,
+                min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+              FROM d),
+        g AS (SELECT source, count(*) AS n_docs,
+                CAST(sum(CASE WHEN rep_id < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+              FROM r GROUP BY source)
+        SELECT source, n_docs, n_dups,
+               CAST(n_dups AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_ratio
+        FROM g ORDER BY source""")),
 
     Q("dedup_minhash_lsh",
       (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
