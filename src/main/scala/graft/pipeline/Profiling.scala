@@ -192,7 +192,7 @@ object Profiling {
     * replayed batch is skipped, not double-added). Shared by the
     * grouped-quantile, length-drift and token-drift ingestion twins.
     */
-  private def keyedBinFold(binned: DataFrame,
+  private[graft] def keyedBinFold(binned: DataFrame,
       onBatch: Int => Unit,
       checkpoint: Option[String],
       stateDir: Option[String])(

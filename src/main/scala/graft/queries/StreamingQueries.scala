@@ -1604,6 +1604,44 @@ object StreamingQueries {
       },
       Some(PipelineQueries.classifierOracleSql)),
 
+    // classifier CALIBRATION AT INGESTION — the live-monitoring twin of
+    // the reliability profile ("is the deployed model's score
+    // distribution still calibrated on what's arriving"): the stream
+    // reduces each micro-batch to (label, margin-bucket) counts — the
+    // trivially-mergeable histogram again, keyed (y, bucket) so ONE
+    // shared DriverFold carries both the denominator and the positives
+    // — and the batch tail re-derives (n_docs, n_pos, exact rate) per
+    // bucket. Streaming the archive reproduces the batch profile
+    // exactly (shared oracle); in production the labels are whatever
+    // supervision trickles in and the fold runs for the life of the
+    // deployment at O(2·buckets) state.
+    Q("stream_text_classifier_calibration",
+      (s, dir) => {
+        implicit val sp = s
+        val qc = graft.text.QualityClassifier
+        val docs = PipelineQueries.classifierPlant(graft.Tables.documents(s, dir))
+        val feats = graft.Caches.track(qc.features(docs, "doc_id", "text",
+          (pmod(col("doc_id"), lit(6)) === 0).cast("int")))
+        val m = qc.train(feats)
+        val w = PipelineQueries.CalBinW
+        val binned = qc.scorePresenceFold(
+            PipelineQueries.classifierPlant(StreamSources.documents(s, dir)),
+            "doc_id", "text", m)
+          .select(
+            (pmod(col("doc_id"), lit(6)) === 0).cast("long").cast("string")
+              .as("k"),
+            expr(s"(score_q - pmod(score_q, $w)) div $w").as("bin"))
+        graft.pipeline.Profiling.keyedBinFold(binned,
+            onBatch = _ => (), checkpoint = None, stateDir = None)
+          .groupBy(col("bin").as("bucket"))
+          .agg(sum("cnt").as("n_docs"),
+            sum(when(col("k") === "1", col("cnt")).otherwise(0L)).as("n_pos"))
+          .withColumn("pos_rate",
+            col("n_pos").cast("double") / col("n_docs").cast("double"))
+          .orderBy("bucket")
+      },
+      Some(PipelineQueries.classifierCalibrationOracleSql)),
+
     // MODEL GATE AT INGESTION — both models train OFFLINE, the batch
     // rank gate's xent boundary ships to the ingest path as ONE scalar
     // (τ = the smallest dropped xent; the production shape: rank a
