@@ -800,6 +800,80 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(secs < 300.0, f"PSI went super-linear: ${secs}%.1f s")
   }
 
+  test("10M-token vocabulary drift: 50 sources scored from one token-explode scan, planted vocabulary dominates") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_STRESS=1 to run")
+    import org.apache.spark.sql.functions._
+    // 10⁶ docs × 10 tokens from a rotating 2000-type vocabulary; source
+    // s0's docs each gain two novel tokens — the vocabulary plant. The
+    // histogram is O(50·64) whatever the type count; everything after
+    // the one explode scan is bounded column work.
+    val nDocs = totalRows / 10
+    val t0 = System.nanoTime()
+    // token index = multiplicative hash of the global token ordinal
+    // (id·10 + j), so every source draws near-uniformly from the SAME
+    // 2048-type distribution — a naive id·7+j rotation leaves each
+    // source a ~40-type disjoint slice (gcd structure) and every source
+    // "drifts" from the marginal
+    val docs = spark.range(nDocs).select(
+      concat(lit("s"), pmod(col("id"), lit(50L)).cast("string")).as("src"),
+      concat(
+        aggregate(sequence(lit(0L), lit(9L)), lit(""),
+          (acc, j) => concat(acc, lit(" w"),
+            pmod(pmod(col("id") * lit(10L) + j, lit(2147483648L)) *
+              lit(2654435761L), lit(2048L)).cast("string"))),
+        when(pmod(col("id"), lit(50L)) === 0, lit(" zdrifta zdriftb"))
+          .otherwise(lit(""))).as("text"))
+    val got = graft.pipeline.Profiling.tokenDriftPsi(docs, "src", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    val background = (1 until 50).map(g => got(s"s$g"))
+    info(f"token PSI over ${nDocs * 10} tokens, 50 sources: drifted " +
+      f"${got("s0")}, background max ${background.max}, ${secs}%.1f s")
+    assert(got.size == 50)
+    assert(got("s0") > 10L * math.max(1L, background.max),
+      s"planted vocabulary drift must dominate: ${got("s0")} vs ${background.max}")
+    assert(secs < 300.0, f"token PSI went super-linear: ${secs}%.1f s")
+    Caches.releaseAll()
+  }
+
+  test("1M-vector semantic decontamination: corpus never shuffles, planted near-copies all flag") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_STRESS=1 to run")
+    import org.apache.spark.sql.functions._
+    // 10⁶ pseudo-random 16-dim vectors; every id ≡ 1 (mod 10⁴) is an
+    // exact copy of the benchmark vector id−1 (ids ≡ 0 mod 10⁴ are the
+    // benchmark suite — 100 vectors). A copy shares its original's cell
+    // by construction, so the broadcast probe join must flag ALL copies
+    // at any nprobe; the corpus side pays one scan + the broadcast join.
+    val n = totalRows / 10
+    val t0 = System.nanoTime()
+    // genuinely mixing per-coordinate hash — a linear map mod M keeps
+    // lattice structure (v(2a) ≈ 2·v(a) up to wraps) and floods the τ
+    // gate with correlated non-copies; md5-based coordinates make
+    // cross-id cosines concentrate near 0 so τ = 0.99 isolates copies
+    val seed = (id: org.apache.spark.sql.Column) =>
+      transform(sequence(lit(0), lit(15)), j =>
+        (pmod(graft.functions.GraftFunctions.hash60(
+            concat(id.cast("string"), lit("_"), j.cast("string"))),
+          lit(1000003L)).cast("double") / lit(1000003.0) - lit(0.5)))
+    val base = spark.range(n).select(col("id").as("vec_id"),
+      when(pmod(col("id"), lit(10000L)) === 1, seed(col("id") - 1))
+        .otherwise(seed(col("id"))).as("embedding"))
+    val bench = base.filter(pmod(col("vec_id"), lit(10000L)) === 0)
+    val hits = graft.similarity.Similarity.semanticContamination(
+        base, bench, "vec_id", "embedding",
+        k = 16, iters = 1, nprobe = 1, threshold = 0.99)
+      .collect().map(r => r.getLong(0)).toSet
+    val secs = (System.nanoTime() - t0) / 1e9
+    val planted = (0L until n).filter(_ % 10000L == 1L).toSet
+    info(f"semantic decontamination over $n vectors: ${hits.size} flagged, " +
+      f"${planted.size} planted copies, ${secs}%.1f s")
+    assert(hits == planted,
+      s"flags must be exactly the planted copies: missing " +
+        s"${(planted -- hits).take(5)}, extra ${(hits -- planted).take(5)}")
+    assert(secs < 300.0, f"decontamination went super-linear: ${secs}%.1f s")
+    Caches.releaseAll()
+  }
+
   test("2x10M-token corpus overlap: both sketches in one pass, estimates inside theory bands") {
     assume(enabled, "set SPARK_GRAFT_SCALE_STRESS=1 to run")
     import org.apache.spark.sql.functions._
