@@ -86,6 +86,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("semantic decontamination joins the benchmark probes by broadcast — the corpus never sort-merges") {
+    val p = plan("pipeline_decontaminate_semantic")
+    assert(p.contains("BroadcastHashJoin"),
+      "the benchmark probe set must broadcast: " + p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus side must never pay a sort-merge shuffle: " + p.take(3000))
+  }
+
   test("no declared query plans a nested-loop all-pairs join") {
     // the quadratic baselines (knnBruteForce, embeddingPairs) are test-only;
     // every DECLARED plan must be free of broadcast-NL/cartesian joins —
