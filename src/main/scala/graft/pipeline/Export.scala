@@ -135,4 +135,102 @@ object Export {
 
   def readManifest(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/$ManifestDir")
+
+  /** COMPACTION — the maintenance pass a long-running ingest tree
+    * needs: [[writeShardsIngest]] leaves one `batch=<b>` directory per
+    * trigger per touched shard, so a year of five-minute triggers is
+    * ~10⁵ leaf directories per shard and the trainer's read pays
+    * per-file open overhead instead of sequential scan (the classic
+    * small-file explosion). This rewrites every COMMITTED batch's rows
+    * into ONE consolidated generation under `batch=<maxCommitted>` —
+    * the tree stays a valid ingest tree (same layout, same manifest
+    * protocol), so a resumed writer keeps appending after it and
+    * compaction itself is re-runnable — and swaps it in only after
+    * verifying it against the manifests.
+    *
+    * Protocol — offline (no live writer on `root`), crash-safe at every
+    * step, and trust-preserving (a reader never sees a state the
+    * manifests do not describe):
+    *  1. roll forward/back any interrupted previous swap (see below);
+    *  2. read the ingest manifest — COMMITTED batches only, so a
+    *     crashed writer's partial leaves are never compacted in;
+    *  3. read exactly those batch leaves and write them, re-tagged to
+    *     the single generation batch id, into a sibling STAGING root;
+    *  4. VERIFY: staged per-(split, shard) row counts must equal the
+    *     per-batch manifests aggregated — exact integer equality, else
+    *     abort with the original tree untouched (token sums transfer
+    *     from the manifests they already describe; the staged manifest
+    *     writes only AFTER the staged data, the writer's contract);
+    *  5. swap: rename root → `<root>.compact-backup`, staging → root,
+    *     delete the backup. A crash between the renames leaves a
+    *     missing root plus a complete staging or backup — step 1 rolls
+    *     FORWARD when the staged manifest exists (the verified new
+    *     generation wins) and BACK otherwise, so every crash lands on
+    *     a complete, manifest-consistent tree.
+    *
+    * `beforeSwap` runs after verification, before the first rename;
+    * `midSwap` runs between the two renames — the crash windows specs
+    * inject into. Returns the compacted manifest.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, root: String,
+      splitCol: String, shardCol: String,
+      beforeSwap: () => Unit = () => (),
+      midSwap: () => Unit = () => ()): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sessionState.newHadoopConf()
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(hconf)
+    val staging = new Path(root + ".compact-staging")
+    val backup = new Path(root + ".compact-backup")
+    // 1. recovery from an interrupted swap: root missing means a swap
+    // was cut between its renames
+    if (!fs.exists(rootP)) {
+      val stagedManifest = new Path(s"$staging/$ManifestDir")
+      if (fs.exists(stagedManifest)) {
+        require(fs.rename(staging, rootP), s"roll-forward rename failed: $staging")
+        fs.delete(backup, true)
+      } else if (fs.exists(backup)) {
+        require(fs.rename(backup, rootP), s"roll-back rename failed: $backup")
+        fs.delete(staging, true)
+      } else {
+        throw new IllegalStateException(s"nothing to compact: $root missing")
+      }
+    }
+    fs.delete(staging, true) // a pre-swap crashed attempt is just discarded
+    fs.delete(backup, true) // a crash between promote and cleanup leaves one
+    // 2. the committed batches and their expected totals
+    val manifest = readIngestManifest(spark, root)
+    val expected = manifest.groupBy(col(splitCol), col(shardCol))
+      .agg(sum("n_rows").as("n_rows"), sum("n_tokens").as("n_tokens"))
+    val committed = manifest.select("batch").distinct()
+      .collect().map(_.getLong(0)).toSet
+    require(committed.nonEmpty, s"nothing committed under $root")
+    val gen = committed.max
+    // 3. consolidate exactly the committed leaves into one generation
+    spark.read.option("basePath", root).parquet(root)
+      .filter(col("batch").cast("long").isin(committed.toSeq: _*))
+      .withColumn("batch", lit(gen))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(splitCol, shardCol, "batch")
+      .parquet(staging.toString)
+    // 4. verify staged row counts against the aggregated manifests
+    val stagedCounts = spark.read.parquet(staging.toString)
+      .groupBy(col(splitCol), col(shardCol)).agg(count(lit(1)).as("n_rows"))
+    val mism = expected.as("e")
+      .join(stagedCounts.as("s"), Seq(splitCol, shardCol), "full")
+      .filter(col("e.n_rows").isNull || col("s.n_rows").isNull ||
+        col("e.n_rows") =!= col("s.n_rows"))
+      .count()
+    require(mism == 0,
+      s"compaction verify failed: $mism (split, shard) groups mismatch the manifests")
+    expected.write.mode(SaveMode.Overwrite)
+      .parquet(s"$staging/$ManifestDir/batch=$gen")
+    beforeSwap()
+    // 5. the swap
+    require(fs.rename(rootP, backup), s"backup rename failed: $root")
+    midSwap()
+    require(fs.rename(staging, rootP), s"promote rename failed: $staging")
+    fs.delete(backup, true)
+    readIngestManifest(spark, root)
+  }
 }

@@ -131,4 +131,69 @@ class ExportSpec extends AnyFunSuite {
     assert(files.nonEmpty && files.forall(_.contains("/split=train/")),
       s"scan escaped the split directory: ${files.take(3).mkString(", ")}")
   }
+
+  test("compaction: batch leaves consolidate under the manifests' watch; every crash window lands complete") {
+    // a 4-batch ingest tree (one batch=<b> leaf set per trigger)
+    val staging = tmpDir()
+    shards.repartition(4).write.mode("overwrite").parquet(staging)
+    val schema = spark.read.parquet(staging).schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staging)
+    val root = tmpDir() + "/tree"
+    Export.writeShardsIngest(stream, root, "split", "shard_id", "n_tokens",
+      checkpoint = tmpDir() + "/ckpt")
+    def readData(r: String) = spark.read.parquet(r)
+      .select(col("doc_id"), col("n_tokens"), col("split"),
+        col("shard_id").cast("long").as("shard_id"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    def manifestAgg(r: String) = Export.readIngestManifest(spark, r)
+      .select(col("split"), col("shard_id").cast("long").as("shard_id"),
+        col("n_rows"), col("n_tokens"))
+      .groupBy("split", "shard_id")
+      .agg(sum("n_rows").as("n_rows"), sum("n_tokens").as("n_tokens"))
+      .collect().map(r0 => (r0.getString(0), r0.getLong(1)) ->
+        (r0.getLong(2), r0.getLong(3))).toMap
+    def leafDirs(r: String): Int = {
+      val fs = new org.apache.hadoop.fs.Path(r)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val st = fs.globStatus(new org.apache.hadoop.fs.Path(s"$r/*/*/batch=*"))
+      if (st == null) 0 else st.length
+    }
+    val before = readData(root)
+    val beforeManifest = manifestAgg(root)
+    val beforeLeaves = leafDirs(root)
+    assert(beforeLeaves > beforeManifest.size,
+      "the ingest tree must actually be fragmented for this test to bite")
+
+    // crash BEFORE the swap: the original tree is untouched
+    intercept[RuntimeException] {
+      Export.compact(spark, root, "split", "shard_id",
+        beforeSwap = () => throw new RuntimeException("injected pre-swap crash"))
+    }
+    assert(readData(root) == before, "pre-swap crash must leave root untouched")
+    assert(manifestAgg(root) == beforeManifest)
+
+    // crash BETWEEN the renames: root is momentarily gone, but the next
+    // compact rolls the verified staging FORWARD and completes
+    intercept[RuntimeException] {
+      Export.compact(spark, root, "split", "shard_id",
+        midSwap = () => throw new RuntimeException("injected mid-swap crash"))
+    }
+    Export.compact(spark, root, "split", "shard_id")
+    assert(readData(root) == before, "rolled-forward tree must hold the data")
+    assert(manifestAgg(root) == beforeManifest,
+      "compacted manifest must equal the per-batch manifests aggregated")
+    assert(leafDirs(root) == manifestAgg(root).size,
+      "compaction must leave ONE generation leaf per (split, shard)")
+
+    // an interrupted swap with NO complete staging rolls BACK: fake the
+    // crash state by renaming root away
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.rename(new org.apache.hadoop.fs.Path(root),
+      new org.apache.hadoop.fs.Path(root + ".compact-backup")))
+    Export.compact(spark, root, "split", "shard_id")
+    assert(readData(root) == before, "rolled-back tree must hold the data")
+    assert(manifestAgg(root) == beforeManifest)
+  }
 }
