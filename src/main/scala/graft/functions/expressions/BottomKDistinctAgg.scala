@@ -48,8 +48,13 @@ case class BottomKDistinctAgg(child: Expression, kExpr: Expression,
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case LongType if kExpr.foldable =>
+      case LongType if kExpr.foldable && k >= 1 =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case LongType if kExpr.foldable =>
+        // k = 0 would otherwise surface as an opaque NoSuchElementException
+        // on b.last at the first input row, deep inside an executor task
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bottom_k_distinct needs k >= 1, got $k")
       case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"bottom_k_distinct expects a long column + foldable k, got $t")
     }

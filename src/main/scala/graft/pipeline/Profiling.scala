@@ -226,18 +226,23 @@ object Profiling {
     * length track token diversity per source; did a crawler change break
     * the relationship"): one grouped aggregation collects the six
     * sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) as EXACT integer
-    * sums — DECIMAL(38,0) accumulators, so 100 TB of squared metrics
-    * cannot overflow where an int64 sum silently wraps; DuckDB mirrors
-    * with HUGEINT — and the estimates are a fixed IEEE dag over the six
-    * values cast to double once each: num = n·Σxy − Σx·Σy, corr =
-    * num/(√(n·Σx²−Σx²)·√(n·Σy²−Σy²)) (the two square roots deliberately
-    * NOT fused into one — √a·√b and √(ab) round differently), slope =
-    * num/denx. Deterministic end to end: integer sums are order-free,
-    * every double op is correctly rounded in a pinned order — the oracle
-    * re-derives each per-key coefficient bit-identically. Degenerate
-    * slices (a constant metric) emit 0.0 by a guarded CASE, mirrored in
-    * SQL. Built-in `corr()` on either engine is an order-dependent
-    * streaming accumulation — uncheckable, hence this shape.
+    * sums — DECIMAL(38,0) accumulators widened BEFORE the products, so
+    * 100 TB of squared metrics cannot overflow where an int64 product
+    * silently wraps; DuckDB mirrors with HUGEINT — and the three
+    * second-moment combinations num = n·Σxy − Σx·Σy, denx = n·Σx² −
+    * (Σx)², deny = n·Σy² − (Σy)² stay in EXACT decimal too: subtracting
+    * them in double is the textbook catastrophic cancellation (when
+    * mean² ≫ variance the true difference sits below the ulp of the
+    * operands and the coefficient comes out as rounding noise). Each is
+    * cast to double ONCE, then corr = num/(√denx·√deny) (the two square
+    * roots deliberately NOT fused into one — √a·√b and √(ab) round
+    * differently), slope = num/denx. Deterministic end to end: exact
+    * integer arithmetic is order-free, every double op is correctly
+    * rounded in a pinned order — the oracle re-derives each per-key
+    * coefficient bit-identically. Degenerate slices (a constant metric)
+    * emit 0.0 by a guarded CASE, mirrored in SQL. Built-in `corr()` on
+    * either engine is an order-dependent streaming accumulation —
+    * uncheckable, hence this shape.
     */
   def metricCorrBy(df: DataFrame, keyCol: String, x: Column,
       y: Column): DataFrame = {
@@ -248,16 +253,17 @@ object Profiling {
         count(lit(1)).as("n_docs"),
         sum(col("x").cast(dec)).as("sx"),
         sum(col("y").cast(dec)).as("sy"),
-        sum((col("x") * col("y")).cast(dec)).as("sxy"),
-        sum((col("x") * col("x")).cast(dec)).as("sxx"),
-        sum((col("y") * col("y")).cast(dec)).as("syy"))
-    val nD = col("n_docs").cast("double")
-    val num = nD * col("sxy").cast("double") -
-      col("sx").cast("double") * col("sy").cast("double")
-    val denx = nD * col("sxx").cast("double") -
-      col("sx").cast("double") * col("sx").cast("double")
-    val deny = nD * col("syy").cast("double") -
-      col("sy").cast("double") * col("sy").cast("double")
+        // cast BEFORE multiplying: a long×long product wraps silently for
+        // metrics above ~3.04e9 (√Long.MaxValue) — the decimal widening
+        // must cover the product, not just the sum, to keep the claim
+        // above (and the HUGEINT oracle parity) true
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+    val nDec = col("n_docs").cast(dec)
+    val num = (nDec * col("sxy") - col("sx") * col("sy")).cast("double")
+    val denx = (nDec * col("sxx") - col("sx") * col("sx")).cast("double")
+    val deny = (nDec * col("syy") - col("sy") * col("sy")).cast("double")
     a.withColumn("num", num).withColumn("denx", denx).withColumn("deny", deny)
       .select(col(keyCol), col("n_docs"),
         when(col("denx") <= 0.0 || col("deny") <= 0.0, lit(0.0))

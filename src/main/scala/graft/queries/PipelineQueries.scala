@@ -1759,6 +1759,104 @@ object PipelineQueries {
     s"WITH m AS MATERIALIZED ($lmMPlantSql),\n$tkCteSql,\n$lmCoreCtes\n" +
       "SELECT doc_id, n_bigrams, lm_logp_q, xent FROM fin ORDER BY doc_id"
 
+  /** Moore–Lewis plant: a fixed in-domain phrase on the %5 class. The
+    * in-domain model trains on the EVEN half of that class (%10), so the
+    * odd half demonstrates generalization (scored in-domain without
+    * being trained on); the general model trains on the disjoint odd
+    * %4 = 1 slice.
+    */
+  private[queries] def mlPlant(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit(" mlda mldb mlda mldc mldb")).otherwise(lit("")))
+        .as("text"))
+
+  private[queries] val mlMPlantSql: String =
+    s"""SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 5 = 0 THEN ' mlda mldb mlda mldc mldb'
+       |         ELSE '' END AS text
+       |  FROM ${Q.DocsRef}""".stripMargin
+
+  private[queries] val MlPredIn: String = "doc_id % 10 = 0"
+  private[queries] val MlPredGen: String = "doc_id % 4 = 1"
+
+  /** Dual-LM (Moore–Lewis) chain ending at `fin2` (every doc: doc_id,
+    * n_bigrams, lm_in_q, lm_gen_q, ml_q, ml_xent) and `scd` (scored docs
+    * only — the streaming twin's output shape); assumes CTEs `m` and
+    * `tk`. Each side is the [[lmCoreCtesFor]] chain with suffixed names
+    * over ONE shared MATERIALIZED bigram stream (four references —
+    * substitution would re-expand it per probe).
+    */
+  private[queries] def lmDualCtesFor(predIn: String,
+      predGen: String): String = {
+    import graft.functions.PortableLog
+    val bigrams = "CASE WHEN len(toks) >= 2 THEN list_transform(range(0, len(toks) - 1), " +
+      "i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]) " +
+      "ELSE CAST([] AS VARCHAR[]) END"
+    def side(sfx: String, pred: String): String =
+      s"""c1$sfx AS (SELECT token, count(*) AS c1 FROM
+         |         (SELECT unnest(toks) AS token FROM tk WHERE $pred) t1
+         |       GROUP BY token),
+         |vv$sfx AS (SELECT count(*) AS v FROM c1$sfx),
+         |c2$sfx AS (SELECT bigram, count(*) AS c2 FROM bg WHERE $pred GROUP BY bigram),
+         |pr$sfx AS (SELECT b.doc_id, COALESCE(c2$sfx.c2, 0) AS c2v, COALESCE(c1$sfx.c1, 0) AS c1v
+         |       FROM bg b LEFT JOIN c2$sfx USING (bigram)
+         |         LEFT JOIN c1$sfx ON c1$sfx.token = split_part(b.bigram, ' ', 1)),
+         |xx$sfx AS (SELECT doc_id,
+         |         CAST(c2v + 1 AS DOUBLE) / CAST(c1v + (SELECT v FROM vv$sfx) AS DOUBLE) AS x
+         |       FROM pr$sfx),
+         |yy$sfx AS (SELECT doc_id, ${PortableLog.sqrtNestSql("x")} AS y FROM xx$sfx),
+         |zq$sfx AS (SELECT doc_id, ${PortableLog.zSql("y")} AS z FROM yy$sfx),
+         |qz$sfx AS (SELECT doc_id,
+         |         CAST(floor(1.0e6 * ${PortableLog.seriesSql("z")}) AS BIGINT) AS q
+         |       FROM zq$sfx),
+         |sc$sfx AS (SELECT doc_id, count(*) AS n_bigrams, sum(q) AS lm FROM qz$sfx GROUP BY doc_id)""".stripMargin
+    s"""bg AS MATERIALIZED (SELECT doc_id, unnest($bigrams) AS bigram FROM tk),
+       |${side("i", predIn)},
+       |${side("g", predGen)},
+       |scd AS (SELECT sci.doc_id, CAST(sci.n_bigrams AS BIGINT) AS n_bigrams,
+       |          CAST(sci.lm AS BIGINT) AS lm_in_q,
+       |          CAST(scg.lm AS BIGINT) AS lm_gen_q,
+       |          CAST(sci.lm - scg.lm AS BIGINT) AS ml_q,
+       |          CAST(scg.lm - sci.lm AS DOUBLE)
+       |            / (CAST(sci.n_bigrams AS DOUBLE) * 1.0e6) AS ml_xent
+       |        FROM sci JOIN scg USING (doc_id)),
+       |fin2 AS (SELECT m.doc_id,
+       |          CAST(COALESCE(scd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |          CAST(COALESCE(scd.lm_in_q, 0) AS BIGINT) AS lm_in_q,
+       |          CAST(COALESCE(scd.lm_gen_q, 0) AS BIGINT) AS lm_gen_q,
+       |          CAST(COALESCE(scd.ml_q, 0) AS BIGINT) AS ml_q,
+       |          COALESCE(scd.ml_xent, 0.0e0) AS ml_xent
+       |        FROM m LEFT JOIN scd USING (doc_id))""".stripMargin
+  }
+
+  private[queries] val mlDualCtes: String = lmDualCtesFor(MlPredIn, MlPredGen)
+
+  private[queries] val mooreLewisOracleSql: String =
+    s"WITH m AS MATERIALIZED ($mlMPlantSql),\n$tkCteSql,\n$mlDualCtes\n" +
+      "SELECT doc_id, n_bigrams, lm_in_q, lm_gen_q, ml_q, ml_xent " +
+      "FROM fin2 ORDER BY doc_id"
+
+  /** The ingestion twin emits scored docs only (zero-bigram docs produce
+    * no exploded rows, hence no aggregation state, hence no output). */
+  private[queries] val mooreLewisStreamOracleSql: String =
+    s"WITH m AS MATERIALIZED ($mlMPlantSql),\n$tkCteSql,\n$mlDualCtes\n" +
+      "SELECT doc_id, n_bigrams, lm_in_q, lm_gen_q, ml_q, ml_xent " +
+      "FROM scd ORDER BY doc_id"
+
+  /** Selection: keep the top quarter by (ml_q DESC, doc_id) — integer
+    * division matches Scala truncation (operands non-negative). */
+  private[queries] val mooreLewisSelectOracleSql: String =
+    s"""WITH m AS MATERIALIZED ($mlMPlantSql),
+       |$tkCteSql,
+       |$mlDualCtes,
+       |ns AS (SELECT count(*) AS n FROM fin2),
+       |rk AS (SELECT doc_id, ml_q,
+       |         row_number() OVER (ORDER BY ml_q DESC, doc_id) AS r FROM fin2)
+       |SELECT doc_id, ml_q FROM rk
+       |WHERE r <= (SELECT n // 4 FROM ns) ORDER BY doc_id""".stripMargin
+
   /** CCNet bucketing: the LM chain + an exact-thirds rank split. Integer
     * division matches Scala's truncation (operands non-negative). */
   private[queries] val ccnetBucketsOracleSql: String =
@@ -2131,9 +2229,11 @@ object PipelineQueries {
     SELECT query_id, CAST(rnk AS INT) AS rnk, id, rrf_q
     FROM fr WHERE rnk <= 5 ORDER BY query_id, rnk"""
 
-  /** Metric-correlation oracle: the six sufficient statistics as exact
-    * HUGEINT sums, then the same pinned double dag (casts once each,
-    * √·√ unfused, guarded CASE for degenerate slices). */
+  /** Metric-correlation oracle: the six sufficient statistics AND the
+    * three second-moment combinations (num/denx/deny) as exact HUGEINT
+    * arithmetic — subtracting in double is catastrophic cancellation
+    * when mean² ≫ variance — then the pinned double tail (one cast
+    * each, √·√ unfused, guarded CASE for degenerate slices). */
   private[queries] val metricCorrOracleSql: String = s"""
     WITH d AS (SELECT source, length(text) AS x,
                  len(list_distinct(${DuckSql.tokens("text")})) AS y
@@ -2142,12 +2242,9 @@ object PipelineQueries {
             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
           FROM d GROUP BY 1),
     c AS (SELECT source, n,
-            CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
-            CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
-            CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
+            CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS num,
+            CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS denx,
+            CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) AS deny
           FROM a)
     SELECT source, n AS n_docs,
            CASE WHEN denx <= 0.0 OR deny <= 0.0 THEN 0.0
@@ -3231,6 +3328,52 @@ object PipelineQueries {
           maxBroadcastModel = 0L).orderBy("doc_id")
       },
       Some(lmScoreOracleSql)),
+
+    // Moore-Lewis cross-entropy-difference scoring (Moore & Lewis 2010
+    // — the classic contrastive selection recipe, DSIR's published
+    // ancestor): an IN-DOMAIN bigram model (trained on the even half of
+    // the domain-planted class) vs a GENERAL model (trained on a
+    // disjoint slice), every doc scored by the quantized log-likelihood
+    // DELTA in one corpus scan — the exploded bigram stream probes both
+    // model relations in sequence, and ml_xent = xent_in − xent_gen is
+    // ONE division of the exact integer delta. The odd half of the
+    // planted class scores in-domain WITHOUT being trained on — the
+    // generalization the recipe exists for.
+    Q("text_moore_lewis",
+      (s, dir) => {
+        val docs = mlPlant(Tables.documents(s, dir))
+        val mIn = graft.text.NgramLm.train(
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0), "text")
+        val mGen = graft.text.NgramLm.train(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 1), "text")
+        graft.text.NgramLm.scoreContrast(docs, "doc_id", "text", mIn, mGen)
+          .orderBy("doc_id")
+      },
+      Some(mooreLewisOracleSql)),
+
+    // the SELECTION step: keep the top quarter by in-domain advantage
+    // (ml_q DESC, doc_id) via the two-pass prefix rank — no global-sort
+    // collapse, no driver top-k (the kept set is a corpus fraction,
+    // unbounded at 100 TB).
+    Q("pipeline_moore_lewis_select",
+      (s, dir) => {
+        val docs = mlPlant(Tables.documents(s, dir))
+        val mIn = graft.text.NgramLm.train(
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0), "text")
+        val mGen = graft.text.NgramLm.train(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 1), "text")
+        val scored = graft.Caches.track(graft.text.NgramLm
+          .scoreContrast(docs, "doc_id", "text", mIn, mGen)
+          .select("doc_id", "ml_q"))
+        val n = scored.count()
+        val ranked = graft.operators.PrefixSum.runningSum(
+          scored.withColumn("__one", lit(1L))
+            .withColumn("__neg", -col("ml_q")),
+          "__one", Seq("__neg", "doc_id"))
+        ranked.filter(col("running___one") <= n / 4)
+          .select("doc_id", "ml_q").orderBy("doc_id")
+      },
+      Some(mooreLewisSelectOracleSql)),
 
     // DSIR importance scoring (Xie et al. 2023): hashed unigram+bigram
     // models fit on a target subset vs the raw corpus, every doc scored

@@ -894,6 +894,48 @@ object StreamingQueries {
       },
       Some(PipelineQueries.lmScoreStreamOracleSql)),
 
+    // Moore-Lewis contrastive scoring AT INGESTION — targeted selection
+    // as a crawl monitor: BOTH bigram models (in-domain + general)
+    // derive offline, the stream's exploded bigrams probe the two model
+    // relations in sequence (four stream-static LEFT joins — no join
+    // state; smoothing covers misses on each side), and one watermarked
+    // window aggregation collects n and both quantized sums, the delta
+    // taken AFTER aggregation as exact integer math. Zero-bigram docs
+    // emit no rows, hence the scored-docs-only oracle variant.
+    Q("stream_text_moore_lewis",
+      (s, dir) => {
+        implicit val sp = s
+        import graft.functions.GraftFunctions.wordGrams
+        val docs = PipelineQueries.mlPlant(graft.Tables.documents(s, dir))
+        val mIn = graft.text.NgramLm.train(
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0), "text")
+        val mGen = graft.text.NgramLm.train(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 1), "text")
+        val incoming = PipelineQueries.mlPlant(StreamSources.documents(s, dir))
+          .select(col("doc_id"), explode(wordGrams(col("text"), 2)).as("bigram"))
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+        val probed = graft.text.NgramLm.probeQq(
+          graft.text.NgramLm.probeQq(incoming, mIn, fitsBroadcast = true,
+            out = "qq_in", keepBigram = true),
+          mGen, fitsBroadcast = true, out = "qq_gen")
+        val scored = probed
+          .groupBy(window(col("event_time"), "1 hour"), col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("qq_in")).as("lm_in_q"),
+            sum(col("qq_gen")).as("lm_gen_q"))
+          .select(col("doc_id"), col("n_bigrams"), col("lm_in_q"),
+            col("lm_gen_q"),
+            (col("lm_in_q") - col("lm_gen_q")).as("ml_q"),
+            ((col("lm_gen_q") - col("lm_in_q")).cast("double") /
+              (col("n_bigrams").cast("double")
+                * lit(graft.text.NgramLm.Scale))).as("ml_xent"))
+        StreamRun.toBatch(scored, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+          .orderBy("doc_id")
+      },
+      Some(PipelineQueries.mooreLewisStreamOracleSql)),
+
     // stupid-backoff LM scoring AT INGESTION — the backoff variant of
     // stream_text_lm_score: offline-trained MLE bigram table + unigram
     // table probed per micro-batch (stream-static LEFT joins, no join

@@ -73,7 +73,7 @@ object DriverFold {
     val shm = new java.io.File("/dev/shm")
     val base =
       if (shm.isDirectory && shm.canWrite) shm.toPath
-      else java.nio.file.Files.createTempDirectory("graft").getParent
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     val ckpt = checkpoint.getOrElse(
       java.nio.file.Files.createTempDirectory(base, "graft-fold").toString)
     val q = stream.writeStream

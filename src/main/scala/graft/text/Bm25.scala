@@ -52,7 +52,8 @@ object Bm25 {
   private def fit(corpus: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String): Bm25Model = {
     import graft.functions.PortableLog
-    val toks = corpus.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val toks = graft.Caches.track(
+      corpus.select(col(idCol), explode(tokens(col(textCol))).as("token")))
     val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
     val row = dl.agg(count(lit(1)).as("n"), sum("dl").as("sumdl")).head()
     val n = row.getLong(0)
@@ -97,14 +98,20 @@ object Bm25 {
     // joined on a constant key — not a plan literal: a 10³-entry literal
     // array re-plans and re-compiles every micro-batch (measured as the
     // dominant cost of this row), a broadcast table does not; idf rides
-    // inside each term struct so no shared-map probe is ever needed
+    // inside each term struct so no shared-map probe is ever needed.
+    // Query terms the archive never attests have NO idf entry — the
+    // batch path drops them via its token join, so the model drops them
+    // here too (they contribute zero either way; an unguarded m.idf(t)
+    // would throw on the production case of an eval query with an
+    // out-of-archive token)
     val qdf = broadcast(m.queries.map { case (qid, terms) =>
-      (qid, terms.map(t => (t, m.idf(t))))
+      (qid, terms.flatMap(t => m.idf.get(t).map(idf => (t, idf))))
     }.toDF("__qid", "__terms")
       .select(col("__qid"), col("__terms").cast(
         "array<struct<t:string,idf:double>>").as("__terms"),
         lit(1).as("__k")))
-    val allTerms = m.queries.flatMap(_._2).distinct.sorted
+    val allTerms =
+      m.queries.flatMap(_._2).distinct.filter(m.idf.contains).sorted
     // per-doc tf map over QUERY terms only, built in ONE pass over the
     // token array (intersect the distinct tokens with the global term
     // set, count each survivor) — every per-(query, term) probe below is

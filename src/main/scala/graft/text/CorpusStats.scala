@@ -151,7 +151,7 @@ object CorpusStats {
       checkpoint: Option[String] = None,
       stateDir: Option[String] = None)(
       implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
-    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.Row
     // resume from the latest persisted fold, if any (see HhState): the
     // sketch is DRIVER state, so without persistence a restart would
     // silently forget every batch the checkpoint says are done
@@ -160,17 +160,9 @@ object CorpusStats {
       .getOrElse(scala.collection.mutable.HashMap.empty[String, Long])
     var n = resumed.map(_.n).getOrElse(0L)
     var lastBatch = resumed.map(_.batchId).getOrElse(-1L)
-    val shm = new java.io.File("/dev/shm")
-    val base =
-      if (shm.isDirectory && shm.canWrite) shm.toPath
-      else java.nio.file.Files.createTempDirectory("graft").getParent
-    val ckpt = checkpoint.getOrElse(
-      java.nio.file.Files.createTempDirectory(base, "graft-hh-ingest").toString)
-    val q = stream.select(explode(tokens(col(textCol))).as("token"))
-      .writeStream
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+    graft.streaming.DriverFold.run(
+      stream.select(explode(tokens(col(textCol))).as("token")),
+      (batch, batchId) => {
         // idempotent per batch: a replayed id at or below the persisted
         // fold is already IN the state (the crash fell between the state
         // write and the offset commit) — merging again would double-count
@@ -186,12 +178,8 @@ object CorpusStats {
           stateDir.foreach(d => HhState.save(d, HhState(sketch, n, batchId)))
         }
         onBatch(sketch.size, n)
-        ()
-      }
-      .start()
-    try q.awaitTermination()
-    finally if (checkpoint.isEmpty)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      },
+      checkpoint)
     exactHead(archive.select(explode(tokens(col(textCol))).as("token")),
       sketch.keys.toSeq, n, m)
   }
@@ -358,6 +346,23 @@ object CorpusStats {
       checkpoint: Option[String] = None,
       stateDir: Option[String] = None)(
       implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val sketch = kmvFold(stream, textCol, k, onBatch, checkpoint, stateDir)
+    import spark.implicits._
+    kmvReport(Seq(sketch.toSeq).toDF("sk"), k)
+  }
+
+  /** The ungrouped KMV ingestion fold shared by [[distinctKmvIngest]] and
+    * [[corpusOverlapKmvIngest]]: per micro-batch one bottom-k aggregation
+    * (≤ k longs to the driver) merges into the running sketch with the
+    * sketch's own combine, [[graft.streaming.DriverFold]]-persisted —
+    * replayed ids at or below the watermark skip their merge. Returns the
+    * folded sketch.
+    */
+  private def kmvFold(stream: DataFrame, textCol: String, k: Int,
+      onBatch: Int => Unit, checkpoint: Option[String],
+      stateDir: Option[String])(
+      implicit spark: org.apache.spark.sql.SparkSession)
+      : scala.collection.mutable.TreeSet[Long] = {
     import graft.streaming.DriverFold
     val resumed = stateDir.flatMap(DriverFold.loadLatest)
     val sketch = resumed.map(r => kmvDecode(r._2))
@@ -378,8 +383,7 @@ object CorpusStats {
         onBatch(sketch.size)
       },
       checkpoint)
-    import spark.implicits._
-    kmvReport(Seq(sketch.toSeq).toDF("sk"), k)
+    sketch
   }
 
   private def kmvEncode(s: scala.collection.mutable.TreeSet[Long]): Array[Byte] = {
@@ -630,26 +634,7 @@ object CorpusStats {
       checkpoint: Option[String] = None,
       stateDir: Option[String] = None)(
       implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
-    import graft.streaming.DriverFold
-    val resumed = stateDir.flatMap(DriverFold.loadLatest)
-    val sketch = resumed.map(r => kmvDecode(r._2))
-      .getOrElse(scala.collection.mutable.TreeSet.empty[Long])
-    var lastBatch = resumed.map(_._1).getOrElse(-1L)
-    DriverFold.run(
-      stream.select(explode(tokens(col(textCol))).as("token")),
-      (batch, batchId) => {
-        if (batchId > lastBatch) {
-          val arr = batch.agg(graft.functions.expressions.BottomKDistinctAgg
-            .of(hash60(col("token")), k).as("sk")).head().getSeq[Long](0)
-          arr.foreach(
-            graft.functions.expressions.BottomKDistinctAgg.add(sketch, _, k))
-          lastBatch = batchId
-          stateDir.foreach(d =>
-            DriverFold.save(d, batchId, kmvEncode(sketch)))
-        }
-        onBatch(sketch.size)
-      },
-      checkpoint)
+    val sketch = kmvFold(stream, textCol, k, onBatch, checkpoint, stateDir)
     val skb = reference.select(explode(tokens(col(textCol))).as("token"))
       .agg(graft.functions.expressions.BottomKDistinctAgg
         .of(hash60(col("token")), k).as("sk")).head().getSeq[Long](0)

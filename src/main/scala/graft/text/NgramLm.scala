@@ -74,22 +74,26 @@ object NgramLm {
   }
 
   /** The join-probe-and-smooth step, single-sourced for the batch scorer
-    * and both streaming rows: rows carrying a `bigram` column gain `qq`
+    * and both streaming rows: rows carrying a `bigram` column gain `out`
     * (the quantized conditional log-prob — seen path from the model,
     * miss path re-derived via [[qCol]] smoothing) and lose the probe
-    * plumbing columns. `fitsBroadcast` picks the guarded strategy.
+    * plumbing columns. `fitsBroadcast` picks the guarded strategy;
+    * `keepBigram` leaves the probe key in place so a second model can
+    * probe the same exploded stream (the contrastive scorer).
     */
-  def probeQq(rows: DataFrame, m: Model, fitsBroadcast: Boolean): DataFrame = {
+  def probeQq(rows: DataFrame, m: Model, fitsBroadcast: Boolean,
+      out: String = "qq", keepBigram: Boolean = false): DataFrame = {
     val q0 = m.qSeen
     val (qp, hp) =
       if (fitsBroadcast) (broadcast(q0), broadcast(m.heads))
       else (q0.hint("shuffle_hash"), m.heads.hint("shuffle_hash"))
-    rows.join(qp, Seq("bigram"), "left")
+    val probed = rows.join(qp, Seq("bigram"), "left")
       .join(hp, substring_index(col("bigram"), " ", 1) === col("__w1"), "left")
-      .withColumn("qq",
+      .withColumn(out,
         coalesce(col("q"),
           qCol(lit(0L), coalesce(col("c1"), lit(0L)), m.v).cast("long")))
-      .drop("bigram", "q", "c1", "__w1")
+      .drop("q", "c1", "__w1")
+    if (keepBigram) probed else probed.drop("bigram")
   }
 
   /** Stupid-backoff model (Brants et al. 2007, "Large Language Models in
@@ -182,6 +186,60 @@ object NgramLm {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("qq")).as("lm_logp_q"))
     perDocTotals(corpus, idCol, scored)
+  }
+
+  /** Moore–Lewis cross-entropy-difference scoring (Moore & Lewis 2010,
+    * "Intelligent Selection of Language Model Training Data" — the
+    * classic contrastive data-selection recipe and DSIR's published
+    * ancestor): score every document by how much better the IN-DOMAIN
+    * language model explains it than the GENERAL model. Two bigram
+    * models ([[train]] — in-domain on a target slice, general on the
+    * broad corpus), ONE corpus scan: the exploded bigram stream probes
+    * both model relations in sequence (four guarded left joins — the
+    * corpus is never scanned per model), one aggregation collects
+    * n_bigrams and both quantized log-likelihood sums as exact integer
+    * adds.
+    *
+    * Output: (id, n_bigrams, lm_in_q, lm_gen_q, ml_q, ml_xent) where
+    * ml_q = lm_in_q − lm_gen_q (the in-domain log-likelihood advantage,
+    * exact int64 — HIGHER = more in-domain) and ml_xent = −ml_q/(n·10⁶)
+    * = xent_in − xent_gen, the paper's selection score (LOWER = more
+    * in-domain), computed as ONE division of the exact integer delta —
+    * not the difference of two divisions, which would round twice.
+    * Every doc is kept; zero-bigram docs score (0, 0, 0, 0.0).
+    *
+    * Scale shape: both trainings are token-keyed aggregations on their
+    * slices; scoring adds ONE probe pass. The broadcast guard takes the
+    * max over all FOUR probed relations — one strategy probes them all,
+    * so each must clear the ceiling.
+    */
+  def scoreContrast(corpus: DataFrame, idCol: String, textCol: String,
+      mIn: Model, mGen: Model,
+      maxBroadcastModel: Long = CorpusStats.MaxBroadcastVocab): DataFrame = {
+    val fitsBroadcast = Seq(mIn.qSeen.count(), mIn.heads.count(),
+      mGen.qSeen.count(), mGen.heads.count()).max <= maxBroadcastModel
+    val rows = corpus.select(col(idCol),
+      explode(wordGrams(col(textCol), 2)).as("bigram"))
+    val scored = probeQq(
+        probeQq(rows, mIn, fitsBroadcast, out = "qq_in", keepBigram = true),
+        mGen, fitsBroadcast, out = "qq_gen")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("qq_in")).as("lm_in_q"),
+        sum(col("qq_gen")).as("lm_gen_q"))
+    corpus.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_in_q"), lit(0L)).as("lm_in_q"),
+        coalesce(col("lm_gen_q"), lit(0L)).as("lm_gen_q"),
+        (coalesce(col("lm_in_q"), lit(0L)) -
+          coalesce(col("lm_gen_q"), lit(0L))).as("ml_q"),
+        when(col("n_bigrams") > 0,
+          (coalesce(col("lm_gen_q"), lit(0L)) -
+            coalesce(col("lm_in_q"), lit(0L))).cast("double") /
+            (col("n_bigrams").cast("double") * lit(Scale)))
+          .otherwise(lit(0.0)).as("ml_xent"))
   }
 
   /** Shared output tail: every doc kept (zero-gram docs as (0, 0,

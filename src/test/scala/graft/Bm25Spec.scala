@@ -97,4 +97,34 @@ class Bm25Spec extends AnyFunSuite {
       assert(got == want, "streamed scores must equal the batch relation")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
+
+  test("query terms absent from the archive drop, matching the batch join") {
+    import spark.implicits._
+    implicit val sp = spark
+    // the production case: an eval query carrying a token the archived
+    // corpus never contains — the model must drop it (as the batch token
+    // join does), not throw on the idf lookup
+    val corpus = (1 to 40).map(i =>
+      (i.toLong, s"w${i % 5} w${i % 7} mark$i")).toDF("doc_id", "text")
+    val queries = Seq((1L, "w1 neverinarchive mark6"), (2L, "totallyoov"))
+      .toDF("qid", "qtext")
+    val want = Bm25.topk(corpus, "doc_id", "text", queries, "qid", "qtext",
+        k = 1000)
+      .select("query_id", "doc_id", "score_q")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(want.nonEmpty && want.keys.forall(_._1 == 1L),
+      "query 2 is all-OOV and must retrieve nothing")
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25oov").toString
+    try {
+      corpus.repartition(2).write.mode("overwrite").parquet(s"$root/in")
+      val stream = spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      val scored = Bm25.streamScored(stream,
+        spark.read.parquet(s"$root/in"), "doc_id", "text", queries, "qid", "qtext")
+      val got = graft.streaming.StreamRun.toBatch(
+          scored, "append", numPartitions = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want, "OOV-bearing queries must score as the batch path")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
 }

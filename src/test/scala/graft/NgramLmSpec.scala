@@ -111,4 +111,63 @@ class NgramLmSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(bcast == fallback)
   }
+
+  test("Moore-Lewis contrast: delta equals the two single-model scores exactly") {
+    import spark.implicits._
+    // in-domain corpus speaks (a b)+; the general corpus speaks (x y)+
+    val mIn = NgramLm.train(Seq((1L, "a b a b a")).toDF("doc_id", "text"), "text")
+    val mGen = NgramLm.train(Seq((2L, "x y x y")).toDF("doc_id", "text"), "text")
+    val corpus = Seq(
+      (10L, "a b a"),   // in-domain-looking: ml_q must be positive
+      (11L, "x y x"),   // general-looking: ml_q must be negative
+      (12L, "a b x y"), // mixed
+      (13L, "solo"),    // < 2 tokens → all zeros
+      (14L, "q z q z")  // OOV to both sides
+    ).toDF("doc_id", "text")
+    val got = NgramLm.scoreContrast(corpus, "doc_id", "text", mIn, mGen)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // the contract: lm_in_q/lm_gen_q are EXACTLY what the single-model
+    // scorer computes, ml_q their integer difference, ml_xent one
+    // division of that difference
+    val inS = NgramLm.score(corpus, "doc_id", "text", mIn)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val genS = NgramLm.score(corpus, "doc_id", "text", mGen)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    corpus.collect().map(_.getLong(0)).foreach { d =>
+      val (n, li) = inS(d)
+      val lg = genS(d)
+      val xe = if (n > 0) (lg - li).toDouble / (n.toDouble * 1e6) else 0.0
+      assert(got(d) == ((n, li, lg, li - lg, xe)), s"doc $d")
+    }
+    assert(got(10L)._4 > 0L, "in-domain text must show in-domain advantage")
+    assert(got(11L)._4 < 0L, "general text must show general advantage")
+    assert(got(13L) == ((0L, 0L, 0L, 0L, 0.0)))
+    // partitioning invariance + guarded-fallback identity in one shot
+    val again = NgramLm.scoreContrast(corpus.repartition(7), "doc_id", "text",
+        mIn, mGen, maxBroadcastModel = 0L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(again == got)
+  }
+
+  test("Moore-Lewis generalizes: untrained in-domain docs still score in-domain") {
+    import spark.implicits._
+    // domain phrase planted on the %5 class; in-domain model trains ONLY
+    // on the even half (%10) — the odd half must still score positive
+    val docs = (1 to 200).map(i => (i.toLong,
+      s"w${i % 7} w${i % 11} w${i % 7}" +
+        (if (i % 5 == 0) " mlda mldb mlda mldc mldb" else "")))
+      .toDF("doc_id", "text")
+    val mIn = NgramLm.train(docs.filter(pmod(col("doc_id"), lit(10)) === 0), "text")
+    val mGen = NgramLm.train(docs.filter(pmod(col("doc_id"), lit(4)) === 1), "text")
+    val ml = NgramLm.scoreContrast(docs, "doc_id", "text", mIn, mGen)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val heldOut = (1 to 200).filter(i => i % 5 == 0 && i % 10 != 0)
+    val plain = (1 to 200).filter(_ % 5 != 0)
+    val heldOutMean = heldOut.map(i => ml(i.toLong)).sum.toDouble / heldOut.size
+    val plainMean = plain.map(i => ml(i.toLong)).sum.toDouble / plain.size
+    assert(heldOutMean > plainMean,
+      s"held-out domain docs ($heldOutMean) must out-score plain docs ($plainMean)")
+  }
 }

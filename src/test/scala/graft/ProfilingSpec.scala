@@ -277,6 +277,33 @@ class ProfilingSpec extends AnyFunSuite {
     assert(run(df.repartition(13)) == got, "corr must be partitioning-invariant")
   }
 
+  test("metric correlation survives values whose int64 product would wrap") {
+    import spark.implicits._
+    // x ≈ 4e9 > √Long.MaxValue: x·x wraps in int64 — the decimal widening
+    // must cover the PRODUCT, not just the sum, for the scaladoc's
+    // no-overflow claim (and the HUGEINT oracle parity) to hold
+    val base = 4000000000L
+    val rows = (1 to 20).map(i => ("g", base + i.toLong, (2 * i + 1).toLong))
+    assert(rows.exists(t => t._2 * t._2 < 0), "test premise: product wraps")
+    val got = graft.pipeline.Profiling
+      .metricCorrBy(rows.toDF("grp", "x", "y"), "grp", col("x"), col("y"))
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3))).head
+    // exact replay in BigInt (what DuckDB's HUGEINT computes): num, denx
+    // and deny subtract EXACTLY, then cast to double once each
+    val n = rows.size.toLong
+    val (sx, sy) = (rows.map(t => BigInt(t._2)).sum, rows.map(t => BigInt(t._3)).sum)
+    val sxy = rows.map(t => BigInt(t._2) * BigInt(t._3)).sum
+    val sxx = rows.map(t => BigInt(t._2) * BigInt(t._2)).sum
+    val syy = rows.map(t => BigInt(t._3) * BigInt(t._3)).sum
+    val num = (BigInt(n) * sxy - sx * sy).toDouble
+    val denx = (BigInt(n) * sxx - sx * sx).toDouble
+    val deny = (BigInt(n) * syy - sy * sy).toDouble
+    assert(got == ((n, num / (math.sqrt(denx) * math.sqrt(deny)), num / denx)))
+    // y is exactly linear in x here, so the coefficient must be ~1 — not
+    // the garbage a wrapped Σx² (or a cancelled double subtraction) yields
+    assert(math.abs(got._2 - 1.0) < 1e-6)
+  }
+
   // ---------- weighted sampling ----------
 
   test("weighted sample: driver replay, weight bias, zero-weight exclusion, invariance") {
