@@ -140,6 +140,49 @@ object Mixing {
     * (the [[sourceMix]] contract — domain shares α at target corpus
     * size nTarget).
     */
+  /** Fitted epoch-decay constant R* from Muennighoff et al. (NeurIPS
+    * 2023, "Scaling Data-Constrained Language Models"): repeating data
+    * is worth exponentially less, with returns decaying on this scale
+    * (the paper fits R* ≈ 15.4 epochs across its grid). */
+  val EpochDecay: Double = 15.39
+
+  /** Data-constrained BUDGET PLANNING — the pre-training question every
+    * mixture design answers before any job launches: given each source's
+    * unique-token count and a total training-token budget, how many
+    * EPOCHS does each source run and how many EFFECTIVE tokens does it
+    * contribute? Allocation follows the engine's α = 1/2 temperature
+    * rule (alloc_s = B·√n_s/Σ√n — the same √-flattening
+    * [[temperatureWeights]] applies to copies, applied here to budget
+    * mass), and repetition is discounted by the paper's fitted decay:
+    * a source running R epochs beyond its first contributes
+    * n·(1 + R*·(1−exp(−R/R*))) effective tokens; a source the budget
+    * does not exhaust (epochs ≤ 1) contributes exactly its allocation.
+    *
+    * Pure driver-side derivation over the policy-dimension source list
+    * (the DoReMi shape): inputs are EXACT per-source token counts, √ and
+    * the ordered Σ√n fold are correctly-rounded IEEE in pinned order,
+    * the exponential is the portable [[graft.functions.PortableLog.pexp]]
+    * dag, and the quantized outputs floor to int64 — the oracle
+    * re-derives every row bit-identically. Output per source:
+    * (source, n_tokens, alloc_q, epochs, eff_tokens_q).
+    */
+  def dataBudget(stats: Seq[(String, Long)],
+      budgetTokens: Long): Seq[(String, Long, Long, Double, Long)] = {
+    import graft.functions.PortableLog
+    require(stats.nonEmpty, "budget planning needs per-source token counts")
+    val sorted = stats.sortBy(_._1)
+    val ssum = sorted.foldLeft(0.0)((a, c) => a + math.sqrt(c._2.toDouble))
+    sorted.map { case (s, n) =>
+      val alloc = budgetTokens.toDouble * math.sqrt(n.toDouble) / ssum
+      val epochs = alloc / n.toDouble
+      val eff =
+        if (epochs <= 1.0) alloc
+        else n.toDouble * (1.0 + EpochDecay *
+          (1.0 - PortableLog.pexp(-((epochs - 1.0) / EpochDecay))))
+      (s, n, math.floor(alloc).toLong, epochs, math.floor(eff).toLong)
+    }
+  }
+
   def doremiWeights(stats: Seq[(String, Long, Long, Long)],
       nTarget: Long, eta: Double): Seq[(String, Double)] = {
     import graft.functions.PortableLog

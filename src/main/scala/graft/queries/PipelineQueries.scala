@@ -774,6 +774,39 @@ object PipelineQueries {
     FROM mx WHERE copies > 0 ORDER BY doc_id, copy"""
   }
 
+  /** Data-budget oracle: per-source EXACT token counts over the skewed
+    * sources, B = their total, the ordered √-fold, allocation/epochs as
+    * pinned divisions, the pexp decay pyramid (evaluated for every row,
+    * discarded by CASE on the budget-unexhausted branch — value-identical
+    * to Scala's short-circuit, the backoff-oracle convention). */
+  private[queries] val dataBudgetOracleSql: String = {
+    import graft.functions.PortableLog
+    val rstar = s"${graft.pipeline.Mixing.EpochDecay}e0"
+    val pexpSel = PortableLog.pexpSelectSql(
+      "SELECT source, n, alloc, epochs FROM ep", "source, n, alloc, epochs",
+      s"-(((epochs) - 1.0e0)/$rstar)")
+    s"""WITH sk AS (SELECT doc_id,
+       |       CASE WHEN doc_id % 10 < 7 THEN 'web'
+       |            WHEN doc_id % 10 < 9 THEN 'books'
+       |            ELSE 'wiki' END AS source, text
+       |     FROM ${Q.DocsRef}),
+       |cnt AS (SELECT source, CAST(sum(len(${DuckSql.tokens("text")})) AS BIGINT) AS n
+       |        FROM sk GROUP BY source),
+       |tot AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |          list(sqrt(CAST(n AS DOUBLE)) ORDER BY source)), (a,x) -> a + x) AS ssum,
+       |          CAST(sum(n) AS BIGINT) AS b FROM cnt),
+       |al AS (SELECT source, n,
+       |         CAST(b AS DOUBLE) * sqrt(CAST(n AS DOUBLE)) / ssum AS alloc
+       |       FROM cnt CROSS JOIN tot),
+       |ep AS (SELECT source, n, alloc, alloc / CAST(n AS DOUBLE) AS epochs FROM al),
+       |pe AS ($pexpSel)
+       |SELECT source, n AS n_tokens, CAST(floor(alloc) AS BIGINT) AS alloc_q, epochs,
+       |       CAST(floor(CASE WHEN epochs <= 1.0e0 THEN alloc
+       |            ELSE CAST(n AS DOUBLE) * (1.0e0 + $rstar * (1.0e0 - e)) END) AS BIGINT)
+       |         AS eff_tokens_q
+       |FROM pe ORDER BY source""".stripMargin
+  }
+
   /** The DoReMi weight table the batch row and the ingestion twin both
     * apply: backoff LM trained on the %4 residue of the planted corpus,
     * per-source exact integer loss sums collected (a policy-dimension
@@ -4221,6 +4254,36 @@ object PipelineQueries {
           "doc_id", "source", doremiWeightTable(s, dir), defaultWeight = 0.0)
         .orderBy("doc_id", "copy"),
       Some(doremiMixOracleSql)),
+
+    // DATA-BUDGET epoch planning (Muennighoff et al. 2023, scaling
+    // data-constrained LMs) — the pre-launch mixture question: at a
+    // total token budget (here the corpus total — scale-free, so both
+    // CASE branches stay exercised at every SF under the 70/20/10 skew),
+    // each source's temperature-rule allocation implies an epoch count,
+    // and repetition is discounted by the paper's fitted decay
+    // (R* = 15.39): eff = n·(1 + R*·(1−exp(−R/R*))) beyond the first
+    // epoch, the bare allocation when the budget never exhausts the
+    // source. One exact token-count aggregation; the derivation is
+    // driver-side over the policy-dimension source list (the DoReMi
+    // shape) with √/ordered-fold/portable-pexp pinned IEEE throughout.
+    Q("pipeline_data_budget",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select(
+          when(pmod(col("doc_id"), lit(10)) < 7, lit("web"))
+            .when(pmod(col("doc_id"), lit(10)) < 9, lit("books"))
+            .otherwise(lit("wiki")).as("source"),
+          col("text"))
+        val stats = docs
+          .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+          .groupBy("source").agg(sum("nt").as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val budget = stats.foldLeft(0L)((a, s0) => a + s0._2)
+        graft.pipeline.Mixing.dataBudget(stats, budget)
+          .toDF("source", "n_tokens", "alloc_q", "epochs", "eff_tokens_q")
+          .orderBy("source")
+      },
+      Some(dataBudgetOracleSql)),
 
     // THE END-TO-END PIPELINE (chain described at the corpusFullPlan
     // builder above)

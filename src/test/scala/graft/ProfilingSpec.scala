@@ -635,6 +635,35 @@ class ProfilingSpec extends AnyFunSuite {
     assert(20L * got("b") / 1000.0 < 0.20, "easy domain must be downweighted")
   }
 
+  test("data budget: exact hand replay, both decay branches, order-insensitive") {
+    import graft.functions.PortableLog
+    // web 70k / books 20k / wiki 10k unique tokens; budget = the total:
+    // the sqrt-rule over-allocates the small sources past one epoch and
+    // leaves the big one unexhausted — both branches in one case
+    val stats = Seq(("web", 70000L), ("books", 20000L), ("wiki", 10000L))
+    val b = 100000L
+    val got = Mixing.dataBudget(stats, b)
+    val ssum = math.sqrt(20000.0) + math.sqrt(70000.0) + math.sqrt(10000.0)
+    val want = stats.sortBy(_._1).map { case (s, n) =>
+      val alloc = b.toDouble * math.sqrt(n.toDouble) / ssum
+      val epochs = alloc / n.toDouble
+      val eff = if (epochs <= 1.0) alloc
+        else n.toDouble * (1.0 + Mixing.EpochDecay * (1.0 -
+          PortableLog.pexp(-((epochs - 1.0) / Mixing.EpochDecay))))
+      (s, n, math.floor(alloc).toLong, epochs, math.floor(eff).toLong)
+    }
+    assert(got == want, "budget rows must replay the pinned dag exactly")
+    val byS = got.map(r => r._1 -> r).toMap
+    assert(byS("web")._4 < 1.0 && byS("web")._3 == byS("web")._5,
+      "an unexhausted source contributes exactly its allocation")
+    assert(byS("wiki")._4 > 1.0 && byS("wiki")._5 < byS("wiki")._3,
+      "a repeated source's effective tokens are discounted below its allocation")
+    assert(byS("wiki")._5 > byS("wiki")._2,
+      "but repetition still adds value beyond the first epoch")
+    // input order must not matter (the fold is source-ordered inside)
+    assert(Mixing.dataBudget(stats.reverse, b) == want)
+  }
+
   // ---------- token-distribution drift ----------
 
   test("token-drift PSI: vocabulary shift dominates; a pure length shift is invisible") {
