@@ -183,6 +183,81 @@ object Mixing {
     }
   }
 
+  /** [[dataBudget]] AT INGESTION — the budget table maintained while the
+    * corpus streams in: per micro-batch one grouped token-count
+    * aggregation (O(sources) rows to the driver) merges into a running
+    * source→token-count map by plain integer addition (trivially
+    * mergeable and batch-split independent — counts are the simplest
+    * mergeable summary), persisted per batch via
+    * [[graft.streaming.DriverFold]] (replayed ids at or below the
+    * watermark skip their merge, so a restart never double-counts). At
+    * end of stream the SAME driver-side derivation runs over the folded
+    * counts with budget = their total — output ≡ the batch row, shared
+    * oracle.
+    */
+  def dataBudgetIngest(stream: DataFrame, srcCol: String, textCol: String,
+      onBatch: Int => Unit = _ => (),
+      checkpoint: Option[String] = None,
+      stateDir: Option[String] = None)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DriverFold
+    val resumed = stateDir.flatMap(DriverFold.loadLatest)
+    val counts = resumed.map(r => decodeKeyedCounts(r._2))
+      .getOrElse(scala.collection.mutable.HashMap.empty[String, Long])
+    var lastBatch = resumed.map(_._1).getOrElse(-1L)
+    DriverFold.run(
+      stream.select(col(srcCol).cast("string").as("s"),
+        size(graft.functions.GraftFunctions.tokens(col(textCol)))
+          .cast("long").as("nt")),
+      (batch, batchId) => {
+        if (batchId > lastBatch) {
+          batch.groupBy("s").agg(sum("nt").as("n")).collect().foreach { r =>
+            counts.update(r.getString(0),
+              counts.getOrElse(r.getString(0), 0L) + r.getLong(1))
+          }
+          lastBatch = batchId
+          stateDir.foreach(d =>
+            DriverFold.save(d, batchId, encodeKeyedCounts(counts)))
+        }
+        onBatch(counts.size)
+      },
+      checkpoint)
+    import spark.implicits._
+    val stats = counts.toSeq
+    dataBudget(stats, stats.foldLeft(0L)((a, c) => a + c._2))
+      .toDF(srcCol, "n_tokens", "alloc_q", "epochs", "eff_tokens_q")
+  }
+
+  private def encodeKeyedCounts(
+      m: scala.collection.mutable.HashMap[String, Long]): Array[Byte] = {
+    val items = m.toArray.map { case (k, n) =>
+      (k.getBytes(java.nio.charset.StandardCharsets.UTF_8), n)
+    }
+    val bb = java.nio.ByteBuffer.allocate(
+      4 + items.map(i => 12 + i._1.length).sum)
+    bb.putInt(items.length)
+    items.foreach { case (kb, n) =>
+      bb.putInt(kb.length); bb.put(kb); bb.putLong(n)
+    }
+    bb.array()
+  }
+
+  private def decodeKeyedCounts(
+      bytes: Array[Byte]): scala.collection.mutable.HashMap[String, Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < n) {
+      val kb = new Array[Byte](bb.getInt)
+      bb.get(kb)
+      m.put(new String(kb, java.nio.charset.StandardCharsets.UTF_8), bb.getLong)
+      i += 1
+    }
+    m
+  }
+
   def doremiWeights(stats: Seq[(String, Long, Long, Long)],
       nTarget: Long, eta: Double): Seq[(String, Double)] = {
     import graft.functions.PortableLog

@@ -1145,6 +1145,27 @@ object StreamingQueries {
       },
       Some(PipelineQueries.weightedSampleOracleSql)),
 
+    // data-budget planning AT INGESTION — the budget table maintained
+    // while the corpus streams in: per trigger one grouped token-count
+    // aggregation (O(sources) rows to the driver) merges into the
+    // running source→count map by integer addition (the simplest
+    // mergeable summary — batch-split independent by construction),
+    // then the same pinned driver-side derivation (√-fold, portable
+    // pexp decay) runs over the folded counts — output ≡ the batch row,
+    // shared oracle.
+    Q("stream_pipeline_data_budget",
+      (s, dir) => {
+        implicit val sp = s
+        graft.pipeline.Mixing.dataBudgetIngest(
+          StreamSources.documents(s, dir).select(
+            when(pmod(col("doc_id"), lit(10)) < 7, lit("web"))
+              .when(pmod(col("doc_id"), lit(10)) < 9, lit("books"))
+              .otherwise(lit("wiki")).as("source"),
+            col("text")),
+          "source", "text").orderBy("source")
+      },
+      Some(PipelineQueries.dataBudgetOracleSql)),
+
     // length-quantile profiling AT INGESTION — histograms are the
     // trivially mergeable sketch (bin counts add), so the per-batch
     // (bin, cnt) tables fold into an O(bins) driver map that is EXACTLY

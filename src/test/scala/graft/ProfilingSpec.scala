@@ -664,6 +664,53 @@ class ProfilingSpec extends AnyFunSuite {
     assert(Mixing.dataBudget(stats.reverse, b) == want)
   }
 
+  test("data-budget ingestion fold equals the batch table; crash resumes exactly") {
+    import spark.implicits._
+    implicit val sp = spark
+    val docs = (1 to 900).map { i =>
+      val src = if (i % 10 < 7) "web" else if (i % 10 < 9) "books" else "wiki"
+      (i.toLong, src, ("tok " * (1 + i % 40)).trim)
+    }.toDF("doc_id", "source", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-dbud").toString
+    try {
+      docs.repartition(5).write.mode("overwrite").parquet(s"$root/in")
+      def stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+        .select(col("source"), col("text"))
+      // batch reference: the same derivation over exact batch counts
+      val stats = spark.read.parquet(s"$root/in")
+        .select(col("source"),
+          size(graft.functions.GraftFunctions.tokens(col("text")))
+            .cast("long").as("nt"))
+        .groupBy("source").agg(sum("nt").as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val want = Mixing.dataBudget(stats, stats.map(_._2).sum)
+      val got = Mixing.dataBudgetIngest(stream, "source", "text")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4))).sortBy(_._1).toSeq
+      assert(got == want, "the multi-batch fold must equal the batch table")
+      // counts ADD on merge, so a replayed batch would inflate them —
+      // crash-resume equality is the double-count detector
+      var calls = 0
+      val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        Mixing.dataBudgetIngest(stream, "source", "text",
+          onBatch = _ => {
+            calls += 1
+            if (calls == 2) throw new RuntimeException("injected crash after fold")
+            ()
+          },
+          checkpoint = Some(s"$root/ckpt"), stateDir = Some(s"$root/state"))
+      }
+      assert(crashed.getMessage.contains("injected crash") ||
+        crashed.getCause.getMessage.contains("injected crash"))
+      val resumed = Mixing.dataBudgetIngest(stream, "source", "text",
+          checkpoint = Some(s"$root/ckpt"), stateDir = Some(s"$root/state"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4))).sortBy(_._1).toSeq
+      assert(resumed == want, "the resumed fold must not double-count")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   // ---------- token-distribution drift ----------
 
   test("token-drift PSI: vocabulary shift dominates; a pure length shift is invisible") {
