@@ -488,6 +488,42 @@ object Dedup {
     verifyJaccard(cand, sh, idCol, threshold)
   }
 
+  /** Train/eval split-LEAKAGE audit — the check a pipeline runs after
+    * splitting: an exact-dup-free corpus can still leak NEAR-duplicates
+    * across the split boundary (the deterministic hash split buckets by
+    * doc id, and two DIFFERENT ids with near-identical text draw their
+    * buckets independently), which silently inflates eval scores.
+    * Candidates are the same banded-MinHash collisions as
+    * [[minhashLshPairs]] restricted to CROSS-side pairs — train side as
+    * a_id, eval side as b_id; within-side collisions never join — then
+    * exact Jaccard verification against the shared shingle index.
+    *
+    * `evalSide` must be a pure function of `idCol` (the split bucket IS
+    * a pure hash of the id — [[graft.pipeline.Mixing.mixHash]]), so the
+    * side flag is free column work on the band table: no flag join, no
+    * second corpus scan. The band table is materialized once and
+    * filtered twice. Output: (a_id, b_id, jaccard ≥ threshold) — every
+    * verified leak edge, train doc → eval doc.
+    */
+  def splitLeakPairs(df: DataFrame, idCol: String, textCol: String,
+      evalSide: org.apache.spark.sql.Column, shingleN: Int = 3,
+      numPerms: Int = 12, rowsPerBand: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    val sh = graft.Caches.track(shingles(df, idCol, textCol, shingleN))
+    val hsDf = df.select(col(idCol),
+      transform(wordShingles(col(textCol), shingleN), g => hash60(g)).as("hs"))
+    val bands = graft.Caches.track(
+      lshBands(minhashSignatures(hsDf, idCol, numPerms), idCol, rowsPerBand)
+        .withColumn("__eval", evalSide))
+    val cand = bands.filter(!col("__eval"))
+      .select(col(idCol).as("a_id"), col("band"), col("bandsig"))
+      .join(bands.filter(col("__eval"))
+        .select(col(idCol).as("b_id"), col("band"), col("bandsig")),
+        Seq("band", "bandsig"))
+      .select("a_id", "b_id").distinct()
+    verifyJaccard(cand, sh, idCol, threshold)
+  }
+
   /** 60-bit SimHash per doc from token hashes (with multiplicity): bit j is
     * set iff strictly more token-hashes have bit j set than clear.
     * Output: (id, simhash).

@@ -113,6 +113,27 @@ object PipelineQueries {
        |SELECT b_id AS doc_id, min(a_id) AS rep_id, max(jaccard) AS j_max
        |FROM pairs GROUP BY b_id ORDER BY doc_id""".stripMargin
 
+  /** Split-leakage replay: the banded-MinHash chain with candidates
+    * restricted to CROSS-side (train a, eval b) collisions — the side is
+    * the same pure id-hash the split itself uses, rendered per join leg.
+    */
+  private[queries] def splitLeakOracleSql(threshold: Double,
+      trainPct: Int): String = {
+    val thr = graft.pipeline.Mixing
+      .splitThresholds(Seq(("train", trainPct), ("eval", 100 - trainPct)))
+      .head._2
+    def evalPred(c: String) =
+      s"${graft.pipeline.Mixing.duckMixHash(c)} >= $thr"
+    s"""$minhashBandCtes,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bandsig = b.bandsig
+       |  WHERE NOT (${evalPred("a.doc_id")}) AND (${evalPred("b.doc_id")})),
+       |${jaccardTail(threshold)}
+       |SELECT a_id, b_id, jaccard FROM pairs ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** Hyperplane-LSH bucket assignment as DuckDB CTEs (`e`, `dots`, `b`) —
     * same deterministic plane weights as [[Similarity.planeWeights]], same
     * in-order dot-product folds, so bucket ids match Spark bit-exactly.
@@ -4459,6 +4480,24 @@ object PipelineQueries {
       Some(s"""
         ${minhashCtes(0.6)}
         SELECT a_id, b_id, jaccard FROM pairs ORDER BY a_id, b_id""")),
+
+    // split-LEAKAGE audit — the post-split check: near-duplicate pairs
+    // that CROSS an 80/20 train/eval hash-split boundary (two DIFFERENT
+    // ids with near-identical text draw their buckets independently, so
+    // an exact-dup-free split still leaks near-dups into eval). Same
+    // banded-MinHash machinery as dedup_minhash_lsh with candidates
+    // restricted to cross-side collisions; the side flag is the split's
+    // own pure id hash — free column work on the band table, no flag
+    // join, within-side collisions never join.
+    Q("pipeline_split_leakage",
+      (s, dir) => {
+        val thr = graft.pipeline.Mixing
+          .splitThresholds(Seq(("train", 80), ("eval", 20))).head._2
+        Dedup.splitLeakPairs(Tables.documents(s, dir), "doc_id", "text",
+          evalSide = graft.pipeline.Mixing.mixHash("doc_id") >= lit(thr))
+          .orderBy("a_id", "b_id")
+      },
+      Some(splitLeakOracleSql(0.6, 80))),
 
     // transitive dedup clusters over the verified minhash pair graph —
     // iterative min-label propagation in Spark, recursive CTE in DuckDB

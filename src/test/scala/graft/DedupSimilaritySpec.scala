@@ -20,6 +20,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact), "verified LSH pairs must be exact-jaccard pairs (no false positives)")
   }
 
+  test("split-leak pairs are exactly the cross-boundary slice of the pair graph") {
+    val docs = Tables.documents(spark, TestSpark.SF)
+    val thr = graft.pipeline.Mixing
+      .splitThresholds(Seq(("train", 80), ("eval", 20))).head._2
+    val leaks = Dedup.splitLeakPairs(docs, "doc_id", "text",
+        evalSide = graft.pipeline.Mixing.mixHash("doc_id") >= lit(thr))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: the full verified pair graph, both directions, filtered
+    // to (train, eval) orientation by the same hash dag
+    val all = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.6)
+      .select("a_id", "b_id").collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+    val evalIds = {
+      import spark.implicits._
+      all.flatMap(p => Seq(p._1, p._2)).distinct.toSeq.toDF("doc_id")
+        .filter(graft.pipeline.Mixing.mixHash("doc_id") >= lit(thr))
+        .collect().map(_.getLong(0)).toSet
+    }
+    val want = all.filter { case (a, b) => !evalIds(a) && evalIds(b) }.toSet
+    assert(leaks == want,
+      "leak edges must be exactly the cross-boundary pairs, train -> eval")
+    assert(leaks.forall { case (a, b) => !evalIds(a) && evalIds(b) })
+  }
+
   test("simhash hamming distance is small exactly for near-dup pairs") {
     val docs = Tables.documents(spark, TestSpark.SF)
     val pairs = Dedup.simhashPairs(Dedup.simhash(docs, "doc_id", "text"), "doc_id", maxHamming = 10)
