@@ -13,30 +13,25 @@ import org.apache.spark.sql.types._
 /** Buffer: elementwise quantized (long) sums + member count. */
 final class VecQuantBuffer(var sums: Array[Long], var cnt: Long)
 
-/** Elementwise QUANTIZED mean of an array<float|double> column:
-  * sum_j floor(v_j · scale) as exact int64, eval = sum / (scale · count).
-  *
-  * Exists for cross-engine determinism: [[VectorMeanAgg]] sums doubles in
-  * partition order, so its centroids are not bit-reproducible by a
-  * single-threaded oracle. Integer sums are associative/commutative —
-  * any partition order yields the same centroid, and DuckDB regenerates
-  * it exactly with `SUM(CAST(floor(v[j]·scale) AS BIGINT))`. This is the
-  * declared trained-IVF centroid kernel (knn_ivf_trained).
+/** Shared machinery for the elementwise-quantized vector aggregations:
+  * per element j the buffer accumulates Σ floor(v_j · scale) as exact
+  * int64 (order-free — any partition order yields the same sums, which
+  * is what lets a single-threaded DuckDB oracle regenerate them with
+  * `SUM(CAST(floor(v[j]·scale) AS BIGINT))`), plus the member count.
+  * Subclasses differ only in what [[eval]] derives from the buffer.
   *
   * Exactness bounds (documented, not enforced): |v_j·scale| < 2^62/rows
-  * for the int64 sum, and |sum| < 2^53 so the final double division is
-  * exact-input. At scale=10^6 with |v_j| ≤ 5 that allows ~10^9 rows per
-  * cell — far beyond any real cell at 100 TB (cells are corpus/k).
+  * for the int64 sum. At scale=10^6 with |v_j| ≤ 5 that allows ~10^9
+  * rows per group — far beyond any real group at 100 TB.
   */
-case class VectorQuantMeanAgg(child: Expression, scaleExpr: Expression,
-    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[VecQuantBuffer] {
+abstract class VecQuantAggBase extends TypedImperativeAggregate[VecQuantBuffer] {
+  def child: Expression
+  def scaleExpr: Expression
 
   override def children: Seq[Expression] = Seq(child, scaleExpr)
   override def nullable: Boolean = true
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
-  private lazy val scale: Double = scaleExpr.eval(null) match {
+  protected lazy val scale: Double = scaleExpr.eval(null) match {
     case d: Double => d
     case l: Long => l.toDouble
     case i: Int => i.toDouble
@@ -46,12 +41,14 @@ case class VectorQuantMeanAgg(child: Expression, scaleExpr: Expression,
   private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  protected def aggName: String
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case ArrayType(FloatType | DoubleType, _) if scaleExpr.foldable =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"vector_quant_mean expects array<float|double> + foldable scale, got $t")
+        s"$aggName expects array<float|double> + foldable scale, got $t")
     }
 
   override def createAggregationBuffer(): VecQuantBuffer =
@@ -90,11 +87,6 @@ case class VectorQuantMeanAgg(child: Expression, scaleExpr: Expression,
     b
   }
 
-  override def eval(b: VecQuantBuffer): Any =
-    if (b.cnt == 0) null
-    // same tree as the oracle: CAST(s AS DOUBLE) / (scale * n)
-    else new GenericArrayData(b.sums.map(s => s.toDouble / (scale * b.cnt.toDouble)))
-
   override def serialize(b: VecQuantBuffer): Array[Byte] = {
     val bb = ByteBuffer.allocate(12 + b.sums.length * 8)
     bb.putLong(b.cnt)
@@ -112,6 +104,28 @@ case class VectorQuantMeanAgg(child: Expression, scaleExpr: Expression,
     while (i < n) { sums(i) = bb.getLong; i += 1 }
     new VecQuantBuffer(sums, cnt)
   }
+}
+
+/** Elementwise QUANTIZED mean of an array<float|double> column:
+  * sum_j floor(v_j · scale) as exact int64, eval = sum / (scale · count).
+  *
+  * Exists for cross-engine determinism: [[VectorMeanAgg]] sums doubles in
+  * partition order, so its centroids are not bit-reproducible by a
+  * single-threaded oracle. This is the declared trained-IVF centroid
+  * kernel (knn_ivf_trained); |sum| < 2^53 keeps the final double
+  * division exact-input.
+  */
+case class VectorQuantMeanAgg(child: Expression, scaleExpr: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends VecQuantAggBase {
+
+  override protected def aggName: String = "vector_quant_mean"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def eval(b: VecQuantBuffer): Any =
+    if (b.cnt == 0) null
+    // same tree as the oracle: CAST(s AS DOUBLE) / (scale * n)
+    else new GenericArrayData(b.sums.map(s => s.toDouble / (scale * b.cnt.toDouble)))
 
   override def withNewMutableAggBufferOffset(newOffset: Int): VectorQuantMeanAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -124,5 +138,37 @@ case class VectorQuantMeanAgg(child: Expression, scaleExpr: Expression,
 object VectorQuantMeanAgg {
   def of(c: Column, scale: Double): Column =
     Shim.column(new VectorQuantMeanAgg(Shim.expression(c), Literal(scale))
+      .toAggregateExpression())
+}
+
+/** The raw elementwise quantized SUMS (exact int64 array) — the
+  * second-moment accumulator the PCA power iteration consumes: fed the
+  * flattened outer product of each embedding with itself, the output IS
+  * the quantized Gram matrix in row-major order, independent of
+  * partitioning and merge order (integer adds), so the driver-side
+  * iteration and the DuckDB oracle both start from bit-identical input.
+  */
+case class VectorQuantSumAgg(child: Expression, scaleExpr: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends VecQuantAggBase {
+
+  override protected def aggName: String = "vector_quant_sum"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def eval(b: VecQuantBuffer): Any =
+    if (b.cnt == 0) null
+    else new GenericArrayData(b.sums.map(_.asInstanceOf[Any]))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorQuantSumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorQuantSumAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), scaleExpr = newChildren(1))
+}
+
+object VectorQuantSumAgg {
+  def of(c: Column, scale: Double): Column =
+    Shim.column(new VectorQuantSumAgg(Shim.expression(c), Literal(scale))
       .toAggregateExpression())
 }

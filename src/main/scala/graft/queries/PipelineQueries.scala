@@ -113,6 +113,46 @@ object PipelineQueries {
        |SELECT b_id AS doc_id, min(a_id) AS rep_id, max(jaccard) AS j_max
        |FROM pairs GROUP BY b_id ORDER BY doc_id""".stripMargin
 
+  /** PCA replay: the quantized Gram matrix (order-free int64 sums over
+    * the per-vector outer products), then [[graft.similarity.Similarity.
+    * PcaRounds]] power-iteration rounds as MATERIALIZED CTEs — matvec
+    * and norm are ordered list folds (a bare sum() would be
+    * merge-order-dependent), each round's vector a 64-row table — and
+    * the in-order projection fold per vector against the final
+    * direction. Every double op correctly-rounded IEEE in the Scala
+    * dag's exact order.
+    */
+  private[queries] val pcaProjectOracleSql: String = {
+    val rounds = graft.similarity.Similarity.PcaRounds
+    def round(r: Int): String =
+      s"""w$r AS MATERIALIZED (
+         |  SELECT c.i, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list(CAST(c.cij AS DOUBLE) * u.u ORDER BY c.j)),
+         |         (a, x) -> a + x) AS w
+         |  FROM pc c JOIN u${r - 1} u ON u.i = c.j GROUP BY c.i),
+         |n$r AS (SELECT sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |          list(w * w ORDER BY i)), (a, x) -> a + x)) AS nrm FROM w$r),
+         |u$r AS MATERIALIZED (SELECT i, w / nrm AS u FROM w$r CROSS JOIN n$r)""".stripMargin
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM ${Q.EmbRef}),
+       |ij AS (SELECT CAST(t1.i AS INT) AS i, CAST(t2.j AS INT) AS j
+       |       FROM range(1, 65) t1(i) CROSS JOIN range(1, 65) t2(j)),
+       |pc AS MATERIALIZED (
+       |  SELECT ij.i, ij.j,
+       |    CAST(sum(CAST(floor(1.0e6 * (CAST(e.embedding[ij.i] AS DOUBLE)
+       |      * CAST(e.embedding[ij.j] AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cij
+       |  FROM e CROSS JOIN ij GROUP BY ij.i, ij.j),
+       |u0 AS MATERIALIZED (SELECT CAST(i AS INT) AS i,
+       |        1.0e0 / sqrt(64.0e0) AS u FROM range(1, 65) t(i)),
+       |${(1 to rounds).map(round).mkString(",\n")},
+       |ul AS (SELECT list(u ORDER BY i) AS uv FROM u$rounds),
+       |pr AS (SELECT e.vec_id,
+       |         ${DuckSql.ip("e.embedding", "uv")} AS proj,
+       |         ${DuckSql.normSq("e.embedding")} AS nsq
+       |       FROM e CROSS JOIN ul)
+       |SELECT vec_id, proj, nsq - proj * proj AS resid_sq
+       |FROM pr ORDER BY vec_id""".stripMargin
+  }
+
   /** Split-leakage replay: the banded-MinHash chain with candidates
     * restricted to CROSS-side (train a, eval b) collisions — the side is
     * the same pure id-hash the split itself uses, rendered per join leg.
@@ -4947,6 +4987,27 @@ object PipelineQueries {
               FROM sc)
         SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id
         FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""")),
+
+    // embedding PCA + "all-but-the-top" residual (Mu & Viswanath, ICLR
+    // 2018 — removing the dominant direction is the standard embedding
+    // postprocessing): the quantized Gram matrix reduces the corpus to
+    // ONE 4096-long aggregation row (outer products are per-row column
+    // work — the Exchange moves d² longs per partition, never a vector),
+    // the dominant direction comes from 8 pinned power-iteration rounds
+    // driver-side (a fixed-round deterministic function of the matrix —
+    // no tolerance, no RNG), and scoring is zero-shuffle column work
+    // against the plan-literal direction: proj = <v,u>, resid_sq =
+    // <v,v> − proj². The oracle replays matrix, all 8 rounds (ordered
+    // list folds, MATERIALIZED round CTEs) and the projection fold.
+    Q("embedding_pca_project",
+      (s, dir) => {
+        val emb = graft.Caches.track(Tables.embeddings(s, dir))
+        val g = Similarity.gramQuantized(emb, "embedding")
+        val u = Similarity.pcaTopDirection(g, dim = 64)
+        Similarity.pcaProject(emb, "vec_id", "embedding", u)
+          .orderBy("vec_id")
+      },
+      Some(pcaProjectOracleSql)),
 
     // IVF-PQ — the billion-scale ANN serving shape (Jégou et al.): the
     // trained coarse index limits each query to nprobe cells; within

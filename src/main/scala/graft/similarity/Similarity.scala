@@ -761,4 +761,85 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id", "cos")
   }
+
+  /** Quantized second-moment (Gram) matrix of the embedding column, in
+    * row-major order: G[i·d+j] = Σ_docs floor(10⁶ · v_i · v_j) as exact
+    * int64 — ONE aggregation row for the whole corpus (the per-row outer
+    * product is pure column work; the Exchange moves d² longs per
+    * partition, never a vector). Order-free integer sums, so the matrix
+    * is partitioning/merge-order independent and a DuckDB oracle
+    * regenerates it exactly. UNCENTERED by design: quantized-exact
+    * centering would entangle the matrix with a separately-rounded mean;
+    * for the spectral use below the dominant direction of the raw second
+    * moment is the standard embedding-postprocessing target.
+    */
+  def gramQuantized(df: DataFrame, vecCol: String): Array[Long] = {
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    val outer = flatten(transform(vd, vi => transform(vd, vj => vi * vj)))
+    df.select(graft.functions.expressions.VectorQuantSumAgg
+        .of(outer, 1.0e6).as("g"))
+      .head().getSeq[Long](0).toArray
+  }
+
+  /** Dominant direction of a quantized Gram matrix by POWER ITERATION —
+    * a fixed number of rounds from a fixed start, so the output is a
+    * deterministic function of the matrix (no convergence tolerance, no
+    * RNG): v₀ = 1/√d ones; each round w = G·v (row-major, j-ascending
+    * in-order folds), v = w/‖w‖ (i-ascending fold, one sqrt). Every op
+    * is correctly-rounded IEEE in pinned order — the DuckDB oracle
+    * replays all rounds bit-identically (MATERIALIZED round CTEs,
+    * ordered list folds). Driver-side over a d×d matrix: d = 64 is 4096
+    * longs — a policy-dimension reduction, not data-scale.
+    */
+  def pcaTopDirection(gram: Array[Long], dim: Int,
+      rounds: Int = PcaRounds): Array[Double] = {
+    require(gram.length == dim * dim, s"gram must be $dim x $dim row-major")
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var r = 0
+    while (r < rounds) {
+      val w = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += gram(i * dim + j).toDouble * v(j); j += 1 }
+        w(i) = acc
+        i += 1
+      }
+      var n2 = 0.0
+      i = 0
+      while (i < dim) { n2 += w(i) * w(i); i += 1 }
+      val nrm = math.sqrt(n2)
+      require(nrm > 0.0, "power iteration collapsed: all-zero Gram matrix")
+      v = w.map(_ / nrm)
+      r += 1
+    }
+    v
+  }
+
+  /** Fixed power-iteration round count for the declared row — enough for
+    * the dominant direction of a typical embedding second moment (the
+    * top eigenvalue of the uncentered moment carries the mean mass and
+    * dominates decisively), pinned so the oracle replay is finite. */
+  val PcaRounds: Int = 8
+
+  /** PCA projection + "all-but-the-top" residual (Mu & Viswanath, ICLR
+    * 2018 — removing the dominant direction from embedding sets is the
+    * standard postprocessing that improves similarity quality): train =
+    * [[gramQuantized]] + [[pcaTopDirection]]; score = ZERO-shuffle column
+    * work per vector against the plan-literal direction — proj = ⟨v, u⟩
+    * (in-order fold), resid_sq = ⟨v, v⟩ − proj² (pinned: one in-order
+    * norm fold, one multiply, one subtract — the residual's norm²
+    * without materializing the d-vector residual). Output:
+    * (id, proj, resid_sq) for every row.
+    */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String,
+      u: Array[Double]): DataFrame = {
+    val uLit = typedLit(u.toSeq)
+    df.select(col(idCol),
+        dot(col(vecCol), uLit).as("proj"),
+        dot(col(vecCol), col(vecCol)).as("__nsq"))
+      .select(col(idCol), col("proj"),
+        (col("__nsq") - col("proj") * col("proj")).as("resid_sq"))
+  }
 }

@@ -72,6 +72,57 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("PCA power iteration recovers a planted dominant direction; projections replay") {
+    import spark.implicits._
+    val dim = 8
+    // planted direction e_3 with ±4 mass; orthogonal noise at ±0.5 on a
+    // rotating coordinate — the second moment is decisively dominated
+    val rows = (1 to 200).map { i =>
+      val v = Array.fill(dim)(0.0f)
+      v(2) = if (i % 2 == 0) 4.0f else -4.0f
+      v((i % 5) + 3) = if (i % 3 == 0) 0.5f else -0.5f
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val g = Similarity.gramQuantized(df, "embedding")
+    // driver replay of the quantized Gram: order-free integer sums
+    val wantG = Array.tabulate(dim * dim) { k =>
+      val (i, j) = (k / dim, k % dim)
+      rows.map { case (_, v) =>
+        math.floor(1.0e6 * (v(i).toDouble * v(j).toDouble)).toLong
+      }.sum
+    }
+    assert(g.toSeq == wantG.toSeq, "gram must be the exact quantized sums")
+    // partitioning invariance (integer sums)
+    assert(Similarity.gramQuantized(df.repartition(7), "embedding").toSeq
+      == wantG.toSeq)
+    val u = Similarity.pcaTopDirection(g, dim)
+    assert(math.abs(math.abs(u(2)) - 1.0) < 1e-3,
+      s"dominant direction must be ~e_3: ${u.toSeq}")
+    val norm = math.sqrt(u.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-12, "direction must be unit-norm")
+    // projection + residual replay for a few rows (the exact same folds)
+    val got = Similarity.pcaProject(df, "vec_id", "embedding", u)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    rows.take(5).foreach { case (id, v) =>
+      var proj = 0.0
+      var nsq = 0.0
+      v.indices.foreach { i =>
+        proj += v(i).toDouble * u(i)
+        nsq += v(i).toDouble * v(i).toDouble
+      }
+      assert(got(id) == ((proj, nsq - proj * proj)), s"vec $id")
+    }
+    // all-but-the-top semantics: the residual never goes negative, and a
+    // vector ON the direction keeps ~nothing
+    assert(got.values.forall(_._2 >= -1e-9))
+    val pure = Seq((999L, Array.fill(dim)(0.0f).updated(2, 4.0f).toSeq))
+      .toDF("vec_id", "embedding")
+    val pr = Similarity.pcaProject(pure, "vec_id", "embedding", u).head()
+    assert(math.abs(pr.getDouble(2)) < 1e-2,
+      "a vector on the dominant direction must lose ~all mass to the projection")
+  }
+
   test("knn rank-1 neighbor has the maximal cosine") {
     val emb = Tables.embeddings(spark, TestSpark.SF)
     val knn = Similarity.knnBruteForce(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 3)
