@@ -5009,6 +5009,26 @@ object PipelineQueries {
       },
       Some(pcaProjectOracleSql)),
 
+    // PCA AT INGESTION — the deployment shape of embedding
+    // postprocessing: the direction fits OFFLINE on the archived corpus
+    // (one Gram aggregation + the pinned driver iteration), each
+    // incoming vector scores as ZERO-state per-row column work against
+    // the plan-literal direction. Streaming the archive reproduces the
+    // batch projections exactly — shared oracle.
+    Q("stream_embedding_pca_project",
+      (s, dir) => {
+        implicit val sp = s
+        val emb = graft.Caches.track(Tables.embeddings(s, dir))
+        val u = Similarity.pcaTopDirection(
+          Similarity.gramQuantized(emb, "embedding"), dim = 64)
+        val scored = Similarity.pcaProject(
+          graft.streaming.StreamSources.embeddings(s, dir),
+          "vec_id", "embedding", u)
+        graft.streaming.StreamRun.toBatch(scored, "append", numPartitions = 4)
+          .orderBy("vec_id")
+      },
+      Some(pcaProjectOracleSql)),
+
     // IVF-PQ — the billion-scale ANN serving shape (Jégou et al.): the
     // trained coarse index limits each query to nprobe cells; within
     // them candidates rank by asymmetric distance against
