@@ -122,18 +122,29 @@ object PipelineQueries {
     * direction. Every double op correctly-rounded IEEE in the Scala
     * dag's exact order.
     */
-  private[queries] val pcaProjectOracleSql: String = {
-    val rounds = graft.similarity.Similarity.PcaRounds
-    def round(r: Int): String =
-      s"""w$r AS MATERIALIZED (
-         |  SELECT c.i, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |           list(CAST(c.cij AS DOUBLE) * u.u ORDER BY c.j)),
-         |         (a, x) -> a + x) AS w
-         |  FROM pc c JOIN u${r - 1} u ON u.i = c.j GROUP BY c.i),
-         |n$r AS (SELECT sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |          list(w * w ORDER BY i)), (a, x) -> a + x)) AS nrm FROM w$r),
-         |u$r AS MATERIALIZED (SELECT i, w / nrm AS u FROM w$r CROSS JOIN n$r)""".stripMargin
-    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM ${Q.EmbRef}),
+  /** One power-iteration round over matrix CTE `mat` (cols i, j, value
+    * `vcol`), vectors named `${up}u<r>` — the matvec and norm are
+    * ORDERED list folds (a bare sum() is merge-order-dependent). */
+  private def pcaRoundSql(r: Int, mat: String, vcol: String,
+      up: String): String =
+    s"""${up}w$r AS MATERIALIZED (
+       |  SELECT c.i, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list($vcol * u.u ORDER BY c.j)),
+       |         (a, x) -> a + x) AS w
+       |  FROM $mat c JOIN ${up}u${r - 1} u ON u.i = c.j GROUP BY c.i),
+       |${up}n$r AS (SELECT sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |          list(w * w ORDER BY i)), (a, x) -> a + x)) AS nrm FROM ${up}w$r),
+       |${up}u$r AS MATERIALIZED (SELECT i, w / nrm AS u
+       |  FROM ${up}w$r CROSS JOIN ${up}n$r)""".stripMargin
+
+  private def pcaStartSql(up: String): String =
+    s"""${up}u0 AS MATERIALIZED (SELECT CAST(i AS INT) AS i,
+       |        1.0e0 / sqrt(64.0e0) AS u FROM range(1, 65) t(i))""".stripMargin
+
+  /** Shared head: embeddings, index grid, quantized Gram matrix, and the
+    * first power iteration ending at `u<rounds>`. */
+  private def pcaBaseCtes(rounds: Int): String =
+    s"""e AS MATERIALIZED (SELECT vec_id, embedding FROM ${Q.EmbRef}),
        |ij AS (SELECT CAST(t1.i AS INT) AS i, CAST(t2.j AS INT) AS j
        |       FROM range(1, 65) t1(i) CROSS JOIN range(1, 65) t2(j)),
        |pc AS MATERIALIZED (
@@ -141,15 +152,51 @@ object PipelineQueries {
        |    CAST(sum(CAST(floor(1.0e6 * (CAST(e.embedding[ij.i] AS DOUBLE)
        |      * CAST(e.embedding[ij.j] AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cij
        |  FROM e CROSS JOIN ij GROUP BY ij.i, ij.j),
-       |u0 AS MATERIALIZED (SELECT CAST(i AS INT) AS i,
-       |        1.0e0 / sqrt(64.0e0) AS u FROM range(1, 65) t(i)),
-       |${(1 to rounds).map(round).mkString(",\n")},
+       |${pcaStartSql("")},
+       |${(1 to rounds).map(pcaRoundSql(_, "pc", "CAST(c.cij AS DOUBLE)", ""))
+          .mkString(",\n")}""".stripMargin
+
+  private[queries] val pcaProjectOracleSql: String = {
+    val rounds = graft.similarity.Similarity.PcaRounds
+    s"""WITH ${pcaBaseCtes(rounds)},
        |ul AS (SELECT list(u ORDER BY i) AS uv FROM u$rounds),
        |pr AS (SELECT e.vec_id,
        |         ${DuckSql.ip("e.embedding", "uv")} AS proj,
        |         ${DuckSql.normSq("e.embedding")} AS nsq
        |       FROM e CROSS JOIN ul)
        |SELECT vec_id, proj, nsq - proj * proj AS resid_sq
+       |FROM pr ORDER BY vec_id""".stripMargin
+  }
+
+  /** Top-2 replay: the base chain, then the Rayleigh fold λ₁ = u₁ᵀGu₁,
+    * the deflated matrix D = G − λ₁·u₁u₁ᵀ entrywise, the second pinned
+    * iteration over D, and the two-direction projection tail. */
+  private[queries] val pca2ProjectOracleSql: String = {
+    val rounds = graft.similarity.Similarity.PcaRounds
+    s"""WITH ${pcaBaseCtes(rounds)},
+       |gu AS (SELECT c.i, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |         list(CAST(c.cij AS DOUBLE) * u.u ORDER BY c.j)),
+       |       (a, x) -> a + x) AS w
+       |       FROM pc c JOIN u$rounds u ON u.i = c.j GROUP BY c.i),
+       |lamt AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list(u.u * g.w ORDER BY u.i)), (a, x) -> a + x) AS lam
+       |         FROM u$rounds u JOIN gu g ON g.i = u.i),
+       |d2 AS MATERIALIZED (
+       |  SELECT c.i, c.j,
+       |    CAST(c.cij AS DOUBLE) - lam * ui.u * uj.u AS dij
+       |  FROM pc c JOIN u$rounds ui ON ui.i = c.i
+       |    JOIN u$rounds uj ON uj.i = c.j CROSS JOIN lamt),
+       |${pcaStartSql("q")},
+       |${(1 to rounds).map(pcaRoundSql(_, "d2", "c.dij", "q")).mkString(",\n")},
+       |ul1 AS (SELECT list(u ORDER BY i) AS uv1 FROM u$rounds),
+       |ul2 AS (SELECT list(u ORDER BY i) AS uv2 FROM qu$rounds),
+       |pr AS (SELECT e.vec_id,
+       |         ${DuckSql.ip("e.embedding", "uv1")} AS proj1,
+       |         ${DuckSql.ip("e.embedding", "uv2")} AS proj2,
+       |         ${DuckSql.normSq("e.embedding")} AS nsq
+       |       FROM e CROSS JOIN ul1 CROSS JOIN ul2)
+       |SELECT vec_id, proj1, proj2,
+       |       nsq - proj1 * proj1 - proj2 * proj2 AS resid_sq
        |FROM pr ORDER BY vec_id""".stripMargin
   }
 
@@ -5028,6 +5075,21 @@ object PipelineQueries {
           .orderBy("vec_id")
       },
       Some(pcaProjectOracleSql)),
+
+    // TOP-2 PCA by Hotelling deflation — whitening-lite (remove the two
+    // dominant components): u₁ as above; λ₁ = u₁ᵀGu₁ (Rayleigh, two
+    // pinned folds); D = G − λ₁·u₁u₁ᵀ entrywise; u₂ = the same
+    // fixed-round iteration on D. Scoring stays zero-shuffle against the
+    // two plan-literal directions; resid_sq = ⟨v,v⟩ − proj1² − proj2².
+    Q("embedding_pca2_project",
+      (s, dir) => {
+        val emb = graft.Caches.track(Tables.embeddings(s, dir))
+        val (u1, u2) = Similarity.pcaTop2(
+          Similarity.gramQuantized(emb, "embedding"), dim = 64)
+        Similarity.pcaProject2(emb, "vec_id", "embedding", u1, u2)
+          .orderBy("vec_id")
+      },
+      Some(pca2ProjectOracleSql)),
 
     // IVF-PQ — the billion-scale ANN serving shape (Jégou et al.): the
     // trained coarse index limits each query to nprobe cells; within

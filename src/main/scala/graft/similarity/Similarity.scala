@@ -794,6 +794,14 @@ object Similarity {
   def pcaTopDirection(gram: Array[Long], dim: Int,
       rounds: Int = PcaRounds): Array[Double] = {
     require(gram.length == dim * dim, s"gram must be $dim x $dim row-major")
+    powerIterate(gram.map(_.toDouble), dim, rounds)
+  }
+
+  /** The pinned iteration core over a row-major double matrix (shared by
+    * the Gram pass and the deflated second pass — both must fold in the
+    * identical order or the oracle replays diverge). */
+  private def powerIterate(m: Array[Double], dim: Int,
+      rounds: Int): Array[Double] = {
     var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     var r = 0
     while (r < rounds) {
@@ -802,7 +810,7 @@ object Similarity {
       while (i < dim) {
         var acc = 0.0
         var j = 0
-        while (j < dim) { acc += gram(i * dim + j).toDouble * v(j); j += 1 }
+        while (j < dim) { acc += m(i * dim + j) * v(j); j += 1 }
         w(i) = acc
         i += 1
       }
@@ -810,12 +818,59 @@ object Similarity {
       i = 0
       while (i < dim) { n2 += w(i) * w(i); i += 1 }
       val nrm = math.sqrt(n2)
-      require(nrm > 0.0, "power iteration collapsed: all-zero Gram matrix")
+      require(nrm > 0.0, "power iteration collapsed: all-zero matrix")
       v = w.map(_ / nrm)
       r += 1
     }
     v
   }
+
+  /** TOP-2 directions by Hotelling DEFLATION — the whitening-lite step
+    * (remove the two dominant components, not one): u₁ from the Gram
+    * matrix as [[pcaTopDirection]]; λ₁ = u₁ᵀGu₁ (the Rayleigh quotient,
+    * two pinned ascending folds); D = G − λ₁·u₁u₁ᵀ entrywise in pinned
+    * double arithmetic; u₂ = the same fixed-round iteration on D. Both
+    * directions are deterministic functions of the matrix — the oracle
+    * replays the first iteration, the Rayleigh fold, the deflation
+    * entries and the second iteration with the same ordered folds.
+    * (u₂ ⊥ u₁ only up to the fixed rounds' convergence — the operator's
+    * contract is the pinned iterate, not an exact eigenbasis.)
+    */
+  def pcaTop2(gram: Array[Long], dim: Int,
+      rounds: Int = PcaRounds): (Array[Double], Array[Double]) = {
+    val u1 = pcaTopDirection(gram, dim, rounds)
+    val gu = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      var acc = 0.0
+      var j = 0
+      while (j < dim) { acc += gram(i * dim + j).toDouble * u1(j); j += 1 }
+      gu(i) = acc
+      i += 1
+    }
+    var lam = 0.0
+    i = 0
+    while (i < dim) { lam += u1(i) * gu(i); i += 1 }
+    val d = Array.tabulate(dim * dim) { k =>
+      gram(k).toDouble - lam * u1(k / dim) * u1(k % dim)
+    }
+    (u1, powerIterate(d, dim, rounds))
+  }
+
+  /** Two-direction projection: (id, proj1, proj2, resid_sq) with
+    * resid_sq = ⟨v,v⟩ − proj1² − proj2² (left-associated, pinned) —
+    * the top-2 all-but-the-top residual. Zero-shuffle column work
+    * against the two plan-literal directions.
+    */
+  def pcaProject2(df: DataFrame, idCol: String, vecCol: String,
+      u1: Array[Double], u2: Array[Double]): DataFrame =
+    df.select(col(idCol),
+        dot(col(vecCol), typedLit(u1.toSeq)).as("proj1"),
+        dot(col(vecCol), typedLit(u2.toSeq)).as("proj2"),
+        dot(col(vecCol), col(vecCol)).as("__nsq"))
+      .select(col(idCol), col("proj1"), col("proj2"),
+        (col("__nsq") - col("proj1") * col("proj1")
+          - col("proj2") * col("proj2")).as("resid_sq"))
 
   /** Fixed power-iteration round count for the declared row — enough for
     * the dominant direction of a typical embedding second moment (the

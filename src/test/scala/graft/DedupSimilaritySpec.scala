@@ -123,6 +123,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "a vector on the dominant direction must lose ~all mass to the projection")
   }
 
+  test("top-2 deflation: second direction finds the second planted component") {
+    import spark.implicits._
+    val dim = 8
+    // e_3 at ±4 (dominant), e_6 at ±2 (second), rotating ±0.25 noise
+    val rows = (1 to 240).map { i =>
+      val v = Array.fill(dim)(0.0f)
+      v(2) = if (i % 2 == 0) 4.0f else -4.0f
+      v(5) = if (i % 3 == 0) 2.0f else -2.0f
+      v(i % 2) = if (i % 5 == 0) 0.25f else -0.25f
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val g = Similarity.gramQuantized(df, "embedding")
+    val (u1, u2) = Similarity.pcaTop2(g, dim)
+    assert(math.abs(math.abs(u1(2)) - 1.0) < 1e-3, s"u1 must be ~e_3: ${u1.toSeq}")
+    assert(math.abs(math.abs(u2(5)) - 1.0) < 1e-2, s"u2 must be ~e_6: ${u2.toSeq}")
+    // near-orthogonal after deflation (up to the fixed rounds)
+    val ip12 = u1.zip(u2).map { case (a, b) => a * b }.sum
+    assert(math.abs(ip12) < 1e-2, s"u1/u2 must be near-orthogonal: $ip12")
+    // a vector in span{e_3, e_6} keeps ~no residual mass
+    val got = Similarity.pcaProject2(
+        Seq((999L, Array.fill(dim)(0.0f).updated(2, 4.0f).updated(5, 2.0f).toSeq))
+          .toDF("vec_id", "embedding"),
+        "vec_id", "embedding", u1, u2).head()
+    assert(math.abs(got.getDouble(3)) < 0.05,
+      s"span{u1,u2} vector must project ~fully: resid ${got.getDouble(3)}")
+  }
+
   test("knn rank-1 neighbor has the maximal cosine") {
     val emb = Tables.embeddings(spark, TestSpark.SF)
     val knn = Similarity.knnBruteForce(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 3)
