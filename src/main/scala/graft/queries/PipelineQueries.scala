@@ -122,6 +122,37 @@ object PipelineQueries {
     * direction. Every double op correctly-rounded IEEE in the Scala
     * dag's exact order.
     */
+  /** Entropy replay: per-(doc, token) counts by plain GROUP BY, the
+    * staged portable-log chain carrying x = c/n through to the quantized
+    * per-type term, per-doc integer sum — order-free, so it equals the
+    * engine's sorted-run fold exactly. */
+  // lazy: interpolates tkCteSql, which initializes later in this object
+  private[queries] lazy val entropyOracleSql: String = {
+    import graft.functions.PortableLog
+    s"""WITH m AS MATERIALIZED (SELECT doc_id, text FROM ${Q.DocsRef}),
+       |$tkCteSql,
+       |tcnt AS (SELECT doc_id, token, count(*) AS c
+       |         FROM (SELECT doc_id, unnest(toks) AS token FROM tk) t
+       |         GROUP BY 1, 2),
+       |nn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+       |         CAST(count(*) AS BIGINT) AS types FROM tcnt GROUP BY doc_id),
+       |xx AS (SELECT t.doc_id, CAST(t.c AS DOUBLE) / CAST(nn.n AS DOUBLE) AS x
+       |       FROM tcnt t JOIN nn USING (doc_id)),
+       |yy AS (SELECT doc_id, x, ${PortableLog.sqrtNestSql("x")} AS y FROM xx),
+       |zq AS (SELECT doc_id, x, ${PortableLog.zSql("y")} AS z FROM yy),
+       |qz AS (SELECT doc_id,
+       |         CAST(floor(1.0e6 * (x * ${PortableLog.seriesSql("z")})) AS BIGINT) AS q
+       |       FROM zq),
+       |sc AS (SELECT doc_id, CAST(sum(q) AS BIGINT) AS entq FROM qz GROUP BY doc_id)
+       |SELECT m.doc_id,
+       |       CAST(COALESCE(nn.n, 0) AS BIGINT) AS n_tokens,
+       |       CAST(COALESCE(nn.types, 0) AS BIGINT) AS n_types,
+       |       CAST(COALESCE(sc.entq, 0) AS BIGINT) AS ent_q,
+       |       CAST(-COALESCE(sc.entq, 0) AS DOUBLE) / 1.0e6 AS entropy
+       |FROM m LEFT JOIN nn USING (doc_id) LEFT JOIN sc USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** One power-iteration round over matrix CTE `mat` (cols i, j, value
     * `vcol`), vectors named `${up}u<r>` — the matvec and norm are
     * ORDERED list folds (a bare sum() is merge-order-dependent). */
@@ -2801,6 +2832,22 @@ object PipelineQueries {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id"),
       Some(langIdSql)),
+
+    // token-distribution Shannon entropy — the lexical-diversity quality
+    // signal (machine/boilerplate text is low-entropy for its length):
+    // ZERO-shuffle per-row work — the sorted token array walks one
+    // aggregate fold, each type's term quantized through the portable
+    // log, summed as integers; the oracle takes the grouped-counts route
+    // to the same per-type terms (integer sums are order-free, so the
+    // two routes agree exactly).
+    Q("text_entropy",
+      (s, dir) => {
+        val cols = TextAnalysis.entropyColumns(col("text"))
+          .map { case (n, c) => c.as(n) }
+        Tables.documents(s, dir).select(col("doc_id") +: cols: _*)
+          .orderBy("doc_id")
+      },
+      Some(entropyOracleSql)),
 
     Q("text_quality",
       (s, dir) => {

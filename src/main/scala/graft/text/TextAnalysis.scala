@@ -330,6 +330,63 @@ object TextAnalysis {
       "url_blocked" -> exists(urls, u => hostBlocked(urlHost(u))).cast("int"))
   }
 
+  /** Token-distribution SHANNON ENTROPY per document — the lexical-
+    * diversity quality signal (machine-generated/boilerplate text is
+    * low-entropy for its length; natural prose is not; a pure
+    * type-token ratio misses the skew this catches): H = −Σ_types
+    * (c/n)·ln(c/n) over the doc's OWN token distribution.
+    *
+    * ZERO-shuffle shape: a naive rendering is explode → (doc, token)
+    * counts → per-doc sum — two corpus-scale Exchanges; here the sorted
+    * token array walks through ONE `aggregate` fold per row (run-length
+    * boundaries close each type's term), so the whole score is per-row
+    * column work like every other op in this object. Each closed run
+    * contributes floor(10⁶·(c/n)·plog(c/n)) — the portable-log dag,
+    * quantized per TYPE then summed as integers, which makes the total
+    * independent of run order and lets the DuckDB oracle replay it as a
+    * plain (doc, token)-count GROUP BY with the staged log chain (the
+    * engines take different routes to the same per-type integer terms).
+    * The run==0 boundaries (fold start, and the finish of an EMPTY
+    * array) are guarded to a literal 0 — an empty doc would otherwise
+    * reach x = 0/0 = NaN.
+    *
+    * Output columns: n_tokens, n_types, ent_q (≤ 0), entropy =
+    * −ent_q/10⁶ (one exact-input division; ln-based nats).
+    */
+  def entropyColumns(text: Column): Seq[(String, Column)] = {
+    import graft.functions.PortableLog
+    val tk = tokens(text)
+    val nD = size(tk).cast("long").cast("double")
+    def termQ(run: Column): Column = {
+      val x = run.cast("double") / nD
+      when(run > 0,
+        floor(lit(1.0e6) * (x * PortableLog.plogCol(x))).cast("long"))
+        .otherwise(lit(0L))
+    }
+    val folded = aggregate(
+      array_sort(tk),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("acc"),
+        lit(0L).as("types")),
+      (st, t) => {
+        val same = st.getField("run") > 0 && st.getField("prev") === t
+        struct(
+          t.as("prev"),
+          when(same, st.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+          when(same, st.getField("acc"))
+            .otherwise(st.getField("acc") + termQ(st.getField("run"))).as("acc"),
+          when(same, st.getField("types"))
+            .otherwise(st.getField("types") + 1L).as("types"))
+      },
+      st => struct(
+        (st.getField("acc") + termQ(st.getField("run"))).as("acc"),
+        st.getField("types").as("types")))
+    Seq(
+      "n_tokens" -> size(tk).cast("long"),
+      "n_types" -> folded.getField("types"),
+      "ent_q" -> folded.getField("acc"),
+      "entropy" -> ((-folded.getField("acc")).cast("double") / lit(1.0e6)))
+  }
+
   /** PII scrubbing for a training corpus: per-pattern match counts (on the
     * raw text) and the redacted text, with replacements applied in the
     * fixed order email → phone → IPv4 (later patterns cannot damage

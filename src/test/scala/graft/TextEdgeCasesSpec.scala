@@ -98,6 +98,41 @@ class TextEdgeCasesSpec extends AnyFunSuite {
     assert(got(4L) == ((2.0 / 3.0, 4.0 / 6.0)))
   }
 
+  test("entropy: hand-computed nats, run-fold == grouped route, degenerates") {
+    import spark.implicits._
+    import graft.functions.PortableLog
+    val df = Seq(
+      (1L, "a a b"),        // H = -(2/3·ln(2/3) + 1/3·ln(1/3))
+      (2L, "x x x x"),      // uniform single type → H = 0
+      (3L, "q w e r"),      // all distinct → H = ln 4
+      (4L, ""),             // empty → all zeros
+      (5L, "  \t ")         // whitespace-only → all zeros
+    ).toDF("doc_id", "text")
+    val cols = TextAnalysis.entropyColumns(col("text"))
+      .map { case (n, c) => c.as(n) }
+    val got = df.select(col("doc_id") +: cols: _*)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // independent replay through the grouped-counts route (the oracle's)
+    def ent(counts: Seq[Long]): Long = {
+      val n = counts.sum.toDouble
+      counts.map { c =>
+        val x = c.toDouble / n
+        math.floor(1.0e6 * (x * PortableLog.plog(x))).toLong
+      }.sum
+    }
+    val e1 = ent(Seq(2L, 1L))
+    assert(got(1L) == ((3L, 2L, e1, (-e1).toDouble / 1.0e6)))
+    val e2 = ent(Seq(4L))
+    assert(got(2L) == ((4L, 1L, e2, (-e2).toDouble / 1.0e6)))
+    assert(math.abs(got(2L)._4) < 1e-6, "single-type doc has ~zero entropy")
+    val e3 = ent(Seq(1L, 1L, 1L, 1L))
+    assert(got(3L) == ((4L, 4L, e3, (-e3).toDouble / 1.0e6)))
+    assert(math.abs(got(3L)._4 - math.log(4.0)) < 1e-4,
+      "uniform 4-type doc is ~ln 4 nats")
+    assert(got(4L) == ((0L, 0L, 0L, 0.0)) && got(5L) == ((0L, 0L, 0L, 0.0)))
+  }
+
   test("PII redaction: hand-computed counts, placeholder safety, edge positions") {
     import spark.implicits._
     val d = Seq(
