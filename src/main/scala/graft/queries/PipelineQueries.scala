@@ -2406,10 +2406,12 @@ object PipelineQueries {
     * arithmetic — subtracting in double is catastrophic cancellation
     * when mean² ≫ variance — then the pinned double tail (one cast
     * each, √·√ unfused, guarded CASE for degenerate slices). */
-  private[queries] val metricCorrOracleSql: String = s"""
-    WITH d AS (SELECT source, length(text) AS x,
-                 len(list_distinct(${DuckSql.tokens("text")})) AS y
-               FROM ${Q.DocsRef}),
+  /** The exact-arithmetic correlation tail over a CTE `d` (source, x, y
+    * integers): HUGEINT sufficient statistics AND second-moment
+    * combinations (a double subtraction catastrophically cancels when
+    * mean² ≫ variance), then the pinned double dag. Ends in a full
+    * SELECT; `nAlias` names the count column. */
+  private[queries] def metricCorrTailSql(nAlias: String): String = s"""
     a AS (SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
           FROM d GROUP BY 1),
@@ -2418,11 +2420,46 @@ object PipelineQueries {
             CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS denx,
             CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) AS deny
           FROM a)
-    SELECT source, n AS n_docs,
+    SELECT source, n AS $nAlias,
            CASE WHEN denx <= 0.0 OR deny <= 0.0 THEN 0.0
                 ELSE num / (sqrt(denx) * sqrt(deny)) END AS corr,
            CASE WHEN denx <= 0.0 THEN 0.0 ELSE num / denx END AS slope
     FROM c ORDER BY source"""
+
+  private[queries] val metricCorrOracleSql: String = s"""
+    WITH d AS (SELECT source, length(text) AS x,
+                 len(list_distinct(${DuckSql.tokens("text")})) AS y
+               FROM ${Q.DocsRef}),
+    ${metricCorrTailSql("n_docs")}"""
+
+  /** Zipf replay: (source, token) counts, per-source frequency ranks,
+    * BOTH logs staged through the portable chain (each variable its own
+    * MATERIALIZED stage — z and the series reference their input
+    * repeatedly), then the shared exact correlation tail. */
+  private[queries] val zipfProfileOracleSql: String = {
+    import graft.functions.PortableLog
+    s"""WITH tc AS MATERIALIZED (
+       |  SELECT source, token, count(*) AS c
+       |  FROM (SELECT source, unnest(${DuckSql.tokens("text")}) AS token
+       |        FROM ${Q.DocsRef}) t0
+       |  GROUP BY 1, 2),
+       |rk AS (SELECT source, token, c,
+       |         row_number() OVER (PARTITION BY source
+       |           ORDER BY c DESC, token) AS r FROM tc),
+       |x1 AS MATERIALIZED (SELECT source, token, CAST(r AS DOUBLE) AS xr,
+       |        CAST(c AS DOUBLE) AS xc FROM rk),
+       |y1 AS MATERIALIZED (SELECT source, token,
+       |        ${PortableLog.sqrtNestSql("xr")} AS yr,
+       |        ${PortableLog.sqrtNestSql("xc")} AS yc FROM x1),
+       |z1 AS MATERIALIZED (SELECT source, token,
+       |        ${PortableLog.zSql("yr")} AS zr,
+       |        ${PortableLog.zSql("yc")} AS zc FROM y1),
+       |d AS MATERIALIZED (SELECT source,
+       |        CAST(floor(1.0e6 * ${PortableLog.seriesSql("zr")}) AS BIGINT) AS x,
+       |        CAST(floor(1.0e6 * ${PortableLog.seriesSql("zc")}) AS BIGINT) AS y
+       |      FROM z1),
+       |${metricCorrTailSql("n_types")}""".stripMargin
+  }
 
   /** Drift plant: one source's documents double in length, so its PSI
     * visibly dominates the near-uniform background sources. */
@@ -3860,6 +3897,18 @@ object PipelineQueries {
           .orderBy("source")
       },
       Some(metricCorrOracleSql)),
+
+    // per-source ZIPF-slope profile — "does this source look like
+    // natural language": the log-log regression of token frequency on
+    // frequency rank (Zipf slope ≈ −1 for natural text; OCR noise and
+    // machine output deviate). One vocabulary aggregation, per-source
+    // rank windows (parallel across sources), both logs quantized
+    // through the portable dag, then the exact-decimal correlation dag.
+    Q("pipeline_zipf_profile",
+      (s, dir) => graft.text.CorpusStats
+        .zipfProfile(Tables.documents(s, dir), "source", "text")
+        .orderBy("source"),
+      Some(zipfProfileOracleSql)),
 
     // the drift-GATE composite — the profiling family closed into a
     // curation loop: score every source's PSI against the corpus

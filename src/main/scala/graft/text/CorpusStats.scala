@@ -642,6 +642,42 @@ object CorpusStats {
     overlapReport(Seq((sketch.toSeq, skb)).toDF("ska", "skb"), k)
   }
 
+  /** Per-source ZIPF-slope profile — "does this source look like natural
+    * language": the log-log regression of token frequency against
+    * frequency rank. Natural text follows Zipf's law with slope ≈ −1;
+    * OCR noise and machine-generated text deviate (flat head or
+    * collapsed tail), so the slope is a source-level sanity gate next to
+    * the hapax and PSI profiles.
+    *
+    * Chain: one (source, token) count aggregation (the vocabulary pass —
+    * the honest Exchange when the whole distribution is needed), ranks
+    * in a window PARTITIONED by source ((c DESC, token ASC) total order
+    * — parallel across sources, no single-partition stage), both logs
+    * quantized through the portable dag (x = floor(10⁶·plog(rank)),
+    * y = floor(10⁶·plog(c)) — exact int64 metrics), then the EXACT
+    * decimal correlation dag ([[graft.pipeline.Profiling.metricCorrBy]]
+    * — HUGEINT-mirrored sufficient statistics, pinned double tail).
+    * Output per source: (key, n_types, corr, slope); slope is the Zipf
+    * exponent estimate (≈ −1 for natural text).
+    */
+  def zipfProfile(corpus: DataFrame, keyCol: String,
+      textCol: String): DataFrame = {
+    import graft.functions.PortableLog
+    import org.apache.spark.sql.expressions.Window
+    val tc = corpus
+      .select(col(keyCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(keyCol, "token").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("c").desc, col("token").asc)
+    def q(x: org.apache.spark.sql.Column) =
+      floor(lit(1.0e6) * PortableLog.plogCol(x.cast("double"))).cast("long")
+    val ranked = tc.withColumn("r", row_number().over(w))
+      .select(col(keyCol), q(col("r")).as("xq"), q(col("c")).as("yq"))
+    graft.pipeline.Profiling
+      .metricCorrBy(ranked, keyCol, col("xq"), col("yq"))
+      .withColumnRenamed("n_docs", "n_types")
+  }
+
   /** (token, df): document frequency of every distinct token — the number
     * of documents containing it at least once. One narrow explode of the
     * per-document DISTINCT token set (no countDistinct expand), one

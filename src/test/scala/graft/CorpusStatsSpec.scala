@@ -21,6 +21,33 @@ class CorpusStatsSpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
   }
 
+  test("zipf profile: planted power law scores ~-1, uniform text does not") {
+    import spark.implicits._
+    // zipf source: token w_r appears floor(1000/r) times, r = 1..60 — a
+    // textbook power law; uniform source: 60 tokens at 17 each
+    def spread(counts: Seq[(String, Int)]): String =
+      counts.flatMap { case (t, c) => Seq.fill(c)(t) }.mkString(" ")
+    val zipfText = spread((1 to 60).map(r => (s"w$r", 1000 / r)))
+    val uniText = spread((1 to 60).map(r => (s"u$r", 17)))
+    val docs = Seq(("zipf", zipfText), ("uni", uniText)).toDF("source", "text")
+    val got = graft.text.CorpusStats.zipfProfile(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("zipf")._1 == 60L && got("uni")._1 == 60L)
+    assert(math.abs(got("zipf")._3 + 1.0) < 0.05,
+      s"power-law source must fit slope ~-1: ${got("zipf")}")
+    assert(got("zipf")._2 < -0.99,
+      "log-log fit must be near-perfectly linear on the plant")
+    assert(got("uni")._3 > -0.1,
+      s"uniform source must fit a near-flat slope: ${got("uni")}")
+    // partitioning invariance (integer stats + pinned dag end to end)
+    val again = graft.text.CorpusStats
+      .zipfProfile(docs.repartition(5), "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(again == got)
+  }
+
   test("df-score: document frequencies, mean df and hapax ratio by hand") {
     // df: apple→1, banana→2, cherry→1, solo→1
     val got = CorpusStats.dfScore(docs, "doc_id", "text")
