@@ -1280,6 +1280,22 @@ object StreamingQueries {
       },
       Some(PipelineQueries.sourceMixOracleSql)),
 
+    // token-entropy AT INGESTION — the lexical-diversity gate as a crawl
+    // monitor: the sorted-run fold is pure per-row column work, so it
+    // streams as-is (append, zero state) and emits the batch row's exact
+    // output — shared oracle.
+    Q("stream_text_entropy",
+      (s, dir) => {
+        implicit val sp = s
+        val cols = graft.text.TextAnalysis.entropyColumns(col("text"))
+          .map { case (n, c) => c.as(n) }
+        val out = StreamSources.documents(s, dir)
+          .select(col("doc_id") +: cols: _*)
+        StreamRun.toBatch(out, "append", numPartitions = 4)
+          .orderBy("doc_id")
+      },
+      Some(PipelineQueries.entropyOracleSql)),
+
     // TEMPERATURE mixing AT INGESTION — the derived-weight variant with
     // the production split: per-source counts are not streamable, so the
     // α = 1/2 weights derive OFFLINE from the archived corpus
