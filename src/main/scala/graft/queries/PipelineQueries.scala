@@ -1951,7 +1951,19 @@ object PipelineQueries {
        |  FROM ${Q.DocsRef}""".stripMargin
 
   private[queries] val MlPredIn: String = "doc_id % 10 = 0"
-  private[queries] val MlPredGen: String = "doc_id % 4 = 1"
+  // the general corpus EXCLUDES the domain class (the paper's setting:
+  // in-domain = curated set, general = background crawl) — a general
+  // slice containing domain docs learns the same phrase conditionals
+  // and the contrast washes out (measured in the 10⁶-doc stress)
+  private[queries] val MlPredGen: String = "doc_id % 4 = 1 AND doc_id % 5 <> 0"
+
+  /** The two training slices as Spark predicates — single-sourced with
+    * the oracle constants above. */
+  private[queries] def mlTrainIn(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+  private[queries] def mlTrainGen(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(4)) === 1 &&
+      pmod(col("doc_id"), lit(5)) =!= 0)
 
   /** Dual-LM (Moore–Lewis) chain ending at `fin2` (every doc: doc_id,
     * n_bigrams, lm_in_q, lm_gen_q, ml_q, ml_xent) and `scd` (scored docs
@@ -3567,10 +3579,8 @@ object PipelineQueries {
     Q("text_moore_lewis",
       (s, dir) => {
         val docs = mlPlant(Tables.documents(s, dir))
-        val mIn = graft.text.NgramLm.train(
-          docs.filter(pmod(col("doc_id"), lit(10)) === 0), "text")
-        val mGen = graft.text.NgramLm.train(
-          docs.filter(pmod(col("doc_id"), lit(4)) === 1), "text")
+        val mIn = graft.text.NgramLm.train(mlTrainIn(docs), "text")
+        val mGen = graft.text.NgramLm.train(mlTrainGen(docs), "text")
         graft.text.NgramLm.scoreContrast(docs, "doc_id", "text", mIn, mGen)
           .orderBy("doc_id")
       },
@@ -3583,10 +3593,8 @@ object PipelineQueries {
     Q("pipeline_moore_lewis_select",
       (s, dir) => {
         val docs = mlPlant(Tables.documents(s, dir))
-        val mIn = graft.text.NgramLm.train(
-          docs.filter(pmod(col("doc_id"), lit(10)) === 0), "text")
-        val mGen = graft.text.NgramLm.train(
-          docs.filter(pmod(col("doc_id"), lit(4)) === 1), "text")
+        val mIn = graft.text.NgramLm.train(mlTrainIn(docs), "text")
+        val mGen = graft.text.NgramLm.train(mlTrainGen(docs), "text")
         val scored = graft.Caches.track(graft.text.NgramLm
           .scoreContrast(docs, "doc_id", "text", mIn, mGen)
           .select("doc_id", "ml_q"))

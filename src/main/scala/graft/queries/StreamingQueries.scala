@@ -907,10 +907,8 @@ object StreamingQueries {
         implicit val sp = s
         import graft.functions.GraftFunctions.wordGrams
         val docs = PipelineQueries.mlPlant(graft.Tables.documents(s, dir))
-        val mIn = graft.text.NgramLm.train(
-          docs.filter(pmod(col("doc_id"), lit(10)) === 0), "text")
-        val mGen = graft.text.NgramLm.train(
-          docs.filter(pmod(col("doc_id"), lit(4)) === 1), "text")
+        val mIn = graft.text.NgramLm.train(PipelineQueries.mlTrainIn(docs), "text")
+        val mGen = graft.text.NgramLm.train(PipelineQueries.mlTrainGen(docs), "text")
         val incoming = PipelineQueries.mlPlant(StreamSources.documents(s, dir))
           .select(col("doc_id"), explode(wordGrams(col("text"), 2)).as("bigram"))
           .withColumn("event_time", current_timestamp())

@@ -160,7 +160,11 @@ class NgramLmSpec extends AnyFunSuite {
         (if (i % 5 == 0) " mlda mldb mlda mldc mldb" else "")))
       .toDF("doc_id", "text")
     val mIn = NgramLm.train(docs.filter(pmod(col("doc_id"), lit(10)) === 0), "text")
-    val mGen = NgramLm.train(docs.filter(pmod(col("doc_id"), lit(4)) === 1), "text")
+    // general slice excludes the domain class (the declared rows' plant):
+    // a general corpus CONTAINING domain docs learns the same phrase
+    // conditionals and the contrast washes out
+    val mGen = NgramLm.train(docs.filter(pmod(col("doc_id"), lit(4)) === 1 &&
+      pmod(col("doc_id"), lit(5)) =!= 0), "text")
     val ml = NgramLm.scoreContrast(docs, "doc_id", "text", mIn, mGen)
       .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
     val heldOut = (1 to 200).filter(i => i % 5 == 0 && i % 10 != 0)

@@ -898,4 +898,76 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(math.abs(jac - 0.2) < 0.08, s"jaccard est $jac")
     assert(secs < 300.0, f"overlap went super-linear: ${secs}%.1f s")
   }
+
+  test("1M-vector PCA: one-pass quantized Gram, direction recovers the plant") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_STRESS=1 to run")
+    import org.apache.spark.sql.functions._
+    // 64-d vectors with a ±4 plant on dim 3 and ±0.5 rotating noise —
+    // the Gram pass is ONE aggregation (4096 longs per partition to the
+    // final merge); the claim under load is wall-clock linearity over
+    // the 4·10⁹ per-row products and that the direction still recovers.
+    val n = totalRows / 10
+    val t0 = System.nanoTime()
+    val vecs = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), j =>
+        when(j === 2,
+          when(pmod(col("id"), lit(2L)) === 0, lit(4.0)).otherwise(lit(-4.0)))
+          .when(j === pmod(col("id"), lit(59L)).cast("int") + 4,
+            when(pmod(col("id"), lit(3L)) === 0, lit(0.5)).otherwise(lit(-0.5)))
+          .otherwise(lit(0.0))).as("embedding"))
+    val g = graft.similarity.Similarity.gramQuantized(vecs, "embedding")
+    val u = graft.similarity.Similarity.pcaTopDirection(g, dim = 64)
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"gram+direction over $n 64-d vectors: ${secs}%.1f s, u(2)=${u(2)}%.4f")
+    assert(math.abs(math.abs(u(2)) - 1.0) < 1e-3,
+      s"dominant direction must be ~e_3 at scale: ${u.take(8).toSeq}")
+    assert(secs < 420.0, f"gram pass went super-linear: ${secs}%.1f s")
+  }
+
+  test("1M-doc Moore-Lewis: dual probe in one scan, held-out domain docs out-score") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_STRESS=1 to run")
+    import org.apache.spark.sql.functions._
+    // domain phrase on the %5 class, in-domain model trained ONLY on its
+    // even half (1e5 docs), general model on the %4=1 slice: the corpus
+    // pays one exploded-bigram scan probing BOTH models; the held-out
+    // half of the domain class must still out-score plain docs.
+    val n = totalRows / 10
+    val t0 = System.nanoTime()
+    // fillers are HASH-drawn, not multiplicative: id·k mod 2000 keeps
+    // the residue structure of id, so a %10 training slice would only
+    // ever see multiples-of-10 filler types and every held-out doc
+    // would be artificially OOV to the in-domain model (measured: the
+    // sign of the comparison flips on that artifact)
+    val docs = graft.Caches.track(spark.range(n).select(col("id").as("doc_id"),
+      concat(
+        concat_ws(" ", (0 until 8).map(j =>
+          concat(lit("w"),
+            pmod(xxhash64(col("id"), lit(j)), lit(2000L)).cast("string"))): _*),
+        when(pmod(col("id"), lit(5L)) === 0,
+          lit(" mlda mldb mlda mldc mldb")).otherwise(lit(""))).as("text")))
+    val lm = graft.text.NgramLm
+    val mIn = lm.train(docs.filter(pmod(col("doc_id"), lit(10L)) === 0), "text")
+    // the general corpus excludes the domain class (the paper's setting:
+    // in-domain = curated set, general = background crawl) — a general
+    // slice CONTAINING domain docs learns the same phrase conditionals
+    // (p(mldb|mlda) ≈ 0.5 in both models) and the contrast washes out
+    val mGen = lm.train(docs.filter(pmod(col("doc_id"), lit(4L)) === 1 &&
+      pmod(col("doc_id"), lit(5L)) =!= 0), "text")
+    val agg = lm.scoreContrast(docs, "doc_id", "text", mIn, mGen)
+      .select(
+        when(pmod(col("doc_id"), lit(5L)) === 0 &&
+          pmod(col("doc_id"), lit(10L)) =!= 0, lit("held"))
+          .when(pmod(col("doc_id"), lit(5L)) =!= 0, lit("plain"))
+          .otherwise(lit("train")).as("cls"),
+        col("ml_q"))
+      .groupBy("cls").agg(avg(col("ml_q").cast("double")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    graft.Caches.releaseAll()
+    info(f"moore-lewis over $n docs: ${secs}%.1f s, " +
+      f"held ${agg("held")}%.0f vs plain ${agg("plain")}%.0f")
+    assert(agg("held") > agg("plain"),
+      s"held-out domain docs must out-score plain docs at scale: $agg")
+    assert(secs < 420.0, f"contrastive scoring went super-linear: ${secs}%.1f s")
+  }
 }
