@@ -126,6 +126,46 @@ object PipelineQueries {
     * staged portable-log chain carrying x = c/n through to the quantized
     * per-type term, per-doc integer sum — order-free, so it equals the
     * engine's sorted-run fold exactly. */
+  private[queries] val CollocK: Int = 50
+  private[queries] val CollocMinCount: Long = 5L
+
+  /** Collocation replay: unigram/bigram counts, the PMI ratio in pinned
+    * double arithmetic, the staged plog chain, rank + cut on the
+    * (pmi_q DESC, bigram) total order. */
+  // lazy: interpolates tkCteSql, which initializes later in this object
+  private[queries] lazy val collocationsOracleSql: String = {
+    import graft.functions.PortableLog
+    val bigrams = "CASE WHEN len(toks) >= 2 THEN list_transform(range(0, len(toks) - 1), " +
+      "i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]) " +
+      "ELSE CAST([] AS VARCHAR[]) END"
+    s"""WITH m AS MATERIALIZED (SELECT doc_id, text FROM ${Q.DocsRef}),
+       |$tkCteSql,
+       |c1 AS MATERIALIZED (SELECT token, count(*) AS c1 FROM
+       |       (SELECT unnest(toks) AS token FROM tk) t GROUP BY token),
+       |nn AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM c1),
+       |c2 AS (SELECT bigram, count(*) AS c2
+       |       FROM (SELECT doc_id, unnest($bigrams) AS bigram FROM tk) b
+       |       GROUP BY bigram HAVING count(*) >= $CollocMinCount),
+       |xx AS (SELECT c2.bigram, c2.c2,
+       |         (CAST(c2.c2 AS DOUBLE) * CAST(nn.n AS DOUBLE)) /
+       |           (CAST(ca.c1 AS DOUBLE) * CAST(cb.c1 AS DOUBLE)) AS x
+       |       FROM c2
+       |       JOIN c1 ca ON ca.token = split_part(c2.bigram, ' ', 1)
+       |       JOIN c1 cb ON cb.token = split_part(c2.bigram, ' ', 2)
+       |       CROSS JOIN nn),
+       |yy AS MATERIALIZED (SELECT bigram, c2,
+       |        ${PortableLog.sqrtNestSql("x")} AS y FROM xx),
+       |zz AS MATERIALIZED (SELECT bigram, c2,
+       |        ${PortableLog.zSql("y")} AS z FROM yy),
+       |qq AS (SELECT bigram, c2,
+       |        CAST(floor(1.0e6 * ${PortableLog.seriesSql("z")}) AS BIGINT) AS pmi_q
+       |       FROM zz),
+       |rk AS (SELECT bigram, c2, pmi_q,
+       |         row_number() OVER (ORDER BY pmi_q DESC, bigram) AS r FROM qq)
+       |SELECT bigram, CAST(c2 AS BIGINT) AS c2, pmi_q FROM rk
+       |WHERE r <= $CollocK ORDER BY pmi_q DESC, bigram""".stripMargin
+  }
+
   // lazy: interpolates tkCteSql, which initializes later in this object
   private[queries] lazy val entropyOracleSql: String = {
     import graft.functions.PortableLog
@@ -3905,6 +3945,19 @@ object PipelineQueries {
           .orderBy("source")
       },
       Some(metricCorrOracleSql)),
+
+    // COLLOCATION extraction by PMI — "which token pairs stick together
+    // more than chance" (multi-word expressions, tokenizer-merge
+    // seeding: BPE's objective is raw frequency, PMI surfaces ASSOCIATED
+    // pairs): unigram + min-count-floored bigram counts, two
+    // vocabulary-sized marginal joins, the quantized portable log of
+    // (c2·N)/(c1·c1') in pinned double arithmetic, top-50 by
+    // (pmi_q DESC, bigram) via TakeOrdered — no global sort.
+    Q("text_collocations",
+      (s, dir) => graft.text.CorpusStats.collocations(
+        Tables.documents(s, dir), "text",
+        k = CollocK, minCount = CollocMinCount),
+      Some(collocationsOracleSql)),
 
     // per-source ZIPF-slope profile — "does this source look like
     // natural language": the log-log regression of token frequency on

@@ -678,6 +678,47 @@ object CorpusStats {
       .withColumnRenamed("n_docs", "n_types")
   }
 
+  /** COLLOCATION extraction by pointwise mutual information — "which
+    * token pairs stick together more than chance": PMI(w1, w2) =
+    * ln(p(w1 w2)/(p(w1)p(w2))) = ln(c2·N/(c1(w1)·c1(w2))), the classic
+    * corpus-analysis op (multi-word expressions, named entities,
+    * tokenizer-merge seeding — BPE's objective is raw frequency; PMI
+    * surfaces the pairs that are ASSOCIATED, not merely common).
+    *
+    * Chain: one token scan (unigram counts + exact N), one bigram scan
+    * (pair counts, floored at `minCount` — PMI is notoriously noisy on
+    * rare pairs), two vocabulary-sized joins attaching the marginals
+    * (the LM-training join shape), then the quantized portable log of
+    * x = (c2·N)/(c1·c1') computed in double (the int64 product c2·N
+    * overflows at corpus scale; the double dag is pinned: two multiplies,
+    * one divide, plog, floor). Top-k by (pmi_q DESC, bigram) plans as
+    * TakeOrderedAndProject — per-partition heads, no global sort; k is a
+    * policy dimension. Output: (bigram, c2, pmi_q).
+    */
+  def collocations(corpus: DataFrame, textCol: String, k: Int = 50,
+      minCount: Long = 5L): DataFrame = {
+    import graft.functions.PortableLog
+    val c1 = graft.Caches.track(
+      corpus.select(explode(tokens(col(textCol))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("c1")))
+    val n = c1.agg(coalesce(sum(col("c1")), lit(0L))).first().getLong(0)
+    require(n > 0, "collocations need a non-empty corpus")
+    val c2 = corpus
+      .select(explode(wordGrams(col(textCol), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+    val x = (col("c2").cast("double") * lit(n.toDouble)) /
+      (col("c1a").cast("double") * col("c1b").cast("double"))
+    c2.join(c1.select(col("token").as("__w1"), col("c1").as("c1a")),
+        substring_index(col("bigram"), " ", 1) === col("__w1"))
+      .join(c1.select(col("token").as("__w2"), col("c1").as("c1b")),
+        substring_index(col("bigram"), " ", -1) === col("__w2"))
+      .select(col("bigram"), col("c2"),
+        floor(lit(1.0e6) * PortableLog.plogCol(x)).cast("long").as("pmi_q"))
+      .orderBy(col("pmi_q").desc, col("bigram").asc)
+      .limit(k)
+  }
+
   /** (token, df): document frequency of every distinct token — the number
     * of documents containing it at least once. One narrow explode of the
     * per-document DISTINCT token set (no countDistinct expand), one

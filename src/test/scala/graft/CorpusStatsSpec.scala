@@ -21,6 +21,42 @@ class CorpusStatsSpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
   }
 
+  test("collocations: hand PMI, sticky pair outranks common-but-independent pair") {
+    import spark.implicits._
+    import graft.functions.PortableLog
+    // "alpha beta" always co-occur (sticky); "x"/"y" are common but meet
+    // only sometimes; singles pad N. One doc per line keeps bigram
+    // bookkeeping trivial.
+    val docs = (
+      Seq.fill(8)("alpha beta") ++
+      Seq.fill(20)("x pad1 y") ++
+      Seq.fill(6)("x y") ++
+      Seq.fill(30)("pad2 pad3")
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = graft.text.CorpusStats.collocations(docs, "text", k = 10,
+        minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // hand replay: token counts and N
+    val c1 = Map("alpha" -> 8L, "beta" -> 8L, "x" -> 26L, "y" -> 26L,
+      "pad1" -> 20L, "pad2" -> 30L, "pad3" -> 30L)
+    val n = c1.values.sum
+    def pmiQ(c2: Long, a: String, b: String): Long =
+      math.floor(1.0e6 * PortableLog.plog(
+        (c2.toDouble * n.toDouble) / (c1(a).toDouble * c1(b).toDouble))).toLong
+    val want = Seq(
+      ("alpha beta", 8L, pmiQ(8, "alpha", "beta")),
+      ("x pad1", 20L, pmiQ(20, "x", "pad1")),
+      ("pad1 y", 20L, pmiQ(20, "pad1", "y")),
+      ("x y", 6L, pmiQ(6, "x", "y")),
+      ("pad2 pad3", 30L, pmiQ(30, "pad2", "pad3"))
+    ).sortBy(t => (-t._3, t._1))
+    assert(got.toSeq == want, s"got ${got.toSeq}")
+    assert(got.head._1 == "alpha beta",
+      "the always-together pair must carry the highest PMI")
+    assert(pmiQ(8, "alpha", "beta") > pmiQ(6, "x", "y"),
+      "sticky beats common-but-independent")
+  }
+
   test("zipf profile: planted power law scores ~-1, uniform text does not") {
     import spark.implicits._
     // zipf source: token w_r appears floor(1000/r) times, r = 1..60 — a
