@@ -424,6 +424,36 @@ class PlanQualitySpec extends AnyFunSuite {
       "expected partial+final exact count: " + p.take(3000))
   }
 
+  test("Moore-Lewis dual probe broadcasts all four model relations, one corpus scan") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.SF)
+    val mIn = graft.text.NgramLm.train(
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0), "text")
+    val mGen = graft.text.NgramLm.train(
+      docs.filter(pmod(col("doc_id"), lit(4)) === 1), "text")
+    val p = graft.text.NgramLm.scoreContrast(docs, "doc_id", "text", mIn, mGen)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      "both models' qSeen+heads must broadcast: " + p.take(3000))
+    // the doc_id-keyed keep-every-doc join may sort; the MODEL probes
+    // (bigram-keyed) must not
+    assert(!p.contains("SortMergeJoin [bigram"),
+      "the corpus must never be sorted for a model probe: " + p.take(3000))
+    graft.Caches.releaseAll()
+  }
+
+  test("PCA projection is zero-shuffle: no Exchange, no Join in the scoring stage") {
+    // the Gram pass pays its one aggregation; SCORING against the
+    // plan-literal direction must stay a pure scan
+    val emb = Tables.embeddings(spark, TestSpark.SF)
+    val u = Array.tabulate(64)(i => if (i == 0) 1.0 else 0.0)
+    val p = graft.similarity.Similarity
+      .pcaProject(emb, "vec_id", "embedding", u)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      "PCA scoring should be a single scan: " + p.take(3000))
+  }
+
   test("salted join is result-identical to the plain equi-join") {
     val o = Tables.orders(spark, TestSpark.SF)
     val c = Tables.customer(spark, TestSpark.SF)
