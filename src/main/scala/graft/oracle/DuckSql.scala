@@ -14,7 +14,13 @@ package graft.oracle
   */
 object DuckSql {
 
-  /** 60-bit md5-prefix hash == GraftFunctions.hash60. */
+  /** 60-bit md5-prefix hash == GraftFunctions.hash60.
+    * CAUTION: the rendering binds lambda variables `i`, `a`, `b`
+    * internally — an `expr` referencing an OUTER lambda variable with
+    * one of those names is silently captured by the inner binding
+    * (measured: a CDC boundary filter over `i` chunked on hex-digit
+    * positions instead of token positions). Name outer lambda variables
+    * something else. */
   def hash60(expr: String): String =
     s"list_reduce(list_transform(range(1,16), i -> " +
       s"strpos('0123456789abcdef', substr(md5(CAST(($expr) AS VARCHAR)), CAST(i AS INT), 1)) - 1), " +

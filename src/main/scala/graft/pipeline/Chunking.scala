@@ -45,4 +45,46 @@ object Chunking {
         array_join(slice(col("toks"), col("start") + 1, col("chunk_len")), " ")
           .as("chunk_text"))
   }
+
+  /** CONTENT-DEFINED chunking — boundaries cut AFTER any token whose
+    * portable hash lands in the boundary class (h mod `mask` = 0), so a
+    * chunk's identity depends only on its own tokens: inserting or
+    * deleting text perturbs ONLY the chunks it touches, where
+    * fixed-stride chunking shifts every downstream chunk (the rsync/LBFS
+    * rolling-hash trick, applied at token granularity — what makes
+    * chunk-level dedup of an EDITED incremental corpus work: unchanged
+    * paragraphs keep their chunk digests). Expected chunk length =
+    * `mask` tokens; the boundary decision is the engine's fixed 60-bit
+    * hash, so chunking is deterministic cross-engine.
+    *
+    * Pure per-row column work, same scale shape as [[chunkDocs]]: the
+    * boundary-position array is one O(n) filter over the token indexes,
+    * chunk extraction one slice per chunk — no shuffle, one scan.
+    * Output: (id, chunk_no, chunk_len, chunk_text); zero-token docs emit
+    * nothing, a boundary on the last token does not open an empty tail.
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      mask: Int = 8): DataFrame = {
+    require(mask > 0, s"boundary mask must be positive: $mask")
+    import graft.functions.GraftFunctions.hash60
+    val n = org.apache.spark.sql.functions.size(col("toks"))
+    val bpos = filter(sequence(lit(0), n - 1), i =>
+      pmod(hash60(element_at(col("toks"), i + 1)), lit(mask.toLong)) === 0)
+    val starts = concat(array(lit(0)), transform(col("bpos"), p => p + 1))
+    val ends = concat(transform(col("bpos"), p => p + 1), array(n))
+    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .filter(org.apache.spark.sql.functions.size(col("toks")) > 0)
+      .withColumn("bpos", bpos)
+      .withColumn("spans",
+        filter(
+          zip_with(starts, ends, (s, e) => struct(s.as("s"), (e - s).as("l"))),
+          sp => sp.getField("l") > 0))
+      .select(col(idCol), col("toks"),
+        posexplode(col("spans")).as(Seq("chunk_no", "span")))
+      .select(col(idCol), col("chunk_no").cast("int").as("chunk_no"),
+        col("span.l").cast("int").as("chunk_len"),
+        array_join(
+          slice(col("toks"), col("span.s") + 1, col("span.l")), " ")
+          .as("chunk_text"))
+  }
 }

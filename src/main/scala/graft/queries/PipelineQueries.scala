@@ -129,6 +129,41 @@ object PipelineQueries {
   private[queries] val CollocK: Int = 50
   private[queries] val CollocMinCount: Long = 5L
 
+  private[queries] val CdcMask: Int = 8
+
+  /** CDC replay: boundary positions by the same hash class, spans from
+    * the prepended/appended cut lists, empty spans filtered BEFORE the
+    * ordinal explode (chunk_no numbers surviving chunks, as the engine's
+    * posexplode does), 1-based inclusive list slicing for the text. */
+  // lazy: interpolates tkCteSql, which initializes later in this object
+  private[queries] lazy val cdcChunksOracleSql: String =
+    s"""WITH m AS MATERIALIZED (SELECT doc_id, text FROM ${Q.DocsRef}),
+       |$tkCteSql,
+       |bp AS (SELECT doc_id, toks,
+       |         list_filter(range(0, len(toks)),
+       |           ti -> ${DuckSql.hash60("toks[CAST(ti+1 AS INT)]")} % $CdcMask = 0) AS bpos
+       |       FROM tk WHERE len(toks) > 0),
+       |sp AS (SELECT doc_id, toks,
+       |         list_prepend(CAST(0 AS BIGINT), list_transform(bpos, p -> p + 1)) AS starts,
+       |         list_append(list_transform(bpos, p -> p + 1), CAST(len(toks) AS BIGINT)) AS ends
+       |       FROM bp),
+       |sp2 AS (SELECT doc_id, toks,
+       |          list_filter(
+       |            list_transform(range(0, len(starts)),
+       |              j -> struct_pack(s := starts[CAST(j+1 AS INT)],
+       |                     l := ends[CAST(j+1 AS INT)] - starts[CAST(j+1 AS INT)])),
+       |            x -> x.l > 0) AS spans
+       |        FROM sp),
+       |ex AS (SELECT doc_id, toks, spans,
+       |         unnest(range(0, len(spans))) AS j FROM sp2)
+       |SELECT doc_id, CAST(j AS INT) AS chunk_no,
+       |       CAST(spans[CAST(j+1 AS INT)].l AS INT) AS chunk_len,
+       |       array_to_string(
+       |         toks[CAST(spans[CAST(j+1 AS INT)].s + 1 AS INT)
+       |              : CAST(spans[CAST(j+1 AS INT)].s + spans[CAST(j+1 AS INT)].l AS INT)],
+       |         ' ') AS chunk_text
+       |FROM ex ORDER BY doc_id, chunk_no""".stripMargin
+
   /** Collocation replay: unigram/bigram counts, the PMI ratio in pinned
     * double arithmetic, the staged plog chain, rank + cut on the
     * (pmi_q DESC, bigram) total order. */
@@ -4354,6 +4389,20 @@ object PipelineQueries {
           size = ChunkTokens, stride = ChunkStride)
         .orderBy("doc_id", "chunk_no"),
       Some(chunkOracleSql)),
+
+    // CONTENT-DEFINED chunking — boundaries cut after tokens whose
+    // portable hash lands in the boundary class (the rsync/LBFS
+    // rolling-hash trick at token granularity): a chunk's identity
+    // depends only on its own tokens, so edits perturb ONLY the chunks
+    // they touch where fixed-stride chunking shifts every downstream
+    // chunk — what makes chunk-level dedup of an EDITED incremental
+    // corpus work. Pure per-row column work (one O(n) boundary filter +
+    // one slice per chunk), no shuffle; expected chunk = mask tokens.
+    Q("pipeline_cdc_chunks",
+      (s, dir) => graft.pipeline.Chunking.cdcChunks(
+          Tables.documents(s, dir), "doc_id", "text", mask = CdcMask)
+        .orderBy("doc_id", "chunk_no"),
+      Some(cdcChunksOracleSql)),
 
     // deterministic stratified (class-balanced) sampling: 20 vectors per
     // label, chosen by a fixed multiplicative hash of the id so the

@@ -313,6 +313,44 @@ class TextEdgeCasesSpec extends AnyFunSuite {
         == (1 to n).map(i => s"w$i").toSet, s"n=$n must be fully covered")
   }
 
+  test("CDC chunking: hash boundaries, coverage, and edit-locality vs fixed stride") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    val base = (1 to 60).map(i => s"t$i").mkString(" ")
+    val edited = "zz0 zz1 zz2 " + base // a prefix insertion
+    val docs = Seq((1L, base), (2L, edited), (3L, "")).toDF("doc_id", "text")
+    val got = graft.pipeline.Chunking.cdcChunks(docs, "doc_id", "text", mask = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(!got.exists(_._1 == 3L), "token-less docs emit no chunks")
+    // hand replay of the boundary rule for the base doc
+    val toks = base.split(" ").toSeq
+    val bounds = toks.zipWithIndex.collect {
+      case (t, i) if GraftFunctions.hash60Scala(t) % 4 == 0 => i
+    }
+    val cuts = (-1 +: bounds) :+ (toks.size - 1)
+    val want = cuts.sliding(2).collect {
+      case Seq(a, b) if b > a => toks.slice(a + 1, b + 1).mkString(" ")
+    }.toSeq
+    val gotBase = got.filter(_._1 == 1L).sortBy(_._2).map(_._4).toSeq
+    assert(gotBase == want, s"boundary replay mismatch: $gotBase vs $want")
+    // coverage: concatenating chunks reproduces the token stream
+    assert(gotBase.mkString(" ") == base)
+    // EDIT LOCALITY — the property fixed-stride chunking lacks: after a
+    // prefix insertion every chunk beyond the first boundary is
+    // UNCHANGED (content-defined cuts resynchronize)
+    val gotEdit = got.filter(_._1 == 2L).sortBy(_._2).map(_._4).toSeq
+    assert(gotEdit.tail == gotBase.tail,
+      "chunks after the first boundary must survive a prefix edit")
+    val fixedBase = graft.pipeline.Chunking
+      .chunkDocs(docs.filter(col("doc_id") === 1L), "doc_id", "text", 8, 8)
+      .collect().map(_.getString(3)).toSet
+    val fixedEdit = graft.pipeline.Chunking
+      .chunkDocs(docs.filter(col("doc_id") === 2L), "doc_id", "text", 8, 8)
+      .collect().map(_.getString(3)).toSet
+    assert((fixedBase intersect fixedEdit).size < gotBase.tail.size,
+      "fixed-stride chunks must shift under the same edit (the contrast)")
+  }
+
   test("decontaminate: self-overlap flags, zero-overlap passes, short docs survive") {
     import spark.implicits._
     val corpus = Seq(
