@@ -87,4 +87,30 @@ object Chunking {
           slice(col("toks"), col("span.s") + 1, col("span.l")), " ")
           .as("chunk_text"))
   }
+
+  /** CHUNK-level exact dedup — what content-defined chunking exists for:
+    * identical chunks across documents (boilerplate paragraphs, quoted
+    * passages, re-crawled pages with edits) collapse onto one
+    * representative even when the surrounding documents differ, because
+    * [[cdcChunks]] boundaries resynchronize after any edit. Digest
+    * shuffle only (the exact-dedup scale shape — md5 of the chunk text
+    * is the join key; text never shuffles beyond the digest
+    * aggregation); representative = the (id, chunk_no) struct-minimum
+    * per digest, the engine's keep-first rule. Output: every chunk with
+    * (rep_doc, rep_chunk, is_dup).
+    */
+  def chunkDedup(chunks: DataFrame, idCol: String,
+      chunkCol: String, textCol: String): DataFrame = {
+    val dg = chunks.select(col(idCol), col(chunkCol),
+      md5(col(textCol)).as("__d"))
+    val reps = dg.groupBy("__d")
+      .agg(min(struct(col(idCol), col(chunkCol))).as("__rep"))
+    dg.join(reps, "__d")
+      .select(col(idCol), col(chunkCol),
+        col(s"__rep.$idCol").as("rep_doc"),
+        col(s"__rep.$chunkCol").as("rep_chunk"),
+        when(col(s"__rep.$idCol") === col(idCol) &&
+          col(s"__rep.$chunkCol") === col(chunkCol), lit(0))
+          .otherwise(lit(1)).cast("int").as("is_dup"))
+  }
 }

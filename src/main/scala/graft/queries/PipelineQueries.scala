@@ -134,10 +134,11 @@ object PipelineQueries {
   /** CDC replay: boundary positions by the same hash class, spans from
     * the prepended/appended cut lists, empty spans filtered BEFORE the
     * ordinal explode (chunk_no numbers surviving chunks, as the engine's
-    * posexplode does), 1-based inclusive list slicing for the text. */
+    * posexplode does), 1-based inclusive list slicing for the text.
+    * Ends at CTE `chunks` (doc_id, chunk_no, chunk_len, chunk_text). */
   // lazy: interpolates tkCteSql, which initializes later in this object
-  private[queries] lazy val cdcChunksOracleSql: String =
-    s"""WITH m AS MATERIALIZED (SELECT doc_id, text FROM ${Q.DocsRef}),
+  private[queries] lazy val cdcChunkCtes: String =
+    s"""m AS MATERIALIZED (SELECT doc_id, text FROM ${Q.DocsRef}),
        |$tkCteSql,
        |bp AS (SELECT doc_id, toks,
        |         list_filter(range(0, len(toks)),
@@ -155,14 +156,35 @@ object PipelineQueries {
        |            x -> x.l > 0) AS spans
        |        FROM sp),
        |ex AS (SELECT doc_id, toks, spans,
-       |         unnest(range(0, len(spans))) AS j FROM sp2)
-       |SELECT doc_id, CAST(j AS INT) AS chunk_no,
-       |       CAST(spans[CAST(j+1 AS INT)].l AS INT) AS chunk_len,
-       |       array_to_string(
-       |         toks[CAST(spans[CAST(j+1 AS INT)].s + 1 AS INT)
-       |              : CAST(spans[CAST(j+1 AS INT)].s + spans[CAST(j+1 AS INT)].l AS INT)],
-       |         ' ') AS chunk_text
-       |FROM ex ORDER BY doc_id, chunk_no""".stripMargin
+       |         unnest(range(0, len(spans))) AS j FROM sp2),
+       |chunks AS MATERIALIZED (
+       |  SELECT doc_id, CAST(j AS INT) AS chunk_no,
+       |         CAST(spans[CAST(j+1 AS INT)].l AS INT) AS chunk_len,
+       |         array_to_string(
+       |           toks[CAST(spans[CAST(j+1 AS INT)].s + 1 AS INT)
+       |                : CAST(spans[CAST(j+1 AS INT)].s + spans[CAST(j+1 AS INT)].l AS INT)],
+       |           ' ') AS chunk_text
+       |  FROM ex)""".stripMargin
+
+  private[queries] lazy val cdcChunksOracleSql: String =
+    s"""WITH $cdcChunkCtes
+       |SELECT doc_id, chunk_no, chunk_len, chunk_text
+       |FROM chunks ORDER BY doc_id, chunk_no""".stripMargin
+
+  /** CDC chunk-dedup replay: md5 digests, per-digest (doc, chunk_no)
+    * minimum as the representative, every chunk flagged. */
+  private[queries] lazy val cdcChunkDedupOracleSql: String =
+    s"""WITH $cdcChunkCtes,
+       |dg AS (SELECT doc_id, chunk_no, md5(chunk_text) AS d FROM chunks),
+       |reps AS (SELECT d, min(struct_pack(doc_id := doc_id, chunk_no := chunk_no)) AS rep
+       |         FROM dg GROUP BY d)
+       |SELECT g.doc_id, g.chunk_no,
+       |       CAST(r.rep.doc_id AS BIGINT) AS rep_doc,
+       |       CAST(r.rep.chunk_no AS INT) AS rep_chunk,
+       |       CAST(CASE WHEN r.rep.doc_id = g.doc_id AND r.rep.chunk_no = g.chunk_no
+       |            THEN 0 ELSE 1 END AS INT) AS is_dup
+       |FROM dg g JOIN reps r ON r.d = g.d
+       |ORDER BY doc_id, chunk_no""".stripMargin
 
   /** Collocation replay: unigram/bigram counts, the PMI ratio in pinned
     * double arithmetic, the staged plog chain, rank + cut on the
@@ -4403,6 +4425,20 @@ object PipelineQueries {
           Tables.documents(s, dir), "doc_id", "text", mask = CdcMask)
         .orderBy("doc_id", "chunk_no"),
       Some(cdcChunksOracleSql)),
+
+    // CHUNK-level exact dedup over the CDC chunks — what content-defined
+    // boundaries exist for: identical chunks collapse across documents
+    // (boilerplate paragraphs, re-crawled pages with edits) even when
+    // the surrounding docs differ, because the cuts resynchronize after
+    // any edit. Digest shuffle only; representative = per-digest
+    // (doc, chunk_no) struct-minimum — the engine's keep-first rule.
+    Q("pipeline_cdc_chunk_dedup",
+      (s, dir) => graft.pipeline.Chunking.chunkDedup(
+          graft.pipeline.Chunking.cdcChunks(
+            Tables.documents(s, dir), "doc_id", "text", mask = CdcMask),
+          "doc_id", "chunk_no", "chunk_text")
+        .orderBy("doc_id", "chunk_no"),
+      Some(cdcChunkDedupOracleSql)),
 
     // deterministic stratified (class-balanced) sampling: 20 vectors per
     // label, chosen by a fixed multiplicative hash of the id so the
