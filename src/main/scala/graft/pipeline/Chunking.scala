@@ -99,6 +99,32 @@ object Chunking {
     * per digest, the engine's keep-first rule. Output: every chunk with
     * (rep_doc, rep_chunk, is_dup).
     */
+  /** INCREMENTAL chunk dedup — the re-crawl shape: the ARCHIVE's chunk
+    * digests and keep-first representatives derive offline (one digest
+    * aggregation over the archived corpus's chunks); incoming documents
+    * chunk per row ([[cdcChunks]] is pure column work, so it runs
+    * unchanged on a stream) and probe the static representative table by
+    * digest — a stateless stream-static left join, no watermark, no
+    * state. Unknown chunks report (-1, -1, 0): genuinely new content;
+    * known ones carry their archive owner — and because CDC boundaries
+    * resynchronize after edits, a re-crawled page with an inserted
+    * paragraph still matches every untouched chunk.
+    */
+  def chunkDedupAgainst(chunks: DataFrame, archiveChunks: DataFrame,
+      idCol: String, chunkCol: String, textCol: String): DataFrame = {
+    val reps = archiveChunks
+      .select(md5(col(textCol)).as("__d"),
+        struct(col(idCol), col(chunkCol)).as("__rc"))
+      .groupBy("__d").agg(min(col("__rc")).as("__rep"))
+    chunks.select(col(idCol), col(chunkCol), md5(col(textCol)).as("__d"))
+      .join(reps, Seq("__d"), "left")
+      .select(col(idCol), col(chunkCol),
+        coalesce(col(s"__rep.$idCol"), lit(-1L)).as("rep_doc"),
+        coalesce(col(s"__rep.$chunkCol"), lit(-1)).cast("int").as("rep_chunk"),
+        when(col("__rep").isNull, lit(0)).otherwise(lit(1))
+          .cast("int").as("is_known"))
+  }
+
   def chunkDedup(chunks: DataFrame, idCol: String,
       chunkCol: String, textCol: String): DataFrame = {
     val dg = chunks.select(col(idCol), col(chunkCol),

@@ -171,6 +171,21 @@ object PipelineQueries {
        |SELECT doc_id, chunk_no, chunk_len, chunk_text
        |FROM chunks ORDER BY doc_id, chunk_no""".stripMargin
 
+  /** Incremental CDC dedup replay: the archive (%4 residue) side's
+    * digest representatives, every chunk LEFT-probed, unknown chunks
+    * reporting (-1, -1, 0). */
+  private[queries] lazy val cdcDedupIncrementalOracleSql: String =
+    s"""WITH $cdcChunkCtes,
+       |dg AS (SELECT doc_id, chunk_no, md5(chunk_text) AS d FROM chunks),
+       |reps AS (SELECT d, min(struct_pack(doc_id := doc_id, chunk_no := chunk_no)) AS rep
+       |         FROM dg WHERE doc_id % 4 = 0 GROUP BY d)
+       |SELECT g.doc_id, g.chunk_no,
+       |       CAST(COALESCE(r.rep.doc_id, -1) AS BIGINT) AS rep_doc,
+       |       CAST(COALESCE(r.rep.chunk_no, -1) AS INT) AS rep_chunk,
+       |       CAST(CASE WHEN r.d IS NULL THEN 0 ELSE 1 END AS INT) AS is_known
+       |FROM dg g LEFT JOIN reps r ON r.d = g.d
+       |ORDER BY doc_id, chunk_no""".stripMargin
+
   /** CDC chunk-dedup replay: md5 digests, per-digest (doc, chunk_no)
     * minimum as the representative, every chunk flagged. */
   private[queries] lazy val cdcChunkDedupOracleSql: String =

@@ -1282,6 +1282,29 @@ object StreamingQueries {
     // monitor: the sorted-run fold is pure per-row column work, so it
     // streams as-is (append, zero state) and emits the batch row's exact
     // output — shared oracle.
+    // CDC chunk dedup AT INGESTION — the re-crawl monitor: the archive's
+    // (%4 residue) chunk-digest representatives derive offline, incoming
+    // docs chunk PER ROW (content-defined cuts are pure column work) and
+    // probe them by a stateless stream-static left join — no watermark,
+    // no state; edit-resynchronized boundaries mean a re-crawled page
+    // with an inserted paragraph still matches every untouched chunk.
+    Q("stream_pipeline_cdc_dedup",
+      (s, dir) => {
+        implicit val sp = s
+        val ck = graft.pipeline.Chunking
+        val archive = ck.cdcChunks(
+          graft.Tables.documents(s, dir)
+            .filter(pmod(col("doc_id"), lit(4)) === 0),
+          "doc_id", "text", mask = PipelineQueries.CdcMask)
+        val out = ck.chunkDedupAgainst(
+          ck.cdcChunks(StreamSources.documents(s, dir), "doc_id", "text",
+            mask = PipelineQueries.CdcMask),
+          archive, "doc_id", "chunk_no", "chunk_text")
+        StreamRun.toBatch(out, "append", numPartitions = 4)
+          .orderBy("doc_id", "chunk_no")
+      },
+      Some(PipelineQueries.cdcDedupIncrementalOracleSql)),
+
     Q("stream_text_entropy",
       (s, dir) => {
         implicit val sp = s
