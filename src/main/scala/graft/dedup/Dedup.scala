@@ -590,6 +590,67 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** INTEGER PageRank over an undirected pair graph — authority scoring
+    * inside dup clusters ("which copy is the canonical one": the page
+    * every near-duplicate points at outranks its copies — a smarter
+    * representative rule than min-id when provenance matters) and, more
+    * generally, the iterative-graph-analytics pattern beyond
+    * [[connectedComponents]]' label propagation.
+    *
+    * All arithmetic is EXACT int64: pr₀ = 10⁶ per vertex; each of the
+    * FIXED `rounds` computes inflow(v) = Σ_{u→v} pr(u) div deg(u) and
+    * pr'(v) = 150000 + (17·inflow) div 20 — the damping d = 0.85 spelled
+    * as integer 17/20 ops (operands non-negative, so Spark `div` ≡
+    * DuckDB `//`, the engine's pinned convention). Integer sums are
+    * order-free, so the result is partitioning/merge-order independent
+    * and a DuckDB oracle replays every round exactly; a fixed round
+    * count makes the operator a deterministic function of the graph (no
+    * convergence tolerance). Overflow bound (documented): 17·inflow
+    * needs Σ_neighbors pr(u) < 2⁶²/17 — at pr ~10⁶ that allows ~10¹¹
+    * in-neighbors per vertex.
+    *
+    * Scale shape: per round one edge-keyed join + one dst-keyed
+    * aggregation over the PAIR GRAPH (not the corpus — vertices touching
+    * no edge never enter the loop and take the closed form 150000 at the
+    * final left join: zero inflow every round). Lineage truncated per
+    * round via localCheckpoint, the [[connectedComponents]] discipline.
+    * Output: (id, pr_q) for every id in `nodes`.
+    */
+  def pageRank(nodes: DataFrame, idCol: String, pairs: DataFrame,
+      rounds: Int = 6): DataFrame = {
+    require(rounds >= 1, s"pagerank needs at least one round: $rounds")
+    val p = pairs.select(col("a_id"), col("b_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val edges = p.union(p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      val deg = edges.groupBy(col("a_id").as("id")).agg(count(lit(1)).as("deg"))
+      // (src, dst, src-degree) — the per-round probe relation, built once
+      val ed = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .join(deg.select(col("id").as("src"), col("deg")), "src")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val verts = ed.select(col("src").as("id")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var pr = verts.withColumn("pr_q", lit(1000000L)).localCheckpoint(true)
+      var r = 0
+      while (r < rounds) {
+        val inflow = pr.join(ed, col("id") === col("src"))
+          .select(col("dst"), expr("pr_q div deg").as("c"))
+          .groupBy(col("dst").as("id")).agg(sum("c").as("inf"))
+        pr = verts.join(inflow, Seq("id"), "left")
+          .select(col("id"),
+            (lit(150000L) + expr("(17 * coalesce(inf, 0L)) div 20")).as("pr_q"))
+          .localCheckpoint(true)
+        r += 1
+      }
+      // every round materialized eagerly — the probe relations can go
+      ed.unpersist()
+      verts.unpersist()
+      nodes.select(col(idCol))
+        .join(pr.withColumnRenamed("id", idCol), Seq(idCol), "left")
+        .select(col(idCol), coalesce(col("pr_q"), lit(150000L)).as("pr_q"))
+    } finally { p.unpersist(); () }
+  }
+
   /** Transitive dedup clusters by iterative min-label propagation with
     * pointer doubling over the verified pair graph. Each round takes, per
     * node, the min of its own label, its neighbors' labels (one-hop

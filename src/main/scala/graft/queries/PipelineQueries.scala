@@ -343,6 +343,36 @@ object PipelineQueries {
        |FROM pr ORDER BY vec_id""".stripMargin
   }
 
+  private[queries] val PageRankRounds: Int = 6
+
+  /** PageRank replay: the minhash pair chain, doubled edges + degrees,
+    * then the FIXED integer rounds as MATERIALIZED CTEs — per round one
+    * inflow aggregation of pr // deg and the damped integer update;
+    * // on non-negative operands ≡ Spark div. Vertices outside the
+    * graph take the closed form 150000 at the final left join. */
+  private[queries] def pageRankOracleSql(threshold: Double): String = {
+    def round(r: Int): String =
+      s"""pr$r AS MATERIALIZED (
+         |  SELECT v.id,
+         |    CAST(150000 + (17 * COALESCE(inf.s, 0)) // 20 AS BIGINT) AS pr
+         |  FROM v LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p.pr // e.deg) AS s
+         |    FROM pr${r - 1} p JOIN ed e ON e.src = p.id
+         |    GROUP BY e.dst) inf ON inf.id = v.id)""".stripMargin
+    s"""${minhashCtes(threshold)},
+       |ed0 AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |        UNION ALL SELECT b_id, a_id FROM pairs),
+       |dgr AS (SELECT src, count(*) AS deg FROM ed0 GROUP BY src),
+       |ed AS MATERIALIZED (SELECT ed0.src, ed0.dst, dgr.deg
+       |                    FROM ed0 JOIN dgr USING (src)),
+       |v AS MATERIALIZED (SELECT DISTINCT src AS id FROM ed),
+       |pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM v),
+       |${(1 to PageRankRounds).map(round).mkString(",\n")}
+       |SELECT d.doc_id, CAST(COALESCE(pr.pr, 150000) AS BIGINT) AS pr_q
+       |FROM ${Q.DocsRef} d LEFT JOIN pr$PageRankRounds pr ON pr.id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Split-leakage replay: the banded-MinHash chain with candidates
     * restricted to CROSS-side (train a, eval b) collisions — the side is
     * the same pure id-hash the split itself uses, rendered per join leg.
@@ -4824,6 +4854,26 @@ object PipelineQueries {
       Some(s"""
         ${minhashCtes(0.6)}
         SELECT a_id, b_id, jaccard FROM pairs ORDER BY a_id, b_id""")),
+
+    // INTEGER PageRank over the near-dup graph — authority scoring
+    // inside dup clusters (the canonical-copy rule when provenance
+    // matters) and the iterative-graph-analytics pattern beyond label
+    // propagation: fixed 6 rounds of exact int64 arithmetic (inflow =
+    // Σ pr div deg, damped 17/20 integer update) — a deterministic
+    // function of the graph, no convergence tolerance; per round one
+    // edge join + one dst aggregation over the PAIR GRAPH, never the
+    // corpus; off-graph docs take the closed form at the final left join.
+    Q("dedup_pagerank",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          shingleN = 3, numPerms = 12, rowsPerBand = 3, threshold = 0.6)
+          .select("a_id", "b_id")
+        Dedup.pageRank(docs.select("doc_id"), "doc_id", pairs,
+          rounds = PageRankRounds)
+          .orderBy("doc_id")
+      },
+      Some(pageRankOracleSql(0.6))),
 
     // split-LEAKAGE audit — the post-split check: near-duplicate pairs
     // that CROSS an 80/20 train/eval hash-split boundary (two DIFFERENT

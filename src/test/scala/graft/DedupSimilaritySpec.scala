@@ -63,6 +63,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(banded.subsetOf(exact), "verify pass must keep only true pairs")
   }
 
+  test("integer PageRank: hand replay on a star, hub outranks spokes, isolated closed form") {
+    import spark.implicits._
+    // star: 1 is the hub of 2..5; (8, 9) an isolated pair; 99 off-graph
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (8L, 9L))
+      .toDF("a_id", "b_id")
+    val nodes = (Seq(1L, 2L, 3L, 4L, 5L, 8L, 9L, 99L)).toDF("doc_id")
+    val got = Dedup.pageRank(nodes, "doc_id", pairs, rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact integer replay
+    val edges = Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 1L -> 5L, 8L -> 9L)
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).map { case (k, es) => k -> es.size.toLong }
+    var pr = deg.keys.map(_ -> 1000000L).toMap
+    (1 to 6).foreach { _ =>
+      val inflow = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => pr(src) / deg(src) }.sum
+      }
+      pr = deg.keys.map(v => v -> (150000L + 17L * inflow.getOrElse(v, 0L) / 20L)).toMap
+    }
+    val want = pr ++ Map(99L -> 150000L)
+    assert(got == want, s"pagerank must replay the integer rounds: $got vs $want")
+    assert(got(1L) > got(2L), "the hub must outrank its spokes")
+    assert(got(2L) == got(3L) && got(3L) == got(4L), "spokes are symmetric")
+    assert(got(99L) == 150000L, "off-graph nodes take the closed form")
+    assert(got(8L) == got(9L), "a symmetric pair stays uniform")
+    // partitioning invariance (integer arithmetic end to end)
+    val again = Dedup.pageRank(nodes.repartition(5), "doc_id",
+        pairs.repartition(3), rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
   test("connected components produce transitive representatives") {
     import spark.implicits._
     val ids = spark.createDataset(1L to 6L).toDF("id")
