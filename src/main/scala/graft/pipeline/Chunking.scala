@@ -58,34 +58,26 @@ object Chunking {
     * hash, so chunking is deterministic cross-engine.
     *
     * Pure per-row column work, same scale shape as [[chunkDocs]]: the
-    * boundary-position array is one O(n) filter over the token indexes,
-    * chunk extraction one slice per chunk — no shuffle, one scan.
+    * whole chunking is ONE pass of the native
+    * [[graft.functions.expressions.CdcChunksExpr]] kernel per row
+    * (tokenize, hash each token once, close chunks at boundaries) plus a
+    * bounded explode — no shuffle, one scan. (The composable rendering —
+    * boundary filter over token indexes, zip_with spans, slice per chunk
+    * — computed the same chunks but ran every HOF lambda as
+    * CodegenFallback with the hash interpreted per token: 14.2 s at
+    * sf0.1 vs sub-second for the kernel.)
     * Output: (id, chunk_no, chunk_len, chunk_text); zero-token docs emit
     * nothing, a boundary on the last token does not open an empty tail.
     */
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
       mask: Int = 8): DataFrame = {
     require(mask > 0, s"boundary mask must be positive: $mask")
-    import graft.functions.GraftFunctions.hash60
-    val n = org.apache.spark.sql.functions.size(col("toks"))
-    val bpos = filter(sequence(lit(0), n - 1), i =>
-      pmod(hash60(element_at(col("toks"), i + 1)), lit(mask.toLong)) === 0)
-    val starts = concat(array(lit(0)), transform(col("bpos"), p => p + 1))
-    val ends = concat(transform(col("bpos"), p => p + 1), array(n))
-    df.select(col(idCol), tokens(col(textCol)).as("toks"))
-      .filter(org.apache.spark.sql.functions.size(col("toks")) > 0)
-      .withColumn("bpos", bpos)
-      .withColumn("spans",
-        filter(
-          zip_with(starts, ends, (s, e) => struct(s.as("s"), (e - s).as("l"))),
-          sp => sp.getField("l") > 0))
-      .select(col(idCol), col("toks"),
-        posexplode(col("spans")).as(Seq("chunk_no", "span")))
+    df.select(col(idCol),
+        posexplode(graft.functions.expressions.CdcChunksExpr
+          .of(col(textCol), mask)).as(Seq("chunk_no", "chunk")))
       .select(col(idCol), col("chunk_no").cast("int").as("chunk_no"),
-        col("span.l").cast("int").as("chunk_len"),
-        array_join(
-          slice(col("toks"), col("span.s") + 1, col("span.l")), " ")
-          .as("chunk_text"))
+        col("chunk.chunk_len").as("chunk_len"),
+        col("chunk.chunk_text").as("chunk_text"))
   }
 
   /** CHUNK-level exact dedup — what content-defined chunking exists for:

@@ -337,54 +337,30 @@ object TextAnalysis {
     * (c/n)·ln(c/n) over the doc's OWN token distribution.
     *
     * ZERO-shuffle shape: a naive rendering is explode → (doc, token)
-    * counts → per-doc sum — two corpus-scale Exchanges; here the sorted
-    * token array walks through ONE `aggregate` fold per row (run-length
-    * boundaries close each type's term), so the whole score is per-row
-    * column work like every other op in this object. Each closed run
-    * contributes floor(10⁶·(c/n)·plog(c/n)) — the portable-log dag,
-    * quantized per TYPE then summed as integers, which makes the total
-    * independent of run order and lets the DuckDB oracle replay it as a
-    * plain (doc, token)-count GROUP BY with the staged log chain (the
-    * engines take different routes to the same per-type integer terms).
-    * The run==0 boundaries (fold start, and the finish of an EMPTY
-    * array) are guarded to a literal 0 — an empty doc would otherwise
-    * reach x = 0/0 = NaN.
+    * counts → per-doc sum — two corpus-scale Exchanges; here the whole
+    * score is ONE pass of the native
+    * [[graft.functions.expressions.TokenEntropyStats]] kernel per row
+    * (tokenize, count, per-TYPE quantized term floor(10⁶·(c/n)·plog(c/n))
+    * summed as integers), so it stays per-row column work inside
+    * whole-stage codegen like every other op in this object. Per-type
+    * quantization makes the integer total order-free — the DuckDB oracle
+    * replays it as a plain (doc, token)-count GROUP BY with the staged
+    * log chain, and a sorted-run `aggregate` fold computes the same
+    * total (the kernel replaced that fold: HOFs run as CodegenFallback
+    * and the interpreted portable-log dag per run boundary made this the
+    * bench's slowest row at 42.7 s; the kernel runs the same IEEE ops
+    * compiled).
     *
     * Output columns: n_tokens, n_types, ent_q (≤ 0), entropy =
     * −ent_q/10⁶ (one exact-input division; ln-based nats).
     */
   def entropyColumns(text: Column): Seq[(String, Column)] = {
-    import graft.functions.PortableLog
-    val tk = tokens(text)
-    val nD = size(tk).cast("long").cast("double")
-    def termQ(run: Column): Column = {
-      val x = run.cast("double") / nD
-      when(run > 0,
-        floor(lit(1.0e6) * (x * PortableLog.plogCol(x))).cast("long"))
-        .otherwise(lit(0L))
-    }
-    val folded = aggregate(
-      array_sort(tk),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("acc"),
-        lit(0L).as("types")),
-      (st, t) => {
-        val same = st.getField("run") > 0 && st.getField("prev") === t
-        struct(
-          t.as("prev"),
-          when(same, st.getField("run") + 1L).otherwise(lit(1L)).as("run"),
-          when(same, st.getField("acc"))
-            .otherwise(st.getField("acc") + termQ(st.getField("run"))).as("acc"),
-          when(same, st.getField("types"))
-            .otherwise(st.getField("types") + 1L).as("types"))
-      },
-      st => struct(
-        (st.getField("acc") + termQ(st.getField("run"))).as("acc"),
-        st.getField("types").as("types")))
+    val st = graft.functions.expressions.TokenEntropyStats.of(text)
     Seq(
-      "n_tokens" -> size(tk).cast("long"),
-      "n_types" -> folded.getField("types"),
-      "ent_q" -> folded.getField("acc"),
-      "entropy" -> ((-folded.getField("acc")).cast("double") / lit(1.0e6)))
+      "n_tokens" -> st.getField("n_tokens"),
+      "n_types" -> st.getField("n_types"),
+      "ent_q" -> st.getField("ent_q"),
+      "entropy" -> ((-st.getField("ent_q")).cast("double") / lit(1.0e6)))
   }
 
   /** PII scrubbing for a training corpus: per-pattern match counts (on the
