@@ -93,34 +93,21 @@ object Bm25 {
       textCol: String, queries: DataFrame, qidCol: String,
       qtextCol: String, parallelism: Int = 32): DataFrame = {
     val m = fit(archive, idCol, textCol, queries, qidCol, qtextCol)
-    import stream.sparkSession.implicits._
-    // the query set rides as a BROADCAST relation (qid, [(term, idf)]),
-    // joined on a constant key — not a plan literal: a 10³-entry literal
-    // array re-plans and re-compiles every micro-batch (measured as the
-    // dominant cost of this row), a broadcast table does not; idf rides
-    // inside each term struct so no shared-map probe is ever needed.
+    // the model rides as ONE nested Literal into the native
+    // [[graft.functions.expressions.Bm25Scores]] kernel — a single plan
+    // node holding DATA (typedLit), not the 10³-node expression tree the
+    // first literal rendering re-planned per micro-batch, and not the
+    // broadcast-join + HOF-fold rendering that replaced it (every lambda
+    // CodegenFallback — the scoring pass dominated the row at ~9 s for
+    // the sf0.1 stream; the kernel runs the same pinned dag compiled).
     // Query terms the archive never attests have NO idf entry — the
     // batch path drops them via its token join, so the model drops them
     // here too (they contribute zero either way; an unguarded m.idf(t)
     // would throw on the production case of an eval query with an
     // out-of-archive token)
-    val qdf = broadcast(m.queries.map { case (qid, terms) =>
+    val modelLit = typedLit(m.queries.map { case (qid, terms) =>
       (qid, terms.flatMap(t => m.idf.get(t).map(idf => (t, idf))))
-    }.toDF("__qid", "__terms")
-      .select(col("__qid"), col("__terms").cast(
-        "array<struct<t:string,idf:double>>").as("__terms"),
-        lit(1).as("__k")))
-    val allTerms =
-      m.queries.flatMap(_._2).distinct.filter(m.idf.contains).sorted
-    // per-doc tf map over QUERY terms only, built in ONE pass over the
-    // token array (intersect the distinct tokens with the global term
-    // set, count each survivor) — every per-(query, term) probe below is
-    // then a small-map lookup, not a token-array rescan (measured 10×+
-    // on the sf0.1 sweep)
-    val tfMap = map_from_entries(transform(
-      array_intersect(array_distinct(col("__tk")), typedLit(allTerms)),
-      t => struct(t.as("k"),
-        size(filter(col("__tk"), x => x === t)).cast("long").as("v"))))
+    })
     stream
       // a file-stream batch arrives in as few partitions as it has files
       // (often ONE) — without an explicit stateless shuffle here the
@@ -128,36 +115,11 @@ object Bm25 {
       // the aggregation exchange
       .select(col(idCol), col(textCol))
       .repartition(parallelism)
-      .select(col(idCol), tokens(col(textCol)).as("__tk"))
-      .withColumn("__dl", size(col("__tk")).cast("double"))
-      .withColumn("__tf", tfMap)
-      .filter(size(col("__tf")) > 0)
-      .withColumn("__k", lit(1))
-      .join(qdf, Seq("__k"))
-      // one tf-map probe per term (transform materializes it), then a
-      // single fused fold carrying (score, matched-count) — the HOF cost
-      // per pair is 9 probes + 9 accumulator steps, nothing evaluated
-      // twice
-      .withColumn("__tfs", transform(col("__terms"), e => struct(
-        element_at(col("__tf"), e.getField("t")).cast("double").as("tf"),
-        e.getField("idf").as("idf"))))
-      .withColumn("__sn", aggregate(col("__tfs"),
-        struct(lit(0L).as("s"), lit(0).as("n")),
-        (acc, e) => {
-          val tf = e.getField("tf")
-          struct(
-            (acc.getField("s") + when(tf.isNull, lit(0L)).otherwise(
-              floor(lit(1.0e6) * (e.getField("idf") *
-                ((tf * lit(2.2)) /
-                  (tf + lit(1.2) * (lit(0.25) +
-                    lit(0.75) * (col("__dl") / lit(m.avgdl)))))))
-                .cast("long"))).as("s"),
-            (acc.getField("n") + when(tf.isNull, lit(0)).otherwise(lit(1)))
-              .as("n"))
-        }))
-      .filter(col("__sn.n") > 0)
-      .select(col("__qid").as("query_id"), col(idCol),
-        col("__sn.s").as("score_q"))
+      .select(col(idCol),
+        explode(graft.functions.expressions.Bm25Scores
+          .of(col(textCol), modelLit, m.avgdl)).as("__qs"))
+      .select(col("__qs.query_id").as("query_id"), col(idCol),
+        col("__qs.score_q").as("score_q"))
   }
 
   def topk(corpus: DataFrame, idCol: String, textCol: String,
