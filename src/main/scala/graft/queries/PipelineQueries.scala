@@ -5383,6 +5383,22 @@ object PipelineQueries {
       },
       Some(pcaProjectOracleSql)),
 
+    // the top-2 serving twin — two offline directions, zero-state
+    // per-row scoring; shared oracle with the batch row.
+    Q("stream_embedding_pca2_project",
+      (s, dir) => {
+        implicit val sp = s
+        val emb = graft.Caches.track(Tables.embeddings(s, dir))
+        val (u1, u2) = Similarity.pcaTop2(
+          Similarity.gramQuantized(emb, "embedding"), dim = 64)
+        val scored = Similarity.pcaProject2(
+          graft.streaming.StreamSources.embeddings(s, dir),
+          "vec_id", "embedding", u1, u2)
+        graft.streaming.StreamRun.toBatch(scored, "append", numPartitions = 4)
+          .orderBy("vec_id")
+      },
+      Some(pca2ProjectOracleSql)),
+
     // TOP-2 PCA by Hotelling deflation — whitening-lite (remove the two
     // dominant components): u₁ as above; λ₁ = u₁ᵀGu₁ (Rayleigh, two
     // pinned folds); D = G − λ₁·u₁u₁ᵀ entrywise; u₂ = the same
