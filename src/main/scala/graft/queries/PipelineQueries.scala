@@ -377,8 +377,7 @@ object PipelineQueries {
     * restricted to CROSS-side (train a, eval b) collisions — the side is
     * the same pure id-hash the split itself uses, rendered per join leg.
     */
-  private[queries] def splitLeakOracleSql(threshold: Double,
-      trainPct: Int): String = {
+  private def splitLeakCtes(threshold: Double, trainPct: Int): String = {
     val thr = graft.pipeline.Mixing
       .splitThresholds(Seq(("train", trainPct), ("eval", 100 - trainPct)))
       .head._2
@@ -390,9 +389,22 @@ object PipelineQueries {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bandsig = b.bandsig
        |  WHERE NOT (${evalPred("a.doc_id")}) AND (${evalPred("b.doc_id")})),
-       |${jaccardTail(threshold)}
-       |SELECT a_id, b_id, jaccard FROM pairs ORDER BY a_id, b_id""".stripMargin
+       |${jaccardTail(threshold)}""".stripMargin
   }
+
+  private[queries] def splitLeakOracleSql(threshold: Double,
+      trainPct: Int): String =
+    s"""${splitLeakCtes(threshold, trainPct)}
+       |SELECT a_id, b_id, jaccard FROM pairs ORDER BY a_id, b_id""".stripMargin
+
+  /** The ingest monitor's per-eval-doc aggregation over the same
+    * thresholded cross-side pairs (duplicate-insensitive min/max — the
+    * minhash-twin convention). */
+  private[queries] def splitLeakIncrementalSql(threshold: Double,
+      trainPct: Int): String =
+    s"""${splitLeakCtes(threshold, trainPct)}
+       |SELECT b_id AS doc_id, min(a_id) AS rep_id, max(jaccard) AS j_max
+       |FROM pairs GROUP BY b_id ORDER BY doc_id""".stripMargin
 
   /** Hyperplane-LSH bucket assignment as DuckDB CTEs (`e`, `dots`, `b`) —
     * same deterministic plane weights as [[Similarity.planeWeights]], same

@@ -758,6 +758,63 @@ object StreamingQueries {
       },
       Some(PipelineQueries.minhashIncrementalSql(0.6))),
 
+    // split-LEAKAGE monitoring AT INGESTION — the leak audit run as new
+    // data arrives: the TRAIN side's band table + shingle arrays are
+    // static cached relations (the split is a pure id hash, so both
+    // sides are plain filters); each incoming doc on the EVAL side
+    // computes its bands as pure column work, equi-joins the static
+    // train bands, exact-verifies candidates with the fused SortedJaccard
+    // and aggregates per eval doc with duplicate-insensitive min/max —
+    // an eval doc flags the moment a near-identical train doc exists.
+    // Self-pairs impossible (the sides are disjoint by construction).
+    Q("stream_pipeline_split_leakage",
+      (s, dir) => {
+        implicit val sp = s
+        import graft.functions.GraftFunctions.{hash60, wordShingles}
+        val thr = graft.pipeline.Mixing
+          .splitThresholds(Seq(("train", 80), ("eval", 20))).head._2
+        val train = graft.Tables.documents(s, dir)
+          .filter(graft.pipeline.Mixing.mixHash("doc_id") < lit(thr))
+        val trBands = graft.Caches.track(
+          graft.dedup.Dedup.lshBands(
+            graft.dedup.Dedup.minhashSignatures(
+              train.select(col("doc_id"),
+                transform(wordShingles(col("text"), 3), g => hash60(g)).as("hs")),
+              "doc_id", 12),
+            "doc_id", 3)
+            .select(col("doc_id").as("a_id"), col("band"), col("bandsig")))
+        val trVerify = graft.Caches.track(
+          train.select(col("doc_id").as("a_id"),
+            sort_array(wordShingles(col("text"), 3)).as("sh_a")))
+        val incoming = StreamSources.documents(s, dir)
+          .filter(graft.pipeline.Mixing.mixHash("doc_id") >= lit(thr))
+          .select(col("doc_id"), sort_array(wordShingles(col("text"), 3)).as("sh_b"))
+          .withColumn("sigs", graft.functions.expressions.MinHashSigs.of(
+            transform(col("sh_b"), g => hash60(g)), 12))
+          .withColumn("bb", explode(
+            graft.dedup.Dedup.lshBandsColumn(col("sigs"), 12, 3)))
+          .select(col("doc_id"), col("sh_b"),
+            col("bb.band").as("band"), col("bb.bandsig").as("bandsig"))
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+        val verified = incoming
+          .join(trBands, Seq("band", "bandsig"))
+          .join(trVerify, Seq("a_id"))
+          .select(col("event_time"), col("doc_id"), col("a_id"),
+            graft.functions.expressions.SortedJaccard
+              .of(col("sh_b"), col("sh_a")).as("jaccard"))
+        val flagged = verified
+          .groupBy(window(col("event_time"), "1 hour"), col("doc_id"))
+          .agg(min(when(col("jaccard") >= 0.6, col("a_id"))).as("rep_id"),
+            max(when(col("jaccard") >= 0.6, col("jaccard"))).as("j_max"))
+          .filter(col("rep_id").isNotNull)
+          .select("doc_id", "rep_id", "j_max")
+        StreamRun.toBatch(flagged, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+          .orderBy("doc_id")
+      },
+      Some(PipelineQueries.splitLeakIncrementalSql(0.6, 80))),
+
     // INCREMENTAL n-gram-Jaccard near-dup — the EXACT-candidate sibling
     // of stream_dedup_minhash: instead of probabilistic band collisions,
     // candidates come from the training set's df-capped inverted gram
