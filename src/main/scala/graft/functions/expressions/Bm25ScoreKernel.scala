@@ -106,14 +106,7 @@ object Bm25Scores {
   def compute(s: UTF8String, p: ParsedBm25): GenericArrayData = {
     val toks = TextKernels.tokenize(s)
     val dl = toks.length.toDouble
-    val counts = new java.util.HashMap[String, java.lang.Long](toks.length * 2)
-    var i = 0
-    while (i < toks.length) {
-      val t = toks(i)
-      val c = counts.get(t)
-      counts.put(t, if (c == null) 1L else c.longValue + 1L)
-      i += 1
-    }
+    val counts = TextKernels.countTokens(toks)
     val out = new scala.collection.mutable.ArrayBuffer[Any]()
     var q = 0
     while (q < p.qids.length) {

@@ -35,8 +35,13 @@ case class CdcChunksExpr(child: Expression, maskExpr: Expression)
   }
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == StringType && maskExpr.foldable)
+    if (child.dataType == StringType && maskExpr.foldable && mask >= 1L)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else if (child.dataType == StringType && maskExpr.foldable)
+      // mask = 0 would otherwise surface as an opaque ArithmeticException
+      // (h % 0) deep inside an executor task
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cdc_chunks needs mask >= 1, got $mask")
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"cdc_chunks expects (string, foldable mask), got ${child.dataType}")
 

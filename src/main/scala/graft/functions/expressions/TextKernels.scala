@@ -26,6 +26,21 @@ private[expressions] object TextKernels {
   /** Raw lines, trailing empties kept (split limit -1 on both engines). */
   def lines(raw: String): Array[String] = raw.split("\n", -1)
 
+  /** Token→count map over [[tokenize]]'s output — the shared first step
+    * of the per-row counting kernels ([[TokenEntropyStats]],
+    * [[Bm25Scores]]). */
+  def countTokens(toks: Array[String]): java.util.HashMap[String, java.lang.Long] = {
+    val counts = new java.util.HashMap[String, java.lang.Long](toks.length * 2)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      val c = counts.get(t)
+      counts.put(t, if (c == null) 1L else c.longValue + 1L)
+      i += 1
+    }
+    counts
+  }
+
   /** Unicode codepoint count == Spark/DuckDB `length()`. */
   def cp(x: String): Long = x.codePointCount(0, x.length).toLong
 }

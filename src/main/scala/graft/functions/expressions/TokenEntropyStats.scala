@@ -55,14 +55,7 @@ object TokenEntropyStats {
     val toks = TextKernels.tokenize(s)
     val n = toks.length.toLong
     if (n == 0L) return InternalRow(0L, 0L, 0L)
-    val counts = new java.util.HashMap[String, java.lang.Long](toks.length * 2)
-    var i = 0
-    while (i < toks.length) {
-      val t = toks(i)
-      val c = counts.get(t)
-      counts.put(t, if (c == null) 1L else c.longValue + 1L)
-      i += 1
-    }
+    val counts = TextKernels.countTokens(toks)
     // per-TYPE quantized terms summed as integers — order-free, so the
     // map's iteration order is immaterial (the property that also lets
     // the oracle take the grouped-counts route)

@@ -80,17 +80,6 @@ object Chunking {
         col("chunk.chunk_text").as("chunk_text"))
   }
 
-  /** CHUNK-level exact dedup — what content-defined chunking exists for:
-    * identical chunks across documents (boilerplate paragraphs, quoted
-    * passages, re-crawled pages with edits) collapse onto one
-    * representative even when the surrounding documents differ, because
-    * [[cdcChunks]] boundaries resynchronize after any edit. Digest
-    * shuffle only (the exact-dedup scale shape — md5 of the chunk text
-    * is the join key; text never shuffles beyond the digest
-    * aggregation); representative = the (id, chunk_no) struct-minimum
-    * per digest, the engine's keep-first rule. Output: every chunk with
-    * (rep_doc, rep_chunk, is_dup).
-    */
   /** INCREMENTAL chunk dedup — the re-crawl shape: the ARCHIVE's chunk
     * digests and keep-first representatives derive offline (one digest
     * aggregation over the archived corpus's chunks); incoming documents
@@ -117,6 +106,17 @@ object Chunking {
           .cast("int").as("is_known"))
   }
 
+  /** CHUNK-level exact dedup — what content-defined chunking exists for:
+    * identical chunks across documents (boilerplate paragraphs, quoted
+    * passages, re-crawled pages with edits) collapse onto one
+    * representative even when the surrounding documents differ, because
+    * [[cdcChunks]] boundaries resynchronize after any edit. Digest
+    * shuffle only (the exact-dedup scale shape — md5 of the chunk text
+    * is the join key; text never shuffles beyond the digest
+    * aggregation); representative = the (id, chunk_no) struct-minimum
+    * per digest, the engine's keep-first rule. Output: every chunk with
+    * (rep_doc, rep_chunk, is_dup).
+    */
   def chunkDedup(chunks: DataFrame, idCol: String,
       chunkCol: String, textCol: String): DataFrame = {
     val dg = chunks.select(col(idCol), col(chunkCol),

@@ -170,6 +170,12 @@ object Mixing {
       budgetTokens: Long): Seq[(String, Long, Long, Double, Long)] = {
     import graft.functions.PortableLog
     require(stats.nonEmpty, "budget planning needs per-source token counts")
+    // a zero-token source would make epochs = 0/0 = NaN and silently
+    // corrupt its row (NaN fails the <= 1 branch, eff floors to 0) —
+    // fail loudly; a source with no tokens has no budget question
+    require(stats.forall(_._2 > 0),
+      s"budget planning needs positive token counts: " +
+        s"${stats.filter(_._2 <= 0).map(_._1).mkString(", ")}")
     val sorted = stats.sortBy(_._1)
     val ssum = sorted.foldLeft(0.0)((a, c) => a + math.sqrt(c._2.toDouble))
     sorted.map { case (s, n) =>
@@ -229,34 +235,15 @@ object Mixing {
       .toDF(srcCol, "n_tokens", "alloc_q", "epochs", "eff_tokens_q")
   }
 
+  // the string→long map wire format already exists for the heavy-hitter
+  // fold state — one encoding, one place to fix
   private def encodeKeyedCounts(
-      m: scala.collection.mutable.HashMap[String, Long]): Array[Byte] = {
-    val items = m.toArray.map { case (k, n) =>
-      (k.getBytes(java.nio.charset.StandardCharsets.UTF_8), n)
-    }
-    val bb = java.nio.ByteBuffer.allocate(
-      4 + items.map(i => 12 + i._1.length).sum)
-    bb.putInt(items.length)
-    items.foreach { case (kb, n) =>
-      bb.putInt(kb.length); bb.put(kb); bb.putLong(n)
-    }
-    bb.array()
-  }
+      m: scala.collection.mutable.HashMap[String, Long]): Array[Byte] =
+    graft.functions.expressions.MisraGriesAgg.serializeBuffer(m)
 
   private def decodeKeyedCounts(
-      bytes: Array[Byte]): scala.collection.mutable.HashMap[String, Long] = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val m = scala.collection.mutable.HashMap.empty[String, Long]
-    var i = 0
-    while (i < n) {
-      val kb = new Array[Byte](bb.getInt)
-      bb.get(kb)
-      m.put(new String(kb, java.nio.charset.StandardCharsets.UTF_8), bb.getLong)
-      i += 1
-    }
-    m
-  }
+      bytes: Array[Byte]): scala.collection.mutable.HashMap[String, Long] =
+    graft.functions.expressions.MisraGriesAgg.deserializeBuffer(bytes)
 
   def doremiWeights(stats: Seq[(String, Long, Long, Long)],
       nTarget: Long, eta: Double): Seq[(String, Double)] = {

@@ -113,19 +113,6 @@ object PipelineQueries {
        |SELECT b_id AS doc_id, min(a_id) AS rep_id, max(jaccard) AS j_max
        |FROM pairs GROUP BY b_id ORDER BY doc_id""".stripMargin
 
-  /** PCA replay: the quantized Gram matrix (order-free int64 sums over
-    * the per-vector outer products), then [[graft.similarity.Similarity.
-    * PcaRounds]] power-iteration rounds as MATERIALIZED CTEs — matvec
-    * and norm are ordered list folds (a bare sum() would be
-    * merge-order-dependent), each round's vector a 64-row table — and
-    * the in-order projection fold per vector against the final
-    * direction. Every double op correctly-rounded IEEE in the Scala
-    * dag's exact order.
-    */
-  /** Entropy replay: per-(doc, token) counts by plain GROUP BY, the
-    * staged portable-log chain carrying x = c/n through to the quantized
-    * per-type term, per-doc integer sum — order-free, so it equals the
-    * engine's sorted-run fold exactly. */
   private[queries] val CollocK: Int = 50
   private[queries] val CollocMinCount: Long = 5L
 
@@ -238,6 +225,10 @@ object PipelineQueries {
        |WHERE r <= $CollocK ORDER BY pmi_q DESC, bigram""".stripMargin
   }
 
+  /** Entropy replay: per-(doc, token) counts by plain GROUP BY, the
+    * staged portable-log chain carrying x = c/n through to the quantized
+    * per-type term, per-doc integer sum — order-free, so it equals the
+    * engine's per-type kernel exactly. */
   // lazy: interpolates tkCteSql, which initializes later in this object
   private[queries] lazy val entropyOracleSql: String = {
     import graft.functions.PortableLog
@@ -299,6 +290,15 @@ object PipelineQueries {
        |${(1 to rounds).map(pcaRoundSql(_, "pc", "CAST(c.cij AS DOUBLE)", ""))
           .mkString(",\n")}""".stripMargin
 
+  /** PCA replay: the quantized Gram matrix (order-free int64 sums over
+    * the per-vector outer products), then [[graft.similarity.Similarity.
+    * PcaRounds]] power-iteration rounds as MATERIALIZED CTEs — matvec
+    * and norm are ordered list folds (a bare sum() would be
+    * merge-order-dependent), each round's vector a 64-row table — and
+    * the in-order projection fold per vector against the final
+    * direction. Every double op correctly-rounded IEEE in the Scala
+    * dag's exact order.
+    */
   private[queries] val pcaProjectOracleSql: String = {
     val rounds = graft.similarity.Similarity.PcaRounds
     s"""WITH ${pcaBaseCtes(rounds)},
@@ -2579,7 +2579,9 @@ object PipelineQueries {
     * SELECT; `nAlias` names the count column. */
   private[queries] def metricCorrTailSql(nAlias: String): String = s"""
     a AS (SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-            sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+            sum(CAST(x AS HUGEINT) * y) AS sxy,
+            sum(CAST(x AS HUGEINT) * x) AS sxx,
+            sum(CAST(y AS HUGEINT) * y) AS syy
           FROM d GROUP BY 1),
     c AS (SELECT source, n,
             CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS num,

@@ -1335,10 +1335,6 @@ object StreamingQueries {
       },
       Some(PipelineQueries.sourceMixOracleSql)),
 
-    // token-entropy AT INGESTION — the lexical-diversity gate as a crawl
-    // monitor: the sorted-run fold is pure per-row column work, so it
-    // streams as-is (append, zero state) and emits the batch row's exact
-    // output — shared oracle.
     // CDC chunk dedup AT INGESTION — the re-crawl monitor: the archive's
     // (%4 residue) chunk-digest representatives derive offline, incoming
     // docs chunk PER ROW (content-defined cuts are pure column work) and
@@ -1362,6 +1358,10 @@ object StreamingQueries {
       },
       Some(PipelineQueries.cdcDedupIncrementalOracleSql)),
 
+    // token-entropy AT INGESTION — the lexical-diversity gate as a crawl
+    // monitor: the entropy kernel is pure per-row column work, so it
+    // streams as-is (append, zero state) and emits the batch row's exact
+    // output — shared oracle.
     Q("stream_text_entropy",
       (s, dir) => {
         implicit val sp = s

@@ -776,9 +776,13 @@ object Similarity {
   def gramQuantized(df: DataFrame, vecCol: String): Array[Long] = {
     val vd = transform(col(vecCol), x => x.cast("double"))
     val outer = flatten(transform(vd, vi => transform(vd, vj => vi * vj)))
-    df.select(graft.functions.expressions.VectorQuantSumAgg
+    val row = df.select(graft.functions.expressions.VectorQuantSumAgg
         .of(outer, 1.0e6).as("g"))
-      .head().getSeq[Long](0).toArray
+      .head()
+    // the aggregate emits NULL for a zero-count buffer — fail loudly
+    // rather than NPE on the driver
+    require(!row.isNullAt(0), "gram matrix needs a non-empty embedding relation")
+    row.getSeq[Long](0).toArray
   }
 
   /** Dominant direction of a quantized Gram matrix by POWER ITERATION —
