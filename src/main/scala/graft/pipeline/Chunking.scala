@@ -93,6 +93,13 @@ object Chunking {
     */
   def chunkDedupAgainst(chunks: DataFrame, archiveChunks: DataFrame,
       idCol: String, chunkCol: String, textCol: String): DataFrame = {
+    // unknown-chunk sentinel derived from the id column's own type: -1
+    // for numeric ids (the family's long-id convention), NULL otherwise
+    // — a string-id corpus must not silently coerce through a long lit
+    val unknownDoc = chunks.schema(idCol).dataType match {
+      case t: org.apache.spark.sql.types.NumericType => lit(-1L).cast(t)
+      case t => lit(null).cast(t)
+    }
     val reps = archiveChunks
       .select(md5(col(textCol)).as("__d"),
         struct(col(idCol), col(chunkCol)).as("__rc"))
@@ -100,7 +107,7 @@ object Chunking {
     chunks.select(col(idCol), col(chunkCol), md5(col(textCol)).as("__d"))
       .join(reps, Seq("__d"), "left")
       .select(col(idCol), col(chunkCol),
-        coalesce(col(s"__rep.$idCol"), lit(-1L)).as("rep_doc"),
+        coalesce(col(s"__rep.$idCol"), unknownDoc).as("rep_doc"),
         coalesce(col(s"__rep.$chunkCol"), lit(-1)).cast("int").as("rep_chunk"),
         when(col("__rep").isNull, lit(0)).otherwise(lit(1))
           .cast("int").as("is_known"))

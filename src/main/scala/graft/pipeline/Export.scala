@@ -69,13 +69,14 @@ object Export {
     */
   def writeShardsIngest(stream: DataFrame, root: String, splitCol: String,
       shardCol: String, tokenCol: String, checkpoint: String,
-      beforeCommit: Long => Unit = _ => ()): Unit = {
+      beforeCommit: Long => Unit = _ => (),
+      beforeMarker: Long => Unit = _ => ()): Unit = {
     val q = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         writeShardsBatch(df, root, splitCol, shardCol, tokenCol, batchId,
-          beforeCommit)
+          beforeCommit, beforeMarker)
       }
       .start()
     q.awaitTermination()
@@ -85,17 +86,35 @@ object Export {
     * [[writeShardsIngest]]). Public so a caller wiring its own
     * foreachBatch (different trigger, extra sinks) reuses the exact
     * commit protocol.
+    *
+    * The commit marker is ATOMIC: the manifest parquet writes to a
+    * staging tree OUTSIDE the manifest directory
+    * (`_graft_manifest_tmp/batch=<b>` — a sibling inside the tmp dir
+    * would poison the manifest reader's partition inference with a
+    * conflicting partition-column name) and renames into
+    * `_graft_manifest/batch=<b>` only when complete. A marker that
+    * exists therefore implies a FULLY WRITTEN manifest — a crash DURING
+    * the manifest write leaves only the staging dir, so the replay does
+    * not mistake the batch for committed (the directory-existence check
+    * alone had that hole: Spark creates the target dir at job start).
+    * `beforeCommit` injects between data and manifest write;
+    * `beforeMarker` between manifest write and the rename — the two
+    * crash windows specs drive.
     */
   def writeShardsBatch(df: DataFrame, root: String, splitCol: String,
       shardCol: String, tokenCol: String, batchId: Long,
-      beforeCommit: Long => Unit = _ => ()): Unit = {
+      beforeCommit: Long => Unit = _ => (),
+      beforeMarker: Long => Unit = _ => ()): Unit = {
     val spark = df.sparkSession
     val hconf = spark.sessionState.newHadoopConf()
     val mPath = new org.apache.hadoop.fs.Path(s"$root/$ManifestDir/batch=$batchId")
+    val tmpM = new org.apache.hadoop.fs.Path(s"$root/${ManifestDir}_tmp/batch=$batchId")
     val fs = mPath.getFileSystem(hconf)
     if (fs.exists(mPath)) return // fully committed by a prior attempt
-    // scrub partial data from a crashed attempt: exactly the three-level
-    // batch=<id> leaves (the two-level manifest path cannot match)
+    // scrub the leftovers of a crashed attempt: its half-written manifest
+    // temp dir plus exactly the three-level batch=<id> data leaves (the
+    // two-level manifest path cannot match the glob)
+    fs.delete(tmpM, true)
     val partials = fs.globStatus(
       new org.apache.hadoop.fs.Path(s"$root/*/*/batch=$batchId"))
     if (partials != null)
@@ -111,7 +130,10 @@ object Export {
       val manifest = data.groupBy(col(splitCol), col(shardCol))
         .agg(count(lit(1)).as("n_rows"), sum(col(tokenCol)).as("n_tokens"))
       beforeCommit(batchId)
-      manifest.write.mode(SaveMode.Overwrite).parquet(mPath.toString)
+      manifest.write.mode(SaveMode.Overwrite).parquet(tmpM.toString)
+      beforeMarker(batchId)
+      fs.mkdirs(mPath.getParent) // rename needs an existing parent
+      require(fs.rename(tmpM, mPath), s"manifest commit rename failed: $mPath")
     } finally data.unpersist(blocking = false)
   }
 

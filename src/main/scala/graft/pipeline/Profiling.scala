@@ -298,10 +298,14 @@ object Profiling {
     * reduction, as the mixer's source set) to build the key×bin grid by
     * exploding a literal — slices missing a baseline bin contribute the
     * smoothed floor for it, which is what charges a slice for mass it
-    * does NOT have where the baseline does. Baseline bins are a superset
-    * of slice bins whenever the baseline aggregates the slices; bins
-    * outside the baseline's support are absent from the grid by
-    * construction.
+    * does NOT have where the baseline does. The grid's bin axis is the
+    * UNION of the baseline and slice supports: a slice putting mass in
+    * bins the baseline never saw — a new crawl whose lengths exceed
+    * anything in the reference corpus, the strongest drift signal —
+    * charges the PSI directly through the baseline's smoothed floor
+    * there, instead of vanishing from a baseline-only grid. When the
+    * baseline aggregates the slices (the marginal rows) the union IS the
+    * baseline support, so those oracles see the identical grid.
     */
   def psiReport(byKey: DataFrame, base: DataFrame, keyCol: String): DataFrame = {
     import graft.functions.PortableLog
@@ -309,7 +313,13 @@ object Profiling {
       .collect().map(_.getString(0)).sorted.toSeq
     val w = Window.orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val baseW = base.withColumnRenamed("cnt", "cb")
+    // union of supports — both inputs are post-histogram (O(B) rows), so
+    // the distinct and the single-partition window stay policy-sized
+    val bins = base.select(col("bin"))
+      .union(byKey.select(col("bin"))).distinct()
+    val baseW = bins
+      .join(base.withColumnRenamed("cnt", "cb"), Seq("bin"), "left")
+      .withColumn("cb", coalesce(col("cb"), lit(0L)))
       .withColumn("nb", sum("cb").over(w))
       .withColumn("b", count(lit(1)).over(w))
     val grid = baseW.withColumn(keyCol, explode(typedLit(keys)))

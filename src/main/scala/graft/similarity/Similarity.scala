@@ -717,7 +717,7 @@ object Similarity {
     */
   def semanticContaminationScored(corpus: DataFrame, bench: DataFrame,
       centroids: DataFrame, idCol: String, vecCol: String, nprobe: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, excludeSelf: Boolean = true): DataFrame = {
     val cents = collectCentroids(centroids)
     val c = assignCollected(corpus, idCol, vecCol, cents)
       .select(col(idCol), col(vecCol).as("cv"), col("cell"),
@@ -737,8 +737,12 @@ object Similarity {
               .as("__e"))
           .select(col("bench_id"), col("qv"), col("__e.cell").as("cell"),
             col("qn"))
-    c.join(broadcast(q), Seq("cell"))
-      .filter(col(idCol) =!= col("bench_id"))
+    val cand = c.join(broadcast(q), Seq("cell"))
+    // the self-pair exclusion is right only when bench ⊂ corpus (the
+    // shared-oracle rows): with UNRELATED id spaces an accidental
+    // id collision is a genuine hit, so callers scoring a disjoint
+    // benchmark pass excludeSelf = false
+    (if (excludeSelf) cand.filter(col(idCol) =!= col("bench_id")) else cand)
       .withColumn("cos",
         dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
       .filter(col("cos") >= threshold)

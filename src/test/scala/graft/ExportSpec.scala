@@ -120,6 +120,61 @@ class ExportSpec extends AnyFunSuite {
     }
   }
 
+  test("ingest writer: crash AFTER the manifest write, before the marker rename, replays idempotently") {
+    // the window the directory-existence marker got wrong: the manifest
+    // parquet is fully (or partially) on disk in the hidden temp dir but
+    // the atomic rename has not happened — a replay must treat the batch
+    // as UNCOMMITTED (scrub + rewrite), not return early and orphan it
+    val staging = tmpDir()
+    shards.repartition(4).write.mode("overwrite").parquet(staging)
+    val schema = spark.read.parquet(staging).schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staging)
+    def readBack(root: String) = spark.read.parquet(root)
+      .select(col("doc_id"), col("n_tokens"), col("split"),
+        col("shard_id").cast("long").as("shard_id"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+
+    val rootA = tmpDir(); val rootB = tmpDir()
+    Export.writeShardsIngest(stream, rootA, "split", "shard_id", "n_tokens",
+      checkpoint = tmpDir() + "/ckpt")
+
+    val ckptB = tmpDir() + "/ckpt"
+    var armed = true
+    val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Export.writeShardsIngest(stream, rootB, "split", "shard_id", "n_tokens",
+        checkpoint = ckptB,
+        beforeMarker = id => if (id == 1 && armed) {
+          armed = false
+          throw new RuntimeException("injected crash before the marker rename")
+        })
+    }
+    assert(crashed.getMessage.contains("injected crash") ||
+      crashed.getCause.getMessage.contains("injected crash"))
+    // mid-crash state: the temp manifest exists on disk, yet the batch
+    // must read as UNCOMMITTED — the atomic-marker contract
+    val fs = new org.apache.hadoop.fs.Path(rootB)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$rootB/${Export.ManifestDir}_tmp/batch=1")),
+      "the crash must land with the temp manifest present")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$rootB/${Export.ManifestDir}/batch=1")),
+      "the marker must not exist before the rename")
+    val committed = Export.readIngestManifest(spark, rootB)
+      .select("batch").distinct().collect().map(_.getLong(0)).toSet
+    assert(committed == Set(0L),
+      s"only batch 0 may read as committed (temp dirs are hidden): $committed")
+
+    // resume: batch 1 replays whole; result ≡ the uninterrupted control
+    Export.writeShardsIngest(stream, rootB, "split", "shard_id", "n_tokens",
+      checkpoint = ckptB)
+    assert(readBack(rootB) == readBack(rootA), "resume must equal control")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$rootB/${Export.ManifestDir}_tmp/batch=1")),
+      "the replay must scrub the stale temp manifest")
+  }
+
   test("reading one split prunes the other at the scan") {
     val root = tmpDir()
     Export.writeShards(shards, root, "split", "shard_id", "n_tokens")

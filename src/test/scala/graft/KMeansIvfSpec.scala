@@ -151,6 +151,20 @@ class KMeansIvfSpec extends AnyFunSuite {
         .agg(min("bench_id").as("bench_id"), count(lit(1)).as("n"))
         .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
       assert(served == h3, "serve-scored + aggregate must equal the batch row")
+      // DISJOINT id spaces: with excludeSelf off, an accidental id
+      // collision between a corpus vector and an eval item is a genuine
+      // hit — the row must appear, not be silently suppressed
+      val inclusive = Similarity.semanticContaminationScored(
+          emb, bench, cents, "vec_id", "embedding", nprobe = 16,
+          threshold = tau, excludeSelf = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bruteAll = corpusRows.flatMap { case (cid, cv) =>
+        benchRows.collect { case (bid, bv) if cos(bv, cv) >= tau => (cid, bid) }
+      }.toSet
+      assert(inclusive == bruteAll,
+        "excludeSelf=false must keep same-id cross-set hits")
+      assert(bruteAll.exists { case (a, b) => a == b },
+        "the fixture must exercise at least one id collision")
     } finally Caches.releaseAll()
   }
 }

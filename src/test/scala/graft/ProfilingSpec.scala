@@ -414,6 +414,38 @@ class ProfilingSpec extends AnyFunSuite {
     assert(got("a")._2 == got("b")._2, "identical slices score identically")
   }
 
+  test("PSI charges slice mass in bins OUTSIDE the baseline support (union grid)") {
+    import spark.implicits._
+    import graft.functions.PortableLog
+    // a fixed reference baseline over bins {0, 1}; the slice puts half
+    // its mass at bin 5 — lengths the reference never saw, the strongest
+    // drift signal a crawl monitor exists for. The union grid must
+    // charge that mass through the baseline's smoothed floor, not drop
+    // it.
+    val base = Seq((0L, 50L), (1L, 50L)).toDF("bin", "cnt")
+    val byKey = Seq(("s", 0L, 10L), ("s", 5L, 10L)).toDF("k", "bin", "cnt")
+    val got = Profiling.psiReport(byKey, base, "k")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // hand replay over the UNION support {0, 1, 5}: B = 3
+    val baseM = Map(0L -> 50L, 1L -> 50L)
+    val sliceM = Map(0L -> 10L, 5L -> 10L)
+    val (bCnt, nb, ns) = (3L, 100L, 20L)
+    val want = Seq(0L, 1L, 5L).map { bin =>
+      val p = (sliceM.getOrElse(bin, 0L) + 1L).toDouble / (ns + bCnt).toDouble
+      val q = (baseM.getOrElse(bin, 0L) + 1L).toDouble / (nb + bCnt).toDouble
+      math.floor(1.0e9 * ((p - q) * PortableLog.plog(p / q))).toLong
+    }.sum
+    assert(got == Map("s" -> ((3L, want))))
+    // dropping the off-support bin would halve the signal: the union
+    // report must exceed a baseline-only replay of bins {0, 1} (B=2)
+    val truncated = Seq(0L, 1L).map { bin =>
+      val p = (sliceM.getOrElse(bin, 0L) + 1L).toDouble / (ns + 2L).toDouble
+      val q = (baseM.getOrElse(bin, 0L) + 1L).toDouble / (nb + 2L).toDouble
+      math.floor(1.0e9 * ((p - q) * PortableLog.plog(p / q))).toLong
+    }.sum
+    assert(want > truncated, "off-support mass must add PSI, not vanish")
+  }
+
   test("PSI ingestion fold equals the batch report; crash resumes exactly") {
     import spark.implicits._
     implicit val sp = spark

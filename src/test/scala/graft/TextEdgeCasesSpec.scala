@@ -351,6 +351,29 @@ class TextEdgeCasesSpec extends AnyFunSuite {
       "fixed-stride chunks must shift under the same edit (the contrast)")
   }
 
+  test("chunk dedup against an archive is id-type agnostic: string ids get NULL, long ids get -1") {
+    import spark.implicits._
+    val archive = Seq(("arc1", 0, "alpha beta gamma")).toDF("doc_id", "chunk_no", "chunk_text")
+    val incoming = Seq(
+      ("new1", 0, "alpha beta gamma"), // known: matches the archive chunk
+      ("new2", 0, "wholly novel text") // unknown
+    ).toDF("doc_id", "chunk_no", "chunk_text")
+    val got = graft.pipeline.Chunking
+      .chunkDedupAgainst(incoming, archive, "doc_id", "chunk_no", "chunk_text")
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.getString(2)), r.getInt(3), r.getInt(4)))).toMap
+    assert(got("new1") == ((Some("arc1"), 0, 1)))
+    assert(got("new2") == ((None, -1, 0)),
+      "a string-id corpus must get NULL rep_doc, not a coerced long sentinel")
+    // the long-id path keeps its documented -1 sentinel (oracle contract)
+    val archL = Seq((7L, 0, "alpha beta gamma")).toDF("doc_id", "chunk_no", "chunk_text")
+    val incL = Seq((9L, 0, "novel")).toDF("doc_id", "chunk_no", "chunk_text")
+    val gotL = graft.pipeline.Chunking
+      .chunkDedupAgainst(incL, archL, "doc_id", "chunk_no", "chunk_text")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(4)))
+    assert(gotL.toSeq == Seq((9L, -1L, 0)))
+  }
+
   test("decontaminate: self-overlap flags, zero-overlap passes, short docs survive") {
     import spark.implicits._
     val corpus = Seq(
