@@ -124,19 +124,24 @@ object Dsir {
 
   /** Score every document: (id, n_grams, dsir_score) where dsir_score =
     * Σ over the doc's grams of qlr(bucket(gram)) — an exact integer fold,
-    * zero shuffle (the model is a plan-literal ARRAY indexed by bucket,
-    * O(1) per gram — a literal map would linear-scan its entries per
-    * lookup). Zero-gram docs score (0, 0).
+    * zero shuffle: ONE pass of the native
+    * [[graft.functions.expressions.DsirScore]] kernel per row (tokenize
+    * once, hash every gram once, O(1) array lookup per gram; the model
+    * rides as one plan-literal array). Value-identical to the
+    * `aggregate(grams, …)` higher-order fold it replaced — that lambda
+    * ran as CodegenFallback with the md5 interpreted per gram, the same
+    * defect class the entropy/CDC/BM25 kernels fixed. Zero-gram docs
+    * score (0, 0); NULL text reads as empty (the [[gramsCol]] rule).
     */
   def score(corpus: DataFrame, idCol: String, textCol: String, m: Model): DataFrame = {
     val qarr = typedLit(m.qlr.toSeq)
     corpus
-      .select(col(idCol), gramsCol(col(textCol)).as("__grams"))
       .select(col(idCol),
-        size(col("__grams")).cast("long").as("n_grams"),
-        aggregate(col("__grams"), lit(0L),
-          (acc, g) => acc + element_at(qarr, (bucketCol(g) + 1L).cast("int")))
-          .as("dsir_score"))
+        graft.functions.expressions.DsirScore
+          .of(coalesce(col(textCol), lit("")), qarr).as("__s"))
+      .select(col(idCol),
+        col("__s.n_grams").as("n_grams"),
+        col("__s.dsir_score").as("dsir_score"))
   }
 
   /** Top-k selection by (dsir_score DESC, id ASC) — the deterministic

@@ -98,6 +98,31 @@ class DsirSpec extends AnyFunSuite {
       "a clean-parsed JSONL row missing the text field must score, not null out")
   }
 
+  test("native kernel ≡ the composable HOF fold it replaced (spec of equivalence)") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions._
+    val m = Dsir.fit(corpus, "text", col("doc_id") === 1L)
+    val docs = (corpus.select(col("doc_id"), col("text")) union Seq(
+      (30L, "single"),                    // 1 token → n_grams = 1, no bigram
+      (31L, "a b"),                       // minimal bigram
+      (32L, "x\u000By tab\tsplit  wide"), // vertical tab + multi-ws
+      (33L, "UPPER lower UPPER lower")    // case fold + repeated grams
+    ).toDF("doc_id", "text")).toDF("doc_id", "text")
+    val kernel = Dsir.score(docs, "doc_id", "text", m)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    // the retired rendering, verbatim
+    val qarr = typedLit(m.qlr.toSeq)
+    val hof = docs
+      .select(col("doc_id"), Dsir.gramsCol(col("text")).as("__grams"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(col("__grams")).cast("long").as("n_grams"),
+        aggregate(col("__grams"), lit(0L),
+          (acc, g) => acc + element_at(qarr, (Dsir.bucketCol(g) + 1L).cast("int")))
+          .as("dsir_score"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(kernel == hof, "kernel and HOF fold must be value-identical")
+  }
+
   test("score is partitioning-invariant (integer fold, plan-literal model)") {
     val m = Dsir.fit(corpus, "text", col("doc_id") === 1L)
     val a = Dsir.score(corpus.repartition(1), "doc_id", "text", m)
