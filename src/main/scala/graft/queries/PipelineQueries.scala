@@ -1337,8 +1337,9 @@ object PipelineQueries {
     val surv = graft.Caches.track(
       qc.score(feats, "doc_id", cm).filter(col("pred") === 1)
         .select(col("doc_id")).join(docs, Seq("doc_id")))
-    val scored = graft.text.NgramLm.score(surv, "doc_id", "text", lmm)
-      .select(col("doc_id"), col("xent"))
+    val scored = graft.Caches.track(
+      graft.text.NgramLm.score(surv, "doc_id", "text", lmm)
+        .select(col("doc_id"), col("xent")))
     val ns = scored.count()
     val ranked = graft.operators.PrefixSum.runningSum(
       scored.withColumn("__one", lit(1L)), "__one", Seq("xent", "doc_id"))
@@ -2337,10 +2338,10 @@ object PipelineQueries {
       (pmod(col("doc_id"), lit(6)) === 0).cast("int")))
     val cm = qc.train(cTrain(feats))
     val lmm = graft.text.NgramLm.train(lmTrain(docs), "text")
-    val surv = qc.score(feats, "doc_id", cm)
+    val surv = graft.Caches.track(qc.score(feats, "doc_id", cm)
       .filter(col("pred") === 1).select(col("doc_id"), col("score_q"))
       .join(graft.text.NgramLm.score(docs, "doc_id", "text", lmm)
-        .select(col("doc_id"), col("xent")), Seq("doc_id"))
+        .select(col("doc_id"), col("xent")), Seq("doc_id")))
     val n = surv.count()
     val ranked = graft.operators.PrefixSum.runningSum(
       surv.withColumn("__one", lit(1L)), "__one", Seq("xent", "doc_id"))
@@ -3310,8 +3311,12 @@ object PipelineQueries {
         val docs = lmPlant(Tables.documents(s, dir))
         val m = graft.text.NgramLm.train(
           docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
-        val scored = graft.text.NgramLm.score(docs, "doc_id", "text", m)
-          .select(col("doc_id"), col("xent"))
+        // cache the scored frame: the count, the range-partition SAMPLING
+        // pass and the prefix scan otherwise each re-run the full scoring
+        // chain — at 100 TB that is two extra corpus scans
+        val scored = graft.Caches.track(
+          graft.text.NgramLm.score(docs, "doc_id", "text", m)
+            .select(col("doc_id"), col("xent")))
         val n = scored.count()
         val ranked = graft.operators.PrefixSum.runningSum(
           scored.withColumn("__one", lit(1L)), "__one", Seq("xent", "doc_id"))
@@ -3802,7 +3807,7 @@ object PipelineQueries {
       (s, dir) => {
         val docs = dsirPlant(Tables.documents(s, dir))
         val m = Dsir.fit(docs, "text", pmod(col("doc_id"), lit(7)) === 0)
-        val scored = Dsir.score(docs, "doc_id", "text", m)
+        val scored = graft.Caches.track(Dsir.score(docs, "doc_id", "text", m))
         Dsir.selectTopK(scored, "doc_id", docs.count() / 5).orderBy("doc_id")
       },
       Some(dsirSelectOracleSql)),
@@ -4349,10 +4354,12 @@ object PipelineQueries {
         val docs = lmPlant(Tables.documents(s, dir))
         val lmm = graft.text.NgramLm.train(
           docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
-        val withTok = docs
+        // cached: the prefix scan's range-partition sampling would
+        // otherwise re-run the whole scoring join as a second scan
+        val withTok = graft.Caches.track(docs
           .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
           .join(graft.text.NgramLm.score(docs, "doc_id", "text", lmm)
-            .select(col("doc_id"), col("xent")), Seq("doc_id"))
+            .select(col("doc_id"), col("xent")), Seq("doc_id")))
         graft.operators.PrefixSum.runningSum(withTok, "n_tokens", Seq("xent", "doc_id"))
           .select(col("doc_id"), col("xent"), col("n_tokens"),
             expr(s"(running_n_tokens - n_tokens) div $budget").as("shard_id"))

@@ -1465,8 +1465,9 @@ object StreamingQueries {
         val surv = graft.Caches.track(
           qc.score(feats, "doc_id", cm).filter(col("pred") === 1)
             .select(col("doc_id")).join(docs, Seq("doc_id")))
-        val scored = graft.text.NgramLm.score(surv, "doc_id", "text", lmm)
-          .select(col("doc_id"), col("xent"))
+        val scored = graft.Caches.track(
+          graft.text.NgramLm.score(surv, "doc_id", "text", lmm)
+            .select(col("doc_id"), col("xent")))
         val ns = scored.count()
         val ranked = graft.operators.PrefixSum.runningSum(
           scored.withColumn("__one", lit(1L)), "__one", Seq("xent", "doc_id"))
@@ -1594,8 +1595,12 @@ object StreamingQueries {
         val docs = PipelineQueries.lmPlant(graft.Tables.documents(s, dir))
         val m = graft.text.NgramLm.train(
           docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
-        val scored = graft.text.NgramLm.score(docs, "doc_id", "text", m)
-          .select(col("doc_id"), col("xent"))
+        // cached: the count, the range-partition sampling and the prefix
+        // scan otherwise each re-run the scoring chain (two extra corpus
+        // scans at 100 TB)
+        val scored = graft.Caches.track(
+          graft.text.NgramLm.score(docs, "doc_id", "text", m)
+            .select(col("doc_id"), col("xent")))
         val n = scored.count()
         val ranked = graft.operators.PrefixSum.runningSum(
           scored.withColumn("__one", lit(1L)), "__one", Seq("xent", "doc_id"))
@@ -1723,7 +1728,8 @@ object StreamingQueries {
         val docs = PipelineQueries.dsirPlant(graft.Tables.documents(s, dir))
         val m = graft.text.Dsir.fit(docs, "text",
           pmod(col("doc_id"), lit(7)) === 0)
-        val scored = graft.text.Dsir.score(docs, "doc_id", "text", m)
+        val scored = graft.Caches.track(
+          graft.text.Dsir.score(docs, "doc_id", "text", m))
         val k = docs.count() / 5
         val boundary = graft.text.Dsir.selectTopK(scored, "doc_id", k)
           .agg(min(col("dsir_score"))).first()
@@ -1822,9 +1828,10 @@ object StreamingQueries {
         val lmm = graft.text.NgramLm.train(
           docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
         // offline τ: rank the batch survivors exactly as the batch gate
-        val surv = qc.score(feats, "doc_id", cm).filter(col("pred") === 1)
-          .join(graft.text.NgramLm.score(docs, "doc_id", "text", lmm)
-            .select(col("doc_id"), col("xent")), Seq("doc_id"))
+        val surv = graft.Caches.track(
+          qc.score(feats, "doc_id", cm).filter(col("pred") === 1)
+            .join(graft.text.NgramLm.score(docs, "doc_id", "text", lmm)
+              .select(col("doc_id"), col("xent")), Seq("doc_id")))
         val n = surv.count()
         val ranked = graft.operators.PrefixSum.runningSum(
           surv.withColumn("__one", lit(1L)), "__one", Seq("xent", "doc_id"))

@@ -40,8 +40,18 @@ object NgramLm {
     * the type count V. `qSeen` carries q = floor(1e6·plog((c2+1)/(c1+V)))
     * precomputed per distinct bigram (cheaper than per occurrence);
     * misses re-derive q from (0+1)/(c1+V) at probe time.
+    *
+    * Probe-relation row counts MEMOIZE per instance (lazy — computed by
+    * the first broadcast guard, reused by every later `score()` call):
+    * re-counting per score invocation is ~0.3 s on a cached local model
+    * but a full job per call against an uncached 100 TB-scale model
+    * table. The head count is pinned to V at train time (heads = the
+    * distinct-token relation by construction).
     */
-  final case class Model(qSeen: DataFrame, heads: DataFrame, v: Long)
+  final case class Model(qSeen: DataFrame, heads: DataFrame, v: Long) {
+    lazy val qSeenRows: Long = qSeen.count()
+    lazy val headsRows: Long = v
+  }
 
   /** Quantized conditional log-prob for a (c2, c1) count pair — shared by
     * the seen-bigram precompute, the batch miss path, and the streaming
@@ -108,7 +118,10 @@ object NgramLm {
     * compute identically, so the OOV penalty is deterministic by
     * construction rather than by an ad-hoc epsilon.
     */
-  final case class BackoffModel(qSeen: DataFrame, unigrams: DataFrame, n1: Long)
+  final case class BackoffModel(qSeen: DataFrame, unigrams: DataFrame, n1: Long) {
+    lazy val qSeenRows: Long = qSeen.count()
+    lazy val unigramRows: Long = unigrams.count()
+  }
 
   def trainBackoff(training: DataFrame, textCol: String): BackoffModel = {
     val c1 = graft.Caches.track(
@@ -141,7 +154,7 @@ object NgramLm {
     // table are broadcast together, so an under-ceiling bigram table must
     // not smuggle an oversized vocabulary past the memory bound
     val fitsBroadcast =
-      math.max(m.qSeen.count(), m.unigrams.count()) <= maxBroadcastModel
+      math.max(m.qSeenRows, m.unigramRows) <= maxBroadcastModel
     val scored = probeQqBackoff(
       corpus.select(col(idCol), explode(wordGrams(col(textCol), 2)).as("bigram")),
       m, fitsBroadcast)
@@ -179,7 +192,7 @@ object NgramLm {
     // max over BOTH probed relations (seen bigrams + head counts) — the
     // strategy applies to each, so each must clear the ceiling
     val fitsBroadcast =
-      math.max(m.qSeen.count(), m.heads.count()) <= maxBroadcastModel
+      math.max(m.qSeenRows, m.headsRows) <= maxBroadcastModel
     val scored = probeQq(
       corpus.select(col(idCol), explode(wordGrams(col(textCol), 2)).as("bigram")),
       m, fitsBroadcast)
@@ -216,8 +229,8 @@ object NgramLm {
   def scoreContrast(corpus: DataFrame, idCol: String, textCol: String,
       mIn: Model, mGen: Model,
       maxBroadcastModel: Long = CorpusStats.MaxBroadcastVocab): DataFrame = {
-    val fitsBroadcast = Seq(mIn.qSeen.count(), mIn.heads.count(),
-      mGen.qSeen.count(), mGen.heads.count()).max <= maxBroadcastModel
+    val fitsBroadcast = Seq(mIn.qSeenRows, mIn.headsRows,
+      mGen.qSeenRows, mGen.headsRows).max <= maxBroadcastModel
     val rows = corpus.select(col(idCol),
       explode(wordGrams(col(textCol), 2)).as("bigram"))
     val scored = probeQq(
@@ -266,7 +279,11 @@ object NgramLm {
     * exploded trigram stream — no extra scans, same guarded strategy.
     */
   final case class Backoff3Model(q3: DataFrame, q2: DataFrame,
-      unigrams: DataFrame, n1: Long)
+      unigrams: DataFrame, n1: Long) {
+    lazy val q3Rows: Long = q3.count()
+    lazy val q2Rows: Long = q2.count()
+    lazy val unigramRows: Long = unigrams.count()
+  }
 
   def trainBackoff3(training: DataFrame, textCol: String): Backoff3Model = {
     import graft.functions.PortableLog
@@ -327,7 +344,7 @@ object NgramLm {
     // (heavy trigram pruning or skewed vocab can leave q2 or unigrams
     // larger than q3; an under-ceiling q3 must not broadcast them)
     val fitsBroadcast =
-      Seq(m.q3.count(), m.q2.count(), m.unigrams.count()).max <= maxBroadcastModel
+      Seq(m.q3Rows, m.q2Rows, m.unigramRows).max <= maxBroadcastModel
     val scored = probeQqBackoff3(
       corpus.select(col(idCol), explode(wordGrams(col(textCol), 3)).as("trigram")),
       m, fitsBroadcast)

@@ -14,6 +14,32 @@ class PlanQualitySpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  test("offline-boundary rows score ONCE: the ranked plan reads the cached scored frame") {
+    // the CCNet bucket / curriculum / model-gate rows count the scored
+    // frame and then prefix-scan it — without the cache the count, the
+    // range-partition sampling and the scan each re-run the scoring
+    // chain (two extra corpus scans at 100 TB)
+    try {
+      for (q <- Seq("pipeline_ccnet_buckets", "pipeline_curriculum_shards")) {
+        val p = plan(q)
+        assert(p.contains("InMemoryTableScan"),
+          s"$q must read its scored frame from cache:\n${p.take(2000)}")
+      }
+    } finally Caches.releaseAll()
+  }
+
+  test("LM guard sizes are carried by the model, not recounted per score") {
+    try {
+      val docs = Tables.documents(spark, TestSpark.SF)
+        .filter(org.apache.spark.sql.functions.col("doc_id") < 50)
+      val m = graft.text.NgramLm.train(docs, "text")
+      assert(m.headsRows == m.v,
+        "the head relation IS the type relation — its size is V, free at train time")
+      assert(m.qSeenRows == m.qSeen.count(),
+        "memoized seen-bigram size must equal the relation count")
+    } finally Caches.releaseAll()
+  }
+
   test("filters are pushed into the parquet scan") {
     val p = plan("filter_predicate")
     assert(p.contains("PushedFilters: [") && p.contains("event_type"), p.take(2000))
