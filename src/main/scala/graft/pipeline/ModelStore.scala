@@ -1,0 +1,157 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Durable store for TRAINED ARTIFACTS — classifier weights, LM count
+  * tables, BPE merge lists, IVF centroids, threshold/boundary scalars:
+  * everything a serving pipeline needs so an ingest deployment can LOAD
+  * last night's model instead of retraining inline (the production gap
+  * the serving twins had: every one derived its offline half in-plan).
+  *
+  * Layout — one GENERATION per save, never overwritten in place:
+  * {{{
+  *   <root>/gen=<k>/<name>/part-*.parquet   one parquet dir per relation
+  *   <root>/gen=<k>/__params/               (k, v) string params relation
+  *   <root>/LATEST                          the committed generation id
+  *   <root>/_staging/                       scratch, scrubbed on save
+  * }}}
+  * Params ride as a tiny parquet relation rather than a JSON file: no
+  * hand-rolled parsing, and doubles/longs round-trip exactly through the
+  * same codec as every other relation (a double is stored via
+  * `java.lang.Double.toString`, whose parse round-trip is exact by spec).
+  *
+  * Commit protocol — the Export/DriverFold doctrine applied to models:
+  *  1. everything (relations + params) writes under `_staging`;
+  *  2. ONE atomic rename promotes staging to `gen=<k>` (a generation
+  *     directory that exists is complete by construction);
+  *  3. the LATEST pointer updates by tmp-write → delete → rename —
+  *     single-file renames are atomic on HDFS-semantics filesystems.
+  * Crash windows: during staging → LATEST untouched, readers serve the
+  * previous generation, the orphan is scrubbed by the next save; between
+  * gen rename and pointer → same (the complete-but-unpointed generation
+  * is simply superseded); between pointer delete and rename → the tmp
+  * pointer is complete (it is written BEFORE the delete), so
+  * [[latestGen]] rolls forward by reading it. Every window lands on a
+  * loadable store (spec-driven in ModelStoreSpec).
+  *
+  * Readers pin a generation: [[latestGen]] once, then load every
+  * relation from that generation — a concurrent save can commit a new
+  * generation mid-read without tearing the reader (generations are
+  * immutable; pruning retains `keep` generations so a reader holding the
+  * previous pointer survives one full save cycle).
+  *
+  * Scale: relations are parquet — a 10⁹-row LM table loads as an
+  * ordinary distributed scan (and broadcast-guards downstream exactly
+  * like a freshly trained one); only the pointer and params are
+  * driver-sized.
+  */
+object ModelStore {
+
+  val LatestFile = "LATEST"
+  val StagingDir = "_staging"
+  val ParamsRel = "__params"
+
+  private def fsFor(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Committed generation ids under `root`, newest first (directory
+    * scan — includes committed-but-unpointed generations, which is what
+    * the next-gen allocator needs; readers use [[latestGen]]). */
+  private def genDirs(fs: FileSystem, root: Path): Seq[Long] = {
+    val st = fs.globStatus(new Path(root, "gen=*"))
+    if (st == null) Seq.empty
+    else st.toSeq.flatMap { s =>
+      val n = s.getPath.getName
+      scala.util.Try(n.stripPrefix("gen=").toLong).toOption
+    }.sorted.reverse
+  }
+
+  /** The generation the LATEST pointer commits — rolling forward from
+    * the pointer's own crash window (a complete tmp pointer with the
+    * target missing means the delete happened but not the rename). */
+  def latestGen(spark: SparkSession, root: String): Option[Long] = {
+    val rootP = new Path(root)
+    val fs = fsFor(spark, rootP)
+    val latest = new Path(rootP, LatestFile)
+    val tmp = new Path(rootP, s".$LatestFile.tmp")
+    def readLong(p: Path): Option[Long] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](256)
+          var n = in.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          val s = new String(buf.toByteArray,
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          scala.util.Try(s.toLong).toOption
+        } finally in.close()
+      }
+    readLong(latest).orElse(readLong(tmp))
+  }
+
+  /** Save one model version: all relations + params commit as one new
+    * generation, the pointer flips atomically, generations beyond `keep`
+    * prune. Returns the committed generation id. `beforeCommit` runs
+    * after staging is fully written, before the generation rename;
+    * `beforePointer` between the rename and the pointer flip — the crash
+    * windows specs inject into.
+    */
+  def save(spark: SparkSession, root: String,
+      relations: Seq[(String, DataFrame)],
+      params: Map[String, String] = Map.empty,
+      keep: Int = 2,
+      beforeCommit: Long => Unit = _ => (),
+      beforePointer: Long => Unit = _ => ()): Long = {
+    require(keep >= 1, s"must retain at least one generation: $keep")
+    require(!relations.exists(_._1 == ParamsRel),
+      s"$ParamsRel is the reserved params relation name")
+    val rootP = new Path(root)
+    val fs = fsFor(spark, rootP)
+    fs.mkdirs(rootP)
+    val staging = new Path(rootP, StagingDir)
+    fs.delete(staging, true) // a crashed save's orphan is just discarded
+    val gen = genDirs(fs, rootP).headOption.map(_ + 1L).getOrElse(0L)
+    relations.foreach { case (name, df) =>
+      df.write.mode(SaveMode.Overwrite)
+        .parquet(new Path(staging, name).toString)
+    }
+    import spark.implicits._
+    params.toSeq.sortBy(_._1).toDF("k", "v")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(new Path(staging, ParamsRel).toString)
+    beforeCommit(gen)
+    val genP = new Path(rootP, s"gen=$gen")
+    require(fs.rename(staging, genP), s"generation commit rename failed: $genP")
+    beforePointer(gen)
+    // atomic pointer flip: tmp is complete before the old pointer goes
+    val tmp = new Path(rootP, s".$LatestFile.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(gen.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val latest = new Path(rootP, LatestFile)
+    fs.delete(latest, false)
+    require(fs.rename(tmp, latest), s"pointer rename failed: $latest")
+    // retention: prune beyond `keep` generations (never the one just
+    // committed — it sorts first)
+    genDirs(fs, rootP).drop(keep)
+      .foreach(g => fs.delete(new Path(rootP, s"gen=$g"), true))
+    gen
+  }
+
+  private def pinnedGen(spark: SparkSession, root: String): Long =
+    latestGen(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed model under $root"))
+
+  /** Load one relation from the committed generation. */
+  def loadRelation(spark: SparkSession, root: String, name: String): DataFrame =
+    spark.read.parquet(s"$root/gen=${pinnedGen(spark, root)}/$name")
+
+  /** Load the params map from the committed generation. */
+  def loadParams(spark: SparkSession, root: String): Map[String, String] =
+    loadRelation(spark, root, ParamsRel)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+}

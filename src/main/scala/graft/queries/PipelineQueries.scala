@@ -521,6 +521,21 @@ object PipelineQueries {
        |          JOIN e d ON d.vec_id = c.neighbor_id)""".stripMargin
   }
 
+  /** Trained-IVF k-NN oracle — shared by `knn_ivf_trained` and its
+    * persisted-index twin `knn_ivf_trained_loaded` (same replay: the
+    * loaded row is green only if the centroid relation round-trips
+    * value-exactly through the store). */
+  private[queries] lazy val ivfTrainedKnnOracleSql: String = s"""
+    WITH ${ivfTrainedCtes(k = 16, iters = 2, nprobe = 3)},
+    sc AS (SELECT q.query_id, d.vec_id AS neighbor_id,
+                  ${DuckSql.cosine("q.qv", "d.v")} AS cos
+           FROM qp q JOIN cellF d ON q.cell = d.cell AND q.query_id <> d.vec_id),
+    r AS (SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM sc)
+    SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id
+    FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
+
   private[queries] def ivfTrainedCtes(k: Int, iters: Int, nprobe: Int, dim: Int = 64,
       scale: String = "1000000.0e0", trainRel: String = "e",
       queryPred: String = "vec_id < 100"): String = {
@@ -3030,7 +3045,97 @@ object PipelineQueries {
     WHERE hapax_ratio <= 0.02e0 ORDER BY doc_id"""
   }
 
+  /** Scratch root for the persisted-model rows — generation-versioned by
+    * [[graft.pipeline.ModelStore]] (atomic pointer, retention-pruned), so
+    * repeated Verify/Bench runs just stack and prune generations. */
+  private def modelRoot(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-models/$name"
+
+  /** [[modelRoot]] for the streaming registry's loaded rows. */
+  private[queries] def modelRootShared(name: String): String = modelRoot(name)
+
   def all: Seq[Q] = Seq(
+
+    // ========== persisted-model serving: train → SAVE → LOAD → score ==========
+    // Every serving twin above derives its offline half inline; these
+    // rows exercise the production deployment instead — the artifact
+    // persists through ModelStore (crash-safe generations, atomic LATEST
+    // pointer) and scoring runs against the LOADED copy. Each row shares
+    // its oracle with the inline-fit twin: the oracle re-derives the
+    // model from the training data, so the row is green ONLY if the
+    // save/load round trip is value-exact — that IS the test.
+
+    Q("text_lm_score_loaded",
+      (s, dir) => {
+        val docs = lmPlant(Tables.documents(s, dir))
+        val trained = graft.text.NgramLm.train(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
+        graft.text.NgramLm.save(s, trained, modelRoot("lm"))
+        val m = graft.text.NgramLm.load(s, modelRoot("lm"))
+        graft.text.NgramLm.score(docs, "doc_id", "text", m).orderBy("doc_id")
+      },
+      Some(lmScoreOracleSql)),
+
+    Q("text_quality_classifier_loaded",
+      (s, dir) => {
+        val qc = graft.text.QualityClassifier
+        val feats = graft.Caches.track(qc.features(
+          classifierPlant(Tables.documents(s, dir)), "doc_id", "text",
+          (pmod(col("doc_id"), lit(6)) === 0).cast("int")))
+        qc.save(s, qc.train(feats), modelRoot("classifier"))
+        val m = qc.load(s, modelRoot("classifier"))
+        qc.score(feats, "doc_id", m).orderBy("doc_id")
+      },
+      Some(classifierOracleSql)),
+
+    Q("text_dsir_score_loaded",
+      (s, dir) => {
+        val docs = dsirPlant(Tables.documents(s, dir))
+        Dsir.save(s,
+          Dsir.fit(docs, "text", pmod(col("doc_id"), lit(7)) === 0),
+          modelRoot("dsir"))
+        val m = Dsir.load(s, modelRoot("dsir"))
+        Dsir.score(docs, "doc_id", "text", m).orderBy("doc_id")
+      },
+      Some(dsirScoreOracleSql)),
+
+    // the merge TABLE is order-sensitive (applyMerges replays training
+    // order) — the loaded row proves the codec preserves it
+    Q("text_bpe_apply_loaded",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val (trained, _) = graft.text.Bpe.train(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+          "doc_id", "text", rounds = BpeRounds)
+        graft.text.Bpe.saveMerges(s, trained, modelRoot("bpe"))
+        val merges = graft.text.Bpe.loadMerges(s, modelRoot("bpe"))
+        docs.select(col("doc_id"),
+            graft.text.Bpe.applyMerges(col("text"), merges).as("s"))
+          .select(col("doc_id"),
+            size(tokens(col("s"))).cast("int").as("n_symbols"),
+            col("s").as("text_bpe"))
+          .orderBy("doc_id")
+      },
+      Some(bpeApplyOracleSqlFor(BpeRounds, "doc_id % 4 = 0"))),
+
+    // the index artifact: trained IVF centroids persist as a relation
+    // (cent_id, cv array<double> — parquet doubles are bit-exact) and
+    // the k-NN serves from the LOADED copy
+    Q("knn_ivf_trained_loaded",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        graft.pipeline.ModelStore.save(s, modelRoot("ivf"),
+          Seq("centroids" -> Similarity.kmeansCentroidsQuantized(
+            emb, "vec_id", "embedding", k = 16, iters = 2)))
+        Similarity.knnIvf(emb, "vec_id", "embedding",
+          k = 5, numCentroids = 16, queryFilter = col("vec_id") < 100,
+          centroids = Some(graft.pipeline.ModelStore
+            .loadRelation(s, modelRoot("ivf"), "centroids")),
+          nprobe = 3)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy("query_id", "rnk")
+      },
+      Some(ivfTrainedKnnOracleSql)),
 
     // ================= text analysis =================
     Q("text_langid",
@@ -5352,16 +5457,7 @@ object PipelineQueries {
           .withColumnRenamed("rank", "rnk")
           .orderBy("query_id", "rnk")
       },
-      Some(s"""
-        WITH ${ivfTrainedCtes(k = 16, iters = 2, nprobe = 3)},
-        sc AS (SELECT q.query_id, d.vec_id AS neighbor_id,
-                      ${DuckSql.cosine("q.qv", "d.v")} AS cos
-               FROM qp q JOIN cellF d ON q.cell = d.cell AND q.query_id <> d.vec_id),
-        r AS (SELECT query_id, neighbor_id,
-                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-              FROM sc)
-        SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id
-        FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""")),
+      Some(ivfTrainedKnnOracleSql)),
 
     // embedding PCA + "all-but-the-top" residual (Mu & Viswanath, ICLR
     // 2018 — removing the dominant direction is the standard embedding

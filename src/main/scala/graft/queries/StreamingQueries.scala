@@ -1632,6 +1632,67 @@ object StreamingQueries {
       },
       Some(PipelineQueries.ccnetBucketsStreamOracleSql)),
 
+    // the PERSISTED-MODEL deployment of the row above — what a real
+    // ingest pipeline runs: last night's batch job trained the LM,
+    // derived the tertile boundaries and SAVED both through ModelStore;
+    // the stream job LOADS the committed generation and pays one probe
+    // pass + two comparisons — no training work in the serving path at
+    // all. Shares the inline row's oracle: the oracle re-derives LM and
+    // boundaries from the training data, so the row is green only if
+    // every artifact (count tables, V, both boundary doubles) round-trips
+    // value-exactly.
+    Q("stream_pipeline_ccnet_buckets_loaded",
+      (s, dir) => {
+        implicit val sp = s
+        import graft.functions.GraftFunctions.wordGrams
+        val lmRoot = PipelineQueries.modelRootShared("ccnet_lm")
+        val bRoot = PipelineQueries.modelRootShared("ccnet_bounds")
+        // ---- the nightly half: train, derive boundaries, persist ----
+        locally {
+          val docs = PipelineQueries.lmPlant(graft.Tables.documents(s, dir))
+          val trained = graft.text.NgramLm.train(
+            docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
+          val scored = graft.Caches.track(
+            graft.text.NgramLm.score(docs, "doc_id", "text", trained)
+              .select(col("doc_id"), col("xent")))
+          val n = scored.count()
+          val ranked = graft.operators.PrefixSum.runningSum(
+            scored.withColumn("__one", lit(1L)), "__one", Seq("xent", "doc_id"))
+          def boundary(rank: Long): Double = {
+            val row = ranked.filter(col("running___one") === rank)
+              .agg(min(col("xent"))).first()
+            if (row.isNullAt(0)) Double.NegativeInfinity else row.getDouble(0)
+          }
+          graft.text.NgramLm.save(s, trained, lmRoot)
+          graft.pipeline.ModelStore.save(s, bRoot, Seq(),
+            Map("t1" -> boundary(n / 3).toString,
+              "t2" -> boundary(2 * n / 3).toString))
+        }
+        // ---- the serving half: load and score the stream ----
+        val m = graft.text.NgramLm.load(s, lmRoot)
+        val bounds = graft.pipeline.ModelStore.loadParams(s, bRoot)
+        val (t1, t2) = (bounds("t1").toDouble, bounds("t2").toDouble)
+        val incoming = PipelineQueries.lmPlant(StreamSources.documents(s, dir))
+          .select(col("doc_id"), explode(wordGrams(col("text"), 2)).as("bigram"))
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+        val out = graft.text.NgramLm.probeQq(incoming, m, fitsBroadcast = true)
+          .groupBy(window(col("event_time"), "1 hour"), col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("qq")).as("lm_logp_q"))
+          .select(col("doc_id"),
+            ((-col("lm_logp_q")).cast("double") /
+              (col("n_bigrams").cast("double") * lit(graft.text.NgramLm.Scale)))
+              .as("xent"))
+          .select(col("doc_id"), col("xent"),
+            when(col("xent") <= lit(t1), "head")
+              .when(col("xent") <= lit(t2), "middle")
+              .otherwise("tail").as("ppl_bucket"))
+        StreamRun.toBatch(out, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+          .orderBy("doc_id")
+      },
+      Some(PipelineQueries.ccnetBucketsStreamOracleSql)),
+
     // CCNet bucketing BY SOURCE at ingestion — the deployment the paper
     // actually ships (per-LANGUAGE perplexity cutoffs computed offline
     // on Wikipedia-trained models, applied to the crawl in flight): the

@@ -70,6 +70,26 @@ object Bpe {
   def applyMerges(text: Column, merges: Seq[Merge], joiner: String = Joiner): Column =
     merges.foldLeft(initState(text))((s, m) => mergeStep(s, m.a, m.b, joiner))
 
+  /** Persist a trained merge table through
+    * [[graft.pipeline.ModelStore]] — ORDER is the model ([[applyMerges]]
+    * replays merges in training order), so each row carries its ordinal
+    * and [[loadMerges]] restores by it. Returns the committed
+    * generation. */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge], root: String): Long = {
+    import spark.implicits._
+    graft.pipeline.ModelStore.save(spark, root,
+      Seq("merges" -> merges.zipWithIndex
+        .map { case (m, i) => (i, m.a, m.b, m.count) }
+        .toDF("ord", "a", "b", "cnt").coalesce(1)))
+  }
+
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+      root: String): Seq[Merge] =
+    graft.pipeline.ModelStore.loadRelation(spark, root, "merges")
+      .orderBy("ord").collect()
+      .map(r => Merge(r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
   /** Train `rounds` merges over the corpus; returns the learned merge
     * table (may be shorter than `rounds` if the corpus runs out of
     * adjacent pairs) and the final per-doc state (idCol, "s"). Each

@@ -144,6 +144,36 @@ object Dsir {
         col("__s.dsir_score").as("dsir_score"))
   }
 
+  /** Persist a fitted model through [[graft.pipeline.ModelStore]]: one
+    * (bucket, qlr, ct, cr) row per feature bucket plus the two totals —
+    * all exact integers, so the round trip is value-exact and the loaded
+    * row scores against the SAME oracle as the inline fit. Returns the
+    * committed generation. */
+  def save(spark: org.apache.spark.sql.SparkSession, m: Model,
+      root: String): Long = {
+    import spark.implicits._
+    graft.pipeline.ModelStore.save(spark, root,
+      Seq("model" -> (0 until Buckets)
+        .map(b => (b, m.qlr(b), m.ct(b), m.cr(b)))
+        .toDF("bucket", "qlr", "ct", "cr").coalesce(1)),
+      Map("nt" -> m.nt.toString, "nr" -> m.nr.toString))
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, root: String): Model = {
+    import graft.pipeline.ModelStore
+    val p = ModelStore.loadParams(spark, root)
+    val qlr = new Array[Long](Buckets)
+    val ct = new Array[Long](Buckets)
+    val cr = new Array[Long](Buckets)
+    val rows = ModelStore.loadRelation(spark, root, "model").collect()
+    require(rows.length == Buckets, s"expected $Buckets buckets, loaded ${rows.length}")
+    rows.foreach { r =>
+      val b = r.getInt(0)
+      qlr(b) = r.getLong(1); ct(b) = r.getLong(2); cr(b) = r.getLong(3)
+    }
+    Model(qlr, ct, cr, p("nt").toLong, p("nr").toLong)
+  }
+
   /** Top-k selection by (dsir_score DESC, id ASC) — the deterministic
     * top-slice variant of the paper's resampling step. Distributed top-k
     * via the two-pass prefix rank (range-partition on the order key,

@@ -106,6 +106,30 @@ object NgramLm {
     if (keepBigram) probed else probed.drop("bigram")
   }
 
+  /** Persist a trained model through [[graft.pipeline.ModelStore]] —
+    * the "train nightly, serve from disk" production shape: count tables
+    * are exact integer relations and q is pre-quantized, so a parquet
+    * round trip is value-exact by construction (the loaded-model query
+    * rows prove it against the SAME oracle that re-derives the model
+    * from the training data). Returns the committed generation.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, m: Model,
+      root: String): Long =
+    graft.pipeline.ModelStore.save(spark, root,
+      Seq("q_seen" -> m.qSeen, "heads" -> m.heads),
+      Map("v" -> m.v.toString))
+
+  /** Load the committed model generation; relations are cache-tracked
+    * exactly as [[train]] leaves them (they feed the guard count and the
+    * probe). */
+  def load(spark: org.apache.spark.sql.SparkSession, root: String): Model = {
+    import graft.pipeline.ModelStore
+    val v = ModelStore.loadParams(spark, root)("v").toLong
+    Model(
+      graft.Caches.track(ModelStore.loadRelation(spark, root, "q_seen")),
+      graft.Caches.track(ModelStore.loadRelation(spark, root, "heads")), v)
+  }
+
   /** Stupid-backoff model (Brants et al. 2007, "Large Language Models in
     * Machine Translation" — the smoothing scheme DESIGNED for distributed
     * LMs: raw relative frequencies, no normalization, a fixed 0.4 backoff

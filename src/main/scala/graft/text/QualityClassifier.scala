@@ -124,6 +124,26 @@ object QualityClassifier {
     Model(w)
   }
 
+  /** Persist trained weights through [[graft.pipeline.ModelStore]] —
+    * (index, weight) rows; a parquet DOUBLE round-trips bit-exactly, so
+    * the loaded model scores byte-identically (proved by the loaded-row
+    * oracle). Returns the committed generation. */
+  def save(spark: org.apache.spark.sql.SparkSession, m: Model,
+      root: String): Long = {
+    import spark.implicits._
+    graft.pipeline.ModelStore.save(spark, root,
+      Seq("weights" -> m.w.toSeq.zipWithIndex
+        .map { case (w, i) => (i, w) }.toDF("i", "w").coalesce(1)))
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, root: String): Model = {
+    val rows = graft.pipeline.ModelStore.loadRelation(spark, root, "weights")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    require(rows.size == Buckets + 1,
+      s"expected ${Buckets + 1} weights, loaded ${rows.size}")
+    Model(Array.tabulate(Buckets + 1)(rows))
+  }
+
   /** Score the cached feature table: (id, score_q, pred) with score_q =
     * floor(1e6·s) and pred = [s ≥ 0].
     */
