@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * Layout — one GENERATION per save, never overwritten in place:
   * {{{
   *   <root>/gen=<k>/<name>/part-*.parquet   one parquet dir per relation
-  *   <root>/gen=<k>/__params/               (k, v) string params relation
+  *   <root>/gen=<k>/meta_params/            (k, v) string params relation
   *   <root>/LATEST                          the committed generation id
   *   <root>/_staging/                       scratch, scrubbed on save
   * }}}
@@ -51,7 +51,10 @@ object ModelStore {
 
   val LatestFile = "LATEST"
   val StagingDir = "_staging"
-  val ParamsRel = "__params"
+  // no leading underscore: Spark's file listing treats `_`-prefixed
+  // paths as hidden, which makes an underscore-named leaf readable only
+  // through a fallback path (and WARN-noisy)
+  val ParamsRel = "meta_params"
 
   private def fsFor(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())

@@ -3045,6 +3045,182 @@ object PipelineQueries {
     WHERE hapax_ratio <= 0.02e0 ORDER BY doc_id"""
   }
 
+  // ============ unigram-LM tokenizer oracle (SentencePiece family) ============
+  // The whole training pipeline replays in SQL: word-type counts, seed
+  // substring statistics, the portable-log piece scores, and — per EM
+  // prune round — the VITERBI SEGMENTATION as a fixed-unroll DP over
+  // word positions (stage k = best cost to segment the first k chars;
+  // candidates reach back MaxPieceLen stages; ties pick the smallest
+  // split point via ROW_NUMBER — exactly the kernel's strictly-less
+  // j-ascending rule) plus a fixed-unroll backtrace emitting the chosen
+  // path pieces. The unroll covers words up to UnigramMaxW chars — the
+  // synthetic corpus tops out at 8 (the engine kernel itself is
+  // unbounded); every stage CTE is MATERIALIZED and word-type-sized, so
+  // the chain is long but each link is tiny.
+
+  private[queries] val UnigramRounds = 2
+  private val UnigramMaxW = 10
+
+  /** Staged portable-log scoring of a (piece, cnt) relation `in`:
+    * emits `out` (piece, cnt, q) with q = floor(1e6·plog((cnt+1)/(N+B)))
+    * and `out_oov` (oq) — the zero-count smoothing floor, threaded
+    * through the SAME staged chain as a NULL-piece row. */
+  private def unigramScoreCtes(in: String, out: String): String = {
+    import graft.functions.PortableLog
+    s"""${out}_t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, count(*) AS b FROM $in),
+       |${out}_x AS (SELECT piece, cnt,
+       |        CAST(cnt + 1 AS DOUBLE) / CAST(n + b AS DOUBLE) AS x
+       |      FROM $in CROSS JOIN ${out}_t
+       |      UNION ALL
+       |      SELECT NULL AS piece, CAST(0 AS BIGINT) AS cnt,
+       |        CAST(1 AS DOUBLE) / CAST(n + b AS DOUBLE) AS x FROM ${out}_t),
+       |${out}_y AS (SELECT piece, cnt, ${PortableLog.sqrtNestSql("x")} AS y FROM ${out}_x),
+       |${out}_z AS (SELECT piece, cnt, ${PortableLog.zSql("y")} AS z FROM ${out}_y),
+       |${out}_q AS MATERIALIZED (SELECT piece, cnt,
+       |        CAST(floor(1.0e6 * ${PortableLog.seriesSql("z")}) AS BIGINT) AS q
+       |      FROM ${out}_z),
+       |$out AS (SELECT piece, cnt, q FROM ${out}_q WHERE piece IS NOT NULL),
+       |${out}_oov AS (SELECT q AS oq FROM ${out}_q WHERE piece IS NULL)""".stripMargin
+  }
+
+  /** Fixed-unroll Viterbi over every word of `wordRel` under vocab `vq`
+    * (piece, q) with OOV fallback `ov` (oq) for single chars: emits
+    * `<p>paths` (word, piece) — the chosen path pieces with
+    * multiplicity. */
+  private def unigramDpCtes(p: String, wordRel: String, vq: String,
+      ov: String): String = {
+    val L = graft.text.Unigram.MaxPieceLen
+    val W = UnigramMaxW
+    val dp = (1 to W).map { k =>
+      val prev = (math.max(0, k - L) until k)
+        .map(j => s"SELECT word, k, cost FROM ${p}dp$j").mkString(" UNION ALL ")
+      s"""${p}dpc$k AS (SELECT d.word, d.k AS j,
+         |    d.cost + (CASE WHEN $k - d.k = 1 THEN COALESCE(-v.q, -o.oq)
+         |                   ELSE -v.q END) AS cost
+         |  FROM ($prev) d
+         |  JOIN $wordRel w ON w.word = d.word AND length(w.word) >= $k
+         |  LEFT JOIN $vq v ON v.piece = substr(w.word, CAST(d.k + 1 AS INT), CAST($k - d.k AS INT))
+         |  CROSS JOIN $ov o
+         |  WHERE $k - d.k = 1 OR v.piece IS NOT NULL),
+         |${p}dp$k AS MATERIALIZED (SELECT word, $k AS k, cost, j FROM (
+         |  SELECT word, cost, j,
+         |         row_number() OVER (PARTITION BY word ORDER BY cost ASC, j ASC) AS rn
+         |  FROM ${p}dpc$k) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val dpall = (1 to W).map(j => s"SELECT word, k, cost, j FROM ${p}dp$j")
+      .mkString(" UNION ALL ")
+    val bt = (1 to W).map { t =>
+      s"""${p}bt$t AS MATERIALIZED (
+         |  SELECT b.word, d.j AS k,
+         |         substr(b.word, CAST(d.j + 1 AS INT), CAST(b.k - d.j AS INT)) AS piece
+         |  FROM ${p}bt${t - 1} b JOIN ${p}dpall d ON d.word = b.word AND d.k = b.k
+         |  WHERE b.k > 0)""".stripMargin
+    }.mkString(",\n")
+    val paths = (1 to W).map(t => s"SELECT word, piece FROM ${p}bt$t")
+      .mkString(" UNION ALL ")
+    s"""${p}dp0 AS (SELECT word, 0 AS k, CAST(0 AS BIGINT) AS cost FROM $wordRel),
+       |$dp,
+       |${p}dpall AS MATERIALIZED (SELECT * FROM ($dpall)),
+       |${p}bt0 AS (SELECT word, length(word) AS k FROM $wordRel),
+       |$bt,
+       |${p}paths AS ($paths)""".stripMargin
+  }
+
+  /** One EM prune round: usage counts over the round's Viterbi paths
+    * (weighted by word-type frequency), singles persist (zero-usage
+    * smoothed), used multis compete for `keep` slots, then the kept set
+    * rescores through the shared portable-log chain into `out`. */
+  private def unigramPruneCtes(p: String, pathsRel: String, wordRel: String,
+      vqIn: String, out: String, keep: Int): String =
+    s"""${p}use AS MATERIALIZED (
+       |  SELECT t.piece, CAST(sum(w.wcnt) AS BIGINT) AS cnt
+       |  FROM $pathsRel t JOIN $wordRel w USING (word) GROUP BY 1),
+       |${p}keepm AS (SELECT piece, cnt FROM (
+       |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+       |    FROM ${p}use WHERE length(piece) > 1) WHERE rn <= $keep),
+       |${p}kept AS MATERIALIZED (
+       |  SELECT v.piece, COALESCE(u.cnt, CAST(0 AS BIGINT)) AS cnt
+       |  FROM $vqIn v LEFT JOIN ${p}use u USING (piece) WHERE length(v.piece) = 1
+       |  UNION ALL SELECT piece, cnt FROM ${p}keepm),
+       |${unigramScoreCtes(s"${p}kept", out)}""".stripMargin
+
+  /** Seed + `UnigramRounds` prune rounds over the `pred`-filtered
+    * training corpus; the final vocabulary lands in `vq<R>`. */
+  private def unigramTrainCtes(pred: String): String = {
+    val L = graft.text.Unigram.MaxPieceLen
+    val seedK = graft.text.Unigram.SeedMultis
+    val keepK = graft.text.Unigram.KeepMultis
+    val base = s"""
+      wd AS MATERIALIZED (SELECT word, count(*) AS wcnt FROM (
+          SELECT unnest(${DuckSql.tokens("text")}) AS word
+          FROM ${Q.DocsRef} WHERE $pred) GROUP BY 1),
+      us1 AS (SELECT word, wcnt,
+                CAST(unnest(range(1, length(word) + 1)) AS INT) AS s FROM wd),
+      us2 AS (SELECT word, wcnt, s,
+                CAST(unnest(range(1, least($L, length(word) - s + 1) + 1)) AS INT) AS l
+              FROM us1),
+      sub AS MATERIALIZED (SELECT substr(word, s, l) AS piece,
+                CAST(sum(wcnt) AS BIGINT) AS cnt FROM us2 GROUP BY 1),
+      seedm AS (SELECT piece, cnt FROM (
+          SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+          FROM sub WHERE length(piece) > 1) WHERE rn <= $seedK),
+      seedc AS MATERIALIZED (SELECT piece, cnt FROM sub WHERE length(piece) = 1
+                UNION ALL SELECT piece, cnt FROM seedm),
+      ${unigramScoreCtes("seedc", "vq0")}"""
+    val rounds = (1 to UnigramRounds).map { r =>
+      s"""${unigramDpCtes(s"r$r", "wd", s"vq${r - 1}", s"vq${r - 1}_oov")},
+         |${unigramPruneCtes(s"r$r", s"r${r}paths", "wd", s"vq${r - 1}", s"vq$r", keepK)}""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$rounds"
+  }
+
+  private val unigramTrainPredSql = "doc_id % 4 = 0"
+
+  private[queries] lazy val unigramTrainOracleSql: String = s"""
+    WITH ${unigramTrainCtes(unigramTrainPredSql)}
+    SELECT piece, cnt, q FROM vq$UnigramRounds ORDER BY piece"""
+
+  /** Apply chain: the trained vocab segments EVERY corpus word (one more
+    * DP unroll over the full word-type table — OOV singles fall to the
+    * smoothing floor), per-word stats re-join the token stream, zero-token
+    * docs survive as (0, 0, 0). Shared by the batch, stream and loaded
+    * apply rows and the compression profile. */
+  private def unigramApplyCtes: String = {
+    val r = UnigramRounds
+    s"""${unigramTrainCtes(unigramTrainPredSql)},
+       |wa AS MATERIALIZED (SELECT word, count(*) AS wcnt FROM (
+       |    SELECT unnest(${DuckSql.tokens("text")}) AS word FROM ${Q.DocsRef}) GROUP BY 1),
+       |${unigramDpCtes("ap", "wa", s"vq$r", s"vq${r}_oov")},
+       |wstat AS MATERIALIZED (
+       |  SELECT t.word, CAST(count(*) AS BIGINT) AS n_pieces,
+       |         CAST(sum(COALESCE(v.q, o.oq)) AS BIGINT) AS logq
+       |  FROM appaths t LEFT JOIN vq$r v USING (piece)
+       |  CROSS JOIN vq${r}_oov o GROUP BY 1),
+       |dtok AS (SELECT doc_id, unnest(${DuckSql.tokens("text")}) AS word FROM ${Q.DocsRef}),
+       |dstat AS MATERIALIZED (
+       |  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |         CAST(sum(w.n_pieces) AS BIGINT) AS n_pieces,
+       |         CAST(sum(w.logq) AS BIGINT) AS logq
+       |  FROM dtok d JOIN wstat w USING (word) GROUP BY 1)""".stripMargin
+  }
+
+  private[queries] lazy val unigramApplyOracleSql: String = s"""
+    WITH $unigramApplyCtes
+    SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens,
+           COALESCE(s.n_pieces, 0) AS n_pieces,
+           COALESCE(s.logq, 0) AS unigram_logp_q
+    FROM ${Q.DocsRef} d LEFT JOIN dstat s USING (doc_id) ORDER BY d.doc_id"""
+
+  private[queries] lazy val unigramCompressionOracleSql: String = s"""
+    WITH $unigramApplyCtes
+    SELECT d.source, count(*) AS n_docs,
+           CAST(sum(COALESCE(s.n_pieces, 0)) AS BIGINT) AS sum_pieces,
+           CAST(sum(COALESCE(s.n_tokens, 0)) AS BIGINT) AS sum_tokens,
+           CAST(sum(COALESCE(s.n_pieces, 0)) AS DOUBLE) /
+             CAST(sum(COALESCE(s.n_tokens, 0)) AS DOUBLE) AS compression
+    FROM ${Q.DocsRef} d LEFT JOIN dstat s USING (doc_id)
+    GROUP BY d.source ORDER BY d.source"""
+
   /** Scratch root for the persisted-model rows — generation-versioned by
     * [[graft.pipeline.ModelStore]] (atomic pointer, retention-pruned), so
     * repeated Verify/Bench runs just stack and prune generations. */
@@ -3136,6 +3312,68 @@ object PipelineQueries {
           .orderBy("query_id", "rnk")
       },
       Some(ivfTrainedKnnOracleSql)),
+
+    // ===== unigram-LM tokenizer (SentencePiece family, Viterbi-EM) =====
+    // The OTHER production tokenizer next to BPE: seed vocabulary from
+    // substring counts, EM prune rounds (Viterbi-segment the word types,
+    // count path usage, keep the strongest pieces, re-estimate through
+    // the portable log). The oracle replays EVERYTHING — seed counts,
+    // scores, every DP tie-break, every prune — as fixed-unroll CTEs.
+
+    Q("text_unigram_train",
+      (s, dir) => {
+        val m = graft.text.Unigram.train(
+          Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(4)) === 0),
+          "text", rounds = UnigramRounds)
+        graft.text.Unigram.vocabFrame(s, m).orderBy("piece")
+      },
+      Some(unigramTrainOracleSql)),
+
+    Q("text_unigram_apply",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val m = graft.text.Unigram.train(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+          "text", rounds = UnigramRounds)
+        graft.text.Unigram.score(docs, "doc_id", "text", m).orderBy("doc_id")
+      },
+      Some(unigramApplyOracleSql)),
+
+    // the persisted-tokenizer deployment: pieces + the OOV floor round-
+    // trip through ModelStore and the LOADED copy segments the corpus —
+    // green only if the codec is value-exact (shared apply oracle)
+    Q("text_unigram_apply_loaded",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.text.Unigram.save(s,
+          graft.text.Unigram.train(
+            docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+            "text", rounds = UnigramRounds),
+          modelRoot("unigram"))
+        val m = graft.text.Unigram.load(s, modelRoot("unigram"))
+        graft.text.Unigram.score(docs, "doc_id", "text", m).orderBy("doc_id")
+      },
+      Some(unigramApplyOracleSql)),
+
+    // per-source tokenizer fit — pieces-per-token, the unigram twin of
+    // the BPE compression profile (subword fertility per source)
+    Q("text_unigram_compression",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val m = graft.text.Unigram.train(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+          "text", rounds = UnigramRounds)
+        docs.select(col("doc_id"), col("source"))
+          .join(graft.text.Unigram.score(docs, "doc_id", "text", m), Seq("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_pieces").as("sum_pieces"),
+            sum("n_tokens").as("sum_tokens"))
+          .withColumn("compression",
+            col("sum_pieces").cast("double") / col("sum_tokens").cast("double"))
+          .orderBy("source")
+      },
+      Some(unigramCompressionOracleSql)),
 
     // ================= text analysis =================
     Q("text_langid",

@@ -1762,6 +1762,25 @@ object StreamingQueries {
     // gram fold, no aggregation), so the stream plan is the batch plan
     // on a streaming frame — append mode, no state, no watermark; the
     // batch row's oracle checks it verbatim.
+    // unigram-tokenizer segmentation AT INGESTION — the tokenizer is
+    // trained offline (the batch row's exact Viterbi-EM), the stream
+    // pays one kernel pass per document (model as a plan Literal — pure
+    // column work, append mode, no state); the batch apply oracle checks
+    // it verbatim.
+    Q("stream_text_unigram_apply",
+      (s, dir) => {
+        implicit val sp = s
+        val m = graft.text.Unigram.train(
+          graft.Tables.documents(s, dir)
+            .filter(pmod(col("doc_id"), lit(4)) === 0),
+          "text", rounds = PipelineQueries.UnigramRounds)
+        val out = graft.text.Unigram.score(
+          StreamSources.documents(s, dir), "doc_id", "text", m)
+        StreamRun.toBatch(out, "append", numPartitions = 4)
+          .orderBy("doc_id")
+      },
+      Some(PipelineQueries.unigramApplyOracleSql)),
+
     Q("stream_text_dsir_score",
       (s, dir) => {
         implicit val sp = s
