@@ -31,38 +31,44 @@ object PipelineQueries {
        |s AS (SELECT doc_id, ${DuckSql.wordShingles("toks", n)} AS sh FROM d),
        |g AS (SELECT doc_id, unnest(sh) AS gram FROM s)""".stripMargin
 
-  private def jaccardTail(threshold: Double): String =
-    s"""sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+  private def jaccardTail(threshold: Double, idCol: String = "doc_id"): String =
+    s"""sz AS (SELECT $idCol, count(*) AS n FROM g GROUP BY $idCol),
        |inter AS (
        |  SELECT c.a_id, c.b_id, count(*) AS i
        |  FROM cand c
-       |  JOIN g ga ON ga.doc_id = c.a_id
-       |  JOIN g gb ON gb.doc_id = c.b_id AND gb.gram = ga.gram
+       |  JOIN g ga ON ga.$idCol = c.a_id
+       |  JOIN g gb ON gb.$idCol = c.b_id AND gb.gram = ga.gram
        |  GROUP BY c.a_id, c.b_id),
        |pairs AS (
        |  SELECT iv.a_id, iv.b_id,
        |         CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
-       |  FROM inter iv JOIN sz sa ON sa.doc_id = iv.a_id JOIN sz sb ON sb.doc_id = iv.b_id
+       |  FROM inter iv JOIN sz sa ON sa.$idCol = iv.a_id JOIN sz sb ON sb.$idCol = iv.b_id
        |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= ${threshold}e0)""".stripMargin
 
-  /** Shared minhash sig/band chain (grams → perm minima → band sigs). */
-  private def minhashBandCtes: String = {
+  /** The minhash sig/band chain from an exploded gram CTE `g`
+    * ($idCol, gram) to band signatures — id-column-generic so the
+    * document rows and the CDC-chunk rows share it verbatim. */
+  private def minhashSigBandCtes(idCol: String): String = {
     val perms = (0 until 12).map { p =>
       val (a, b) = graft.functions.GraftFunctions.permHashParams(p)
       s"($p, $a, $b)"
     }.mkString(", ")
-    s"""${gramCtes(3)},
-       |gh AS (SELECT doc_id, ${DuckSql.hash60("gram")} AS h FROM g),
+    s"""gh AS (SELECT $idCol, ${DuckSql.hash60("gram")} AS h FROM g),
        |hp AS (
-       |  SELECT gh.doc_id, pp.p,
+       |  SELECT gh.$idCol, pp.p,
        |         min(CAST((CAST(pp.a AS HUGEINT) * gh.h + pp.b) % ${graft.functions.GraftFunctions.MersenneP} AS BIGINT)) AS minh
        |  FROM gh CROSS JOIN (VALUES $perms) AS pp(p, a, b)
-       |  GROUP BY gh.doc_id, pp.p),
+       |  GROUP BY gh.$idCol, pp.p),
        |bands AS (
-       |  SELECT doc_id, p // 3 AS band,
+       |  SELECT $idCol, p // 3 AS band,
        |         sum(${DuckSql.hash60("CAST(p % 3 AS VARCHAR) || ':' || CAST(minh AS VARCHAR)")}) AS bandsig
-       |  FROM hp GROUP BY doc_id, band)""".stripMargin
+       |  FROM hp GROUP BY $idCol, band)""".stripMargin
   }
+
+  /** Shared minhash sig/band chain (grams → perm minima → band sigs). */
+  private def minhashBandCtes: String =
+    s"""${gramCtes(3)},
+       |${minhashSigBandCtes("doc_id")}""".stripMargin
 
   /** Whole minhash-LSH pipeline as a CTE chain ending in `pairs`. */
   private def minhashCtes(threshold: Double): String =
@@ -187,6 +193,68 @@ object PipelineQueries {
        |            THEN 0 ELSE 1 END AS INT) AS is_dup
        |FROM dg g JOIN reps r ON r.d = g.d
        |ORDER BY doc_id, chunk_no""".stripMargin
+
+  /** Chunk-level near-dup replay: CDC chunks → distinct-text
+    * representatives (keep-first struct minimum) → packed key + distinct
+    * in-chunk bigram shingles → the shared minhash sig/band chain keyed
+    * by the packed id → banded candidates → exact-Jaccard tail. Ends at
+    * `pairs` (a_id, b_id, jaccard). */
+  private def cdcNearDupBaseCtes(threshold: Double): String = {
+    val kb = graft.pipeline.Chunking.ChunkKeyBase
+    s"""$cdcChunkCtes,
+       |cdg AS (SELECT doc_id, chunk_no, chunk_text, md5(chunk_text) AS dd FROM chunks),
+       |crep AS (SELECT min(struct_pack(doc_id := doc_id, chunk_no := chunk_no)) AS r,
+       |                any_value(chunk_text) AS t
+       |         FROM cdg GROUP BY dd),
+       |ctk AS (SELECT r.doc_id * $kb + r.chunk_no AS cid, ${DuckSql.tokens("t")} AS toks FROM crep),
+       |csh AS MATERIALIZED (SELECT cid, ${DuckSql.wordShingles("toks", 2)} AS sh FROM ctk),
+       |g AS (SELECT cid, unnest(sh) AS gram FROM csh WHERE len(sh) > 0),
+       |${minhashSigBandCtes("cid")},
+       |cand AS (SELECT DISTINCT a.cid AS a_id, b.cid AS b_id
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bandsig = b.bandsig AND a.cid < b.cid),
+       |${jaccardTail(threshold, "cid")}""".stripMargin
+  }
+
+  private[queries] lazy val cdcNearDupOracleSql: String = {
+    val kb = graft.pipeline.Chunking.ChunkKeyBase
+    s"""WITH ${cdcNearDupBaseCtes(0.6)}
+       |SELECT a_id // $kb AS a_doc, CAST(a_id % $kb AS INT) AS a_chunk,
+       |       b_id // $kb AS b_doc, CAST(b_id % $kb AS INT) AS b_chunk, jaccard
+       |FROM pairs ORDER BY a_doc, a_chunk, b_doc, b_chunk""".stripMargin
+  }
+
+  /** Ingest twin: archive (%4 docs) chunk representatives on the a side,
+    * EVERY stream chunk on the b side (self-pairs included — a
+    * re-ingested archive chunk flags against its own representative at
+    * jaccard 1), per-stream-chunk min/max aggregation. The gram relation
+    * UNIONs both sides (set semantics — an archive rep that is also a
+    * stream chunk contributes its grams once). */
+  private[queries] lazy val cdcNearDupIncrementalOracleSql: String = {
+    val kb = graft.pipeline.Chunking.ChunkKeyBase
+    s"""WITH $cdcChunkCtes,
+       |cdg AS (SELECT doc_id, chunk_no, chunk_text, md5(chunk_text) AS dd FROM chunks),
+       |acrep AS (SELECT min(struct_pack(doc_id := doc_id, chunk_no := chunk_no)) AS r,
+       |                 any_value(chunk_text) AS t
+       |          FROM cdg WHERE doc_id % 4 = 0 GROUP BY dd),
+       |atk AS (SELECT r.doc_id * $kb + r.chunk_no AS cid, ${DuckSql.tokens("t")} AS toks FROM acrep),
+       |ash AS MATERIALIZED (SELECT cid, ${DuckSql.wordShingles("toks", 2)} AS sh FROM atk),
+       |btk AS (SELECT doc_id * $kb + chunk_no AS cid, ${DuckSql.tokens("chunk_text")} AS toks FROM cdg),
+       |bsh AS MATERIALIZED (SELECT cid, ${DuckSql.wordShingles("toks", 2)} AS sh FROM btk),
+       |g AS (SELECT cid, unnest(sh) AS gram FROM ash WHERE len(sh) > 0
+       |      UNION SELECT cid, unnest(sh) AS gram FROM bsh WHERE len(sh) > 0),
+       |${minhashSigBandCtes("cid")},
+       |abands AS (SELECT b.* FROM bands b JOIN ash a USING (cid)),
+       |bbands AS (SELECT b.* FROM bands b JOIN bsh x USING (cid)),
+       |cand AS (SELECT DISTINCT a.cid AS a_id, b.cid AS b_id
+       |         FROM abands a JOIN bbands b
+       |           ON a.band = b.band AND a.bandsig = b.bandsig),
+       |${jaccardTail(0.6, "cid")}
+       |SELECT b_id // $kb AS doc_id, CAST(b_id % $kb AS INT) AS chunk_no,
+       |       min(a_id) // $kb AS rep_doc, CAST(min(a_id) % $kb AS INT) AS rep_chunk,
+       |       max(jaccard) AS j_max
+       |FROM pairs GROUP BY b_id ORDER BY doc_id, chunk_no""".stripMargin
+  }
 
   /** Collocation replay: unigram/bigram counts, the PMI ratio in pinned
     * double arithmetic, the staged plog chain, rank + cut on the
@@ -4848,6 +4916,20 @@ object PipelineQueries {
           "doc_id", "chunk_no", "chunk_text")
         .orderBy("doc_id", "chunk_no"),
       Some(cdcChunkDedupOracleSql)),
+
+    // chunk-level NEAR-dup — the paragraph-granularity fuzzy layer
+    // between exact chunk dedup and document-level MinHash (RefinedWeb's
+    // remedy for edited re-crawls): CDC boundaries localize an edit to
+    // one chunk, exact dedup collapses identical chunks first, then the
+    // banded-MinHash chain pairs similar representatives and the fused
+    // SortedJaccard verifies on in-chunk bigram shingles.
+    Q("pipeline_cdc_chunk_neardup",
+      (s, dir) => graft.pipeline.Chunking.chunkNearDupPairs(
+          graft.pipeline.Chunking.cdcChunks(
+            Tables.documents(s, dir), "doc_id", "text", mask = CdcMask),
+          "doc_id", "chunk_no", "chunk_text")
+        .orderBy("a_doc", "a_chunk", "b_doc", "b_chunk"),
+      Some(cdcNearDupOracleSql)),
 
     // deterministic stratified (class-balanced) sampling: 20 vectors per
     // label, chosen by a fixed multiplicative hash of the id so the

@@ -1358,6 +1358,79 @@ object StreamingQueries {
       },
       Some(PipelineQueries.cdcDedupIncrementalOracleSql)),
 
+    // chunk-level NEAR-dup AT INGESTION — the re-crawl monitor for
+    // EDITED boilerplate: the archive's distinct-chunk representatives
+    // carry static band + sorted-shingle tables; each incoming document
+    // chunks per row (CDC is pure column work), computes its chunks'
+    // band signatures in-expression, equi-joins the static bands and
+    // exact-verifies with the fused SortedJaccard — flagging per
+    // (doc, chunk) with the duplicate-insensitive min/max aggregation.
+    // Self-pairs included (a re-ingested archive chunk flags against its
+    // own representative at jaccard 1). Sub-2-token chunks carry no
+    // shingles and never flag — the family's no-signature contract.
+    Q("stream_pipeline_cdc_chunk_neardup",
+      (s, dir) => {
+        implicit val sp = s
+        import graft.functions.GraftFunctions.{hash60, wordShingles}
+        val ck = graft.pipeline.Chunking
+        val kb = ck.ChunkKeyBase
+        val archive = ck.cdcChunks(
+          graft.Tables.documents(s, dir)
+            .filter(pmod(col("doc_id"), lit(4)) === 0),
+          "doc_id", "text", mask = PipelineQueries.CdcMask)
+        val aReps = graft.Caches.track(archive
+          .select(md5(col("chunk_text")).as("__d"),
+            struct(col("doc_id"), col("chunk_no")).as("__rc"),
+            col("chunk_text"))
+          .groupBy("__d")
+          .agg(min(col("__rc")).as("__rc"), first(col("chunk_text")).as("__t"))
+          .select(
+            (col("__rc.doc_id") * lit(kb) + col("__rc.chunk_no"))
+              .cast("long").as("a_id"),
+            sort_array(wordShingles(col("__t"), 2)).as("sh_a"))
+          .filter(size(col("sh_a")) > 0))
+        val aBands = graft.Caches.track(
+          graft.dedup.Dedup.lshBands(
+            graft.dedup.Dedup.minhashSignatures(
+              aReps.select(col("a_id"),
+                transform(col("sh_a"), g => hash60(g)).as("hs")),
+              "a_id", 12),
+            "a_id", 3))
+        val incoming = ck.cdcChunks(StreamSources.documents(s, dir),
+            "doc_id", "text", mask = PipelineQueries.CdcMask)
+          .select(col("doc_id"), col("chunk_no"),
+            sort_array(wordShingles(col("chunk_text"), 2)).as("sh_b"))
+          .filter(size(col("sh_b")) > 0)
+          .withColumn("sigs", graft.functions.expressions.MinHashSigs.of(
+            transform(col("sh_b"), g => hash60(g)), 12))
+          .withColumn("bb", explode(
+            graft.dedup.Dedup.lshBandsColumn(col("sigs"), 12, 3)))
+          .select(col("doc_id"), col("chunk_no"), col("sh_b"),
+            col("bb.band").as("band"), col("bb.bandsig").as("bandsig"))
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+        val verified = incoming
+          .join(aBands, Seq("band", "bandsig"))
+          .join(aReps, Seq("a_id"))
+          .select(col("event_time"), col("doc_id"), col("chunk_no"), col("a_id"),
+            graft.functions.expressions.SortedJaccard
+              .of(col("sh_b"), col("sh_a")).as("jaccard"))
+        val flagged = verified
+          .groupBy(window(col("event_time"), "1 hour"),
+            col("doc_id"), col("chunk_no"))
+          .agg(min(when(col("jaccard") >= 0.6, col("a_id"))).as("rep"),
+            max(when(col("jaccard") >= 0.6, col("jaccard"))).as("j_max"))
+          .filter(col("rep").isNotNull)
+          .select(col("doc_id"), col("chunk_no"),
+            expr(s"rep div $kb").as("rep_doc"),
+            expr(s"rep % $kb").cast("int").as("rep_chunk"),
+            col("j_max"))
+        StreamRun.toBatch(flagged, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+          .orderBy("doc_id", "chunk_no")
+      },
+      Some(PipelineQueries.cdcNearDupIncrementalOracleSql)),
+
     // token-entropy AT INGESTION — the lexical-diversity gate as a crawl
     // monitor: the entropy kernel is pure per-row column work, so it
     // streams as-is (append, zero state) and emits the batch row's exact

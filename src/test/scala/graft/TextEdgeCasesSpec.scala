@@ -351,6 +351,44 @@ class TextEdgeCasesSpec extends AnyFunSuite {
       "fixed-stride chunks must shift under the same edit (the contrast)")
   }
 
+  test("chunk near-dup pairs an EDITED paragraph; exact chunk dedup cannot") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    // build a 20-token paragraph of NON-boundary tokens (hash % 8 != 0)
+    // so CDC keeps it as one chunk, then a boundary token to close it
+    val nonBoundary = Iterator.from(0).map(i => s"tok$i")
+      .filter(t => GraftFunctions.hash60Scala(t) % 8 != 0).take(21).toSeq
+    val boundary = Iterator.from(0).map(i => s"cut$i")
+      .find(t => GraftFunctions.hash60Scala(t) % 8 == 0).get
+    val para = nonBoundary.take(20)
+    val edited = para.updated(10, nonBoundary(20)) // one mid-token swap
+    val docs = Seq(
+      (1L, (para :+ boundary).mkString(" ")),
+      (2L, (edited :+ boundary).mkString(" "))
+    ).toDF("doc_id", "text")
+    try {
+      val chunks = graft.pipeline.Chunking.cdcChunks(docs, "doc_id", "text", mask = 8)
+      // the paragraph survived as chunk 0 of each doc
+      assert(chunks.filter(col("chunk_no") === 0).count() == 2)
+      // exact dedup sees two DISTINCT chunks (the edit broke the digest)
+      val exact = graft.pipeline.Chunking
+        .chunkDedup(chunks, "doc_id", "chunk_no", "chunk_text")
+        .filter(col("chunk_no") === 0).collect()
+      assert(exact.forall(_.getInt(4) == 0), "edited chunks are not exact dups")
+      // near-dup pairs them: the chunk is para + its closing boundary
+      // token (CDC cuts AFTER the boundary) = 21 tokens → 20 bigrams;
+      // one mid-edit breaks 2 → jaccard = 18 / (20 + 20 - 18) = 18/22
+      val pairs = graft.pipeline.Chunking
+        .chunkNearDupPairs(chunks, "doc_id", "chunk_no", "chunk_text")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getInt(3), r.getDouble(4)))
+      val hit = pairs.find(p => p._1 == 1L && p._2 == 0 && p._3 == 2L && p._4 == 0)
+      assert(hit.isDefined, s"edited paragraph must pair: ${pairs.toSeq}")
+      assert(math.abs(hit.get._5 - 18.0 / 22.0) < 1e-12,
+        s"hand-computed bigram jaccard: ${hit.get._5}")
+    } finally Caches.releaseAll()
+  }
+
   test("chunk dedup against an archive is id-type agnostic: string ids get NULL, long ids get -1") {
     import spark.implicits._
     val archive = Seq(("arc1", 0, "alpha beta gamma")).toDF("doc_id", "chunk_no", "chunk_text")
