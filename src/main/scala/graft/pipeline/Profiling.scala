@@ -451,6 +451,57 @@ object Profiling {
     psiReport(byKey, base, keyCol)
   }
 
+  /** Per-key EMBEDDING-space drift vs the corpus marginal — the third
+    * face of the drift triad (length / token / VECTOR): a source whose
+    * embeddings moved — a crawler swapping domains, an encoder-version
+    * mix-up, corrupted vectors — shifts its mass across the trained IVF
+    * CELLS even when lengths and token shares hold still. The histogram
+    * axis is the cell assignment under an explicit trained centroid set
+    * (the shared quantized-Lloyd generator): the vocabulary-hashing move
+    * applied to vector space — unbounded R^d projects onto k
+    * policy-dimension bins, the whole profile is one zero-Exchange
+    * assignment column + one map-side-combined aggregation, O(groups·k)
+    * rows of PSI tail after it. Same shared [[psiReport]] dag, so the
+    * score semantics (smoothing, portable log, quantized sum) are
+    * identical across all three monitors.
+    */
+  def embeddingDriftPsi(emb: DataFrame, keyCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val byKey = graft.Caches.track(
+      emb.select(col(keyCol),
+          graft.similarity.Similarity.cellColumn(col(vecCol), centroids)
+            .cast("long").as("bin"))
+        .groupBy(keyCol, "bin").agg(count(lit(1)).as("cnt")))
+    psiReport(byKey, byKey.groupBy("bin").agg(sum("cnt").as("cnt")), keyCol)
+  }
+
+  /** [[embeddingDriftPsi]] AT INGESTION — the vector-drift crawl
+    * monitor: centroids and the baseline cell histogram derive OFFLINE
+    * from the archived corpus, the stream assigns cells as pure column
+    * work (the centroid set is a plan literal — no join, no state) and
+    * folds per-batch (key, cell) counts into the shared
+    * `DriverFold`-persisted keyed map, PSI tail shared — streaming the
+    * archive reproduces the batch row exactly (shared oracle); in
+    * production the stream is the new crawl's embeddings scored against
+    * the corpus, O(groups·k) state for any stream length.
+    */
+  def embeddingDriftPsiIngest(stream: DataFrame, reference: DataFrame,
+      keyCol: String, vecCol: String, centroids: DataFrame,
+      onBatch: Int => Unit = _ => (),
+      checkpoint: Option[String] = None,
+      stateDir: Option[String] = None)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val cell = graft.similarity.Similarity.cellColumn(col(vecCol), centroids)
+    val byKey = keyedBinFold(
+      stream.select(col(keyCol).cast("string").as("k"),
+        cell.cast("long").as("bin")),
+      onBatch, checkpoint, stateDir)
+      .withColumnRenamed("k", keyCol)
+    val base = reference.select(cell.cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    psiReport(byKey, base, keyCol)
+  }
+
   private def encodeKeyedBins(
       m: scala.collection.mutable.HashMap[(String, Long), Long]): Array[Byte] = {
     val items = m.toArray.map { case ((k, b), c) =>

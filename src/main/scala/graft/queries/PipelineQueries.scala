@@ -606,7 +606,8 @@ object PipelineQueries {
 
   private[queries] def ivfTrainedCtes(k: Int, iters: Int, nprobe: Int, dim: Int = 64,
       scale: String = "1000000.0e0", trainRel: String = "e",
-      queryPred: String = "vec_id < 100"): String = {
+      queryPred: String = "vec_id < 100",
+      eCte: String = s"SELECT vec_id, embedding AS v FROM ${Q.EmbRef}"): String = {
     val trA = if (trainRel == "e") "e" else s"$trainRel e"
     def iter(i: Int): String =
       s"""asg$i AS (SELECT e.vec_id, e.v, c.cent_id,
@@ -623,7 +624,7 @@ object PipelineQueries {
          |c$i AS (SELECT cell AS cent_id,
          |               list(CAST(s AS DOUBLE) / ($scale * n) ORDER BY j) AS cv
          |        FROM s$i GROUP BY cell)""".stripMargin
-    s"""e AS (SELECT vec_id, embedding AS v FROM ${Q.EmbRef}),
+    s"""e AS ($eCte),
        |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM $trainRel ORDER BY vec_id LIMIT $k),
        |${(1 to iters).map(iter).mkString(",\n")},
        |asgF AS (SELECT e.vec_id, e.v, c.cent_id,
@@ -2789,6 +2790,42 @@ object PipelineQueries {
     SELECT source, max(b) AS n_bins, CAST(sum(tq) AS BIGINT) AS psi_q
     FROM t GROUP BY source ORDER BY source"""
 
+  /** Vector plant for the EMBEDDING-drift rows: src7's vectors take
+    * element-wise ABSOLUTE VALUES — all-positive vectors are mutually
+    * high-cosine, so the planted source collapses into one tight cell
+    * cluster (the unmistakable drift signature) while lengths and token
+    * shares stay exactly where they were (the drift the other two
+    * monitors cannot see). abs is IEEE-exact on floats, so the plant
+    * replays bit-identically. */
+  private[queries] def embDriftPlant(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .join(Tables.documents(s, dir)
+        .select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+      .select(col("vec_id"), col("source"),
+        when(col("source") === "src7",
+          transform(col("embedding"), x => abs(x)))
+          .otherwise(col("embedding")).as("embedding"))
+
+  /** Embedding-drift oracle: the trained-IVF replay over the PLANTED
+    * vectors (the shared Lloyd CTEs with the plant inlined as the `e`
+    * relation), per-source cell histogram, the shared PSI tail. */
+  private[queries] lazy val embeddingDriftPsiOracleSql: String = {
+    val eCte = s"""SELECT em.vec_id,
+         CASE WHEN d.source = 'src7'
+              THEN list_transform(em.embedding, x -> abs(x))
+              ELSE em.embedding END AS v
+       FROM ${Q.EmbRef} em
+       JOIN ${Q.DocsRef} d ON d.doc_id = em.vec_id"""
+    s"""WITH ${ivfTrainedCtes(k = 16, iters = 2, nprobe = 1, eCte = eCte)},
+    bk AS (SELECT d.source, c.cell AS bin, count(*) AS cnt
+           FROM cellF c JOIN ${Q.DocsRef} d ON d.doc_id = c.vec_id
+           GROUP BY 1, 2),
+    $psiTailCtes
+    SELECT source, max(b) AS n_bins, CAST(sum(tq) AS BIGINT) AS psi_q
+    FROM t GROUP BY source ORDER BY source"""
+  }
+
   /** Semantic-decontamination oracle: the trained-IVF replay (benchmark
     * = the vec_id % 41 residue class probing its top-3 cells) + the
     * exact-cosine gate and per-vector aggregate — the same recall trade
@@ -4396,6 +4433,23 @@ object PipelineQueries {
         tokenDriftPlant(Tables.documents(s, dir)), "source", "text")
         .orderBy("source"),
       Some(tokenDriftPsiOracleSql)),
+
+    // EMBEDDING-space drift — the VECTOR face of the drift-monitor
+    // triad: per-source mass over trained-IVF cells (the vocabulary-
+    // hashing move applied to R^d — unbounded vector space projects
+    // onto k policy-dimension bins), scored by the shared PSI dag. The
+    // plant takes |x| of src7's vectors — all-positive vectors collapse
+    // into one tight cell cluster, a drift the length and token monitors
+    // are blind to.
+    Q("pipeline_embedding_drift_psi",
+      (s, dir) => {
+        val emb = graft.Caches.track(embDriftPlant(s, dir))
+        graft.pipeline.Profiling.embeddingDriftPsi(emb, "source", "embedding",
+          Similarity.kmeansCentroidsQuantized(emb, "vec_id", "embedding",
+            k = 16, iters = 2))
+          .orderBy("source")
+      },
+      Some(embeddingDriftPsiOracleSql)),
 
     // BM25 retrieval — the retrieval face of decontamination and
     // targeted selection ("which documents does this benchmark question

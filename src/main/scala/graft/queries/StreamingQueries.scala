@@ -1283,6 +1283,35 @@ object StreamingQueries {
       },
       Some(PipelineQueries.tokenDriftPsiOracleSql)),
 
+    // EMBEDDING drift AT INGESTION — the vector face of the crawl-drift
+    // triad: centroids AND the baseline cell histogram derive offline
+    // from the archived corpus, the stream assigns each vector's cell as
+    // pure column work (the trained centroid set is a plan literal — no
+    // join, no state) and folds per-batch (source, cell) counts into the
+    // shared DriverFold-persisted keyed map; the PSI tail is the shared
+    // dag — streaming the archive reproduces the batch row exactly
+    // (shared oracle); in production the stream is the new crawl's
+    // embeddings scored against the corpus.
+    Q("stream_pipeline_embedding_drift_psi",
+      (s, dir) => {
+        implicit val sp = s
+        val ref = graft.Caches.track(PipelineQueries.embDriftPlant(s, dir))
+        val cents = graft.similarity.Similarity.kmeansCentroidsQuantized(
+          ref, "vec_id", "embedding", k = 16, iters = 2)
+        val srcs = graft.Caches.track(graft.Tables.documents(s, dir)
+          .select(col("doc_id").as("vec_id"), col("source")))
+        val stream = StreamSources.embeddings(s, dir)
+          .join(broadcast(srcs), "vec_id")
+          .select(col("vec_id"), col("source"),
+            when(col("source") === "src7",
+              transform(col("embedding"), x => abs(x)))
+              .otherwise(col("embedding")).as("embedding"))
+        graft.pipeline.Profiling.embeddingDriftPsiIngest(
+          stream, ref, "source", "embedding", cents)
+          .orderBy("source")
+      },
+      Some(PipelineQueries.embeddingDriftPsiOracleSql)),
+
     // corpus-frequency scoring AT INGESTION — the CCNet deployment split
     // for df statistics: the vocabulary (token → document frequency)
     // derives OFFLINE from the archived corpus, the stream probes it as

@@ -195,6 +195,20 @@ object Similarity {
       struct(centroidCos(cv, v, vn).as("c"), lit(-i).as("ni"), lit(cid).as("cell"))
     }: _*)
 
+  /** The cell assignment as a pure COLUMN against an explicit centroid
+    * set — the zero-Exchange argmax for callers whose rows carry keys
+    * the (id, vec, cell)-shaped [[ivfAssignWith]] would drop (the
+    * embedding-drift monitor keys by source): no id re-join, the key
+    * rides the same projection. Ties → lowest centroid id, as
+    * everywhere. */
+  def cellColumn(vecCol: org.apache.spark.sql.Column,
+      centroids: DataFrame): org.apache.spark.sql.Column = {
+    val cents = collectCentroids(centroids)
+    require(cents.nonEmpty, "ivf assignment needs a non-empty centroid set")
+    array_max(centroidEntries(cents, vecCol,
+      sqrt(dot(vecCol, vecCol)))).getField("cell")
+  }
+
   /** Narrow assignment against collected centroids: (id, vec, norm, cell). */
   private def assignCollected(df: DataFrame, idCol: String, vecCol: String,
       cents: Seq[(Any, Seq[Double])]): DataFrame = {

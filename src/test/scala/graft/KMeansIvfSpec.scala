@@ -101,6 +101,20 @@ class KMeansIvfSpec extends AnyFunSuite {
     } finally Caches.releaseAll()
   }
 
+  test("cellColumn ≡ ivfAssignWith: the key-preserving assignment is the same argmax") {
+    try {
+      val cents = Similarity.kmeansCentroidsQuantized(
+        emb, "vec_id", "embedding", 16, 2)
+      val viaColumn = emb.select(col("vec_id"),
+          Similarity.cellColumn(col("embedding"), cents).as("cell"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaAssign = Similarity.ivfAssignWith(emb, "vec_id", "embedding", cents)
+        .select("vec_id", "cell")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaColumn == viaAssign)
+    } finally Caches.releaseAll()
+  }
+
   test("semantic contamination: exact at nprobe=k, monotone recall, hits verify, serve path identical") {
     val bench = emb.filter(pmod(col("vec_id"), lit(41)) === 0)
     val tau = 0.3
