@@ -589,6 +589,16 @@ object PipelineQueries {
        |          JOIN e d ON d.vec_id = c.neighbor_id)""".stripMargin
   }
 
+  /** IVF-PQ k-NN oracle — shared by `knn_ivf_pq`, the streaming serve
+    * twin and the persisted-index `knn_ivf_pq_loaded`. */
+  private[queries] lazy val ivfPqKnnOracleSql: String = s"""
+    WITH ${ivfTrainedCtes(k = 16, iters = 2, nprobe = 3)},
+    ${ivfPqCtes(subvectors = 4, codes = 16, iters = 2, nprobe = 3, rerank = 40)}
+    SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM pex) WHERE rnk <= 5 ORDER BY query_id, rnk"""
+
   /** Trained-IVF k-NN oracle — shared by `knn_ivf_trained` and its
     * persisted-index twin `knn_ivf_trained_loaded` (same replay: the
     * loaded row is green only if the centroid relation round-trips
@@ -4139,6 +4149,22 @@ object PipelineQueries {
       },
       Some(lmBackoff3OracleSql)),
 
+    // the persisted-model deployment of the deepest LM chain: all three
+    // order tables + N round-trip through ModelStore and scoring runs
+    // from the LOADED model (shared oracle — value-exactness is the test)
+    Q("text_lm_score_backoff3_loaded",
+      (s, dir) => {
+        val docs = lmPlant(Tables.documents(s, dir))
+        graft.text.NgramLm.saveBackoff3(s,
+          graft.text.NgramLm.trainBackoff3(
+            docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text"),
+          modelRoot("lm_backoff3"))
+        val m = graft.text.NgramLm.loadBackoff3(s, modelRoot("lm_backoff3"))
+        graft.text.NgramLm.scoreBackoff3(docs, "doc_id", "text", m)
+          .orderBy("doc_id")
+      },
+      Some(lmBackoff3OracleSql)),
+
     // forced shuffle-hash fallback twins for BOTH backoff scorers — the
     // round-11 guard sizes on the MAX of all probed model tables, and
     // the strategy it picks must be result-invisible: the byte-identical
@@ -5919,13 +5945,23 @@ object PipelineQueries {
           numCentroids = 16, iters = 2, nprobe = 3,
           subvectors = 4, codes = 16, rerank = 40)
         .orderBy("query_id", "rnk"),
-      Some(s"""
-        WITH ${ivfTrainedCtes(k = 16, iters = 2, nprobe = 3)},
-        ${ivfPqCtes(subvectors = 4, codes = 16, iters = 2, nprobe = 3, rerank = 40)}
-        SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id FROM (
-          SELECT query_id, neighbor_id,
-                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-          FROM pex) WHERE rnk <= 5 ORDER BY query_id, rnk""")),
+      Some(ivfPqKnnOracleSql)),
+
+    // the PERSISTED-index IVF-PQ deployment: coarse centroids and all
+    // four codebooks (position = code) round-trip through ModelStore and
+    // the k-NN serves from the LOADED model — green only if the codec
+    // preserves values AND codebook order exactly (shared oracle).
+    Q("knn_ivf_pq_loaded",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.pqSave(s, modelRoot("ivfpq"), emb, "vec_id", "embedding",
+          numCentroids = 16, iters = 2, subvectors = 4, codes = 16)
+        Similarity.knnIvfPqFrom(s, modelRoot("ivfpq"), emb, "vec_id",
+          "embedding", k = 5, queryFilter = col("vec_id") < 100,
+          nprobe = 3, rerank = 40)
+          .orderBy("query_id", "rnk")
+      },
+      Some(ivfPqKnnOracleSql)),
 
     // IVF-PQ SERVING AT INGESTION — the deployment shape of compressed
     // ANN: model + index build offline from the archive; each incoming
@@ -5962,13 +5998,7 @@ object PipelineQueries {
           requireSingleDataBatch = true)
           .orderBy("query_id", "rnk")
       },
-      Some(s"""
-        WITH ${ivfTrainedCtes(k = 16, iters = 2, nprobe = 3)},
-        ${ivfPqCtes(subvectors = 4, codes = 16, iters = 2, nprobe = 3, rerank = 40)}
-        SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id FROM (
-          SELECT query_id, neighbor_id,
-                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-          FROM pex) WHERE rnk <= 5 ORDER BY query_id, rnk""")),
+      Some(ivfPqKnnOracleSql)),
 
     // SemDeDup-style SEMANTIC dedup: the trained k-means cells (same 2
     // quantized Lloyd iterations as knn_ivf_trained — one CTE generator

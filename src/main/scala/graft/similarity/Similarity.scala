@@ -528,9 +528,73 @@ object Similarity {
       queryFilter: org.apache.spark.sql.Column,
       numCentroids: Int = 16, iters: Int = 2, nprobe: Int = 3,
       subvectors: Int = 4, codes: Int = 16, rerank: Int = 20,
-      dim: Int = 64): DataFrame = {
-    val m = pqTrain(df, idCol, vecCol, numCentroids, iters, subvectors,
+      dim: Int = 64): DataFrame =
+    knnIvfPqWith(
+      pqTrain(df, idCol, vecCol, numCentroids, iters, subvectors, codes, dim),
+      df, idCol, vecCol, k, queryFilter, nprobe, rerank)
+
+  /** [[knnIvfPq]] serving from a PERSISTED index model (see [[pqSave]])
+    * — the production deployment: last night's coarse centroids and
+    * per-subvector codebooks load from the store; nothing retrains in
+    * the serving path. Value-exact by the codec (doubles round-trip
+    * bit-identically; the code-norm fold re-runs the same driver-side
+    * dag on identical inputs), so the loaded row shares the inline-fit
+    * oracle. */
+  def knnIvfPqFrom(spark: org.apache.spark.sql.SparkSession, root: String,
+      df: DataFrame, idCol: String, vecCol: String, k: Int,
+      queryFilter: org.apache.spark.sql.Column,
+      nprobe: Int = 3, rerank: Int = 20): DataFrame =
+    knnIvfPqWith(pqLoad(spark, root), df, idCol, vecCol, k, queryFilter,
+      nprobe, rerank)
+
+  /** Train the IVF-PQ model and persist it through
+    * [[graft.pipeline.ModelStore]]: the coarse centroid relation plus
+    * one row per (subvector, code-position) codebook entry — `pos` IS
+    * the code, so the load re-sorts by it and the positional contract
+    * survives the round trip. Returns the committed generation. */
+  def pqSave(spark: org.apache.spark.sql.SparkSession, root: String,
+      archive: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int = 16, iters: Int = 2, subvectors: Int = 4,
+      codes: Int = 16, dim: Int = 64): Long = {
+    val m = pqTrain(archive, idCol, vecCol, numCentroids, iters, subvectors,
       codes, dim)
+    val idType = archive.schema(idCol).dataType
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val bookSchema = StructType(Seq(
+      StructField("m", IntegerType, nullable = false),
+      StructField("pos", IntegerType, nullable = false),
+      StructField("cent_id", idType),
+      StructField("cv", ArrayType(DoubleType))))
+    val bookRows = m.books.zipWithIndex.flatMap { case (book, bm) =>
+      book.zipWithIndex.map { case ((cid, cv), pos) => Row(bm, pos, cid, cv) }
+    }
+    val books = spark.createDataFrame(
+      spark.sparkContext.parallelize(bookRows, 1), bookSchema)
+    graft.pipeline.ModelStore.save(spark, root,
+      Seq("coarse" -> centroidFrame(spark, m.coarse, idType),
+        "books" -> books),
+      Map("sub" -> m.sub.toString))
+  }
+
+  private def pqLoad(spark: org.apache.spark.sql.SparkSession,
+      root: String): PqModel = {
+    import graft.pipeline.ModelStore
+    val sub = ModelStore.loadParams(spark, root)("sub").toInt
+    val coarse = collectCentroids(ModelStore.loadRelation(spark, root, "coarse"))
+    val bookRows = ModelStore.loadRelation(spark, root, "books")
+      .orderBy("m", "pos").collect()
+      .map(r => (r.getInt(0), r.get(2), r.getSeq[Double](3)))
+    val books = bookRows.map(_._1).distinct.sorted.toSeq
+      .map(bm => bookRows.filter(_._1 == bm).toSeq.map(x => (x._2, x._3)))
+    PqModel(coarse, books,
+      books.map(_.map { case (_, cv) => cv.foldLeft(0.0)((a, x) => a + x * x) }),
+      sub)
+  }
+
+  private def knnIvfPqWith(m: PqModel, df: DataFrame, idCol: String,
+      vecCol: String, k: Int, queryFilter: org.apache.spark.sql.Column,
+      nprobe: Int, rerank: Int): DataFrame = {
     val v = graft.Caches.track(
       df.select(col(idCol), col(vecCol).cast("array<double>").as("v")))
     val index = pqIndex(assignCollected(v, idCol, "v", m.coarse), idCol, m,
