@@ -970,4 +970,83 @@ class ScaleStressSpec extends AnyFunSuite {
       s"held-out domain docs must out-score plain docs at scale: $agg")
     assert(secs < 420.0, f"contrastive scoring went super-linear: ${secs}%.1f s")
   }
+
+  test("1M-doc unigram tokenizer: EM rounds touch the TYPE table, scoring is one kernel pass") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_STRESS=1 to run")
+    import org.apache.spark.sql.functions._
+    // 1M docs × 8 tokens from 2000 filler types: the ONLY corpus-sized
+    // operation is the word-type aggregation; both EM prune rounds then
+    // segment a ~2000-row type table (the scale claim — training cost
+    // tracks types, not tokens), and corpus-wide scoring is one compiled
+    // kernel pass with the model as a plan Literal.
+    val n = totalRows / 10
+    val t0 = System.nanoTime()
+    val docs = graft.Caches.track(spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 8).map(j =>
+        concat(lit("w"),
+          pmod(xxhash64(col("id"), lit(j)), lit(2000L)).cast("string"))): _*)
+        .as("text")))
+    val m = graft.text.Unigram.train(docs, "text", rounds = 2)
+    val trainSecs = (System.nanoTime() - t0) / 1e9
+    val agg = graft.text.Unigram.score(docs, "doc_id", "text", m)
+      .agg(sum("n_tokens"), sum("n_pieces"), count(lit(1))).first()
+    val secs = (System.nanoTime() - t0) / 1e9
+    graft.Caches.releaseAll()
+    info(f"unigram over $n docs: train ${trainSecs}%.1f s, " +
+      f"train+score ${secs}%.1f s, tokens ${agg.getLong(0)}, pieces ${agg.getLong(1)}")
+    assert(agg.getLong(2) == n, "every doc must score")
+    assert(agg.getLong(0) == 8L * n, "token accounting must be exact")
+    assert(agg.getLong(1) >= agg.getLong(0),
+      "each word segments into at least one piece")
+    assert(m.pieces.count(_.piece.length > 1) <= graft.text.Unigram.KeepMultis)
+    assert(secs < 420.0, f"unigram went super-linear: ${secs}%.1f s")
+  }
+
+  test("1M-doc CDC chunk near-dup: a 10k-fold boilerplate paragraph collapses to ONE rep pair") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_STRESS=1 to run")
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions
+    // the distinct-first scale claim: ~10⁴ docs carry paragraph A and
+    // ~10⁴ carry its one-token edit A' — banding raw chunks would put
+    // the ~10⁸ cross pairs of those groups through the verify join;
+    // exact-dedup-first reduces them to ONE candidate pair. A is built
+    // from non-boundary tokens and flanked by boundary tokens, so CDC
+    // keeps it as one chunk in every carrier (the edit-locality spec's
+    // construction, at scale).
+    val nonBoundary = Iterator.from(0).map(i => s"tok$i")
+      .filter(t => GraftFunctions.hash60Scala(t) % 8 != 0).take(21).toSeq
+    val boundary = Iterator.from(0).map(i => s"cut$i")
+      .filter(t => GraftFunctions.hash60Scala(t) % 8 == 0).take(2).toSeq
+    val para = nonBoundary.take(20)
+    val edited = para.updated(10, nonBoundary(20))
+    val n = totalRows / 10
+    val t0 = System.nanoTime()
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat(
+        concat_ws(" ", (0 until 8).map(j =>
+          concat(lit("w"),
+            pmod(xxhash64(col("id"), lit(j)), lit(2000L)).cast("string"))): _*),
+        lit(" " + boundary.head + " "),
+        when(pmod(col("id"), lit(97L)) === 0,
+          lit((para :+ boundary(1)).mkString(" ")))
+          .when(pmod(col("id"), lit(97L)) === 1,
+            lit((edited :+ boundary(1)).mkString(" ")))
+          .otherwise(lit(""))).as("text"))
+    val chunks = graft.pipeline.Chunking.cdcChunks(docs, "doc_id", "text", mask = 8)
+    val pairs = graft.pipeline.Chunking
+      .chunkNearDupPairs(chunks, "doc_id", "chunk_no", "chunk_text")
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    graft.Caches.releaseAll()
+    info(f"chunk near-dup over $n docs: ${secs}%.1f s, ${pairs.length} verified pairs")
+    // the planted pair: rep of A (doc 0's paragraph chunk) vs rep of A'
+    // (doc 1's) at the hand jaccard 18/22 — 21 chunk tokens (para + its
+    // closing boundary) → 20 bigrams, one mid-edit breaks 2
+    assert(pairs.exists(p => p.getLong(0) == 0L && p.getLong(2) == 1L &&
+      math.abs(p.getDouble(4) - 18.0 / 22.0) < 1e-12),
+      "the planted boilerplate pair must survive at the hand jaccard 18/22")
+    assert(pairs.length < 10000,
+      s"candidate explosion: ${pairs.length} pairs — distinct-first failed")
+    assert(secs < 420.0, f"chunk near-dup went super-linear: ${secs}%.1f s")
+  }
 }
