@@ -28,6 +28,21 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally Caches.releaseAll()
   }
 
+  test("struct-emitting kernels evaluate ONCE per row (no per-field inlining)") {
+    // DsirScore/UnigramStats emit a multi-field struct whose fields the
+    // caller extracts in a second projection; if CollapseProject ever
+    // inlined the kernel per extracted field, every row would pay the
+    // tokenize+hash pass 2-3× — the regression this pins against
+    try {
+      for ((q, kernel) <- Seq("text_dsir_score" -> "dsirscore",
+          "text_unigram_apply" -> "unigramstats")) {
+        val p = plan(q).toLowerCase
+        val n = kernel.r.findAllIn(p).length
+        assert(n == 1, s"$q must evaluate $kernel exactly once, saw $n")
+      }
+    } finally Caches.releaseAll()
+  }
+
   test("LM guard sizes are carried by the model, not recounted per score") {
     try {
       val docs = Tables.documents(spark, TestSpark.SF)
