@@ -1867,6 +1867,55 @@ object PipelineQueries {
        |       CASE WHEN s >= 0.0e0 THEN 1 ELSE 0 END AS pred
        |FROM sF ORDER BY doc_id""".stripMargin
 
+  /** AUC oracle: the classifier replay to per-doc scores, then the
+    * Mann–Whitney midrank dag — tie groups, exclusive cumulative counts,
+    * HUGEINT rank sums (mirroring the engine's DECIMAL(38,0)), one
+    * division. */
+  private[queries] lazy val classifierAucOracleSql: String =
+    s"""WITH m AS MATERIALIZED ($classifierMPlantSql),
+       |$tkCteSql,
+       |$classifierCoreCtes,
+       |scq AS (SELECT doc_id, CAST(floor(1.0e6 * s) AS BIGINT) AS q,
+       |          CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END AS y FROM sF),
+       |gsa AS (SELECT q, count(*) AS cnt, CAST(sum(y) AS BIGINT) AS pos
+       |        FROM scq GROUP BY q),
+       |cma AS (SELECT q, cnt, pos,
+       |          COALESCE(SUM(cnt) OVER (ORDER BY q
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bf
+       |        FROM gsa),
+       |aga AS (SELECT CAST(sum(CAST(pos AS HUGEINT) * (2 * bf + cnt + 1)) AS HUGEINT) AS r2,
+       |          CAST(sum(pos) AS HUGEINT) AS np,
+       |          CAST(sum(cnt - pos) AS HUGEINT) AS nn FROM cma)
+       |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       |       CASE WHEN np = 0 OR nn = 0 THEN 0.0e0
+       |            ELSE CAST(r2 - np * (np + 1) AS DOUBLE) /
+       |                 CAST(2 * np * nn AS DOUBLE) END AS auc
+       |FROM aga""".stripMargin
+
+  private[queries] lazy val classifierAucBySourceOracleSql: String =
+    s"""WITH m AS MATERIALIZED ($classifierMPlantSql),
+       |$tkCteSql,
+       |$classifierCoreCtes,
+       |scq AS (SELECT f.doc_id, d.source, CAST(floor(1.0e6 * s) AS BIGINT) AS q,
+       |          CASE WHEN f.doc_id % 6 = 0 THEN 1 ELSE 0 END AS y
+       |        FROM sF f JOIN ${Q.DocsRef} d USING (doc_id)),
+       |gsa AS (SELECT source, q, count(*) AS cnt, CAST(sum(y) AS BIGINT) AS pos
+       |        FROM scq GROUP BY source, q),
+       |cma AS (SELECT source, q, cnt, pos,
+       |          COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY q
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bf
+       |        FROM gsa),
+       |aga AS (SELECT source,
+       |          CAST(sum(CAST(pos AS HUGEINT) * (2 * bf + cnt + 1)) AS HUGEINT) AS r2,
+       |          CAST(sum(pos) AS HUGEINT) AS np,
+       |          CAST(sum(cnt - pos) AS HUGEINT) AS nn
+       |        FROM cma GROUP BY source)
+       |SELECT source, CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       |       CASE WHEN np = 0 OR nn = 0 THEN 0.0e0
+       |            ELSE CAST(r2 - np * (np + 1) AS DOUBLE) /
+       |                 CAST(2 * np * nn AS DOUBLE) END AS auc
+       |FROM aga ORDER BY source""".stripMargin
+
   /** Calibration bucket width: 10⁶ score_q units = 1.0 of margin. */
   private[queries] val CalBinW: Long = 1000000L
 
@@ -4028,6 +4077,49 @@ object PipelineQueries {
           .orderBy("bucket")
       },
       Some(classifierCalibrationOracleSql)),
+
+    // exact ROC-AUC — the model-quality number the gate decision reads
+    // (calibration says "is the score honest at each level"; AUC says
+    // "does the score RANK positives above negatives at all"): the
+    // Mann-Whitney U statistic with midrank ties in exact integer
+    // arithmetic — one distinct-score aggregation, the two-pass prefix
+    // scan for cumulative counts, DECIMAL(38,0) rank sums (Σranks
+    // reaches N·n_pos — past int64 at corpus scale; HUGEINT mirror),
+    // ONE exact-input division at the end.
+    Q("text_classifier_auc",
+      (s, dir) => {
+        val qc = graft.text.QualityClassifier
+        val feats = graft.Caches.track(qc.features(
+          classifierPlant(Tables.documents(s, dir)), "doc_id", "text",
+          (pmod(col("doc_id"), lit(6)) === 0).cast("int")))
+        val m = qc.train(feats)
+        qc.aucReport(
+          qc.score(feats, "doc_id", m)
+            .withColumn("y", (pmod(col("doc_id"), lit(6)) === 0).cast("int")),
+          "score_q", col("y"))
+      },
+      Some(classifierAucOracleSql)),
+
+    // per-source AUC — "which source's documents does the model rank
+    // well" (a source whose labels the model cannot order is where the
+    // gate silently misfires): the same exact dag with the cumulative
+    // pass PARTITIONED by source, parallel across keys.
+    Q("text_classifier_auc_by_source",
+      (s, dir) => {
+        val qc = graft.text.QualityClassifier
+        val docs = Tables.documents(s, dir)
+        val feats = graft.Caches.track(qc.features(
+          classifierPlant(docs), "doc_id", "text",
+          (pmod(col("doc_id"), lit(6)) === 0).cast("int")))
+        val m = qc.train(feats)
+        qc.aucReportBy(
+          qc.score(feats, "doc_id", m)
+            .join(docs.select("doc_id", "source"), "doc_id")
+            .withColumn("y", (pmod(col("doc_id"), lit(6)) === 0).cast("int")),
+          "source", "score_q", col("y"))
+          .orderBy("source")
+      },
+      Some(classifierAucBySourceOracleSql)),
 
     // model-gate composite: classifier gate → CCNet perplexity split
     // (drop the worst-xent third of survivors by distributed rank). Both

@@ -124,6 +124,77 @@ object QualityClassifier {
     Model(w)
   }
 
+  /** Exact ROC-AUC of an integer score column against binary labels —
+    * the model-quality number every classifier gate decision reads,
+    * computed as the Mann–Whitney U statistic with MIDRANK tie handling
+    * in EXACT integer arithmetic: group by score (one map-side-combined
+    * Exchange, distinct-score-sized output), cumulative counts via the
+    * distributed two-pass prefix scan (no single-task window), midrank
+    * of a tie group doubled to stay integral (2·mid = 2·cum_before +
+    * cnt + 1), R2 = Σ_groups pos·(2·mid) as DECIMAL(38,0) (Σranks
+    * reaches N·n_pos — past int64 at corpus scale; DuckDB mirrors with
+    * HUGEINT), and AUC = (R2 − n_pos·(n_pos+1)) / (2·n_pos·n_neg) as
+    * ONE exact-input IEEE division. Built-in percentile/rank paths are
+    * either a global sort or a merge-order-dependent sketch; this is
+    * exact, order-free and oracle-replayable. Degenerate inputs (a
+    * single class) emit AUC 0.0 by a guarded CASE. Output one row:
+    * (n_pos, n_neg, auc).
+    */
+  def aucReport(scored: DataFrame, scoreCol: String,
+      labelCol: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val gs = scored.select(col(scoreCol).cast("long").as("q"),
+        labelCol.cast("long").as("y"))
+      .groupBy("q")
+      .agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+    val cum = graft.operators.PrefixSum.runningSum(gs, "cnt", Seq("q"))
+      .withColumn("before", col("running_cnt") - col("cnt"))
+    cum.agg(
+        sum(col("pos").cast(dec) *
+          (lit(2L) * col("before") + col("cnt") + lit(1L)).cast(dec)).as("r2"),
+        sum(col("pos").cast(dec)).as("np"),
+        sum((col("cnt") - col("pos")).cast(dec)).as("nn"))
+      .select(col("np").cast("long").as("n_pos"),
+        col("nn").cast("long").as("n_neg"),
+        when(col("np") === 0 || col("nn") === 0, lit(0.0))
+          .otherwise((col("r2") - col("np") * (col("np") + lit(1L).cast(dec)))
+            .cast("double") /
+            (lit(2L).cast(dec) * col("np") * col("nn")).cast("double"))
+          .as("auc"))
+  }
+
+  /** Per-key [[aucReport]] — "which source's documents does the model
+    * rank well": the tie-group table keys on (key, score), the
+    * cumulative pass is a window PARTITIONED by key (parallel across
+    * keys — no single-partition stage, the grouped-quantile scale
+    * argument), the rest is the identical exact dag per key. */
+  def aucReportBy(scored: DataFrame, keyCol: String, scoreCol: String,
+      labelCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val gs = scored.select(col(keyCol), col(scoreCol).cast("long").as("q"),
+        labelCol.cast("long").as("y"))
+      .groupBy(keyCol, "q")
+      .agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+    val w = Window.partitionBy(keyCol).orderBy("q")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = gs.withColumn("before", sum("cnt").over(w) - col("cnt"))
+    cum.groupBy(keyCol)
+      .agg(
+        sum(col("pos").cast(dec) *
+          (lit(2L) * col("before") + col("cnt") + lit(1L)).cast(dec)).as("r2"),
+        sum(col("pos").cast(dec)).as("np"),
+        sum((col("cnt") - col("pos")).cast(dec)).as("nn"))
+      .select(col(keyCol),
+        col("np").cast("long").as("n_pos"),
+        col("nn").cast("long").as("n_neg"),
+        when(col("np") === 0 || col("nn") === 0, lit(0.0))
+          .otherwise((col("r2") - col("np") * (col("np") + lit(1L).cast(dec)))
+            .cast("double") /
+            (lit(2L).cast(dec) * col("np") * col("nn")).cast("double"))
+          .as("auc"))
+  }
+
   /** Persist trained weights through [[graft.pipeline.ModelStore]] —
     * (index, weight) rows; a parquet DOUBLE round-trips bit-exactly, so
     * the loaded model scores byte-identically (proved by the loaded-row

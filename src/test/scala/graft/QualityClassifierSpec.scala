@@ -125,4 +125,43 @@ class QualityClassifierSpec extends AnyFunSuite {
     val full = qc.train(qc.features(corpus, "doc_id", "text", col("y")))
     assert(a.w.toSeq != full.w.toSeq, "a 50% sample must change the fit")
   }
+
+  test("AUC by hand: midrank ties, a known non-trivial value, grouped ≡ per-slice") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // scores with a CROSS-CLASS tie at 10: positives {30, 10}, negatives
+    // {10, 10, 5}. Midranks over sorted scores [5, 10, 10, 10, 30]:
+    // rank(5)=1, rank(10)=3 (tie group of 3), rank(30)=5. R_pos = 3+5 =
+    // 8, U = R_pos - n_pos(n_pos+1)/2 = 8-3 = 5, AUC = 5/(2*3) = 5/6.
+    val rows = Seq((1L, 30L, 1), (2L, 10L, 1), (3L, 10L, 0), (4L, 10L, 0),
+      (5L, 5L, 0)).toDF("doc_id", "score_q", "y")
+    val qc = graft.text.QualityClassifier
+    try {
+      val got = qc.aucReport(rows, "score_q", col("y")).collect()(0)
+      assert((got.getLong(0), got.getLong(1)) == ((2L, 3L)))
+      assert(math.abs(got.getDouble(2) - 5.0 / 6.0) < 1e-15,
+        s"hand AUC 5/6 expected, got ${got.getDouble(2)}")
+      // degenerate slices guard to 0.0
+      val onePos = Seq((1L, 3L, 1), (2L, 2L, 1)).toDF("doc_id", "score_q", "y")
+      assert(qc.aucReport(onePos, "score_q", col("y"))
+        .collect()(0).getDouble(2) == 0.0)
+      // grouped report equals the ungrouped report run per slice
+      val grouped = rows.withColumn("k", when(col("doc_id") <= 2, "a").otherwise("b"))
+        .union(rows.withColumn("k", lit("c")))
+      val by = qc.aucReportBy(grouped, "k", "score_q", col("y"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      for (k <- Seq("a", "b", "c")) {
+        val slice = grouped.filter(col("k") === k)
+        val g = qc.aucReport(slice, "score_q", col("y")).collect()(0)
+        assert(by(k) == ((g.getLong(0), g.getLong(1), g.getDouble(2))),
+          s"slice $k diverged")
+      }
+      assert(by("c")._3 == 5.0 / 6.0)
+      // invariance: the integer dag cannot depend on partitioning
+      val p1 = qc.aucReport(rows.repartition(1), "score_q", col("y")).collect()(0)
+      val p7 = qc.aucReport(rows.repartition(7), "score_q", col("y")).collect()(0)
+      assert(p1.toSeq == p7.toSeq)
+    } finally Caches.releaseAll()
+  }
 }
