@@ -465,6 +465,21 @@ object PipelineQueries {
     s"""${splitLeakCtes(threshold, trainPct)}
        |SELECT a_id, b_id, jaccard FROM pairs ORDER BY a_id, b_id""".stripMargin
 
+  /** The sanitizer: drop every eval doc with a verified train-side
+    * near-duplicate, keep the train side whole, label the survivors. */
+  private[queries] lazy val splitSanitizeOracleSql: String = {
+    val thr = graft.pipeline.Mixing
+      .splitThresholds(Seq(("train", 80), ("eval", 20))).head._2
+    s"""${splitLeakCtes(0.6, 80)},
+       |leaked AS (SELECT DISTINCT b_id AS doc_id FROM pairs)
+       |SELECT d.doc_id,
+       |       CASE WHEN ${graft.pipeline.Mixing.duckMixHash("d.doc_id")} >= $thr
+       |            THEN 'eval' ELSE 'train' END AS split
+       |FROM ${Q.DocsRef} d
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM leaked)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** The ingest monitor's per-eval-doc aggregation over the same
     * thresholded cross-side pairs (duplicate-insensitive min/max — the
     * minhash-twin convention). */
@@ -5510,6 +5525,27 @@ object PipelineQueries {
           .orderBy("a_id", "b_id")
       },
       Some(splitLeakOracleSql(0.6, 80))),
+
+    // the REMEDY the audit exists for — sanitize the split: every eval
+    // doc with a verified near-duplicate on the train side DROPS (the
+    // train side keeps everything — ejecting training data for an eval
+    // overlap wastes corpus; the eval set is what must stay clean). One
+    // id anti-join over the audit's verified leak edges; the surviving
+    // rows carry their split label.
+    Q("pipeline_split_sanitize",
+      (s, dir) => {
+        val thr = graft.pipeline.Mixing
+          .splitThresholds(Seq(("train", 80), ("eval", 20))).head._2
+        val docs = Tables.documents(s, dir)
+        val evalSide = graft.pipeline.Mixing.mixHash("doc_id") >= lit(thr)
+        val leaked = Dedup.splitLeakPairs(docs, "doc_id", "text", evalSide)
+          .select(col("b_id").as("doc_id")).distinct()
+        docs.select(col("doc_id"),
+            when(evalSide, "eval").otherwise("train").as("split"))
+          .join(leaked, Seq("doc_id"), "left_anti")
+          .orderBy("doc_id")
+      },
+      Some(splitSanitizeOracleSql)),
 
     // transitive dedup clusters over the verified minhash pair graph —
     // iterative min-label propagation in Spark, recursive CTE in DuckDB
