@@ -87,9 +87,18 @@ object QualityClassifier {
 
   /** Margin fold over a feature array against a plan-literal weight
     * vector: s = Σ w[b]·c in array (= bucket) order + nothing else —
-    * the one summation order every rendering shares.
+    * the one summation order every rendering shares. Native codegen'd
+    * kernel ([[graft.functions.expressions.LrMarginFold]]) — executed
+    * R+1 times over the corpus per training row, this fold was the last
+    * hot HOF-lambda (CodegenFallback) site in the engine; the kernel is
+    * bit-identical (spec-pinned against [[marginColComposable]]).
     */
-  private def marginCol(fx: Column, w: Array[Double]): Column = {
+  private def marginCol(fx: Column, w: Array[Double]): Column =
+    graft.functions.expressions.LrMarginFold.of(fx, typedLit(w.toSeq))
+
+  /** The retired composable rendering of [[marginCol]] — kept as the
+    * readable specification and the spec's bit-identity anchor. */
+  private[graft] def marginColComposable(fx: Column, w: Array[Double]): Column = {
     val wLit = typedLit(w.toSeq)
     aggregate(fx, lit(0.0), (acc, f) =>
       acc + element_at(wLit, (f.getField("b") + lit(1L)).cast("int")) *
@@ -245,12 +254,21 @@ object QualityClassifier {
     * per row BEFORE the bigram explode and lets the duplicate-insensitive
     * min() re-surface it after the LM aggregation).
     */
-  def presenceMarginCol(text: Column, m: Model): Column = {
-    val wLit = typedLit(m.w.toSeq)
+  def presenceMarginCol(text: Column, m: Model): Column =
     // NULL text reads as empty → bias-only margin, matching the batch
     // path (features() explodes NULL to zero rows and keeps the bias
-    // entry); without the coalesce the fold is NULL and the documented
-    // bit-identity with score() breaks on PERMISSIVE-parsed rows
+    // entry); without the coalesce the kernel returns NULL and the
+    // documented bit-identity with score() breaks on PERMISSIVE rows.
+    // Native codegen'd kernel (LrPresenceMargin): one tokenization,
+    // presence bitmap, ascending-bucket fold, bias added last — spec-
+    // pinned bit-identical to [[presenceMarginColComposable]].
+    graft.functions.expressions.LrPresenceMargin.of(
+      coalesce(text, lit("")), typedLit(m.w.toSeq))
+
+  /** The retired composable rendering of [[presenceMarginCol]] — kept as
+    * the readable specification and the spec's bit-identity anchor. */
+  private[graft] def presenceMarginColComposable(text: Column, m: Model): Column = {
+    val wLit = typedLit(m.w.toSeq)
     val bks = array_sort(array_distinct(
       transform(tokens(coalesce(text, lit(""))),
         t => pmod(hash60(t), lit(Buckets.toLong)))))

@@ -103,6 +103,49 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(batch.forall(r => r(1) == wantQ), "margin must be bias-only, never NULL")
   }
 
+  test("native margin kernels are bit-identical to the retired HOF folds") {
+    import spark.implicits._
+    val qc = QualityClassifier
+    val m = qc.train(qc.features(corpus, "doc_id", "text", col("y")))
+    // presence kernel vs the composable array_sort/distinct/aggregate dag,
+    // over the edge cases: empty doc (bias-only), NULL text, duplicate
+    // tokens, many buckets, supplementary-plane text (emoji / astral CJK)
+    val docs = Seq(
+      (1L, "good clean prose text"), (2L, ""), (3L, null.asInstanceOf[String]),
+      (4L, "dup dup dup DUP"), (5L, ('a' to 'z').map(c => s"w$c").mkString(" ")),
+      (6L, "😀 emoji 😀 𤭢 astral mix"),
+      (7L, "tab\tand\nnewline  spaced")).toDF("doc_id", "text")
+    val both = docs.select(col("doc_id"),
+        qc.presenceMarginCol(col("text"), m).as("k"),
+        qc.presenceMarginColComposable(col("text"), m).as("h"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"presence kernel diverged on doc ${r.getLong(0)}")
+    }
+    // feature-array kernel vs the composable fold — including c > 1
+    // multiplicities (the general contract, even though presence features
+    // are always c = 1) and the bias-only row
+    val fx = Seq(
+      (1L, Seq((3L, 1L), (7L, 2L), (256L, 1L))),
+      (2L, Seq((256L, 1L))),
+      (3L, Seq((0L, 5L), (255L, 1L), (256L, 1L))))
+      .toDF("doc_id", "raw")
+      .select(col("doc_id"), transform(col("raw"),
+        p => struct(p.getField("_1").as("b"), p.getField("_2").as("c"))).as("fx"))
+    val fxBoth = fx.select(col("doc_id"),
+        graft.functions.expressions.LrMarginFold.of(col("fx"),
+          typedLit(m.w.toSeq)).as("k"),
+        qc.marginColComposable(col("fx"), m.w).as("h"))
+      .collect()
+    fxBoth.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"margin-fold kernel diverged on row ${r.getLong(0)}")
+    }
+  }
+
   test("trained weights are partitioning-invariant (quantized gradients)") {
     val qc = QualityClassifier
     val a = qc.train(qc.features(corpus.repartition(1), "doc_id", "text", col("y")))
