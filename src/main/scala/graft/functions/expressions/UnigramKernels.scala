@@ -13,7 +13,14 @@ import org.apache.spark.sql.types._
   * the OOV single-character cost (covers characters outside the trained
   * alphabet — never hit by the shared-oracle rows, deterministic by
   * construction for production input). Built once from the model Literal,
-  * shipped as a codegen reference object. */
+  * shipped as a codegen reference object.
+  *
+  * All indexing is by Unicode CODEPOINT, not UTF-16 code unit — the
+  * training side ([[graft.text.Unigram.seedCounts]], Spark `substr`/
+  * `length`) and the DuckDB oracle both count codepoints, so a UTF-16
+  * DP would segment supplementary-plane text (emoji, astral CJK) into
+  * lone surrogate halves that the trained vocabulary cannot contain
+  * (r12 advice). `maxLen` is therefore in codepoints too. */
 final class ParsedUnigram(val cost: java.util.HashMap[String, java.lang.Long],
     val maxLen: Int, val oovCost: Long) extends Serializable {
 
@@ -22,10 +29,12 @@ final class ParsedUnigram(val cost: java.util.HashMap[String, java.lang.Long],
     * ascending with a strictly-less acceptance keeps the smallest —
     * exactly the oracle's `ROW_NUMBER() OVER (ORDER BY cost, j)` pick).
     * Single characters missing from the vocabulary cost `oovCost`, so
-    * every word segments. Returns the backpointer array bp(k) = j.
+    * every word segments. Positions are CODEPOINT indexes into `offs`
+    * ([[ParsedUnigram.cpOffsets]]); returns the backpointer array
+    * bp(k) = j over those positions.
     */
-  def viterbi(w: String): Array[Int] = {
-    val n = w.length
+  def viterbi(w: String, offs: Array[Int]): Array[Int] = {
+    val n = offs.length - 1
     val dp = new Array[Long](n + 1)
     val bp = new Array[Int](n + 1)
     var k = 1
@@ -37,10 +46,10 @@ final class ParsedUnigram(val cost: java.util.HashMap[String, java.lang.Long],
         if (dp(j) < Long.MaxValue) {
           val c =
             if (k - j == 1) {
-              val q = cost.get(w.substring(j, k))
+              val q = cost.get(w.substring(offs(j), offs(k)))
               if (q == null) oovCost else q.longValue
             } else {
-              val q = cost.get(w.substring(j, k))
+              val q = cost.get(w.substring(offs(j), offs(k)))
               if (q == null) Long.MaxValue else q.longValue
             }
           if (c < Long.MaxValue && dp(j) + c < best) { best = dp(j) + c; bj = j }
@@ -52,6 +61,22 @@ final class ParsedUnigram(val cost: java.util.HashMap[String, java.lang.Long],
       k += 1
     }
     bp
+  }
+}
+
+object ParsedUnigram {
+  /** UTF-16 offset of each codepoint boundary: offs(i) = start of
+    * codepoint i, offs(n) = s.length — one linear scan, shared by the
+    * DP and the piece extraction so every substring lands on a
+    * codepoint boundary (never a surrogate half). */
+  def cpOffsets(s: String): Array[Int] = {
+    val n = s.codePointCount(0, s.length)
+    val offs = new Array[Int](n + 1)
+    var i = 0
+    var o = 0
+    while (i < n) { offs(i) = o; o = s.offsetByCodePoints(o, 1); i += 1 }
+    offs(n) = s.length
+    offs
   }
 }
 
@@ -151,7 +176,8 @@ object UnigramKernels {
       // model carries q (the quantized log-prob, negative); the DP
       // minimizes COST = -q
       m.put(p, -s.getLong(1))
-      if (p.length > maxLen) maxLen = p.length
+      val cpLen = p.codePointCount(0, p.length)
+      if (cpLen > maxLen) maxLen = cpLen
       i += 1
     }
     new ParsedUnigram(m, maxLen, -oovExpr.eval(null).asInstanceOf[Long])
@@ -160,10 +186,11 @@ object UnigramKernels {
   def pieces(w: UTF8String, p: ParsedUnigram): GenericArrayData = {
     val s = w.toString
     if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
-    val bp = p.viterbi(s)
+    val offs = ParsedUnigram.cpOffsets(s)
+    val bp = p.viterbi(s, offs)
     val out = new scala.collection.mutable.ArrayBuffer[String]()
-    var k = s.length
-    while (k > 0) { out += s.substring(bp(k), k); k = bp(k) }
+    var k = offs.length - 1
+    while (k > 0) { out += s.substring(offs(bp(k)), offs(k)); k = bp(k) }
     new GenericArrayData(out.reverse.map(UTF8String.fromString).toArray[Any])
   }
 
@@ -174,10 +201,11 @@ object UnigramKernels {
     var i = 0
     while (i < toks.length) {
       val w = toks(i)
-      val bp = p.viterbi(w)
-      var k = w.length
+      val offs = ParsedUnigram.cpOffsets(w)
+      val bp = p.viterbi(w, offs)
+      var k = offs.length - 1
       while (k > 0) {
-        val piece = w.substring(bp(k), k)
+        val piece = w.substring(offs(bp(k)), offs(k))
         val c = p.cost.get(piece)
         q -= (if (c == null) p.oovCost else c.longValue) // logp = -cost
         nPieces += 1L

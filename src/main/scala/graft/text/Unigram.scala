@@ -86,11 +86,18 @@ object Unigram {
       q(0L))
   }
 
+  /** Codepoint length — "single character" everywhere in this trainer
+    * means ONE CODEPOINT (Spark `length`, DuckDB `length`, and the
+    * kernel's DP all count codepoints): a UTF-16 `.length` would class a
+    * 1-codepoint emoji as multi-char and break the all-singles coverage
+    * guarantee on supplementary-plane text (r12 advice). */
+  private def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
   /** Vocabulary selection shared by the seed and every prune round: ALL
     * single characters (coverage — every word must segment) plus the top
     * `keep` multi-char pieces by (count DESC, piece ASC). */
   private def selectVocab(counts: Seq[(String, Long)], keep: Int): Seq[(String, Long)] = {
-    val (singles, multis) = counts.partition(_._1.length == 1)
+    val (singles, multis) = counts.partition(p => cpLen(p._1) == 1)
     singles ++ multis.filter(_._2 > 0L)
       .sortBy { case (p, c) => (-c, p) }.take(keep)
   }
@@ -126,9 +133,9 @@ object Unigram {
       // M-step: singles persist (zero-usage smoothed), used multis
       // compete for the keep slots; re-estimate over the kept set
       val counts =
-        m.pieces.filter(_.piece.length == 1)
+        m.pieces.filter(p => cpLen(p.piece) == 1)
           .map(p => (p.piece, usage.getOrElse(p.piece, 0L))) ++
-        usage.filter(_._1.length > 1).toSeq
+        usage.filter(u => cpLen(u._1) > 1).toSeq
       m = rescored(selectVocab(counts, keepMultis))
       r += 1
     }

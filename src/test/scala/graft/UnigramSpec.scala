@@ -111,6 +111,49 @@ class UnigramSpec extends AnyFunSuite {
     m
   }
 
+  test("supplementary-plane text: codepoint DP — no lone surrogates, coverage holds") {
+    import spark.implicits._
+    // 😀 (U+1F600) and 𤭢 (U+24B62) are 2 UTF-16 units / 1 codepoint each;
+    // a UTF-16-indexed DP would segment surrogate halves and classify the
+    // 1-codepoint emoji as a multi-char piece (r12 advice)
+    val corpus = Seq((1L, "😀😀ab 𤭢b a😀b"), (2L, "ab 😀😀 ab")).toDF("doc_id", "text")
+    val m = Unigram.train(corpus, "text", rounds = 1)
+    // all-singles coverage: every 1-CODEPOINT character of the corpus is
+    // in the vocabulary, astral ones included
+    val singles = m.pieces.map(_.piece)
+      .filter(p => p.codePointCount(0, p.length) == 1).toSet
+    assert(Set("a", "b", "😀", "𤭢").subsetOf(singles),
+      s"astral singles missing from $singles")
+    // every trained piece is wellformed UTF-8 (no unpaired surrogate)
+    m.pieces.foreach { p =>
+      val rt = new String(p.piece.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(rt == p.piece, s"piece ${p.piece} is not UTF-8 wellformed")
+    }
+    // segmentation pieces concatenate back to each word, and each piece
+    // is itself wellformed (the DP never cut inside a surrogate pair)
+    val segs = corpus
+      .select(explode(graft.functions.GraftFunctions.tokens(col("text"))).as("w"))
+      .select(col("w"), graft.functions.expressions.UnigramKernels
+        .piecesOf(col("w"), typedLit(m.pieces.map(p => (p.piece, p.q))), m.oovQ)
+        .as("ps"))
+      .collect()
+    segs.foreach { r =>
+      val w = r.getString(0)
+      val ps = r.getSeq[String](1)
+      assert(ps.mkString("") == w, s"pieces $ps != word $w")
+      ps.foreach { p =>
+        val rt = new String(p.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.charset.StandardCharsets.UTF_8)
+        assert(rt == p, s"segment piece $p of $w is not wellformed")
+      }
+    }
+    // stats kernel agrees with Spark's codepoint length accounting:
+    // a word of k codepoints yields at most k pieces
+    val st = Unigram.score(corpus, "doc_id", "text", m).collect()
+    assert(st.forall(_.getLong(2) > 0))
+  }
+
   test("train replays by hand through 0, 1 and 2 EM prune rounds") {
     import spark.implicits._
     val texts = Seq(
