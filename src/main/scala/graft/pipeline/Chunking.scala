@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions.tokens
 
@@ -117,8 +117,23 @@ object Chunking {
     * chunk rows ride the id-keyed MinHash machinery unchanged. The bound
     * is structural: CDC's expected chunk length is `mask` tokens, so 2¹⁶
     * chunks covers documents to ~½M tokens at the default mask (the
-    * admission-gated maximum); the pack is mirrored in the oracle. */
+    * admission-gated maximum); the pack is mirrored in the oracle.
+    * [[packedChunkKey]] guards the bound at runtime — an out-of-range
+    * chunk_no or negative/NULL doc id fails LOUDLY instead of silently
+    * aliasing into another document's key space (r12 advice). */
   val ChunkKeyBase: Long = 65536L
+
+  /** The guarded pack: doc_id · [[ChunkKeyBase]] + chunk_no, with a
+    * per-row raise_error on any id outside the packable range. Callers
+    * must hold a NUMERIC doc id (require()d at plan build — a string id
+    * would null-cast and corrupt attribution silently). */
+  private def packedChunkKey(doc: Column, chunkNo: Column): Column =
+    when(doc.isNull || doc < 0 || chunkNo.isNull || chunkNo < 0 ||
+        chunkNo >= lit(ChunkKeyBase),
+      raise_error(concat(lit("chunk key out of packable range: (doc,chunk)=("),
+        coalesce(doc.cast("string"), lit("NULL")), lit(","),
+        coalesce(chunkNo.cast("string"), lit("NULL")), lit(")"))).cast("long"))
+      .otherwise((doc * lit(ChunkKeyBase) + chunkNo).cast("long"))
 
   /** CHUNK-level NEAR-dup — the production middle ground between exact
     * chunk dedup and document-level MinHash (the RefinedWeb-style
@@ -154,6 +169,10 @@ object Chunking {
       threshold: Double = 0.6): DataFrame = {
     import graft.functions.GraftFunctions.{hash60, wordShingles}
     import graft.dedup.Dedup
+    require(chunks.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"packed chunk keys need a numeric doc id; $idCol is " +
+        s"${chunks.schema(idCol).dataType.simpleString}")
     val reps = chunks
       .select(md5(col(textCol)).as("__d"),
         struct(col(idCol), col(chunkCol)).as("__rc"), col(textCol))
@@ -162,8 +181,7 @@ object Chunking {
       // deterministic in VALUE even though the row pick is not
       .agg(min(col("__rc")).as("__rc"), first(col(textCol)).as("__t"))
       .select(
-        (col(s"__rc.$idCol") * lit(ChunkKeyBase) + col(s"__rc.$chunkCol"))
-          .cast("long").as("cid"),
+        packedChunkKey(col(s"__rc.$idCol"), col(s"__rc.$chunkCol")).as("cid"),
         sort_array(wordShingles(col("__t"), 2)).as("sh"))
       .filter(size(col("sh")) > 0)
     val withSh = graft.Caches.track(reps)

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   *   <root>/gen=<k>/<name>/part-*.parquet   one parquet dir per relation
   *   <root>/gen=<k>/meta_params/            (k, v) string params relation
   *   <root>/LATEST                          the committed generation id
-  *   <root>/_staging/                       scratch, scrubbed on save
+  *   <root>/_staging-<uuid>/                per-save scratch
   * }}}
   * Params ride as a tiny parquet relation rather than a JSON file: no
   * hand-rolled parsing, and doubles/longs round-trip exactly through the
@@ -23,18 +23,33 @@ import org.apache.spark.sql.functions._
   * `java.lang.Double.toString`, whose parse round-trip is exact by spec).
   *
   * Commit protocol — the Export/DriverFold doctrine applied to models:
-  *  1. everything (relations + params) writes under `_staging`;
-  *  2. ONE atomic rename promotes staging to `gen=<k>` (a generation
-  *     directory that exists is complete by construction);
+  *  1. everything (relations + params) writes under a PER-SAVE staging
+  *     directory (`_staging-<uuid>` — two concurrent saves can never
+  *     touch each other's scratch);
+  *  2. the generation id is CLAIMED by atomically creating
+  *     `.gen-<k>.claim` with overwrite=false (create-fails-if-exists is
+  *     atomic on HDFS-semantics filesystems — `rename` is NOT a usable
+  *     CAS here: renaming onto an existing directory moves the source
+  *     INSIDE it on both HDFS and local fs); a saver that loses the
+  *     claim re-scans, bumps k and retries, so concurrent savers
+  *     serialize into distinct generations (r12 advice). Claims persist
+  *     until their generation prunes — deleting one early would let a
+  *     racer with a stale scan re-claim a committed id. Then ONE atomic
+  *     rename promotes staging to `gen=<k>` (a generation directory
+  *     that exists is complete by construction);
   *  3. the LATEST pointer updates by tmp-write → delete → rename —
   *     single-file renames are atomic on HDFS-semantics filesystems.
+  *     (Two savers flipping the pointer concurrently settle on whichever
+  *     rename lands last — both targets are complete generations.)
   * Crash windows: during staging → LATEST untouched, readers serve the
-  * previous generation, the orphan is scrubbed by the next save; between
-  * gen rename and pointer → same (the complete-but-unpointed generation
-  * is simply superseded); between pointer delete and rename → the tmp
-  * pointer is complete (it is written BEFORE the delete), so
-  * [[latestGen]] rolls forward by reading it. Every window lands on a
-  * loadable store (spec-driven in ModelStoreSpec).
+  * previous generation, the orphan scrubs once idle past
+  * [[StagingTtlMs]] (age-gated so an ACTIVE concurrent save's staging
+  * survives); between gen rename and pointer → same (the
+  * complete-but-unpointed generation is simply superseded); between
+  * pointer delete and rename → the tmp pointer is complete (it is
+  * written BEFORE the delete), so [[latestGen]] rolls forward by reading
+  * it. Every window lands on a loadable store (spec-driven in
+  * ModelStoreSpec).
   *
   * Readers pin a generation: [[latestGen]] once, then load every
   * relation from that generation — a concurrent save can commit a new
@@ -50,7 +65,14 @@ import org.apache.spark.sql.functions._
 object ModelStore {
 
   val LatestFile = "LATEST"
-  val StagingDir = "_staging"
+  val StagingPrefix = "_staging"
+
+  /** Orphaned-staging scrub age: a `_staging-<uuid>` tree idle this long
+    * is a crashed save's leftover and is deleted by the next save. The
+    * gate is the staging directory's own modification time (bumped by
+    * every direct-child relation write), so a save actively writing
+    * relations keeps its staging alive. */
+  val StagingTtlMs: Long = 60L * 60L * 1000L
   // no leading underscore: Spark's file listing treats `_`-prefixed
   // paths as hidden, which makes an underscore-named leaf readable only
   // through a fallback path (and WARN-noisy)
@@ -58,6 +80,10 @@ object ModelStore {
 
   private def fsFor(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** The generation-id claim marker — see the commit protocol above. */
+  private def claimPath(root: Path, gen: Long): Path =
+    new Path(root, s".gen-$gen.claim")
 
   /** Committed generation ids under `root`, newest first (directory
     * scan — includes committed-but-unpointed generations, which is what
@@ -108,16 +134,25 @@ object ModelStore {
       params: Map[String, String] = Map.empty,
       keep: Int = 2,
       beforeCommit: Long => Unit = _ => (),
-      beforePointer: Long => Unit = _ => ()): Long = {
+      beforePointer: Long => Unit = _ => (),
+      stagingTtlMs: Long = StagingTtlMs): Long = {
     require(keep >= 1, s"must retain at least one generation: $keep")
     require(!relations.exists(_._1 == ParamsRel),
       s"$ParamsRel is the reserved params relation name")
     val rootP = new Path(root)
     val fs = fsFor(spark, rootP)
     fs.mkdirs(rootP)
-    val staging = new Path(rootP, StagingDir)
-    fs.delete(staging, true) // a crashed save's orphan is just discarded
-    val gen = genDirs(fs, rootP).headOption.map(_ + 1L).getOrElse(0L)
+    // scrub ORPHANED staging trees (crashed saves) — age-gated, so a
+    // concurrent save's live staging is never touched
+    val stale = fs.globStatus(new Path(rootP, s"$StagingPrefix-*"))
+    if (stale != null) {
+      val now = System.currentTimeMillis()
+      stale.foreach { s =>
+        if (now - s.getModificationTime > stagingTtlMs) fs.delete(s.getPath, true)
+      }
+    }
+    val staging = new Path(rootP,
+      s"$StagingPrefix-${java.util.UUID.randomUUID().toString}")
     relations.foreach { case (name, df) =>
       df.write.mode(SaveMode.Overwrite)
         .parquet(new Path(staging, name).toString)
@@ -126,7 +161,27 @@ object ModelStore {
     params.toSeq.sortBy(_._1).toDF("k", "v")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(new Path(staging, ParamsRel).toString)
+    var gen = genDirs(fs, rootP).headOption.map(_ + 1L).getOrElse(0L)
     beforeCommit(gen)
+    // generation CAS: atomically claim the id (create-fails-if-exists);
+    // a lost claim → re-scan, bump, retry into the next free slot
+    var attempts = 0
+    var claimed = false
+    while (!claimed) {
+      claimed =
+        try { fs.create(claimPath(rootP, gen), false).close(); true }
+        catch { case _: java.io.IOException => false }
+      if (!claimed) {
+        attempts += 1
+        if (attempts >= 64) {
+          fs.delete(staging, true)
+          throw new IllegalStateException(
+            s"generation claim failed after $attempts races under $root")
+        }
+        val rescanned = genDirs(fs, rootP).headOption.map(_ + 1L).getOrElse(0L)
+        gen = math.max(gen + 1L, rescanned)
+      }
+    }
     val genP = new Path(rootP, s"gen=$gen")
     require(fs.rename(staging, genP), s"generation commit rename failed: $genP")
     beforePointer(gen)
@@ -139,9 +194,22 @@ object ModelStore {
     fs.delete(latest, false)
     require(fs.rename(tmp, latest), s"pointer rename failed: $latest")
     // retention: prune beyond `keep` generations (never the one just
-    // committed — it sorts first)
-    genDirs(fs, rootP).drop(keep)
-      .foreach(g => fs.delete(new Path(rootP, s"gen=$g"), true))
+    // committed — it sorts first), each with its claim marker; claims
+    // BELOW the retained window with no surviving directory (crashed
+    // between claim and rename) scrub too
+    val retained = genDirs(fs, rootP)
+    retained.drop(keep).foreach { g =>
+      fs.delete(new Path(rootP, s"gen=$g"), true)
+      fs.delete(claimPath(rootP, g), false)
+    }
+    val floor = retained.take(keep).lastOption.getOrElse(0L)
+    val claims = fs.globStatus(new Path(rootP, ".gen-*.claim"))
+    if (claims != null) claims.foreach { c =>
+      scala.util.Try(c.getPath.getName
+          .stripPrefix(".gen-").stripSuffix(".claim").toLong)
+        .toOption.filter(_ < floor)
+        .foreach(g => fs.delete(claimPath(rootP, g), false))
+    }
     gen
   }
 

@@ -54,11 +54,47 @@ class ModelStoreSpec extends AnyFunSuite {
     assert(ModelStore.latestGen(spark, root).contains(0L))
     assert(ModelStore.loadParams(spark, root)("v") == "old")
     // the orphaned staging dir exists mid-crash and is scrubbed by re-save
+    // (ttl 0 = every orphan counts as stale; the default 1h protects a
+    // LIVE concurrent save, covered by the interleaved-savers test below)
     val fs = fsOf(root)
-    assert(fs.exists(new org.apache.hadoop.fs.Path(root, ModelStore.StagingDir)))
-    val g = ModelStore.save(spark, root, Seq("r" -> rel), Map("v" -> "new"))
+    def stagingDirs() = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(root, s"${ModelStore.StagingPrefix}-*")))
+      .map(_.length).getOrElse(0)
+    assert(stagingDirs() == 1, "crashed save must leave its staging orphan")
+    val g = ModelStore.save(spark, root, Seq("r" -> rel), Map("v" -> "new"),
+      stagingTtlMs = 0L)
     assert(g == 1L && ModelStore.loadParams(spark, root)("v") == "new")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, ModelStore.StagingDir)))
+    assert(stagingDirs() == 0, "re-save must scrub stale staging orphans")
+  }
+
+  test("two interleaved savers serialize into distinct generations (claim-file CAS)") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val rel = Seq((1L, "a")).toDF("id", "s")
+    ModelStore.save(spark, root, Seq("r" -> rel), Map("who" -> "base"))
+    // saver A stages, then — inside its pre-commit window — saver B runs
+    // a COMPLETE save. Both computed candidate gen 1; B claims it first,
+    // A must lose the claim, re-scan, and land on gen 2.
+    var bGen = -1L
+    val aGen = ModelStore.save(spark, root, Seq("r" -> rel), Map("who" -> "A"),
+      keep = 10,
+      beforeCommit = _ => {
+        bGen = ModelStore.save(spark, root, Seq("r" -> rel),
+          Map("who" -> "B"), keep = 10)
+      })
+    assert(bGen == 1L, s"B raced first and must take gen 1: $bGen")
+    assert(aGen == 2L, s"A lost the race and must retry into gen 2: $aGen")
+    // both generations are complete and loadable; the pointer (flipped
+    // last by A) serves A
+    assert(ModelStore.latestGen(spark, root).contains(2L))
+    assert(ModelStore.loadParams(spark, root)("who") == "A")
+    val fs = fsOf(root)
+    assert(spark.read.parquet(s"$root/gen=1/${ModelStore.ParamsRel}")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      .apply("who") == "B", "the raced generation must be intact")
+    // neither saver's staging survives
+    assert(Option(fs.globStatus(new org.apache.hadoop.fs.Path(root,
+      s"${ModelStore.StagingPrefix}-*"))).map(_.length).getOrElse(0) == 0)
   }
 
   test("crash between generation commit and pointer flip: old pointer serves; next save supersedes") {

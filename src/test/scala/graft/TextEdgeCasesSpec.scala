@@ -412,6 +412,41 @@ class TextEdgeCasesSpec extends AnyFunSuite {
     assert(gotL.toSeq == Seq((9L, -1L, 0)))
   }
 
+  test("chunk near-dup packed key: overflow and bad ids fail loudly, never alias") {
+    import spark.implicits._
+    // chunk_no at the packable bound (2^16) must raise, not silently
+    // land in doc_id+1's key space
+    val overflow = Seq(
+      (1L, 0, "alpha beta gamma delta"),
+      (1L, graft.pipeline.Chunking.ChunkKeyBase.toInt, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "chunk_no", "chunk_text")
+    val e1 = intercept[Exception] {
+      graft.pipeline.Chunking
+        .chunkNearDupPairs(overflow, "doc_id", "chunk_no", "chunk_text").count()
+    }
+    assert(e1.getMessage != null &&
+      (e1.getMessage.contains("packable") ||
+        Option(e1.getCause).exists(_.getMessage.contains("packable"))),
+      s"overflow must raise the packable-range error: ${e1.getMessage}")
+    // negative doc id: same loud failure
+    val neg = Seq((-3L, 0, "alpha beta gamma delta"))
+      .toDF("doc_id", "chunk_no", "chunk_text")
+    intercept[Exception] {
+      graft.pipeline.Chunking
+        .chunkNearDupPairs(neg, "doc_id", "chunk_no", "chunk_text").count()
+    }
+    // string doc id: rejected at plan build, before any job runs
+    val str = Seq(("a", 0, "alpha beta gamma delta"))
+      .toDF("doc_id", "chunk_no", "chunk_text")
+    val e3 = intercept[IllegalArgumentException] {
+      graft.pipeline.Chunking
+        .chunkNearDupPairs(str, "doc_id", "chunk_no", "chunk_text")
+    }
+    assert(e3.getMessage.contains("numeric"))
+    // in-range keys still work
+    Caches.releaseAll()
+  }
+
   test("decontaminate: self-overlap flags, zero-overlap passes, short docs survive") {
     import spark.implicits._
     val corpus = Seq(
