@@ -172,3 +172,76 @@ object VectorQuantSumAgg {
     Shim.column(new VectorQuantSumAgg(Shim.expression(c), Literal(scale))
       .toAggregateExpression())
 }
+
+/** Quantized GRAM accumulator: fed the raw embedding, update() forms the
+  * row-major outer product INSIDE the aggregation —
+  * sums[i·d+j] += floor(v_i · v_j · scale) — so the d² = 4096 per-row
+  * multiplies run as compiled long arithmetic instead of the nested
+  * `transform`+`flatten` HOF dag that previously materialized each
+  * outer product as an interpreted CodegenFallback array before
+  * [[VectorQuantSumAgg]] re-read it (r12 advice: per-row O(d²)
+  * interpreted work on a corpus-wide embedding scan). Values are
+  * BIT-IDENTICAL: the HOF path computed the same double product
+  * (elements cast to double, one IEEE multiply) and the same
+  * floor(x·scale) quantization; only where the multiply happens moved.
+  */
+case class GramQuantSumAgg(child: Expression, scaleExpr: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends VecQuantAggBase {
+
+  override protected def aggName: String = "gram_quant_sum"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private lazy val isFloatElem =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def update(b: VecQuantBuffer, input: InternalRow): VecQuantBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val d = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        d(i) = if (isFloatElem) arr.getFloat(i).toDouble else arr.getDouble(i)
+        i += 1
+      }
+      if (b.sums.length < n * n) {
+        val grown = new Array[Long](n * n)
+        System.arraycopy(b.sums, 0, grown, 0, b.sums.length)
+        b.sums = grown
+      }
+      var idx = 0
+      i = 0
+      while (i < n) {
+        val di = d(i)
+        var j = 0
+        while (j < n) {
+          b.sums(idx) += math.floor(di * d(j) * scale).toLong
+          idx += 1
+          j += 1
+        }
+        i += 1
+      }
+      b.cnt += 1
+    }
+    b
+  }
+
+  override def eval(b: VecQuantBuffer): Any =
+    if (b.cnt == 0) null
+    else new GenericArrayData(b.sums.map(_.asInstanceOf[Any]))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GramQuantSumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GramQuantSumAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), scaleExpr = newChildren(1))
+}
+
+object GramQuantSumAgg {
+  def of(c: Column, scale: Double): Column =
+    Shim.column(new GramQuantSumAgg(Shim.expression(c), Literal(scale))
+      .toAggregateExpression())
+}

@@ -856,10 +856,12 @@ object Similarity {
     * moment is the standard embedding-postprocessing target.
     */
   def gramQuantized(df: DataFrame, vecCol: String): Array[Long] = {
-    val vd = transform(col(vecCol), x => x.cast("double"))
-    val outer = flatten(transform(vd, vi => transform(vd, vj => vi * vj)))
-    val row = df.select(graft.functions.expressions.VectorQuantSumAgg
-        .of(outer, 1.0e6).as("g"))
+    // outer product formed INSIDE the aggregate's update (compiled long
+    // arithmetic) — the nested transform+flatten HOF rendering built d²
+    // interpreted entries per row before the agg re-read them (r12
+    // advice); values bit-identical, every PCA oracle unchanged
+    val row = df.select(graft.functions.expressions.GramQuantSumAgg
+        .of(col(vecCol), 1.0e6).as("g"))
       .head()
     // the aggregate emits NULL for a zero-count buffer — fail loudly
     // rather than NPE on the driver
