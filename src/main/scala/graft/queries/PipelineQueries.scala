@@ -2435,6 +2435,20 @@ object PipelineQueries {
     s"WITH m AS MATERIALIZED ($lmMPlantSql),\n$tkCteSql,\n$lmCoreCtes\n" +
       "SELECT doc_id, n_bigrams, lm_logp_q, xent FROM sc2 ORDER BY doc_id"
 
+  /** Merged-generation rows: the oracle trains on the UNION of the base
+    * (%4 = 0) and increment (%4 = 2) slices — the engine side never
+    * scans that union (it merges count tables), so hash equality IS the
+    * merge ≡ retrain proof. */
+  private[queries] val LmMergedPredSql: String = "doc_id % 4 IN (0, 2)"
+
+  private[queries] val lmScoreMergedOracleSql: String =
+    s"WITH m AS MATERIALIZED ($lmMPlantSql),\n$tkCteSql,\n${lmCoreCtesFor(LmMergedPredSql)}\n" +
+      "SELECT doc_id, n_bigrams, lm_logp_q, xent FROM fin ORDER BY doc_id"
+
+  private[queries] val lmScoreMergedStreamOracleSql: String =
+    s"WITH m AS MATERIALIZED ($lmMPlantSql),\n$tkCteSql,\n${lmCoreCtesFor(LmMergedPredSql)}\n" +
+      "SELECT doc_id, n_bigrams, lm_logp_q, xent FROM sc2 ORDER BY doc_id"
+
   /** Model-gate composite: the session's two trained models composed the
     * way a production curation run uses them — classifier keeps the
     * reference-like docs, then the CCNet perplexity split drops the
@@ -3451,6 +3465,48 @@ object PipelineQueries {
           modelRoot("dsir"))
         val m = Dsir.load(s, modelRoot("dsir"))
         Dsir.score(docs, "doc_id", "text", m).orderBy("doc_id")
+      },
+      Some(dsirScoreOracleSql)),
+
+    // ========== INCREMENTAL model refresh: merge ≡ retrain ==========
+    // The nightly shape ModelStore generations exist for: the base
+    // generation holds COUNT tables (the mergeable artifact — q and V
+    // are derived), the day's increment counts fold in by union+sum
+    // (exact integer adds), and the merged generation commits WITHOUT a
+    // full-corpus retrain. The oracle replays a train on the UNION of
+    // both slices, so the row is green only if merge ≡ retrain holds
+    // to the bit AND both persistence round trips are value-exact.
+    Q("text_lm_score_merged",
+      (s, dir) => {
+        val docs = lmPlant(Tables.documents(s, dir))
+        val root = modelRoot("lm_counts")
+        graft.text.NgramLm.saveCounts(s,
+          graft.text.NgramLm.countTables(
+            docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text"), root)
+        // the DISJOINT increment (tonight's crawl) folds into gen k
+        graft.text.NgramLm.mergeIntoStore(s, root,
+          graft.text.NgramLm.countTables(
+            docs.filter(pmod(col("doc_id"), lit(4)) === 2), "text"))
+        val m = graft.text.NgramLm.modelFromCounts(
+          graft.text.NgramLm.loadCounts(s, root))
+        graft.text.NgramLm.score(docs, "doc_id", "text", m).orderBy("doc_id")
+      },
+      Some(lmScoreMergedOracleSql)),
+
+    // DSIR twin: two disjoint half-corpus fits merge into the full fit
+    // (bucket counts + totals are integer sums; qlr re-derives from the
+    // merged counts) — shares the INLINE full-fit oracle, the strongest
+    // possible merge ≡ refit statement. The merged model round-trips
+    // through ModelStore before scoring.
+    Q("text_dsir_score_merged",
+      (s, dir) => {
+        val docs = dsirPlant(Tables.documents(s, dir))
+        val tgt = pmod(col("doc_id"), lit(7)) === 0
+        val mA = Dsir.fit(docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text", tgt)
+        val mB = Dsir.fit(docs.filter(pmod(col("doc_id"), lit(2)) === 1), "text", tgt)
+        Dsir.save(s, Dsir.merge(mA, mB), modelRoot("dsir_merged"))
+        Dsir.score(docs, "doc_id", "text",
+          Dsir.load(s, modelRoot("dsir_merged"))).orderBy("doc_id")
       },
       Some(dsirScoreOracleSql)),
 

@@ -951,6 +951,43 @@ object StreamingQueries {
       },
       Some(PipelineQueries.lmScoreStreamOracleSql)),
 
+    // the incremental-refresh deployment end-to-end: the LM count tables
+    // commit as a ModelStore generation, the disjoint increment FOLDS in
+    // (union+sum — no corpus rescan) as generation k+1, and the ingest
+    // stream probes the model derived from the MERGED generation. The
+    // oracle retrains on the union of both slices, so this row is green
+    // only if merge ≡ retrain and both round trips are value-exact.
+    Q("stream_text_lm_score_merged",
+      (s, dir) => {
+        implicit val sp = s
+        import graft.functions.GraftFunctions.wordGrams
+        val docs = PipelineQueries.lmPlant(graft.Tables.documents(s, dir))
+        val root = PipelineQueries.modelRootShared("lm_counts_stream")
+        graft.text.NgramLm.saveCounts(s,
+          graft.text.NgramLm.countTables(
+            docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text"), root)
+        graft.text.NgramLm.mergeIntoStore(s, root,
+          graft.text.NgramLm.countTables(
+            docs.filter(pmod(col("doc_id"), lit(4)) === 2), "text"))
+        val m = graft.text.NgramLm.modelFromCounts(
+          graft.text.NgramLm.loadCounts(s, root))
+        val incoming = PipelineQueries.lmPlant(StreamSources.documents(s, dir))
+          .select(col("doc_id"), explode(wordGrams(col("text"), 2)).as("bigram"))
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+        val scored = graft.text.NgramLm.probeQq(incoming, m, fitsBroadcast = true)
+          .groupBy(window(col("event_time"), "1 hour"), col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("qq")).as("lm_logp_q"))
+          .select(col("doc_id"), col("n_bigrams"), col("lm_logp_q"),
+            ((-col("lm_logp_q")).cast("double") /
+              (col("n_bigrams").cast("double") * lit(graft.text.NgramLm.Scale)))
+              .as("xent"))
+        StreamRun.toBatch(scored, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+          .orderBy("doc_id")
+      },
+      Some(PipelineQueries.lmScoreMergedStreamOracleSql)),
+
     // Moore-Lewis contrastive scoring AT INGESTION — targeted selection
     // as a crawl monitor: BOTH bigram models (in-domain + general)
     // derive offline, the stream's exploded bigrams probe the two model

@@ -112,6 +112,15 @@ object Dsir {
       cr(b) = r.getLong(1)
       ct(b) = r.getLong(2)
     }
+    modelFromCounts(ct, cr)
+  }
+
+  /** Derive (totals, quantized log-ratios) from bucket counts — the tail
+    * of [[fit]], shared by [[merge]] so a merged model quantizes through
+    * the identical dag. */
+  def modelFromCounts(ct: Array[Long], cr: Array[Long]): Model = {
+    require(ct.length == Buckets && cr.length == Buckets,
+      s"count arrays must be $Buckets-bucket")
     val nt = ct.sum
     val nr = cr.sum
     val qlr = Array.tabulate(Buckets) { b =>
@@ -121,6 +130,17 @@ object Dsir {
     }
     Model(qlr, ct, cr, nt, nr)
   }
+
+  /** Merge two models fitted over DISJOINT corpus slices (same
+    * targetPred semantics): bucket counts and totals are order-free
+    * integer sums, so the merged counts equal a [[fit]] on the union and
+    * the re-derived qlr is bit-identical to the union fit's — merge ≡
+    * refit, which is what lets a nightly increment fold into last
+    * night's ModelStore generation without a corpus rescan. */
+  def merge(a: Model, b: Model): Model =
+    modelFromCounts(
+      Array.tabulate(Buckets)(i => a.ct(i) + b.ct(i)),
+      Array.tabulate(Buckets)(i => a.cr(i) + b.cr(i)))
 
   /** Score every document: (id, n_grams, dsir_score) where dsir_score =
     * Σ over the doc's grams of qlr(bucket(gram)) — an exact integer fold,

@@ -61,27 +61,82 @@ object NgramLm {
     floor(lit(Scale) * PortableLog.plogCol(
       (c2 + lit(1L)).cast("double") / (c1 + lit(v)).cast("double")))
 
-  /** Fit the bigram model on `training`. Both relations are cached (they
-    * feed the guard count AND the probe; at 100 TB they would be
-    * checkpointed tables refreshed offline, exactly KenLM's role in
-    * CCNet).
-    */
-  def train(training: DataFrame, textCol: String): Model = {
-    val c1 = graft.Caches.track(
-      training.select(explode(tokens(col(textCol))).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("c1")))
+  /** The MERGEABLE representation of the model: the raw token and
+    * bigram count tables. q and V are DERIVED quantities; the counts
+    * are order-free integer sums, so counts over DISJOINT corpora ADD —
+    * [[mergeCounts]] folds tonight's increment into last night's
+    * generation and the result is EXACTLY the counts of a train on the
+    * union (merge ≡ retrain, proved by the merged rows sharing a
+    * train-on-the-union oracle). At 100 TB this replaces a full-corpus
+    * retrain with an aggregation over (yesterday's model table + one
+    * day's increment). */
+  final case class Counts(c1: DataFrame, c2: DataFrame)
+
+  /** The two training aggregations as count tables (the only
+    * corpus-sized work in a fit). */
+  def countTables(training: DataFrame, textCol: String): Counts = Counts(
+    training.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c1")),
+    training.select(explode(wordGrams(col(textCol), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c2")))
+
+  /** Fold an increment into a base: union + re-sum per key — integer
+    * adds, partitioning-independent, equal BY VALUE to counting the
+    * union corpus directly. The inputs must cover DISJOINT documents
+    * (double-counting is the caller's bug, same as any incremental
+    * pipeline). */
+  def mergeCounts(base: Counts, delta: Counts): Counts = Counts(
+    base.c1.unionByName(delta.c1)
+      .groupBy("token").agg(sum(col("c1")).as("c1")),
+    base.c2.unionByName(delta.c2)
+      .groupBy("bigram").agg(sum(col("c2")).as("c2")))
+
+  /** Derive the probe-ready model (V, smoothed quantized q) from count
+    * tables — the tail of [[train]], shared by the merge path so a
+    * merged generation scores through the identical dag. */
+  def modelFromCounts(cts: Counts): Model = {
+    val c1 = graft.Caches.track(cts.c1)
     val v = c1.count()
-    val c2 = training.select(explode(wordGrams(col(textCol), 2)).as("bigram"))
-      .groupBy("bigram").agg(count(lit(1)).as("c2"))
     // q only — c1 rides in `heads`; a dead column here would inflate the
     // cached/broadcast model relation for every probe
     val qSeen = graft.Caches.track(
-      c2.join(c1.withColumnRenamed("token", "__w1"),
+      cts.c2.join(c1.withColumnRenamed("token", "__w1"),
           substring_index(col("bigram"), " ", 1) === col("__w1"))
         .select(col("bigram"),
           qCol(col("c2"), col("c1"), v).cast("long").as("q")))
     Model(qSeen, c1.withColumnRenamed("token", "__w1"), v)
   }
+
+  /** Fit the bigram model on `training`. Both relations are cached (they
+    * feed the guard count AND the probe; at 100 TB they would be
+    * checkpointed tables refreshed offline, exactly KenLM's role in
+    * CCNet).
+    */
+  def train(training: DataFrame, textCol: String): Model =
+    modelFromCounts(countTables(training, textCol))
+
+  /** Persist COUNT tables (the mergeable artifact) as a ModelStore
+    * generation — exact integers, value-exact round trip. */
+  def saveCounts(spark: org.apache.spark.sql.SparkSession, cts: Counts,
+      root: String): Long =
+    graft.pipeline.ModelStore.save(spark, root,
+      Seq("c1" -> cts.c1, "c2" -> cts.c2))
+
+  def loadCounts(spark: org.apache.spark.sql.SparkSession,
+      root: String): Counts = {
+    import graft.pipeline.ModelStore
+    Counts(ModelStore.loadRelation(spark, root, "c1"),
+      ModelStore.loadRelation(spark, root, "c2"))
+  }
+
+  /** The nightly increment fold: merge `delta` (counts of the day's NEW
+    * documents) into the committed generation and commit the result as
+    * generation k+1 — no corpus rescan, no retrain; readers pick up the
+    * new generation at their next [[loadCounts]]. Returns the committed
+    * generation id. */
+  def mergeIntoStore(spark: org.apache.spark.sql.SparkSession, root: String,
+      delta: Counts): Long =
+    saveCounts(spark, mergeCounts(loadCounts(spark, root), delta), root)
 
   /** The join-probe-and-smooth step, single-sourced for the batch scorer
     * and both streaming rows: rows carrying a `bigram` column gain `out`

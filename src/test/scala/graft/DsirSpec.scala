@@ -123,6 +123,19 @@ class DsirSpec extends AnyFunSuite {
     assert(kernel == hof, "kernel and HOF fold must be value-identical")
   }
 
+  test("merge over disjoint slices ≡ fit on the union, to the bit") {
+    import org.apache.spark.sql.functions._
+    val tgt = col("doc_id") === 1L
+    val union = Dsir.fit(corpus, "text", tgt)
+    val merged = Dsir.merge(
+      Dsir.fit(corpus.filter(pmod(col("doc_id"), lit(2)) === 0), "text", tgt),
+      Dsir.fit(corpus.filter(pmod(col("doc_id"), lit(2)) === 1), "text", tgt))
+    assert(merged.nt == union.nt && merged.nr == union.nr)
+    assert(merged.ct.toSeq == union.ct.toSeq && merged.cr.toSeq == union.cr.toSeq)
+    assert(merged.qlr.toSeq == union.qlr.toSeq,
+      "re-derived log-ratios must be bit-identical to the union fit's")
+  }
+
   test("score is partitioning-invariant (integer fold, plan-literal model)") {
     val m = Dsir.fit(corpus, "text", col("doc_id") === 1L)
     val a = Dsir.score(corpus.repartition(1), "doc_id", "text", m)

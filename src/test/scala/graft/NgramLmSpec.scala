@@ -101,6 +101,38 @@ class NgramLmSpec extends AnyFunSuite {
     assert(got(13L) == q(0.4 * (0.4 * (0.0 / 4.0))))
   }
 
+  test("mergeCounts over disjoint slices ≡ train on the union (and survives the store)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    try {
+      val docs = Seq((1L, "a b a"), (2L, "b a b c"), (3L, "c a"), (4L, "b b a"))
+        .toDF("doc_id", "text")
+      val union = NgramLm.train(docs, "text")
+      // disjoint halves → counts add → derived model identical
+      val merged = NgramLm.modelFromCounts(NgramLm.mergeCounts(
+        NgramLm.countTables(docs.filter(col("doc_id") <= 2), "text"),
+        NgramLm.countTables(docs.filter(col("doc_id") > 2), "text")))
+      assert(merged.v == union.v)
+      def rel(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("bigram").collect().map(_.toSeq).toSeq
+      assert(rel(merged.qSeen) == rel(union.qSeen),
+        "merged q table must equal the union-trained one bit-for-bit")
+      // and the store round trip preserves the merge result exactly
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-lm-merge").toString + "/store"
+      NgramLm.saveCounts(spark,
+        NgramLm.countTables(docs.filter(col("doc_id") <= 2), "text"), root)
+      NgramLm.mergeIntoStore(spark, root,
+        NgramLm.countTables(docs.filter(col("doc_id") > 2), "text"))
+      val loaded = NgramLm.modelFromCounts(NgramLm.loadCounts(spark, root))
+      assert(loaded.v == union.v && rel(loaded.qSeen) == rel(union.qSeen))
+      // scoring through the merged model matches the union model
+      def sc(m: NgramLm.Model) = NgramLm.score(docs, "doc_id", "text", m)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(sc(loaded) == sc(union))
+    } finally Caches.releaseAll()
+  }
+
   test("guarded model join: fallback strategy is result-identical") {
     import spark.implicits._
     val m = NgramLm.train(training, "text")
