@@ -92,6 +92,29 @@ object Chunking {
     * paragraph still matches every untouched chunk.
     */
   def chunkDedupAgainst(chunks: DataFrame, archiveChunks: DataFrame,
+      idCol: String, chunkCol: String, textCol: String): DataFrame =
+    chunkDedupAgainstReps(chunks,
+      chunkDigestReps(archiveChunks, idCol, chunkCol, textCol),
+      idCol, chunkCol, textCol)
+
+  /** The archive's chunk-digest REPRESENTATIVE index — (digest, keep-
+    * first (doc, chunk) struct), one row per distinct chunk text. This
+    * is the persistable artifact ([[graft.dedup.IndexStore]]): derive it
+    * in the nightly reconciliation job, commit it as a generation, and
+    * serve [[chunkDedupAgainstReps]] from the loaded relation. The
+    * keep-first struct-min is a commutative fold, so a DISJOINT
+    * increment's reps fold in by union + re-min (the span-index
+    * maintenance argument). */
+  def chunkDigestReps(archiveChunks: DataFrame, idCol: String,
+      chunkCol: String, textCol: String): DataFrame =
+    archiveChunks
+      .select(md5(col(textCol)).as("__d"),
+        struct(col(idCol), col(chunkCol)).as("__rc"))
+      .groupBy("__d").agg(min(col("__rc")).as("__rep"))
+
+  /** [[chunkDedupAgainst]] over a pre-built (possibly LOADED) digest
+    * representative index. */
+  def chunkDedupAgainstReps(chunks: DataFrame, reps: DataFrame,
       idCol: String, chunkCol: String, textCol: String): DataFrame = {
     // unknown-chunk sentinel derived from the id column's own type: -1
     // for numeric ids (the family's long-id convention), NULL otherwise
@@ -100,10 +123,6 @@ object Chunking {
       case t: org.apache.spark.sql.types.NumericType => lit(-1L).cast(t)
       case t => lit(null).cast(t)
     }
-    val reps = archiveChunks
-      .select(md5(col(textCol)).as("__d"),
-        struct(col(idCol), col(chunkCol)).as("__rc"))
-      .groupBy("__d").agg(min(col("__rc")).as("__rep"))
     chunks.select(col(idCol), col(chunkCol), md5(col(textCol)).as("__d"))
       .join(reps, Seq("__d"), "left")
       .select(col(idCol), col(chunkCol),

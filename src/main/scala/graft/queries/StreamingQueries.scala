@@ -31,6 +31,23 @@ object StreamingQueries {
     */
   private def fanOut(df: DataFrame): DataFrame = df.repartition(32)
 
+  /** Span-dedup incremental oracle, parameterized by the index-side
+    * predicate — shared by the inline, loaded, and appended twins (the
+    * appended twin's predicate is the UNION slice: the oracle rebuilds
+    * what the engine produced by folding an increment into gen k). */
+  private def spanIncrementalOracleSql(idxPred: String): String = s"""
+        WITH d AS (SELECT doc_id, ${graft.oracle.DuckSql.tokens("text")} AS toks
+                   FROM ${Q.DocsRef}),
+        s AS (SELECT doc_id, ${graft.oracle.DuckSql.wordShingles("toks", PipelineQueries.SpanDedupK)} AS sh
+              FROM d),
+        g AS (SELECT doc_id, unnest(sh) AS gram FROM s),
+        idx AS (SELECT gram, min(doc_id) AS first_id FROM g
+                WHERE $idxPred GROUP BY gram),
+        r AS (SELECT g.doc_id, min(idx.first_id) AS rep_id,
+                     count(*) AS n_known_spans
+              FROM g JOIN idx USING (gram) GROUP BY g.doc_id)
+        SELECT doc_id, rep_id, n_known_spans FROM r ORDER BY doc_id"""
+
   /** The streaming frames of the EOS-punctuated (append / watermark-
     * evicting) queries, exposed pre-`StreamRun.toBatch` so the spec can
     * assert each DECLARED plan reads the source through exactly ONE
@@ -559,18 +576,81 @@ object StreamingQueries {
           requireSingleDataBatch = true)
           .orderBy("doc_id")
       },
-      Some(s"""
-        WITH d AS (SELECT doc_id, ${graft.oracle.DuckSql.tokens("text")} AS toks
-                   FROM ${Q.DocsRef}),
-        s AS (SELECT doc_id, ${graft.oracle.DuckSql.wordShingles("toks", PipelineQueries.SpanDedupK)} AS sh
-              FROM d),
-        g AS (SELECT doc_id, unnest(sh) AS gram FROM s),
-        idx AS (SELECT gram, min(doc_id) AS first_id FROM g
-                WHERE doc_id % 4 = 0 GROUP BY gram),
-        r AS (SELECT g.doc_id, min(idx.first_id) AS rep_id,
-                     count(*) AS n_known_spans
-              FROM g JOIN idx USING (gram) GROUP BY g.doc_id)
-        SELECT doc_id, rep_id, n_known_spans FROM r ORDER BY doc_id""")),
+      Some(spanIncrementalOracleSql("doc_id % 4 = 0"))),
+
+    // the SAME probe served from a PERSISTED index: the span index
+    // commits as an IndexStore generation and the stream probes the
+    // LOADED relation — same oracle as the inline twin, so the row is
+    // green only if the index round trip is value-exact. This is the
+    // production split the inline twin approximates: the index is the
+    // nightly reconciliation job's output, not a per-run derivation.
+    Q("stream_dedup_span_loaded",
+      (s, dir) => {
+        implicit val sp = s
+        val root = PipelineQueries.modelRootShared("span_index")
+        graft.dedup.IndexStore.save(s, root, Seq("span_index" ->
+          graft.dedup.Dedup.shingles(
+            graft.Tables.documents(s, dir)
+              .filter(pmod(col("doc_id"), lit(4)) === 0),
+            "doc_id", "text", PipelineQueries.SpanDedupK)
+            .groupBy(col("gram")).agg(min(col("doc_id")).as("first_id"))))
+        val idx = graft.Caches.track(
+          graft.dedup.IndexStore.load(s, root, "span_index"))
+        val spans = StreamSources.documents(s, dir)
+          .select(col("doc_id"),
+            explode(graft.functions.GraftFunctions.wordShingles(
+              col("text"), PipelineQueries.SpanDedupK)).as("gram"))
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+        val flagged = spans.join(idx, "gram")
+          .groupBy(window(col("event_time"), "1 hour"), col("doc_id"))
+          .agg(min(col("first_id")).as("rep_id"),
+            count(lit(1)).as("n_known_spans"))
+          .select("doc_id", "rep_id", "n_known_spans")
+        StreamRun.toBatch(flagged, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+          .orderBy("doc_id")
+      },
+      Some(spanIncrementalOracleSql("doc_id % 4 = 0"))),
+
+    // index APPEND maintenance: the committed span generation folds in a
+    // DISJOINT increment (%4 = 2 — "tonight's reconciled crawl") by
+    // union + re-min (the keep-first rule is a commutative monoid) and
+    // commits generation k+1 — NO archive rescan. The stream then probes
+    // the loaded merged index; the oracle REBUILDS the index from
+    // scratch over the union slice, so hash equality proves
+    // append ≡ rebuild.
+    Q("stream_dedup_span_appended",
+      (s, dir) => {
+        implicit val sp = s
+        def spansOf(pred: org.apache.spark.sql.Column) =
+          graft.dedup.Dedup.shingles(
+            graft.Tables.documents(s, dir).filter(pred),
+            "doc_id", "text", PipelineQueries.SpanDedupK)
+            .groupBy(col("gram")).agg(min(col("doc_id")).as("first_id"))
+        val root = PipelineQueries.modelRootShared("span_index_app")
+        graft.dedup.IndexStore.save(s, root,
+          Seq("span_index" -> spansOf(pmod(col("doc_id"), lit(4)) === 0)))
+        graft.dedup.IndexStore.appendSpanIndex(s, root,
+          spansOf(pmod(col("doc_id"), lit(4)) === 2))
+        val idx = graft.Caches.track(
+          graft.dedup.IndexStore.load(s, root, "span_index"))
+        val spans = StreamSources.documents(s, dir)
+          .select(col("doc_id"),
+            explode(graft.functions.GraftFunctions.wordShingles(
+              col("text"), PipelineQueries.SpanDedupK)).as("gram"))
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+        val flagged = spans.join(idx, "gram")
+          .groupBy(window(col("event_time"), "1 hour"), col("doc_id"))
+          .agg(min(col("first_id")).as("rep_id"),
+            count(lit(1)).as("n_known_spans"))
+          .select("doc_id", "rep_id", "n_known_spans")
+        StreamRun.toBatch(flagged, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+          .orderBy("doc_id")
+      },
+      Some(spanIncrementalOracleSql("doc_id % 4 IN (0, 2)"))),
 
     // INCREMENTAL semantic dedup at ingestion — the embedding-space
     // counterpart of stream_dedup_span, completing the "new data versus
@@ -894,6 +974,146 @@ object StreamingQueries {
               explode(sequence(lit(0), lit(3))).as("band"))
             .withColumn("bkey",
               expr("shiftright(sh_a, CAST(band * 15 AS INT)) & 32767")))
+        val incoming = StreamSources.documents(s, dir)
+          .select(col("doc_id"),
+            transform(tokens(col("text")), t => hash60(t)).as("hs"))
+          .filter(size(col("hs")) > 0)
+          .select(col("doc_id"),
+            graft.functions.expressions.SimHashSig.of(col("hs")).as("sh_b"))
+          .withColumn("band", explode(sequence(lit(0), lit(3))))
+          .withColumn("bkey",
+            expr("shiftright(sh_b, CAST(band * 15 AS INT)) & 32767"))
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+        val flagged = incoming
+          .join(trBanded, Seq("band", "bkey"))
+          .withColumn("hamming", expr("CAST(bit_count(sh_b ^ sh_a) AS INT)"))
+          .filter(col("hamming") <= 10)
+          .groupBy(window(col("event_time"), "1 hour"), col("doc_id"))
+          .agg(min(col("a_id")).as("rep_id"), min(col("hamming")).as("h_min"))
+          .select("doc_id", "rep_id", "h_min")
+        StreamRun.toBatch(flagged, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+          .orderBy("doc_id")
+      },
+      Some(PipelineQueries.simhashIncrementalSql(10))),
+
+    // ========== the near-dup family served from PERSISTED indexes ==========
+    // Each inline incremental twin above re-derives its archive-side
+    // index (band table, verify arrays, inverted gram index, banded
+    // signatures) per run. These rows commit the index through
+    // IndexStore (one nightly job) and probe the LOADED relations —
+    // sharing the inline twin's oracle, so green == the round trip is
+    // value-exact. Band tables and verify arrays are per-document rows:
+    // a disjoint increment appends by plain union (no re-aggregation),
+    // which is why persisting them is the right 100 TB maintenance shape.
+    Q("stream_dedup_minhash_loaded",
+      (s, dir) => {
+        implicit val sp = s
+        import graft.functions.GraftFunctions.{hash60, wordShingles}
+        val training = graft.Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(4)) === 0)
+        val root = PipelineQueries.modelRootShared("minhash_index")
+        graft.dedup.IndexStore.save(s, root, Seq(
+          "bands" -> graft.dedup.Dedup.lshBands(
+            graft.dedup.Dedup.minhashSignatures(
+              training.select(col("doc_id"),
+                transform(wordShingles(col("text"), 3), g => hash60(g)).as("hs")),
+              "doc_id", 12),
+            "doc_id", 3)
+            .select(col("doc_id").as("a_id"), col("band"), col("bandsig")),
+          "verify" -> training.select(col("doc_id").as("a_id"),
+            sort_array(wordShingles(col("text"), 3)).as("sh_a"))))
+        val trBands = graft.Caches.track(
+          graft.dedup.IndexStore.load(s, root, "bands"))
+        val trVerify = graft.Caches.track(
+          graft.dedup.IndexStore.load(s, root, "verify"))
+        val incoming = StreamSources.documents(s, dir)
+          .select(col("doc_id"), sort_array(wordShingles(col("text"), 3)).as("sh_b"))
+          .withColumn("sigs", graft.functions.expressions.MinHashSigs.of(
+            transform(col("sh_b"), g => hash60(g)), 12))
+          .withColumn("bb", explode(
+            graft.dedup.Dedup.lshBandsColumn(col("sigs"), 12, 3)))
+          .select(col("doc_id"), col("sh_b"),
+            col("bb.band").as("band"), col("bb.bandsig").as("bandsig"))
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+        val verified = incoming
+          .join(trBands, Seq("band", "bandsig"))
+          .join(trVerify, Seq("a_id"))
+          .select(col("event_time"), col("doc_id"), col("a_id"),
+            graft.functions.expressions.SortedJaccard
+              .of(col("sh_b"), col("sh_a")).as("jaccard"))
+        val flagged = verified
+          .groupBy(window(col("event_time"), "1 hour"), col("doc_id"))
+          .agg(min(when(col("jaccard") >= 0.6, col("a_id"))).as("rep_id"),
+            max(when(col("jaccard") >= 0.6, col("jaccard"))).as("j_max"))
+          .filter(col("rep_id").isNotNull)
+          .select("doc_id", "rep_id", "j_max")
+        StreamRun.toBatch(flagged, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+          .orderBy("doc_id")
+      },
+      Some(PipelineQueries.minhashIncrementalSql(0.6))),
+
+    Q("stream_dedup_ngram_loaded",
+      (s, dir) => {
+        implicit val sp = s
+        import graft.functions.GraftFunctions.wordShingles
+        val training = graft.Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(4)) === 0)
+        val root = PipelineQueries.modelRootShared("ngram_index")
+        graft.dedup.IndexStore.save(s, root, Seq(
+          "grams" -> graft.dedup.Dedup.shingles(training, "doc_id", "text", 3)
+            .withColumn("__df", count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window.partitionBy("gram")))
+            .filter(col("__df") <= 100)
+            .select(col("doc_id").as("a_id"), col("gram")),
+          "verify" -> training.select(col("doc_id").as("a_id"),
+            sort_array(wordShingles(col("text"), 3)).as("sh_a"))))
+        val trGrams = graft.Caches.track(
+          graft.dedup.IndexStore.load(s, root, "grams"))
+        val trVerify = graft.Caches.track(
+          graft.dedup.IndexStore.load(s, root, "verify"))
+        val incoming = fanOut(StreamSources.documents(s, dir))
+          .select(col("doc_id"), sort_array(wordShingles(col("text"), 3)).as("sh_b"))
+          .select(col("doc_id"), col("sh_b"), explode(col("sh_b")).as("gram"))
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+        val verified = incoming
+          .join(trGrams, Seq("gram"))
+          .join(trVerify, Seq("a_id"))
+          .select(col("event_time"), col("doc_id"), col("a_id"),
+            graft.functions.expressions.SortedJaccard
+              .of(col("sh_b"), col("sh_a")).as("jaccard"))
+        val flagged = verified
+          .groupBy(window(col("event_time"), "1 hour"), col("doc_id"))
+          .agg(min(when(col("jaccard") >= 0.6, col("a_id"))).as("rep_id"),
+            max(when(col("jaccard") >= 0.6, col("jaccard"))).as("j_max"))
+          .filter(col("rep_id").isNotNull)
+          .select("doc_id", "rep_id", "j_max")
+        StreamRun.toBatch(flagged, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+          .orderBy("doc_id")
+      },
+      Some(PipelineQueries.ngramIncrementalSql(0.6, 100))),
+
+    Q("stream_dedup_simhash_loaded",
+      (s, dir) => {
+        implicit val sp = s
+        import graft.functions.GraftFunctions.{hash60, tokens}
+        val root = PipelineQueries.modelRootShared("simhash_index")
+        graft.dedup.IndexStore.save(s, root, Seq(
+          "bands" -> graft.dedup.Dedup.simhash(
+            graft.Tables.documents(s, dir)
+              .filter(pmod(col("doc_id"), lit(4)) === 0),
+            "doc_id", "text")
+            .select(col("doc_id").as("a_id"), col("simhash").as("sh_a"),
+              explode(sequence(lit(0), lit(3))).as("band"))
+            .withColumn("bkey",
+              expr("shiftright(sh_a, CAST(band * 15 AS INT)) & 32767"))))
+        val trBanded = graft.Caches.track(
+          graft.dedup.IndexStore.load(s, root, "bands"))
         val incoming = StreamSources.documents(s, dir)
           .select(col("doc_id"),
             transform(tokens(col("text")), t => hash60(t)).as("hs"))
@@ -1419,6 +1639,33 @@ object StreamingQueries {
           ck.cdcChunks(StreamSources.documents(s, dir), "doc_id", "text",
             mask = PipelineQueries.CdcMask),
           archive, "doc_id", "chunk_no", "chunk_text")
+        StreamRun.toBatch(out, "append", numPartitions = 4)
+          .orderBy("doc_id", "chunk_no")
+      },
+      Some(PipelineQueries.cdcDedupIncrementalOracleSql)),
+
+    // CDC chunk dedup served from the PERSISTED digest-representative
+    // index — the archive's (digest → keep-first (doc, chunk)) relation
+    // commits once and the ingest probe loads it; shares the inline
+    // twin's oracle. The keep-first struct-min is commutative, so a
+    // disjoint re-crawl increment folds in by union + re-min.
+    Q("stream_pipeline_cdc_dedup_loaded",
+      (s, dir) => {
+        implicit val sp = s
+        val ck = graft.pipeline.Chunking
+        val root = PipelineQueries.modelRootShared("cdc_digest_index")
+        graft.dedup.IndexStore.save(s, root, Seq("reps" ->
+          ck.chunkDigestReps(
+            ck.cdcChunks(
+              graft.Tables.documents(s, dir)
+                .filter(pmod(col("doc_id"), lit(4)) === 0),
+              "doc_id", "text", mask = PipelineQueries.CdcMask),
+            "doc_id", "chunk_no", "chunk_text")))
+        val out = ck.chunkDedupAgainstReps(
+          ck.cdcChunks(StreamSources.documents(s, dir), "doc_id", "text",
+            mask = PipelineQueries.CdcMask),
+          graft.Caches.track(graft.dedup.IndexStore.load(s, root, "reps")),
+          "doc_id", "chunk_no", "chunk_text")
         StreamRun.toBatch(out, "append", numPartitions = 4)
           .orderBy("doc_id", "chunk_no")
       },
@@ -2144,6 +2391,45 @@ object StreamingQueries {
         val bf = graft.dedup.Dedup.buildBloom(tr,
           graft.functions.GraftFunctions.hash60(col("tdg")), n, 0.01)
         val bc = s.sparkContext.broadcast(bf)
+        val probed = StreamSources.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(4)) =!= 0)
+          .withColumn("text", PipelineQueries.bloomPlantText)
+          .select(col("doc_id"), md5(col("text")).as("dg"))
+          .withColumn("pos",
+            graft.functions.expressions.BloomMightContainLong.of(
+              bc, graft.functions.GraftFunctions.hash60(col("dg"))))
+        val flagged = probed
+          .join(tr, when(col("pos"), col("dg")) === col("tdg"), "left")
+          .select(col("doc_id"), col("tdg").isNotNull.cast("int").as("in_training"))
+        StreamRun.toBatch(flagged, "append", numPartitions = 4)
+          .orderBy("doc_id")
+      },
+      Some(PipelineQueries.bloomMembershipOracleSql)),
+
+    // Bloom membership served from a PERSISTED index: the filter's bits
+    // round-trip through the IndexStore codec (byte-exact — the probe is
+    // deterministic bit tests, so one flipped bit would change the
+    // candidate set and, with the digest relation also loaded, any
+    // digest loss flips a verify answer; the shared oracle catches
+    // both). The (n, fpp) params persist so a future increment can
+    // OR-merge at identical parameters.
+    Q("stream_dedup_bloom_loaded",
+      (s, dir) => {
+        implicit val sp = s
+        val trBuild = graft.Tables.documents(s, dir)
+          .withColumn("text", PipelineQueries.bloomPlantText)
+          .filter(pmod(col("doc_id"), lit(4)) === 0)
+          .select(md5(col("text")).as("tdg")).distinct()
+        val n = trBuild.count()
+        val root = PipelineQueries.modelRootShared("bloom_index")
+        graft.dedup.IndexStore.saveBloom(s, root,
+          graft.dedup.Dedup.buildBloom(trBuild,
+            graft.functions.GraftFunctions.hash60(col("tdg")), n, 0.01),
+          trBuild, n, 0.01)
+        val tr = graft.Caches.track(
+          graft.dedup.IndexStore.load(s, root, "digests"))
+        val bc = s.sparkContext.broadcast(
+          graft.dedup.IndexStore.loadBloom(s, root))
         val probed = StreamSources.documents(s, dir)
           .filter(pmod(col("doc_id"), lit(4)) =!= 0)
           .withColumn("text", PipelineQueries.bloomPlantText)
