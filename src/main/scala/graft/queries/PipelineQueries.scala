@@ -1882,6 +1882,156 @@ object PipelineQueries {
        |       CASE WHEN s >= 0.0e0 THEN 1 ELSE 0 END AS pred
        |FROM sF ORDER BY doc_id""".stripMargin
 
+  // ========== trained language-ID (K-class softmax) oracle ==========
+
+  private[queries] val LangK: Int = 3
+
+  /** Planted per-language function-word vocabularies — distinct char-
+    * trigram distributions per class (the fastText-langid signal). The
+    * accented forms matter: their trigrams are UNIQUE to the class
+    * (an ASCII synthetic body never hashes into them), and they drive
+    * the kernel's multibyte codepoint-window path on every row. */
+  private[queries] val LangMarkers: Seq[String] = Seq(
+    " the and with would should through they",
+    " der und über während größe straße schön",
+    " le été avec déjà français où être ainsi")
+
+  private[queries] def langPlant(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(LangMarkers(0)))
+          .when(pmod(col("doc_id"), lit(3)) === 1, lit(LangMarkers(1)))
+          .otherwise(lit(LangMarkers(2)))).as("text"))
+
+  private[queries] val langMPlantSql: String =
+    s"""SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 3 = 0 THEN '${LangMarkers(0)}'
+       |         WHEN doc_id % 3 = 1 THEN '${LangMarkers(1)}'
+       |         ELSE '${LangMarkers(2)}' END AS text
+       |  FROM ${Q.DocsRef}""".stripMargin
+
+  /** Softmax-GD replay, CTE-prefixed `lg` (composes next to the LM
+    * chain without name collisions), ending at `lgout` (doc_id, lang,
+    * score_q). Structure mirrors [[classifierTrainCtesFor]], with K
+    * weight lists per round, the portable-exp pyramid staged per class
+    * (pexp of each margin keeping the others as carried columns), the
+    * class-ordered softmax sum ((e0+e1)+e2), and the strictly-greater
+    * argmax fold (ties → smallest class). Round 1 runs the generic
+    * machinery from zero weight lists: pexp(0) = 1 exactly on both
+    * engines, so p = 1/K as one division. */
+  private[queries] lazy val langidCtes: String = {
+    import graft.functions.PortableLog
+    val lid = graft.text.LangId
+    val k = LangK
+    val b = lid.Buckets
+    val n = lid.GramN
+    val eta = s"${lid.Eta}e0"
+    val ks = 0 until k
+    def fold(wl: String): String =
+      s"list_reduce(list_prepend(0.0e0, list_transform(lgfb.fx, " +
+        s"f -> $wl[CAST(f.b + 1 AS INT)] * CAST(f.c AS DOUBLE))), (a, x) -> a + x)"
+    val head =
+      s"""lgbk AS (SELECT doc_id, (${DuckSql.hash60("gram")}) % $b AS b FROM
+         |  (SELECT doc_id, unnest(CASE WHEN len >= $n
+         |     THEN list_transform(range(1, len - ${n - 2}), i -> substr(txt, CAST(i AS INT), $n))
+         |     ELSE CAST([] AS VARCHAR[]) END) AS gram
+         |   FROM (SELECT doc_id, lower(text) AS txt, length(lower(text)) AS len FROM m) lgt) lgg),
+         |lgfc AS (SELECT DISTINCT doc_id, b, CAST(1 AS BIGINT) AS c FROM lgbk),
+         |lgfl AS (SELECT doc_id, list(struct_pack(b := b, c := c) ORDER BY b) AS fx
+         |         FROM lgfc GROUP BY doc_id),
+         |lgfb AS MATERIALIZED (SELECT m.doc_id,
+         |    COALESCE(lgfl.fx, CAST([] AS STRUCT(b BIGINT, c BIGINT)[])) ||
+         |      [struct_pack(b := CAST($b AS BIGINT), c := CAST(1 AS BIGINT))] AS fx
+         |  FROM m LEFT JOIN lgfl USING (doc_id)),
+         |lglab AS MATERIALIZED (SELECT doc_id, doc_id % $k AS y FROM m),
+         |lgnn AS (SELECT count(*) AS n FROM m),
+         |lgsp AS (SELECT CAST(range AS BIGINT) AS b FROM range(0, ${b + 1})),
+         |lgfe AS MATERIALIZED (SELECT lgfb.doc_id, unnest(fx, recursive := true) FROM lgfb),
+         |${ks.map(i => s"lgw0k$i AS (SELECT b, 0.0e0 AS w FROM lgsp),\n" +
+             s"lgwl0k$i AS MATERIALIZED (SELECT list(w ORDER BY b) AS wl FROM lgw0k$i)")
+           .mkString(",\n")}""".stripMargin
+    val totSql = ks.map(i => s"lge.e$i").reduceLeft((a, x) => s"($a + $x)")
+    val rounds = (1 to lid.Rounds).map { t =>
+      val crosses = ks.map(i => s"CROSS JOIN lgwl${t - 1}k$i").mkString(" ")
+      val margins = s"""lgs$t AS (SELECT lgfb.doc_id,
+         |    ${ks.map(i => s"${fold(s"lgwl${t - 1}k$i.wl")} AS s$i").mkString(",\n    ")}
+         |  FROM lgfb $crosses)""".stripMargin
+      // pexp of each class margin in turn, carrying the already-computed
+      // e's and the not-yet-computed s's as plain columns
+      val pyramids = ks.map { i =>
+        val keep = "doc_id" +
+          ks.take(i).map(j => s", e$j").mkString +
+          ks.drop(i + 1).map(j => s", s$j").mkString
+        val src = if (i == 0) s"lgs$t" else s"lge${t}k${i - 1}"
+        val inner = s"SELECT * FROM $src"
+        s"lge${t}k$i AS (SELECT doc_id" +
+          ks.take(i).map(j => s", e$j").mkString +
+          s", e AS e$i" +
+          ks.drop(i + 1).map(j => s", s$j").mkString +
+          s" FROM (${PortableLog.pexpSelectSql(inner, keep, s"s$i")}) lgq)"
+      }.mkString(",\n")
+      val resid = s"""lgr$t AS (SELECT lge.doc_id,
+         |    ${ks.map(i => s"lge.e$i/$totSql - CASE WHEN lglab.y = $i THEN 1.0e0 ELSE 0.0e0 END AS r$i")
+               .mkString(",\n    ")}
+         |  FROM lge${t}k${k - 1} lge JOIN lglab USING (doc_id))""".stripMargin
+      val grads = ks.map { i =>
+        s"""lgg${t}k$i AS (SELECT b,
+           |    sum(CAST(floor(r$i * CAST(c AS DOUBLE) * 1.0e6) AS BIGINT)) AS g
+           |  FROM lgfe JOIN lgr$t USING (doc_id) GROUP BY b),
+           |lgw${t}k$i AS MATERIALIZED (SELECT lgsp.b,
+           |    lgw${t - 1}k$i.w - $eta * (CAST(COALESCE(lgg${t}k$i.g, 0) AS DOUBLE)
+           |      / (1.0e6 * CAST(lgnn.n AS DOUBLE))) AS w
+           |  FROM lgsp JOIN lgw${t - 1}k$i USING (b)
+           |    LEFT JOIN lgg${t}k$i USING (b) CROSS JOIN lgnn),
+           |lgwl${t}k$i AS MATERIALIZED (SELECT list(w ORDER BY b) AS wl FROM lgw${t}k$i)""".stripMargin
+      }.mkString(",\n")
+      s"$margins,\n$pyramids,\n$resid,\n$grads"
+    }.mkString(",\n")
+    // final margins for EVERY doc + the strictly-greater argmax fold
+    val r = lid.Rounds
+    val finCross = ks.map(i => s"CROSS JOIN lgwl${r}k$i").mkString(" ")
+    var bsExpr = "s0"
+    var lkExpr = "0"
+    for (i <- 1 until k) {
+      val cond = s"s$i > ($bsExpr)"
+      lkExpr = s"CASE WHEN $cond THEN $i ELSE $lkExpr END"
+      bsExpr = s"CASE WHEN $cond THEN s$i ELSE ($bsExpr) END"
+    }
+    val fin = s"""lgsF AS (SELECT lgfb.doc_id,
+       |    ${ks.map(i => s"${fold(s"lgwl${r}k$i.wl")} AS s$i").mkString(",\n    ")}
+       |  FROM lgfb $finCross),
+       |lgout AS (SELECT doc_id, CAST($lkExpr AS INT) AS lang,
+       |    CAST(floor(1.0e6 * ($bsExpr)) AS BIGINT) AS score_q
+       |  FROM lgsF)""".stripMargin
+    s"$head,\n$rounds,\n$fin"
+  }
+
+  private[queries] lazy val langidOracleSql: String =
+    s"""WITH m AS MATERIALIZED ($langMPlantSql),
+       |$langidCtes
+       |SELECT doc_id, lang, score_q FROM lgout ORDER BY doc_id""".stripMargin
+
+  /** CCNet buckets BY PREDICTED LANGUAGE — the published per-language
+    * quantile design keyed on the TRAINED language id instead of the
+    * source column: LM xent chain + softmax-langid chain compose over
+    * one plant, tertiles partition by the predicted class. */
+  private[queries] lazy val ccnetByLangOracleSql: String =
+    s"""WITH m AS MATERIALIZED ($langMPlantSql),
+       |$tkCteSql,
+       |$lmCoreCtes,
+       |$langidCtes,
+       |jbl AS (SELECT fin.doc_id, lgout.lang, fin.xent
+       |        FROM fin JOIN lgout USING (doc_id)),
+       |rbl AS (SELECT doc_id, lang, xent,
+       |          row_number() OVER (PARTITION BY lang ORDER BY xent, doc_id) AS r,
+       |          count(*) OVER (PARTITION BY lang) AS n
+       |        FROM jbl)
+       |SELECT doc_id, lang, xent,
+       |       CASE WHEN r <= n // 3 THEN 'head'
+       |            WHEN r <= (2 * n) // 3 THEN 'middle'
+       |            ELSE 'tail' END AS ppl_bucket
+       |FROM rbl ORDER BY doc_id""".stripMargin
+
   /** AUC oracle: the classifier replay to per-doc scores, then the
     * Mann–Whitney midrank dag — tie groups, exclusive cumulative counts,
     * HUGEINT rank sums (mirroring the engine's DECIMAL(38,0)), one
@@ -3467,6 +3617,68 @@ object PipelineQueries {
         Dsir.score(docs, "doc_id", "text", m).orderBy("doc_id")
       },
       Some(dsirScoreOracleSql)),
+
+    // ========== trained language identification ==========
+    // The CCNet/fastText front stage: K-class softmax over hashed char-
+    // trigram presence features, trained at the engine's determinism
+    // standard (portable-exp softmax, quantized integer gradients, K
+    // policy-sized collects per round) — the oracle replays every round
+    // bit-for-bit and the argmax tie rule is pinned. Features build in
+    // ONE kernel pass per row (no aggregation Exchange), training scans
+    // the cached features R times, scoring is zero-shuffle.
+    Q("text_langid_trained",
+      (s, dir) => {
+        val docs = langPlant(Tables.documents(s, dir))
+        val feats = graft.Caches.track(graft.text.LangId.features(
+          docs, "doc_id", "text", pmod(col("doc_id"), lit(LangK))))
+        val m = graft.text.LangId.train(feats, LangK)
+        graft.text.LangId.score(feats, "doc_id", m).orderBy("doc_id")
+      },
+      Some(langidOracleSql)),
+
+    // persisted-model twin: trained weights round-trip through
+    // ModelStore before scoring — shares the inline oracle, so green ==
+    // the (class, bucket, double) codec is value-exact
+    Q("text_langid_trained_loaded",
+      (s, dir) => {
+        val docs = langPlant(Tables.documents(s, dir))
+        val feats = graft.Caches.track(graft.text.LangId.features(
+          docs, "doc_id", "text", pmod(col("doc_id"), lit(LangK))))
+        graft.text.LangId.save(s,
+          graft.text.LangId.train(feats, LangK), modelRoot("langid"))
+        graft.text.LangId.score(feats, "doc_id",
+          graft.text.LangId.load(s, modelRoot("langid"))).orderBy("doc_id")
+      },
+      Some(langidOracleSql)),
+
+    // CCNet buckets BY PREDICTED LANGUAGE — the published design exactly
+    // (Wenzek et al. bucket per LANGUAGE, and the language key comes
+    // from a trained identifier, not a metadata column): LM xent +
+    // trained langid compose over one plant; tertile ranks partition by
+    // the predicted class (parallel across languages, no global rank).
+    Q("pipeline_ccnet_buckets_by_lang",
+      (s, dir) => {
+        val docs = langPlant(Tables.documents(s, dir))
+        val lm = graft.text.NgramLm.train(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
+        val scored = graft.text.NgramLm.score(docs, "doc_id", "text", lm)
+          .select(col("doc_id"), col("xent"))
+        val feats = graft.Caches.track(graft.text.LangId.features(
+          docs, "doc_id", "text", pmod(col("doc_id"), lit(LangK))))
+        val langs = graft.text.LangId
+          .score(feats, "doc_id", graft.text.LangId.train(feats, LangK))
+          .select(col("doc_id"), col("lang"))
+        val w = Window.partitionBy("lang").orderBy(col("xent"), col("doc_id"))
+        scored.join(langs, "doc_id")
+          .withColumn("r", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+          .select(col("doc_id"), col("lang"), col("xent"),
+            when(col("r") <= expr("n div 3"), "head")
+              .when(col("r") <= expr("(2 * n) div 3"), "middle")
+              .otherwise("tail").as("ppl_bucket"))
+          .orderBy("doc_id")
+      },
+      Some(ccnetByLangOracleSql)),
 
     // ========== INCREMENTAL model refresh: merge ≡ retrain ==========
     // The nightly shape ModelStore generations exist for: the base
