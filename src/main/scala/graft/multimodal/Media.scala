@@ -106,6 +106,53 @@ object Media {
     }.toDF("media_id", "bins")
   }
 
+  /** dHash signature width — 60 bits keeps the signature strictly
+    * positive in int64 (the cross-engine convention; bit 63 would wrap
+    * sign in one engine's sum and not the other's) and splits into the
+    * dedup family's standard 4 × 15-bit hamming bands. */
+  val DhashBits: Int = 60
+
+  /** Perceptual difference hash (dHash) over the byte signal — the
+    * image-dedup standard (gradient direction between adjacent resize
+    * cells) applied to the deterministic bucket-mean features
+    * [[resizeStub]] produces: downsample to bits+1 buckets, bit i set
+    * iff bucket i+1's mean exceeds bucket i's. The comparison is decided
+    * in EXACT integers (cross-multiplied sums — acc·cnt stays far below
+    * int64 at any payload this path admits), so no double division ever
+    * enters the signature and the DuckDB oracle replays it bit-for-bit.
+    * A real deployment swaps the byte signal for decoded luma rows; the
+    * banding/verify machinery downstream is unchanged.
+    */
+  def dhashStub(media: Dataset[MediaRow], bits: Int = DhashBits)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.map { r =>
+      val n = r.data.length
+      val bins = bits + 1
+      val acc = new Array[Long](bins)
+      val cnt = new Array[Long](bins)
+      var i = 0
+      while (i < bins) {
+        val s = (i.toLong * n / bins).toInt
+        val e = ((i + 1).toLong * n / bins).toInt
+        var a = 0L
+        var j = s
+        while (j < e) { a += (r.data(j) & 0xff); j += 1 }
+        acc(i) = a
+        cnt(i) = (e - s).toLong
+        i += 1
+      }
+      var sig = 0L
+      i = 0
+      while (i < bits) {
+        // mean_{i+1} > mean_i as exact integer cross-multiplication
+        if (acc(i + 1) * cnt(i) > acc(i) * cnt(i + 1)) sig |= (1L << i)
+        i += 1
+      }
+      (r.media_id, sig)
+    }.toDF("media_id", "dhash")
+  }
+
   /** Frame sampling stub for video payloads: picks deterministic byte
     * offsets standing in for frame boundaries (every `stride` bytes, up to
     * `maxFrames`), preserving the mapPartitions batch shape a real

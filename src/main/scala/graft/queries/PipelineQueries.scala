@@ -1882,6 +1882,84 @@ object PipelineQueries {
        |       CASE WHEN s >= 0.0e0 THEN 1 ELSE 0 END AS pred
        |FROM sF ORDER BY doc_id""".stripMargin
 
+  // ========== perceptual media near-dup oracle ==========
+
+  private[queries] val PhashMaxHamming: Int = 8
+
+  /** Replays resize buckets (exact integer boundaries and sums) → dHash
+    * bits (cross-multiplied mean comparisons, powers of two summed) →
+    * 4×15-bit bands → bit_count verify. Character ord() stands in for
+    * payload bytes exactly as the other multimodal oracles (ASCII
+    * corpus — see the multimodal oracle-scope note). */
+  private[queries] lazy val phashPairsOracleSql: String = {
+    val bits = graft.multimodal.Media.DhashBits
+    val bins = bits + 1
+    s"""
+    WITH md AS (SELECT doc_id AS media_id, text FROM ${Q.DocsRef}
+                UNION ALL
+                SELECT doc_id + 1000000, 'zzz' || substr(text, 4) FROM ${Q.DocsRef}
+                WHERE doc_id % 16 = 0),
+    mb AS (SELECT media_id, length(text) AS n,
+             list_transform(range(1, length(text)+1), i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS bytes
+           FROM md),
+    mk AS (SELECT media_id,
+             list_transform(range(0, $bins), i -> list_reduce(list_prepend(CAST(0 AS BIGINT), bytes[CAST((i*n)//$bins + 1 AS INT):CAST(((i+1)*n)//$bins AS INT)]), (a, x) -> a + x)) AS acc,
+             list_transform(range(0, $bins), i -> ((i+1)*n)//$bins - (i*n)//$bins) AS cnt
+           FROM mb),
+    sg AS (SELECT media_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(0, $bits), i -> CASE WHEN acc[CAST(i+2 AS INT)] * cnt[CAST(i+1 AS INT)] > acc[CAST(i+1 AS INT)] * cnt[CAST(i+2 AS INT)] THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END)),
+               (a, x) -> a + x) AS sig
+           FROM mk),
+    mbd AS (SELECT media_id, sig, bb.band,
+              (sig >> CAST(bb.band * 15 AS INT)) & 32767 AS bkey
+            FROM sg CROSS JOIN (SELECT unnest(range(4)) AS band) bb),
+    mcand AS (SELECT a.media_id AS a_id, b.media_id AS b_id,
+                bit_count(xor(a.sig, b.sig)) AS hamming
+              FROM mbd a JOIN mbd b
+                ON a.band = b.band AND a.bkey = b.bkey
+                  AND a.media_id < b.media_id)
+    SELECT a_id, b_id, CAST(min(hamming) AS INT) AS hamming
+    FROM mcand GROUP BY a_id, b_id HAVING min(hamming) <= $PhashMaxHamming
+    ORDER BY a_id, b_id"""
+  }
+
+  /** Incremental twin's oracle: archive = the raw corpus, incoming = the
+    * edited re-ingests; flag per incoming media with the
+    * duplicate-insensitive (min rep, min hamming) aggregate. */
+  private[queries] lazy val phashIncrementalOracleSql: String = {
+    val bits = graft.multimodal.Media.DhashBits
+    val bins = bits + 1
+    s"""
+    WITH md AS (SELECT doc_id AS media_id, text, 0 AS is_new FROM ${Q.DocsRef}
+                UNION ALL
+                SELECT doc_id + 1000000, 'zzz' || substr(text, 4), 1 FROM ${Q.DocsRef}
+                WHERE doc_id % 16 = 0),
+    mb AS (SELECT media_id, is_new, length(text) AS n,
+             list_transform(range(1, length(text)+1), i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS bytes
+           FROM md),
+    mk AS (SELECT media_id, is_new,
+             list_transform(range(0, $bins), i -> list_reduce(list_prepend(CAST(0 AS BIGINT), bytes[CAST((i*n)//$bins + 1 AS INT):CAST(((i+1)*n)//$bins AS INT)]), (a, x) -> a + x)) AS acc,
+             list_transform(range(0, $bins), i -> ((i+1)*n)//$bins - (i*n)//$bins) AS cnt
+           FROM mb),
+    sg AS (SELECT media_id, is_new,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(0, $bits), i -> CASE WHEN acc[CAST(i+2 AS INT)] * cnt[CAST(i+1 AS INT)] > acc[CAST(i+1 AS INT)] * cnt[CAST(i+2 AS INT)] THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END)),
+               (a, x) -> a + x) AS sig
+           FROM mk),
+    mbd AS (SELECT media_id, is_new, sig, bb.band,
+              (sig >> CAST(bb.band * 15 AS INT)) & 32767 AS bkey
+            FROM sg CROSS JOIN (SELECT unnest(range(4)) AS band) bb),
+    mcand AS (SELECT b.media_id AS media_id, a.media_id AS a_id,
+                bit_count(xor(b.sig, a.sig)) AS hamming
+              FROM mbd b JOIN mbd a
+                ON a.band = b.band AND a.bkey = b.bkey AND a.is_new = 0
+              WHERE b.is_new = 1
+                AND bit_count(xor(b.sig, a.sig)) <= $PhashMaxHamming)
+    SELECT media_id, min(a_id) AS rep_id, CAST(min(hamming) AS INT) AS h_min
+    FROM mcand GROUP BY media_id ORDER BY media_id"""
+  }
+
   // ========== trained language-ID (K-class softmax) oracle ==========
 
   private[queries] val LangK: Int = 3
@@ -6507,6 +6585,49 @@ object PipelineQueries {
                CAST(frame * 256 AS INT) AS byte_offset,
                ord(substr(text, CAST(frame * 256 + 1 AS INT), 1)) AS first_byte
         FROM f ORDER BY media_id, frame""")),
+
+    // perceptual NEAR-dup for the media column — the dedup family's
+    // first non-text modality: dHash signatures over the deterministic
+    // resize features (no codec needed — a real deployment swaps the
+    // byte signal for decoded luma), candidates via the SimHash family's
+    // 4×15-bit hamming bands, exact bit_count verify, keep-a<b pairs.
+    // The plant re-ingests every %16 doc as a new media id with a
+    // 2-byte append — a "re-encoded thumbnail": near-identical signal,
+    // different digest — so exact dedup misses it and the perceptual
+    // pairs catch it. Scale shape: one signature pass (no shuffle), the
+    // band equi-join, a pair-keyed aggregate — never all-pairs.
+    Q("multimodal_phash_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val raw = Tables.documents(s, dir).select("doc_id", "text")
+        val edited = raw.filter(pmod(col("doc_id"), lit(16)) === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            // length-PRESERVING local edit: bucket boundaries are
+            // positional, so an append would shift every bucket and the
+            // flat text signal flips far too many gradient bits
+            // (measured: zero survivors); a 3-byte overwrite touches
+            // ~1 bucket -> hamming stays tiny
+            concat(lit("zzz"), expr("substring(text, 4)")).as("text"))
+        val media = Media.fromText(raw.unionByName(edited), "doc_id", "text")
+          .as[Media.MediaRow]
+        val banded = graft.Caches.track(
+          Media.dhashStub(media)(s)
+            .select(col("media_id"), col("dhash"),
+              explode(sequence(lit(0), lit(3))).as("band"))
+            .withColumn("bkey",
+              expr("shiftright(dhash, CAST(band * 15 AS INT)) & 32767")))
+        banded.select(col("media_id").as("a_id"), col("dhash").as("da"),
+            col("band"), col("bkey"))
+          .join(banded.select(col("media_id").as("b_id"),
+            col("dhash").as("db"), col("band"), col("bkey")),
+            Seq("band", "bkey"))
+          .filter(col("a_id") < col("b_id"))
+          .groupBy("a_id", "b_id")
+          .agg(min(expr("CAST(bit_count(da ^ db) AS INT)")).as("hamming"))
+          .filter(col("hamming") <= lit(PhashMaxHamming))
+          .orderBy("a_id", "b_id")
+      },
+      Some(phashPairsOracleSql)),
 
     Q("multimodal_meta",
       (s, dir) => {

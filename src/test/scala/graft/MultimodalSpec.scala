@@ -28,4 +28,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.groupBy("media_id").count().agg(max("count")).collect()(0).getLong(0) <= 4)
     assert(frames.filter(col("byte_offset") % 50 =!= 0).count() == 0)
   }
+
+  test("dhash: hand-computed signature, locality under a small edit, degenerates") {
+    import spark.implicits._
+    implicit val s = spark
+    // ramp signal: 61 buckets of a strictly increasing byte sequence →
+    // every adjacent mean comparison is TRUE → all 60 bits set
+    val ramp = Array.tabulate(122)(i => i.toByte)
+    val base = "a" * 400 + "b" * 400 // step signal, stable gradients
+    val edited = "zzz" + base.substring(3) // length-preserving local edit
+    val rows = Seq(
+      Media.MediaRow(1L, ramp, "application/octet-stream", 0, 0, 0L),
+      Media.MediaRow(2L, base.getBytes("UTF-8"), "text/plain", 0, 0, 0L),
+      Media.MediaRow(3L, edited.getBytes("UTF-8"), "text/plain", 0, 0, 0L),
+      Media.MediaRow(4L, Array.emptyByteArray, "text/plain", 0, 0, 0L)
+    ).toDS()
+    val sigs = Media.dhashStub(rows)(spark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == (1L << 60) - 1L, "ramp must set all 60 gradient bits")
+    assert(sigs(4L) == 0L, "empty payload signs 0")
+    val hamming = java.lang.Long.bitCount(sigs(2L) ^ sigs(3L))
+    assert(hamming <= 3,
+      s"a 3-byte local edit must flip at most a few gradient bits: $hamming")
+    assert(sigs(2L) != sigs(3L) || hamming == 0)
+  }
 }
