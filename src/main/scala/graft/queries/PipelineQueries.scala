@@ -1252,8 +1252,21 @@ object PipelineQueries {
     * (doc_id, source, text, n_tokens), cached. v3 mixes and shards the
     * documents; v4 additionally chunks the surviving texts and splits.
     */
-  private def corpusV3Survivors(s: SparkSession, dir: String): DataFrame = {
-    val planted = Tables.documents(s, dir).select(col("doc_id"),
+  /** The v3 survivor chain's STAGE FRAMES — each member is the survivor
+    * set after its stage (ids + whatever columns the next stage needs).
+    * [[corpusV3Survivors]] consumes only the tail; the reject-report
+    * rows left-join the whole ladder to attribute each document's FIRST
+    * drop stage (the funnel a production curation run publishes next to
+    * the dedup report). */
+  private[queries] final case class V3Stages(
+      planted: DataFrame, cleaned: DataFrame, filtered: DataFrame,
+      exactDeduped: DataFrame, spanKept: DataFrame,
+      decontaminated: DataFrame, survivors: DataFrame)
+
+  /** The v3 plant as a reusable transform (batch chain + the streaming
+    * reject monitor apply it to their respective sources). */
+  private[queries] def corpusV3Plant(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       when(pmod(col("doc_id"), lit(10)) < 7, lit("web"))
         .when(pmod(col("doc_id"), lit(10)) < 9, lit("books"))
         .otherwise(lit("wiki")).as("source"),
@@ -1264,6 +1277,9 @@ object PipelineQueries {
           concat(lit(" xq"), col("doc_id").cast("string"))).otherwise(lit("")),
         when(pmod(col("doc_id"), lit(2)) === 0, lit("\nClick Here"))
           .otherwise(lit(""))).as("text"))
+
+  private[queries] def corpusV3Stages(s: SparkSession, dir: String): V3Stages = {
+    val planted = corpusV3Plant(Tables.documents(s, dir))
     val lc = TextAnalysis.lineCleanColumns(col("text")).toMap
     val cleaned = planted.select(col("doc_id"), col("source"),
         lc("clean_text").as("text"), lc("line_keep_ratio").as("ratio"))
@@ -1291,13 +1307,18 @@ object PipelineQueries {
       Dedup.contaminatedIds(Tables.documents(s, dir), "doc_id", "text",
         decontamBenchGrams(s, dir), DecontamN, DecontamMinShared),
       Seq("doc_id"), "left_anti"))
-    graft.Caches.track(decontaminated.join(
+    val survivors = graft.Caches.track(decontaminated.join(
       CorpusStats.dfScore(decontaminated.select("doc_id", "text"),
           "doc_id", "text")
         .filter(col("hapax_ratio") <= 0.02).select("doc_id"),
       Seq("doc_id"))
       .select("doc_id", "source", "text", "n_tokens"))
+    V3Stages(planted, cleaned, filtered, exactDeduped, spanKept,
+      decontaminated, survivors)
   }
+
+  private def corpusV3Survivors(s: SparkSession, dir: String): DataFrame =
+    corpusV3Stages(s, dir).survivors
 
   /** The v3/v4 composites' shared oracle prefix: the survivor chain
     * (plants → line cleanup → quality/repetition → exact dedup → span
@@ -1307,7 +1328,24 @@ object PipelineQueries {
     * cumsum; v4 appends the chunk explode, the copy join, the
     * chunk-level cumsum and the split CASE.
     */
-  private def corpusV3MixedCtes: String = {
+  private def corpusV3MixedCtes: String =
+    s"""$corpusV3SurvivorCtes,
+        ${graft.pipeline.Mixing.duckTemperatureWeights("sv2", "source", CorpusV3MixTarget)},
+        x AS (SELECT s2.doc_id, s2.n_tokens, wp.whole, wp.thr,
+                ${graft.pipeline.Mixing.duckMixHash("s2.doc_id")} AS hm
+              FROM sv2 s2 JOIN wp USING (source)),
+        mx AS (SELECT doc_id, n_tokens,
+                 whole + (CASE WHEN hm < thr THEN 1 ELSE 0 END) AS copies
+               FROM x),
+        u AS (SELECT doc_id, n_tokens,
+                CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy
+              FROM mx WHERE copies > 0)"""
+
+  /** The survivor-chain half of [[corpusV3MixedCtes]] (plant `m` through
+    * `sv2`) — also the reject-report oracle's ladder: each stage CTE
+    * (c, j, k, sp, dc, sv) is a survivor set, so a left-join chain
+    * attributes every document's first drop stage. */
+  private def corpusV3SurvivorCtes: String = {
     val bp = TextAnalysis.BoilerplateLines.map(b => s"'$b'").mkString(", ")
     s"""
         WITH m AS (SELECT doc_id,
@@ -1367,18 +1405,29 @@ object PipelineQueries {
                            THEN CAST(vj.nh AS DOUBLE) / CAST(vj.nt AS DOUBLE)
                            ELSE 0.0e0 END) <= 0.02e0),
         sv2 AS (SELECT sv.doc_id, m.source, sv.text, sv.n_tokens
-                FROM sv JOIN m USING (doc_id)),
-        ${graft.pipeline.Mixing.duckTemperatureWeights("sv2", "source", CorpusV3MixTarget)},
-        x AS (SELECT s2.doc_id, s2.n_tokens, wp.whole, wp.thr,
-                ${graft.pipeline.Mixing.duckMixHash("s2.doc_id")} AS hm
-              FROM sv2 s2 JOIN wp USING (source)),
-        mx AS (SELECT doc_id, n_tokens,
-                 whole + (CASE WHEN hm < thr THEN 1 ELSE 0 END) AS copies
-               FROM x),
-        u AS (SELECT doc_id, n_tokens,
-                CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy
-              FROM mx WHERE copies > 0)"""
+                FROM sv JOIN m USING (doc_id))"""
   }
+
+  /** Reject-attribution oracle: the survivor ladder left-joined back to
+    * the plant; the first NULL names the drop stage. */
+  private[queries] lazy val rejectReportOracleSql: String =
+    s"""$corpusV3SurvivorCtes,
+        att AS (SELECT m.doc_id, m.source,
+                  CASE WHEN c.doc_id IS NULL THEN 'line'
+                       WHEN j.doc_id IS NULL THEN 'quality'
+                       WHEN k.doc_id IS NULL THEN 'exact_dup'
+                       WHEN sp.doc_id IS NULL THEN 'span_dup'
+                       WHEN dc.doc_id IS NULL THEN 'decontam'
+                       WHEN sv.doc_id IS NULL THEN 'hapax'
+                       ELSE 'kept' END AS first_drop
+                FROM m LEFT JOIN c USING (doc_id)
+                  LEFT JOIN j USING (doc_id)
+                  LEFT JOIN k USING (doc_id)
+                  LEFT JOIN sp USING (doc_id)
+                  LEFT JOIN dc USING (doc_id)
+                  LEFT JOIN sv USING (doc_id))
+        SELECT source, first_drop, CAST(count(*) AS BIGINT) AS n_docs
+        FROM att GROUP BY source, first_drop ORDER BY source, first_drop"""
 
   /** v5 — the MODEL-ERA composite: where v2–v4 chain the heuristic
     * stages, v5 chains the TRAINED-model stages exactly as a modern
@@ -5701,6 +5750,41 @@ object PipelineQueries {
     Q("pipeline_corpus_full_v5",
       (s, dir) => corpusV5Plan(s, dir),
       Some(corpusV5Sql)),
+
+    // REJECTION-ATTRIBUTION FUNNEL — the audit artifact a production
+    // curation run publishes next to the dedup report: per document,
+    // WHICH stage of the v3 chain dropped it (first drop wins), reduced
+    // to (source, first_drop, n_docs). Built from the same stage frames
+    // the composite executes (by construction — one builder), so the
+    // funnel's stage sizes reconcile EXACTLY with v3's published chain
+    // (500→490→331→306→278→263→235 at sf0.01). Six id-projected left
+    // joins over frames the composite materializes anyway; the oracle
+    // left-joins the survivor CTE ladder and names the first NULL.
+    Q("pipeline_reject_report",
+      (s, dir) => {
+        val st = corpusV3Stages(s, dir)
+        def ids(df: DataFrame, flag: String) =
+          df.select(col("doc_id"), lit(1).as(flag))
+        st.planted.select("doc_id", "source")
+          .join(ids(st.cleaned, "s1"), Seq("doc_id"), "left")
+          .join(ids(st.filtered, "s2"), Seq("doc_id"), "left")
+          .join(ids(st.exactDeduped, "s3"), Seq("doc_id"), "left")
+          .join(ids(st.spanKept, "s4"), Seq("doc_id"), "left")
+          .join(ids(st.decontaminated, "s5"), Seq("doc_id"), "left")
+          .join(ids(st.survivors, "s6"), Seq("doc_id"), "left")
+          .select(col("source"),
+            when(col("s1").isNull, "line")
+              .when(col("s2").isNull, "quality")
+              .when(col("s3").isNull, "exact_dup")
+              .when(col("s4").isNull, "span_dup")
+              .when(col("s5").isNull, "decontam")
+              .when(col("s6").isNull, "hapax")
+              .otherwise("kept").as("first_drop"))
+          .groupBy("source", "first_drop")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("source", "first_drop")
+      },
+      Some(rejectReportOracleSql)),
 
     Q("pipeline_corpus_full_v3",
       (s, dir) => {

@@ -1138,6 +1138,58 @@ object StreamingQueries {
       },
       Some(PipelineQueries.simhashIncrementalSql(10))),
 
+    // REJECTION ATTRIBUTION AT INGESTION — the funnel as a live crawl
+    // monitor: the per-row stages (line-ratio, quality, repetition)
+    // evaluate on the stream itself (pure column work), and the
+    // corpus-dependent stages probe the OFFLINE reconciliation's stage
+    // survivor id sets (the nightly v3 run's frames) as stream-static
+    // left joins — stateless, no watermark. CASE order gives first-drop
+    // semantics identical to the batch ladder, so the per-stage counts
+    // reconcile exactly with the batch funnel and v3's published chain
+    // (one shared oracle).
+    Q("stream_pipeline_reject_report",
+      (s, dir) => {
+        implicit val sp = s
+        val pq = PipelineQueries
+        val st = pq.corpusV3Stages(s, dir)
+        def ids(df: org.apache.spark.sql.DataFrame, flag: String) =
+          graft.Caches.track(df.select(col("doc_id"), lit(1).as(flag)))
+        val s3 = ids(st.exactDeduped, "s3")
+        val s4 = ids(st.spanKept, "s4")
+        val s5 = ids(st.decontaminated, "s5")
+        val s6 = ids(st.survivors, "s6")
+        val planted = pq.corpusV3Plant(StreamSources.documents(s, dir))
+        val lc = graft.text.TextAnalysis.lineCleanColumns(col("text")).toMap
+        val cleaned = planted.select(col("doc_id"), col("source"),
+          lc("clean_text").as("__ct"), lc("line_keep_ratio").as("__ratio"))
+        val q = graft.text.TextAnalysis.qualityColumns(col("__ct")).toMap
+        val r = graft.text.TextAnalysis.repetitionColumns(col("__ct")).toMap
+        val gated = cleaned.select(col("doc_id"), col("source"),
+          col("__ratio"), q("quality_score").as("__qs"),
+          r("dup_gram2_ratio").as("__g2"), r("top_token_ratio").as("__tt"))
+        val attributed = gated
+          .join(s3, Seq("doc_id"), "left")
+          .join(s4, Seq("doc_id"), "left")
+          .join(s5, Seq("doc_id"), "left")
+          .join(s6, Seq("doc_id"), "left")
+          .select(col("source"),
+            when(col("__ratio") < 0.7, "line")
+              .when(!(col("__qs") >= pq.CorpusQualityMin &&
+                col("__g2") <= pq.CorpusDupGram2Max &&
+                col("__tt") <= pq.CorpusTopTokenMax), "quality")
+              .when(col("s3").isNull, "exact_dup")
+              .when(col("s4").isNull, "span_dup")
+              .when(col("s5").isNull, "decontam")
+              .when(col("s6").isNull, "hapax")
+              .otherwise("kept").as("first_drop"))
+        val report = attributed
+          .groupBy("source", "first_drop")
+          .agg(count(lit(1)).as("n_docs"))
+        StreamRun.toBatch(report, "complete", numPartitions = 4)
+          .orderBy("source", "first_drop")
+      },
+      Some(PipelineQueries.rejectReportOracleSql)),
+
     // perceptual media near-dup AT INGESTION — the re-encoded-thumbnail
     // monitor: the archive's dHash signatures band offline (static
     // cached relation); each incoming media row reduces to ONE int64
