@@ -4410,6 +4410,29 @@ object PipelineQueries {
         .orderBy("doc_id"),
       Some(dfScoreOracleSql)),
 
+    // df-count merge ≡ rebuild: two disjoint half-corpus vocabularies
+    // fold by union + per-token sum (df counts documents, so disjoint
+    // doc sets add), committed through IndexStore generations; scoring
+    // serves from the LOADED merged table and shares the full-corpus
+    // oracle — the LM/DSIR merge ≡ retrain proof applied to the df
+    // family.
+    Q("text_df_score_merged",
+      (s, dir) => {
+        val docs = plantRareTokens(Tables.documents(s, dir))
+        val root = modelRoot("df_vocab")
+        graft.dedup.IndexStore.save(s, root, Seq("vocab" ->
+          CorpusStats.vocabulary(
+            docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")))
+        graft.dedup.IndexStore.save(s, root, Seq("vocab" ->
+          CorpusStats.mergeVocab(
+            graft.dedup.IndexStore.load(s, root, "vocab"),
+            CorpusStats.vocabulary(
+              docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text"))))
+        CorpusStats.dfScoreWith(docs, "doc_id", "text",
+          graft.dedup.IndexStore.load(s, root, "vocab")).orderBy("doc_id")
+      },
+      Some(dfScoreOracleSql)),
+
     // the adversarial-vocabulary twin: same scoring through the guarded
     // fallback path (maxBroadcastVocab = 0 forces the shuffle-hash join a
     // types≈tokens OCR corpus would take). Join strategy must be

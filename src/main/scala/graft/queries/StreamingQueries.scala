@@ -2543,6 +2543,50 @@ object StreamingQueries {
       },
       Some(PipelineQueries.bloomMembershipOracleSql)),
 
+    // Bloom index APPEND maintenance: two filters built over DISJOINT
+    // halves of the training digests at IDENTICAL (n, fpp) parameters
+    // OR-merge into exactly the filter a single build over the union
+    // produces (same bit array — the Bloom union law), committed as a
+    // generation and served loaded. The oracle computes exact
+    // membership, so a merge that lost one bit would prune a true
+    // candidate and flip a verify answer — green == merge ≡ rebuild.
+    Q("stream_dedup_bloom_appended",
+      (s, dir) => {
+        implicit val sp = s
+        val tr = graft.Caches.track(
+          graft.Tables.documents(s, dir)
+            .withColumn("text", PipelineQueries.bloomPlantText)
+            .filter(pmod(col("doc_id"), lit(4)) === 0)
+            .select(md5(col("text")).as("tdg")).distinct())
+        val n = tr.count()
+        val h = graft.functions.GraftFunctions.hash60(col("tdg"))
+        // both halves size for the FULL n so bit width and hash count
+        // match — the mergeInPlace compatibility contract
+        val bf = graft.dedup.Dedup.buildBloom(
+          tr.filter(pmod(h, lit(2)) === 0), h, n, 0.01)
+        bf.mergeInPlace(graft.dedup.Dedup.buildBloom(
+          tr.filter(pmod(h, lit(2)) === 1), h, n, 0.01))
+        val root = PipelineQueries.modelRootShared("bloom_index_app")
+        graft.dedup.IndexStore.saveBloom(s, root, bf, tr, n, 0.01)
+        val trL = graft.Caches.track(
+          graft.dedup.IndexStore.load(s, root, "digests"))
+        val bc = s.sparkContext.broadcast(
+          graft.dedup.IndexStore.loadBloom(s, root))
+        val probed = StreamSources.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(4)) =!= 0)
+          .withColumn("text", PipelineQueries.bloomPlantText)
+          .select(col("doc_id"), md5(col("text")).as("dg"))
+          .withColumn("pos",
+            graft.functions.expressions.BloomMightContainLong.of(
+              bc, graft.functions.GraftFunctions.hash60(col("dg"))))
+        val flagged = probed
+          .join(trL, when(col("pos"), col("dg")) === col("tdg"), "left")
+          .select(col("doc_id"), col("tdg").isNotNull.cast("int").as("in_training"))
+        StreamRun.toBatch(flagged, "append", numPartitions = 4)
+          .orderBy("doc_id")
+      },
+      Some(PipelineQueries.bloomMembershipOracleSql)),
+
     // ingestion-time DECONTAMINATION — the stream-static join shape: the
     // benchmark's distinct grams are a STATIC relation (batch-read, small
     // by definition, force-broadcast) and the document stream probes it

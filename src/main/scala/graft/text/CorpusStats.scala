@@ -745,9 +745,30 @@ object CorpusStats {
     * not a second corpus scan — picks the join strategy per the class
     * scaladoc.
     */
+  /** Fold a DISJOINT increment's vocabulary into a base: df counts the
+    * documents containing each type, so counts over disjoint document
+    * sets ADD — union + per-token sum equals [[vocabulary]] over the
+    * union corpus exactly (the LM-counts merge ≡ retrain argument
+    * applied to the df table; the merged row shares the full-corpus
+    * oracle as its proof). At 100 TB the nightly job folds one day's
+    * vocabulary into the committed generation instead of rescanning. */
+  def mergeVocab(base: DataFrame, delta: DataFrame): DataFrame =
+    base.unionByName(delta).groupBy("token")
+      .agg(org.apache.spark.sql.functions.sum(col("df")).as("df"))
+
   def dfScore(corpus: DataFrame, idCol: String, textCol: String,
+      maxBroadcastVocab: Long = MaxBroadcastVocab): DataFrame =
+    dfScoreWith(corpus, idCol, textCol,
+      vocabulary(corpus, idCol, textCol), maxBroadcastVocab)
+
+  /** [[dfScore]] against a SUPPLIED (possibly loaded/merged) vocabulary
+    * relation — the serve-from-the-store path. The vocabulary must cover
+    * the corpus (true for a corpus-derived or merged-superset table);
+    * the inner probe join preserves multiplicity exactly. */
+  def dfScoreWith(corpus: DataFrame, idCol: String, textCol: String,
+      vocabIn: DataFrame,
       maxBroadcastVocab: Long = MaxBroadcastVocab): DataFrame = {
-    val vocab = graft.Caches.track(vocabulary(corpus, idCol, textCol))
+    val vocab = graft.Caches.track(vocabIn)
     val probe =
       if (vocab.count() <= maxBroadcastVocab) broadcast(vocab)
       else vocab.hint("shuffle_hash")

@@ -34,6 +34,22 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(IndexStore.load(spark, root, "digests").count() == items.size.toLong)
   }
 
+  test("Bloom OR-merge at equal params ≡ a single build over the union") {
+    import spark.implicits._
+    val items = (1L to 2000L).map(i => s"d$i")
+    val df = items.toDF("dg")
+    val h = graft.functions.GraftFunctions.hash60(col("dg"))
+    val n = items.size.toLong
+    val whole = graft.dedup.Dedup.buildBloom(df, h, n, 0.01)
+    val merged = graft.dedup.Dedup.buildBloom(
+      df.filter(pmod(h, lit(2)) === 0), h, n, 0.01)
+    merged.mergeInPlace(graft.dedup.Dedup.buildBloom(
+      df.filter(pmod(h, lit(2)) === 1), h, n, 0.01))
+    assert(java.util.Arrays.equals(IndexStore.bloomBytes(merged),
+      IndexStore.bloomBytes(whole)),
+      "disjoint-half OR-merge must reproduce the union build's bit array")
+  }
+
   test("appendSpanIndex ≡ rebuilding the index over the union") {
     import spark.implicits._
     def idxOf(rows: Seq[(String, Long)]) =
