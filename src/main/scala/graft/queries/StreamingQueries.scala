@@ -31,6 +31,21 @@ object StreamingQueries {
     */
   private def fanOut(df: DataFrame): DataFrame = df.repartition(32)
 
+  /** Semantic incremental-dedup oracle — shared by the inline and
+    * loaded twins (the trained-IVF replay over the %4 training slice,
+    * cross-joined members at cosine ≥ 0.4). */
+  private lazy val semanticIncrementalOracleSql: String = s"""
+        WITH ${PipelineQueries.ivfTrainedCtes(k = 16, iters = 2, nprobe = 1,
+          trainRel = "(SELECT * FROM e WHERE vec_id % 4 = 0)")},
+        p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                     ${graft.oracle.DuckSql.cosine("a.v", "b.v")} AS cos
+              FROM cellF a JOIN cellF b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE a.vec_id % 4 = 0),
+        r AS (SELECT b_id AS vec_id, min(a_id) AS rep_id, count(*) AS n_near
+              FROM p WHERE cos >= 0.4e0 GROUP BY b_id)
+        SELECT vec_id, rep_id, n_near FROM r ORDER BY vec_id"""
+
   /** Span-dedup incremental oracle, parameterized by the index-side
     * predicate — shared by the inline, loaded, and appended twins (the
     * appended twin's predicate is the UNION slice: the oracle rebuilds
@@ -698,17 +713,54 @@ object StreamingQueries {
           requireSingleDataBatch = true)
           .orderBy("vec_id")
       },
-      Some(s"""
-        WITH ${PipelineQueries.ivfTrainedCtes(k = 16, iters = 2, nprobe = 1,
-          trainRel = "(SELECT * FROM e WHERE vec_id % 4 = 0)")},
-        p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                     ${graft.oracle.DuckSql.cosine("a.v", "b.v")} AS cos
-              FROM cellF a JOIN cellF b
-                ON a.cell = b.cell AND a.vec_id < b.vec_id
-              WHERE a.vec_id % 4 = 0),
-        r AS (SELECT b_id AS vec_id, min(a_id) AS rep_id, count(*) AS n_near
-              FROM p WHERE cos >= 0.4e0 GROUP BY b_id)
-        SELECT vec_id, rep_id, n_near FROM r ORDER BY vec_id""")),
+      Some(semanticIncrementalOracleSql)),
+
+    // the SAME probe served from a PERSISTED index: trained centroids +
+    // the training set's cell-member table (vectors + precomputed norms)
+    // commit as one IndexStore generation; the stream assigns cells with
+    // the LOADED centroids and compares against the LOADED members —
+    // shared oracle, green only if both relations round-trip
+    // value-exactly (a perturbed centroid reassigns cells; a perturbed
+    // member vector or norm moves a cosine across the threshold).
+    Q("stream_dedup_semantic_loaded",
+      (s, dir) => {
+        implicit val sp = s
+        val trainSet = graft.Tables.embeddings(s, dir)
+          .filter(pmod(col("vec_id"), lit(4)) === 0)
+        val cents0 = graft.similarity.Similarity.kmeansCentroidsQuantized(
+          trainSet, "vec_id", "embedding", k = 16, iters = 2)
+        val root = PipelineQueries.modelRootShared("semantic_index")
+        graft.dedup.IndexStore.save(s, root, Seq(
+          "centroids" -> cents0,
+          "members" -> graft.similarity.Similarity.ivfAssignWith(
+            trainSet, "vec_id", "embedding", cents0)
+            .select(col("cell"), col("vec_id").as("a_id"),
+              col("embedding").as("va"),
+              sqrt(graft.functions.GraftFunctions.dot(
+                col("embedding"), col("embedding"))).as("na"))))
+        val cents = graft.dedup.IndexStore.load(s, root, "centroids")
+        val members = graft.Caches.track(
+          graft.dedup.IndexStore.load(s, root, "members"))
+        val incoming = graft.similarity.Similarity.ivfAssignWith(
+            StreamSources.embeddings(s, dir), "vec_id", "embedding", cents)
+          .select(col("cell"), col("vec_id"), col("embedding").as("vb"),
+            sqrt(graft.functions.GraftFunctions.dot(
+              col("embedding"), col("embedding"))).as("nb"))
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+        val flagged = incoming.join(members, Seq("cell"))
+          .filter(col("a_id") < col("vec_id"))
+          .withColumn("cos", graft.functions.GraftFunctions.dot(
+            col("va"), col("vb")) / (col("na") * col("nb")))
+          .filter(col("cos") >= 0.4)
+          .groupBy(window(col("event_time"), "1 hour"), col("vec_id"))
+          .agg(min(col("a_id")).as("rep_id"), count(lit(1)).as("n_near"))
+          .select("vec_id", "rep_id", "n_near")
+        StreamRun.toBatch(flagged, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+          .orderBy("vec_id")
+      },
+      Some(semanticIncrementalOracleSql)),
 
     // SEMANTIC decontamination AT INGESTION — the production shape of
     // the embedding gate ("score the new crawl against the frozen eval
