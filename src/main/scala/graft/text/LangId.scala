@@ -55,11 +55,13 @@ object LangId {
   val ScoreScale: Double = 1.0e6
 
   /** (η, R) tuned on the planted per-language vocabularies: separation
-    * is clean at 4 rounds for 3 classes at sf0.01 AND sf0.1 (spec +
-    * declared rows); policy constants — the oracle replays whatever
-    * they are. */
+    * is already clean at 2 rounds for 3 classes at sf0.01 AND sf0.1
+    * (100% planted accuracy, spec + declared rows) — softmax on
+    * presence markers converges fast, and each extra round costs an
+    * engine corpus pass AND 3 oracle pexp pyramids; policy constants —
+    * the oracle replays whatever they are. */
   val Eta: Double = 2.0
-  val Rounds: Int = 4
+  val Rounds: Int = 2
 
   /** K rows of Buckets+1 weights (last slot = bias). */
   final case class Model(w: Array[Array[Double]]) {
