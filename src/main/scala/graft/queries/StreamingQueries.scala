@@ -762,6 +762,66 @@ object StreamingQueries {
       },
       Some(semanticIncrementalOracleSql)),
 
+    // IVF member-table APPEND under a FROZEN coarse quantizer — exactly
+    // how production IVF indexes grow between retrains: the centroids
+    // stay fixed, each increment's vectors assign to their cells (a pure
+    // per-vector function) and APPEND to the member table by plain union
+    // (no re-aggregation at all), committed as generation k+1. Because
+    // assignment is pointwise, the appended table equals a rebuild over
+    // the union — the loaded probe shares the inline twin's oracle.
+    Q("stream_dedup_semantic_appended",
+      (s, dir) => {
+        implicit val sp = s
+        val trainSet = graft.Tables.embeddings(s, dir)
+          .filter(pmod(col("vec_id"), lit(4)) === 0)
+        val cents0 = graft.similarity.Similarity.kmeansCentroidsQuantized(
+          trainSet, "vec_id", "embedding", k = 16, iters = 2)
+        def membersOf(slice: org.apache.spark.sql.DataFrame,
+            cents: org.apache.spark.sql.DataFrame) =
+          graft.similarity.Similarity.ivfAssignWith(
+            slice, "vec_id", "embedding", cents)
+            .select(col("cell"), col("vec_id").as("a_id"),
+              col("embedding").as("va"),
+              sqrt(graft.functions.GraftFunctions.dot(
+                col("embedding"), col("embedding"))).as("na"))
+        val root = PipelineQueries.modelRootShared("semantic_index_app")
+        // gen k: half the archive's members under the frozen centroids
+        graft.dedup.IndexStore.save(s, root, Seq(
+          "centroids" -> cents0,
+          "members" -> membersOf(
+            trainSet.filter(pmod(col("vec_id"), lit(8)) === 0), cents0)))
+        // gen k+1: the disjoint increment assigns under the LOADED
+        // centroids and appends by union
+        val centsL = graft.dedup.IndexStore.load(s, root, "centroids")
+        graft.dedup.IndexStore.save(s, root, Seq(
+          "centroids" -> centsL,
+          "members" -> graft.dedup.IndexStore.load(s, root, "members")
+            .unionByName(membersOf(
+              trainSet.filter(pmod(col("vec_id"), lit(8)) === 4), centsL))))
+        val cents = graft.dedup.IndexStore.load(s, root, "centroids")
+        val members = graft.Caches.track(
+          graft.dedup.IndexStore.load(s, root, "members"))
+        val incoming = graft.similarity.Similarity.ivfAssignWith(
+            StreamSources.embeddings(s, dir), "vec_id", "embedding", cents)
+          .select(col("cell"), col("vec_id"), col("embedding").as("vb"),
+            sqrt(graft.functions.GraftFunctions.dot(
+              col("embedding"), col("embedding"))).as("nb"))
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+        val flagged = incoming.join(members, Seq("cell"))
+          .filter(col("a_id") < col("vec_id"))
+          .withColumn("cos", graft.functions.GraftFunctions.dot(
+            col("va"), col("vb")) / (col("na") * col("nb")))
+          .filter(col("cos") >= 0.4)
+          .groupBy(window(col("event_time"), "1 hour"), col("vec_id"))
+          .agg(min(col("a_id")).as("rep_id"), count(lit(1)).as("n_near"))
+          .select("vec_id", "rep_id", "n_near")
+        StreamRun.toBatch(flagged, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+          .orderBy("vec_id")
+      },
+      Some(semanticIncrementalOracleSql)),
+
     // SEMANTIC decontamination AT INGESTION — the production shape of
     // the embedding gate ("score the new crawl against the frozen eval
     // suite"): centroids train OFFLINE on the archived corpus, the
@@ -918,6 +978,62 @@ object StreamingQueries {
         val trVerify = graft.Caches.track(
           train.select(col("doc_id").as("a_id"),
             sort_array(wordShingles(col("text"), 3)).as("sh_a")))
+        val incoming = StreamSources.documents(s, dir)
+          .filter(graft.pipeline.Mixing.mixHash("doc_id") >= lit(thr))
+          .select(col("doc_id"), sort_array(wordShingles(col("text"), 3)).as("sh_b"))
+          .withColumn("sigs", graft.functions.expressions.MinHashSigs.of(
+            transform(col("sh_b"), g => hash60(g)), 12))
+          .withColumn("bb", explode(
+            graft.dedup.Dedup.lshBandsColumn(col("sigs"), 12, 3)))
+          .select(col("doc_id"), col("sh_b"),
+            col("bb.band").as("band"), col("bb.bandsig").as("bandsig"))
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+        val verified = incoming
+          .join(trBands, Seq("band", "bandsig"))
+          .join(trVerify, Seq("a_id"))
+          .select(col("event_time"), col("doc_id"), col("a_id"),
+            graft.functions.expressions.SortedJaccard
+              .of(col("sh_b"), col("sh_a")).as("jaccard"))
+        val flagged = verified
+          .groupBy(window(col("event_time"), "1 hour"), col("doc_id"))
+          .agg(min(when(col("jaccard") >= 0.6, col("a_id"))).as("rep_id"),
+            max(when(col("jaccard") >= 0.6, col("jaccard"))).as("j_max"))
+          .filter(col("rep_id").isNotNull)
+          .select("doc_id", "rep_id", "j_max")
+        StreamRun.toBatch(flagged, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+          .orderBy("doc_id")
+      },
+      Some(PipelineQueries.splitLeakIncrementalSql(0.6, 80))),
+
+    // the leak monitor served from a PERSISTED train-side index — the
+    // production split: the nightly job commits the train side's band +
+    // sorted-shingle tables once, every eval-side ingest deployment
+    // LOADS them (shared oracle — value-exact round trip or red).
+    Q("stream_pipeline_split_leakage_loaded",
+      (s, dir) => {
+        implicit val sp = s
+        import graft.functions.GraftFunctions.{hash60, wordShingles}
+        val thr = graft.pipeline.Mixing
+          .splitThresholds(Seq(("train", 80), ("eval", 20))).head._2
+        val train = graft.Tables.documents(s, dir)
+          .filter(graft.pipeline.Mixing.mixHash("doc_id") < lit(thr))
+        val root = PipelineQueries.modelRootShared("splitleak_index")
+        graft.dedup.IndexStore.save(s, root, Seq(
+          "bands" -> graft.dedup.Dedup.lshBands(
+            graft.dedup.Dedup.minhashSignatures(
+              train.select(col("doc_id"),
+                transform(wordShingles(col("text"), 3), g => hash60(g)).as("hs")),
+              "doc_id", 12),
+            "doc_id", 3)
+            .select(col("doc_id").as("a_id"), col("band"), col("bandsig")),
+          "verify" -> train.select(col("doc_id").as("a_id"),
+            sort_array(wordShingles(col("text"), 3)).as("sh_a"))))
+        val trBands = graft.Caches.track(
+          graft.dedup.IndexStore.load(s, root, "bands"))
+        val trVerify = graft.Caches.track(
+          graft.dedup.IndexStore.load(s, root, "verify"))
         val incoming = StreamSources.documents(s, dir)
           .filter(graft.pipeline.Mixing.mixHash("doc_id") >= lit(thr))
           .select(col("doc_id"), sort_array(wordShingles(col("text"), 3)).as("sh_b"))
