@@ -2437,7 +2437,9 @@ object PipelineQueries {
     * quantized values derived per attested key and the unigram level per
     * row, all through the staged portable log.
     */
-  private[queries] val lmBackoff3Ctes: String = {
+  private[queries] val lmBackoff3Ctes: String = lmBackoff3CtesFor("doc_id % 4 = 0")
+
+  private[queries] def lmBackoff3CtesFor(trainPred: String): String = {
     import graft.functions.PortableLog
     def grams(n: Int): String = {
       val g = (0 until n).map(j => s"toks[CAST(i+${j + 1} AS INT)]").mkString(" || ' ' || ")
@@ -2448,14 +2450,14 @@ object PipelineQueries {
        |$tkCteSql,
        |tg AS (SELECT doc_id, unnest(${grams(3)}) AS trigram FROM tk),
        |c1 AS (SELECT token, count(*) AS c1 FROM
-       |         (SELECT unnest(toks) AS token FROM tk WHERE doc_id % 4 = 0) t1
+       |         (SELECT unnest(toks) AS token FROM tk WHERE $trainPred) t1
        |       GROUP BY token),
        |n1 AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM c1),
        |c2 AS (SELECT bigram, count(*) AS c2 FROM
-       |         (SELECT unnest(${grams(2)}) AS bigram FROM tk WHERE doc_id % 4 = 0) t2
+       |         (SELECT unnest(${grams(2)}) AS bigram FROM tk WHERE $trainPred) t2
        |       GROUP BY bigram),
        |c3 AS (SELECT trigram, count(*) AS c3 FROM
-       |         (SELECT unnest(${grams(3)}) AS trigram FROM tk WHERE doc_id % 4 = 0) t3
+       |         (SELECT unnest(${grams(3)}) AS trigram FROM tk WHERE $trainPred) t3
        |       GROUP BY trigram),
        |c3h AS (SELECT c3.trigram, c3.c3, c2.c2 FROM c3
        |        JOIN c2 ON c2.bigram =
@@ -2513,6 +2515,21 @@ object PipelineQueries {
 
   private[queries] val lmBackoffScoreOracleSql: String =
     s"$lmBackoffCtes\nSELECT doc_id, n_bigrams, lm_logp_q, xent FROM bfin ORDER BY doc_id"
+
+  /** Merged-generation backoff oracles: train-on-union replays (the
+    * engine merges count tables instead; hash equality IS the proof). */
+  private[queries] lazy val lmBackoffMergedOracleSql: String =
+    s"${lmBackoffCtesFrom(lmMPlantSql, LmMergedPredSql)}\n" +
+      "SELECT doc_id, n_bigrams, lm_logp_q, xent FROM bfin ORDER BY doc_id"
+
+  private[queries] lazy val lmBackoff3MergedOracleSql: String =
+    s"""${lmBackoff3CtesFor(LmMergedPredSql)}
+       |SELECT m.doc_id, CAST(COALESCE(sc.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+       |       CAST(COALESCE(sc.lm, 0) AS BIGINT) AS lm_logp_q,
+       |       CASE WHEN sc.n_trigrams > 0
+       |            THEN CAST(-sc.lm AS DOUBLE) / (CAST(sc.n_trigrams AS DOUBLE) * 1.0e6)
+       |            ELSE 0.0e0 END AS xent
+       |FROM m LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin
 
   private[queries] val lmBackoffStreamOracleSql: String =
     s"$lmBackoffCtes\nSELECT doc_id, n_bigrams, lm_logp_q, xent FROM bsc2 ORDER BY doc_id"
@@ -4658,6 +4675,47 @@ object PipelineQueries {
           .orderBy("doc_id")
       },
       Some(lmBackoffScoreOracleSql)),
+
+    // merge ≡ retrain for the backoff family: the SAME count generations
+    // as the add-one model (countTables/mergeCounts/the store are
+    // shared), with the backoff MLE/n1 re-derived from the merged
+    // tables; oracle retrains on the union.
+    Q("text_lm_score_backoff_merged",
+      (s, dir) => {
+        val docs = lmPlant(Tables.documents(s, dir))
+        val root = modelRoot("lm_backoff_counts")
+        graft.text.NgramLm.saveCounts(s,
+          graft.text.NgramLm.countTables(
+            docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text"), root)
+        graft.text.NgramLm.mergeIntoStore(s, root,
+          graft.text.NgramLm.countTables(
+            docs.filter(pmod(col("doc_id"), lit(4)) === 2), "text"))
+        val m = graft.text.NgramLm.backoffFromCounts(
+          graft.text.NgramLm.loadCounts(s, root))
+        graft.text.NgramLm.scoreBackoff(docs, "doc_id", "text", m)
+          .orderBy("doc_id")
+      },
+      Some(lmBackoffMergedOracleSql)),
+
+    // and for the DEEPEST chain: all three order tables fold by
+    // union+sum (Counts3), committed as a generation, the trigram/bigram
+    // fallback values re-derived from the merged counts
+    Q("text_lm_score_backoff3_merged",
+      (s, dir) => {
+        val docs = lmPlant(Tables.documents(s, dir))
+        val root = modelRoot("lm_backoff3_counts")
+        graft.text.NgramLm.saveCounts3(s,
+          graft.text.NgramLm.countTables3(
+            docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text"), root)
+        graft.text.NgramLm.mergeIntoStore3(s, root,
+          graft.text.NgramLm.countTables3(
+            docs.filter(pmod(col("doc_id"), lit(4)) === 2), "text"))
+        val m = graft.text.NgramLm.backoff3FromCounts(
+          graft.text.NgramLm.loadCounts3(s, root))
+        graft.text.NgramLm.scoreBackoff3(docs, "doc_id", "text", m)
+          .orderBy("doc_id")
+      },
+      Some(lmBackoff3MergedOracleSql)),
 
     // the MULTI-ORDER chain (trigram → bigram → unigram, 0.4 per level)
     // — the scheme as Brants et al. actually deploy it: three left-join

@@ -202,16 +202,21 @@ object NgramLm {
     lazy val unigramRows: Long = unigrams.count()
   }
 
-  def trainBackoff(training: DataFrame, textCol: String): BackoffModel = {
-    val c1 = graft.Caches.track(
-      training.select(explode(tokens(col(textCol))).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("c1")))
+  def trainBackoff(training: DataFrame, textCol: String): BackoffModel =
+    backoffFromCounts(countTables(training, textCol))
+
+  /** Derive the backoff model from count tables — the tail of
+    * [[trainBackoff]]; [[Counts]] is the same mergeable artifact as the
+    * add-one model's (the two families share [[countTables]]/
+    * [[mergeCounts]]/[[saveCounts]]), so a merged generation serves the
+    * backoff scorer too — merge ≡ retrain holds identically (MLE ratios
+    * and n1 re-derive from the merged counts). */
+  def backoffFromCounts(cts: Counts): BackoffModel = {
+    val c1 = graft.Caches.track(cts.c1)
     val n1 = c1.agg(coalesce(sum(col("c1")), lit(0L))).first().getLong(0)
     require(n1 > 0, "backoff LM needs a non-empty training corpus")
-    val c2 = training.select(explode(wordGrams(col(textCol), 2)).as("bigram"))
-      .groupBy("bigram").agg(count(lit(1)).as("c2"))
     val qSeen = graft.Caches.track(
-      c2.join(c1.withColumnRenamed("token", "__w1"),
+      cts.c2.join(c1.withColumnRenamed("token", "__w1"),
           substring_index(col("bigram"), " ", 1) === col("__w1"))
         .select(col("bigram"),
           floor(lit(Scale) * graft.functions.PortableLog.plogCol(
@@ -397,18 +402,56 @@ object NgramLm {
     lazy val unigramRows: Long = unigrams.count()
   }
 
-  def trainBackoff3(training: DataFrame, textCol: String): Backoff3Model = {
+  /** Three-order count tables — the mergeable artifact of the
+    * multi-order backoff family (all three relations are order-free
+    * sums over disjoint corpora). */
+  final case class Counts3(c1: DataFrame, c2: DataFrame, c3: DataFrame)
+
+  def countTables3(training: DataFrame, textCol: String): Counts3 = Counts3(
+    training.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c1")),
+    training.select(explode(wordGrams(col(textCol), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c2")),
+    training.select(explode(wordGrams(col(textCol), 3)).as("trigram"))
+      .groupBy("trigram").agg(count(lit(1)).as("c3")))
+
+  def mergeCounts3(base: Counts3, delta: Counts3): Counts3 = Counts3(
+    base.c1.unionByName(delta.c1)
+      .groupBy("token").agg(sum(col("c1")).as("c1")),
+    base.c2.unionByName(delta.c2)
+      .groupBy("bigram").agg(sum(col("c2")).as("c2")),
+    base.c3.unionByName(delta.c3)
+      .groupBy("trigram").agg(sum(col("c3")).as("c3")))
+
+  def saveCounts3(spark: org.apache.spark.sql.SparkSession, cts: Counts3,
+      root: String): Long =
+    graft.pipeline.ModelStore.save(spark, root,
+      Seq("c1" -> cts.c1, "c2" -> cts.c2, "c3" -> cts.c3))
+
+  def loadCounts3(spark: org.apache.spark.sql.SparkSession,
+      root: String): Counts3 = {
+    import graft.pipeline.ModelStore
+    Counts3(ModelStore.loadRelation(spark, root, "c1"),
+      ModelStore.loadRelation(spark, root, "c2"),
+      ModelStore.loadRelation(spark, root, "c3"))
+  }
+
+  def mergeIntoStore3(spark: org.apache.spark.sql.SparkSession, root: String,
+      delta: Counts3): Long =
+    saveCounts3(spark, mergeCounts3(loadCounts3(spark, root), delta), root)
+
+  def trainBackoff3(training: DataFrame, textCol: String): Backoff3Model =
+    backoff3FromCounts(countTables3(training, textCol))
+
+  /** Derive the multi-order model from count tables — the tail of
+    * [[trainBackoff3]], shared by the merge path. */
+  def backoff3FromCounts(cts: Counts3): Backoff3Model = {
     import graft.functions.PortableLog
-    val c1 = graft.Caches.track(
-      training.select(explode(tokens(col(textCol))).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("c1")))
+    val c1 = graft.Caches.track(cts.c1)
     val n1 = c1.agg(coalesce(sum(col("c1")), lit(0L))).first().getLong(0)
     require(n1 > 0, "backoff LM needs a non-empty training corpus")
-    val c2 = graft.Caches.track(
-      training.select(explode(wordGrams(col(textCol), 2)).as("bigram"))
-        .groupBy("bigram").agg(count(lit(1)).as("c2")))
-    val c3 = training.select(explode(wordGrams(col(textCol), 3)).as("trigram"))
-      .groupBy("trigram").agg(count(lit(1)).as("c3"))
+    val c2 = graft.Caches.track(cts.c2)
+    val c3 = cts.c3
     val q3 = graft.Caches.track(
       c3.join(c2.withColumnRenamed("bigram", "__ctx"),
           substring_index(col("trigram"), " ", 2) === col("__ctx"))
