@@ -1049,4 +1049,86 @@ class ScaleStressSpec extends AnyFunSuite {
       s"candidate explosion: ${pairs.length} pairs — distinct-first failed")
     assert(secs < 420.0, f"chunk near-dup went super-linear: ${secs}%.1f s")
   }
+  test("1M-doc trained language ID: 2 softmax rounds complete, classes separate") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_STRESS=1 to run")
+    import org.apache.spark.sql.functions._
+    // 1M docs x ~9 filler tokens + an accented class marker: the feature
+    // build is PER-ROW kernel work (CharGramBuckets — no aggregation
+    // Exchange, unlike the token classifier's collect_set shuffle), each
+    // of the 2 rounds is one cached-feature pass + a K*(B+1) <= 3075-row
+    // collect. Claim under load: wall-clock linearity and that the
+    // softmax still separates the planted languages at the char-trigram
+    // collision floor of 1024 buckets.
+    val n = totalRows / 10
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val lid = graft.text.LangId
+      val t0 = System.nanoTime()
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        concat(
+          concat_ws(" ", (0 until 9).map(j =>
+            concat(lit("w"), pmod(col("id") * (j + 7), lit(1000)).cast("string"))): _*),
+          when(pmod(col("id"), lit(3)) === 0, lit(" the with would through"))
+            .when(pmod(col("id"), lit(3)) === 1, lit(" der \u00fcber gr\u00f6\u00dfe sch\u00f6n"))
+            .otherwise(lit(" le \u00e9t\u00e9 d\u00e9j\u00e0 o\u00f9"))).as("text"))
+      val feats = graft.Caches.track(lid.features(docs, "doc_id", "text",
+        pmod(col("doc_id"), lit(3))))
+      val m = lid.train(feats, 3)
+      val wrong = lid.score(feats, "doc_id", m)
+        .filter(col("lang") =!= pmod(col("doc_id"), lit(3)).cast("int")).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      graft.Caches.releaseAll()
+      info(f"langid train+score over $n docs: ${secs}%.1f s, $wrong misclassified")
+      // bounded collision noise, same argument as the binary classifier:
+      // 1000 filler types' trigrams share buckets with the markers
+      assert(wrong.toDouble / n < 0.02,
+        s"collision noise exceeded 2%: $wrong of $n misclassified")
+      assert(secs < 600.0, f"langid training went super-linear: ${secs}%.1f s")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("span-index APPEND touches index+delta, never the archive corpus") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_STRESS=1 to run")
+    import org.apache.spark.sql.functions._
+    // the IndexStore maintenance claim quantified: folding a 10% daily
+    // increment into the committed span generation costs a delta-sized
+    // scan + an index-sized union/re-min, while the rebuild alternative
+    // re-scans the whole archive. Result equality is exact (keep-first
+    // is a commutative monoid); the wall-clock gap is the 100 TB
+    // argument.
+    val n = totalRows / 10
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      def docsOf(lo: Long, hi: Long) = spark.range(lo, hi)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 12).map(j =>
+            concat(lit("w"), pmod(xxhash64(col("id") / 50, lit(j)), lit(5000L))
+              .cast("string"))): _*).as("text"))
+      def idxOf(df: org.apache.spark.sql.DataFrame) =
+        graft.dedup.Dedup.shingles(df, "doc_id", "text", 8)
+          .groupBy(col("gram")).agg(min(col("doc_id")).as("first_id"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-span-stress").toString + "/idx"
+      graft.dedup.IndexStore.save(spark, root,
+        Seq("span_index" -> idxOf(docsOf(0L, n))))
+      val t0 = System.nanoTime()
+      graft.dedup.IndexStore.appendSpanIndex(spark, root,
+        idxOf(docsOf(n, n + n / 10)))
+      val appendS = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val rebuilt = idxOf(docsOf(0L, n + n / 10))
+      val rebuildCnt = rebuilt.count()
+      val rebuildS = (System.nanoTime() - t1) / 1e9
+      val appended = graft.dedup.IndexStore.load(spark, root, "span_index")
+      assert(appended.count() == rebuildCnt)
+      // exact equality, not just counts: anti-join both directions empty
+      assert(appended.join(rebuilt, Seq("gram", "first_id"), "left_anti").count() == 0L)
+      info(f"append ${appendS}%.1f s vs rebuild ${rebuildS}%.1f s over $n+${n / 10} docs")
+      assert(appendS < rebuildS * 1.5,
+        f"append (${appendS}%.1f s) should not exceed the full rebuild (${rebuildS}%.1f s) materially")
+      graft.Caches.releaseAll()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }
