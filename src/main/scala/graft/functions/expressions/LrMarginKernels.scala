@@ -137,6 +137,9 @@ object LrPresenceMargin {
     * of the retired Column dag. */
   def compute(s: UTF8String, w: Array[Double]): Double = {
     val b = w.length - 1
+    // a bias-only model (no feature slots) can't bucket anything: the
+    // margin is the bias itself — guards the b = 0 modulus below
+    if (b == 0) return w(0)
     val toks = TextKernels.tokenize(s)
     val present = new Array[Boolean](b)
     var i = 0
