@@ -1483,7 +1483,13 @@ object PipelineQueries {
   private[queries] def corpusV5Plant(s: SparkSession, dir: String): DataFrame =
     corpusV5PlantOf(Tables.documents(s, dir))
 
-  private def corpusV5Plan(s: SparkSession, dir: String): DataFrame = {
+  /** The v5 MODEL-era stage frames — the trained-gate counterpart of
+    * [[V3Stages]], consumed by the composite's tail and the model-era
+    * reject funnel. */
+  private[queries] final case class V5Stages(
+      docs: DataFrame, surv: DataFrame, kept: DataFrame, deduped: DataFrame)
+
+  private[queries] def corpusV5Stages(s: SparkSession, dir: String): V5Stages = {
     val qc = graft.text.QualityClassifier
     val docs = graft.Caches.track(corpusV5Plant(s, dir))
     val feats = graft.Caches.track(qc.features(docs, "doc_id", "text",
@@ -1509,14 +1515,21 @@ object PipelineQueries {
         min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
       .filter(col("rep_id") === col("doc_id"))
       .select("doc_id", "source"))
-    val mixed = graft.pipeline.Mixing.temperatureMix(deduped, "doc_id",
+    V5Stages(docs, surv, kept, deduped)
+  }
+
+  private def corpusV5Plan(s: SparkSession, dir: String): DataFrame = {
+    val st = corpusV5Stages(s, dir)
+    val mixed = graft.pipeline.Mixing.temperatureMix(st.deduped, "doc_id",
       "source", nTarget = CorpusV5MixTarget)
     graft.pipeline.Mixing.hashSplit(mixed, "doc_id", SplitSpec)
       .select("doc_id", "source", "copy", "split")
       .orderBy("doc_id", "copy")
   }
 
-  private[queries] def corpusV5Sql: String = {
+  /** The v5 survivor-chain CTE prefix (plant `m` through `dd`) — the
+    * composite's head and the model-era reject funnel's ladder. */
+  private[queries] def corpusV5SurvivorCtes: String = {
     val plant =
       s"""SELECT doc_id,
          |    CASE WHEN doc_id % 7 < 5 THEN 'web'
@@ -1545,7 +1558,26 @@ object PipelineQueries {
        |         SELECT doc_id, source,
        |                min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
        |         FROM kp)
-       |       WHERE rep_id = doc_id),
+       |       WHERE rep_id = doc_id)""".stripMargin
+  }
+
+  /** Model-era reject-attribution oracle — the v5 ladder left-joined
+    * back to the plant; the first NULL names the stage. */
+  private[queries] lazy val rejectReportV5OracleSql: String =
+    s"""$corpusV5SurvivorCtes,
+       |att5 AS (SELECT m.doc_id, m.source,
+       |           CASE WHEN sv.doc_id IS NULL THEN 'classifier'
+       |                WHEN kp.doc_id IS NULL THEN 'ppl_tail'
+       |                WHEN dd.doc_id IS NULL THEN 'exact_dup'
+       |                ELSE 'kept' END AS first_drop
+       |         FROM m LEFT JOIN sv USING (doc_id)
+       |           LEFT JOIN kp USING (doc_id)
+       |           LEFT JOIN dd USING (doc_id))
+       |SELECT source, first_drop, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM att5 GROUP BY source, first_drop ORDER BY source, first_drop""".stripMargin
+
+  private[queries] def corpusV5Sql: String = {
+    s"""$corpusV5SurvivorCtes,
        |${graft.pipeline.Mixing.duckTemperatureWeights("dd", "source", CorpusV5MixTarget)},
        |vx AS (SELECT d.doc_id, d.source, wp.whole, wp.thr,
        |         ${graft.pipeline.Mixing.duckMixHash("d.doc_id")} AS hm
@@ -5831,6 +5863,36 @@ object PipelineQueries {
     Q("pipeline_corpus_full_v5",
       (s, dir) => corpusV5Plan(s, dir),
       Some(corpusV5Sql)),
+
+    // the MODEL-ERA funnel: the same audit artifact over v5's TRAINED
+    // gates — which docs did the classifier kill, which fell in the
+    // perplexity tail, which were exact dups — per (source, first_drop).
+    // Built from v5's own stage frames (one builder), oracle = the v5
+    // survivor ladder left-joined with the first NULL naming the stage.
+    // The exact-dup stage reports ZERO at both SFs — correct: v5's
+    // classifier+perplexity survivors carry doc-unique planted markers,
+    // so no identical texts reach the dedup window; a faithful zero is
+    // exactly what the audit artifact is for (the v3 funnel covers the
+    // every-stage-discriminating case).
+    Q("pipeline_reject_report_v5",
+      (s, dir) => {
+        val st = corpusV5Stages(s, dir)
+        def ids(df: DataFrame, flag: String) =
+          df.select(col("doc_id"), lit(1).as(flag))
+        st.docs.select("doc_id", "source")
+          .join(ids(st.surv, "s1"), Seq("doc_id"), "left")
+          .join(ids(st.kept, "s2"), Seq("doc_id"), "left")
+          .join(ids(st.deduped, "s3"), Seq("doc_id"), "left")
+          .select(col("source"),
+            when(col("s1").isNull, "classifier")
+              .when(col("s2").isNull, "ppl_tail")
+              .when(col("s3").isNull, "exact_dup")
+              .otherwise("kept").as("first_drop"))
+          .groupBy("source", "first_drop")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("source", "first_drop")
+      },
+      Some(rejectReportV5OracleSql)),
 
     // REJECTION-ATTRIBUTION FUNNEL — the audit artifact a production
     // curation run publishes next to the dedup report: per document,
