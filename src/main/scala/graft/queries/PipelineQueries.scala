@@ -1576,6 +1576,20 @@ object PipelineQueries {
        |SELECT source, first_drop, CAST(count(*) AS BIGINT) AS n_docs
        |FROM att5 GROUP BY source, first_drop ORDER BY source, first_drop""".stripMargin
 
+  /** The ingest funnel's oracle — PER-DOC attribution (the live monitor
+    * emits detail rows; the batch row publishes the aggregate). */
+  private[queries] lazy val rejectReportV5StreamOracleSql: String =
+    s"""$corpusV5SurvivorCtes,
+       |att5 AS (SELECT m.doc_id, m.source,
+       |           CASE WHEN sv.doc_id IS NULL THEN 'classifier'
+       |                WHEN kp.doc_id IS NULL THEN 'ppl_tail'
+       |                WHEN dd.doc_id IS NULL THEN 'exact_dup'
+       |                ELSE 'kept' END AS first_drop
+       |         FROM m LEFT JOIN sv USING (doc_id)
+       |           LEFT JOIN kp USING (doc_id)
+       |           LEFT JOIN dd USING (doc_id))
+       |SELECT doc_id, source, first_drop FROM att5 ORDER BY doc_id""".stripMargin
+
   private[queries] def corpusV5Sql: String = {
     s"""$corpusV5SurvivorCtes,
        |${graft.pipeline.Mixing.duckTemperatureWeights("dd", "source", CorpusV5MixTarget)},

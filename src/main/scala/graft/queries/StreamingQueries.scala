@@ -2172,6 +2172,76 @@ object StreamingQueries {
       },
       Some(PipelineQueries.corpusV5Sql)),
 
+    // MODEL-ERA rejection attribution AT INGESTION — the v5 funnel as a
+    // live monitor emitting PER-DOC detail rows (the batch row publishes
+    // the aggregate): the classifier gate evaluates per row via the
+    // bit-identical presence margin against the offline-trained model,
+    // the perplexity gate compares the streamed doc's xent to the
+    // offline tertile boundary (the composite's τ₂ convention), and the
+    // dedup gate probes the offline keep-first digest map — all
+    // stream-static/stateless before one windowed per-doc aggregation.
+    // CASE order preserves first-drop semantics; the oracle is the v5
+    // survivor ladder at per-doc grain.
+    Q("stream_pipeline_reject_report_v5",
+      (s, dir) => {
+        implicit val sp = s
+        import graft.functions.GraftFunctions.wordGrams
+        val qc = graft.text.QualityClassifier
+        val pq = PipelineQueries
+        val docs = graft.Caches.track(pq.corpusV5Plant(s, dir))
+        val feats = graft.Caches.track(qc.features(docs, "doc_id", "text",
+          (pmod(col("doc_id"), lit(6)) === 0).cast("int")))
+        val cm = qc.train(feats.filter(
+          graft.pipeline.Mixing.samplePred("doc_id", pq.SampledFitPct)))
+        val lmm = graft.text.NgramLm.train(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
+        val surv = graft.Caches.track(
+          qc.score(feats, "doc_id", cm).filter(col("pred") === 1)
+            .select(col("doc_id")).join(docs, Seq("doc_id")))
+        val scored = graft.Caches.track(
+          graft.text.NgramLm.score(surv, "doc_id", "text", lmm)
+            .select(col("doc_id"), col("xent")))
+        val ns = scored.count()
+        val ranked = graft.operators.PrefixSum.runningSum(
+          scored.withColumn("__one", lit(1L)), "__one", Seq("xent", "doc_id"))
+        val t2Row = ranked.filter(col("running___one") === 2 * ns / 3)
+          .agg(min(col("xent"))).first()
+        val tau2 =
+          if (t2Row.isNullAt(0)) Double.NegativeInfinity else t2Row.getDouble(0)
+        val kp = surv.join(
+          ranked.filter(col("running___one") <= 2 * ns / 3).select("doc_id"),
+          Seq("doc_id"))
+        val repMap = graft.Caches.track(kp
+          .groupBy(md5(col("text")).as("__dg"))
+          .agg(min(col("doc_id")).as("__rep_id")))
+        val incoming = pq.corpusV5PlantOf(StreamSources.documents(s, dir))
+          .withColumn("__mg", qc.presenceMarginCol(col("text"), cm))
+          .withColumn("__dg", md5(col("text")))
+          .join(repMap, Seq("__dg"), "left")
+          .select(col("doc_id"), col("source"), col("__mg"), col("__rep_id"),
+            explode(wordGrams(col("text"), 2)).as("bigram"))
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+        val agg = graft.text.NgramLm.probeQq(incoming, lmm, fitsBroadcast = true)
+          .groupBy(window(col("event_time"), "1 hour"), col("doc_id"))
+          .agg(min(col("source")).as("source"), min(col("__mg")).as("mg"),
+            min(col("__rep_id")).as("rep"),
+            count(lit(1)).as("nb"), sum(col("qq")).as("lq"))
+          .select(col("doc_id"), col("source"), col("mg"), col("rep"),
+            ((-col("lq")).cast("double") /
+              (col("nb").cast("double") * lit(graft.text.NgramLm.Scale)))
+              .as("xent"))
+        val out = agg.select(col("doc_id"), col("source"),
+          when(col("mg") < lit(0.0), "classifier")
+            .when(col("xent") > lit(tau2), "ppl_tail")
+            .when(col("rep").isNull || col("rep") =!= col("doc_id"), "exact_dup")
+            .otherwise("kept").as("first_drop"))
+        StreamRun.toBatch(out, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+          .orderBy("doc_id")
+      },
+      Some(PipelineQueries.rejectReportV5StreamOracleSql)),
+
     // per-source QUALITY PROFILE AT INGESTION — the curation dashboard
     // maintained as data arrives: both models train OFFLINE, then the
     // stream feeds TWO ingest aggregations over the same source (a real
