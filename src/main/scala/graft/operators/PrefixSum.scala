@@ -34,7 +34,18 @@ object PrefixSum {
     * types are rejected — partial sums would be order-dependent.
     */
   def runningSum(df: DataFrame, valueCol: String, orderCols: Seq[String],
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0): DataFrame =
+    runningSums(df, Seq(valueCol), orderCols, numPartitions)
+
+  /** [[runningSum]] over SEVERAL value columns in one pass — one range
+    * repartition, one per-partition window stage and ONE totals collect
+    * shared by all columns (a caller needing cumulative (cnt, pos) —
+    * e.g. the PR-curve sweep — would otherwise pay the two-pass scan per
+    * column). Adds `running_<c>` for each `c` in `valueCols`.
+    */
+  def runningSums(df: DataFrame, valueCols: Seq[String],
+      orderCols: Seq[String], numPartitions: Int = 0): DataFrame = {
+    require(valueCols.nonEmpty, "runningSums needs at least one value column")
     val parts = if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val ranged = df.repartitionByRange(parts, orderCols.map(col): _*)
@@ -42,42 +53,53 @@ object PrefixSum {
     val w = Window.partitionBy("__pid").orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = graft.Caches.track(
-      ranged.withColumn("__local", sum(col(valueCol)).over(w)))
-    val sumType = local.schema("__local").dataType
+      valueCols.foldLeft(ranged)((d, vc) =>
+        d.withColumn(s"__local_$vc", sum(col(vc)).over(w))))
+    val sumTypes = valueCols.map(vc => vc -> local.schema(s"__local_$vc").dataType)
     // per-partition totals → driver-side exclusive prefix (#partitions
-    // values — this collect moves longs, not data)
-    val totals: Map[Int, BigDecimal] =
-      local.groupBy("__pid").agg(sum(col(valueCol)).as("__tot")).collect()
-        .map { r =>
-          val tot = r.get(1) match {
-            case null                      => BigDecimal(0)
-            case l: java.lang.Long         => BigDecimal(l.longValue())
-            case d: java.math.BigDecimal   => BigDecimal(d)
-            case other => throw new IllegalArgumentException(
-              s"runningSum needs an exactly-summable value column " +
-                s"(integral or decimal); sum(${valueCol}) yielded ${other.getClass}")
-          }
-          r.getInt(0) -> tot
-        }.toMap
+    // rows of longs/decimals — this collect moves counters, not data)
+    def asBig(v: Any, vc: String): BigDecimal = v match {
+      case null                    => BigDecimal(0)
+      case l: java.lang.Long       => BigDecimal(l.longValue())
+      case d: java.math.BigDecimal => BigDecimal(d)
+      case other => throw new IllegalArgumentException(
+        s"runningSums needs exactly-summable value columns " +
+          s"(integral or decimal); sum($vc) yielded ${other.getClass}")
+    }
+    val totals: Map[Int, Seq[BigDecimal]] =
+      local.groupBy("__pid")
+        .agg(sum(col(valueCols.head)).as("__tot_0"),
+          valueCols.tail.zipWithIndex
+            .map { case (vc, i) => sum(col(vc)).as(s"__tot_${i + 1}") }: _*)
+        .collect()
+        .map(r => r.getInt(0) ->
+          valueCols.indices.map(i => asBig(r.get(i + 1), valueCols(i))))
+        .toMap
     val pids = totals.keys.toSeq.sorted
-    val offsets = pids.scanLeft(BigDecimal(0))((acc, p) => acc + totals(p)).init
+    val zero = Seq.fill(valueCols.size)(BigDecimal(0))
+    val offsets = pids.scanLeft(zero)((acc, p) =>
+      acc.zip(totals(p)).map { case (a, t) => a + t }).init
     val spark = df.sparkSession
-    val offRows = pids.zip(offsets).map { case (p, o) =>
-      val v: Any = sumType match {
-        case _: LongType    => o.toLongExact
-        case dt: DecimalType => o.setScale(dt.scale).bigDecimal
-        case other => throw new IllegalArgumentException(
+    val offRows = pids.zip(offsets).map { case (p, os) =>
+      val vs: Seq[Any] = sumTypes.zip(os).map {
+        case ((_, _: LongType), o)     => o.toLongExact
+        case ((_, dt: DecimalType), o) => o.setScale(dt.scale).bigDecimal
+        case ((_, other), _) => throw new IllegalArgumentException(
           s"unsupported running-sum type $other")
       }
-      Row(p, v)
+      Row.fromSeq(p +: vs)
     }
     val offDf = spark.createDataFrame(
       spark.sparkContext.parallelize(offRows, 1),
-      StructType(Seq(StructField("__pid", IntegerType, nullable = false),
-        StructField("__off", sumType))))
-    local.join(broadcast(offDf), Seq("__pid"), "left")
-      .withColumn(s"running_$valueCol",
-        col("__local") + coalesce(col("__off"), lit(0).cast(sumType)))
-      .drop("__pid", "__local", "__off")
+      StructType(StructField("__pid", IntegerType, nullable = false) +:
+        valueCols.zip(sumTypes).map { case (vc, (_, t)) =>
+          StructField(s"__off_$vc", t) }))
+    val joined = local.join(broadcast(offDf), Seq("__pid"), "left")
+    valueCols.zip(sumTypes).foldLeft(joined) { case (d, (vc, (_, t))) =>
+        d.withColumn(s"running_$vc",
+          col(s"__local_$vc") + coalesce(col(s"__off_$vc"), lit(0).cast(t)))
+          .drop(s"__local_$vc", s"__off_$vc")
+      }
+      .drop("__pid")
   }
 }

@@ -665,6 +665,53 @@ object PipelineQueries {
        |        FROM asgF WHERE $queryPred) WHERE r <= $nprobe)""".stripMargin
   }
 
+  /** Class-centroid (Rocchio) replay: exact quantized per-label
+    * prototype means over `trainPred`'s slice — the
+    * [[graft.similarity.Similarity.classCentroids]] aggregation as SQL —
+    * then cosine per (vector, class) into `a`. */
+  private def classCentroidCtes(trainPred: String, dim: Int = 64,
+      scale: String = "1000000.0e0"): String =
+    s"""e AS (SELECT vec_id, embedding AS v, label FROM ${Q.EmbRef}),
+       |s AS (SELECT label, j,
+       |        SUM(CAST(floor(v[CAST(j+1 AS INT)] * $scale) AS BIGINT)) AS s,
+       |        COUNT(*) AS n
+       |      FROM e, range($dim) t(j) WHERE $trainPred GROUP BY label, j),
+       |c AS (SELECT label AS cent_id,
+       |        list(CAST(s AS DOUBLE) / ($scale * n) ORDER BY j) AS cv
+       |      FROM s GROUP BY label),
+       |a AS (SELECT e.vec_id, e.label, c.cent_id,
+       |        ${DuckSql.cosine("e.v", "c.cv")} AS ccos
+       |      FROM e CROSS JOIN c)""".stripMargin
+
+  private[queries] lazy val rocchioOracleSql: String =
+    s"""WITH ${classCentroidCtes("vec_id % 2 = 0")},
+       |p AS (SELECT vec_id, label, cent_id AS pred FROM (
+       |       SELECT vec_id, label, cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id
+       |           ORDER BY ccos DESC, cent_id) AS r
+       |       FROM a) WHERE r = 1)
+       |SELECT vec_id, label, CAST(pred AS INT) AS pred,
+       |       CASE WHEN pred = label THEN 1 ELSE 0 END AS correct
+       |FROM p ORDER BY vec_id""".stripMargin
+
+  private[queries] lazy val centroidSelectOracleSql: String =
+    s"""WITH ${classCentroidCtes("label = 0")},
+       |r AS (SELECT vec_id, ccos,
+       |        ROW_NUMBER() OVER (ORDER BY ccos, vec_id) AS rk,
+       |        COUNT(*) OVER () AS n
+       |      FROM a)
+       |SELECT vec_id, ccos FROM r WHERE rk > n - n // 3
+       |ORDER BY vec_id""".stripMargin
+
+  private[queries] lazy val centroidSelectStreamOracleSql: String =
+    s"""WITH ${classCentroidCtes("label = 0")},
+       |r AS (SELECT vec_id, ccos,
+       |        ROW_NUMBER() OVER (ORDER BY ccos, vec_id) AS rk,
+       |        COUNT(*) OVER () AS n FROM a),
+       |tau AS (SELECT min(ccos) AS t FROM r WHERE rk > n - n // 3)
+       |SELECT vec_id, ccos FROM a WHERE ccos >= (SELECT t FROM tau)
+       |ORDER BY vec_id""".stripMargin
+
   /** Quality-feature CTE chain ending in `f` (doc_id, text, n_tokens,
     * ratios) — shared by text_quality and the composite cleaning
     * pipelines so every oracle computes the identical score expression.
@@ -1036,6 +1083,7 @@ object PipelineQueries {
 
   /** Merge rounds of the BPE-training row. */
   private[queries] val BpeRounds = 6
+  private[queries] val WpRounds = 6
 
   /** Shared by pipeline_chunk_docs and its streaming twin — chunking is
     * pure per-row column work, so both engines' renderings and both
@@ -1720,6 +1768,84 @@ object PipelineQueries {
       FROM g ORDER BY source"""
   }
 
+  /** WordPiece-objective training replay ([[graft.text.WordPiece]]): the
+    * BPE CTE chain with a per-round symbol-count CTE and the best pair
+    * ranked by the exact integer likelihood score
+    * (cnt·10^15) // (ca·cb) in HUGEINT — mirroring the engine's
+    * DECIMAL(38,0) `div` (both positive, truncate ≡ floor), ties by pair
+    * ASC. State, rewrite and final projection are the BPE generators
+    * verbatim — the two tokenizers differ only in the selection rule.
+    */
+  private def wpSymSql(from: String): String = s"""
+        SELECT sym, count(*) AS scnt FROM (
+          SELECT unnest(list_filter(string_split(s, ' '), x -> x <> '')) AS sym
+          FROM $from) GROUP BY sym"""
+
+  private def wpRoundSql(r: Int): String = s"""
+      p$r AS MATERIALIZED (SELECT * FROM (${bpePairSql(s"m${r - 1}")})
+        WHERE cnt >= ${graft.text.WordPiece.DefaultMinCount}),
+      y$r AS MATERIALIZED (${wpSymSql(s"m${r - 1}")}),
+      b$r AS MATERIALIZED (
+        SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+        FROM (SELECT pair,
+                (CAST(cnt AS HUGEINT) * ${graft.text.WordPiece.ScoreScale}) //
+                (CAST(ca.scnt AS HUGEINT) * CAST(cb.scnt AS HUGEINT)) AS scoreq
+              FROM p$r
+              JOIN y$r ca ON ca.sym = string_split(pair, ' ')[1]
+              JOIN y$r cb ON cb.sym = string_split(pair, ' ')[2])
+        ORDER BY scoreq DESC, pair LIMIT 1),
+      m$r AS MATERIALIZED (${bpeRewriteSql(s"m${r - 1}", s"b$r")})"""
+
+  private def wpFinalSql: String = """
+      SELECT doc_id,
+        CAST(len(list_filter(string_split(s, ' '), x -> x <> '')) AS INT) AS n_symbols,
+        s AS text_wp"""
+
+  private[queries] def wpOracleSql(rounds: Int): String = s"""
+      WITH m0 AS MATERIALIZED (${bpeState0Sql("")}),
+      ${(1 to rounds).map(wpRoundSql).mkString(",")}
+      $wpFinalSql
+      FROM m$rounds ORDER BY doc_id"""
+
+  /** Frozen-table apply twin: training replayed on `trainPred`'s subset,
+    * the a-chain applies each round's winner to every document. */
+  private[queries] def wpApplyOracleSqlFor(rounds: Int,
+      trainPred: String): String = {
+    def round(r: Int): String = s"""${wpRoundSql(r)},
+      a$r AS MATERIALIZED (${bpeRewriteSql(s"a${r - 1}", s"b$r")})"""
+    s"""
+      WITH m0 AS MATERIALIZED (${bpeState0Sql(s" WHERE $trainPred")}),
+      a0 AS MATERIALIZED (${bpeState0Sql("")}),
+      ${(1 to rounds).map(round).mkString(",")}
+      $wpFinalSql
+      FROM a$rounds ORDER BY doc_id"""
+  }
+
+  /** Per-source WordPiece compression: the BPE compression dag with the
+    * likelihood-trained a-chain — completes the per-source fit gauge
+    * across all three tokenizer families. */
+  private[queries] def wpCompressionOracleSql(rounds: Int,
+      trainPred: String): String = {
+    def round(r: Int): String = s"""${wpRoundSql(r)},
+      a$r AS MATERIALIZED (${bpeRewriteSql(s"a${r - 1}", s"b$r")})"""
+    s"""
+      WITH m0 AS MATERIALIZED (${bpeState0Sql(s" WHERE $trainPred")}),
+      a0 AS MATERIALIZED (${bpeState0Sql("")}),
+      ${(1 to rounds).map(round).mkString(",")},
+      sy AS (SELECT doc_id,
+               CAST(len(list_filter(string_split(s, ' '), x -> x <> '')) AS BIGINT) AS n_symbols
+             FROM a$rounds),
+      wt AS (SELECT doc_id, source, CAST(len(${DuckSql.tokens("text")}) AS BIGINT) AS n_ws
+             FROM ${Q.DocsRef}),
+      g AS (SELECT wt.source, count(*) AS n_docs,
+              CAST(sum(sy.n_symbols) AS BIGINT) AS sum_symbols,
+              CAST(sum(wt.n_ws) AS BIGINT) AS sum_ws
+            FROM wt JOIN sy USING (doc_id) GROUP BY wt.source)
+      SELECT source, n_docs, sum_symbols, sum_ws,
+             CAST(sum_symbols AS DOUBLE) / CAST(sum_ws AS DOUBLE) AS compression
+      FROM g ORDER BY source"""
+  }
+
   /** The synthetic corpus has ZERO exact duplicates (500/500 distinct
     * md5 at sf0.01), so the bloom-membership rows plant cross-subset
     * exact copies on residue classes: every training doc ≡ 0 (mod 8) and
@@ -2276,6 +2402,86 @@ object PipelineQueries {
        |SELECT bucket, n_docs, n_pos,
        |       CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pos_rate
        |FROM g ORDER BY bucket""".stripMargin
+
+  /** PR-curve oracle: the classifier replay to per-doc scores, distinct
+    * -score tie groups with exclusive cumulative (cnt, pos) windows —
+    * mirroring the engine's one multi-column prefix scan — totals, and
+    * the two exact-integer divisions per threshold. */
+  private[queries] lazy val classifierPrCurveOracleSql: String =
+    s"""WITH m AS MATERIALIZED ($classifierMPlantSql),
+       |$tkCteSql,
+       |$classifierCoreCtes,
+       |scq AS (SELECT doc_id, CAST(floor(1.0e6 * s) AS BIGINT) AS q,
+       |          CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END AS y FROM sF),
+       |gsa AS (SELECT q, count(*) AS cnt, CAST(sum(y) AS BIGINT) AS pos
+       |        FROM scq GROUP BY q),
+       |cma AS (SELECT q, cnt, pos,
+       |          COALESCE(SUM(cnt) OVER (ORDER BY q
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cbf,
+       |          COALESCE(SUM(pos) OVER (ORDER BY q
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pbf
+       |        FROM gsa),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+       |          CAST(sum(pos) AS BIGINT) AS p FROM gsa)
+       |SELECT q AS score_q,
+       |       CAST(n - cbf AS BIGINT) AS n_pred,
+       |       CAST(p - pbf AS BIGINT) AS tp,
+       |       CAST((n - cbf) - (p - pbf) AS BIGINT) AS fp,
+       |       CAST(p - pbf AS DOUBLE) / CAST(n - cbf AS DOUBLE) AS precision,
+       |       CASE WHEN p = 0 THEN 0.0e0
+       |            ELSE CAST(p - pbf AS DOUBLE) / CAST(p AS DOUBLE) END AS recall
+       |FROM cma, tot ORDER BY score_q""".stripMargin
+
+  /** Reliability/ECE CTE shared front: sF → portable sigmoid → pq on
+    * the 10⁹ grid → clamped equal-width probability bin. */
+  private[queries] lazy val classifierProbBinsCte: String = {
+    val w = graft.text.QualityClassifier.ProbScale /
+      graft.text.QualityClassifier.ReliabilityBins
+    val top = graft.text.QualityClassifier.ReliabilityBins - 1
+    s"""pxq AS (SELECT doc_id, CAST(floor(psig * 1.0e9) AS BIGINT) AS pq
+       |        FROM (${graft.functions.PortableLog.psigSelectSql(
+                  "SELECT doc_id, s FROM sF", "doc_id", "-(s)")}) pxs),
+       |pbn AS (SELECT least(pq // $w, $top) AS bin, pq,
+       |          CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END AS y
+       |        FROM pxq)""".stripMargin
+  }
+
+  private[queries] lazy val classifierReliabilityOracleSql: String =
+    s"""WITH m AS MATERIALIZED ($classifierMPlantSql),
+       |$tkCteSql,
+       |$classifierCoreCtes,
+       |$classifierProbBinsCte,
+       |g AS (SELECT bin, count(*) AS n_docs,
+       |        CAST(sum(y) AS BIGINT) AS n_pos,
+       |        CAST(sum(CAST(pq AS HUGEINT)) AS HUGEINT) AS spq
+       |      FROM pbn GROUP BY bin)
+       |SELECT bin, n_docs, n_pos,
+       |       CAST(spq AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1.0e9) AS conf,
+       |       CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE) AS acc,
+       |       CAST(abs(CAST(n_pos AS HUGEINT) * 1000000000 - spq) AS DOUBLE) /
+       |         (CAST(n_docs AS DOUBLE) * 1.0e9) AS gap
+       |FROM g ORDER BY bin""".stripMargin
+
+  private[queries] lazy val classifierBrierEceOracleSql: String =
+    s"""WITH m AS MATERIALIZED ($classifierMPlantSql),
+       |$tkCteSql,
+       |$classifierCoreCtes,
+       |$classifierProbBinsCte,
+       |g AS (SELECT bin, count(*) AS n,
+       |        CAST(sum(y) AS BIGINT) AS np,
+       |        CAST(sum(CAST(pq AS HUGEINT)) AS HUGEINT) AS spq,
+       |        CAST(sum(CAST((pq - y * 1000000000) * (pq - y * 1000000000)
+       |          AS HUGEINT)) AS HUGEINT) AS ssq
+       |      FROM pbn GROUP BY bin),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+       |        CAST(sum(abs(CAST(np AS HUGEINT) * 1000000000 - spq)) AS HUGEINT) AS eq,
+       |        CAST(sum(ssq) AS HUGEINT) AS sq
+       |      FROM g)
+       |SELECT n_docs,
+       |       CAST(eq AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1.0e9) AS ece,
+       |       CAST(sq AS DOUBLE) /
+       |         (CAST(n_docs AS DOUBLE) * 1.0e9 * 1.0e9) AS brier
+       |FROM t""".stripMargin
 
   /** Sampled-fit twins (the production recipe — CCNet/GPT-3 fit their
     * filters on a sample, then score the corpus): the training
@@ -4280,6 +4486,71 @@ object PipelineQueries {
       },
       Some(bpeApplyOracleSqlFor(BpeRounds, sampledFitPredSql))),
 
+    // WordPiece-objective training — the third tokenizer family
+    // (BPE/frequency, unigram-EM/Viterbi, WordPiece/likelihood): the
+    // same R merge rounds as BPE but the winner maximizes
+    // count(ab)/(count(a)·count(b)) — the likelihood-gain rule that
+    // makes BERT-family vocabularies prefer cohesive pairs over merely
+    // frequent ones. Ranked on the exact integer grid (cnt·10^15) div
+    // (ca·cb) so Spark and DuckDB agree bit-for-bit; the spec pins a
+    // corpus where the frequency argmax and the likelihood argmax
+    // DIFFER. Per round: two map-side-combined aggs over the cached
+    // state + two joins of agg outputs — no extra corpus scan.
+    Q("text_wordpiece_train",
+      (s, dir) => {
+        val (_, state) = graft.text.WordPiece.train(
+          Tables.documents(s, dir), "doc_id", "text", rounds = WpRounds)
+        state.select(col("doc_id"),
+          size(tokens(col("s"))).cast("int").as("n_symbols"),
+          col("s").as("text_wp"))
+          .orderBy("doc_id")
+      },
+      Some(wpOracleSql(WpRounds))),
+
+    // train-offline/apply-at-ingestion + ModelStore round trip for the
+    // WordPiece table (order-sensitive, same codec as BPE: ordinal rows,
+    // loadMerges restores training order) — green only if the persisted
+    // table replays value-exactly, since the oracle re-derives it.
+    Q("text_wordpiece_apply_loaded",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val (trained, _) = graft.text.WordPiece.train(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+          "doc_id", "text", rounds = WpRounds)
+        graft.text.Bpe.saveMerges(s, trained, modelRoot("wordpiece"))
+        val merges = graft.text.Bpe.loadMerges(s, modelRoot("wordpiece"))
+        docs.select(col("doc_id"),
+            graft.text.Bpe.applyMerges(col("text"), merges).as("s"))
+          .select(col("doc_id"),
+            size(tokens(col("s"))).cast("int").as("n_symbols"),
+            col("s").as("text_wp"))
+          .orderBy("doc_id")
+      },
+      Some(wpApplyOracleSqlFor(WpRounds, "doc_id % 4 = 0"))),
+
+    // per-source WordPiece compression — the same fit gauge as the BPE
+    // and unigram compression rows, so a tokenizer-selection decision
+    // can read all three families on one axis (exact integer sums, one
+    // division per source).
+    Q("text_wordpiece_compression",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val (merges, _) = graft.text.WordPiece.train(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+          "doc_id", "text", rounds = WpRounds)
+        docs.select(col("source"),
+            size(tokens(col("text"))).cast("long").as("n_ws"),
+            size(tokens(graft.text.Bpe.applyMerges(col("text"), merges)))
+              .cast("long").as("n_symbols"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_symbols").as("sum_symbols"), sum("n_ws").as("sum_ws"))
+          .withColumn("compression",
+            col("sum_symbols").cast("double") / col("sum_ws").cast("double"))
+          .orderBy("source")
+      },
+      Some(wpCompressionOracleSql(WpRounds, "doc_id % 4 = 0"))),
+
     // CCNet's ACTUAL output shape — perplexity-bucketed corpora: rank
     // every doc by LM cross-entropy and split into head/middle/tail
     // thirds (Wenzek et al. keep the buckets, not a single cut, so
@@ -4616,6 +4887,64 @@ object PipelineQueries {
           .orderBy("source")
       },
       Some(classifierAucBySourceOracleSql)),
+
+    // exact PRECISION/RECALL sweep — the curve a gate-threshold choice
+    // actually reads (AUC ranks, calibration checks honesty; this says
+    // "at τ, what survives and how clean is it"): per distinct score,
+    // tp/n_pred from ONE multi-column two-pass prefix scan (no global
+    // sort, no per-column rescan), totals broadcast, two exact-integer
+    // divisions per threshold. O(distinct scores) output.
+    Q("text_classifier_pr_curve",
+      (s, dir) => {
+        val qc = graft.text.QualityClassifier
+        val feats = graft.Caches.track(qc.features(
+          classifierPlant(Tables.documents(s, dir)), "doc_id", "text",
+          (pmod(col("doc_id"), lit(6)) === 0).cast("int")))
+        val m = qc.train(feats)
+        qc.prCurve(
+          qc.score(feats, "doc_id", m)
+            .withColumn("y", (pmod(col("doc_id"), lit(6)) === 0).cast("int")),
+          "score_q", col("y"))
+          .orderBy("score_q")
+      },
+      Some(classifierPrCurveOracleSql)),
+
+    // reliability diagram in exact arithmetic — confidence via the
+    // portable sigmoid on the 10⁹ integer grid, 10 equal-width
+    // probability bins (top edge clamped: psig can round to exactly
+    // 1.0), per bin count/positives/conf/acc/|gap|, every double a
+    // single division of exact integer sums. The margin-bucket
+    // calibration row profiles the SCORE axis; this profiles the
+    // PROBABILITY axis the ECE standard is defined on.
+    Q("text_classifier_reliability",
+      (s, dir) => {
+        val qc = graft.text.QualityClassifier
+        val feats = graft.Caches.track(qc.features(
+          classifierPlant(Tables.documents(s, dir)), "doc_id", "text",
+          (pmod(col("doc_id"), lit(6)) === 0).cast("int")))
+        val m = qc.train(feats)
+        qc.reliabilityBins(feats, qc.margin(col("fx"), m),
+          (pmod(col("doc_id"), lit(6)) === 0).cast("int"))
+          .orderBy("bin")
+      },
+      Some(classifierReliabilityOracleSql)),
+
+    // Brier score + expected calibration error as one published row —
+    // the two scalar calibration numbers next to AUC in a model report.
+    // The per-bin ECE term n_b·|acc_b − conf_b| telescopes to
+    // |n_pos_b·10⁹ − Σpq_b|/10⁹, so NO double is ever summed; Brier's
+    // Σ(pq − y·10⁹)² rides DECIMAL(38,0)/HUGEINT. One division each.
+    Q("text_classifier_brier_ece",
+      (s, dir) => {
+        val qc = graft.text.QualityClassifier
+        val feats = graft.Caches.track(qc.features(
+          classifierPlant(Tables.documents(s, dir)), "doc_id", "text",
+          (pmod(col("doc_id"), lit(6)) === 0).cast("int")))
+        val m = qc.train(feats)
+        qc.brierEce(feats, qc.margin(col("fx"), m),
+          (pmod(col("doc_id"), lit(6)) === 0).cast("int"))
+      },
+      Some(classifierBrierEceOracleSql)),
 
     // model-gate composite: classifier gate → CCNet perplexity split
     // (drop the worst-xent third of survivors by distributed rank). Both
@@ -6573,6 +6902,83 @@ object PipelineQueries {
           .orderBy("query_id", "rnk")
       },
       Some(ivfTrainedKnnOracleSql)),
+
+    // nearest-class-centroid (Rocchio) classification over the embedding
+    // column — embedding-space label propagation for curation: one
+    // grouped quantized-mean aggregation builds the ≤ K class prototypes
+    // (the labels ARE the cells — no Lloyd rounds), every vector
+    // classifies by the zero-Exchange literal-argmax cosine (ties →
+    // lowest class, as everywhere). Train on the %2 == 0 half so the
+    // held-out half genuinely tests the prototypes; the oracle replays
+    // prototype means, cosines and the argmax per vector.
+    Q("embedding_rocchio",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"), col("label"))
+        val cents = Similarity.classCentroids(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0), "label", "v")
+        emb.select(col("vec_id"), col("label"),
+            Similarity.cellColumn(col("v"), cents).as("pred"))
+          .withColumn("correct", (col("pred") === col("label")).cast("int"))
+          .orderBy("vec_id")
+      },
+      Some(rocchioOracleSql)),
+
+    // centroid-affinity data selection — the embedding-space analog of
+    // DSIR/Moore-Lewis: the prototype of the CURATED class (label 0, the
+    // quality-reference set) is one quantized-mean aggregation; every
+    // vector scores by cosine-to-prototype as per-row column work; the
+    // top third by exact prefix rank survives (the CCNet rank gate on an
+    // embedding affinity instead of an LM xent). Captures 3.4× the
+    // random rate of curated-class members at sf0.01 — the stage
+    // discriminates.
+    Q("pipeline_centroid_select",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"), col("label"))
+        val cents = Similarity.classCentroids(
+          emb.filter(col("label") === 0), "label", "v")
+        val scored = graft.Caches.track(emb.select(col("vec_id"),
+          Similarity.bestCosColumn(col("v"), cents).as("ccos")))
+        val n = scored.count()
+        val ranked = graft.operators.PrefixSum.runningSum(
+          scored.withColumn("__one", lit(1L)), "__one", Seq("ccos", "vec_id"))
+        ranked.filter(col("running___one") > n - n / 3)
+          .select("vec_id", "ccos").orderBy("vec_id")
+      },
+      Some(centroidSelectOracleSql)),
+
+    // centroid-affinity selection AT INGESTION — prototype and cut
+    // boundary derive OFFLINE (the rank is not streamable; its boundary
+    // is ONE scalar), the stream scores each arriving vector as
+    // zero-state column work and keeps ccos ≥ τ. Threshold semantics:
+    // ties AT τ all survive — the oracle replays the same τ-and-filter
+    // rule, so both rows pin it.
+    Q("stream_pipeline_centroid_select",
+      (s, dir) => {
+        implicit val sp = s
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"), col("label"))
+        val cents = Similarity.classCentroids(
+          emb.filter(col("label") === 0), "label", "v")
+        val scored = graft.Caches.track(emb.select(col("vec_id"),
+          Similarity.bestCosColumn(col("v"), cents).as("ccos")))
+        val n = scored.count()
+        val ranked = graft.operators.PrefixSum.runningSum(
+          scored.withColumn("__one", lit(1L)), "__one", Seq("ccos", "vec_id"))
+        val tauRow = ranked.filter(col("running___one") > n - n / 3)
+          .agg(min(col("ccos"))).first()
+        val tau = if (tauRow.isNullAt(0)) Double.PositiveInfinity
+          else tauRow.getDouble(0)
+        val out = graft.streaming.StreamSources.embeddings(s, dir)
+          .select(col("vec_id"),
+            Similarity.bestCosColumn(
+              col("embedding").cast("array<double>"), cents).as("ccos"))
+          .filter(col("ccos") >= tau)
+        graft.streaming.StreamRun.toBatch(out, "append", numPartitions = 4)
+          .orderBy("vec_id")
+      },
+      Some(centroidSelectStreamOracleSql)),
 
     // embedding PCA + "all-but-the-top" residual (Mu & Viswanath, ICLR
     // 2018 — removing the dominant direction is the standard embedding

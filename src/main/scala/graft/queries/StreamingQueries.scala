@@ -2607,6 +2607,58 @@ object StreamingQueries {
       },
       Some(PipelineQueries.classifierCalibrationOracleSql)),
 
+    // RELIABILITY (probability-axis calibration) AT INGESTION — the
+    // live ECE feed: per row the deployed model's confidence
+    // p = psig(presence margin) quantizes to the 10⁹ grid (bit-identical
+    // to the batch reliability row — the presence margin is the batch
+    // margin, psig is one shared dag), each micro-batch reduces to
+    // (label, prob-bin) cells carrying count + Σpq + Σ(pq−y·10⁹)² as
+    // DECIMAL(38,0), and the driver folds BigInt accumulators under the
+    // DriverFold crash-commit protocol — O(2·bins) state for the life
+    // of the deployment. The batch tail re-derives conf/acc/|gap| per
+    // bin from the exact sums, so streaming the archive reproduces the
+    // batch reliability profile EXACTLY (shared oracle).
+    Q("stream_text_classifier_reliability",
+      (s, dir) => {
+        implicit val sp = s
+        val qc = graft.text.QualityClassifier
+        val docs = PipelineQueries.classifierPlant(graft.Tables.documents(s, dir))
+        val feats = graft.Caches.track(qc.features(docs, "doc_id", "text",
+          (pmod(col("doc_id"), lit(6)) === 0).cast("int")))
+        val m = qc.train(feats)
+        val ps = qc.ProbScale
+        val w = ps / qc.ReliabilityBins
+        val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+        val binned = PipelineQueries.classifierPlant(
+            StreamSources.documents(s, dir))
+          .select(
+            (pmod(col("doc_id"), lit(6)) === 0).cast("long").as("yl"),
+            floor(graft.functions.PortableLog.psigCol(
+              qc.presenceMarginCol(col("text"), m)) * lit(ps.toDouble))
+              .cast("long").as("pq"))
+          .select(col("yl").cast("string").as("k"),
+            least(expr(s"pq div $w"), lit(qc.ReliabilityBins - 1L)).as("bin"),
+            col("pq").as("v1"),
+            ((col("pq") - col("yl") * lit(ps)) *
+              (col("pq") - col("yl") * lit(ps))).as("v2"))
+        graft.pipeline.Profiling.keyedBinSumsFold(binned,
+            onBatch = _ => (), checkpoint = None, stateDir = None)
+          .groupBy(col("bin"))
+          .agg(sum("cnt").as("n_docs"),
+            sum(when(col("k") === "1", col("cnt")).otherwise(0L)).as("n_pos"),
+            sum(col("s1")).as("spq"))
+          .select(col("bin"), col("n_docs"), col("n_pos"),
+            (col("spq").cast("double") /
+              (col("n_docs").cast("double") * lit(ps.toDouble))).as("conf"),
+            (col("n_pos").cast("double") / col("n_docs").cast("double"))
+              .as("acc"),
+            (abs(col("n_pos").cast(dec) * lit(ps) - col("spq"))
+              .cast("double") /
+              (col("n_docs").cast("double") * lit(ps.toDouble))).as("gap"))
+          .orderBy("bin")
+      },
+      Some(PipelineQueries.classifierReliabilityOracleSql)),
+
     // MODEL GATE AT INGESTION — both models train OFFLINE, the batch
     // rank gate's xent boundary ships to the ingest path as ONE scalar
     // (τ = the smallest dropped xent; the production shape: rank a

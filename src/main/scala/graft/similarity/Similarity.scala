@@ -209,6 +209,31 @@ object Similarity {
       sqrt(dot(vecCol, vecCol)))).getField("cell")
   }
 
+  /** Per-LABEL quantized centroids — the Rocchio prototype table: one
+    * map-side-combined aggregation (NO Lloyd rounds — the labels ARE the
+    * cells), each class mean exact via the int64-quantized elementwise
+    * sums, so the prototypes are bit-reproducible by a single-threaded
+    * SQL replay. O(classes · dim) output.
+    */
+  def classCentroids(labeled: DataFrame, labelCol: String, vecCol: String,
+      scale: Double = 1e6): DataFrame =
+    labeled.groupBy(col(labelCol).as("cent_id"))
+      .agg(graft.functions.expressions.VectorQuantMeanAgg
+        .of(col(vecCol).cast("array<double>"), scale).as("cv"))
+
+  /** The winning cosine itself (not the argmax id) against a literal
+    * centroid set — the scoring half of centroid-based selection: with
+    * one centroid this is cosine-to-prototype; with several, the best
+    * class affinity. Same zero-Exchange literal fold as [[cellColumn]].
+    */
+  def bestCosColumn(vecCol: org.apache.spark.sql.Column,
+      centroids: DataFrame): org.apache.spark.sql.Column = {
+    val cents = collectCentroids(centroids)
+    require(cents.nonEmpty, "cosine scoring needs a non-empty centroid set")
+    array_max(centroidEntries(cents, vecCol,
+      sqrt(dot(vecCol, vecCol)))).getField("c")
+  }
+
   /** Narrow assignment against collected centroids: (id, vec, norm, cell). */
   private def assignCollected(df: DataFrame, idCol: String, vecCol: String,
       cents: Seq[(Any, Seq[Double])]): DataFrame = {

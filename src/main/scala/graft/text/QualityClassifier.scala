@@ -96,6 +96,12 @@ object QualityClassifier {
   private def marginCol(fx: Column, w: Array[Double]): Column =
     graft.functions.expressions.LrMarginFold.of(fx, typedLit(w.toSeq))
 
+  /** The raw (unquantized) margin of a feature array under a trained
+    * model — public for calibration reporting ([[reliabilityBins]] /
+    * [[brierEce]] feed it to the portable sigmoid; [[score]]'s score_q
+    * already floors it to the 10⁶ grid). */
+  def margin(fx: Column, m: Model): Column = marginCol(fx, m.w)
+
   /** The retired composable rendering of [[marginCol]] — kept as the
     * readable specification and the spec's bit-identity anchor. */
   private[graft] def marginColComposable(fx: Column, w: Array[Double]): Column = {
@@ -202,6 +208,126 @@ object QualityClassifier {
             .cast("double") /
             (lit(2L).cast(dec) * col("np") * col("nn")).cast("double"))
           .as("auc"))
+  }
+
+  /** Exact precision/recall sweep over every distinct score threshold —
+    * the curve a gate-threshold decision actually reads (AUC says "does
+    * the model rank at all"; this says "at τ, what fraction of kept docs
+    * is truly positive and what fraction of positives survives").
+    * Predict positive when score ≥ q for each distinct score q:
+    * tp(q) = P − pos_before(q) and n_pred(q) = N − cnt_before(q) come
+    * from ONE multi-column two-pass prefix scan over the distinct-score
+    * tie groups ([[graft.operators.PrefixSum.runningSums]] — no global
+    * sort, no per-column rescan), totals ride a broadcast 1-row cross
+    * join, and precision/recall are single IEEE divisions of exact
+    * integers. O(distinct scores) output.
+    */
+  def prCurve(scored: DataFrame, scoreCol: String,
+      labelCol: Column): DataFrame = {
+    val gs = scored.select(col(scoreCol).cast("long").as("q"),
+        labelCol.cast("long").as("y"))
+      .groupBy("q")
+      .agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+    val cum = graft.operators.PrefixSum.runningSums(
+      gs, Seq("cnt", "pos"), Seq("q"))
+    // totals land as TWO plan literals (a 2-long driver collect — the
+    // registry-wide sweep forbids even a 1-row broadcast-NL totals join,
+    // and two scalars don't need one); cum's scan is cached inside the
+    // prefix pass, so this costs one bounded agg job, not a rescan
+    val tot = cum.agg(sum("cnt").cast("long"), sum("pos").cast("long")).first()
+    val (n, p) = (tot.getLong(0), tot.getLong(1))
+    cum
+      .select(col("q").as("score_q"),
+        (lit(n) - (col("running_cnt") - col("cnt"))).as("n_pred"),
+        (lit(p) - (col("running_pos") - col("pos"))).as("tp"))
+      .select(col("score_q"), col("n_pred"), col("tp"),
+        (col("n_pred") - col("tp")).as("fp"),
+        // the threshold's own tie group is in the kept set, so n_pred ≥ 1
+        (col("tp").cast("double") / col("n_pred").cast("double"))
+          .as("precision"),
+        (if (p == 0) lit(0.0)
+         else col("tp").cast("double") / lit(p.toDouble)).as("recall"))
+  }
+
+  /** Probability grid for calibration: p quantizes to floor(p·10⁹). */
+  val ProbScale: Long = 1000000000L
+
+  /** Reliability bins for calibration-error reporting. */
+  val ReliabilityBins: Int = 10
+
+  /** Per-doc (pq, y): the portable sigmoid of the margin on the exact
+    * 10⁹ grid plus the binary label — the shared front of
+    * [[reliabilityBins]] and [[brierEce]]. */
+  private def probQuantized(scored: DataFrame, marginCol: Column,
+      labelCol: Column): DataFrame =
+    scored.select(
+      floor(PortableLog.psigCol(marginCol) * lit(ProbScale.toDouble))
+        .cast("long").as("pq"),
+      labelCol.cast("long").as("y"))
+
+  /** The reliability diagram (Guo et al., "On Calibration of Modern
+    * Neural Networks" — the ECE's per-bin view) in exact arithmetic:
+    * p = psig(margin) on the 10⁹ integer grid, `bins` equal-width
+    * probability bins (psig can round to exactly 1.0 for large margins,
+    * so the top edge clamps into the last bin), and per bin the doc
+    * count, label positives, mean confidence, empirical accuracy and
+    * |acc − conf| — each a single IEEE division of exact integer sums
+    * (confidence sums are DECIMAL(38,0): 10¹² docs × 10⁹ passes int64).
+    * One aggregation; O(bins) output.
+    */
+  def reliabilityBins(scored: DataFrame, marginCol: Column,
+      labelCol: Column, bins: Int = ReliabilityBins): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val w = ProbScale / bins
+    probQuantized(scored, marginCol, labelCol)
+      .select(least(expr(s"pq div $w"), lit(bins - 1L)).as("bin"),
+        col("pq"), col("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("y").as("n_pos"),
+        sum(col("pq").cast(dec)).as("spq"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        (col("spq").cast("double") /
+          (col("n_docs").cast("double") * lit(ProbScale.toDouble)))
+          .as("conf"),
+        (col("n_pos").cast("double") / col("n_docs").cast("double"))
+          .as("acc"),
+        (abs(col("n_pos").cast(dec) * lit(ProbScale) - col("spq"))
+          .cast("double") /
+          (col("n_docs").cast("double") * lit(ProbScale.toDouble)))
+          .as("gap"))
+  }
+
+  /** Brier score + expected calibration error as ONE row (n_docs, ece,
+    * brier) — the two scalar calibration numbers a model gate publishes.
+    * Both numerators are exact integer sums (the weighted per-bin ECE
+    * term n_b·|acc_b − conf_b| telescopes to |n_pos_b·10⁹ − Σpq_b|/10⁹,
+    * so no double ever sums; Brier's Σ(pq − y·10⁹)² is ≤ 10¹⁸ per doc,
+    * summed as DECIMAL(38,0)), each finished by a single division.
+    */
+  def brierEce(scored: DataFrame, marginCol: Column, labelCol: Column,
+      bins: Int = ReliabilityBins): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val w = ProbScale / bins
+    val perBin = probQuantized(scored, marginCol, labelCol)
+      .select(least(expr(s"pq div $w"), lit(bins - 1L)).as("bin"),
+        col("pq"), col("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("np"),
+        sum(col("pq").cast(dec)).as("spq"),
+        sum(((col("pq") - col("y") * lit(ProbScale)) *
+          (col("pq") - col("y") * lit(ProbScale))).cast(dec)).as("ssq"))
+    perBin.agg(
+        sum("n").cast("long").as("n_docs"),
+        sum(abs(col("np").cast(dec) * lit(ProbScale) - col("spq"))).as("eq"),
+        sum(col("ssq")).as("sq"))
+      .select(col("n_docs"),
+        (col("eq").cast("double") /
+          (col("n_docs").cast("double") * lit(ProbScale.toDouble)))
+          .as("ece"),
+        (col("sq").cast("double") /
+          (col("n_docs").cast("double") *
+            lit(ProbScale.toDouble) * lit(ProbScale.toDouble)))
+          .as("brier"))
   }
 
   /** Persist trained weights through [[graft.pipeline.ModelStore]] —

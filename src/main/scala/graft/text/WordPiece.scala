@@ -1,0 +1,105 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.{tokens, wordGrams}
+
+/** WordPiece-objective merge TRAINING (Schuster & Nakajima, "Japanese and
+  * Korean Voice Search", ICASSP 2012 — the BERT-family tokenizer's
+  * training rule; cf. `wf/builders.hpp`-style operator composition in the
+  * reference, which has no tokenizer — this is pipeline surplus): the
+  * same R-round merge machinery as [[Bpe]] — per round ONE
+  * map-side-combined pair-count aggregation over the cached symbol state
+  * plus a broadcast-literal rewrite — but the round's winner maximizes
+  * the LIKELIHOOD GAIN score(a,b) = count(ab) / (count(a)·count(b))
+  * instead of the raw pair frequency. Merging (a,b) raises corpus
+  * unigram-LM likelihood by ≈ count(ab)·log(score), so ranking by score
+  * greedily maximizes the model's likelihood improvement per merged
+  * occurrence: a pair frequent only because its parts are ubiquitous
+  * ("of the") loses to one whose parts rarely occur apart — the defining
+  * behavioral difference from BPE, spec-pinned.
+  *
+  * The ratio must rank identically cross-engine, so it never becomes a
+  * double: scoreq = (count(ab)·10^15) div (count(a)·count(b)) in exact
+  * integer arithmetic — DECIMAL(38,0) products on the Spark side,
+  * HUGEINT on the DuckDB side. count(ab) ≤ min(count(a), count(b))
+  * bounds the quotient by 10^15 (fits the BIGINT Spark's `div`
+  * returns), and both operands are positive so Spark `div` (truncate)
+  * ≡ DuckDB `//` (floor). Ties after quantization break by pair string
+  * ascending — the same total portable order as BPE.
+  *
+  * A raw likelihood argmax degenerates to hapax pairs — a pair seen ONCE
+  * whose parts are rare scores ~1/count(a)·count(b), beating every
+  * frequent cohesive pair (measured on the test corpus: round 1 picks a
+  * count-1 pair) — so training carries the standard `min_frequency`
+  * floor: only pairs with count(ab) ≥ minCount compete. That is the
+  * published trainer knob (vocab builders count candidates above an
+  * absolute support threshold), not a test accommodation; the floor is
+  * replayed verbatim by the oracle and pinned by the spec.
+  *
+  * Symbol counts come from the SAME cached per-round state as the pair
+  * counts (two partial→final HashAggregates over one in-memory scan, no
+  * extra corpus read); the winner is selected by joining the pair table
+  * against the symbol table on each side — two joins of aggregation
+  * OUTPUTS (bounded by the live symbol vocabulary, never the corpus),
+  * which AQE sizes freely. State representation, the non-overlapping
+  * left-to-right rewrite, persistence ([[Bpe.saveMerges]] — ordinal
+  * rows, order is the model) and application ([[Bpe.applyMerges]] —
+  * frozen-table replay, zero shuffle, stream-safe) are shared with
+  * [[Bpe]] verbatim: the two tokenizers differ ONLY in the selection
+  * rule, which is the honest statement of what WordPiece training is.
+  */
+object WordPiece {
+
+  /** 10^15 — the exact-integer grid the likelihood ratio ranks on. */
+  val ScoreScale = "1000000000000000"
+
+  /** scoreq of one candidate row (cnt, ca, cb) — exact integer column. */
+  private def scoreQ = expr(
+    s"(CAST(cnt AS DECIMAL(38,0)) * CAST($ScoreScale AS DECIMAL(38,0))) div " +
+      "(CAST(ca AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0)))")
+
+  /** Train `rounds` likelihood-scored merges; returns the merge table
+    * (short on pair exhaustion, like [[Bpe.train]]) and the final
+    * per-doc state (idCol, "s"). Each round's state registers with
+    * [[graft.Caches]]; callers release after materializing.
+    */
+  /** The default `min_frequency` support floor for candidate pairs. */
+  val DefaultMinCount = 5L
+
+  def train(df: DataFrame, idCol: String, textCol: String, rounds: Int,
+      minCount: Long = DefaultMinCount,
+      joiner: String = Bpe.Joiner): (Seq[Bpe.Merge], DataFrame) = {
+    var cur = graft.Caches.track(
+      df.select(col(idCol), Bpe.initState(col(textCol)).as("s")))
+    val merges = Seq.newBuilder[Bpe.Merge]
+    var exhausted = false
+    var r = 0
+    while (r < rounds && !exhausted) {
+      val pairs = cur.select(explode(wordGrams(col("s"), 2)).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= minCount)
+      val syms = cur.select(explode(tokens(col("s"))).as("sym"))
+        .groupBy(col("sym")).agg(count(lit(1)).as("scnt"))
+      // symbols never contain spaces (the state is space-joined), so the
+      // pair splits unambiguously on its single separator
+      val best = pairs
+        .withColumn("a", expr("split_part(pair, ' ', 1)"))
+        .withColumn("b", expr("split_part(pair, ' ', 2)"))
+        .join(syms.select(col("sym").as("a"), col("scnt").as("ca")), Seq("a"))
+        .join(syms.select(col("sym").as("b"), col("scnt").as("cb")), Seq("b"))
+        .withColumn("scoreq", scoreQ)
+        .orderBy(col("scoreq").desc, col("pair").asc)
+        .limit(1).select("a", "b", "cnt").collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        merges += Bpe.Merge(a, b, best(0).getLong(2))
+        cur = graft.Caches.track(
+          cur.select(col(idCol), Bpe.mergeStep(col("s"), a, b, joiner).as("s")))
+      }
+      r += 1
+    }
+    (merges.result(), cur)
+  }
+}

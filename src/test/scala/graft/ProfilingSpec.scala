@@ -234,6 +234,48 @@ class ProfilingSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("keyed bin-sums fold: exact value sums, batch-split independent, crash-safe") {
+    import spark.implicits._
+    implicit val sp = spark
+    val rows = (1 to 600).map { i =>
+      (if (i % 3 == 0) "a" else "b", (i % 4).toLong,
+        i.toLong * 1000000L, (i % 7).toLong)
+    }.toDF("k", "bin", "v1", "v2")
+    val root = java.nio.file.Files.createTempDirectory("graft-kbs").toString
+    try {
+      rows.repartition(5).write.mode("overwrite").parquet(s"$root/in")
+      def stream = spark.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val want = spark.read.parquet(s"$root/in")
+        .groupBy("k", "bin")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("v1").cast(dec)).as("s1"), sum(col("v2").cast(dec)).as("s2"))
+        .orderBy("k", "bin").collect().map(_.toSeq).toSeq
+      val got = Profiling.keyedBinSumsFold(stream,
+          onBatch = _ => (), checkpoint = None, stateDir = None)
+        .orderBy("k", "bin").collect().map(_.toSeq).toSeq
+      assert(got == want, "fold must equal the batch sums exactly")
+      // sums ADD on merge — crash-resume equality detects double-adds
+      var calls = 0
+      val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        Profiling.keyedBinSumsFold(stream,
+          onBatch = _ => {
+            calls += 1
+            if (calls == 2) throw new RuntimeException("injected crash after fold")
+            ()
+          },
+          checkpoint = Some(s"$root/ckpt"), stateDir = Some(s"$root/state"))
+      }
+      assert(crashed.getMessage.contains("injected crash") ||
+        crashed.getCause.getMessage.contains("injected crash"))
+      val resumed = Profiling.keyedBinSumsFold(stream, onBatch = _ => (),
+          checkpoint = Some(s"$root/ckpt"), stateDir = Some(s"$root/state"))
+        .orderBy("k", "bin").collect().map(_.toSeq).toSeq
+      assert(resumed == want, "resumed fold must equal the batch sums")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   // ---------- metric correlation ----------
 
   test("metric correlation: driver-dag replay, sign behavior, degenerate guard, invariance") {

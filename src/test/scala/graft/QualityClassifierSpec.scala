@@ -207,4 +207,63 @@ class QualityClassifierSpec extends AnyFunSuite {
       assert(p1.toSeq == p7.toSeq)
     } finally Caches.releaseAll()
   }
+
+  test("PR curve by hand: thresholds, ties, all-negative recall guard, invariance") {
+    import spark.implicits._
+    // scores {3,3,2,1}, labels {1,0,1,0}; thresholds sweep the distinct
+    // scores: q=3 keeps the tie pair (tp 1 of 2), q=2 keeps three
+    // (tp 2 — recall complete), q=1 keeps all four.
+    val rows = Seq((1L, 3L, 1), (2L, 3L, 0), (3L, 2L, 1), (4L, 1L, 0))
+      .toDF("doc_id", "score_q", "y")
+    val qc = graft.text.QualityClassifier
+    try {
+      val got = qc.prCurve(rows, "score_q", col("y")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5)))).toMap
+      assert(got(3L) == ((2L, 1L, 1L, 0.5, 0.5)))
+      assert(got(2L) == ((3L, 2L, 1L, 2.0 / 3.0, 1.0)))
+      assert(got(1L) == ((4L, 2L, 2L, 0.5, 1.0)))
+      // no positives anywhere: recall guards to 0.0, precision exact 0
+      val neg = Seq((1L, 5L, 0), (2L, 4L, 0)).toDF("doc_id", "score_q", "y")
+      val g2 = qc.prCurve(neg, "score_q", col("y")).collect()
+        .map(r => (r.getLong(2), r.getDouble(4), r.getDouble(5)))
+      assert(g2.forall(_ == ((0L, 0.0, 0.0))))
+      // partitioning invariance of the multi-column prefix scan
+      val p1 = qc.prCurve(rows.repartition(1), "score_q", col("y"))
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      val p7 = qc.prCurve(rows.repartition(7), "score_q", col("y"))
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      assert(p1.sameElements(p7))
+    } finally Caches.releaseAll()
+  }
+
+  test("reliability bins and Brier/ECE by hand: exact bins, clamp, telescoped ECE") {
+    import spark.implicits._
+    val qc = graft.text.QualityClassifier
+    // margins chosen for exact psig values: 0.0 → 0.5 (pq 5e8, bin 5);
+    // 40.0 → 1.0 in double (1+e^-40 rounds to 1.0 — pq 1e9 CLAMPS into
+    // bin 9); -40.0 → psig ≈ 4.2e-18 → pq 0, bin 0.
+    val rows = Seq((1L, 0.0, 1), (2L, 0.0, 0), (3L, 40.0, 1), (4L, -40.0, 0))
+      .toDF("doc_id", "s", "y")
+    try {
+      val bins = qc.reliabilityBins(rows, col("s"), col("y")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+      assert(bins.keySet == Set(0L, 5L, 9L), s"bins ${bins.keySet}")
+      assert(bins(5L) == ((2L, 1L, 0.5, 0.5, 0.0)), "perfectly calibrated bin")
+      assert(bins(9L) == ((1L, 1L, 1.0, 1.0, 0.0)), "clamped psig-1.0 bin")
+      assert(bins(0L)._1 == 1L && bins(0L)._2 == 0L && bins(0L)._5 == 0.0)
+      // this toy is perfectly calibrated → ECE 0; Brier = mean over docs
+      // of (p − y)²: (0.25 + 0.25 + 0 + 0) / 4 = 0.125
+      val be = qc.brierEce(rows, col("s"), col("y")).collect()(0)
+      assert(be.getLong(0) == 4L)
+      assert(be.getDouble(1) == 0.0, s"ECE ${be.getDouble(1)}")
+      assert(math.abs(be.getDouble(2) - 0.125) < 1e-9,
+        s"Brier ${be.getDouble(2)}")
+      // a maximally OVER-confident doc moves ECE: one doc, p = 1.0, y = 0
+      val over = Seq((1L, 40.0, 0)).toDF("doc_id", "s", "y")
+      val b2 = qc.brierEce(over, col("s"), col("y")).collect()(0)
+      assert(b2.getDouble(1) == 1.0 && b2.getDouble(2) == 1.0)
+    } finally Caches.releaseAll()
+  }
 }

@@ -65,6 +65,28 @@ class WindowsSpec extends AnyFunSuite {
     assert(scalable == naive)
   }
 
+  test("multi-column prefix scan equals per-column runningSum") {
+    val ev = Tables.events(spark, TestSpark.SF)
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+        expr("CAST(round(value*100) AS BIGINT)").as("cents"))
+      .withColumn("ones", lit(1L))
+    val multi = graft.operators.PrefixSum.runningSums(
+        ev, Seq("cents", "ones"), Seq("ts_us", "event_id"), 7)
+      .select("event_id", "running_cents", "running_ones").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val single = graft.operators.PrefixSum.runningSum(
+        ev, "cents", Seq("ts_us", "event_id"), 5)
+      .select("event_id", "running_cents").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ones = graft.operators.PrefixSum.runningSum(
+        ev, "ones", Seq("ts_us", "event_id"), 3)
+      .select("event_id", "running_ones").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi.map { case (k, v) => k -> v._1 } == single)
+    assert(multi.map { case (k, v) => k -> v._2 } == ones)
+    Caches.releaseAll()
+  }
+
   test("hopping windows (len < slide) drop gap rows") {
     val ev = Tables.events(spark, TestSpark.SF)
       .select(expr("ts div 1000").as("ts_us"), expr("CAST(round(value*100) AS BIGINT)").as("cents"))
