@@ -341,6 +341,51 @@ object Profiling {
       .agg(max("b").as("n_bins"), sum("tq").as("psi_q"))
   }
 
+  /** [[psiReport]] against a PER-KEY baseline — "did source X's
+    * distribution shift vs ITS OWN archived distribution", the monitor
+    * semantics for metrics where key identity dominates the marginal
+    * (per-source LM xent: sources legitimately differ, so every source
+    * "drifts" from the corpus marginal and a real shift drowns in that
+    * background; against its own baseline the background is ~0 and the
+    * shifted source dominates). Same smoothed-PSI dag as [[psiReport]]
+    * — identical double expression trees, same union-of-supports rule
+    * applied per key — with the grid/totals derived by per-key joins of
+    * post-histogram relations (O(keys·bins) rows end-to-end). Keys =
+    * the slice histogram's keys; a key with no baseline rows (nb = 0)
+    * scores against the uniform smoothed floor over its own support —
+    * a non-uniform newcomer charges positive PSI, a single-bin one
+    * matches the floor trivially (spec-pinned degenerate).
+    */
+  def psiReportKeyed(byKey: DataFrame, baseByKey: DataFrame,
+      keyCol: String): DataFrame = {
+    import graft.functions.PortableLog
+    val bins = baseByKey.select(col(keyCol), col("bin"))
+      .union(byKey.select(col(keyCol), col("bin"))).distinct()
+    val bt = baseByKey.groupBy(keyCol).agg(sum("cnt").as("nb"))
+    val bc = bins.groupBy(keyCol).agg(count(lit(1)).as("b"))
+    val ns = byKey.groupBy(keyCol).agg(sum("cnt").as("ns"))
+    val joined = bins
+      .join(baseByKey.withColumnRenamed("cnt", "cb"),
+        Seq(keyCol, "bin"), "left")
+      .withColumn("cb", coalesce(col("cb"), lit(0L)))
+      .join(byKey.withColumnRenamed("cnt", "cs"), Seq(keyCol, "bin"), "left")
+      .withColumn("cs", coalesce(col("cs"), lit(0L)))
+      .join(bt, Seq(keyCol), "left")
+      .withColumn("nb", coalesce(col("nb"), lit(0L)))
+      .join(bc, Seq(keyCol))
+      .join(ns, Seq(keyCol))
+    val p = (col("cs") + lit(1L)).cast("double") /
+      (col("ns") + col("b")).cast("double")
+    val q = (col("cb") + lit(1L)).cast("double") /
+      (col("nb") + col("b")).cast("double")
+    val term = (p - q) * PortableLog.plogCol(p / q)
+    joined
+      .select(col(keyCol), col("b"),
+        floor(lit(1.0e9) * term).cast("long").as("tq"))
+      .groupBy(keyCol)
+      .agg(max("b").as("n_bins"), sum("tq").as("psi_q"))
+  }
+
   /** Per-key character-length drift vs the corpus marginal: ONE corpus
     * scan builds the keyed histogram; the baseline is its bin marginal
     * (a re-aggregation of the O(groups·B) table, not a second scan), so

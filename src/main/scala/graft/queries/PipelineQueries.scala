@@ -106,14 +106,18 @@ object PipelineQueries {
     * min/max aggregation are identical to the minhash twin — same
     * self-pair rule, same duplicate-insensitivity argument.
     */
+  /** The incremental n-gram replay — candidates join on the 60-bit gram
+    * DIGEST (the column the engine's index stores; the df cap counts
+    * digests), the verify tail is the exact string-shingle jaccard. */
   private[queries] def ngramIncrementalSql(threshold: Double,
       maxDf: Long): String =
     s"""${gramCtes(3)},
-       |tdf AS (SELECT gram, count(*) AS c FROM g
-       |        WHERE doc_id % 4 = 0 GROUP BY gram),
+       |ghh AS (SELECT doc_id, ${DuckSql.hash60("gram")} AS gh FROM g),
+       |tdf AS (SELECT gh, count(*) AS c FROM ghh
+       |        WHERE doc_id % 4 = 0 GROUP BY gh),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-       |  FROM g a JOIN tdf USING (gram) JOIN g b USING (gram)
+       |  FROM ghh a JOIN tdf USING (gh) JOIN ghh b USING (gh)
        |  WHERE a.doc_id % 4 = 0 AND tdf.c <= $maxDf),
        |${jaccardTail(threshold)}
        |SELECT b_id AS doc_id, min(a_id) AS rep_id, max(jaccard) AS j_max
@@ -3477,6 +3481,103 @@ object PipelineQueries {
     SELECT source, max(b) AS n_bins, CAST(sum(tq) AS BIGINT) AS psi_q
     FROM t GROUP BY source ORDER BY source"""
 
+  /** MODEL-drift plant: src7's documents each gain 24 doc-UNIQUE tokens
+    * — the reference LM can never have seen those bigrams, so the
+    * unseen-transition penalty lifts src7's xent into bins NO natural
+    * source occupies (sources genuinely differ in xent, so a small nudge
+    * would drown in the background spread — measured: a 4-pair plant
+    * left src7 ranked 7th; the monitor must dominate, not tie). No
+    * SHARED token's corpus share changes, so the token monitor stays
+    * near-blind to it — the four drift axes remain complementary. */
+  private[queries] def lmDriftPlant(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      when(col("source") === "src7",
+        concat(col("text"), lit(" "),
+          array_join(transform(sequence(lit(1), lit(24)),
+            i => concat(lit("zq"), i.cast("string"), lit("x"),
+              col("doc_id").cast("string"))), " ")))
+        .otherwise(col("text")).as("text"))
+
+  /** LM-xent drift oracle — per-source SELF-baseline: ONE model
+    * (trained on the raw alternating-id-block archive half) scores BOTH corpora — the raw
+    * reference slice (the per-source baselines) and the planted full
+    * corpus (the "new crawl") — through two suffixed copies of the
+    * staged portable-log chain; bins are the exact integer 1/16-xent
+    * cut; the keyed-PSI tail mirrors
+    * [[graft.pipeline.Profiling.psiReportKeyed]] term for term. */
+  private[queries] lazy val lmDriftPsiOracleSql: String = {
+    import graft.functions.PortableLog
+    val bigrams = "CASE WHEN len(toks) >= 2 THEN list_transform(range(0, len(toks) - 1), " +
+      "i -> toks[CAST(i+1 AS INT)] || ' ' || toks[CAST(i+2 AS INT)]) " +
+      "ELSE CAST([] AS VARCHAR[]) END"
+    val plantedText = "text || ' ' || array_to_string(" +
+      "list_transform(range(1, 25), i -> 'zq' || CAST(i AS VARCHAR) || " +
+      "'x' || CAST(doc_id AS VARCHAR)), ' ')"
+    def scoreChain(sfx: String, bgRel: String): String = s"""
+      pr$sfx AS (SELECT b.doc_id, COALESCE(c2.c2, 0) AS c2v, COALESCE(c1.c1, 0) AS c1v
+             FROM $bgRel b LEFT JOIN c2 USING (bigram)
+               LEFT JOIN c1 ON c1.token = split_part(b.bigram, ' ', 1)),
+      xx$sfx AS (SELECT doc_id,
+               CAST(c2v + 1 AS DOUBLE) / CAST(c1v + (SELECT v FROM vv) AS DOUBLE) AS x
+             FROM pr$sfx),
+      yy$sfx AS (SELECT doc_id, ${PortableLog.sqrtNestSql("x")} AS y FROM xx$sfx),
+      zq$sfx AS (SELECT doc_id, ${PortableLog.zSql("y")} AS z FROM yy$sfx),
+      qz$sfx AS (SELECT doc_id,
+               CAST(floor(1.0e6 * ${PortableLog.seriesSql("z")}) AS BIGINT) AS q
+             FROM zq$sfx),
+      sc$sfx AS (SELECT doc_id, count(*) AS n_bigrams, sum(q) AS lm FROM qz$sfx GROUP BY doc_id)"""
+    s"""WITH m0 AS MATERIALIZED (SELECT doc_id, source, text FROM ${Q.DocsRef}),
+       |mp AS MATERIALIZED (SELECT doc_id, source,
+       |       CASE WHEN source = 'src7' THEN $plantedText ELSE text END AS text
+       |     FROM ${Q.DocsRef}),
+       |tk0 AS MATERIALIZED (SELECT doc_id, ${DuckSql.tokens("text")} AS toks FROM m0),
+       |tkp AS MATERIALIZED (SELECT doc_id, ${DuckSql.tokens("text")} AS toks FROM mp),
+       |bg0 AS MATERIALIZED (SELECT doc_id, unnest($bigrams) AS bigram FROM tk0
+       |       WHERE (doc_id // 20) % 2 = 0),
+       |bgp AS MATERIALIZED (SELECT doc_id, unnest($bigrams) AS bigram FROM tkp),
+       |c1 AS (SELECT token, count(*) AS c1 FROM
+       |         (SELECT unnest(toks) AS token FROM tk0
+       |          WHERE (doc_id // 20) % 2 = 0) t1
+       |       GROUP BY token),
+       |vv AS (SELECT count(*) AS v FROM c1),
+       |c2 AS (SELECT bigram, count(*) AS c2 FROM bg0 GROUP BY bigram),
+       |${scoreChain("0", "bg0")},
+       |${scoreChain("p", "bgp")},
+       |bk0 AS (SELECT d.source, ((-(s.lm)) * 16) // (s.n_bigrams * 1000000) AS bin,
+       |          count(*) AS cnt
+       |        FROM sc0 s JOIN ${Q.DocsRef} d USING (doc_id)
+       |        WHERE s.n_bigrams > 0 GROUP BY 1, 2),
+       |bk AS (SELECT d.source, ((-(s.lm)) * 16) // (s.n_bigrams * 1000000) AS bin,
+       |         count(*) AS cnt
+       |       FROM scp s JOIN ${Q.DocsRef} d USING (doc_id)
+       |       WHERE s.n_bigrams > 0 GROUP BY 1, 2),
+       |bins AS (SELECT DISTINCT source, bin FROM
+       |          (SELECT source, bin FROM bk0
+       |           UNION ALL SELECT source, bin FROM bk) u),
+       |bt AS (SELECT source, sum(cnt) AS nb FROM bk0 GROUP BY 1),
+       |bc AS (SELECT source, count(*) AS b FROM bins GROUP BY 1),
+       |nss AS (SELECT source, sum(cnt) AS ns FROM bk GROUP BY 1),
+       |j AS (SELECT bins.source, bins.bin, COALESCE(b0.cnt, 0) AS cb,
+       |             COALESCE(bk.cnt, 0) AS cs, COALESCE(bt.nb, 0) AS nb,
+       |             bc.b, nss.ns
+       |      FROM bins LEFT JOIN bk0 b0
+       |          ON b0.source = bins.source AND b0.bin = bins.bin
+       |        LEFT JOIN bk ON bk.source = bins.source AND bk.bin = bins.bin
+       |        LEFT JOIN bt ON bt.source = bins.source
+       |        JOIN bc ON bc.source = bins.source
+       |        JOIN nss ON nss.source = bins.source),
+       |px AS (SELECT source, b, CAST(cs + 1 AS DOUBLE) / CAST(ns + b AS DOUBLE) AS p,
+       |             CAST(cb + 1 AS DOUBLE) / CAST(nb + b AS DOUBLE) AS q FROM j),
+       |y0 AS (SELECT source, b, p, q, p / q AS r FROM px),
+       |y1 AS (SELECT source, b, p, q, ${PortableLog.sqrtNestSql("r")} AS y FROM y0),
+       |y2 AS (SELECT source, b, p, q, ${PortableLog.zSql("y")} AS z FROM y1),
+       |t AS (SELECT source, b,
+       |        CAST(floor(1.0e9 * ((p - q) * ${PortableLog.seriesSql("z")})) AS BIGINT) AS tq
+       |      FROM y2)
+       |SELECT source, max(b) AS n_bins, CAST(sum(tq) AS BIGINT) AS psi_q
+       |FROM t GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** PSI gate for the drift composite: PSI 0.5 in quantized units —
     * comfortably between the planted source (~1.7·10⁹ at both SFs) and
     * the near-uniform background (~5·10⁷). */
@@ -5417,6 +5518,45 @@ object PipelineQueries {
         tokenDriftPlant(Tables.documents(s, dir)), "source", "text")
         .orderBy("source"),
       Some(tokenDriftPsiOracleSql)),
+
+    // MODEL-drift scoring — the fourth face of the drift monitor
+    // (length / token / embedding / LM-xent): "which sources no longer
+    // read like THEIR OWN archived selves to the deployed language
+    // model". Sources legitimately differ in xent, so a marginal
+    // baseline flags every source (measured: the planted source ranked
+    // 7th against the marginal) — the baseline here is PER-SOURCE: the
+    // reference LM fits on the raw %4 == 0 archive, the archive slice
+    // scores into per-source baseline histograms, the "new crawl" (the
+    // planted corpus) scores against the SAME model, and the keyed-PSI
+    // dag charges each source only for shifts vs its own past. Bins are
+    // the EXACT integer 1/16-xent cut ((−lm_logp_q·16) div
+    // (n_bigrams·10⁶) — never a double bin edge). The plant (24
+    // doc-unique tokens on src7) trips the unseen-transition penalty
+    // into bins that source never occupied; no SHARED token's corpus
+    // share changes, so the token monitor stays near-blind to it.
+    Q("pipeline_lm_drift_psi",
+      (s, dir) => {
+        val raw = Tables.documents(s, dir)
+        // the reference split must STRATIFY across sources — source is
+        // doc_id mod 20 in the test tables, so a mod-4 split would hand
+        // half the sources an EMPTY baseline; alternating id-blocks of
+        // 20 give every source half its docs
+        val ref = raw.filter(expr("(doc_id div 20) % 2 = 0"))
+        val m = graft.text.NgramLm.train(ref, "text")
+        def bins(scored: org.apache.spark.sql.DataFrame) = scored
+          .join(raw.select("doc_id", "source"), "doc_id")
+          .filter(col("n_bigrams") > 0)
+          .select(col("source"),
+            expr("((-lm_logp_q) * 16) div (n_bigrams * 1000000)").as("bin"))
+          .groupBy("source", "bin").agg(count(lit(1)).as("cnt"))
+        val base = graft.Caches.track(
+          bins(graft.text.NgramLm.score(ref, "doc_id", "text", m)))
+        val cur = graft.Caches.track(
+          bins(graft.text.NgramLm.score(lmDriftPlant(raw), "doc_id", "text", m)))
+        graft.pipeline.Profiling.psiReportKeyed(cur, base, "source")
+          .orderBy("source")
+      },
+      Some(lmDriftPsiOracleSql)),
 
     // EMBEDDING-space drift — the VECTOR face of the drift-monitor
     // triad: per-source mass over trained-IVF cells (the vocabulary-

@@ -1084,22 +1084,34 @@ object StreamingQueries {
         import graft.functions.GraftFunctions.wordShingles
         val training = graft.Tables.documents(s, dir)
           .filter(pmod(col("doc_id"), lit(4)) === 0)
+        // the inverted index keys on the 60-bit gram DIGEST, not the gram
+        // string: gram text never enters the probe join's shuffle or the
+        // index relation (int64 keys end-to-end) — safe because candidates only
+        // GATE the exact SortedJaccard verify (a digest collision adds a
+        // candidate the verify then judges on the true shingle arrays),
+        // and the oracle hashes identically so even collision-born
+        // candidates agree cross-engine. The df cap counts digests — the
+        // same policy axis, on the column the index actually stores.
         val trGrams = graft.Caches.track(
           graft.dedup.Dedup.shingles(training, "doc_id", "text", 3)
+            .select(col("doc_id").as("a_id"),
+              graft.functions.GraftFunctions.hash60(col("gram")).as("gh"))
             .withColumn("__df", count(lit(1)).over(
-              org.apache.spark.sql.expressions.Window.partitionBy("gram")))
+              org.apache.spark.sql.expressions.Window.partitionBy("gh")))
             .filter(col("__df") <= 100)
-            .select(col("doc_id").as("a_id"), col("gram")))
+            .drop("__df"))
         val trVerify = graft.Caches.track(
           training.select(col("doc_id").as("a_id"),
             sort_array(wordShingles(col("text"), 3)).as("sh_a")))
         val incoming = fanOut(StreamSources.documents(s, dir))
           .select(col("doc_id"), sort_array(wordShingles(col("text"), 3)).as("sh_b"))
           .select(col("doc_id"), col("sh_b"), explode(col("sh_b")).as("gram"))
+          .select(col("doc_id"), col("sh_b"),
+            graft.functions.GraftFunctions.hash60(col("gram")).as("gh"))
           .withColumn("event_time", current_timestamp())
           .withWatermark("event_time", "1 hour")
         val verified = incoming
-          .join(trGrams, Seq("gram"))
+          .join(trGrams, Seq("gh"))
           .join(trVerify, Seq("a_id"))
           .select(col("event_time"), col("doc_id"), col("a_id"),
             graft.functions.expressions.SortedJaccard
@@ -1231,12 +1243,17 @@ object StreamingQueries {
         val training = graft.Tables.documents(s, dir)
           .filter(pmod(col("doc_id"), lit(4)) === 0)
         val root = PipelineQueries.modelRootShared("ngram_index")
+        // the persisted index stores 60-bit gram DIGESTS (int64) instead
+        // of gram strings — fixed-width probe keys, no text in the index;
+        // exactness rides the SortedJaccard verify (see the inline twin)
         graft.dedup.IndexStore.save(s, root, Seq(
           "grams" -> graft.dedup.Dedup.shingles(training, "doc_id", "text", 3)
+            .select(col("doc_id").as("a_id"),
+              graft.functions.GraftFunctions.hash60(col("gram")).as("gh"))
             .withColumn("__df", count(lit(1)).over(
-              org.apache.spark.sql.expressions.Window.partitionBy("gram")))
+              org.apache.spark.sql.expressions.Window.partitionBy("gh")))
             .filter(col("__df") <= 100)
-            .select(col("doc_id").as("a_id"), col("gram")),
+            .drop("__df"),
           "verify" -> training.select(col("doc_id").as("a_id"),
             sort_array(wordShingles(col("text"), 3)).as("sh_a"))))
         val trGrams = graft.Caches.track(
@@ -1246,10 +1263,12 @@ object StreamingQueries {
         val incoming = fanOut(StreamSources.documents(s, dir))
           .select(col("doc_id"), sort_array(wordShingles(col("text"), 3)).as("sh_b"))
           .select(col("doc_id"), col("sh_b"), explode(col("sh_b")).as("gram"))
+          .select(col("doc_id"), col("sh_b"),
+            graft.functions.GraftFunctions.hash60(col("gram")).as("gh"))
           .withColumn("event_time", current_timestamp())
           .withWatermark("event_time", "1 hour")
         val verified = incoming
-          .join(trGrams, Seq("gram"))
+          .join(trGrams, Seq("gh"))
           .join(trVerify, Seq("a_id"))
           .select(col("event_time"), col("doc_id"), col("a_id"),
             graft.functions.expressions.SortedJaccard
@@ -1805,6 +1824,54 @@ object StreamingQueries {
           "source", "text").orderBy("source")
       },
       Some(PipelineQueries.tokenDriftPsiOracleSql)),
+
+    // MODEL drift AT INGESTION — the LM-xent face of the drift monitor
+    // run where it matters: the reference bigram LM and each source's
+    // BASELINE xent histogram derive OFFLINE from the raw archive, each
+    // arriving doc's quantized log-prob aggregates on the watermarked
+    // ingress window (the streaming-LM shape — update mode, single
+    // emission under AvailableNow), bins are the same EXACT integer
+    // 1/16-xent cut, and the keyed-PSI tail charges each source only
+    // for shifts vs its own past. Streaming the archive reproduces the
+    // batch row exactly (shared oracle); in production the stream is
+    // the new crawl scored against last night's LM and baselines.
+    Q("stream_pipeline_lm_drift_psi",
+      (s, dir) => {
+        implicit val sp = s
+        import graft.functions.GraftFunctions.wordGrams
+        val raw = graft.Tables.documents(s, dir)
+        // stratified reference split — see the batch twin
+        val ref = raw.filter(expr("(doc_id div 20) % 2 = 0"))
+        val m = graft.text.NgramLm.train(ref, "text")
+        val base = graft.Caches.track(
+          graft.text.NgramLm.score(ref, "doc_id", "text", m)
+            .join(raw.select("doc_id", "source"), "doc_id")
+            .filter(col("n_bigrams") > 0)
+            .select(col("source"),
+              expr("((-lm_logp_q) * 16) div (n_bigrams * 1000000)").as("bin"))
+            .groupBy("source", "bin").agg(count(lit(1)).as("cnt")))
+        val incoming = PipelineQueries.lmDriftPlant(
+            StreamSources.documents(s, dir))
+          .select(col("doc_id"), col("source"),
+            explode(wordGrams(col("text"), 2)).as("bigram"))
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+        val perDoc = graft.text.NgramLm.probeQq(incoming, m, fitsBroadcast = true)
+          .groupBy(window(col("event_time"), "1 hour"),
+            col("doc_id"), col("source"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("qq")).as("lm_logp_q"))
+          .select(col("doc_id"), col("source"),
+            col("n_bigrams"), col("lm_logp_q"))
+        val scored = StreamRun.toBatch(perDoc, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+        val byKey = graft.Caches.track(scored
+          .select(col("source"),
+            expr("((-lm_logp_q) * 16) div (n_bigrams * 1000000)").as("bin"))
+          .groupBy("source", "bin").agg(count(lit(1)).as("cnt")))
+        graft.pipeline.Profiling.psiReportKeyed(byKey, base, "source")
+          .orderBy("source")
+      },
+      Some(PipelineQueries.lmDriftPsiOracleSql)),
 
     // EMBEDDING drift AT INGESTION — the vector face of the crawl-drift
     // triad: centroids AND the baseline cell histogram derive offline
@@ -2748,6 +2815,34 @@ object StreamingQueries {
           .orderBy("doc_id")
       },
       Some(PipelineQueries.bpeApplyOracleSql(PipelineQueries.BpeRounds))),
+
+    // WordPiece tokenization AT INGESTION — the same frozen-tokenizer
+    // deployment as the BPE twin (training on the stream would drift the
+    // vocabulary with arrival order): the likelihood-scored merge table
+    // trains OFFLINE on the %4 == 0 subset, the stream replays it as the
+    // R broadcast-literal rewrite chain — per-row column work, no
+    // shuffle, no state. Completes streaming coverage across all three
+    // tokenizer families (BPE, unigram, WordPiece).
+    Q("stream_text_wordpiece_apply",
+      (s, dir) => {
+        implicit val sp = s
+        val (merges, _) = graft.text.WordPiece.train(
+          graft.Tables.documents(s, dir)
+            .filter(pmod(col("doc_id"), lit(4)) === 0),
+          "doc_id", "text", rounds = PipelineQueries.WpRounds)
+        val out = StreamSources.documents(s, dir)
+          .select(col("doc_id"),
+            graft.text.Bpe.applyMerges(col("text"), merges).as("s"))
+          .select(col("doc_id"),
+            org.apache.spark.sql.functions.size(
+              graft.functions.GraftFunctions.tokens(col("s")))
+              .cast("int").as("n_symbols"),
+            col("s").as("text_wp"))
+        StreamRun.toBatch(out, "append", numPartitions = 4)
+          .orderBy("doc_id")
+      },
+      Some(PipelineQueries.wpApplyOracleSqlFor(
+        PipelineQueries.WpRounds, "doc_id % 4 = 0"))),
 
     // INCREMENTAL Bloom-guarded exact-dedup membership at ingestion — the
     // streaming face of dedup_bloom, completing the "new data versus the

@@ -276,6 +276,38 @@ class ProfilingSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("keyed-baseline PSI: identical slices score 0, shifted slice dominates, empty baseline = max novelty") {
+    import spark.implicits._
+    import graft.functions.PortableLog
+    // key "same": current ≡ its baseline → p = q in every bin → PSI 0
+    // key "shift": all current mass moved to a bin its baseline lacks
+    // key "new": no baseline rows (nb = 0) — scored against the uniform
+    // smoothed floor over its own support, so a NON-uniform newcomer
+    // scores positive (a single-bin newcomer is trivially "uniform" and
+    // scores 0 — that degenerate is pinned too)
+    val base = Seq(("same", 0L, 10L), ("same", 1L, 10L),
+      ("shift", 0L, 20L)).toDF("k", "bin", "cnt")
+    val cur = Seq(("same", 0L, 10L), ("same", 1L, 10L),
+      ("shift", 5L, 20L), ("new", 3L, 7L), ("new", 4L, 1L),
+      ("one", 2L, 9L)).toDF("k", "bin", "cnt")
+    val got = Profiling.psiReportKeyed(cur, base, "k").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("same") == ((2L, 0L)), "self-identical slice must score exactly 0")
+    assert(got("shift")._2 > 0L && got("new")._2 > 0L)
+    assert(got("one") == ((1L, 0L)), "single-bin newcomer matches the floor trivially")
+    // hand replay of one "shift" bin (bin 5: cs=20 cb=0, ns=20 nb=20 b=2)
+    val p = (20.0 + 1.0) / (20.0 + 2.0); val q = (0.0 + 1.0) / (20.0 + 2.0)
+    val t5 = math.floor(1.0e9 * ((p - q) * PortableLog.plog(p / q))).toLong
+    val p0 = (0.0 + 1.0) / (20.0 + 2.0); val q0 = (20.0 + 1.0) / (20.0 + 2.0)
+    val t0 = math.floor(1.0e9 * ((p0 - q0) * PortableLog.plog(p0 / q0))).toLong
+    assert(got("shift") == ((2L, t5 + t0)), s"hand PSI ${t5 + t0} vs ${got("shift")}")
+    // partitioning invariance of the join dag
+    val p7 = Profiling.psiReportKeyed(cur.repartition(7), base.repartition(3), "k")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(p7 == got)
+    Caches.releaseAll()
+  }
+
   // ---------- metric correlation ----------
 
   test("metric correlation: driver-dag replay, sign behavior, degenerate guard, invariance") {
