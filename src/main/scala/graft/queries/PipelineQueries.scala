@@ -633,6 +633,26 @@ object PipelineQueries {
     SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id
     FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
 
+  /** Hard-negative oracle: the trained-IVF chain (nprobe 1 — the
+    * serving join's cell), candidates filtered to label-DIFFERENT pairs
+    * BEFORE the rank (filtering after a plain top-k would let same-label
+    * neighbors crowd negatives out), top-3 per query. */
+  private[queries] lazy val hardNegativesOracleSql: String = s"""
+    WITH ${ivfTrainedCtes(k = 16, iters = 2, nprobe = 1)},
+    sc AS (SELECT q.query_id, d.vec_id AS neighbor_id,
+                  ${DuckSql.cosine("q.qv", "d.v")} AS cos
+           FROM qp q JOIN cellF d ON q.cell = d.cell AND q.query_id <> d.vec_id),
+    lb AS (SELECT vec_id, label FROM ${Q.EmbRef}),
+    hd AS (SELECT sc.query_id, sc.neighbor_id, sc.cos
+           FROM sc JOIN lb ql ON ql.vec_id = sc.query_id
+             JOIN lb nl ON nl.vec_id = sc.neighbor_id
+           WHERE ql.label <> nl.label),
+    r AS (SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM hd)
+    SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id
+    FROM r WHERE rnk <= 3 ORDER BY query_id, rnk"""
+
   private[queries] def ivfTrainedCtes(k: Int, iters: Int, nprobe: Int, dim: Int = 64,
       scale: String = "1000000.0e0", trainRel: String = "e",
       queryPred: String = "vec_id < 100",
@@ -4257,6 +4277,40 @@ object PipelineQueries {
       },
       Some(ivfTrainedKnnOracleSql)),
 
+    // HARD-NEGATIVE mining — the contrastive-training data op (retrieval
+    // and embedding models train on (anchor, hard negative) pairs where
+    // the negative is maximally similar but differently labeled): the
+    // trained-IVF serving join supplies candidates (cell-bounded, never
+    // all-pairs), the label-difference predicate applies BEFORE the rank
+    // (a plain top-k then filter would let same-label neighbors crowd
+    // negatives out), and each query keeps its top-3 hardest negatives
+    // by cosine. Labels ride two id-keyed equi-joins of the candidate
+    // relation — AQE broadcasts the id→label side when small.
+    Q("pipeline_hard_negatives",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"), col("label"))
+        val cents = Similarity.kmeansCentroidsQuantized(
+          emb, "vec_id", "v", k = 16, iters = 2)
+        val labels = emb.select(col("vec_id"), col("label"))
+        val scored = Similarity.knnIvfServeScored(
+          emb.filter(col("vec_id") < 100), emb, "vec_id", "v", cents)
+        val hard = scored
+          .join(labels.select(col("vec_id").as("query_id"),
+            col("label").as("__ql")), "query_id")
+          .join(labels.select(col("vec_id").as("neighbor_id"),
+            col("label").as("__nl")), "neighbor_id")
+          .filter(col("__ql") =!= col("__nl"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id").asc)
+        hard.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("query_id"), col("rnk").cast("int").as("rnk"),
+            col("neighbor_id"))
+          .orderBy("query_id", "rnk")
+      },
+      Some(hardNegativesOracleSql)),
+
     // ===== unigram-LM tokenizer (SentencePiece family, Viterbi-EM) =====
     // The OTHER production tokenizer next to BPE: seed vocabulary from
     // substring counts, EM prune rounds (Viterbi-segment the word types,
@@ -4651,6 +4705,27 @@ object PipelineQueries {
           .orderBy("source")
       },
       Some(wpCompressionOracleSql(WpRounds, "doc_id % 4 = 0"))),
+
+    // SAMPLED-fit WordPiece — the sampled knob now spans all FIVE
+    // trained families (classifier, LM, DSIR, BPE, WordPiece): the
+    // likelihood-scored merges train on the deterministic 30%
+    // hash-sample, application stays corpus-wide as the frozen
+    // R-rewrite chain.
+    Q("text_wordpiece_train_sampled",
+      (s, dir) => {
+        val (merges, _) = graft.text.WordPiece.train(
+          Tables.documents(s, dir).filter(
+            graft.pipeline.Mixing.samplePred("doc_id", SampledFitPct)),
+          "doc_id", "text", rounds = WpRounds)
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            graft.text.Bpe.applyMerges(col("text"), merges).as("s"))
+          .select(col("doc_id"),
+            size(tokens(col("s"))).cast("int").as("n_symbols"),
+            col("s").as("text_wp"))
+          .orderBy("doc_id")
+      },
+      Some(wpApplyOracleSqlFor(WpRounds, sampledFitPredSql))),
 
     // CCNet's ACTUAL output shape — perplexity-bucketed corpora: rank
     // every doc by LM cross-entropy and split into head/middle/tail
@@ -6115,6 +6190,87 @@ object PipelineQueries {
     // per-label window compiles to Spark's WindowGroupLimit — each
     // partition keeps only its local top-k before the shuffle, so the
     // exchange moves O(labels*k), not the corpus.
+    // DATA-QUALITY AUDIT gate — the schema/payload validation pass a
+    // production ingest runs before anything else (the dbt-test /
+    // expectation-suite shape): per source, exact violation counts for
+    // empty/whitespace-only text, metadata-payload disagreement
+    // (n_chars vs length(text) — the table carries redundant metadata,
+    // so the audit can actually CHECK it), and malformed language tags;
+    // a source passes only if every check is clean. Violations are
+    // PLANTED on residue classes ALIGNED to three sources (source is
+    // id mod 20 in the test tables), so each check is load-bearing AND
+    // the pass flag discriminates — 3 sources fail, 17 pass. One scan,
+    // one aggregation, O(sources) output.
+    Q("pipeline_data_audit",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            when(pmod(col("doc_id"), lit(20)) === 3 &&
+                pmod(col("doc_id"), lit(3)) === 0, lit("   "))
+              .otherwise(col("text")).as("text"),
+            when(pmod(col("doc_id"), lit(20)) === 5 &&
+                pmod(col("doc_id"), lit(3)) === 0,
+              col("n_chars") + lit(7L)).otherwise(col("n_chars"))
+              .as("n_chars"),
+            when(pmod(col("doc_id"), lit(20)) === 9 &&
+                pmod(col("doc_id"), lit(3)) === 0, lit("xx?"))
+              .otherwise(col("lang")).as("lang"))
+        docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum((col("text").isNull || trim(col("text")) === "")
+              .cast("long")).as("n_empty"),
+            sum((col("n_chars") =!= length(col("text")))
+              .cast("long")).as("n_meta_mismatch"),
+            sum((col("lang").isNull || length(col("lang")) =!= 2)
+              .cast("long")).as("n_bad_lang"))
+          .withColumn("audit_pass",
+            (col("n_empty") === 0 && col("n_meta_mismatch") === 0 &&
+              col("n_bad_lang") === 0).cast("int"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH d AS (SELECT doc_id, source,
+            CASE WHEN doc_id % 20 = 3 AND doc_id % 3 = 0 THEN '   ' ELSE text END AS text,
+            CASE WHEN doc_id % 20 = 5 AND doc_id % 3 = 0 THEN n_chars + 7 ELSE n_chars END AS n_chars,
+            CASE WHEN doc_id % 20 = 9 AND doc_id % 3 = 0 THEN 'xx?' ELSE lang END AS lang
+          FROM ${Q.DocsRef}),
+        g AS (SELECT source, count(*) AS n_docs,
+            CAST(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+            CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_meta_mismatch,
+            CAST(sum(CASE WHEN lang IS NULL OR length(lang) <> 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_lang
+          FROM d GROUP BY source)
+        SELECT source, n_docs, n_empty, n_meta_mismatch, n_bad_lang,
+               CASE WHEN n_empty = 0 AND n_meta_mismatch = 0
+                     AND n_bad_lang = 0 THEN 1 ELSE 0 END AS audit_pass
+        FROM g ORDER BY source""")),
+
+    // UNCERTAINTY sampling — the active-learning batch selection a
+    // labeling budget actually buys (Lewis & Gale: annotate where the
+    // model is least sure): the deployed classifier's |margin| smallest
+    // k docs, ties by id. TakeOrderedAndProject — each partition keeps
+    // its local k, the driver merges O(parts·k), never a global sort.
+    Q("pipeline_uncertainty_sample",
+      (s, dir) => {
+        val qc = graft.text.QualityClassifier
+        val feats = graft.Caches.track(qc.features(
+          classifierPlant(Tables.documents(s, dir)), "doc_id", "text",
+          (pmod(col("doc_id"), lit(6)) === 0).cast("int")))
+        val m = qc.train(feats)
+        qc.score(feats, "doc_id", m)
+          .select(col("doc_id"), col("score_q"),
+            abs(col("score_q")).as("__a"))
+          .orderBy(col("__a").asc, col("doc_id").asc)
+          .limit(25)
+          .select("doc_id", "score_q")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH m AS MATERIALIZED ($classifierMPlantSql),
+        $tkCteSql,
+        $classifierCoreCtes,
+        scq AS (SELECT doc_id, CAST(floor(1.0e6 * s) AS BIGINT) AS q FROM sF),
+        pick AS (SELECT doc_id, q FROM scq ORDER BY abs(q), doc_id LIMIT 25)
+        SELECT doc_id, q AS score_q FROM pick ORDER BY doc_id""")),
+
     Q("pipeline_stratified_sample",
       (s, dir) => {
         // reduce BEFORE multiplying: (id mod 2^31) · 2654435761 < 2^63 stays
@@ -6722,6 +6878,80 @@ object PipelineQueries {
           SELECT bi.s, reach.r FROM bi JOIN reach ON reach.id = bi.t)
         SELECT id AS doc_id FROM reach GROUP BY id
         HAVING min(r) = id ORDER BY doc_id""")),
+
+    // CONSENSUS near-dup clustering — the production ensemble: a single
+    // method misses what another catches (MinHash = set-jaccard, SimHash
+    // = weighted hamming, n-gram = rare-shingle overlap see DIFFERENT
+    // similarity structure), so a curation run unions the three families'
+    // verified pair sets into ONE edge set and ships one cluster
+    // assignment (pointer-doubling components, min-id representative).
+    // Each edge generator keeps its own banded/df-capped candidate
+    // bound — the union never forms pairs any single method wouldn't;
+    // the component pass runs over the pair graph, not the corpus. The
+    // oracle replays all three chains (shared token/gram CTEs) and the
+    // recursive reachability closure over the unioned edges.
+    Q("dedup_consensus",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val mh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          shingleN = 3, numPerms = 12, rowsPerBand = 3, threshold = 0.6)
+          .select("a_id", "b_id")
+        val ng = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.6, maxDf = 100).select("a_id", "b_id")
+        val sh = Dedup.simhashPairs(
+          Dedup.simhash(docs, "doc_id", "text"), "doc_id", maxHamming = 10)
+          .select("a_id", "b_id")
+        val edges = mh.union(ng).union(sh).distinct()
+        Dedup.connectedComponents(docs.select("doc_id"), "doc_id", edges)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE
+        ${minhashCtes(0.6).replaceFirst("^WITH ", "")},
+        nrare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 100),
+        ngr AS (SELECT g.doc_id, g.gram FROM g JOIN nrare USING (gram)),
+        ninter AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+          FROM ngr a JOIN ngr b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY a_id, b_id),
+        nsz AS (SELECT doc_id, count(*) AS n FROM ngr GROUP BY doc_id),
+        npairs AS (
+          SELECT iv.a_id, iv.b_id FROM ninter iv
+          JOIN nsz sa ON sa.doc_id = iv.a_id
+          JOIN nsz sb ON sb.doc_id = iv.b_id
+          WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.6e0),
+        st AS (SELECT doc_id, ${DuckSql.hash60("tok")} AS h
+               FROM (SELECT doc_id, unnest(toks) AS tok FROM d)),
+        sbits AS (
+          SELECT doc_id, jj.j, sum(((h >> CAST(jj.j AS INT)) & 1) * 2 - 1) AS sgn
+          FROM st CROSS JOIN (SELECT unnest(range(60)) AS j) jj
+          GROUP BY doc_id, jj.j),
+        ssh AS (
+          SELECT doc_id,
+                 sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END) AS simhash
+          FROM sbits GROUP BY doc_id),
+        sbanded AS (
+          SELECT doc_id, simhash, bb.band,
+                 (simhash >> CAST(bb.band * 15 AS INT)) & 32767 AS bkey
+          FROM ssh CROSS JOIN (SELECT unnest(range(4)) AS band) bb),
+        scand AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                 a.simhash AS sh_a, b.simhash AS sh_b
+          FROM sbanded a JOIN sbanded b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        spairs AS (SELECT a_id, b_id FROM scand
+                   WHERE bit_count(xor(sh_a, sh_b)) <= 10),
+        allp AS (SELECT a_id, b_id FROM pairs
+                 UNION SELECT a_id, b_id FROM npairs
+                 UNION SELECT a_id, b_id FROM spairs),
+        bi AS (SELECT a_id AS s, b_id AS t FROM allp
+               UNION ALL SELECT b_id, a_id FROM allp),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM d
+          UNION
+          SELECT bi.s, reach.r FROM bi JOIN reach ON reach.id = bi.t)
+        SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY id
+        ORDER BY doc_id""")),
 
     // C4/RefinedWeb-style LINE-level dedup: every non-trivial line kept
     // exactly once corpus-wide (first occurrence in (doc_id, line_no)
