@@ -7256,6 +7256,52 @@ object PipelineQueries {
       },
       Some(knnIvfOracleSql)),
 
+    // HARD-NEGATIVE mining AT INGESTION — the contrastive-data op run
+    // where production runs it (each new anchor mines its negatives
+    // against the ARCHIVED corpus as it arrives): trained centroids +
+    // index cells + the id→label map all derive OFFLINE; each incoming
+    // anchor assigns its cell as plan-literal column work, candidates
+    // ride the stream-static cell join, BOTH label lookups are
+    // stream-static id-keyed joins, the label-difference predicate
+    // applies before the windowed candidate collect (the batch rule:
+    // filter-then-rank), and the per-anchor top-3 is one post-agg
+    // sort+slice pinning (cos DESC, neighbor ASC). Shares the batch
+    // oracle verbatim.
+    Q("stream_pipeline_hard_negatives",
+      (s, dir) => {
+        implicit val sp = s
+        val emb = graft.Caches.track(Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"), col("label")))
+        val cents = Similarity.kmeansCentroidsQuantized(
+          emb, "vec_id", "v", k = 16, iters = 2)
+        val labels = emb.select(col("vec_id"), col("label"))
+        val scored = Similarity.knnIvfServeScored(
+            graft.streaming.StreamSources.embeddings(s, dir)
+              .filter(col("vec_id") < 100)
+              .select(col("vec_id"),
+                col("embedding").cast("array<double>").as("v")),
+            emb, "vec_id", "v", cents)
+          .join(labels.select(col("vec_id").as("query_id"),
+            col("label").as("__ql")), "query_id")
+          .join(labels.select(col("vec_id").as("neighbor_id"),
+            col("label").as("__nl")), "neighbor_id")
+          .filter(col("__ql") =!= col("__nl"))
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+          .groupBy(window(col("event_time"), "1 hour"), col("query_id"))
+          .agg(collect_list(struct((-col("cos")).as("nc"),
+            col("neighbor_id").as("nid"))).as("cand"))
+          .select(col("query_id"),
+            posexplode(slice(array_sort(col("cand")), 1, 3)))
+          .select(col("query_id"), (col("pos") + 1).cast("int").as("rnk"),
+            col("col.nid").as("neighbor_id"))
+        graft.streaming.StreamRun.toBatch(scored, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+          .orderBy("query_id", "rnk")
+      },
+      Some(hardNegativesOracleSql)),
+
     // trained IVF as a declared, oracle-checked plan: 2 quantized Lloyd
     // iterations (deterministic + order-free, see kmeansCentroidsQuantized)
     // and nprobe=3 probing; the stub-centroid knn_ivf above stays as the
