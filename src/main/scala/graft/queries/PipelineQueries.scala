@@ -7340,6 +7340,59 @@ object PipelineQueries {
       },
       Some(rocchioOracleSql)),
 
+    // the per-class report over the Rocchio assignment — what a curator
+    // actually reads ("which labels does embedding-space propagation
+    // serve, which collapse into neighbors"): per TRUE label, docs,
+    // correct count, exact accuracy, and the most-confused predicted
+    // class (max count, ties to the smallest class — a deterministic
+    // confusion marginal without the K² matrix). One aggregation over
+    // the classified relation.
+    Q("embedding_rocchio_report",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"), col("label"))
+        val cents = Similarity.classCentroids(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0), "label", "v")
+        val cls = emb.select(col("vec_id"), col("label"),
+          Similarity.cellColumn(col("v"), cents).as("pred"))
+        val conf = cls.groupBy("label", "pred")
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("label")
+          .orderBy(col("n").desc, col("pred").asc)
+        val top = conf.withColumn("__r", row_number().over(w))
+          .filter(col("__r") === 1)
+          .select(col("label"), col("pred").as("top_pred"))
+        conf.groupBy("label")
+          .agg(sum("n").as("n_docs"),
+            sum(when(col("pred") === col("label"), col("n"))
+              .otherwise(0L)).as("n_correct"))
+          .join(top, "label")
+          .select(col("label"), col("n_docs"), col("n_correct"),
+            (col("n_correct").cast("double") / col("n_docs").cast("double"))
+              .as("accuracy"),
+            col("top_pred"))
+          .orderBy("label")
+      },
+      Some(s"""WITH ${classCentroidCtes("vec_id % 2 = 0")},
+        p AS (SELECT vec_id, label, cent_id AS pred FROM (
+               SELECT vec_id, label, cent_id,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY ccos DESC, cent_id) AS r
+               FROM a) WHERE r = 1),
+        cf AS (SELECT label, pred, count(*) AS n FROM p GROUP BY 1, 2),
+        tp AS (SELECT label, pred AS top_pred FROM (
+                SELECT label, pred,
+                  ROW_NUMBER() OVER (PARTITION BY label
+                    ORDER BY n DESC, pred) AS r
+                FROM cf) WHERE r = 1),
+        g AS (SELECT label, CAST(sum(n) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN pred = label THEN n ELSE 0 END) AS BIGINT) AS n_correct
+              FROM cf GROUP BY label)
+        SELECT g.label, n_docs, n_correct,
+               CAST(n_correct AS DOUBLE) / CAST(n_docs AS DOUBLE) AS accuracy,
+               CAST(tp.top_pred AS INT) AS top_pred
+        FROM g JOIN tp ON tp.label = g.label ORDER BY g.label""")),
+
     // centroid-affinity data selection — the embedding-space analog of
     // DSIR/Moore-Lewis: the prototype of the CURATED class (label 0, the
     // quality-reference set) is one quantized-mean aggregation; every

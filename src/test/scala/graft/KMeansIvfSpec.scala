@@ -115,6 +115,34 @@ class KMeansIvfSpec extends AnyFunSuite {
     } finally Caches.releaseAll()
   }
 
+  test("Rocchio prototypes: exact quantized class means, cosine value, argmax tie to lowest class") {
+    import spark.implicits._
+    // two labels, hand vectors: label 0 mean = (floor sums)/(scale·n)
+    val rows = Seq(
+      (1L, Seq(1.0, 0.0), 0), (2L, Seq(0.0, 1.0), 0),
+      (3L, Seq(4.0, 0.0), 1)).toDF("vec_id", "v", "label")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"), col("label"))
+    val cents = Similarity.classCentroids(rows, "label", "v")
+    val got = cents.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(got(0) == Seq(0.5, 0.5) && got(1) == Seq(4.0, 0.0))
+    // bestCosColumn with ONE centroid is the cosine to it: (1,0)·(.5,.5)
+    // / (1 · sqrt(.5)) = .5/sqrt(.5)
+    val one = cents.filter(col("cent_id") === 0)
+    val c = rows.filter(col("vec_id") === 1L)
+      .select(Similarity.bestCosColumn(col("v"), one)).first().getDouble(0)
+    assert(math.abs(c - 0.5 / math.sqrt(0.5)) < 1e-15)
+    // argmax tie: query (1,1) has equal cosine to prototypes (1,0) and
+    // (0,1) — the winner must be the LOWEST class id
+    val tieC = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+      .toDF("cent_id", "cv")
+    val pred = Seq((9L, Seq(1.0, 1.0))).toDF("vec_id", "v")
+      .select(Similarity.cellColumn(col("v").cast("array<double>"), tieC))
+      .first().getInt(0)
+    assert(pred == 0, "cosine tie must resolve to the lowest class")
+    Caches.releaseAll()
+  }
+
   test("semantic contamination: exact at nprobe=k, monotone recall, hits verify, serve path identical") {
     val bench = emb.filter(pmod(col("vec_id"), lit(41)) === 0)
     val tau = 0.3
