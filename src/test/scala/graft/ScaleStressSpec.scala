@@ -1131,4 +1131,41 @@ class ScaleStressSpec extends AnyFunSuite {
       graft.Caches.releaseAll()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  test("monitor-scale keyed PSI: 10^4 sources x 64 bins completes fast and stays invariant") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_STRESS=1 to run")
+    import spark.implicits._
+    // a production drift dashboard: 10k sources, 64-bin histograms on
+    // both sides — the keyed-PSI dag is all post-histogram joins, so the
+    // report must be O(keys*bins) work regardless of the corpus behind
+    // the histograms, and exactly partitioning-invariant
+    val keys = 10000
+    val base = spark.range(keys.toLong * 64).select(
+      concat(lit("s"), (col("id") % keys).cast("string")).as("k"),
+      (col("id") / keys).cast("long").as("bin"),
+      (pmod(col("id") * 2654435761L, lit(97L)) + lit(1L)).as("cnt"))
+    // current = baseline with every 37th source's mass shifted one bin
+    val cur = base.withColumn("bin",
+      when(expr("CAST(substr(k, 2) AS BIGINT) % 37 = 0"),
+        pmod(col("bin") + lit(1L), lit(64L))).otherwise(col("bin")))
+      .groupBy("k", "bin").agg(sum("cnt").as("cnt"))
+    val t0 = System.nanoTime()
+    val rep = graft.pipeline.Profiling.psiReportKeyed(cur, base, "k")
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"keyed PSI over ${keys} sources: $secs%.1f s")
+    assert(rep.length == keys)
+    val byK = rep.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val shifted = byK.filter { case (k, _) => k.drop(1).toLong % 37 == 0 }
+    val still = byK.filter { case (k, _) => k.drop(1).toLong % 37 != 0 }
+    assert(still.values.forall(_ == 0L), "unshifted sources must score exactly 0")
+    assert(shifted.values.forall(_ > 0L), "every shifted source must charge PSI")
+    assert(secs < 120.0, f"monitor-scale report took $secs%.1f s")
+    // invariance under partitioning
+    val rep7 = graft.pipeline.Profiling.psiReportKeyed(
+        cur.repartition(7), base.repartition(13), "k")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rep7 == byK)
+    graft.Caches.releaseAll()
+  }
 }
