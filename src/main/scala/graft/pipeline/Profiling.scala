@@ -354,10 +354,18 @@ object Profiling {
     * the slice histogram's keys; a key with no baseline rows (nb = 0)
     * scores against the uniform smoothed floor over its own support —
     * a non-uniform newcomer charges positive PSI, a single-bin one
-    * matches the floor trivially (spec-pinned degenerate).
+    * matches the floor trivially (spec-pinned degenerate). The REVERSE
+    * asymmetry — a key present only in the BASELINE (a source that
+    * vanished from the current slice) — produces NO report row by
+    * default, because the report is keyed by what the slice contains;
+    * a drift dashboard that reads absence as health would miss the
+    * maximally-drifted case, so `emitVanished = true` adds one sentinel
+    * row per vanished key (its baseline bin count, psi_q =
+    * Long.MaxValue — above any smoothed finite PSI) from the same
+    * post-histogram relations (one anti-join, no extra scan).
     */
   def psiReportKeyed(byKey: DataFrame, baseByKey: DataFrame,
-      keyCol: String): DataFrame = {
+      keyCol: String, emitVanished: Boolean = false): DataFrame = {
     import graft.functions.PortableLog
     val bins = baseByKey.select(col(keyCol), col("bin"))
       .union(byKey.select(col(keyCol), col("bin"))).distinct()
@@ -379,11 +387,20 @@ object Profiling {
     val q = (col("cb") + lit(1L)).cast("double") /
       (col("nb") + col("b")).cast("double")
     val term = (p - q) * PortableLog.plogCol(p / q)
-    joined
+    val report = joined
       .select(col(keyCol), col("b"),
         floor(lit(1.0e9) * term).cast("long").as("tq"))
       .groupBy(keyCol)
       .agg(max("b").as("n_bins"), sum("tq").as("psi_q"))
+    if (!emitVanished) report
+    else {
+      val vanished = baseByKey
+        .join(byKey.select(keyCol).distinct(), Seq(keyCol), "left_anti")
+        .groupBy(keyCol)
+        .agg(count(lit(1)).as("n_bins"),
+          lit(Long.MaxValue).as("psi_q"))
+      report.unionByName(vanished)
+    }
   }
 
   /** Per-key character-length drift vs the corpus marginal: ONE corpus

@@ -218,8 +218,10 @@ object QualityClassifier {
     * tp(q) = P − pos_before(q) and n_pred(q) = N − cnt_before(q) come
     * from ONE multi-column two-pass prefix scan over the distinct-score
     * tie groups ([[graft.operators.PrefixSum.runningSums]] — no global
-    * sort, no per-column rescan), totals ride a broadcast 1-row cross
-    * join, and precision/recall are single IEEE divisions of exact
+    * sort, no per-column rescan), the two totals land as
+    * driver-collected plan literals (the registry-wide sweep forbids
+    * even a 1-row broadcast-NL totals join, and two scalars don't need
+    * one), and precision/recall are single IEEE divisions of exact
     * integers. O(distinct scores) output.
     */
   def prCurve(scored: DataFrame, scoreCol: String,

@@ -59,14 +59,14 @@ object WordPiece {
     s"(CAST(cnt AS DECIMAL(38,0)) * CAST($ScoreScale AS DECIMAL(38,0))) div " +
       "(CAST(ca AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0)))")
 
+  /** The default `min_frequency` support floor for candidate pairs. */
+  val DefaultMinCount = 5L
+
   /** Train `rounds` likelihood-scored merges; returns the merge table
     * (short on pair exhaustion, like [[Bpe.train]]) and the final
     * per-doc state (idCol, "s"). Each round's state registers with
     * [[graft.Caches]]; callers release after materializing.
     */
-  /** The default `min_frequency` support floor for candidate pairs. */
-  val DefaultMinCount = 5L
-
   def train(df: DataFrame, idCol: String, textCol: String, rounds: Int,
       minCount: Long = DefaultMinCount,
       joiner: String = Bpe.Joiner): (Seq[Bpe.Merge], DataFrame) = {

@@ -305,6 +305,21 @@ class ProfilingSpec extends AnyFunSuite {
     val p7 = Profiling.psiReportKeyed(cur.repartition(7), base.repartition(3), "k")
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(p7 == got)
+    // vanished-key sentinel: a key present only in the BASELINE emits no
+    // row by default (the report is keyed by the slice), and exactly one
+    // max-PSI sentinel row under emitVanished — a dashboard must not be
+    // able to read a vanished source as healthy
+    val base2 = base.union(Seq(("gone", 0L, 5L), ("gone", 1L, 5L))
+      .toDF("k", "bin", "cnt"))
+    assert(!Profiling.psiReportKeyed(cur, base2, "k").collect()
+      .exists(_.getString(0) == "gone"))
+    val withVanished = Profiling.psiReportKeyed(cur, base2, "k",
+        emitVanished = true).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(withVanished("gone") == ((2L, Long.MaxValue)),
+      "vanished key must emit its baseline bin count + the max-PSI sentinel")
+    assert(withVanished - "gone" == got,
+      "emitVanished must not perturb the live-key rows")
     Caches.releaseAll()
   }
 
