@@ -41,6 +41,25 @@ object IndexStore {
       params: Map[String, String] = Map.empty): Long =
     graft.pipeline.ModelStore.save(spark, root, relations, params)
 
+  /** [[save]] only if `root` holds no generation yet (the serve-path
+    * memo — see [[graft.pipeline.ModelStore.ensure]]): the nightly
+    * index build runs once per root; every later touch loads and
+    * probes. Callers key `root` by corpus identity. Not for the
+    * append flows, which control generations explicitly. */
+  def ensure(spark: SparkSession, root: String,
+      relations: => Seq[(String, DataFrame)],
+      params: => Map[String, String] = Map.empty): Long =
+    graft.pipeline.ModelStore.ensure(spark, root, relations, params)
+
+  /** [[saveBloom]] only if `root` holds no generation yet; `build`
+    * (filter, digest relation, n) runs only on a miss. */
+  def ensureBloom(spark: SparkSession, root: String,
+      build: => (BloomFilter, DataFrame, Long), fpp: Double): Long =
+    graft.pipeline.ModelStore.latestGen(spark, root).getOrElse {
+      val (bf, digests, n) = build
+      saveBloom(spark, root, bf, digests, n, fpp)
+    }
+
   def load(spark: SparkSession, root: String, name: String): DataFrame =
     graft.pipeline.ModelStore.loadRelation(spark, root, name)
 

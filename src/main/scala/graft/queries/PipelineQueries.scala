@@ -497,7 +497,16 @@ object PipelineQueries {
     * same deterministic plane weights as [[Similarity.planeWeights]], same
     * in-order dot-product folds, so bucket ids match Spark bit-exactly.
     */
-  private def lshBucketCtes(planes: Int, dim: Int = 64): String = {
+  private def lshBucketCtes(planes: Int, dim: Int = 64): String =
+    s"""e AS (SELECT vec_id, embedding AS v FROM ${Q.EmbRef}),
+       |${lshBucketTail(planes)}""".stripMargin
+
+  /** The bucket-assignment CTEs over an existing `e` (vec_id, v) —
+    * suffixed so the recall-gate oracle can render one bucketing per
+    * swept plane count. The default rendering is what
+    * [[lshBucketCtes]] has always emitted. */
+  private def lshBucketTail(planes: Int, sfx: String = "",
+      dim: Int = 64): String = {
     val ws = Similarity.planeWeights(planes, dim)
     val dots = ws.zipWithIndex.map { case (w, p) =>
       val wLit = "[" + w.map(_.toString).mkString(",") + "]"
@@ -509,9 +518,8 @@ object PipelineQueries {
     val bucket = (0 until planes)
       .map(p => s"CASE WHEN dot_$p > 0.0e0 THEN ${1L << p} ELSE 0 END")
       .mkString(" + ")
-    s"""e AS (SELECT vec_id, embedding AS v FROM ${Q.EmbRef}),
-       |dots AS (SELECT vec_id, v, $dots FROM e),
-       |b AS (SELECT vec_id, v, CAST($bucket AS BIGINT) AS bucket FROM dots)""".stripMargin
+    s"""dots$sfx AS (SELECT vec_id, v, $dots FROM e),
+       |b$sfx AS (SELECT vec_id, v, CAST($bucket AS BIGINT) AS bucket FROM dots$sfx)""".stripMargin
   }
 
   /** Trained-IVF oracle: regenerates the engine's quantized Lloyd
@@ -542,7 +550,19 @@ object PipelineQueries {
     */
   private[queries] def ivfPqCtes(subvectors: Int, codes: Int, iters: Int,
       nprobe: Int, rerank: Int, dim: Int = 64,
-      scale: String = "1000000.0e0"): String = {
+      scale: String = "1000000.0e0"): String =
+    s"""${ivfPqBookCtes(subvectors, codes, iters, dim, scale)},
+       |${ivfPqServeCtes(subvectors, rerank)}""".stripMargin
+
+  /** The config-INDEPENDENT prefix of [[ivfPqCtes]]: the per-subvector
+    * codebook training replay, the corpus encoding (`penc_m`) and the
+    * per-(query, code) lookup tables (`ptq_m`, over the distinct query
+    * set — identical for every nprobe since probes only multiply cells,
+    * not queries). Rendered once per oracle however many (nprobe,
+    * rerank) configs serve from it.
+    */
+  private def ivfPqBookCtes(subvectors: Int, codes: Int, iters: Int,
+      dim: Int = 64, scale: String = "1000000.0e0"): String = {
     val sub = dim / subvectors
     def book(m: Int): String = {
       val off = m * sub
@@ -580,6 +600,20 @@ object PipelineQueries {
          |           FROM pqv q CROSS JOIN pbk_$m b)""".stripMargin
     }
     val ms = 0 until subvectors
+    s"""pqv AS (SELECT DISTINCT query_id, qv FROM qp),
+       |${ms.map(book).mkString(",\n")}""".stripMargin
+  }
+
+  /** The config-dependent tail of [[ivfPqCtes]] — probe-join, ADC, the
+    * rerank cut, exact re-rank — factored out so the recall-gate oracle
+    * can render it ONCE PER (nprobe, rerank) CONFIG over the shared
+    * codebook/encoding CTEs (`sfx` uniquifies the CTE names, `qpRel`
+    * picks the per-nprobe probe relation). The default rendering is the
+    * single-config chain [[ivfPqCtes]] has always emitted.
+    */
+  private def ivfPqServeCtes(subvectors: Int, rerank: Int,
+      sfx: String = "", qpRel: String = "qp"): String = {
+    val ms = 0 until subvectors
     val encJoins = ms.map(m =>
       s"JOIN penc_$m e$m ON e$m.vec_id = pr.neighbor_id").mkString("\n           ")
     val tqJoins = ms.map(m =>
@@ -587,23 +621,21 @@ object PipelineQueries {
       .mkString("\n           ")
     val ipSum = ms.map(m => s"t$m.t").mkString(" + ")
     val nsqSum = ms.map(m => s"e$m.nsq").mkString(" + ")
-    s"""pqv AS (SELECT DISTINCT query_id, qv FROM qp),
-       |${ms.map(book).mkString(",\n")},
-       |pr AS (SELECT q.query_id, d.vec_id AS neighbor_id
-       |       FROM qp q JOIN cellF d ON q.cell = d.cell AND q.query_id <> d.vec_id),
-       |padc AS (SELECT pr.query_id, pr.neighbor_id,
+    s"""pr$sfx AS (SELECT q.query_id, d.vec_id AS neighbor_id
+       |       FROM $qpRel q JOIN cellF d ON q.cell = d.cell AND q.query_id <> d.vec_id),
+       |padc$sfx AS (SELECT pr.query_id, pr.neighbor_id,
        |           ($ipSum) / (sqrt(${DuckSql.normSq("pq2.qv")}) * sqrt($nsqSum)) AS adc
-       |         FROM pr
+       |         FROM pr$sfx pr
        |           JOIN pqv pq2 ON pq2.query_id = pr.query_id
        |           $encJoins
        |           $tqJoins),
-       |pcand AS (SELECT query_id, neighbor_id FROM (
+       |pcand$sfx AS (SELECT query_id, neighbor_id FROM (
        |           SELECT query_id, neighbor_id,
        |                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS r
-       |           FROM padc) WHERE r <= $rerank),
-       |pex AS (SELECT c.query_id, c.neighbor_id,
+       |           FROM padc$sfx) WHERE r <= $rerank),
+       |pex$sfx AS (SELECT c.query_id, c.neighbor_id,
        |          ${DuckSql.cosine("q.qv", "d.v")} AS cos
-       |        FROM pcand c
+       |        FROM pcand$sfx c
        |          JOIN pqv q ON q.query_id = c.query_id
        |          JOIN e d ON d.vec_id = c.neighbor_id)""".stripMargin
   }
@@ -617,6 +649,102 @@ object PipelineQueries {
       SELECT query_id, neighbor_id,
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
       FROM pex) WHERE rnk <= 5 ORDER BY query_id, rnk"""
+
+  /** The ANN recall gate's (nprobe, rerank) sweep — nprobe 1→4 at the
+    * declared rerank (40) plus a thin-rerank column (10) to price the
+    * re-rank budget. Shared by the Spark row and its oracle so the
+    * SURVEY recall table reads straight off the green row. */
+  private[queries] val AnnRecallConfigs: Seq[(Int, Int)] =
+    Seq((1, 10), (1, 40), (2, 10), (2, 40), (3, 10), (3, 40), (4, 40),
+      (8, 40))
+
+  /** The LSH recall gate's plane sweep (bucket granularity 2^2→2^8). */
+  private[queries] val AnnRecallPlanes: Seq[Int] = Seq(2, 4, 6, 8)
+
+  /** Exact brute-force top-k ground truth + query count, shared by both
+    * recall-gate oracles (`e` = (vec_id, v) from the hosting chain). */
+  private def annRecallBfCtes(k: Int): String =
+    s"""bf AS (SELECT query_id, neighbor_id FROM (
+       |       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |              ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |                ORDER BY ${DuckSql.cosine("q.v", "c.v")} DESC, c.vec_id) AS r
+       |       FROM e q JOIN e c ON q.vec_id < 100 AND q.vec_id <> c.vec_id)
+       |      WHERE r <= $k),
+       |nq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries FROM bf)""".stripMargin
+
+  /** Per-config hit count vs `bf`: top-k of the approximate chain's
+    * exact-cosine stage, LEFT-joined so missing returns count as
+    * misses (recall divides by n_queries·k, not n_returned). */
+  private def annRecallArmSql(i: Int, k: Int, scoredRel: String,
+      cfgCols: String): String =
+    s"""tk_c$i AS (SELECT query_id, neighbor_id FROM (
+       |       SELECT query_id, neighbor_id,
+       |              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |       FROM $scoredRel) WHERE rnk <= $k),
+       |rec_c$i AS (SELECT $cfgCols,
+       |          CAST(count(*) AS BIGINT) AS n_returned,
+       |          CAST(COALESCE(SUM(CASE WHEN bf.query_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits
+       |        FROM tk_c$i t LEFT JOIN bf
+       |          ON bf.query_id = t.query_id AND bf.neighbor_id = t.neighbor_id)""".stripMargin
+
+  private def annRecallFinalSql(k: Int, nConfigs: Int,
+      cfgNames: Seq[String]): String = {
+    val union = (0 until nConfigs).map(i => s"SELECT * FROM rec_c$i")
+      .mkString(" UNION ALL ")
+    val cfgSel = cfgNames.map(c => s"CAST($c AS INT) AS $c").mkString(", ")
+    s"""SELECT $cfgSel,
+       |       (SELECT n_queries FROM nq) AS n_queries,
+       |       n_returned, hits,
+       |       CAST(hits AS DOUBLE) * 100.0e0 /
+       |         CAST((SELECT n_queries FROM nq) * $k AS DOUBLE) AS recall_pct
+       |FROM ($union) ORDER BY ${cfgNames.mkString(", ")}""".stripMargin
+  }
+
+  /** IVF-PQ recall@k oracle: ONE codebook/encoding replay
+    * ([[ivfPqBookCtes]]), one probe relation per distinct nprobe (the
+    * [[ivfTrainedCtes]] `qp` rendering with the rank bound varied), one
+    * serve tail per (nprobe, rerank) config, all measured against the
+    * shared exact top-k. */
+  private[queries] def ivfPqRecallOracleSql(k: Int,
+      configs: Seq[(Int, Int)]): String = {
+    val qps = configs.map(_._1).distinct.sorted.map(np =>
+      s"""qp_np$np AS (SELECT vec_id AS query_id, v AS qv, cent_id AS cell FROM (
+         |        SELECT vec_id, v, cent_id,
+         |               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS r
+         |        FROM asgF WHERE vec_id < 100) WHERE r <= $np)""".stripMargin)
+      .mkString(",\n")
+    val arms = configs.zipWithIndex.map { case ((np, rr), i) =>
+      s"""${ivfPqServeCtes(4, rr, s"_c$i", s"qp_np$np")},
+         |${annRecallArmSql(i, k, s"pex_c$i", s"$np AS nprobe, $rr AS rerank")}""".stripMargin
+    }.mkString(",\n")
+    s"""
+      WITH ${ivfTrainedCtes(k = 16, iters = 2, nprobe = 1)},
+      ${annRecallBfCtes(k)},
+      $qps,
+      ${ivfPqBookCtes(subvectors = 4, codes = 16, iters = 2)},
+      $arms
+      ${annRecallFinalSql(k, configs.size, Seq("nprobe", "rerank"))}"""
+  }
+
+  /** Hyperplane-LSH recall@k oracle: one bucketing per plane count over
+    * the shared `e`, candidates = bucket-mates, exact-cosine top-k per
+    * config vs the shared exact top-k. */
+  private[queries] def lshRecallOracleSql(k: Int,
+      planesSweep: Seq[Int]): String = {
+    val arms = planesSweep.zipWithIndex.map { case (p, i) =>
+      s"""${lshBucketTail(p, s"_c$i")},
+         |sc_c$i AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |              ${DuckSql.cosine("q.v", "c.v")} AS cos
+         |       FROM b_c$i q JOIN b_c$i c ON q.bucket = c.bucket
+         |        AND q.vec_id < 100 AND q.vec_id <> c.vec_id),
+         |${annRecallArmSql(i, k, s"sc_c$i", s"$p AS planes")}""".stripMargin
+    }.mkString(",\n")
+    s"""
+      WITH e AS (SELECT vec_id, embedding AS v FROM ${Q.EmbRef}),
+      ${annRecallBfCtes(k)},
+      $arms
+      ${annRecallFinalSql(k, planesSweep.size, Seq("planes"))}"""
+  }
 
   /** Trained-IVF k-NN oracle — shared by `knn_ivf_trained` and its
     * persisted-index twin `knn_ivf_trained_loaded` (same replay: the
@@ -1703,13 +1831,23 @@ object PipelineQueries {
                 FROM $from)) GROUP BY pair"""
 
   /** One greedy merge rewrite of state `from` by best-pair CTE `b`
-    * (Bpe.mergeStep's space-doubling replace, verbatim). */
+    * (Bpe.mergeStep's space-doubling replace, verbatim). When `b` is
+    * EMPTY (pair exhaustion — BPE out of pairs, WordPiece no pair over
+    * its min-frequency floor) the engine stops early and keeps the
+    * state, so the replay must pass it through unchanged: the scalar
+    * subqueries COALESCE to chr(2), a byte that never occurs in the
+    * space-joined symbol state (symbols come from whitespace-split text
+    * + the chr(1) joiner), making the replace a no-op — the
+    * space-doubling then collapses back under the ' +' normalization
+    * and trim, returning `s` verbatim (exhaustion-tested in
+    * tools/test_oracle_exhaustion.py).
+    */
   private def bpeRewriteSql(from: String, b: String): String = s"""
         SELECT doc_id,
           trim(regexp_replace(
             replace(' ' || replace(s, ' ', '  ') || ' ',
-                    ' ' || (SELECT a FROM $b) || '  ' || (SELECT b FROM $b) || ' ',
-                    ' ' || (SELECT a FROM $b) || chr(1) || (SELECT b FROM $b) || ' '),
+                    ' ' || COALESCE((SELECT a FROM $b), chr(2)) || '  ' || COALESCE((SELECT b FROM $b), chr(2)) || ' ',
+                    ' ' || COALESCE((SELECT a FROM $b), chr(2)) || chr(1) || COALESCE((SELECT b FROM $b), chr(2)) || ' '),
             ' +', ' ', 'g')) AS s
         FROM $from"""
 
@@ -4090,6 +4228,34 @@ object PipelineQueries {
   /** [[modelRoot]] for the streaming registry's loaded rows. */
   private[queries] def modelRootShared(name: String): String = modelRoot(name)
 
+  /** Serve-path root for the `_loaded` rows' ensure-memo (r13 advice:
+    * those rows measured index BUILD + save + load + probe, ~2-3× the
+    * serving cost the row exists to demonstrate). Keyed by corpus dir —
+    * an index is a pure function of its training slice — AND a
+    * per-process token: /tmp outlives the JVM, and a generation left by
+    * LAST round's code must never serve this round's row (stale-format
+    * risk), so cross-process reuse is deliberately impossible. Within
+    * one process the first touch builds and commits (Verify pays it
+    * once, in-row; Bench pays it in the untimed setup pass) and every
+    * re-measure is load + probe only — the deployment shape, where the
+    * nightly build is not part of query latency. */
+  private lazy val serveToken: String =
+    java.util.UUID.randomUUID().toString.take(8)
+  private[queries] def serveRoot(name: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-models/serve-$serveToken/" +
+      s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}/$name"
+
+  /** The [[graft.pipeline.ModelStore.ensure]] memo for model families
+    * whose save API lives on the model object (NgramLm.save, Bpe.
+    * saveMerges, …): run the train+save `build` only if the serve root
+    * has no committed generation yet. Returns `root` so the call chains
+    * into the load. */
+  private[queries] def ensureModel(s: SparkSession, root: String)(
+      build: => Unit): String = {
+    if (graft.pipeline.ModelStore.latestGen(s, root).isEmpty) build
+    root
+  }
+
   def all: Seq[Q] = Seq(
 
     // ========== persisted-model serving: train → SAVE → LOAD → score ==========
@@ -4101,13 +4267,23 @@ object PipelineQueries {
     // model from the training data, so the row is green ONLY if the
     // save/load round trip is value-exact — that IS the test.
 
+    // Every `_loaded` row in this family follows the r13-advice split:
+    // the train+save half runs through the serveRoot ensure-memo (first
+    // touch per process+corpus builds and commits the generation; every
+    // later touch — a bench re-measure after the untimed setup pass — is
+    // LOAD + SCORE only, the deployment shape where the nightly build is
+    // not part of query latency). Oracles are unchanged: they re-derive
+    // the model from the training data, so green still == the save/load
+    // round trip is value-exact.
     Q("text_lm_score_loaded",
       (s, dir) => {
         val docs = lmPlant(Tables.documents(s, dir))
-        val trained = graft.text.NgramLm.train(
-          docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
-        graft.text.NgramLm.save(s, trained, modelRoot("lm"))
-        val m = graft.text.NgramLm.load(s, modelRoot("lm"))
+        val root = ensureModel(s, serveRoot("lm", dir)) {
+          graft.text.NgramLm.save(s, graft.text.NgramLm.train(
+            docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text"),
+            serveRoot("lm", dir))
+        }
+        val m = graft.text.NgramLm.load(s, root)
         graft.text.NgramLm.score(docs, "doc_id", "text", m).orderBy("doc_id")
       },
       Some(lmScoreOracleSql)),
@@ -4118,8 +4294,10 @@ object PipelineQueries {
         val feats = graft.Caches.track(qc.features(
           classifierPlant(Tables.documents(s, dir)), "doc_id", "text",
           (pmod(col("doc_id"), lit(6)) === 0).cast("int")))
-        qc.save(s, qc.train(feats), modelRoot("classifier"))
-        val m = qc.load(s, modelRoot("classifier"))
+        val root = ensureModel(s, serveRoot("classifier", dir)) {
+          qc.save(s, qc.train(feats), serveRoot("classifier", dir))
+        }
+        val m = qc.load(s, root)
         qc.score(feats, "doc_id", m).orderBy("doc_id")
       },
       Some(classifierOracleSql)),
@@ -4127,10 +4305,12 @@ object PipelineQueries {
     Q("text_dsir_score_loaded",
       (s, dir) => {
         val docs = dsirPlant(Tables.documents(s, dir))
-        Dsir.save(s,
-          Dsir.fit(docs, "text", pmod(col("doc_id"), lit(7)) === 0),
-          modelRoot("dsir"))
-        val m = Dsir.load(s, modelRoot("dsir"))
+        val root = ensureModel(s, serveRoot("dsir", dir)) {
+          Dsir.save(s,
+            Dsir.fit(docs, "text", pmod(col("doc_id"), lit(7)) === 0),
+            serveRoot("dsir", dir))
+        }
+        val m = Dsir.load(s, root)
         Dsir.score(docs, "doc_id", "text", m).orderBy("doc_id")
       },
       Some(dsirScoreOracleSql)),
@@ -4161,10 +4341,12 @@ object PipelineQueries {
         val docs = langPlant(Tables.documents(s, dir))
         val feats = graft.Caches.track(graft.text.LangId.features(
           docs, "doc_id", "text", pmod(col("doc_id"), lit(LangK))))
-        graft.text.LangId.save(s,
-          graft.text.LangId.train(feats, LangK), modelRoot("langid"))
+        val root = ensureModel(s, serveRoot("langid", dir)) {
+          graft.text.LangId.save(s,
+            graft.text.LangId.train(feats, LangK), serveRoot("langid", dir))
+        }
         graft.text.LangId.score(feats, "doc_id",
-          graft.text.LangId.load(s, modelRoot("langid"))).orderBy("doc_id")
+          graft.text.LangId.load(s, root)).orderBy("doc_id")
       },
       Some(langidOracleSql)),
 
@@ -4244,11 +4426,13 @@ object PipelineQueries {
     Q("text_bpe_apply_loaded",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val (trained, _) = graft.text.Bpe.train(
-          docs.filter(pmod(col("doc_id"), lit(4)) === 0),
-          "doc_id", "text", rounds = BpeRounds)
-        graft.text.Bpe.saveMerges(s, trained, modelRoot("bpe"))
-        val merges = graft.text.Bpe.loadMerges(s, modelRoot("bpe"))
+        val root = ensureModel(s, serveRoot("bpe", dir)) {
+          val (trained, _) = graft.text.Bpe.train(
+            docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+            "doc_id", "text", rounds = BpeRounds)
+          graft.text.Bpe.saveMerges(s, trained, serveRoot("bpe", dir))
+        }
+        val merges = graft.text.Bpe.loadMerges(s, root)
         docs.select(col("doc_id"),
             graft.text.Bpe.applyMerges(col("text"), merges).as("s"))
           .select(col("doc_id"),
@@ -4264,13 +4448,14 @@ object PipelineQueries {
     Q("knn_ivf_trained_loaded",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        graft.pipeline.ModelStore.save(s, modelRoot("ivf"),
+        val root = serveRoot("ivf", dir)
+        graft.pipeline.ModelStore.ensure(s, root,
           Seq("centroids" -> Similarity.kmeansCentroidsQuantized(
             emb, "vec_id", "embedding", k = 16, iters = 2)))
         Similarity.knnIvf(emb, "vec_id", "embedding",
           k = 5, numCentroids = 16, queryFilter = col("vec_id") < 100,
           centroids = Some(graft.pipeline.ModelStore
-            .loadRelation(s, modelRoot("ivf"), "centroids")),
+            .loadRelation(s, root, "centroids")),
           nprobe = 3)
           .withColumnRenamed("rank", "rnk")
           .orderBy("query_id", "rnk")
@@ -4343,12 +4528,14 @@ object PipelineQueries {
     Q("text_unigram_apply_loaded",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        graft.text.Unigram.save(s,
-          graft.text.Unigram.train(
-            docs.filter(pmod(col("doc_id"), lit(4)) === 0),
-            "text", rounds = UnigramRounds),
-          modelRoot("unigram"))
-        val m = graft.text.Unigram.load(s, modelRoot("unigram"))
+        val root = ensureModel(s, serveRoot("unigram", dir)) {
+          graft.text.Unigram.save(s,
+            graft.text.Unigram.train(
+              docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+              "text", rounds = UnigramRounds),
+            serveRoot("unigram", dir))
+        }
+        val m = graft.text.Unigram.load(s, root)
         graft.text.Unigram.score(docs, "doc_id", "text", m).orderBy("doc_id")
       },
       Some(unigramApplyOracleSql)),
@@ -4669,11 +4856,13 @@ object PipelineQueries {
     Q("text_wordpiece_apply_loaded",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val (trained, _) = graft.text.WordPiece.train(
-          docs.filter(pmod(col("doc_id"), lit(4)) === 0),
-          "doc_id", "text", rounds = WpRounds)
-        graft.text.Bpe.saveMerges(s, trained, modelRoot("wordpiece"))
-        val merges = graft.text.Bpe.loadMerges(s, modelRoot("wordpiece"))
+        val root = ensureModel(s, serveRoot("wordpiece", dir)) {
+          val (trained, _) = graft.text.WordPiece.train(
+            docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+            "doc_id", "text", rounds = WpRounds)
+          graft.text.Bpe.saveMerges(s, trained, serveRoot("wordpiece", dir))
+        }
+        val merges = graft.text.Bpe.loadMerges(s, root)
         docs.select(col("doc_id"),
             graft.text.Bpe.applyMerges(col("text"), merges).as("s"))
           .select(col("doc_id"),
@@ -5289,11 +5478,13 @@ object PipelineQueries {
     Q("text_lm_score_backoff3_loaded",
       (s, dir) => {
         val docs = lmPlant(Tables.documents(s, dir))
-        graft.text.NgramLm.saveBackoff3(s,
-          graft.text.NgramLm.trainBackoff3(
-            docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text"),
-          modelRoot("lm_backoff3"))
-        val m = graft.text.NgramLm.loadBackoff3(s, modelRoot("lm_backoff3"))
+        val root = ensureModel(s, serveRoot("lm_backoff3", dir)) {
+          graft.text.NgramLm.saveBackoff3(s,
+            graft.text.NgramLm.trainBackoff3(
+              docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text"),
+            serveRoot("lm_backoff3", dir))
+        }
+        val m = graft.text.NgramLm.loadBackoff3(s, root)
         graft.text.NgramLm.scoreBackoff3(docs, "doc_id", "text", m)
           .orderBy("doc_id")
       },
@@ -7537,6 +7728,30 @@ object PipelineQueries {
         .orderBy("query_id", "rnk"),
       Some(ivfPqKnnOracleSql)),
 
+    // ANN QUALITY GATE — the replay rows above prove both engines run
+    // the same algorithm; this row measures what an ANN index exists
+    // FOR: recall@5 of the IVF-PQ path against the exact brute-force
+    // top-5 over the same 100-query set, swept over (nprobe, rerank).
+    // One model trains; every config serves from it; the published
+    // (nprobe, rerank, recall_pct) rows are the SURVEY §8.9 table — the
+    // parameter defaults stop being folklore.
+    Q("knn_ivf_pq_recall",
+      (s, dir) => Similarity.knnIvfPqRecall(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 5, queryFilter = col("vec_id") < 100,
+          configs = AnnRecallConfigs,
+          numCentroids = 16, iters = 2, subvectors = 4, codes = 16)
+        .orderBy("nprobe", "rerank"),
+      Some(ivfPqRecallOracleSql(5, AnnRecallConfigs))),
+
+    // the LSH twin: recall@5 vs plane count (bucket granularity), same
+    // ground truth, same gate machinery
+    Q("knn_lsh_recall",
+      (s, dir) => Similarity.knnLshRecall(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 5, queryFilter = col("vec_id") < 100,
+          planesSweep = AnnRecallPlanes)
+        .orderBy("planes"),
+      Some(lshRecallOracleSql(5, AnnRecallPlanes))),
+
     // the PERSISTED-index IVF-PQ deployment: coarse centroids and all
     // four codebooks (position = code) round-trip through ModelStore and
     // the k-NN serves from the LOADED model — green only if the codec
@@ -7544,9 +7759,12 @@ object PipelineQueries {
     Q("knn_ivf_pq_loaded",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        Similarity.pqSave(s, modelRoot("ivfpq"), emb, "vec_id", "embedding",
-          numCentroids = 16, iters = 2, subvectors = 4, codes = 16)
-        Similarity.knnIvfPqFrom(s, modelRoot("ivfpq"), emb, "vec_id",
+        val root = ensureModel(s, serveRoot("ivfpq", dir)) {
+          Similarity.pqSave(s, serveRoot("ivfpq", dir), emb, "vec_id",
+            "embedding", numCentroids = 16, iters = 2, subvectors = 4,
+            codes = 16): Unit
+        }
+        Similarity.knnIvfPqFrom(s, root, emb, "vec_id",
           "embedding", k = 5, queryFilter = col("vec_id") < 100,
           nprobe = 3, rerank = 40)
           .orderBy("query_id", "rnk")

