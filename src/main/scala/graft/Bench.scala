@@ -236,8 +236,9 @@ object Bench {
     // skips the pass — the lever for measuring the build+serve cost.
     if (!sys.env.get("SPARK_GRAFT_BENCH_COLD").contains("1")) {
       SparkEntry.queries
-        .filter { case (n, _) => n.endsWith("_loaded") &&
-          (only.isEmpty || only(n)) }
+        .filter { case (n, _) =>
+          (n.endsWith("_loaded") || n.contains("_refresh")) &&
+            (only.isEmpty || only(n)) }
         .toSeq.sortBy(_._1)
         .foreach { case (name, fn) =>
           try materialize(fn(spark, sfDir))

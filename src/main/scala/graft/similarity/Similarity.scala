@@ -409,9 +409,27 @@ object Similarity {
   def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
       subvectors: Int, codes: Int, iters: Int,
       dim: Int = 64): Seq[Seq[(Any, Seq[Double])]] = {
+    val all = pqCodebooksSubset(df, idCol, vecCol, subvectors, codes, iters,
+      dim, 0 until subvectors)
+    (0 until subvectors).map(all)
+  }
+
+  /** [[pqCodebooks]] restricted to the books in `only` — the
+    * drift-gated-refresh primitive ([[pqRefresh]]): a book whose code
+    * occupancy has not drifted carries over byte-identical, so only the
+    * drifted slices pay Lloyd rounds. Training `only` = all books is
+    * exactly [[pqCodebooks]] (same cached frame, same chained-when
+    * dispatch, same quantized sums — the subset only narrows the
+    * exploded m list), which is what lets a refresh-all hash-match the
+    * from-scratch oracle. */
+  def pqCodebooksSubset(df: DataFrame, idCol: String, vecCol: String,
+      subvectors: Int, codes: Int, iters: Int, dim: Int,
+      only: Seq[Int]): Map[Int, Seq[(Any, Seq[Double])]] = {
     val sub = dim / subvectors
     require(sub * subvectors == dim,
       s"dim $dim must split evenly into $subvectors subvectors")
+    require(only.nonEmpty && only.forall(m => m >= 0 && m < subvectors),
+      s"book subset $only out of range for $subvectors subvectors")
     // ALL M codebooks train against ONE cached frame of (vid, m, slice)
     // rows, so each Lloyd round is a single aggregation keyed (m, cell)
     // — M× fewer corpus scans (and Spark jobs) than training each book
@@ -420,11 +438,12 @@ object Similarity {
     // and the quantized per-(m, cell) integer sums are exactly the
     // per-book sums (order-free by construction). The slice norm is
     // computed once here instead of once per iteration.
+    val ms = only.sorted
     val sv = graft.Caches.track(
       df.select(col(idCol).as("__vid"),
           col(vecCol).cast("array<double>").as("__v"))
         .select(col("__vid"),
-          explode(typedLit((0 until subvectors).toList)).as("__m"), col("__v"))
+          explode(typedLit(ms.toList)).as("__m"), col("__v"))
         .select(col("__vid"), col("__m"),
           slice(col("__v"), col("__m") * lit(sub) + lit(1), lit(sub))
             .as("__sv"))
@@ -435,16 +454,17 @@ object Similarity {
       .select(col(idCol).as("cent_id"),
         col(vecCol).cast("array<double>").as("cv"))
       .collect().map(r => (r.get(0), r.getSeq[Double](1))).toSeq
-    var books: Seq[Seq[(Any, Seq[Double])]] = (0 until subvectors).map(m =>
-      seedRows.map { case (cid, cv) => (cid, cv.slice(m * sub, (m + 1) * sub)) })
+    var books: Map[Int, Seq[(Any, Seq[Double])]] = ms.map(m =>
+      m -> seedRows.map { case (cid, cv) =>
+        (cid, cv.slice(m * sub, (m + 1) * sub)) }).toMap
     var i = 0
     while (i < iters) {
-      val cellCol = books.zipWithIndex.tail.foldLeft(
-        when(col("__m") === 0,
-          array_max(centroidEntries(books.head, col("__sv"), col("__n")))
-            .getField("cell"))) { case (acc, (book, m)) =>
+      val cellCol = ms.tail.foldLeft(
+        when(col("__m") === ms.head,
+          array_max(centroidEntries(books(ms.head), col("__sv"), col("__n")))
+            .getField("cell"))) { case (acc, m) =>
         acc.when(col("__m") === m,
-          array_max(centroidEntries(book, col("__sv"), col("__n")))
+          array_max(centroidEntries(books(m), col("__sv"), col("__n")))
             .getField("cell"))
       }
       val updated = sv
@@ -454,9 +474,9 @@ object Similarity {
           .of(col("__sv"), 1e6).as("cv"))
         .orderBy("__m", "cent_id")
         .collect()
-      books = (0 until subvectors).map(m =>
-        updated.filter(_.getInt(0) == m).toSeq
-          .map(r => (r.get(1), r.getSeq[Double](2))))
+      books = ms.map(m =>
+        m -> updated.filter(_.getInt(0) == m).toSeq
+          .map(r => (r.get(1), r.getSeq[Double](2)))).toMap
       i += 1
     }
     books
@@ -580,9 +600,21 @@ object Similarity {
   def pqSave(spark: org.apache.spark.sql.SparkSession, root: String,
       archive: DataFrame, idCol: String, vecCol: String,
       numCentroids: Int = 16, iters: Int = 2, subvectors: Int = 4,
-      codes: Int = 16, dim: Int = 64): Long = {
-    val m = pqTrain(archive, idCol, vecCol, numCentroids, iters, subvectors,
-      codes, dim)
+      codes: Int = 16, dim: Int = 64): Long =
+    pqCommit(spark, root,
+      pqTrain(archive, idCol, vecCol, numCentroids, iters, subvectors,
+        codes, dim),
+      archive, idCol, vecCol, numCentroids, iters, codes, dim)
+
+  /** Commit a PQ model generation: centroid + codebook relations, the
+    * training params a refresh needs to refit identically, and the
+    * model's OCCUPANCY under `archive` — coarse cell histogram + per-book
+    * code histogram, the drift baselines [[pqRefresh]] gates on (both
+    * policy-sized: numCentroids + subvectors·codes rows). */
+  private def pqCommit(spark: org.apache.spark.sql.SparkSession,
+      root: String, m: PqModel, archive: DataFrame, idCol: String,
+      vecCol: String, numCentroids: Int, iters: Int, codes: Int,
+      dim: Int): Long = {
     val idType = archive.schema(idCol).dataType
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -596,10 +628,15 @@ object Similarity {
     }
     val books = spark.createDataFrame(
       spark.sparkContext.parallelize(bookRows, 1), bookSchema)
+    val (occCoarse, occBooks) = pqOccupancy(m, archive, idCol, vecCol)
     graft.pipeline.ModelStore.save(spark, root,
       Seq("coarse" -> centroidFrame(spark, m.coarse, idType),
-        "books" -> books),
-      Map("sub" -> m.sub.toString))
+        "books" -> books,
+        "occ_coarse" -> occCoarse,
+        "occ_books" -> occBooks),
+      Map("sub" -> m.sub.toString, "centroids" -> numCentroids.toString,
+        "iters" -> iters.toString, "codes" -> codes.toString,
+        "dim" -> dim.toString))
   }
 
   private def pqLoad(spark: org.apache.spark.sql.SparkSession,
@@ -615,6 +652,116 @@ object Similarity {
     PqModel(coarse, books,
       books.map(_.map { case (_, cv) => cv.foldLeft(0.0)((a, x) => a + x * x) }),
       sub)
+  }
+
+  /** Coarse cell histogram + per-book code histogram of `corpus` under
+    * model `m` — the occupancy fingerprint a drift gate compares. One
+    * narrow pass (the assignment/encode chain is pure column work);
+    * output is policy-sized. */
+  private def pqOccupancy(m: PqModel, corpus: DataFrame, idCol: String,
+      vecCol: String): (DataFrame, DataFrame) = {
+    val v = corpus.select(col(idCol),
+      col(vecCol).cast("array<double>").as("v"))
+    val idx = graft.Caches.track(
+      pqIndex(assignCollected(v, idCol, "v", m.coarse), idCol, m,
+        withVectors = false))
+    val occCoarse = idx.groupBy("cell").agg(count(lit(1)).as("cnt"))
+    val occBooks = m.books.indices.map(i =>
+      idx.groupBy(col(s"__c$i")).agg(count(lit(1)).as("cnt"))
+        .select(lit(i).as("m"), col(s"__c$i").cast("long").as("code"),
+          col("cnt")))
+      .reduce(_ unionByName _)
+    (occCoarse, occBooks)
+  }
+
+  /** Smoothed PSI between two occupancy maps on the exact 10⁹ integer
+    * grid — the [[graft.pipeline.Profiling.psiReport]] formula (union of
+    * supports, +1 smoothing, floor(10⁹·term)) applied driver-side to
+    * policy-sized histograms (≤ codes bins). */
+  private def occPsiQ(base: Map[String, Long], cur: Map[String, Long]): Long = {
+    val bins = (base.keySet ++ cur.keySet).toSeq.sorted
+    val b = bins.size.toLong
+    val nb = base.values.sum
+    val ns = cur.values.sum
+    bins.map { k =>
+      val p = (cur.getOrElse(k, 0L) + 1L).toDouble / (ns + b).toDouble
+      val q = (base.getOrElse(k, 0L) + 1L).toDouble / (nb + b).toDouble
+      math.floor(1e9 * ((p - q) *
+        graft.functions.PortableLog.plog(p / q))).toLong
+    }.sum
+  }
+
+  private def occMap(df: DataFrame, keyCols: Seq[String]): Map[String, Long] =
+    df.collect().map(r =>
+      keyCols.map(c => String.valueOf(r.getAs[Any](c))).mkString(":") ->
+        r.getAs[Long]("cnt")).toMap
+
+  /** Per-component occupancy drift of `corpus` against the committed
+    * generation's stored baselines: smoothed PSI (10⁹ grid) for the
+    * coarse quantizer and each subvector codebook. The dashboard face of
+    * the refresh gate — policy-sized collects only. */
+  def pqDriftReport(spark: org.apache.spark.sql.SparkSession, root: String,
+      corpus: DataFrame, idCol: String, vecCol: String): Map[String, Long] = {
+    import graft.pipeline.ModelStore
+    val m = pqLoad(spark, root)
+    val (curCoarse, curBooks) = pqOccupancy(m, corpus, idCol, vecCol)
+    val baseCoarse = occMap(
+      ModelStore.loadRelation(spark, root, "occ_coarse"), Seq("cell"))
+    val baseBooks = ModelStore.loadRelation(spark, root, "occ_books")
+      .collect().groupBy(_.getInt(0))
+      .map { case (bm, rows) => bm ->
+        rows.map(r => r.getLong(1).toString -> r.getLong(2)).toMap }
+    val curBooksMap = curBooks.collect().groupBy(_.getInt(0))
+      .map { case (bm, rows) => bm ->
+        rows.map(r => r.getLong(1).toString -> r.getLong(2)).toMap }
+    Map("coarse" -> occPsiQ(baseCoarse, occMap(curCoarse, Seq("cell")))) ++
+      m.books.indices.map(i => s"book_$i" ->
+        occPsiQ(baseBooks.getOrElse(i, Map.empty),
+          curBooksMap.getOrElse(i, Map.empty)))
+  }
+
+  /** DRIFT-GATED model refresh — the maintenance shape between full
+    * retrains: compare `corpus`'s occupancy under the committed model
+    * against the generation's stored baselines ([[pqDriftReport]]); a
+    * component whose PSI exceeds `gateQ` refits ON `corpus` with the
+    * generation's own training params (same seeds rule, same iteration
+    * count — so a refresh-all is BYTE-IDENTICAL to training from scratch
+    * on `corpus`, which is what lets `knn_ivf_pq_refreshed` share the
+    * from-scratch oracle); a component within the gate carries over
+    * byte-identical. Zero drift (occupancy equal) is a guaranteed no-op:
+    * every smoothed term is exactly 0 and no generation commits.
+    * Returns (servedGen, driftReport).
+    */
+  def pqRefresh(spark: org.apache.spark.sql.SparkSession, root: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      gateQ: Long): (Long, Map[String, Long]) = {
+    import graft.pipeline.ModelStore
+    val report = pqDriftReport(spark, root, corpus, idCol, vecCol)
+    val m = pqLoad(spark, root)
+    val params = ModelStore.loadParams(spark, root)
+    val (nCent, iters, codes, dim) = (params("centroids").toInt,
+      params("iters").toInt, params("codes").toInt, params("dim").toInt)
+    val subvectors = m.books.size
+    val refitCoarse = report("coarse") > gateQ
+    val refitBooks = m.books.indices.filter(i => report(s"book_$i") > gateQ)
+    if (!refitCoarse && refitBooks.isEmpty)
+      (ModelStore.latestGen(spark, root).get, report)
+    else {
+      val coarse2 =
+        if (refitCoarse) collectCentroids(
+          kmeansCentroidsQuantized(corpus, idCol, vecCol, nCent, iters))
+        else m.coarse
+      val refitted =
+        if (refitBooks.isEmpty) Map.empty[Int, Seq[(Any, Seq[Double])]]
+        else pqCodebooksSubset(corpus, idCol, vecCol, subvectors, codes,
+          iters, dim, refitBooks)
+      val books2 = m.books.indices.map(i => refitted.getOrElse(i, m.books(i)))
+      val m2 = PqModel(coarse2, books2,
+        books2.map(_.map { case (_, cv) => cv.foldLeft(0.0)((a, x) => a + x * x) }),
+        dim / subvectors)
+      (pqCommit(spark, root, m2, corpus, idCol, vecCol, nCent, iters, codes,
+        dim), report)
+    }
   }
 
   private def knnIvfPqWith(m: PqModel, df: DataFrame, idCol: String,
@@ -658,9 +805,28 @@ object Similarity {
   def knnIvfPqServeScored(queries: DataFrame, archive: DataFrame,
       idCol: String, vecCol: String,
       numCentroids: Int = 16, iters: Int = 2, nprobe: Int = 3,
-      subvectors: Int = 4, codes: Int = 16, dim: Int = 64): DataFrame = {
-    val m = pqTrain(archive, idCol, vecCol, numCentroids, iters, subvectors,
-      codes, dim)
+      subvectors: Int = 4, codes: Int = 16, dim: Int = 64): DataFrame =
+    knnIvfPqServeScoredWith(
+      pqTrain(archive, idCol, vecCol, numCentroids, iters, subvectors,
+        codes, dim),
+      queries, archive, idCol, vecCol, nprobe)
+
+  /** [[knnIvfPqServeScored]] from a PERSISTED model (see [[pqSave]]) —
+    * the full serving deployment: last night's coarse centroids and
+    * codebooks load from the store, nothing retrains; the compressed
+    * index re-encodes from the archive in-plan (pure column work
+    * against the loaded codebook literals — the one serve-side cost a
+    * production store can also pre-materialize). Value-exact by the
+    * codec, so the row shares the inline-fit oracle. */
+  def knnIvfPqServeScoredFrom(spark: org.apache.spark.sql.SparkSession,
+      root: String, queries: DataFrame, archive: DataFrame,
+      idCol: String, vecCol: String, nprobe: Int = 3): DataFrame =
+    knnIvfPqServeScoredWith(pqLoad(spark, root), queries, archive, idCol,
+      vecCol, nprobe)
+
+  private def knnIvfPqServeScoredWith(m: PqModel, queries: DataFrame,
+      archive: DataFrame, idCol: String, vecCol: String,
+      nprobe: Int): DataFrame = {
     val v = graft.Caches.track(
       archive.select(col(idCol), col(vecCol).cast("array<double>").as("v")))
     val index = pqIndex(assignCollected(v, idCol, "v", m.coarse), idCol, m,
