@@ -1969,6 +1969,55 @@ object PipelineQueries {
       $wpFinalSql
       FROM m$rounds ORDER BY doc_id"""
 
+  /** BATCHED WordPiece training replay ([[graft.text.WordPiece
+    * .trainBatched]]): per batch round, the top `windowFactor·batch`
+    * candidates rank by the same exact-integer score (w$r), the
+    * disjointness rule renders as a correlated NOT EXISTS against
+    * higher-ranked window candidates (sel$r, re-ranked srn in rank
+    * order), and the first `batch` survivors apply as a fixed chain of
+    * single-merge rewrites — each pulled by srn, so a round that
+    * selects FEWER than `batch` (or nothing: engine early-stop) passes
+    * the state through the missing links unchanged via bpeRewriteSql's
+    * empty-CTE guard. */
+  private[queries] def wpBatchedOracleSql(batchRounds: Int, batch: Int,
+      windowFactor: Int): String = {
+    val cap = windowFactor * batch
+    def round(r: Int): String = {
+      val rewrites = (1 to batch).map { j =>
+        val from = if (j == 1) s"m${r - 1}" else s"mb${r}_${j - 1}"
+        s"""bb${r}_$j AS MATERIALIZED (SELECT a, b FROM sel$r WHERE srn = $j),
+           |mb${r}_$j AS MATERIALIZED (${bpeRewriteSql(from, s"bb${r}_$j")})""".stripMargin
+      }.mkString(",\n")
+      s"""
+      p$r AS MATERIALIZED (SELECT * FROM (${bpePairSql(s"m${r - 1}")})
+        WHERE cnt >= ${graft.text.WordPiece.DefaultMinCount}),
+      y$r AS MATERIALIZED (${wpSymSql(s"m${r - 1}")}),
+      w$r AS MATERIALIZED (SELECT a, b, rn FROM (
+        SELECT a, b,
+               ROW_NUMBER() OVER (ORDER BY scoreq DESC, pair) AS rn
+        FROM (SELECT pair,
+                string_split(pair, ' ')[1] AS a,
+                string_split(pair, ' ')[2] AS b,
+                (CAST(cnt AS HUGEINT) * ${graft.text.WordPiece.ScoreScale}) //
+                (CAST(ca.scnt AS HUGEINT) * CAST(cb.scnt AS HUGEINT)) AS scoreq
+              FROM p$r
+              JOIN y$r ca ON ca.sym = string_split(pair, ' ')[1]
+              JOIN y$r cb ON cb.sym = string_split(pair, ' ')[2])) WHERE rn <= $cap),
+      sel$r AS MATERIALIZED (
+        SELECT a, b, ROW_NUMBER() OVER (ORDER BY rn) AS srn
+        FROM w$r c
+        WHERE NOT EXISTS (SELECT 1 FROM w$r h WHERE h.rn < c.rn
+          AND (h.a = c.a OR h.a = c.b OR h.b = c.a OR h.b = c.b))),
+      $rewrites,
+      m$r AS MATERIALIZED (SELECT * FROM mb${r}_$batch)"""
+    }
+    s"""
+      WITH m0 AS MATERIALIZED (${bpeState0Sql("")}),
+      ${(1 to batchRounds).map(round).mkString(",")}
+      $wpFinalSql
+      FROM m$batchRounds ORDER BY doc_id"""
+  }
+
   /** Frozen-table apply twin: training replayed on `trainPred`'s subset,
     * the a-chain applies each round's winner to every document. */
   private[queries] def wpApplyOracleSqlFor(rounds: Int,
@@ -4848,6 +4897,26 @@ object PipelineQueries {
           .orderBy("doc_id")
       },
       Some(wpOracleSql(WpRounds))),
+
+    // BATCHED trainer (r13 judge #4): one ranked candidate window per
+    // round, symbol-disjoint survivors applied as a single chained
+    // rewrite — 2 rounds × 4 merges covers a bigger vocabulary than the
+    // 6-round single-merge row at a third of the corpus scans (the
+    // production scaling: a 30k-merge vocab at batch 8-16 is thousands
+    // of Spark jobs, not 30k). Disjointness makes the batch's rewrites
+    // commute, so the oracle replays the fixed rank-order chain exactly;
+    // a short round passes through the missing rewrite links unchanged.
+    Q("text_wordpiece_train_batched",
+      (s, dir) => {
+        val (_, state) = graft.text.WordPiece.trainBatched(
+          Tables.documents(s, dir), "doc_id", "text",
+          batchRounds = 2, batch = 4)
+        state.select(col("doc_id"),
+          size(tokens(col("s"))).cast("int").as("n_symbols"),
+          col("s").as("text_wp"))
+          .orderBy("doc_id")
+      },
+      Some(wpBatchedOracleSql(batchRounds = 2, batch = 4, windowFactor = 4))),
 
     // train-offline/apply-at-ingestion + ModelStore round trip for the
     // WordPiece table (order-sensitive, same codec as BPE: ordinal rows,

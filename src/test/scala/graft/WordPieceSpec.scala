@@ -74,4 +74,51 @@ class WordPieceSpec extends AnyFunSuite {
       Seq("p q", "x y"), "state stays untouched")
     Caches.releaseAll()
   }
+
+  test("batched training with batch = 1 degenerates to the single-merge trainer") {
+    val docs = Seq(
+      (0L, "of the of the of the"),
+      (1L, "of the of the of the"),
+      (2L, "qq zz"),
+      (3L, "qq zz")).toDF("doc_id", "text")
+    val (single, s1) = WordPiece.train(docs, "doc_id", "text",
+      rounds = 3, minCount = 1)
+    Caches.releaseAll()
+    val (batched, s2) = WordPiece.trainBatched(docs, "doc_id", "text",
+      batchRounds = 3, batch = 1, minCount = 1)
+    assert(batched == single,
+      "batch = 1 must reproduce the argmax trainer merge for merge")
+    assert(s2.orderBy("doc_id").collect().map(_.getString(1)).toSeq ==
+      s1.orderBy("doc_id").collect().map(_.getString(1)).toSeq)
+    Caches.releaseAll()
+  }
+
+  test("a batch takes symbol-DISJOINT merges in rank order; conflicts defer to the next round") {
+    // scores (cnt·1e15 div ca·cb):
+    //   "mm nn" ×2 → (mm,nn): 2e15/(2·2) = 5e14 (rank 1)
+    //   "qq rr" ×2 → (qq,rr): 2e15/(4·2) = 2.5e14 (qq occurs 4×)
+    //   "qq zz" ×2 → (qq,zz): 2e15/(4·2) = 2.5e14
+    // the 2.5e14 tie breaks pair-ascending: (qq,rr) ranks 2, (qq,zz)
+    // ranks 3 and SHARES qq with the higher-ranked candidate → skipped
+    // in this batch even though the batch has room
+    val docs = Seq(
+      (0L, "qq zz"), (1L, "qq zz"),
+      (2L, "qq rr"), (3L, "qq rr"),
+      (4L, "mm nn"), (5L, "mm nn")).toDF("doc_id", "text")
+    val (batched, state) = WordPiece.trainBatched(docs, "doc_id", "text",
+      batchRounds = 1, batch = 3, minCount = 1)
+    assert(batched.map(m => (m.a, m.b)) == Seq(("mm", "nn"), ("qq", "rr")),
+      s"conflicting (qq,zz) must be deferred: $batched")
+    val st = state.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st(4L) == s"mm${J}nn" && st(2L) == s"qq${J}rr" &&
+      st(0L) == "qq zz", "only the selected merges rewrite")
+    Caches.releaseAll()
+    // a second round picks the deferred pair — nothing is lost, only
+    // deferred (the standard batching contract)
+    val (two, _) = WordPiece.trainBatched(docs, "doc_id", "text",
+      batchRounds = 2, batch = 3, minCount = 1)
+    assert(two.map(m => (m.a, m.b)) ==
+      Seq(("mm", "nn"), ("qq", "rr"), ("qq", "zz")), s"got $two")
+    Caches.releaseAll()
+  }
 }
