@@ -1807,6 +1807,307 @@ object PipelineQueries {
        |FROM vu ORDER BY doc_id, copy""".stripMargin
   }
 
+  // ========== v6: media enters the funnel (r13 judge #3) ==========
+
+  /** v6 media plant, column-pure so batch and stream share it verbatim:
+    * each 30-block's members at residues {0, 6, 12} carry the SAME
+    * attached figure (re-encoded per member — a short prefix edit on an
+    * identical 640-byte body: different digest, near-identical dHash);
+    * every other doc's media is its own text bytes (unique,
+    * non-repetitive signal). Members {0, 6} ALSO share their TEXT (the
+    * v6 caption override below), so the funnel separates the two dedup
+    * axes: the {0, 6} pair dies at exact_dup (same text), member {12}
+    * is text-unique and only the MEDIA stage can catch it. The residues
+    * sit on the %6 == 0 LABEL class deliberately: all three members are
+    * genuinely positive (quality phrase ⇔ label 1 stays exact), so the
+    * trained gate passes them robustly instead of memorizing label-0
+    * phrase carriers into rejection (measured with %10 residues: the
+    * retrained gate flipped whole member populations between plants). */
+  /** The shared figure's "encoded" body: 20 chained md5 hexes of the
+    * 10-block id — 640 bytes of block-specific pseudo-random signal. A
+    * repeated short pattern here aliases ACROSS blocks (measured: the
+    * dHash gradient bits of `repeat('m<block> ')` matched between most
+    * block pairs — 7.5k cross-block "near-dups" at sf0.01); md5 bytes
+    * decorrelate blocks (cross-block hamming ~30) while the 3-byte
+    * per-member prefix edit keeps WITHIN-block hamming under the
+    * verify threshold. */
+  private def v6MediaBodyCol: Column =
+    concat((0 until 20).map(j =>
+      md5(concat(expr("doc_id div 30").cast("string"), lit(s":$j")))): _*)
+
+  private def v6MediaBodySql(rel: String): String =
+    (0 until 20).map(j =>
+      s"md5(CAST($rel.doc_id // 30 AS VARCHAR) || ':$j')").mkString(" || ")
+
+  private[queries] def v6MediaTextCol: Column =
+    when(pmod(col("doc_id"), lit(30)).isin(0, 6, 12),
+      concat(lit("p"), pmod(col("doc_id"), lit(30)).cast("string"), lit("x "),
+        v6MediaBodyCol))
+      .otherwise(col("text"))
+
+  private[queries] def v6MediaTextSql(rel: String): String =
+    s"""CASE WHEN $rel.doc_id % 30 IN (0, 6, 12)
+       | THEN 'p' || CAST($rel.doc_id % 30 AS VARCHAR) || 'x ' ||
+       |      ${v6MediaBodySql(rel)}
+       | ELSE $rel.text END""".stripMargin
+
+  /** The v6 plant: the v5 plant with the caption override for members
+    * {0, 6} of each 30-block — the two publish the SAME caption (the
+    * exact-dup face of the shared figure); member {12} keeps its own
+    * v5 text (%6 == 0 → it already carries the quality phrase), so it
+    * is text-unique and only the media stage can catch its figure. */
+  private[queries] def corpusV6PlantOf(docs: DataFrame): DataFrame =
+    corpusV5PlantOf(docs).select(col("doc_id"), col("source"),
+      when(pmod(col("doc_id"), lit(30)).isin(0, 6),
+        concat(lit("v6 shared caption for the figure of block "),
+          expr("doc_id div 30").cast("string"),
+          lit(" the same attached figure appears in these documents" +
+            " high quality curated encyclopedic prose")))
+        .otherwise(col("text")).as("text"))
+
+  private[queries] def corpusV6Plant(s: SparkSession, dir: String): DataFrame =
+    corpusV6PlantOf(Tables.documents(s, dir))
+
+  private[queries] val v6CaptionSql: String =
+    "'v6 shared caption for the figure of block ' || " +
+      "CAST(doc_id // 30 AS VARCHAR) || " +
+      "' the same attached figure appears in these documents" +
+      " high quality curated encyclopedic prose'"
+
+  /** The v6 plant rendered as SQL — shared by the survivor ladder and
+    * the cross-modal report so the two oracles can never drift. */
+  private[queries] def v6PlantSql(withSource: Boolean): String = {
+    val src = if (withSource)
+      """
+        |    CASE WHEN doc_id % 7 < 5 THEN 'web'
+        |         WHEN doc_id % 7 = 5 THEN 'books'
+        |         ELSE 'wiki' END AS source,""".stripMargin
+    else ""
+    val v5e =
+      """text ||
+        |    CASE WHEN doc_id % 6 = 0 THEN ' high quality curated encyclopedic prose'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 9 = 0 THEN ' zz' || CAST(doc_id AS VARCHAR) ||
+        |         ' qx' || CAST(doc_id AS VARCHAR) ELSE '' END""".stripMargin
+    s"""SELECT doc_id,$src
+       |    CASE WHEN doc_id % 30 IN (0, 6) THEN $v6CaptionSql
+       |    ELSE $v5e
+       |    END AS text
+       |  FROM ${Q.DocsRef}""".stripMargin
+  }
+
+  /** Banded dHash near-dup pairs over a (media_id, text) media relation
+    * — the multimodal_phash_pairs machinery factored for the funnel and
+    * the cross-modal report: one signature pass, the 4×15-bit band
+    * equi-join, a pair-keyed min-hamming aggregate. Never all-pairs. */
+  private[queries] def mediaPairsOf(s: SparkSession,
+      media: DataFrame): DataFrame = {
+    import s.implicits._
+    val banded = graft.Caches.track(
+      graft.multimodal.Media.dhashStub(
+        graft.multimodal.Media.fromText(media, "media_id", "text")
+          .as[graft.multimodal.Media.MediaRow])(s)
+        .select(col("media_id"), col("dhash"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bkey",
+          expr("shiftright(dhash, CAST(band * 15 AS INT)) & 32767")))
+    banded.select(col("media_id").as("a_id"), col("dhash").as("da"),
+        col("band"), col("bkey"))
+      .join(banded.select(col("media_id").as("b_id"), col("dhash").as("db"),
+        col("band"), col("bkey")), Seq("band", "bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(min(expr("CAST(bit_count(da ^ db) AS INT)")).as("hamming"))
+      .filter(col("hamming") <= lit(PhashMaxHamming))
+  }
+
+  /** v6 stage frames: the v5 chain over the v6 plant plus the MEDIA
+    * near-dup stage — among the exact-dedup survivors, a doc whose
+    * attached media is a banded-dHash near-dup of an EARLIER survivor's
+    * media drops (every b of an (a < b) verified pair; the convention
+    * the span/minhash incremental stages already use). */
+  private[queries] final case class V6Stages(
+      docs: DataFrame, surv: DataFrame, kept: DataFrame,
+      deduped: DataFrame, mediaDropped: DataFrame, mediaKept: DataFrame,
+      // the offline artifacts the ingest twins probe: the trained gate,
+      // the LM, its tertile boundary, and the keep-first digest map.
+      // The boundary is the LEXICOGRAPHIC (xent, doc_id) pair at the
+      // cut rank, not a bare xent threshold: v6's shared captions are
+      // IDENTICAL texts with identical xent, so ties straddle the rank
+      // boundary (measured at sf0.001: doc at the cut attributed
+      // ppl_tail by rank, kept by a scalar τ₂) — the rank rule's
+      // tie-break is doc_id, and the stream must replay it exactly
+      cm: graft.text.QualityClassifier.Model,
+      lmm: graft.text.NgramLm.Model, tau2: Double, tau2Id: Long,
+      repMap: DataFrame)
+
+  private[queries] def corpusV6Stages(s: SparkSession, dir: String): V6Stages = {
+    val qc = graft.text.QualityClassifier
+    val docs = graft.Caches.track(corpusV6Plant(s, dir))
+    val feats = graft.Caches.track(qc.features(docs, "doc_id", "text",
+      (pmod(col("doc_id"), lit(6)) === 0).cast("int")))
+    val cm = qc.train(feats.filter(
+      graft.pipeline.Mixing.samplePred("doc_id", SampledFitPct)))
+    val lmm = graft.text.NgramLm.train(
+      docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
+    val surv = graft.Caches.track(
+      qc.score(feats, "doc_id", cm).filter(col("pred") === 1)
+        .select(col("doc_id")).join(docs, Seq("doc_id")))
+    val scored = graft.Caches.track(
+      graft.text.NgramLm.score(surv, "doc_id", "text", lmm)
+        .select(col("doc_id"), col("xent")))
+    val ns = scored.count()
+    val ranked = graft.operators.PrefixSum.runningSum(
+      scored.withColumn("__one", lit(1L)), "__one", Seq("xent", "doc_id"))
+    val t2Rows = ranked.filter(col("running___one") === 2 * ns / 3)
+      .select(col("xent"), col("doc_id")).collect()
+    val (tau2, tau2Id) =
+      if (t2Rows.isEmpty) (Double.NegativeInfinity, Long.MinValue)
+      else (t2Rows(0).getDouble(0), t2Rows(0).getLong(1))
+    val kept = surv.join(
+      ranked.filter(col("running___one") <= 2 * ns / 3).select("doc_id"),
+      Seq("doc_id"))
+    val deduped = graft.Caches.track(kept
+      .withColumn("rep_id",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .filter(col("rep_id") === col("doc_id"))
+      .select("doc_id", "source"))
+    val repMap = graft.Caches.track(kept
+      .groupBy(md5(col("text")).as("__dg"))
+      .agg(min(col("doc_id")).as("__rep_id")))
+    val media = deduped.join(docs, Seq("doc_id"))
+      .select(col("doc_id").as("media_id"), v6MediaTextCol.as("text"))
+    val mediaDropped = graft.Caches.track(
+      mediaPairsOf(s, media).select(col("b_id").as("doc_id")).distinct())
+    val mediaKept = graft.Caches.track(
+      deduped.join(mediaDropped, Seq("doc_id"), "left_anti"))
+    V6Stages(docs, surv, kept, deduped, mediaDropped, mediaKept,
+      cm, lmm, tau2, tau2Id, repMap)
+  }
+
+  private[queries] def corpusV6Plan(s: SparkSession, dir: String): DataFrame = {
+    val st = corpusV6Stages(s, dir)
+    val mixed = graft.pipeline.Mixing.temperatureMix(st.mediaKept, "doc_id",
+      "source", nTarget = CorpusV5MixTarget)
+    graft.pipeline.Mixing.hashSplit(mixed, "doc_id", SplitSpec)
+      .select("doc_id", "source", "copy", "split")
+      .orderBy("doc_id", "copy")
+  }
+
+  /** The v6 survivor-chain CTE prefix: the v5 ladder over the v6 plant
+    * (`m` … `dd`), then the media stage — dHash signatures of the dd
+    * survivors' attached media, banded candidate pairs, the b-side drop
+    * set, and `mk6` (the media-stage survivors). */
+  private[queries] def corpusV6SurvivorCtes: String = {
+    val plant = v6PlantSql(withSource = true)
+    s"""WITH m AS MATERIALIZED ($plant),
+       |$tkCteSql,
+       |${classifierCoreCtesFor(sampledFitPredSql)},
+       |$lmCoreCtes,
+       |sv AS (SELECT m.doc_id, m.source, m.text
+       |       FROM m JOIN sF USING (doc_id) WHERE sF.s >= 0.0e0),
+       |svx AS (SELECT sv.doc_id, fin.xent FROM sv JOIN fin USING (doc_id)),
+       |vns AS (SELECT count(*) AS n FROM svx),
+       |vrk AS (SELECT doc_id,
+       |          row_number() OVER (ORDER BY xent, doc_id) AS r FROM svx),
+       |kp AS (SELECT sv.doc_id, sv.source, sv.text
+       |       FROM sv JOIN vrk USING (doc_id) CROSS JOIN vns
+       |       WHERE vrk.r <= (2 * vns.n) // 3),
+       |dd AS (SELECT doc_id, source FROM (
+       |         SELECT doc_id, source,
+       |                min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+       |         FROM kp)
+       |       WHERE rep_id = doc_id),
+       |vmd AS (SELECT m.doc_id AS media_id, ${v6MediaTextSql("m")} AS text
+       |        FROM m JOIN dd ON m.doc_id = dd.doc_id),
+       |${dhashSigCtes("vmd", "v")},
+       |vbd AS (SELECT media_id, sig, bb.band,
+       |          (sig >> CAST(bb.band * 15 AS INT)) & 32767 AS bkey
+       |        FROM vsg CROSS JOIN (SELECT unnest(range(4)) AS band) bb),
+       |vmp AS (SELECT a_id, b_id FROM (
+       |          SELECT a.media_id AS a_id, b.media_id AS b_id,
+       |                 bit_count(xor(a.sig, b.sig)) AS hamming
+       |          FROM vbd a JOIN vbd b
+       |            ON a.band = b.band AND a.bkey = b.bkey
+       |              AND a.media_id < b.media_id)
+       |        GROUP BY a_id, b_id HAVING min(hamming) <= $PhashMaxHamming),
+       |vdrop AS (SELECT DISTINCT b_id AS doc_id FROM vmp),
+       |mk6 AS (SELECT dd.doc_id, dd.source FROM dd
+       |        LEFT JOIN vdrop USING (doc_id) WHERE vdrop.doc_id IS NULL)""".stripMargin
+  }
+
+  private[queries] lazy val rejectReportV6OracleSql: String =
+    s"""$corpusV6SurvivorCtes,
+       |att6 AS (SELECT m.doc_id, m.source,
+       |           CASE WHEN sv.doc_id IS NULL THEN 'classifier'
+       |                WHEN kp.doc_id IS NULL THEN 'ppl_tail'
+       |                WHEN dd.doc_id IS NULL THEN 'exact_dup'
+       |                WHEN mk6.doc_id IS NULL THEN 'media_dup'
+       |                ELSE 'kept' END AS first_drop
+       |         FROM m LEFT JOIN sv USING (doc_id)
+       |           LEFT JOIN kp USING (doc_id)
+       |           LEFT JOIN dd USING (doc_id)
+       |           LEFT JOIN mk6 USING (doc_id))
+       |SELECT source, first_drop, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM att6 GROUP BY source, first_drop ORDER BY source, first_drop""".stripMargin
+
+  private[queries] lazy val rejectReportV6StreamOracleSql: String =
+    s"""$corpusV6SurvivorCtes,
+       |att6 AS (SELECT m.doc_id, m.source,
+       |           CASE WHEN sv.doc_id IS NULL THEN 'classifier'
+       |                WHEN kp.doc_id IS NULL THEN 'ppl_tail'
+       |                WHEN dd.doc_id IS NULL THEN 'exact_dup'
+       |                WHEN mk6.doc_id IS NULL THEN 'media_dup'
+       |                ELSE 'kept' END AS first_drop
+       |         FROM m LEFT JOIN sv USING (doc_id)
+       |           LEFT JOIN kp USING (doc_id)
+       |           LEFT JOIN dd USING (doc_id)
+       |           LEFT JOIN mk6 USING (doc_id))
+       |SELECT doc_id, source, first_drop FROM att6 ORDER BY doc_id""".stripMargin
+
+  private[queries] def corpusV6Sql: String =
+    s"""$corpusV6SurvivorCtes,
+       |${graft.pipeline.Mixing.duckTemperatureWeights("mk6", "source", CorpusV5MixTarget)},
+       |vx AS (SELECT d.doc_id, d.source, wp.whole, wp.thr,
+       |         ${graft.pipeline.Mixing.duckMixHash("d.doc_id")} AS hm
+       |       FROM mk6 d JOIN wp USING (source)),
+       |vmx AS (SELECT doc_id, source,
+       |          whole + (CASE WHEN hm < thr THEN 1 ELSE 0 END) AS copies
+       |        FROM vx),
+       |vu AS (SELECT doc_id, source,
+       |         CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy
+       |       FROM vmx WHERE copies > 0)
+       |SELECT doc_id, source, copy,
+       |       ${graft.pipeline.Mixing.duckSplitCase("doc_id", SplitSpec)} AS split
+       |FROM vu ORDER BY doc_id, copy""".stripMargin
+
+  /** Cross-modal report oracle: every media near-dup pair over the FULL
+    * v6 corpus, flagged by whether the pair is ALSO a text duplicate —
+    * the text-unique media-dup rows are what only a multimodal dedup
+    * axis can see. */
+  private[queries] lazy val crossModalReportOracleSql: String = {
+    val plant = v6PlantSql(withSource = false)
+    s"""WITH m AS MATERIALIZED ($plant),
+       |vmd AS (SELECT m.doc_id AS media_id, ${v6MediaTextSql("m")} AS text
+       |        FROM m),
+       |${dhashSigCtes("vmd", "v")},
+       |vbd AS (SELECT media_id, sig, bb.band,
+       |          (sig >> CAST(bb.band * 15 AS INT)) & 32767 AS bkey
+       |        FROM vsg CROSS JOIN (SELECT unnest(range(4)) AS band) bb),
+       |vmp AS (SELECT a_id, b_id, CAST(min(hamming) AS INT) AS hamming FROM (
+       |          SELECT a.media_id AS a_id, b.media_id AS b_id,
+       |                 bit_count(xor(a.sig, b.sig)) AS hamming
+       |          FROM vbd a JOIN vbd b
+       |            ON a.band = b.band AND a.bkey = b.bkey
+       |              AND a.media_id < b.media_id)
+       |        GROUP BY a_id, b_id HAVING min(hamming) <= $PhashMaxHamming)
+       |SELECT p.a_id, p.b_id, p.hamming,
+       |       CAST(CASE WHEN md5(ma.text) = md5(mb.text) THEN 1 ELSE 0 END AS INT) AS same_text
+       |FROM vmp p JOIN m ma ON ma.doc_id = p.a_id
+       |           JOIN m mb ON mb.doc_id = p.b_id
+       |ORDER BY p.a_id, p.b_id""".stripMargin
+  }
+
   /** Round-by-round DuckDB replay of Bpe.train: m0 = the normalized
     * symbol state, then per round r a pair-count CTE (adjacent symbols
     * with multiplicity), a best-pair CTE (count DESC, pair ASC — the
@@ -2318,31 +2619,40 @@ object PipelineQueries {
 
   private[queries] val PhashMaxHamming: Int = 8
 
-  /** Replays resize buckets (exact integer boundaries and sums) → dHash
-    * bits (cross-multiplied mean comparisons, powers of two summed) →
-    * 4×15-bit bands → bit_count verify. Character ord() stands in for
-    * payload bytes exactly as the other multimodal oracles (ASCII
-    * corpus — see the multimodal oracle-scope note). */
-  private[queries] lazy val phashPairsOracleSql: String = {
+  /** dHash signature replay over a (media_id[, extras], text) relation
+    * `srcRel`: resize buckets (exact integer boundaries and sums) →
+    * gradient bits (cross-multiplied mean comparisons, powers of two
+    * summed) → `${p}sg` (media_id[, extras], sig). Character ord()
+    * stands in for payload bytes exactly as the other multimodal
+    * oracles (ASCII corpus — see the multimodal oracle-scope note).
+    * Shared by the phash rows, the v6 funnel's media stage and the
+    * cross-modal report. */
+  private def dhashSigCtes(srcRel: String, p: String,
+      extras: Seq[String] = Nil): String = {
     val bits = graft.multimodal.Media.DhashBits
     val bins = bits + 1
+    val ex = extras.map(c => s"$c, ").mkString
+    s"""${p}mb AS (SELECT media_id, ${ex}length(text) AS n,
+       |         list_transform(range(1, length(text)+1), i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS bytes
+       |       FROM $srcRel),
+       |${p}mk AS (SELECT media_id, $ex
+       |         list_transform(range(0, $bins), i -> list_reduce(list_prepend(CAST(0 AS BIGINT), bytes[CAST((i*n)//$bins + 1 AS INT):CAST(((i+1)*n)//$bins AS INT)]), (a, x) -> a + x)) AS acc,
+       |         list_transform(range(0, $bins), i -> ((i+1)*n)//$bins - (i*n)//$bins) AS cnt
+       |       FROM ${p}mb),
+       |${p}sg AS (SELECT media_id, $ex
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(range(0, $bits), i -> CASE WHEN acc[CAST(i+2 AS INT)] * cnt[CAST(i+1 AS INT)] > acc[CAST(i+1 AS INT)] * cnt[CAST(i+2 AS INT)] THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END)),
+           (a, x) -> a + x) AS sig
+       |       FROM ${p}mk)""".stripMargin
+  }
+
+  private[queries] lazy val phashPairsOracleSql: String = {
     s"""
     WITH md AS (SELECT doc_id AS media_id, text FROM ${Q.DocsRef}
                 UNION ALL
                 SELECT doc_id + 1000000, 'zzz' || substr(text, 4) FROM ${Q.DocsRef}
                 WHERE doc_id % 16 = 0),
-    mb AS (SELECT media_id, length(text) AS n,
-             list_transform(range(1, length(text)+1), i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS bytes
-           FROM md),
-    mk AS (SELECT media_id,
-             list_transform(range(0, $bins), i -> list_reduce(list_prepend(CAST(0 AS BIGINT), bytes[CAST((i*n)//$bins + 1 AS INT):CAST(((i+1)*n)//$bins AS INT)]), (a, x) -> a + x)) AS acc,
-             list_transform(range(0, $bins), i -> ((i+1)*n)//$bins - (i*n)//$bins) AS cnt
-           FROM mb),
-    sg AS (SELECT media_id,
-             list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(range(0, $bits), i -> CASE WHEN acc[CAST(i+2 AS INT)] * cnt[CAST(i+1 AS INT)] > acc[CAST(i+1 AS INT)] * cnt[CAST(i+2 AS INT)] THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END)),
-               (a, x) -> a + x) AS sig
-           FROM mk),
+    ${dhashSigCtes("md", "")},
     mbd AS (SELECT media_id, sig, bb.band,
               (sig >> CAST(bb.band * 15 AS INT)) & 32767 AS bkey
             FROM sg CROSS JOIN (SELECT unnest(range(4)) AS band) bb),
@@ -2360,25 +2670,12 @@ object PipelineQueries {
     * edited re-ingests; flag per incoming media with the
     * duplicate-insensitive (min rep, min hamming) aggregate. */
   private[queries] lazy val phashIncrementalOracleSql: String = {
-    val bits = graft.multimodal.Media.DhashBits
-    val bins = bits + 1
     s"""
     WITH md AS (SELECT doc_id AS media_id, text, 0 AS is_new FROM ${Q.DocsRef}
                 UNION ALL
                 SELECT doc_id + 1000000, 'zzz' || substr(text, 4), 1 FROM ${Q.DocsRef}
                 WHERE doc_id % 16 = 0),
-    mb AS (SELECT media_id, is_new, length(text) AS n,
-             list_transform(range(1, length(text)+1), i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS bytes
-           FROM md),
-    mk AS (SELECT media_id, is_new,
-             list_transform(range(0, $bins), i -> list_reduce(list_prepend(CAST(0 AS BIGINT), bytes[CAST((i*n)//$bins + 1 AS INT):CAST(((i+1)*n)//$bins AS INT)]), (a, x) -> a + x)) AS acc,
-             list_transform(range(0, $bins), i -> ((i+1)*n)//$bins - (i*n)//$bins) AS cnt
-           FROM mb),
-    sg AS (SELECT media_id, is_new,
-             list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(range(0, $bits), i -> CASE WHEN acc[CAST(i+2 AS INT)] * cnt[CAST(i+1 AS INT)] > acc[CAST(i+1 AS INT)] * cnt[CAST(i+2 AS INT)] THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END)),
-               (a, x) -> a + x) AS sig
-           FROM mk),
+    ${dhashSigCtes("md", "", Seq("is_new"))},
     mbd AS (SELECT media_id, is_new, sig, bb.band,
               (sig >> CAST(bb.band * 15 AS INT)) & 32767 AS bkey
             FROM sg CROSS JOIN (SELECT unnest(range(4)) AS band) bb),
@@ -6792,6 +7089,63 @@ object PipelineQueries {
           .orderBy("source", "first_drop")
       },
       Some(rejectReportV5OracleSql)),
+
+    // v6 — MEDIA ENTERS THE FUNNEL (r13 judge #3): the v5 model-era
+    // chain plus a perceptual media near-dup stage over the exact-dedup
+    // survivors — a doc drops when its attached media (banded dHash,
+    // the multimodal_phash_pairs machinery) is a near-dup of an earlier
+    // survivor's media. The plant gives every 10-block a shared figure
+    // re-encoded per doc (%10 ∈ {0,1,2}); two of those three ALSO share
+    // their caption text, so exact_dup catches one and only the MEDIA
+    // stage can catch the text-unique third — the cross-modal case the
+    // stage exists for.
+    Q("pipeline_corpus_full_v6",
+      (s, dir) => corpusV6Plan(s, dir),
+      Some(corpusV6Sql)),
+
+    Q("pipeline_reject_report_v6",
+      (s, dir) => {
+        val st = corpusV6Stages(s, dir)
+        def ids(df: DataFrame, flag: String) =
+          df.select(col("doc_id"), lit(1).as(flag))
+        st.docs.select("doc_id", "source")
+          .join(ids(st.surv, "s1"), Seq("doc_id"), "left")
+          .join(ids(st.kept, "s2"), Seq("doc_id"), "left")
+          .join(ids(st.deduped, "s3"), Seq("doc_id"), "left")
+          .join(ids(st.mediaKept, "s4"), Seq("doc_id"), "left")
+          .select(col("source"),
+            when(col("s1").isNull, "classifier")
+              .when(col("s2").isNull, "ppl_tail")
+              .when(col("s3").isNull, "exact_dup")
+              .when(col("s4").isNull, "media_dup")
+              .otherwise("kept").as("first_drop"))
+          .groupBy("source", "first_drop")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("source", "first_drop")
+      },
+      Some(rejectReportV6OracleSql)),
+
+    // the CROSS-MODAL report: every media near-dup pair over the full
+    // corpus, flagged by whether the pair is ALSO a text duplicate —
+    // the text-unique media-dup rows (same_text = 0) are exactly the
+    // population no text-dedup axis can see, which is the published
+    // justification for running the media stage at all.
+    Q("pipeline_cross_modal_report",
+      (s, dir) => {
+        val docs = graft.Caches.track(corpusV6Plant(s, dir))
+        val media = docs.select(col("doc_id").as("media_id"),
+          v6MediaTextCol.as("text"))
+        val tx = docs.select(col("doc_id"), md5(col("text")).as("__tdg"))
+        mediaPairsOf(s, media)
+          .join(tx.select(col("doc_id").as("a_id"), col("__tdg").as("ta")),
+            Seq("a_id"))
+          .join(tx.select(col("doc_id").as("b_id"), col("__tdg").as("tb")),
+            Seq("b_id"))
+          .select(col("a_id"), col("b_id"), col("hamming"),
+            (col("ta") === col("tb")).cast("int").as("same_text"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(crossModalReportOracleSql)),
 
     // REJECTION-ATTRIBUTION FUNNEL — the audit artifact a production
     // curation run publishes next to the dedup report: per document,

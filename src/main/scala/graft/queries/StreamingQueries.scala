@@ -2318,6 +2318,112 @@ object StreamingQueries {
       },
       Some(PipelineQueries.rejectReportV5StreamOracleSql)),
 
+    // v6 COMPOSITE AT INGESTION — the v5 serving shape plus the MEDIA
+    // stage: the media-drop id set derives OFFLINE (banded dHash pairs
+    // among the archive reconciliation's exact-dedup survivors — a
+    // corpus-dependent stage, so the stream probes it as a stateless
+    // stream-static join, exactly the dedup-gate convention), every
+    // per-row gate (classifier margin, digest rep, media membership)
+    // evaluates before the one windowed LM aggregation, and the tail is
+    // the same mix + split. Shares the batch composite's oracle.
+    Q("stream_pipeline_corpus_full_v6",
+      (s, dir) => {
+        implicit val sp = s
+        import graft.functions.GraftFunctions.wordGrams
+        val pq = PipelineQueries
+        val qc = graft.text.QualityClassifier
+        val st = pq.corpusV6Stages(s, dir)
+        val weights = graft.pipeline.Mixing.temperatureWeights(st.mediaKept,
+          "source", pq.CorpusV5MixTarget)
+        val mdrop = st.mediaDropped
+          .select(col("doc_id"), lit(1).as("__mdrop"))
+        val incoming = pq.corpusV6PlantOf(StreamSources.documents(s, dir))
+          .withColumn("__mg", qc.presenceMarginCol(col("text"), st.cm))
+          .filter(col("__mg") >= lit(0.0))
+          .withColumn("__dg", md5(col("text")))
+          .join(st.repMap, Seq("__dg"))
+          .filter(col("__rep_id") === col("doc_id"))
+          .join(mdrop, Seq("doc_id"), "left")
+          .filter(col("__mdrop").isNull)
+          .select(col("doc_id"), col("source"),
+            explode(wordGrams(col("text"), 2)).as("bigram"))
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+        val agg = graft.text.NgramLm.probeQq(incoming, st.lmm, fitsBroadcast = true)
+          .groupBy(window(col("event_time"), "1 hour"), col("doc_id"))
+          .agg(min(col("source")).as("source"),
+            count(lit(1)).as("nb"), sum(col("qq")).as("lq"))
+          .select(col("doc_id"), col("source"),
+            ((-col("lq")).cast("double") /
+              (col("nb").cast("double") * lit(graft.text.NgramLm.Scale)))
+              .as("xent"))
+          // the RANK rule's boundary is lexicographic on (xent, doc_id):
+          // the shared captions are identical texts with identical xent,
+          // so the tie group straddles the cut and a bare xent threshold
+          // mis-attributes the boundary doc (see V6Stages)
+          .filter(col("xent") < lit(st.tau2) ||
+            (col("xent") === lit(st.tau2) && col("doc_id") <= lit(st.tau2Id)))
+        val mixed = graft.pipeline.Mixing.sourceMix(
+          agg.select("doc_id", "source"), "doc_id", "source", weights,
+          defaultWeight = 0.0)
+        val out = graft.pipeline.Mixing.hashSplit(mixed, "doc_id",
+          PipelineQueries.SplitSpec)
+          .select("doc_id", "source", "copy", "split")
+        StreamRun.toBatch(out, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+          .orderBy("doc_id", "copy")
+      },
+      Some(PipelineQueries.corpusV6Sql)),
+
+    // v6 rejection attribution AT INGESTION — the live monitor with the
+    // media_dup reason bit: per-doc detail rows, CASE order preserving
+    // the batch ladder's first-drop semantics (classifier → ppl_tail →
+    // exact_dup → media_dup → kept); the media-drop set and every model
+    // artifact derive offline, the stream only probes.
+    Q("stream_pipeline_reject_report_v6",
+      (s, dir) => {
+        implicit val sp = s
+        import graft.functions.GraftFunctions.wordGrams
+        val pq = PipelineQueries
+        val qc = graft.text.QualityClassifier
+        val st = pq.corpusV6Stages(s, dir)
+        val mdrop = st.mediaDropped
+          .select(col("doc_id"), lit(1).as("__mdrop"))
+        val incoming = pq.corpusV6PlantOf(StreamSources.documents(s, dir))
+          .withColumn("__mg", qc.presenceMarginCol(col("text"), st.cm))
+          .withColumn("__dg", md5(col("text")))
+          .join(st.repMap, Seq("__dg"), "left")
+          .join(mdrop, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("source"), col("__mg"),
+            col("__rep_id"), col("__mdrop"),
+            explode(wordGrams(col("text"), 2)).as("bigram"))
+          .withColumn("event_time", current_timestamp())
+          .withWatermark("event_time", "1 hour")
+        val agg = graft.text.NgramLm.probeQq(incoming, st.lmm, fitsBroadcast = true)
+          .groupBy(window(col("event_time"), "1 hour"), col("doc_id"))
+          .agg(min(col("source")).as("source"), min(col("__mg")).as("mg"),
+            min(col("__rep_id")).as("rep"), min(col("__mdrop")).as("mdrop"),
+            count(lit(1)).as("nb"), sum(col("qq")).as("lq"))
+          .select(col("doc_id"), col("source"), col("mg"), col("rep"),
+            col("mdrop"),
+            ((-col("lq")).cast("double") /
+              (col("nb").cast("double") * lit(graft.text.NgramLm.Scale)))
+              .as("xent"))
+        val out = agg.select(col("doc_id"), col("source"),
+          when(col("mg") < lit(0.0), "classifier")
+            // lexicographic (xent, doc_id) boundary — see V6Stages
+            .when(col("xent") > lit(st.tau2) ||
+              (col("xent") === lit(st.tau2) && col("doc_id") > lit(st.tau2Id)),
+              "ppl_tail")
+            .when(col("rep").isNull || col("rep") =!= col("doc_id"), "exact_dup")
+            .when(col("mdrop").isNotNull, "media_dup")
+            .otherwise("kept").as("first_drop"))
+        StreamRun.toBatch(out, "update", numPartitions = 4,
+          requireSingleDataBatch = true)
+          .orderBy("doc_id")
+      },
+      Some(PipelineQueries.rejectReportV6StreamOracleSql)),
+
     // per-source QUALITY PROFILE AT INGESTION — the curation dashboard
     // maintained as data arrives: both models train OFFLINE, then the
     // stream feeds TWO ingest aggregations over the same source (a real
