@@ -587,7 +587,10 @@ object Dedup {
 
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.6, maxDf: Long = 100): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+    // cache the shingle relation: dfCapped consumes it twice (the hot-key
+    // aggregate and the anti-join probe) — uncached, the explode+hash
+    // pipeline would run twice per query
+    val sh = graft.Caches.track(shingles(df, idCol, textCol, n))
     val shRare = graft.Caches.track(dfCapped(sh, "gram", maxDf))
     val sizes = shRare.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val inter = shRare.select(col(idCol).as("a_id"), col("gram"))

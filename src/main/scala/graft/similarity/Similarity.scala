@@ -771,6 +771,16 @@ object Similarity {
       df.select(col(idCol), col(vecCol).cast("array<double>").as("v")))
     val index = pqIndex(assignCollected(v, idCol, "v", m.coarse), idCol, m,
       withVectors = false)
+    knnIvfPqServe(m, v, index, idCol, k, queryFilter, nprobe, rerank)
+  }
+
+  /** The per-config serving half of [[knnIvfPqWith]] over a PREBUILT
+    * cast/norm frame and compressed index — the recall gate sweeps many
+    * (nprobe, rerank) configs against ONE model, so the corpus encode
+    * must not re-run per arm. */
+  private def knnIvfPqServe(m: PqModel, v: DataFrame, index: DataFrame,
+      idCol: String, k: Int, queryFilter: org.apache.spark.sql.Column,
+      nprobe: Int, rerank: Int): DataFrame = {
     val q = pqQueryProbes(v.filter(queryFilter), idCol, "v", m, nprobe)
     val scored = q.join(index, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -859,9 +869,16 @@ object Similarity {
       codes: Int = 16, dim: Int = 64): DataFrame = {
     val m = pqTrain(df, idCol, vecCol, numCentroids, iters, subvectors,
       codes, dim)
+    // ONE cast/norm frame and ONE compressed index shared by every
+    // config arm — only the probe/ADC/re-rank tail is per-config
+    val v = graft.Caches.track(
+      df.select(col(idCol), col(vecCol).cast("array<double>").as("v")))
+    val index = graft.Caches.track(
+      pqIndex(assignCollected(v, idCol, "v", m.coarse), idCol, m,
+        withVectors = false))
     recallReport(
       configs.map { case (np, rr) =>
-        knnIvfPqWith(m, df, idCol, vecCol, k, queryFilter, np, rr)
+        knnIvfPqServe(m, v, index, idCol, k, queryFilter, np, rr)
           .select(lit(np).as("nprobe"), lit(rr).as("rerank"),
             col("query_id"), col("neighbor_id"))
       },
