@@ -1941,29 +1941,50 @@ object PipelineQueries {
       lmm: graft.text.NgramLm.Model, tau2: Double, tau2Id: Long,
       repMap: DataFrame)
 
+  /** Per-process memo of the v6 offline DRIVER-HELD artifacts —
+    * classifier weights, LM model, survivor count, the lexicographic
+    * ppl boundary — keyed by corpus dir. FOUR rows (batch + stream
+    * composite and funnel) share one nightly chain; without the memo
+    * each re-derived both trained models per run (the serve-split
+    * doctrine the `_loaded` family already follows). Stage FRAMES are
+    * rebuilt per row (they are per-row cached intermediates); only the
+    * pure values memoize, so correctness is untouched — the values are
+    * deterministic functions of the corpus. */
+  private val v6OfflineMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (graft.text.QualityClassifier.Model,
+      graft.text.NgramLm.Model, Long, Double, Long)]()
+
   private[queries] def corpusV6Stages(s: SparkSession, dir: String): V6Stages = {
     val qc = graft.text.QualityClassifier
     val docs = graft.Caches.track(corpusV6Plant(s, dir))
     val feats = graft.Caches.track(qc.features(docs, "doc_id", "text",
       (pmod(col("doc_id"), lit(6)) === 0).cast("int")))
-    val cm = qc.train(feats.filter(
-      graft.pipeline.Mixing.samplePred("doc_id", SampledFitPct)))
-    val lmm = graft.text.NgramLm.train(
-      docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
+    val (cm, lmm, ns, tau2, tau2Id) = v6OfflineMemo.computeIfAbsent(dir, _ => {
+      val cm0 = qc.train(feats.filter(
+        graft.pipeline.Mixing.samplePred("doc_id", SampledFitPct)))
+      val lmm0 = graft.text.NgramLm.train(
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
+      val surv0 = qc.score(feats, "doc_id", cm0).filter(col("pred") === 1)
+        .select(col("doc_id")).join(docs, Seq("doc_id"))
+      val scored0 = graft.Caches.track(
+        graft.text.NgramLm.score(surv0, "doc_id", "text", lmm0)
+          .select(col("doc_id"), col("xent")))
+      val ns0 = scored0.count()
+      val t2Rows = graft.operators.PrefixSum.runningSum(
+          scored0.withColumn("__one", lit(1L)), "__one", Seq("xent", "doc_id"))
+        .filter(col("running___one") === 2 * ns0 / 3)
+        .select(col("xent"), col("doc_id")).collect()
+      if (t2Rows.isEmpty) (cm0, lmm0, ns0, Double.NegativeInfinity, Long.MinValue)
+      else (cm0, lmm0, ns0, t2Rows(0).getDouble(0), t2Rows(0).getLong(1))
+    })
     val surv = graft.Caches.track(
       qc.score(feats, "doc_id", cm).filter(col("pred") === 1)
         .select(col("doc_id")).join(docs, Seq("doc_id")))
     val scored = graft.Caches.track(
       graft.text.NgramLm.score(surv, "doc_id", "text", lmm)
         .select(col("doc_id"), col("xent")))
-    val ns = scored.count()
     val ranked = graft.operators.PrefixSum.runningSum(
       scored.withColumn("__one", lit(1L)), "__one", Seq("xent", "doc_id"))
-    val t2Rows = ranked.filter(col("running___one") === 2 * ns / 3)
-      .select(col("xent"), col("doc_id")).collect()
-    val (tau2, tau2Id) =
-      if (t2Rows.isEmpty) (Double.NegativeInfinity, Long.MinValue)
-      else (t2Rows(0).getDouble(0), t2Rows(0).getLong(1))
     val kept = surv.join(
       ranked.filter(col("running___one") <= 2 * ns / 3).select("doc_id"),
       Seq("doc_id"))
