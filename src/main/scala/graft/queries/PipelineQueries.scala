@@ -726,6 +726,34 @@ object PipelineQueries {
       ${annRecallFinalSql(k, configs.size, Seq("nprobe", "rerank"))}"""
   }
 
+  /** The banded-LSH recall sweep (band count at fixed planes = 4). */
+  private[queries] val AnnRecallBands: Seq[Int] = Seq(1, 2, 3, 4)
+
+  /** Banded-LSH recall@k oracle: one banded bucketing per band count
+    * over the shared `e`, candidates deduped across bands, exact-cosine
+    * top-k per config vs the shared exact top-k — the quantitative face
+    * of "bands are the recall lever". */
+  private[queries] def lshBandedRecallOracleSql(k: Int, planes: Int,
+      bandsSweep: Seq[Int]): String = {
+    val arms = bandsSweep.zipWithIndex.map { case (bd, i) =>
+      s"""${lshBandedTail(planes, bd, s"_c$i")},
+         |cand_c$i AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |       FROM b_c$i q JOIN b_c$i c
+         |         ON q.band = c.band AND q.bucket = c.bucket
+         |          AND q.vec_id < 100 AND q.vec_id <> c.vec_id),
+         |sc_c$i AS (SELECT cand_c$i.query_id, cand_c$i.neighbor_id,
+         |              ${DuckSql.cosine("eq.v", "en.v")} AS cos
+         |       FROM cand_c$i JOIN e eq ON eq.vec_id = cand_c$i.query_id
+         |                     JOIN e en ON en.vec_id = cand_c$i.neighbor_id),
+         |${annRecallArmSql(i, k, s"sc_c$i", s"$bd AS bands")}""".stripMargin
+    }.mkString(",\n")
+    s"""
+      WITH e AS (SELECT vec_id, embedding AS v FROM ${Q.EmbRef}),
+      ${annRecallBfCtes(k)},
+      $arms
+      ${annRecallFinalSql(k, bandsSweep.size, Seq("bands"))}"""
+  }
+
   /** Hyperplane-LSH recall@k oracle: one bucketing per plane count over
     * the shared `e`, candidates = bucket-mates, exact-cosine top-k per
     * config vs the shared exact top-k. */
@@ -1003,7 +1031,16 @@ object PipelineQueries {
     * (vec_id, v, band, bucket) rows — same plane family slices as
     * [[Similarity.embeddingPairsLshBanded]].
     */
-  private def lshBandedCtes(planes: Int, bands: Int, dim: Int = 64): String = {
+  private def lshBandedCtes(planes: Int, bands: Int, dim: Int = 64): String =
+    s"""e AS (SELECT vec_id, embedding AS v FROM ${Q.EmbRef}),
+       |${lshBandedTail(planes, bands)}""".stripMargin
+
+  /** The banded bucket-assignment CTEs over an existing `e` — suffixed
+    * for the recall gate's per-band-count sweep (plane families are
+    * prefix-stable, so band 0 of every config shares band 0's planes —
+    * the candidate-superset/recall-monotonicity argument). */
+  private def lshBandedTail(planes: Int, bands: Int, sfx: String = "",
+      dim: Int = 64): String = {
     val ws = Similarity.planeWeights(planes * bands, dim)
     val dots = ws.zipWithIndex.map { case (w, p) =>
       val wLit = "[" + w.map(_.toString).mkString(",") + "]"
@@ -1016,11 +1053,10 @@ object PipelineQueries {
       val bucket = (0 until planes)
         .map(p => s"CASE WHEN dot_${l * planes + p} > 0.0e0 THEN ${1L << p} ELSE 0 END")
         .mkString(" + ")
-      s"SELECT vec_id, v, $l AS band, CAST($bucket AS BIGINT) AS bucket FROM dots"
+      s"SELECT vec_id, v, $l AS band, CAST($bucket AS BIGINT) AS bucket FROM dots$sfx"
     }.mkString("\nUNION ALL\n")
-    s"""e AS (SELECT vec_id, embedding AS v FROM ${Q.EmbRef}),
-       |dots AS (SELECT vec_id, v, $dots FROM e),
-       |b AS ($bandSelects)""".stripMargin
+    s"""dots$sfx AS (SELECT vec_id, v, $dots FROM e),
+       |b$sfx AS ($bandSelects)""".stripMargin
   }
 
   /** langId CASE generated from TextAnalysis.Stopwords (tie-break = list
@@ -8195,6 +8231,17 @@ object PipelineQueries {
           planesSweep = AnnRecallPlanes)
         .orderBy("planes"),
       Some(lshRecallOracleSql(5, AnnRecallPlanes))),
+
+    // the BANDED twin: recall@5 vs band count at fixed planes — bands
+    // are the standard LSH recall lever, and this row prices it
+    // (candidates are supersets config-over-config by prefix-stable
+    // plane families, so the published recall column is monotone)
+    Q("knn_lsh_banded_recall",
+      (s, dir) => Similarity.knnLshBandedRecall(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 5, queryFilter = col("vec_id") < 100,
+          bandsSweep = AnnRecallBands, planes = 4)
+        .orderBy("bands"),
+      Some(lshBandedRecallOracleSql(5, 4, AnnRecallBands))),
 
     // the PERSISTED-index IVF-PQ deployment: coarse centroids and all
     // four codebooks (position = code) round-trip through ModelStore and

@@ -902,6 +902,22 @@ object Similarity {
       knnBruteForce(df.filter(queryFilter), df, idCol, vecCol, k),
       k, Seq("planes"))
 
+  /** [[knnLshRecall]] for the BANDED path, swept over band count at a
+    * fixed plane width — the quantitative face of "bands are the recall
+    * lever": plane families are prefix-stable, so each config's
+    * candidates are a superset of the previous one's and recall is
+    * monotone in bands by construction. */
+  def knnLshBandedRecall(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, queryFilter: org.apache.spark.sql.Column,
+      bandsSweep: Seq[Int], planes: Int = 4, dim: Int = 64): DataFrame =
+    recallReport(
+      bandsSweep.map(bd =>
+        knnLshBanded(df, idCol, vecCol, k, planes, bd, dim, queryFilter)
+          .select(lit(bd).as("bands"), col("query_id"),
+            col("neighbor_id"))),
+      knnBruteForce(df.filter(queryFilter), df, idCol, vecCol, k),
+      k, Seq("bands"))
+
   /** Shared recall@k fold: tag-union the per-config result sets, ONE
     * left equi-join against the exact top-k (broadcast — n_queries·k
     * rows by construction), count hits per config. The exact side is
