@@ -454,6 +454,55 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
 
+  /** DEDUP QUALITY GATE — candidate recall AND precision of the banded
+    * MinHash pipeline against the exact ground truth (every pair at
+    * jaccard ≥ `threshold` over a bounded doc sample), swept over the
+    * rows-per-band knob at fixed signature width. The ANN recall gate's
+    * doctrine applied to the dedup family: the hash rows prove replay
+    * fidelity; this row measures the banding's selectivity trade —
+    * fewer rows per band → more, looser bands → recall up, precision
+    * (candidate purity, i.e. verify-join load) down. The truth needs no
+    * all-pairs join: a pair below any positive threshold with ZERO
+    * shared grams can't be truth, so exact jaccard over the gram-equi
+    * join ([[ngramJaccardPairs]] with the df cap disabled) IS the exact
+    * ground truth, shuffle-shaped. Output: (rows_per_band, n_truth,
+    * n_candidates, hits, recall_pct, precision_pct).
+    */
+  def minhashBandingRecall(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numPerms: Int, threshold: Double,
+      rowsSweep: Seq[Int],
+      samplePred: org.apache.spark.sql.Column): DataFrame = {
+    require(rowsSweep.forall(r => r > 0 && numPerms % r == 0),
+      s"every rows-per-band in $rowsSweep must divide numPerms = $numPerms")
+    val sample = df.filter(samplePred)
+    val truth = graft.Caches.track(
+      ngramJaccardPairs(sample, idCol, textCol, shingleN, threshold,
+        maxDf = Long.MaxValue).select("a_id", "b_id"))
+    val nTruth = truth.count()
+    val hsDf = graft.Caches.track(sample.select(col(idCol),
+      transform(wordShingles(col(textCol), shingleN), g => hash60(g)).as("hs")))
+    val sig = graft.Caches.track(minhashSignatures(hsDf, idCol, numPerms))
+    val arms = rowsSweep.map { r =>
+      lshCandidates(lshBands(sig, idCol, r), idCol)
+        .select(lit(r).as("rows_per_band"), col("a_id"), col("b_id"))
+    }.reduce(_ unionByName _)
+    arms
+      .join(broadcast(truth.withColumn("__hit", lit(1L))),
+        Seq("a_id", "b_id"), "left")
+      .groupBy("rows_per_band")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .withColumn("n_truth", lit(nTruth))
+      .withColumn("recall_pct",
+        col("hits").cast("double") * lit(100.0) /
+          col("n_truth").cast("double"))
+      .withColumn("precision_pct",
+        col("hits").cast("double") * lit(100.0) /
+          col("n_candidates").cast("double"))
+      .select("rows_per_band", "n_truth", "n_candidates", "hits",
+        "recall_pct", "precision_pct")
+  }
+
   /** Exact jaccard verification of candidate pairs against the shingle
     * inverted index. Output: (a_id, b_id, jaccard) with jaccard ≥ threshold.
     */

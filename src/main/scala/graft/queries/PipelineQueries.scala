@@ -70,6 +70,67 @@ object PipelineQueries {
     s"""${gramCtes(3)},
        |${minhashSigBandCtes("doc_id")}""".stripMargin
 
+  /** MinHash banding gate sweep: rows-per-band at 12 permutations. */
+  private[queries] val MinhashBandingRowsSweep: Seq[Int] = Seq(2, 3, 4, 6)
+
+  /** MinHash banding recall/precision oracle: exact ground truth = every
+    * sample pair at jaccard ≥ τ via the gram-equi join (zero-overlap
+    * pairs are below any positive τ — no all-pairs join in the truth),
+    * one shared perm-minimum relation, one banding re-grouping per
+    * rows-per-band config. */
+  private[queries] def minhashBandingRecallOracleSql(threshold: Double,
+      rowsSweep: Seq[Int], samplePredSql: String): String = {
+    val perms = (0 until 12).map { p =>
+      val (a, b) = graft.functions.GraftFunctions.permHashParams(p)
+      s"($p, $a, $b)"
+    }.mkString(", ")
+    val arms = rowsSweep.zipWithIndex.map { case (r, i) =>
+      s"""bands_c$i AS (
+         |  SELECT doc_id, p // $r AS band,
+         |         sum(${DuckSql.hash60(s"CAST(p % $r AS VARCHAR) || ':' || CAST(minh AS VARCHAR)")}) AS bandsig
+         |  FROM hp GROUP BY doc_id, band),
+         |cand_c$i AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands_c$i a JOIN bands_c$i b
+         |    ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id),
+         |rec_c$i AS (
+         |  SELECT $r AS rows_per_band,
+         |         CAST(count(*) AS BIGINT) AS n_candidates,
+         |         CAST(COALESCE(SUM(CASE WHEN bf.a_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits
+         |  FROM cand_c$i c LEFT JOIN bf
+         |    ON bf.a_id = c.a_id AND bf.b_id = c.b_id)""".stripMargin
+    }.mkString(",\n")
+    val union = rowsSweep.indices.map(i => s"SELECT * FROM rec_c$i")
+      .mkString(" UNION ALL ")
+    s"""${gramCtes(3)},
+       |gs AS (SELECT * FROM g WHERE $samplePredSql),
+       |tsz AS (SELECT doc_id, count(*) AS n FROM gs GROUP BY doc_id),
+       |ti AS (SELECT ga.doc_id AS a_id, gb.doc_id AS b_id, count(*) AS i
+       |       FROM gs ga JOIN gs gb
+       |         ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+       |       GROUP BY 1, 2),
+       |bf AS (SELECT a_id, b_id FROM ti
+       |       JOIN tsz sa ON sa.doc_id = ti.a_id
+       |       JOIN tsz sb ON sb.doc_id = ti.b_id
+       |       WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= ${threshold}e0),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM bf),
+       |ghx AS (SELECT doc_id, ${DuckSql.hash60("gram")} AS h FROM gs),
+       |hp AS (
+       |  SELECT ghx.doc_id, pp.p,
+       |         min(CAST((CAST(pp.a AS HUGEINT) * ghx.h + pp.b) % ${graft.functions.GraftFunctions.MersenneP} AS BIGINT)) AS minh
+       |  FROM ghx CROSS JOIN (VALUES $perms) AS pp(p, a, b)
+       |  GROUP BY ghx.doc_id, pp.p),
+       |$arms
+       |SELECT CAST(rows_per_band AS INT) AS rows_per_band,
+       |       (SELECT n_truth FROM nt) AS n_truth,
+       |       n_candidates, hits,
+       |       CAST(hits AS DOUBLE) * 100.0e0 /
+       |         CAST((SELECT n_truth FROM nt) AS DOUBLE) AS recall_pct,
+       |       CAST(hits AS DOUBLE) * 100.0e0 /
+       |         CAST(n_candidates AS DOUBLE) AS precision_pct
+       |FROM ($union) ORDER BY rows_per_band""".stripMargin
+  }
+
   /** Whole minhash-LSH pipeline as a CTE chain ending in `pairs`. */
   private def minhashCtes(threshold: Double): String =
     s"""$minhashBandCtes,
@@ -7370,6 +7431,24 @@ object PipelineQueries {
       Some(s"""
         ${minhashCtes(0.6)}
         SELECT a_id, b_id, jaccard FROM pairs ORDER BY a_id, b_id""")),
+
+    // DEDUP QUALITY GATE — the ANN recall doctrine applied to the
+    // near-dup family: candidate recall AND precision of the banded
+    // MinHash pipeline vs the EXACT jaccard ≥ 0.6 truth over a bounded
+    // 500-doc sample, swept over rows-per-band (12 perms). The truth
+    // needs no all-pairs join (a zero-overlap pair is below any
+    // positive τ, so the gram-equi join is exact); one signature
+    // relation serves every config, only the band re-grouping is
+    // per-arm. Publishes the bands/rows selectivity trade the default
+    // (3 rows × 4 bands) was chosen on.
+    Q("dedup_minhash_recall",
+      (s, dir) => Dedup.minhashBandingRecall(Tables.documents(s, dir),
+          "doc_id", "text", shingleN = 3, numPerms = 12, threshold = 0.6,
+          rowsSweep = MinhashBandingRowsSweep,
+          samplePred = col("doc_id") < 500)
+        .orderBy("rows_per_band"),
+      Some(minhashBandingRecallOracleSql(0.6, MinhashBandingRowsSweep,
+        "doc_id < 500"))),
 
     // INTEGER PageRank over the near-dup graph — authority scoring
     // inside dup clusters (the canonical-copy rule when provenance
