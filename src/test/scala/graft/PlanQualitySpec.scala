@@ -146,7 +146,11 @@ class PlanQualitySpec extends AnyFunSuite {
     // bounded sample (100 ids), the corpus side broadcasts, and the
     // companion assertion below pins exactly that shape — a BNLJ whose
     // build side is the broadcast corpus, never a CartesianProduct.
-    val recallGate = Set("knn_ivf_pq_recall", "knn_lsh_recall")
+    // (dedup_minhash_recall is NOT here: its exact truth rides the
+    // gram-equi join — zero-overlap pairs are below any positive τ —
+    // so it needs no nested-loop join at all)
+    val recallGate =
+      Set("knn_ivf_pq_recall", "knn_lsh_recall", "knn_lsh_banded_recall")
     SparkEntry.queries.keys.filterNot(_.startsWith("stream_")).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
