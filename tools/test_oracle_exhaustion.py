@@ -77,6 +77,19 @@ def main(out_dir, sf_dir):
         else:
             print("PASS bpe exhaustion (full passthrough)")
 
+    with tempfile.TemporaryDirectory() as d:
+        # BATCHED WordPiece: one disjoint pair clears the floor in round 1
+        # (the other 3 rewrite links of the 4-merge batch are EMPTY and
+        # must pass through), round 2 exhausts entirely
+        make_docs(d, ["a b"] * 5 + ["c"])
+        got = sorted(run(oracles["text_wordpiece_train_batched"], sf_dir, d))
+        want = sorted([(i, 1, "a\x01b") for i in range(5)] + [(5, 1, "c")])
+        if got != want:
+            print(f"FAIL batched wordpiece short round:\n  got {got}\n  want {want}")
+            failures += 1
+        else:
+            print("PASS batched wordpiece short round (1 of 4 links live, rest pass through)")
+
     if failures:
         sys.exit(1)
     print("oracle exhaustion: all green")
