@@ -129,6 +129,17 @@ object Pipe {
   /** Typed-builder flavor ([[graft.sources.KafkaSinkConfig]], mirroring
     * the reference's KafkaSink_Builder).
     */
-  def kafkaSink(df: DataFrame, config: graft.sources.KafkaSinkConfig) =
-    df.writeStream.format("kafka").options(config.options)
+  def kafkaSink(df: DataFrame, config: graft.sources.KafkaSinkConfig)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    kafkaSink(df, config, "kafka")
+
+  /** Format-parameterized flavor — the in-repo fake runtime
+    * ([[graft.sources.FakeKafkaSourceProvider]]) substitutes here so the
+    * sink's option map, routing and epoch semantics EXECUTE without the
+    * connector jar; a real deployment passes "kafka" and keeps every
+    * call site untouched (the source half's exact pattern).
+    */
+  def kafkaSink(df: DataFrame, config: graft.sources.KafkaSinkConfig,
+      format: String) =
+    df.writeStream.format(format).options(config.options)
 }

@@ -486,19 +486,34 @@ object Dedup {
       lshCandidates(lshBands(sig, idCol, r), idCol)
         .select(lit(r).as("rows_per_band"), col("a_id"), col("b_id"))
     }.reduce(_ unionByName _)
-    arms
+    val agg = arms
       .join(broadcast(truth.withColumn("__hit", lit(1L))),
         Seq("a_id", "b_id"), "left")
       .groupBy("rows_per_band")
       .agg(count(lit(1)).as("n_candidates"),
         sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+    // every swept config emits a row even when its banding yields zero
+    // candidate pairs (the oracle's per-arm aggregate always does —
+    // dropping the arm would be a data-dependent row-count mismatch)
+    val spark = df.sparkSession
+    val cfgFrame = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rowsSweep.map(r => org.apache.spark.sql.Row(r)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rows_per_band",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+    cfgFrame.join(agg, Seq("rows_per_band"), "left")
+      .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
       .withColumn("n_truth", lit(nTruth))
       .withColumn("recall_pct",
         col("hits").cast("double") * lit(100.0) /
           col("n_truth").cast("double"))
       .withColumn("precision_pct",
-        col("hits").cast("double") * lit(100.0) /
-          col("n_candidates").cast("double"))
+        when(col("n_candidates") > 0L,
+          col("hits").cast("double") * lit(100.0) /
+            col("n_candidates").cast("double"))
+          .otherwise(lit(0.0)))
       .select("rows_per_band", "n_truth", "n_candidates", "hits",
         "recall_pct", "precision_pct")
   }

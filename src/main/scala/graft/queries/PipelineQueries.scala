@@ -126,8 +126,10 @@ object PipelineQueries {
        |       n_candidates, hits,
        |       CAST(hits AS DOUBLE) * 100.0e0 /
        |         CAST((SELECT n_truth FROM nt) AS DOUBLE) AS recall_pct,
-       |       CAST(hits AS DOUBLE) * 100.0e0 /
-       |         CAST(n_candidates AS DOUBLE) AS precision_pct
+       |       CASE WHEN n_candidates > 0
+       |         THEN CAST(hits AS DOUBLE) * 100.0e0 /
+       |           CAST(n_candidates AS DOUBLE)
+       |         ELSE 0.0e0 END AS precision_pct
        |FROM ($union) ORDER BY rows_per_band""".stripMargin
   }
 
@@ -7212,11 +7214,13 @@ object PipelineQueries {
     // chain plus a perceptual media near-dup stage over the exact-dedup
     // survivors — a doc drops when its attached media (banded dHash,
     // the multimodal_phash_pairs machinery) is a near-dup of an earlier
-    // survivor's media. The plant gives every 10-block a shared figure
-    // re-encoded per doc (%10 ∈ {0,1,2}); two of those three ALSO share
-    // their caption text, so exact_dup catches one and only the MEDIA
-    // stage can catch the text-unique third — the cross-modal case the
-    // stage exists for.
+    // survivor's media. The plant gives every 30-block a shared figure
+    // re-encoded per doc (members %30 ∈ {0, 6, 12} — residues chosen on
+    // the %6 == 0 quality-phrase grid for trained-gate robustness, see
+    // v6MediaTextCol); members {0, 6} ALSO share their caption text, so
+    // exact_dup catches one and only the MEDIA stage can catch the
+    // text-unique third ({12}) — the cross-modal case the stage exists
+    // for.
     Q("pipeline_corpus_full_v6",
       (s, dir) => corpusV6Plan(s, dir),
       Some(corpusV6Sql)),

@@ -5,10 +5,12 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -25,15 +27,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * (`wf/kafka/kafka_source.hpp:57-135` ExampleRebalanceCb) finally runs:
   *
   *  - configured offsets apply at the FIRST assignment only (the
-  *    reference's `init == 0` branch; an offset ≤ −1 is "not set" →
-  *    the consumer default);
+  *    reference's `init == 0` branch). Offset VALUES follow Spark's
+  *    `startingOffsets` JSON convention (which is also librdkafka's
+  *    END/BEGINNING): an explicit −1/−2 means latest/earliest and
+  *    OVERRIDES any committed offset; only an ABSENT entry falls back
+  *    to the consumer default — the group's committed offset when one
+  *    exists, else the earliest/latest posture. (The reference's
+  *    "> −1 seeks" rule treats ≤ −1 as not-set; the JSON convention
+  *    is the contract this source's option map actually renders.)
   *  - a mid-run rebalance (`init > 0`) re-assigns WITHOUT re-seeking —
   *    consumption continues from the current position, no replay;
   *  - partitions discovered at a later rebalance start from the GROUP's
   *    committed offset, else earliest (`auto.offset.reset` posture);
-  *  - each micro-batch COMMITS its end offsets to the group
-  *    (`kafka.group.id`), so a fresh query in the same group restores
-  *    from committed — the restart face of offset restore.
+  *  - a micro-batch COMMITS its end offsets to the group
+  *    (`kafka.group.id`) when it RETIRES (Spark's `commit(end)` call —
+  *    after delivery, like the real auto-commit), with a final flush of
+  *    the last planned batch at `stop()` (an AvailableNow run's final
+  *    batch has no successor to retire it). A mid-batch crash (no
+  *    stop()) therefore replays from the last retired commit —
+  *    at-least-once; the one residual at-most-once window is a query
+  *    that fails mid-batch and is STILL stopped gracefully, where the
+  *    stop-flush commits the failed batch's planned end.
+  *    A fresh query in the same group restores from committed — the
+  *    restart face of offset restore.
   *
   * A real deployment swaps the format string for `kafka` and keeps the
   * [[KafkaSourceConfig]] call sites untouched ([[graft.streaming
@@ -44,14 +60,73 @@ object FakeKafkaBroker {
 
   final case class Msg(key: Array[Byte], value: Array[Byte], tsMs: Long)
 
+  /** One produced-but-not-yet-appended sink message — the executor-side
+    * buffer element of the write path (the reference's
+    * `wf_kafka_sink_msg{topic, payload}`, wf/kafka/kafka_sink.hpp:77-78,
+    * with the Spark sink's key/partition columns). `partition` = −1
+    * means "unset": the broker's deterministic default partitioner
+    * resolves it at delivery. */
+  final case class SinkMsg(topic: String, partition: Int,
+      key: Array[Byte], value: Array[Byte]) extends Serializable
+
   // topic -> per-partition append-only logs
   private val topics =
     new ConcurrentHashMap[String, Array[java.util.ArrayList[Msg]]]()
   // (group, topic, partition) -> committed NEXT offset
   private val committed = new ConcurrentHashMap[(String, String, Int), Long]()
+  // sink-epoch ledger: (queryId, epochId) pairs already delivered — the
+  // restart-no-duplicate guard (a restarted query re-executing a
+  // committed epoch is skipped, Spark's DSv2 sink idempotence contract)
+  private val deliveredEpochs =
+    new ConcurrentHashMap[(String, Long), java.lang.Boolean]()
   private val epoch = new AtomicLong(0L)
 
-  def reset(): Unit = { topics.clear(); committed.clear(); epoch.set(0L) }
+  def reset(): Unit = {
+    topics.clear(); committed.clear(); deliveredEpochs.clear(); epoch.set(0L)
+  }
+
+  /** Deterministic default partitioner for a keyed message with no
+    * explicit partition: the portable hash of the key's UTF-8 text,
+    * floor-mod the partition count — the fake's replayable stand-in for
+    * Kafka's murmur2 rule (same shape: keyed messages land stably on one
+    * partition; the exact hash differs and is not part of the contract).
+    * Keyless messages pin partition 0 (real Kafka sticky-round-robins,
+    * which no oracle could replay). */
+  def defaultPartition(key: Array[Byte], numPartitions: Int): Int =
+    if (key == null) 0
+    else math.floorMod(
+      graft.functions.GraftFunctions.hash60Scala(
+        new String(key, "UTF-8")),
+      numPartitions.toLong).toInt
+
+  /** Deliver one sink epoch EXACTLY ONCE per (query, epoch): a re-commit
+    * of an already-delivered epoch (checkpoint-restart re-execution) is
+    * skipped — returns false, appends nothing. Messages append in
+    * CANONICAL order — (topic, resolved partition, key text, value text)
+    * — so read-back offsets are a deterministic function of the message
+    * SET, independent of task scheduling (real Kafka only orders within
+    * a producer; the canonical sort is the fake's determinism move,
+    * documented divergence). Unknown topics fail loudly (this broker
+    * has no auto-create). */
+  def deliver(queryId: String, epochId: Long, msgs: Seq[SinkMsg]): Boolean = {
+    if (deliveredEpochs.putIfAbsent((queryId, epochId),
+        java.lang.Boolean.TRUE) != null) return false
+    val resolved = msgs.map { m =>
+      val n = partitionsOf(m.topic) // throws on unknown topic
+      val p = if (m.partition >= 0) m.partition
+        else defaultPartition(m.key, n)
+      require(p < n, s"partition $p out of range for topic '${m.topic}' ($n)")
+      (m.topic, p, m)
+    }
+    resolved.sortBy { case (t, p, m) =>
+      (t, p, if (m.key == null) "" else new String(m.key, "UTF-8"),
+        if (m.value == null) "" else new String(m.value, "UTF-8"))
+    }.foreach { case (t, p, m) =>
+      val logs = topics.get(t)
+      logs(p).synchronized { logs(p).add(Msg(m.key, m.value, 0L)): Unit }
+    }
+    true
+  }
 
   def createTopic(name: String, numPartitions: Int): Unit =
     topics.put(name, Array.fill(numPartitions)(new java.util.ArrayList[Msg]()))
@@ -124,12 +199,14 @@ object FakeKafka {
     }
 
   /** FIRST-assignment position of one partition — the reference's
-    * `init == 0` rebalance branch run against the fake broker's state:
-    * a configured offset ≥ 0 seeks there; a non-positive/absent
-    * configured offset falls back to the consumer default — the group's
-    * committed offset when one exists (offset RESTORE), else the
-    * earliest/latest posture (−2/absent-earliest → 0, −1/latest → log
-    * end). Pure: spec-pinned directly.
+    * `init == 0` rebalance branch run against the fake broker's state,
+    * with offset VALUES per Spark's `startingOffsets` JSON convention:
+    * a configured offset ≥ 0 seeks there; an explicit −1/−2 means
+    * latest/earliest and OVERRIDES the committed offset; only an ABSENT
+    * entry falls back to the consumer default — the group's committed
+    * offset when one exists (offset RESTORE), else the earliest/latest
+    * posture (earliest → 0, latest → log end). Pure: spec-pinned
+    * directly.
     */
   def initialPosition(configured: Option[Long], posture: String,
       committedOffset: Option[Long], logEnd: Long): Long =
@@ -157,18 +234,145 @@ class FakeKafkaSourceProvider extends TableProvider {
 }
 
 class FakeKafkaTable(options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String =
     s"graft_fake_kafka(${options.get("subscribe")})"
   override def schema(): StructType = FakeKafka.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     () => new Scan {
       override def readSchema(): StructType = FakeKafka.Schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new FakeKafkaMicroBatchStream(options)
     }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toStreaming: StreamingWrite =
+          new FakeKafkaStreamingWrite(info.queryId(), info.schema(), options)
+      }
+    }
+}
+
+/** The WRITE half of the fake runtime — the reference's `Kafka_Sink`
+  * executed (wf/kafka/kafka_sink.hpp:77-203: the serializing function
+  * returns `wf_kafka_sink_msg{payload, topic}` and the producer routes
+  * each message to ITS topic; EOS level `None`). The accepted input
+  * relation is Spark's kafka-sink contract — columns `value` (binary or
+  * string, required), `key` (optional), `topic` (string; required
+  * unless the `topic` OPTION is set, which then overrides the column —
+  * Spark's documented rule), `partition` (int, optional; unset rows
+  * take the broker's deterministic default partitioner). Each task
+  * buffers its rows; buffered rows travel in the task's commit message
+  * and reach the log ONLY at the driver's epoch commit, so an epoch
+  * ABORT discards them (nothing was appended), and the broker's
+  * (queryId, epochId) ledger makes a checkpoint-restart re-commit a
+  * no-op — restart-no-duplicate.
+  */
+class FakeKafkaStreamingWrite(queryId: String, schema: StructType,
+    options: CaseInsensitiveStringMap) extends StreamingWrite {
+  private val defaultTopic = Option(options.get("topic"))
+  FakeKafkaStreamingWrite.validateSchema(schema, defaultTopic)
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new FakeKafkaWriterFactory(schema, defaultTopic)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    FakeKafkaBroker.deliver(queryId, epochId,
+      messages.iterator.flatMap(_.asInstanceOf[FkSinkCommit].msgs).toSeq)
+    (): Unit
+  }
+
+  /** Epoch abort: buffered rows lived only in the commit messages —
+    * discarding them here means nothing of the failed epoch is visible
+    * to any reader (the discard face of EOS `None`: no transaction, no
+    * partial exposure either). */
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+object FakeKafkaStreamingWrite {
+  private[sources] val AllowedColumns = Set("key", "value", "topic", "partition")
+
+  /** Driver-side, start-time validation (the real sink's analysis-time
+    * checks): `value` present and binary/string; topic routable (option
+    * or string column); no unknown columns silently dropped. */
+  def validateSchema(schema: StructType, defaultTopic: Option[String]): Unit = {
+    val unknown = schema.fieldNames.filterNot(f =>
+      AllowedColumns(f.toLowerCase(java.util.Locale.ROOT)))
+    require(unknown.isEmpty,
+      s"fake kafka sink: unsupported columns ${unknown.mkString(", ")} " +
+        s"(allowed: ${AllowedColumns.mkString(", ")})")
+    val value = schema.fields.find(_.name.equalsIgnoreCase("value"))
+    require(value.nonEmpty, "fake kafka sink: a 'value' column is required")
+    require(Seq(BinaryType, StringType).contains(value.get.dataType),
+      s"fake kafka sink: 'value' must be binary or string, got ${value.get.dataType}")
+    schema.fields.find(_.name.equalsIgnoreCase("key")).foreach(f =>
+      require(Seq(BinaryType, StringType).contains(f.dataType),
+        s"fake kafka sink: 'key' must be binary or string, got ${f.dataType}"))
+    val topicCol = schema.fields.find(_.name.equalsIgnoreCase("topic"))
+    topicCol.foreach(f => require(f.dataType == StringType,
+      s"fake kafka sink: 'topic' must be string, got ${f.dataType}"))
+    require(defaultTopic.nonEmpty || topicCol.nonEmpty,
+      "fake kafka sink: no 'topic' option and no topic column — every " +
+        "message needs a destination (wf_kafka_sink_msg.topic)")
+    schema.fields.find(_.name.equalsIgnoreCase("partition")).foreach(f =>
+      require(f.dataType == IntegerType,
+        s"fake kafka sink: 'partition' must be int, got ${f.dataType}"))
+  }
+}
+
+class FakeKafkaWriterFactory(schema: StructType, defaultTopic: Option[String])
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new FkSinkWriter(schema, defaultTopic)
+}
+
+case class FkSinkCommit(msgs: Array[FakeKafkaBroker.SinkMsg])
+    extends WriterCommitMessage
+
+/** Per-task row buffer: extracts (topic, partition, key, value) per the
+  * sink contract; rows surface at epoch commit only (see
+  * [[FakeKafkaStreamingWrite]]). */
+class FkSinkWriter(schema: StructType, defaultTopic: Option[String])
+    extends DataWriter[InternalRow] {
+  private def idx(name: String): Int =
+    schema.fields.indexWhere(_.name.equalsIgnoreCase(name))
+  private val valueIdx = idx("value")
+  private val keyIdx = idx("key")
+  private val topicIdx = idx("topic")
+  private val partIdx = idx("partition")
+  private def bytes(row: InternalRow, i: Int): Array[Byte] =
+    if (i < 0 || row.isNullAt(i)) null
+    else schema.fields(i).dataType match {
+      case BinaryType => row.getBinary(i)
+      case _ => row.getUTF8String(i).getBytes
+    }
+  private val buf =
+    scala.collection.mutable.ArrayBuffer.empty[FakeKafkaBroker.SinkMsg]
+
+  override def write(row: InternalRow): Unit = {
+    // the topic OPTION overrides the column (Spark's kafka-sink rule);
+    // per-message routing is the no-option posture
+    val topic = defaultTopic.getOrElse {
+      require(!row.isNullAt(topicIdx),
+        "fake kafka sink: null topic in a row and no 'topic' option")
+      row.getUTF8String(topicIdx).toString
+    }
+    val part =
+      if (partIdx < 0 || row.isNullAt(partIdx)) -1 else row.getInt(partIdx)
+    buf += FakeKafkaBroker.SinkMsg(topic, part, bytes(row, keyIdx),
+      bytes(row, valueIdx))
+  }
+
+  override def commit(): WriterCommitMessage = FkSinkCommit(buf.toArray)
+  override def abort(): Unit = buf.clear()
+  override def close(): Unit = ()
 }
 
 /** Offset = next-to-read position per (topic, partition); canonical
@@ -278,17 +482,20 @@ class FakeKafkaMicroBatchStream(options: CaseInsensitiveStringMap)
 
   override def deserializeOffset(json: String): Offset = FkOffset.parse(json)
 
+  // the last planned batch's end offsets, not yet retired by a
+  // commit(end) call — flushed at stop() (see class doc: an
+  // AvailableNow run's final batch has no successor to retire it)
+  private var pendingCommit: Map[(String, Int), Long] = Map.empty
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FkOffset].positions
     val e = end.asInstanceOf[FkOffset].positions
-    // track consumption so the NEXT latestOffset advances from here, and
-    // commit the planned end to the group here too (the auto-commit
-    // posture): Spark only calls commit() when a LATER batch retires
-    // this one, so an AvailableNow run's final batch would otherwise
-    // never land in the group store and a same-group restart would
-    // replay it
+    // track consumption so the NEXT latestOffset advances from here; the
+    // GROUP commit is deferred to commit()/stop() — committing planned
+    // ends before the batch executed would silently skip those messages
+    // (at-most-once) on a crash-plus-same-group-fresh-checkpoint restart
     positions = positions ++ e
-    commitToGroup(e)
+    pendingCommit = pendingCommit ++ e
     e.toSeq.sortBy(x => (x._1._1, x._1._2)).map { case ((t, p), until) =>
       FkPartition(t, p, s.getOrElse((t, p), 0L), until): InputPartition
     }.toArray
@@ -305,12 +512,19 @@ class FakeKafkaMicroBatchStream(options: CaseInsensitiveStringMap)
         new FkPartitionReader(partition.asInstanceOf[FkPartition])
     }
 
-  /** Micro-batch retirement → group offset commit (idempotent with the
-    * plan-time auto-commit above). */
+  /** Micro-batch retirement → group offset commit (after delivery, the
+    * real auto-commit posture). */
   override def commit(end: Offset): Unit =
     commitToGroup(end.asInstanceOf[FkOffset].positions)
 
-  override def stop(): Unit = ()
+  /** Final-batch flush: AvailableNow's last batch is never retired by a
+    * successor, so its planned end lands in the group store here.
+    * Offsets only grow within a run, so re-committing already-retired
+    * positions is idempotent. */
+  override def stop(): Unit = {
+    commitToGroup(pendingCommit)
+    pendingCommit = Map.empty
+  }
 }
 
 case class FkPartition(topic: String, partition: Int, start: Long, end: Long)

@@ -103,18 +103,34 @@ final case class KafkaSourceConfig(
 }
 
 /** Sink twin (KafkaSink_Builder, wf/kafka/builders_kafka.hpp sink half):
-  * brokers + target topic.
+  * brokers + topic routing. The reference's serializing function returns
+  * `wf_kafka_sink_msg{payload, topic}` — every MESSAGE carries its own
+  * topic (wf/kafka/kafka_sink.hpp:77-78,178-203) — which in Spark's
+  * kafka sink is the topic COLUMN of the written relation; a fixed
+  * [[withTopic]] renders the `topic` option, which (Spark's documented
+  * rule) overrides any topic column. [[withTopicColumn]] declares the
+  * reference's per-message posture explicitly: no `topic` option is
+  * rendered and the relation must carry the column.
   */
 final case class KafkaSinkConfig(
     brokers: Seq[String] = Nil,
-    topic: Option[String] = None) {
+    topic: Option[String] = None,
+    topicColumnRouting: Boolean = false) {
 
   def withBrokers(bs: String*): KafkaSinkConfig = copy(brokers = brokers ++ bs)
   def withTopic(t: String): KafkaSinkConfig = copy(topic = Some(t))
 
+  /** Per-message routing (the reference default): each written row's
+    * `topic` column is its destination. */
+  def withTopicColumn(): KafkaSinkConfig = copy(topicColumnRouting = true)
+
   def options: Map[String, String] = {
     require(brokers.nonEmpty, "Kafka sink needs at least one broker (withBrokers)")
-    require(topic.nonEmpty, "Kafka sink needs a topic (withTopic)")
-    Map("kafka.bootstrap.servers" -> brokers.mkString(","), "topic" -> topic.get)
+    require(topic.nonEmpty || topicColumnRouting,
+      "Kafka sink needs a topic (withTopic) or per-message routing (withTopicColumn)")
+    require(topic.isEmpty || !topicColumnRouting,
+      "withTopic overrides the topic column (Spark's rule) — drop one")
+    Map("kafka.bootstrap.servers" -> brokers.mkString(",")) ++
+      topic.map("topic" -> _)
   }
 }

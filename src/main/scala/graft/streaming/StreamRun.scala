@@ -86,6 +86,26 @@ object StreamRun {
     spark.table(name)
   }
 
+  /** Run a pre-configured external-sink stream to completion — the
+    * write-side face of the finite run()/EOS lifecycle: AvailableNow
+    * trigger, throwaway checkpoint (tmpfs when available; external DSv2
+    * sinks, unlike the memory sink, REQUIRE a checkpoint location),
+    * cleaned up after termination. The caller supplies the writer with
+    * format/options already set (e.g. [[graft.api.Pipe.kafkaSink]]).
+    */
+  def drain[T](w: org.apache.spark.sql.streaming.DataStreamWriter[T]): Unit = {
+    val name = s"graft_drain_${n.incrementAndGet()}"
+    val root = {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) s"/dev/shm/graft-ckpt/$jvmTag/$name"
+      else java.nio.file.Files.createTempDirectory(s"graft-ckpt-$name").toString
+    }
+    try w.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", root)
+      .start().awaitTermination()
+    finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root)): Unit
+  }
+
   /** Foreach sink with the reference Sink's lifecycle: per-tuple process
     * plus a closing callback (wf/sink.hpp:166-179 EOS `None`;
     * wf/builders.hpp:116 withClosingFunction ≡ ForeachWriter.close).

@@ -135,6 +135,87 @@ class FakeKafkaSpec extends AnyFunSuite {
     assert(rebalancedPosition(None, None) == 0L)
   }
 
+  test("SINK round trip: per-message topic routing + partition column through a real streaming write") {
+    implicit val sp = spark
+    FakeKafkaBroker.reset()
+    FakeKafkaBroker.createTopic("sin", 1)
+    FakeKafkaBroker.createTopic("sa", 2)
+    FakeKafkaBroker.createTopic("sb", 2)
+    (0 until 8).foreach(i => FakeKafkaBroker.append("sin", 0, s"$i", s"m$i", 1L))
+    val out = StreamSources.kafka(spark,
+        KafkaSourceConfig().withBrokers("b:9").withTopics("sin"), fakeFormat)
+      .selectExpr("CAST(key AS STRING) AS k", "value")
+      .select(col("k").cast("binary").as("key"), col("value"),
+        when(col("k").cast("long") % 2 === 0, "sa").otherwise("sb").as("topic"),
+        (col("k").cast("long") % 2).cast("int").as("partition"))
+    StreamRun.drain(graft.api.Pipe.kafkaSink(out,
+      graft.sources.KafkaSinkConfig().withBrokers("b:9").withTopicColumn(),
+      fakeFormat))
+    // evens -> topic sa partition 0, odds -> topic sb partition 1
+    assert(FakeKafkaBroker.logEnd("sa", 0) == 4L && FakeKafkaBroker.logEnd("sa", 1) == 0L)
+    assert(FakeKafkaBroker.logEnd("sb", 1) == 4L && FakeKafkaBroker.logEnd("sb", 0) == 0L)
+    // canonical append order: key text ascending ("0" < "2" < "4" < "6")
+    assert(FakeKafkaBroker.slice("sa", 0, 0, 4)
+      .map(m => new String(m.value, "UTF-8")) == Seq("m0", "m2", "m4", "m6"))
+    Caches.releaseAll()
+  }
+
+  test("SINK epoch ledger: a re-committed epoch is skipped (restart-no-duplicate); abort discards; option overrides column") {
+    FakeKafkaBroker.reset()
+    FakeKafkaBroker.createTopic("st", 2)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("topic",
+        org.apache.spark.sql.types.StringType)))
+    val opts = new CaseInsensitiveStringMap(
+      java.util.Map.of("kafka.bootstrap.servers", "b:9", "topic", "st"))
+    val sw = new graft.sources.FakeKafkaStreamingWrite("q_ledger", schema, opts)
+    val w = sw.createStreamingWriterFactory(null).createWriter(0, 0L, 0L)
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      // topic column says "elsewhere", but the `topic` OPTION overrides
+      // it (Spark's kafka-sink rule) — the message must land on st
+      Array[Any]("k1".getBytes("UTF-8"), "v1".getBytes("UTF-8"),
+        org.apache.spark.unsafe.types.UTF8String.fromString("elsewhere")))
+    w.write(row)
+    val msg = w.commit()
+    assert(sw.isInstanceOf[org.apache.spark.sql.connector.write.streaming.StreamingWrite])
+    sw.commit(0L, Array(msg))
+    val after1 = FakeKafkaBroker.logEnd("st", 0) + FakeKafkaBroker.logEnd("st", 1)
+    assert(after1 == 1L, "first epoch commit delivers")
+    sw.commit(0L, Array(msg)) // checkpoint-restart re-execution of epoch 0
+    assert(FakeKafkaBroker.logEnd("st", 0) + FakeKafkaBroker.logEnd("st", 1) == after1,
+      "re-committed epoch must not duplicate")
+    sw.abort(1L, Array(msg)) // aborted epoch: nothing reaches the log
+    assert(FakeKafkaBroker.logEnd("st", 0) + FakeKafkaBroker.logEnd("st", 1) == after1)
+    sw.commit(2L, Array(msg)) // a NEW epoch with the same payload delivers
+    assert(FakeKafkaBroker.logEnd("st", 0) + FakeKafkaBroker.logEnd("st", 1) == 2L)
+  }
+
+  test("SINK default partitioner is the portable key hash; keyless pins 0; schema validation is loud") {
+    FakeKafkaBroker.reset()
+    val h = graft.functions.GraftFunctions.hash60Scala("kx")
+    assert(FakeKafkaBroker.defaultPartition("kx".getBytes("UTF-8"), 4) ==
+      math.floorMod(h, 4L).toInt)
+    assert(FakeKafkaBroker.defaultPartition(null, 4) == 0)
+    import org.apache.spark.sql.types._
+    def miss(fields: Seq[StructField], topicOpt: Boolean = true) =
+      intercept[IllegalArgumentException](
+        graft.sources.FakeKafkaStreamingWrite.validateSchema(
+          StructType(fields), if (topicOpt) Some("t") else None))
+    miss(Seq(StructField("key", BinaryType))) // no value
+    miss(Seq(StructField("value", LongType))) // wrong value type
+    miss(Seq(StructField("value", BinaryType),
+      StructField("extra", StringType))) // unknown column
+    miss(Seq(StructField("value", BinaryType)), topicOpt = false) // unroutable
+    // routable via column when no option
+    graft.sources.FakeKafkaStreamingWrite.validateSchema(
+      StructType(Seq(StructField("value", StringType),
+        StructField("topic", StringType))), None)
+  }
+
   test("idleness option is plumbed; malformed configs are rejected by the builder") {
     FakeKafkaBroker.reset()
     FakeKafkaBroker.createTopic("t4", 1)
