@@ -614,18 +614,23 @@ object PipelineQueries {
   private[queries] def ivfPqCtes(subvectors: Int, codes: Int, iters: Int,
       nprobe: Int, rerank: Int, dim: Int = 64,
       scale: String = "1000000.0e0"): String =
-    s"""${ivfPqBookCtes(subvectors, codes, iters, dim, scale)},
-       |${ivfPqServeCtes(subvectors, rerank)}""".stripMargin
+    s"""${ivfPqBookCtes(subvectors, codes, iters, dim, scale, s"c$iters")},
+       |${ivfPqServeCtes(subvectors, rerank, coarseRel = s"c$iters")}""".stripMargin
 
-  /** The config-INDEPENDENT prefix of [[ivfPqCtes]]: the per-subvector
-    * codebook training replay, the corpus encoding (`penc_m`) and the
+  /** The config-INDEPENDENT prefix of [[ivfPqCtes]]: the IVFADC residual
+    * relation (`pres` = v − c_cell(v) against the trained coarse set),
+    * the per-subvector RESIDUAL-codebook training replay, the corpus
+    * encoding (`penc_m`, carrying the cross term x = <c_m, r̂_m> of the
+    * reconstruction norm), the cell-norm table (`pcn`) and the
     * per-(query, code) lookup tables (`ptq_m`, over the distinct query
     * set — identical for every nprobe since probes only multiply cells,
     * not queries). Rendered once per oracle however many (nprobe,
-    * rerank) configs serve from it.
+    * rerank) configs serve from it. `coarseRel` names the trained
+    * coarse-centroid CTE of the hosting [[ivfTrainedCtes]] chain.
     */
   private def ivfPqBookCtes(subvectors: Int, codes: Int, iters: Int,
-      dim: Int = 64, scale: String = "1000000.0e0"): String = {
+      dim: Int = 64, scale: String = "1000000.0e0",
+      coarseRel: String = "c2"): String = {
     val sub = dim / subvectors
     def book(m: Int): String = {
       val off = m * sub
@@ -641,29 +646,43 @@ object PipelineQueries {
            |               SUM(CAST(floor(v[CAST(j+1 AS INT)] * $scale) AS BIGINT)) AS s,
            |               COUNT(*) AS n
            |        FROM pcell${i}_$m, range($sub) t(j) GROUP BY cell, j),
-           |pb${i}_$m AS (SELECT cell AS cent_id,
-           |               list(CAST(s AS DOUBLE) / ($scale * n) ORDER BY j) AS cv
-           |        FROM ps${i}_$m GROUP BY cell)""".stripMargin
-      s"""pe_$m AS (SELECT vec_id, list_slice(v, ${off + 1}, ${off + sub}) AS v FROM e),
-         |pb0_$m AS (SELECT vec_id AS cent_id, v AS cv FROM pe_$m ORDER BY vec_id LIMIT $codes),
+           |pb${i}_$m AS (SELECT cent_id, cv FROM (
+           |          SELECT cell AS cent_id,
+           |                 list(CAST(s AS DOUBLE) / ($scale * n) ORDER BY j) AS cv
+           |          FROM ps${i}_$m GROUP BY cell)
+           |        WHERE ${DuckSql.normSq("cv")} > 0.0e0)""".stripMargin
+      s"""pe_$m AS (SELECT vec_id, cell, list_slice(rv, ${off + 1}, ${off + sub}) AS v FROM pres),
+         |pb0_$m AS (SELECT vec_id AS cent_id, v AS cv FROM pe_$m
+         |           WHERE ${DuckSql.normSq("v")} > 0.0e0
+         |           ORDER BY vec_id LIMIT $codes),
          |${(1 to iters).map(iter).mkString(",\n")},
          |pbk_$m AS (SELECT cent_id, cv,
          |             ROW_NUMBER() OVER (ORDER BY cent_id) - 1 AS code,
          |             ${DuckSql.normSq("cv")} AS nsq
          |           FROM pb${iters}_$m),
-         |pea_$m AS (SELECT e.vec_id, b.code, b.nsq, b.cent_id,
+         |csl_$m AS (SELECT cent_id, list_slice(cv, ${off + 1}, ${off + sub}) AS cs
+         |           FROM $coarseRel),
+         |pea_$m AS (SELECT e.vec_id, e.cell, b.code, b.nsq, b.cent_id, b.cv AS bcv,
          |             ${DuckSql.cosine("e.v", "b.cv")} AS ccos
          |           FROM pe_$m e CROSS JOIN pbk_$m b),
-         |penc_$m AS (SELECT vec_id, code, nsq FROM (
-         |             SELECT vec_id, code, nsq,
+         |penc0_$m AS (SELECT vec_id, cell, code, nsq, bcv FROM (
+         |             SELECT vec_id, cell, code, nsq, bcv,
          |                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS r
          |             FROM pea_$m) WHERE r = 1),
+         |penc_$m AS (SELECT e.vec_id, e.code, e.nsq,
+         |              ${DuckSql.ip("s.cs", "e.bcv")} AS x
+         |            FROM penc0_$m e JOIN csl_$m s ON s.cent_id = e.cell),
          |ptq_$m AS (SELECT q.query_id, b.code,
          |             ${DuckSql.ip(s"list_slice(q.qv, ${off + 1}, ${off + sub})", "b.cv")} AS t
          |           FROM pqv q CROSS JOIN pbk_$m b)""".stripMargin
     }
     val ms = 0 until subvectors
     s"""pqv AS (SELECT DISTINCT query_id, qv FROM qp),
+       |pcn AS (SELECT cent_id, ${DuckSql.normSq("cv")} AS cnsq FROM $coarseRel),
+       |pres AS (SELECT f.vec_id, f.cell,
+       |           list_transform(range(1, $dim + 1),
+       |             j -> CAST(f.v[CAST(j AS INT)] AS DOUBLE) - CAST(c.cv[CAST(j AS INT)] AS DOUBLE)) AS rv
+       |         FROM cellF f JOIN $coarseRel c ON f.cell = c.cent_id),
        |${ms.map(book).mkString(",\n")}""".stripMargin
   }
 
@@ -675,7 +694,8 @@ object PipelineQueries {
     * single-config chain [[ivfPqCtes]] has always emitted.
     */
   private def ivfPqServeCtes(subvectors: Int, rerank: Int,
-      sfx: String = "", qpRel: String = "qp"): String = {
+      sfx: String = "", qpRel: String = "qp",
+      coarseRel: String = "c2"): String = {
     val ms = 0 until subvectors
     val encJoins = ms.map(m =>
       s"JOIN penc_$m e$m ON e$m.vec_id = pr.neighbor_id").mkString("\n           ")
@@ -684,12 +704,22 @@ object PipelineQueries {
       .mkString("\n           ")
     val ipSum = ms.map(m => s"t$m.t").mkString(" + ")
     val nsqSum = ms.map(m => s"e$m.nsq").mkString(" + ")
-    s"""pr$sfx AS (SELECT q.query_id, d.vec_id AS neighbor_id
+    val xSum = ms.map(m => s"e$m.x").mkString(" + ")
+    // IVFADC ADC: (<q,c> + Σ<q_m,r̂_m>) / (‖q‖ · ‖c + r̂‖), the
+    // reconstruction norm² = (cnsq + 2·Σx) + Σ‖r̂‖² — parenthesization
+    // pinned to the Spark plan's fold order
+    s"""pqc$sfx AS (SELECT q.query_id, q.cell, ${DuckSql.ip("q.qv", "c.cv")} AS ipc
+       |       FROM $qpRel q JOIN $coarseRel c ON c.cent_id = q.cell),
+       |pr$sfx AS (SELECT q.query_id, d.vec_id AS neighbor_id, q.cell
        |       FROM $qpRel q JOIN cellF d ON q.cell = d.cell AND q.query_id <> d.vec_id),
        |padc$sfx AS (SELECT pr.query_id, pr.neighbor_id,
-       |           ($ipSum) / (sqrt(${DuckSql.normSq("pq2.qv")}) * sqrt($nsqSum)) AS adc
+       |           (pc.ipc + ($ipSum)) /
+       |             (sqrt(${DuckSql.normSq("pq2.qv")}) *
+       |              sqrt((pcn.cnsq + 2.0e0 * ($xSum)) + ($nsqSum))) AS adc
        |         FROM pr$sfx pr
        |           JOIN pqv pq2 ON pq2.query_id = pr.query_id
+       |           JOIN pqc$sfx pc ON pc.query_id = pr.query_id AND pc.cell = pr.cell
+       |           JOIN pcn ON pcn.cent_id = pr.cell
        |           $encJoins
        |           $tqJoins),
        |pcand$sfx AS (SELECT query_id, neighbor_id FROM (
@@ -8295,15 +8325,26 @@ object PipelineQueries {
     // the same algorithm; this row measures what an ANN index exists
     // FOR: recall@5 of the IVF-PQ path against the exact brute-force
     // top-5 over the same 100-query set, swept over (nprobe, rerank).
-    // One model trains; every config serves from it; the published
-    // (nprobe, rerank, recall_pct) rows are the SURVEY §8.9 table — the
-    // parameter defaults stop being folklore.
+    // The gate measures the PERSISTED generation (the serveRoot shared
+    // with knn_ivf_pq_loaded — recall is a property of the model you
+    // actually serve, and the value-exact codec keeps the inline-fit
+    // oracle); every config serves off ONE probe/ADC scan and ONE rank
+    // sort (r14 judge #8). The published (nprobe, rerank, recall_pct)
+    // rows are the SURVEY §8.9 table — the parameter defaults stop
+    // being folklore (knn_config_recommend derives them from this).
     Q("knn_ivf_pq_recall",
-      (s, dir) => Similarity.knnIvfPqRecall(Tables.embeddings(s, dir),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val root = ensureModel(s, serveRoot("ivfpq", dir)) {
+          Similarity.pqSave(s, serveRoot("ivfpq", dir), emb, "vec_id",
+            "embedding", numCentroids = 16, iters = 2, subvectors = 4,
+            codes = 16): Unit
+        }
+        Similarity.knnIvfPqRecallFrom(s, root, emb,
           "vec_id", "embedding", k = 5, queryFilter = col("vec_id") < 100,
-          configs = AnnRecallConfigs,
-          numCentroids = 16, iters = 2, subvectors = 4, codes = 16)
-        .orderBy("nprobe", "rerank"),
+          configs = AnnRecallConfigs)
+          .orderBy("nprobe", "rerank")
+      },
       Some(ivfPqRecallOracleSql(5, AnnRecallConfigs))),
 
     // the LSH twin: recall@5 vs plane count (bucket granularity), same

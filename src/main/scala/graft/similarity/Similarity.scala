@@ -398,31 +398,33 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos")
   }
 
-  /** Product-quantization codebooks — one spherical quantized-Lloyd
-    * codebook per subvector slice (FAISS-style PQ made deterministic):
-    * the D-dim space factors into `subvectors` slices of D/M dims, each
-    * trained by the SAME order-free quantized Lloyd the IVF path uses,
-    * so every codebook is bit-reproducible by the SQL oracle. Collected
-    * ascending by cent_id; the positional index in that order IS the
-    * code (what the compressed index stores).
-    */
-  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
-      subvectors: Int, codes: Int, iters: Int,
-      dim: Int = 64): Seq[Seq[(Any, Seq[Double])]] = {
-    val all = pqCodebooksSubset(df, idCol, vecCol, subvectors, codes, iters,
-      dim, 0 until subvectors)
-    (0 until subvectors).map(all)
-  }
-
-  /** [[pqCodebooks]] restricted to the books in `only` — the
-    * drift-gated-refresh primitive ([[pqRefresh]]): a book whose code
-    * occupancy has not drifted carries over byte-identical, so only the
-    * drifted slices pay Lloyd rounds. Training `only` = all books is
-    * exactly [[pqCodebooks]] (same cached frame, same chained-when
-    * dispatch, same quantized sums — the subset only narrows the
-    * exploded m list), which is what lets a refresh-all hash-match the
-    * from-scratch oracle. */
+  /** [[pqTrain]]'s codebook half restricted to the books in `only` over
+    * an explicit centroid set — the drift-gated-refresh primitive
+    * ([[pqRefresh]]): a book whose code occupancy has not drifted
+    * carries over byte-identical, so only the drifted slices pay Lloyd
+    * rounds. `centroids` is the coarse set the residuals are taken
+    * against (the committed generation's coarse on a books-only
+    * refresh; the refit coarse when it drifted too). Training `only` =
+    * all books against the freshly trained coarse is exactly
+    * [[pqTrain]]'s book pass (same residual frame, same chained-when
+    * dispatch, same quantized sums), which is what lets a refresh-all
+    * hash-match the from-scratch oracle. */
   def pqCodebooksSubset(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, subvectors: Int, codes: Int, iters: Int,
+      dim: Int, only: Seq[Int]): Map[Int, Seq[(Any, Seq[Double])]] =
+    pqCodebooksOn(
+      residualFrame(df, idCol, vecCol, collectCentroids(centroids)),
+      subvectors, codes, iters, dim, only)
+
+  /** One spherical quantized-Lloyd codebook per subvector slice of the
+    * RESIDUAL relation `resid` (__vid, __v) — FAISS-style IVFADC PQ made
+    * deterministic: the D-dim residual space factors into `subvectors`
+    * slices of D/M dims, each trained by the SAME order-free quantized
+    * Lloyd the IVF path uses, so every codebook is bit-reproducible by
+    * the SQL oracle. Collected ascending by cent_id; the positional
+    * index in that order IS the code (what the compressed index stores).
+    */
+  private def pqCodebooksOn(resid: DataFrame,
       subvectors: Int, codes: Int, iters: Int, dim: Int,
       only: Seq[Int]): Map[Int, Seq[(Any, Seq[Double])]] = {
     val sub = dim / subvectors
@@ -440,23 +442,32 @@ object Similarity {
     // computed once here instead of once per iteration.
     val ms = only.sorted
     val sv = graft.Caches.track(
-      df.select(col(idCol).as("__vid"),
-          col(vecCol).cast("array<double>").as("__v"))
+      resid
         .select(col("__vid"),
           explode(typedLit(ms.toList)).as("__m"), col("__v"))
         .select(col("__vid"), col("__m"),
           slice(col("__v"), col("__m") * lit(sub) + lit(1), lit(sub))
             .as("__sv"))
         .withColumn("__n", sqrt(dot(col("__sv"), col("__sv")))))
-    // per-book seeds = slices of the first `codes` vectors by id — the
-    // firstKCentroids-of-the-sliced-frame seed, sliced driver-side
-    val seedRows = df.orderBy(col(idCol)).limit(codes)
-      .select(col(idCol).as("cent_id"),
-        col(vecCol).cast("array<double>").as("cv"))
-      .collect().map(r => (r.get(0), r.getSeq[Double](1))).toSeq
-    var books: Map[Int, Seq[(Any, Seq[Double])]] = ms.map(m =>
-      m -> seedRows.map { case (cid, cv) =>
-        (cid, cv.slice(m * sub, (m + 1) * sub)) }).toMap
+    // per-book seeds = the first `codes` NONZERO-norm residual slices by
+    // id (a TakeOrdered per book over the cached frame). The zero-norm
+    // filter matters only for degenerate corpora — a cell of vectors
+    // identical at the quantization scale has (near-)zero residuals, and
+    // a zero direction is meaningless to a cosine quantizer (its cosine
+    // is 0/0) — on any non-degenerate float corpus it is a no-op and the
+    // trained books are unchanged. The oracle renders the same WHERE.
+    def zeroNorm(cv: Seq[Double]): Boolean =
+      cv.foldLeft(0.0)((a, x) => a + x * x) <= 0.0
+    var books: Map[Int, Seq[(Any, Seq[Double])]] = ms.map { m =>
+      m -> sv.filter(col("__m") === m && col("__n") > 0.0)
+        .orderBy("__vid").limit(codes)
+        .select(col("__vid"), col("__sv"))
+        .collect().toSeq.map(r => (r.get(0), r.getSeq[Double](1)))
+    }.toMap
+    ms.foreach(m => require(books(m).nonEmpty,
+      s"PQ book $m has no usable seed: every residual slice is zero-norm " +
+        "— the corpus is degenerate at the quantization scale (identical " +
+        "vectors per cell); dedup first or coarsen the cells"))
     var i = 0
     while (i < iters) {
       val cellCol = ms.tail.foldLeft(
@@ -474,9 +485,17 @@ object Similarity {
           .of(col("__sv"), 1e6).as("cv"))
         .orderBy("__m", "cent_id")
         .collect()
+      // a trained centroid whose every dim quantizes to zero (all its
+      // members' residuals are positive-tiny) drops out — the same rule
+      // as an empty cell, mirrored by the oracle's WHERE normSq > 0
       books = ms.map(m =>
         m -> updated.filter(_.getInt(0) == m).toSeq
-          .map(r => (r.get(1), r.getSeq[Double](2)))).toMap
+          .map(r => (r.get(1), r.getSeq[Double](2)))
+          .filterNot { case (_, cv) => zeroNorm(cv) }).toMap
+      ms.foreach(m => require(books(m).nonEmpty,
+        s"PQ book $m collapsed: every centroid quantized to zero norm " +
+          "— residuals are below the 1e-6 quantization scale (identical " +
+          "vectors per cell); dedup first or coarsen the cells"))
       i += 1
     }
     books
@@ -490,6 +509,30 @@ object Similarity {
       sv: org.apache.spark.sql.Column,
       svn: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     -array_max(centroidEntries(book, sv, svn)).getField("ni")
+
+  /** Per-cell literal dispatch: a chained `when` mapping the cell-id
+    * column to `f(entry)` over a (cell_id, payload) table — the
+    * plan-literal rendering of "look this row's coarse cell up in a
+    * policy-sized table" (≤ numCentroids branches, pure column work,
+    * zero joins). */
+  private def perCell[T](table: Seq[(Any, T)],
+      cellCol: org.apache.spark.sql.Column)(
+      f: T => org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    table.tail.foldLeft(
+      when(cellCol === lit(table.head._1), f(table.head._2))) {
+      case (acc, (cid, payload)) =>
+        acc.when(cellCol === lit(cid), f(payload))
+    }
+
+  /** IVFADC residual column: v − c_cell(v), elementwise against the
+    * literal coarse centroid of this row's cell (one subtraction per
+    * dimension — exact, fold-free, so the oracle's list_transform replay
+    * is bit-identical). */
+  private def residualCol(cents: Seq[(Any, Seq[Double])],
+      vCol: org.apache.spark.sql.Column,
+      cellCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    zip_with(vCol, perCell(cents, cellCol)(cv => array(cv.map(lit): _*)),
+      (a, b) => a - b)
 
   /** IVF-PQ approximate top-k — the billion-scale serving shape (Jégou
     * et al., TPAMI 2011) at the engine's determinism standard: a coarse
@@ -509,34 +552,84 @@ object Similarity {
     * replay, fixed double dags, id tie-breaks), so the full
     * train→encode→ADC→re-rank chain hash-checks against DuckDB.
     */
-  /** The trained PQ model: coarse centroids, per-subvector codebooks,
-    * code norms (the shared fold order), slice width. */
+  /** The trained IVFADC model: coarse centroids, per-subvector RESIDUAL
+    * codebooks (trained on v − c_cell(v), the standard IVFADC
+    * construction — the codebooks quantize the residual's much smaller
+    * variance, so recall rises at equal code budget), per-code residual
+    * norms² (the shared fold order), slice width. The reconstruction of
+    * a data vector is x̂ = c + r̂, so serving needs two DERIVED literal
+    * tables — ‖c‖² per cell and the cross terms <c_m, r̂_m[code]> per
+    * (cell, book, code) — both recomputed here from the stored doubles
+    * with pinned in-order folds: nothing beyond coarse + books persists,
+    * and a loaded generation derives them bit-identically. */
   private case class PqModel(coarse: Seq[(Any, Seq[Double])],
-      books: Seq[Seq[(Any, Seq[Double])]], normsq: Seq[Seq[Double]], sub: Int)
+      books: Seq[Seq[(Any, Seq[Double])]], normsq: Seq[Seq[Double]], sub: Int) {
+    /** ‖c‖² per coarse cell (the shared normSq fold). */
+    lazy val cnsq: Seq[(Any, Double)] =
+      coarse.map { case (cid, cv) =>
+        cid -> cv.foldLeft(0.0)((a, x) => a + x * x) }
+    /** cross(m) = per cell: per code <c_slice_m, book_m[code]> — the
+      * 2·<c, r̂> half of ‖c + r̂‖² (in-order ip folds, ascending j). */
+    lazy val cross: Seq[Seq[(Any, Seq[Double])]] =
+      books.zipWithIndex.map { case (book, m) =>
+        coarse.map { case (cid, cv) =>
+          val cs = cv.slice(m * sub, (m + 1) * sub)
+          cid -> book.map { case (_, bcv) =>
+            cs.zip(bcv).foldLeft(0.0)((a, p) => a + p._1 * p._2) }
+        }
+      }
+  }
 
   private def pqTrain(archive: DataFrame, idCol: String, vecCol: String,
       numCentroids: Int, iters: Int, subvectors: Int, codes: Int,
       dim: Int): PqModel = {
-    val books = pqCodebooks(archive, idCol, vecCol, subvectors, codes, iters, dim)
-    PqModel(
-      collectCentroids(
-        kmeansCentroidsQuantized(archive, idCol, vecCol, numCentroids, iters)),
-      books,
-      books.map(_.map { case (_, cv) => cv.foldLeft(0.0)((a, x) => a + x * x) }),
+    val coarse = collectCentroids(
+      kmeansCentroidsQuantized(archive, idCol, vecCol, numCentroids, iters))
+    val books = pqCodebooksOn(
+      residualFrame(archive, idCol, vecCol, coarse),
+      subvectors, codes, iters, dim, 0 until subvectors)
+    val bookSeq = (0 until subvectors).map(books)
+    PqModel(coarse, bookSeq,
+      bookSeq.map(_.map { case (_, cv) => cv.foldLeft(0.0)((a, x) => a + x * x) }),
       dim / subvectors)
   }
 
+  /** (__vid, __v = v − c_cell(v)): the IVFADC residual relation the
+    * codebooks train on — one narrow pass (literal argmax assignment +
+    * elementwise subtraction), zero Exchange. */
+  private def residualFrame(df: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Any, Seq[Double])]): DataFrame = {
+    val v = df.select(col(idCol).as("__vid"),
+      col(vecCol).cast("array<double>").as("__v0"))
+    assignCollected(v, "__vid", "__v0", cents)
+      .select(col("__vid"),
+        residualCol(cents, col("__v0"), col("cell")).as("__v"))
+  }
+
   /** The compressed index over the archive: (neighbor_id, cell,
-    * reconstructed norm, code_0..M−1[, cv, cn when `withVectors`]). */
+    * reconstructed norm, code_0..M−1[, cv, cn when `withVectors`]).
+    * IVFADC: codes quantize the RESIDUAL v − c_cell(v); the
+    * reconstruction is x̂ = c + r̂, so
+    * ‖x̂‖² = ‖c‖² + 2·Σ_m <c_m, r̂_m> + Σ_m ‖r̂_m‖² — all three terms are
+    * plan literals indexed by (cell, code): pure column work, pinned
+    * fold order (cnsq + 2·xsum + nsum, each sum a left fold over m). */
   private def pqIndex(cells: DataFrame, idCol: String, m: PqModel,
       withVectors: Boolean): DataFrame = {
-    val encoded = m.books.zipWithIndex.foldLeft(cells) { case (d, (book, i)) =>
-      val sv = slice(col("v"), i * m.sub + 1, m.sub)
+    val withR = cells.withColumn("__rv",
+      residualCol(m.coarse, col("v"), col("cell")))
+    val encoded = m.books.zipWithIndex.foldLeft(withR) { case (d, (book, i)) =>
+      val sv = slice(col("__rv"), i * m.sub + 1, m.sub)
       d.withColumn(s"__c$i", codeIndex(book, sv, sqrt(dot(sv, sv))))
     }
-    val rn = sqrt(m.books.indices.map(i =>
+    val xsum = m.books.indices.map(i =>
+        element_at(perCell(m.cross(i), col("cell"))(xs =>
+          array(xs.map(lit): _*)), col(s"__c$i") + 1))
+      .reduce(_ + _)
+    val nsum = m.books.indices.map(i =>
         element_at(array(m.normsq(i).map(lit): _*), col(s"__c$i") + 1))
-      .reduce(_ + _))
+      .reduce(_ + _)
+    val rn = sqrt(perCell(m.cnsq, col("cell"))(lit(_)) +
+      lit(2.0) * xsum + nsum)
     val base = Seq(col(idCol).as("neighbor_id"), col("cell"), rn.as("__rn")) ++
       m.books.indices.map(i => col(s"__c$i"))
     val cols: Seq[org.apache.spark.sql.Column] =
@@ -546,7 +639,10 @@ object Similarity {
   }
 
   /** Query side: nprobe cell probes + the M per-subvector lookup tables
-    * <q_m, c> as pure column work against the codebook literals. */
+    * <q_m, r̂_m[code]> as pure column work against the residual-codebook
+    * literals, plus `__ipc` = <q, c_cell> — the coarse half of
+    * <q, x̂> = <q, c> + Σ_m <q_m, r̂_m> (IVFADC's asymmetric decomposition;
+    * per probe row, one literal-table dot). */
   private def pqQueryProbes(queries: DataFrame, idCol: String,
       vecCol: String, m: PqModel, nprobe: Int): DataFrame = {
     val qv = queries.select(col(idCol),
@@ -557,6 +653,8 @@ object Similarity {
         explode(slice(reverse(array_sort(
           centroidEntries(m.coarse, col("v"), qn0))), 1, nprobe)).as("__e"))
       .select(col("query_id"), col("qv"), col("qn"), col("__e.cell").as("cell"))
+      .withColumn("__ipc", dot(col("qv"),
+        perCell(m.coarse, col("cell"))(cv => array(cv.map(lit): _*))))
     m.books.zipWithIndex.foldLeft(q0) { case (d, (book, i)) =>
       val sv = slice(col("qv"), i * m.sub + 1, m.sub)
       d.withColumn(s"__t$i",
@@ -582,6 +680,8 @@ object Similarity {
           .as(Seq("__p", "__e")))
       .select(col("query_id"), col("qv"), col("qn"),
         (col("__p") + 1).as("__prank"), col("__e.cell").as("cell"))
+      .withColumn("__ipc", dot(col("qv"),
+        perCell(m.coarse, col("cell"))(cv => array(cv.map(lit): _*))))
     m.books.zipWithIndex.foldLeft(q0) { case (d, (book, i)) =>
       val sv = slice(col("qv"), i * m.sub + 1, m.sub)
       d.withColumn(s"__t$i",
@@ -589,9 +689,12 @@ object Similarity {
     }
   }
 
+  /** ADC = cos(q, x̂) = (<q, c> + Σ_m <q_m, r̂_m>) / (‖q‖·‖x̂‖) — the
+    * IVFADC asymmetric score; every operand rides the joined row
+    * (`__ipc` from the probe side, codes + `__rn` from the index). */
   private def pqAdc(m: PqModel): org.apache.spark.sql.Column =
-    m.books.indices.map(i =>
-      element_at(col(s"__t$i"), col(s"__c$i") + 1)).reduce(_ + _) /
+    (col("__ipc") + m.books.indices.map(i =>
+      element_at(col(s"__t$i"), col(s"__c$i") + 1)).reduce(_ + _)) /
       (col("qn") * col("__rn"))
 
   def knnIvfPq(df: DataFrame, idCol: String, vecCol: String, k: Int,
@@ -776,10 +879,18 @@ object Similarity {
         if (refitCoarse) collectCentroids(
           kmeansCentroidsQuantized(corpus, idCol, vecCol, nCent, iters))
         else m.coarse
+      // IVFADC: a coarse refit moves the residual space every book
+      // quantizes, so it forces the FULL book set to refit (a book
+      // trained against the old coarse would encode stale residuals —
+      // and refresh-all would no longer equal retraining from scratch);
+      // a books-only drift refits just the flagged slices against the
+      // committed coarse (the partial path PqRefreshSpec pins).
+      val booksToRefit: Seq[Int] =
+        if (refitCoarse) m.books.indices else refitBooks
       val refitted =
-        if (refitBooks.isEmpty) Map.empty[Int, Seq[(Any, Seq[Double])]]
-        else pqCodebooksSubset(corpus, idCol, vecCol, subvectors, codes,
-          iters, dim, refitBooks)
+        if (booksToRefit.isEmpty) Map.empty[Int, Seq[(Any, Seq[Double])]]
+        else pqCodebooksOn(residualFrame(corpus, idCol, vecCol, coarse2),
+          subvectors, codes, iters, dim, booksToRefit)
       val books2 = m.books.indices.map(i => refitted.getOrElse(i, m.books(i)))
       val m2 = PqModel(coarse2, books2,
         books2.map(_.map { case (_, cv) => cv.foldLeft(0.0)((a, x) => a + x * x) }),
@@ -891,9 +1002,26 @@ object Similarity {
   def knnIvfPqRecall(df: DataFrame, idCol: String, vecCol: String, k: Int,
       queryFilter: org.apache.spark.sql.Column, configs: Seq[(Int, Int)],
       numCentroids: Int = 16, iters: Int = 2, subvectors: Int = 4,
-      codes: Int = 16, dim: Int = 64): DataFrame = {
-    val m = pqTrain(df, idCol, vecCol, numCentroids, iters, subvectors,
-      codes, dim)
+      codes: Int = 16, dim: Int = 64): DataFrame =
+    knnIvfPqRecallWith(
+      pqTrain(df, idCol, vecCol, numCentroids, iters, subvectors, codes, dim),
+      df, idCol, vecCol, k, queryFilter, configs)
+
+  /** [[knnIvfPqRecall]] measuring the PERSISTED generation (see
+    * [[pqSave]]) — the production gate: recall is a property of the
+    * model you actually SERVE, so the gate loads last night's artifact
+    * instead of retraining (value-exact codec → shares the inline-fit
+    * oracle; the train cost stays on the save path where it belongs). */
+  def knnIvfPqRecallFrom(spark: org.apache.spark.sql.SparkSession,
+      root: String, df: DataFrame, idCol: String, vecCol: String, k: Int,
+      queryFilter: org.apache.spark.sql.Column,
+      configs: Seq[(Int, Int)]): DataFrame =
+    knnIvfPqRecallWith(pqLoad(spark, root), df, idCol, vecCol, k,
+      queryFilter, configs)
+
+  private def knnIvfPqRecallWith(m: PqModel, df: DataFrame, idCol: String,
+      vecCol: String, k: Int, queryFilter: org.apache.spark.sql.Column,
+      configs: Seq[(Int, Int)]): DataFrame = {
     // ONE cast/norm frame, ONE compressed index, ONE probe/ADC scan AND
     // ONE rank sort shared by every config arm (r14 judge #8): probe
     // once at max(nprobe) carrying the probe rank, score ADC once over
