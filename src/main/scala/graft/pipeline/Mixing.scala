@@ -48,6 +48,34 @@ object Mixing {
   def duckMixHash(idCol: String): String =
     s"(((($idCol % $HashMod) + $HashMod) % $HashMod) * 2654435761) % $HashMod"
 
+  /** The split draw's multiplier — a DIFFERENT odd constant (xxHash's
+    * prime2) from the mix draw's 2654435761. Composing the mix
+    * multiplier with itself would NOT decorrelate: A² mod 2³¹ is a tiny
+    * constant (−1651615), so consecutive ids would crawl the top of the
+    * range and a 1% bucket would go empty for ~1300-id stretches. */
+  val SplitMult: Long = 2246822519L
+
+  /** The SPLIT draw's own hash — the same overflow-safe multiplicative
+    * form as [[mixHash]] under [[SplitMult]]. The mix COPY draw and the
+    * split assignment must be INDEPENDENT: both reading one hash
+    * correlates the two threshold tests — a DOWNSAMPLING mix (weights
+    * < 1) keeps exactly the ids whose hash falls below its threshold,
+    * and a split reading the same hash then lands every survivor in the
+    * first bucket (measured in the composite funnel stress: a 98/1/1
+    * split over a w ≈ 0.5 mix emitted ZERO val/test rows). A distinct
+    * multiplier scrambles the kept ids back across [0, 2³¹) (measured:
+    * 98.0/1.0/1.0 over a half-downsampled id range) while keeping every
+    * property the split relies on: deterministic, engine-exact, and a
+    * pure function of the id (membership stays stable as the corpus
+    * grows). */
+  def splitHash(idCol: String): Column =
+    expr(s"pmod(pmod($idCol, $HashMod) * $SplitMult, $HashMod)")
+
+  /** DuckDB rendering of [[splitHash]] (the [[duckMixHash]] sign-exact
+    * form under [[SplitMult]]). */
+  def duckSplitHash(idCol: String): String =
+    s"(((($idCol % $HashMod) + $HashMod) % $HashMod) * $SplitMult) % $HashMod"
+
   /** Output: input columns + `copy` (1..n for a document emitted n times).
     * Documents from sources with an effective 0-copy draw are dropped.
     */
@@ -498,7 +526,7 @@ object Mixing {
     */
   def hashSplit(df: DataFrame, idCol: String,
       splits: Seq[(String, Int)]): DataFrame = {
-    val h = mixHash(idCol)
+    val h = splitHash(idCol) // NOT mixHash — see [[splitHash]]
     val split = splitThresholds(splits).init.reverse
       .foldLeft(lit(splits.last._1)) { case (acc, (name, thr)) =>
         when(h < thr, lit(name)).otherwise(acc)
@@ -519,7 +547,7 @@ object Mixing {
   /** The DuckDB rendering of [[hashSplit]]'s bucket decision. */
   def duckSplitCase(idCol: String, splits: Seq[(String, Int)]): String = {
     val whens = splitThresholds(splits).init
-      .map { case (name, thr) => s"WHEN ${duckMixHash(idCol)} < $thr THEN '$name'" }
+      .map { case (name, thr) => s"WHEN ${duckSplitHash(idCol)} < $thr THEN '$name'" }
     s"CASE ${whens.mkString(" ")} ELSE '${splits.last._1}' END"
   }
 

