@@ -48,33 +48,34 @@ object Mixing {
   def duckMixHash(idCol: String): String =
     s"(((($idCol % $HashMod) + $HashMod) % $HashMod) * 2654435761) % $HashMod"
 
-  /** The split draw's multiplier — a DIFFERENT odd constant (xxHash's
-    * prime2) from the mix draw's 2654435761. Composing the mix
+  /** The COPY draw's multiplier — a DIFFERENT odd constant (xxHash's
+    * prime2) from the id-hash family's 2654435761. Composing the other
     * multiplier with itself would NOT decorrelate: A² mod 2³¹ is a tiny
     * constant (−1651615), so consecutive ids would crawl the top of the
     * range and a 1% bucket would go empty for ~1300-id stretches. */
-  val SplitMult: Long = 2246822519L
+  val CopyMult: Long = 2246822519L
 
-  /** The SPLIT draw's own hash — the same overflow-safe multiplicative
-    * form as [[mixHash]] under [[SplitMult]]. The mix COPY draw and the
-    * split assignment must be INDEPENDENT: both reading one hash
-    * correlates the two threshold tests — a DOWNSAMPLING mix (weights
-    * < 1) keeps exactly the ids whose hash falls below its threshold,
-    * and a split reading the same hash then lands every survivor in the
-    * first bucket (measured in the composite funnel stress: a 98/1/1
-    * split over a w ≈ 0.5 mix emitted ZERO val/test rows). A distinct
-    * multiplier scrambles the kept ids back across [0, 2³¹) (measured:
-    * 98.0/1.0/1.0 over a half-downsampled id range) while keeping every
-    * property the split relies on: deterministic, engine-exact, and a
-    * pure function of the id (membership stays stable as the corpus
-    * grows). */
-  def splitHash(idCol: String): Column =
-    expr(s"pmod(pmod($idCol, $HashMod) * $SplitMult, $HashMod)")
+  /** The mix COPY draw's own hash — the same overflow-safe
+    * multiplicative form as [[mixHash]] under [[CopyMult]]. The copy
+    * draw must be INDEPENDENT of the [[mixHash]] family ([[samplePred]],
+    * [[hashSplit]], the leakage-audit side flags — which must all stay
+    * on ONE hash so "sample ⊂ train split" holds by construction):
+    * every draw reading one hash is perfectly correlated — a
+    * DOWNSAMPLING mix (weights < 1) would keep exactly the ids whose
+    * hash falls below its threshold, and a downstream 98/1/1 split
+    * reading the same hash then lands every survivor in the first
+    * bucket (measured in the composite funnel stress: ZERO val/test
+    * rows). A distinct multiplier scrambles the mix survivors back
+    * across [0, 2³¹) (measured: 98.0/1.0/1.0 over a half-downsampled id
+    * range) while staying deterministic, engine-exact, and a pure
+    * function of the id (copy counts stay stable as the corpus grows). */
+  def copyHash(idCol: String): Column =
+    expr(s"pmod(pmod($idCol, $HashMod) * $CopyMult, $HashMod)")
 
-  /** DuckDB rendering of [[splitHash]] (the [[duckMixHash]] sign-exact
-    * form under [[SplitMult]]). */
-  def duckSplitHash(idCol: String): String =
-    s"(((($idCol % $HashMod) + $HashMod) % $HashMod) * $SplitMult) % $HashMod"
+  /** DuckDB rendering of [[copyHash]] (the [[duckMixHash]] sign-exact
+    * form under [[CopyMult]]). */
+  def duckCopyHash(idCol: String): String =
+    s"(((($idCol % $HashMod) + $HashMod) % $HashMod) * $CopyMult) % $HashMod"
 
   /** Output: input columns + `copy` (1..n for a document emitted n times).
     * Documents from sources with an effective 0-copy draw are dropped.
@@ -88,7 +89,7 @@ object Mixing {
     val thr = weights.foldLeft(lit(defThr)) { case (acc, (s, w)) =>
       when(col(srcCol) === s, lit(weightParts(w)._2)).otherwise(acc)
     }
-    val copies = (whole + when(mixHash(idCol) < thr, 1L).otherwise(0L)).as("__copies")
+    val copies = (whole + when(copyHash(idCol) < thr, 1L).otherwise(0L)).as("__copies")
     df.withColumn("__copies", copies)
       .filter(col("__copies") > 0)
       .withColumn("copy", explode(sequence(lit(1L), col("__copies"))))
@@ -526,7 +527,11 @@ object Mixing {
     */
   def hashSplit(df: DataFrame, idCol: String,
       splits: Seq[(String, Int)]): DataFrame = {
-    val h = splitHash(idCol) // NOT mixHash — see [[splitHash]]
+    // the [[mixHash]] id-hash family — SHARED with [[samplePred]] (so
+    // "fit on the pct-sample" nests inside the train split by
+    // construction) and the leakage-audit side flags; the mix COPY draw
+    // is the one that must differ (see [[copyHash]])
+    val h = mixHash(idCol)
     val split = splitThresholds(splits).init.reverse
       .foldLeft(lit(splits.last._1)) { case (acc, (name, thr)) =>
         when(h < thr, lit(name)).otherwise(acc)
@@ -547,7 +552,7 @@ object Mixing {
   /** The DuckDB rendering of [[hashSplit]]'s bucket decision. */
   def duckSplitCase(idCol: String, splits: Seq[(String, Int)]): String = {
     val whens = splitThresholds(splits).init
-      .map { case (name, thr) => s"WHEN ${duckSplitHash(idCol)} < $thr THEN '$name'" }
+      .map { case (name, thr) => s"WHEN ${duckMixHash(idCol)} < $thr THEN '$name'" }
     s"CASE ${whens.mkString(" ")} ELSE '${splits.last._1}' END"
   }
 

@@ -1420,7 +1420,7 @@ object PipelineQueries {
             FROM j)
           WHERE rep_id = doc_id),
     ${decontamStage}x AS (SELECT $keptRel.doc_id, $keptRel.n_tokens, r2.source,
-            ${graft.pipeline.Mixing.duckMixHash(s"$keptRel.doc_id")} AS hm
+            ${graft.pipeline.Mixing.duckCopyHash(s"$keptRel.doc_id")} AS hm
           FROM $keptRel JOIN red r2 ON $keptRel.doc_id = r2.doc_id),
     mx AS (SELECT doc_id, n_tokens,
              ($whole) + (CASE WHEN hm < ($thr) THEN 1 ELSE 0 END) AS copies
@@ -1499,7 +1499,7 @@ object PipelineQueries {
       MixWeights, MixDefaultWeight)
     s"""
     WITH h AS (SELECT doc_id, source,
-                 ${graft.pipeline.Mixing.duckMixHash("doc_id")} AS hm
+                 ${graft.pipeline.Mixing.duckCopyHash("doc_id")} AS hm
                FROM ${Q.DocsRef}),
     c AS (SELECT doc_id, source,
             ($whole) + (CASE WHEN hm < ($thr) THEN 1 ELSE 0 END) AS copies
@@ -1588,7 +1588,7 @@ object PipelineQueries {
              CAST(floor((w - floor(w)) * ${graft.pipeline.Mixing.HashMod}) AS BIGINT) AS thr
            FROM w),
     x2 AS (SELECT d.doc_id, d.source, wp.whole, wp.thr,
-             ${graft.pipeline.Mixing.duckMixHash("d.doc_id")} AS hm
+             ${graft.pipeline.Mixing.duckCopyHash("d.doc_id")} AS hm
            FROM m d JOIN wp USING (source)),
     mx AS (SELECT doc_id, source,
              whole + (CASE WHEN hm < thr THEN 1 ELSE 0 END) AS copies FROM x2)
@@ -1658,7 +1658,7 @@ object PipelineQueries {
                 FROM ${Q.DocsRef}),
     ${graft.pipeline.Mixing.duckTemperatureWeights("sk", "source", TempMixTarget)},
     x AS (SELECT d.doc_id, d.source, wp.whole, wp.thr,
-            ${graft.pipeline.Mixing.duckMixHash("d.doc_id")} AS hm
+            ${graft.pipeline.Mixing.duckCopyHash("d.doc_id")} AS hm
           FROM sk d JOIN wp USING (source)),
     mx AS (SELECT doc_id, source,
              whole + (CASE WHEN hm < thr THEN 1 ELSE 0 END) AS copies
@@ -1752,7 +1752,7 @@ object PipelineQueries {
     s"""$corpusV3SurvivorCtes,
         ${graft.pipeline.Mixing.duckTemperatureWeights("sv2", "source", CorpusV3MixTarget)},
         x AS (SELECT s2.doc_id, s2.n_tokens, wp.whole, wp.thr,
-                ${graft.pipeline.Mixing.duckMixHash("s2.doc_id")} AS hm
+                ${graft.pipeline.Mixing.duckCopyHash("s2.doc_id")} AS hm
               FROM sv2 s2 JOIN wp USING (source)),
         mx AS (SELECT doc_id, n_tokens,
                  whole + (CASE WHEN hm < thr THEN 1 ELSE 0 END) AS copies
@@ -2014,7 +2014,7 @@ object PipelineQueries {
     s"""$corpusV5SurvivorCtes,
        |${graft.pipeline.Mixing.duckTemperatureWeights("dd", "source", CorpusV5MixTarget)},
        |vx AS (SELECT d.doc_id, d.source, wp.whole, wp.thr,
-       |         ${graft.pipeline.Mixing.duckMixHash("d.doc_id")} AS hm
+       |         ${graft.pipeline.Mixing.duckCopyHash("d.doc_id")} AS hm
        |       FROM dd d JOIN wp USING (source)),
        |vmx AS (SELECT doc_id, source,
        |          whole + (CASE WHEN hm < thr THEN 1 ELSE 0 END) AS copies
@@ -2310,7 +2310,7 @@ object PipelineQueries {
     s"""$corpusV6SurvivorCtes,
        |${graft.pipeline.Mixing.duckTemperatureWeights("mk6", "source", CorpusV5MixTarget)},
        |vx AS (SELECT d.doc_id, d.source, wp.whole, wp.thr,
-       |         ${graft.pipeline.Mixing.duckMixHash("d.doc_id")} AS hm
+       |         ${graft.pipeline.Mixing.duckCopyHash("d.doc_id")} AS hm
        |       FROM mk6 d JOIN wp USING (source)),
        |vmx AS (SELECT doc_id, source,
        |          whole + (CASE WHEN hm < thr THEN 1 ELSE 0 END) AS copies
@@ -4344,7 +4344,7 @@ object PipelineQueries {
            FROM surv),
     ${graft.pipeline.Mixing.duckTemperatureWeights("sk", "source", TempMixTarget)},
     x AS (SELECT d.doc_id, d.source, wp.whole, wp.thr,
-            ${graft.pipeline.Mixing.duckMixHash("d.doc_id")} AS hm
+            ${graft.pipeline.Mixing.duckCopyHash("d.doc_id")} AS hm
           FROM sk d JOIN wp USING (source)),
     mx AS (SELECT doc_id, source,
              whole + (CASE WHEN hm < thr THEN 1 ELSE 0 END) AS copies

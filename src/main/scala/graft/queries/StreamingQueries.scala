@@ -1437,37 +1437,10 @@ object StreamingQueries {
     Q("stream_multimodal_phash",
       (s, dir) => {
         implicit val sp = s
-        import s.implicits._
-        val archive = graft.Caches.track(
-          graft.multimodal.Media.dhashStub(graft.multimodal.Media.fromText(
-            graft.Tables.documents(s, dir).select("doc_id", "text"),
-            "doc_id", "text").as[graft.multimodal.Media.MediaRow])(s)
-            .select(col("media_id").as("a_id"), col("dhash").as("da"),
-              explode(sequence(lit(0), lit(3))).as("band"))
-            .withColumn("bkey",
-              expr("shiftright(da, CAST(band * 15 AS INT)) & 32767")))
-        val incomingMedia = graft.multimodal.Media.fromText(
-          StreamSources.documents(s, dir)
-            .filter(pmod(col("doc_id"), lit(16)) === 0)
-            .select((col("doc_id") + lit(1000000L)).as("doc_id"),
-              concat(lit("zzz"), expr("substring(text, 4)")).as("text")),
-          "doc_id", "text").as[graft.multimodal.Media.MediaRow]
-        val incoming = graft.multimodal.Media.dhashStub(incomingMedia)(s)
-          .select(col("media_id"), col("dhash").as("db"),
-            explode(sequence(lit(0), lit(3))).as("band"))
-          .withColumn("bkey",
-            expr("shiftright(db, CAST(band * 15 AS INT)) & 32767"))
-          .withColumn("event_time", current_timestamp())
-          .withWatermark("event_time", "1 hour")
-        val flagged = incoming
-          .join(archive, Seq("band", "bkey"))
-          .withColumn("hamming", expr("CAST(bit_count(db ^ da) AS INT)"))
-          .filter(col("hamming") <= lit(PipelineQueries.PhashMaxHamming))
-          .groupBy(window(col("event_time"), "1 hour"), col("media_id"))
-          .agg(min(col("a_id")).as("rep_id"), min(col("hamming")).as("h_min"))
-          .select("media_id", "rep_id", "h_min")
-        StreamRun.toBatch(flagged, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+        val archive = graft.Caches.track(phashBandFrame(s,
+          graft.Tables.documents(s, dir).select("doc_id", "text")))
+        StreamRun.toBatch(phashProbe(s, dir, archive), "update",
+          numPartitions = 4, requireSingleDataBatch = true)
           .orderBy("media_id")
       },
       Some(PipelineQueries.phashIncrementalOracleSql)),

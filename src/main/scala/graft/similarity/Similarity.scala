@@ -644,23 +644,8 @@ object Similarity {
     * <q, x̂> = <q, c> + Σ_m <q_m, r̂_m> (IVFADC's asymmetric decomposition;
     * per probe row, one literal-table dot). */
   private def pqQueryProbes(queries: DataFrame, idCol: String,
-      vecCol: String, m: PqModel, nprobe: Int): DataFrame = {
-    val qv = queries.select(col(idCol),
-      col(vecCol).cast("array<double>").as("v"))
-    val qn0 = sqrt(dot(col("v"), col("v")))
-    val q0 = qv
-      .select(col(idCol).as("query_id"), col("v").as("qv"), qn0.as("qn"),
-        explode(slice(reverse(array_sort(
-          centroidEntries(m.coarse, col("v"), qn0))), 1, nprobe)).as("__e"))
-      .select(col("query_id"), col("qv"), col("qn"), col("__e.cell").as("cell"))
-      .withColumn("__ipc", dot(col("qv"),
-        perCell(m.coarse, col("cell"))(cv => array(cv.map(lit): _*))))
-    m.books.zipWithIndex.foldLeft(q0) { case (d, (book, i)) =>
-      val sv = slice(col("qv"), i * m.sub + 1, m.sub)
-      d.withColumn(s"__t$i",
-        array(book.map { case (_, cv) => dot(sv, array(cv.map(lit): _*)) }: _*))
-    }
-  }
+      vecCol: String, m: PqModel, nprobe: Int): DataFrame =
+    pqQueryProbesRanked(queries, idCol, vecCol, m, nprobe).drop("__prank")
 
   /** [[pqQueryProbes]] carrying the probe RANK (`__prank`, 1-based) —
     * the one-scan recall sweep's shared probe relation: the sorted

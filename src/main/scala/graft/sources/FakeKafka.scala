@@ -109,8 +109,12 @@ object FakeKafkaBroker {
     * documented divergence). Unknown topics fail loudly (this broker
     * has no auto-create). */
   def deliver(queryId: String, epochId: Long, msgs: Seq[SinkMsg]): Boolean = {
-    if (deliveredEpochs.putIfAbsent((queryId, epochId),
-        java.lang.Boolean.TRUE) != null) return false
+    // resolve and VALIDATE before claiming the epoch: a ledger entry
+    // written ahead of a throwing append would poison the epoch — the
+    // checkpoint-restart retry of a failed commit (unknown topic,
+    // out-of-range partition) would hit the ledger, no-op, and silently
+    // lose the epoch's messages in exactly the restart scenario the
+    // ledger exists to protect. After this block nothing below throws.
     val resolved = msgs.map { m =>
       val n = partitionsOf(m.topic) // throws on unknown topic
       val p = if (m.partition >= 0) m.partition
@@ -118,6 +122,8 @@ object FakeKafkaBroker {
       require(p < n, s"partition $p out of range for topic '${m.topic}' ($n)")
       (m.topic, p, m)
     }
+    if (deliveredEpochs.putIfAbsent((queryId, epochId),
+        java.lang.Boolean.TRUE) != null) return false
     resolved.sortBy { case (t, p, m) =>
       (t, p, if (m.key == null) "" else new String(m.key, "UTF-8"),
         if (m.value == null) "" else new String(m.value, "UTF-8"))

@@ -266,28 +266,30 @@ class TextEdgeCasesSpec extends AnyFunSuite {
 
   test("hash split: hand-computed buckets, exact thresholds, growth stability") {
     import spark.implicits._
-    // h(id) = (id·2246822519) mod 2³¹ (the split's OWN multiplier —
-    // decorrelated from the mix draw's, see Mixing.splitHash);
-    // 50/25/25 thresholds = 2³⁰, 3·2²⁹, 2³¹. Hand values:
-    // h(0)=0, h(5)=496694355 (0.231), h(11)=1092727581 (0.509),
-    // h(16)=1589421936 (0.740), h(21)=2086116291 (0.971)
+    // h(id) = (id·2654435761) mod 2³¹ (the SHARED id-hash family —
+    // samplePred nests inside the train split by construction; the mix
+    // COPY draw is the hash that differs, see Mixing.copyHash);
+    // 50/25/25 thresholds = 2³⁰, 3·2²⁹, 2³¹.
+    // Hand values: h(0)=0, h(1)=506952113 (0.236), h(2)=1013904226 (0.472),
+    // h(3)=1520856339 (0.708), h(4)=2027808452 (0.944), h(5)=387276917 (0.18)
     val splits = Seq("a" -> 50, "b" -> 25, "c" -> 25)
-    val expected = Map(0L -> "a", 5L -> "a", 11L -> "b", 16L -> "b", 21L -> "c")
-    val ids = Seq(0L, 5L, 11L, 16L, 21L).toDF("doc_id")
-    val got = graft.pipeline.Mixing.hashSplit(ids, "doc_id", splits)
+    val expected = Map(0L -> "a", 1L -> "a", 2L -> "a", 3L -> "b", 4L -> "c", 5L -> "a")
+    val ids6 = (0L to 5L).toDF("doc_id")
+    val got = graft.pipeline.Mixing.hashSplit(ids6, "doc_id", splits)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == expected)
-    // growth stability: these ids keep their buckets when the corpus
-    // grows 100× — the anti-leakage property an RNG split lacks
+    // growth stability: the first 6 ids keep their buckets when the
+    // corpus grows 100× — the anti-leakage property an RNG split lacks
     val grown = graft.pipeline.Mixing.hashSplit((0L to 599L).toDF("doc_id"), "doc_id", splits)
-      .filter(col("doc_id").isin(0L, 5L, 11L, 16L, 21L))
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      .filter(col("doc_id") <= 5).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(grown == expected)
-    // the mix draw and the split draw must be INDEPENDENT: over a
-    // downsampled keep-set (mixHash < 2³⁰) the split fractions must
-    // still be ~50/25/25 — the shared-hash form put 100% in bucket a
+    // the mix COPY draw and the split must be INDEPENDENT: over a
+    // downsampled keep-set (copyHash < 2³⁰ — a w ≈ 0.5 mix) the split
+    // fractions must still be ~50/25/25 (the shared-hash form put 100%
+    // in one bucket); and the SAMPLE must nest inside the first split
+    // bucket by construction (the documented samplePred ⊂ split rule)
     val keep = (0L until 20000L).toDF("doc_id")
-      .filter(graft.pipeline.Mixing.mixHash("doc_id") < lit(1L << 30))
+      .filter(graft.pipeline.Mixing.copyHash("doc_id") < lit(1L << 30))
     val fr = graft.pipeline.Mixing.hashSplit(keep, "doc_id", splits)
       .groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -296,9 +298,16 @@ class TextEdgeCasesSpec extends AnyFunSuite {
       math.abs(fr("b") / nk - 0.25) < 0.03 &&
       math.abs(fr("c") / nk - 0.25) < 0.03,
       s"split fractions skewed over a downsampled keep-set: $fr")
+    val escaped = graft.pipeline.Mixing.hashSplit(
+        (0L until 20000L).toDF("doc_id")
+          .filter(graft.pipeline.Mixing.samplePred("doc_id", 10)),
+        "doc_id", splits)
+      .filter(col("split") =!= "a").count()
+    assert(escaped == 0,
+      s"a 10% sample must sit entirely inside the 50% first bucket: $escaped escaped")
     // percents must total 100
     intercept[IllegalArgumentException] {
-      graft.pipeline.Mixing.hashSplit(ids, "doc_id", Seq("a" -> 60, "b" -> 30))
+      graft.pipeline.Mixing.hashSplit(ids6, "doc_id", Seq("a" -> 60, "b" -> 30))
     }
   }
 
