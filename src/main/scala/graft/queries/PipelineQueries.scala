@@ -8480,8 +8480,15 @@ object PipelineQueries {
         val qf = col("vec_id") < 100
         val measures = Seq(col("est_cost"), col("n_queries"),
           col("n_returned"), col("hits"), col("recall_pct"))
+        // ONE brute-force ground truth shared by all three family sweeps
+        // (each gate computes it internally when run standalone; here it
+        // would be the identical 100-query × corpus scan three times)
+        val truth = Some(graft.Caches.track(
+          Similarity.knnBruteForce(emb.filter(qf), emb, "vec_id",
+            "embedding", k = 5)))
         val ivf = Similarity.knnIvfPqRecallFrom(s, root, emb, "vec_id",
-            "embedding", k = 5, queryFilter = qf, configs = AnnRecallConfigs)
+            "embedding", k = 5, queryFilter = qf, configs = AnnRecallConfigs,
+            truth = truth)
           .withColumn("est_cost",
             row_number().over(Window.orderBy(col("nprobe"), col("rerank"))))
           .select(lit("ivf_pq").as("family") +:
@@ -8489,14 +8496,15 @@ object PipelineQueries {
               lit(",rr="), col("rerank").cast("string")).as("config") +:
             measures: _*)
         val lsh = Similarity.knnLshRecall(emb, "vec_id", "embedding", k = 5,
-            queryFilter = qf, planesSweep = AnnRecallPlanes)
+            queryFilter = qf, planesSweep = AnnRecallPlanes, truth = truth)
           .withColumn("est_cost",
             row_number().over(Window.orderBy(col("planes").desc)))
           .select(lit("lsh").as("family") +:
             concat(lit("planes="), col("planes").cast("string")).as("config") +:
             measures: _*)
         val banded = Similarity.knnLshBandedRecall(emb, "vec_id", "embedding",
-            k = 5, queryFilter = qf, bandsSweep = AnnRecallBands, planes = 4)
+            k = 5, queryFilter = qf, bandsSweep = AnnRecallBands, planes = 4,
+            truth = truth)
           .withColumn("est_cost", col("bands").cast("int"))
           .select(lit("lsh_banded").as("family") +:
             concat(lit("bands="), col("bands").cast("string")).as("config") +:

@@ -987,10 +987,11 @@ object Similarity {
   def knnIvfPqRecall(df: DataFrame, idCol: String, vecCol: String, k: Int,
       queryFilter: org.apache.spark.sql.Column, configs: Seq[(Int, Int)],
       numCentroids: Int = 16, iters: Int = 2, subvectors: Int = 4,
-      codes: Int = 16, dim: Int = 64): DataFrame =
+      codes: Int = 16, dim: Int = 64,
+      truth: Option[DataFrame] = None): DataFrame =
     knnIvfPqRecallWith(
       pqTrain(df, idCol, vecCol, numCentroids, iters, subvectors, codes, dim),
-      df, idCol, vecCol, k, queryFilter, configs)
+      df, idCol, vecCol, k, queryFilter, configs, truth)
 
   /** [[knnIvfPqRecall]] measuring the PERSISTED generation (see
     * [[pqSave]]) — the production gate: recall is a property of the
@@ -999,14 +1000,15 @@ object Similarity {
     * oracle; the train cost stays on the save path where it belongs). */
   def knnIvfPqRecallFrom(spark: org.apache.spark.sql.SparkSession,
       root: String, df: DataFrame, idCol: String, vecCol: String, k: Int,
-      queryFilter: org.apache.spark.sql.Column,
-      configs: Seq[(Int, Int)]): DataFrame =
+      queryFilter: org.apache.spark.sql.Column, configs: Seq[(Int, Int)],
+      truth: Option[DataFrame] = None): DataFrame =
     knnIvfPqRecallWith(pqLoad(spark, root), df, idCol, vecCol, k,
-      queryFilter, configs)
+      queryFilter, configs, truth)
 
   private def knnIvfPqRecallWith(m: PqModel, df: DataFrame, idCol: String,
       vecCol: String, k: Int, queryFilter: org.apache.spark.sql.Column,
-      configs: Seq[(Int, Int)]): DataFrame = {
+      configs: Seq[(Int, Int)],
+      truth: Option[DataFrame] = None): DataFrame = {
     // ONE cast/norm frame, ONE compressed index, ONE probe/ADC scan AND
     // ONE rank sort shared by every config arm (r14 judge #8): probe
     // once at max(nprobe) carrying the probe rank, score ADC once over
@@ -1059,7 +1061,7 @@ object Similarity {
           .select(lit(np).as("nprobe"), lit(rr).as("rerank"),
             col("query_id"), col("neighbor_id"))
       },
-      knnBruteForce(df.filter(queryFilter), df, idCol, vecCol, k),
+      truth.getOrElse(knnBruteForce(df.filter(queryFilter), df, idCol, vecCol, k)),
       k, Seq("nprobe", "rerank"), configs.map { case (np, rr) => Seq(np, rr) })
   }
 
@@ -1070,13 +1072,14 @@ object Similarity {
     */
   def knnLshRecall(df: DataFrame, idCol: String, vecCol: String, k: Int,
       queryFilter: org.apache.spark.sql.Column, planesSweep: Seq[Int],
-      dim: Int = 64, maxBucket: Int = 100000): DataFrame =
+      dim: Int = 64, maxBucket: Int = 100000,
+      truth: Option[DataFrame] = None): DataFrame =
     recallReport(
       planesSweep.map(p =>
         knnLsh(df, idCol, vecCol, k, p, dim, queryFilter, maxBucket)
           .select(lit(p).as("planes"), col("query_id"),
             col("neighbor_id"))),
-      knnBruteForce(df.filter(queryFilter), df, idCol, vecCol, k),
+      truth.getOrElse(knnBruteForce(df.filter(queryFilter), df, idCol, vecCol, k)),
       k, Seq("planes"), planesSweep.map(Seq(_)))
 
   /** [[knnLshRecall]] for the BANDED path, swept over band count at a
@@ -1086,13 +1089,14 @@ object Similarity {
     * monotone in bands by construction. */
   def knnLshBandedRecall(df: DataFrame, idCol: String, vecCol: String,
       k: Int, queryFilter: org.apache.spark.sql.Column,
-      bandsSweep: Seq[Int], planes: Int = 4, dim: Int = 64): DataFrame =
+      bandsSweep: Seq[Int], planes: Int = 4, dim: Int = 64,
+      truth: Option[DataFrame] = None): DataFrame =
     recallReport(
       bandsSweep.map(bd =>
         knnLshBanded(df, idCol, vecCol, k, planes, bd, dim, queryFilter)
           .select(lit(bd).as("bands"), col("query_id"),
             col("neighbor_id"))),
-      knnBruteForce(df.filter(queryFilter), df, idCol, vecCol, k),
+      truth.getOrElse(knnBruteForce(df.filter(queryFilter), df, idCol, vecCol, k)),
       k, Seq("bands"), bandsSweep.map(Seq(_)))
 
   /** Shared recall@k fold: tag-union the per-config result sets, ONE
