@@ -148,9 +148,12 @@ class PlanQualitySpec extends AnyFunSuite {
     // build side is the broadcast corpus, never a CartesianProduct.
     // (dedup_minhash_recall is NOT here: its exact truth rides the
     // gram-equi join — zero-overlap pairs are below any positive τ —
-    // so it needs no nested-loop join at all)
+    // so it needs no nested-loop join at all). knn_config_recommend
+    // derives the serving defaults FROM the three gates, so it carries
+    // the same (single, shared) ground-truth BNLJ.
     val recallGate =
-      Set("knn_ivf_pq_recall", "knn_lsh_recall", "knn_lsh_banded_recall")
+      Set("knn_ivf_pq_recall", "knn_lsh_recall", "knn_lsh_banded_recall",
+        "knn_config_recommend")
     SparkEntry.queries.keys.filterNot(_.startsWith("stream_")).foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
