@@ -524,6 +524,13 @@ object Mixing {
     *
     * `splits` percents must total 100; a document lands in the first
     * bucket whose cumulative threshold exceeds its hash.
+    *
+    * NESTING PRECONDITION: [[samplePred]] reads the same hash with a
+    * low-end threshold, so a pct-sample sits inside the FIRST declared
+    * bucket iff pct ≤ that bucket's percent — declare the training
+    * bucket FIRST (the engine-wide convention) and keep any sampled-fit
+    * pct under its width, or the "fit on the sample, score the train
+    * split" composition leaks sampled docs into later buckets.
     */
   def hashSplit(df: DataFrame, idCol: String,
       splits: Seq[(String, Int)]): DataFrame = {

@@ -8482,10 +8482,13 @@ object PipelineQueries {
           col("n_returned"), col("hits"), col("recall_pct"))
         // ONE brute-force ground truth shared by all three family sweeps
         // (each gate computes it internally when run standalone; here it
-        // would be the identical 100-query × corpus scan three times)
-        val truth = Some(graft.Caches.track(
-          Similarity.knnBruteForce(emb.filter(qf), emb, "vec_id",
-            "embedding", k = 5)))
+        // would be the identical 100-query × corpus scan three times).
+        // No caller-side cache: recallReport tracks its projection of
+        // this frame, and the three identical projections plan-match to
+        // one cached copy — an outer persist would just add a second,
+        // never-reused cache layer.
+        val truth = Some(Similarity.knnBruteForce(emb.filter(qf), emb,
+          "vec_id", "embedding", k = 5))
         val ivf = Similarity.knnIvfPqRecallFrom(s, root, emb, "vec_id",
             "embedding", k = 5, queryFilter = qf, configs = AnnRecallConfigs,
             truth = truth)

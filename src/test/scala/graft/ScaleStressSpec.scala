@@ -1322,9 +1322,11 @@ class ScaleStressSpec extends AnyFunSuite {
         s"media stage must drop every later shared-figure member: " +
           s"$nMediaDropped < $expectedMediaDrop")
       // banding admits only near-identical signals: drops beyond the
-      // plant are band-collision false positives (hamming ≤ 10 over the
-      // md5 signals), which must stay a small fraction of the corpus —
-      // the aliasing blowup this stage's signal design exists to prevent
+      // plant are band-collision false positives (at the calibrated
+      // hamming ≤ 6 — see the threshold note above; the allowance below
+      // is sized for THAT operating point, where false drops are rare),
+      // which must stay a small fraction of the corpus — the aliasing
+      // blowup this stage's signal design exists to prevent
       assert(nMediaDropped <= expectedMediaDrop + nDeduped / 50 + 100,
         s"media stage dropped far beyond the plant: $nMediaDropped vs " +
           s"$expectedMediaDrop expected over $nDeduped survivors")
