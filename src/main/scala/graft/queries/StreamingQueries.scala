@@ -3339,6 +3339,14 @@ object StreamingQueries {
         graft.streaming.StreamRun.drain(graft.api.Pipe.kafkaSink(out,
           KafkaSinkConfig().withBrokers("fake:9092").withTopicColumn(),
           fakeFormat))
+        // the oracle replays one GLOBAL canonical append order, which is
+        // the read-back order ONLY if the whole fixture drained in a
+        // single sink epoch — pin that assumption loudly (the read-side
+        // rows' requireSingleDataBatch, rendered for the write side)
+        require(FakeKafkaBroker.deliveredEpochCount == 1,
+          s"stream_kafka_sink_fake expects a single-epoch drain; got " +
+            s"${FakeKafkaBroker.deliveredEpochCount} delivered epochs — " +
+            "the oracle's global canonical append order no longer holds")
         val back = StreamSources.kafka(s,
             KafkaSourceConfig().withBrokers("fake:9092")
               .withTopics("graft_sink_a", "graft_sink_b"),

@@ -43,11 +43,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (`kafka.group.id`) when it RETIRES (Spark's `commit(end)` call —
   *    after delivery, like the real auto-commit), with a final flush of
   *    the last planned batch at `stop()` (an AvailableNow run's final
-  *    batch has no successor to retire it). A mid-batch crash (no
-  *    stop()) therefore replays from the last retired commit —
-  *    at-least-once; the one residual at-most-once window is a query
-  *    that fails mid-batch and is STILL stopped gracefully, where the
-  *    stop-flush commits the failed batch's planned end.
+  *    batch has no successor to retire it). The stop-flush narrows the
+  *    at-least-once posture: Spark invokes source `stop()` in the
+  *    stream-teardown finally EVEN when the query dies on an exception,
+  *    so the flush cannot distinguish an executed-but-unretired batch
+  *    from a failed one — ANY in-JVM mid-batch failure (not just a
+  *    graceful stop) commits the failed batch's planned end, and a
+  *    same-group fresh-checkpoint restart skips those messages
+  *    (at-most-once for that window). Only a hard crash (no teardown —
+  *    kill -9, OOM-killed JVM) replays from the last retired commit.
   *    A fresh query in the same group restores from committed — the
   *    restart face of offset restore.
   *
@@ -79,11 +83,24 @@ object FakeKafkaBroker {
   // committed epoch is skipped, Spark's DSv2 sink idempotence contract)
   private val deliveredEpochs =
     new ConcurrentHashMap[(String, Long), java.lang.Boolean]()
+  // delivered epochs that appended ≥ 1 message (see deliveredEpochCount)
+  private val dataEpochs = new AtomicLong(0L)
   private val epoch = new AtomicLong(0L)
 
   def reset(): Unit = {
-    topics.clear(); committed.clear(); deliveredEpochs.clear(); epoch.set(0L)
+    topics.clear(); committed.clear(); deliveredEpochs.clear()
+    dataEpochs.set(0L); epoch.set(0L)
   }
+
+  /** Delivered sink epochs that appended at least one message since the
+    * last [[reset]] — the pin for single-batch-drain oracles: a
+    * canonical GLOBAL append order is only the read-back order if the
+    * whole fixture drained in ONE data epoch (a multi-epoch drain
+    * appends per-epoch-sorted; an EMPTY epoch appends nothing and
+    * cannot break the order, so it does not count). Callers assert
+    * `== 1` after the drain so a micro-batching change fails loudly at
+    * the assumption, not as an unexplained hash mismatch. */
+  def deliveredEpochCount: Int = dataEpochs.get().toInt
 
   /** Deterministic default partitioner for a keyed message with no
     * explicit partition: the portable hash of the key's UTF-8 text,
@@ -117,6 +134,12 @@ object FakeKafkaBroker {
     // ledger exists to protect. After this block nothing below throws.
     val resolved = msgs.map { m =>
       val n = partitionsOf(m.topic) // throws on unknown topic
+      // -1 is the ONLY unset sentinel (the writer's null-column mapping);
+      // any other negative is an explicit invalid partition and must fail
+      // like the real producer, not be silently rerouted by the default
+      // partitioner
+      require(m.partition >= -1,
+        s"invalid explicit partition ${m.partition} for topic '${m.topic}'")
       val p = if (m.partition >= 0) m.partition
         else defaultPartition(m.key, n)
       require(p < n, s"partition $p out of range for topic '${m.topic}' ($n)")
@@ -131,6 +154,7 @@ object FakeKafkaBroker {
       val logs = topics.get(t)
       logs(p).synchronized { logs(p).add(Msg(m.key, m.value, 0L)): Unit }
     }
+    if (resolved.nonEmpty) dataEpochs.incrementAndGet(): Unit
     true
   }
 
@@ -372,8 +396,11 @@ class FkSinkWriter(schema: StructType, defaultTopic: Option[String])
     }
     val part =
       if (partIdx < 0 || row.isNullAt(partIdx)) -1 else row.getInt(partIdx)
-    buf += FakeKafkaBroker.SinkMsg(topic, part, bytes(row, keyIdx),
-      bytes(row, valueIdx))
+    val value = bytes(row, valueIdx)
+    // the real kafka sink fails on null values at runtime; a bug
+    // producing null payloads must not pass silently through the fake
+    require(value != null, "fake kafka sink: null value in a row")
+    buf += FakeKafkaBroker.SinkMsg(topic, part, bytes(row, keyIdx), value)
   }
 
   override def commit(): WriterCommitMessage = FkSinkCommit(buf.toArray)

@@ -192,6 +192,13 @@ class FakeKafkaSpec extends AnyFunSuite {
     assert(FakeKafkaBroker.logEnd("st", 0) + FakeKafkaBroker.logEnd("st", 1) == after1)
     sw.commit(2L, Array(msg)) // a NEW epoch with the same payload delivers
     assert(FakeKafkaBroker.logEnd("st", 0) + FakeKafkaBroker.logEnd("st", 1) == 2L)
+    // r15 ADVICE: a null VALUE fails at write() like the real sink —
+    // a bug producing null payloads must not pass silently through the fake
+    val w2 = sw.createStreamingWriterFactory(null).createWriter(0, 3L, 0L)
+    intercept[IllegalArgumentException](w2.write(
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any]("k2".getBytes("UTF-8"), null,
+          org.apache.spark.unsafe.types.UTF8String.fromString("st")))))
   }
 
   test("SINK default partitioner is the portable key hash; keyless pins 0; schema validation is loud") {
@@ -214,6 +221,17 @@ class FakeKafkaSpec extends AnyFunSuite {
     graft.sources.FakeKafkaStreamingWrite.validateSchema(
       StructType(Seq(StructField("value", StringType),
         StructField("topic", StringType))), None)
+    // r15 ADVICE: an explicit INVALID partition (< -1) must fail loudly
+    // like the real producer — only -1 is the unset sentinel the default
+    // partitioner may reroute
+    FakeKafkaBroker.createTopic("tv", 2)
+    def msg(p: Int) = FakeKafkaBroker.SinkMsg("tv", p,
+      "k".getBytes("UTF-8"), "v".getBytes("UTF-8"))
+    assert(FakeKafkaBroker.deliver("qv", 0L, Seq(msg(-1), msg(1))))
+    intercept[IllegalArgumentException](
+      FakeKafkaBroker.deliver("qv", 1L, Seq(msg(-3))))
+    intercept[IllegalArgumentException]( // out of range still loud
+      FakeKafkaBroker.deliver("qv", 2L, Seq(msg(2))))
   }
 
   test("idleness option is plumbed; malformed configs are rejected by the builder") {

