@@ -1506,7 +1506,9 @@ class ScaleStressSpec extends AnyFunSuite {
             }
           }))
       // ---- the ingest chain (the stream_pipeline serving shape) ----
-      val PerBatch = 100_000L // per replica → 400k-doc micro-batches
+      // pace ≈ 25 micro-batches whatever the row override, so the
+      // multi-batch/purge assertions keep their teeth at smoke scale
+      val PerBatch = math.max(2_000L, n / Replicas / 25L) // per replica
       graft.sources.GeneratorSource.resetPeakBuffered()
       val mdrop = mediaDropped.select(col("doc_id"), lit(1).as("__mdrop"))
       val incoming = spark.readStream
@@ -1538,13 +1540,15 @@ class ScaleStressSpec extends AnyFunSuite {
         .select("doc_id", "source")
       val sinkName = "graft_v6_funnel_stream"
       val ckpt = s"/dev/shm/graft-ckpt/v6-funnel-${System.nanoTime()}"
+      // default micro-batch trigger + processAllAvailable, like the other
+      // generator batteries: AvailableNow would single-batch a source
+      // without SupportsTriggerAvailableNow, defeating the pacing
       val q = agg.writeStream.format("memory").queryName(sinkName)
         .outputMode("update")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
         .start()
       try {
-        q.awaitTermination()
+        q.processAllAvailable()
         val dataBatches = q.recentProgress.count(_.numInputRows > 0)
         val stateRows = Option(q.lastProgress)
           .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
@@ -1587,6 +1591,7 @@ class ScaleStressSpec extends AnyFunSuite {
         assert(secs < 2400.0,
           f"streaming funnel went super-linear: ${secs}%.1f s")
       } finally {
+        q.stop()
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
         spark.catalog.dropTempView(sinkName): Unit
       }
