@@ -144,7 +144,7 @@ case class GenOffset(n: Long) extends Offset {
 class GeneratorMicroBatchStream(name: String, ingress: Boolean,
     maxRowsPerReplica: Long = 0L)
   extends MicroBatchStream
-  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import GeneratorSource._
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
 
@@ -153,8 +153,21 @@ class GeneratorMicroBatchStream(name: String, ingress: Boolean,
   private lazy val maxCount: Long =
     (0 until d.numReplicas).map(countRows(d, _)).foldLeft(0L)(math.max)
 
+  // Trigger.AvailableNow (SupportsTriggerAvailableNow extends
+  // SupportsAdmissionControl): snapshot the drain target at query start.
+  // Without this marker interface Spark falls back to a SINGLE batch and
+  // silently ignores the admission cap — which defeats the bounded-queue
+  // pacing this source exists to model (the reference sources' README:36
+  // backpressure). A finite registered generator's target is simply its
+  // total emission count; an unbounded/growing generator would snapshot
+  // whatever existed at prepare time, like the kafka source.
+  private var availableTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableTarget = Some(maxCount)
+  private def target: Long = availableTarget.getOrElse(maxCount)
+
   override def initialOffset(): Offset = GenOffset(0L)
-  override def latestOffset(): Offset = GenOffset(maxCount)
+  override def latestOffset(): Offset = GenOffset(target)
   override def getDefaultReadLimit: ReadLimit =
     if (maxRowsPerReplica > 0) ReadLimit.maxRows(maxRowsPerReplica)
     else ReadLimit.allAvailable()
@@ -162,8 +175,8 @@ class GeneratorMicroBatchStream(name: String, ingress: Boolean,
     case m: ReadMaxRows =>
       // the offset is a per-replica row count, so the cap applies per
       // replica loop (each replica is one partition of the batch)
-      GenOffset(math.min(maxCount, start.asInstanceOf[GenOffset].n + m.maxRows()))
-    case _ => GenOffset(maxCount)
+      GenOffset(math.min(target, start.asInstanceOf[GenOffset].n + m.maxRows()))
+    case _ => GenOffset(target)
   }
   override def deserializeOffset(json: String): Offset = GenOffset(json.toLong)
   override def commit(end: Offset): Unit = ()

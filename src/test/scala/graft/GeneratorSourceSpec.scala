@@ -79,6 +79,30 @@ class GeneratorSourceSpec extends AnyFunSuite {
     assert(batches == 5, s"500 rows/replica at cap 100 must take 5 data batches, got $batches")
   }
 
+  test("Trigger.AvailableNow honors the admission cap: paced batches, then termination") {
+    // without SupportsTriggerAvailableNow Spark silently falls back to a
+    // SINGLE batch under AvailableNow and ignores the cap — the trap the
+    // streaming-funnel battery hit; this pins the paced-run-then-stop
+    // contract (the kafka source's behavior) on the generator source
+    implicit val s = spark
+    GeneratorSource.register("spec_gen_an", GeneratorSource.GenDef(
+      schema, numReplicas = 2,
+      (r, emit) => (0L until 300L).foreach(i =>
+        emit(Array[Any](r * 300L + i), 1_000_000L + i))))
+    val q = StreamSources.generator(spark, "spec_gen_an",
+        maxRowsPerBatchPerReplica = 100L)
+      .writeStream.format("memory").queryName("gen_an_x")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination() // AvailableNow terminates on its own
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    val got = spark.table("gen_an_x").select("id").collect().map(_.getLong(0)).sorted
+    spark.sql("DROP TABLE IF EXISTS gen_an_x")
+    assert(got.toSeq == (0L until 600L).toSeq, s"lost/duplicated rows: ${got.length}")
+    assert(batches == 3, s"300 rows/replica at cap 100 must take 3 data batches, got $batches")
+  }
+
   test("INGRESS policy stamps arrival time instead of the generator ts") {
     implicit val s = spark
     GeneratorSource.register("spec_gen_ingress", GeneratorSource.GenDef(
