@@ -236,6 +236,15 @@ object ModelStore {
   def loadRelation(spark: SparkSession, root: String, name: String): DataFrame =
     spark.read.parquet(s"$root/gen=${pinnedGen(spark, root)}/$name")
 
+  /** Whether the committed generation carries relation `name` — for
+    * maintenance flows whose output set depends on what the generation
+    * was saved with (e.g. a PQ refresh re-encodes the optional `index`
+    * relation only when the generation has one). */
+  def hasRelation(spark: SparkSession, root: String, name: String): Boolean = {
+    val p = new Path(s"$root/gen=${pinnedGen(spark, root)}/$name")
+    fsFor(spark, p).exists(p)
+  }
+
   /** Load the params map from the committed generation. */
   def loadParams(spark: SparkSession, root: String): Map[String, String] =
     loadRelation(spark, root, ParamsRel)

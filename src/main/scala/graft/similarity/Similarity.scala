@@ -943,8 +943,24 @@ object Similarity {
       val m2 = PqModel(coarse2, books2,
         books2.map(_.map { case (_, cv) => cv.foldLeft(0.0)((a, x) => a + x * x) }),
         dim / subvectors)
+      // a generation committed by pqSaveIndexed/pqAppendIndex also
+      // carries the ENCODED index; a refit invalidates its codes (they
+      // quantize against the old model), so the refreshed generation
+      // re-encodes `corpus` with the new model — dropping the relation
+      // instead would strand knnIvfPqFromIndexed on the pruned old
+      // generation, and carrying it stale would serve wrong ADC scores.
+      val hadIndex = ModelStore.hasRelation(spark, root, "index")
+      val extra =
+        if (!hadIndex) Nil
+        else {
+          val v = corpus.select(col(idCol),
+            col(vecCol).cast("array<double>").as("v"))
+          Seq("index" -> pqIndex(
+            assignCollected(v, idCol, "v", m2.coarse), idCol, m2,
+            withVectors = false))
+        }
       (pqCommit(spark, root, m2, corpus, idCol, vecCol, nCent, iters, codes,
-        dim), report)
+        dim, extra), report)
     }
   }
 

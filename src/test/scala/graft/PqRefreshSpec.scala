@@ -123,6 +123,51 @@ class PqRefreshSpec extends AnyFunSuite {
         "vec_id", "embedding", gateQ = 0L)
       assert(served2 == served && rep3.values.forall(_ == 0L),
         s"refresh against its own baseline must be a no-op: $rep3")
+      // a generation saved WITHOUT an index must stay index-less after
+      // a refresh (the optional relation is not invented)
+      assert(!ModelStore.hasRelation(spark, root, "index"))
+    } finally {
+      Caches.releaseAll()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
+  test("refresh on an INDEXED generation re-encodes the index with the refitted model") {
+    // pqSaveIndexed generations carry the encoded index; a refit
+    // invalidates its codes (they quantize against the old model), so
+    // the refreshed generation must re-encode — dropping the relation
+    // would strand knnIvfPqFromIndexed on the pruned old generation,
+    // carrying it stale would serve wrong ADC scores.
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-test-pqrefidx-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    try {
+      def sel(i: Long): Int = if ((i / 4 + i % 4) % 4 == 0) 1 else 0
+      val base = (0L until 40L).map(i =>
+        (i, vec((i % 4).toInt, i, sel(i))))
+        .toDF("vec_id", "embedding")
+      val next = (0L until 40L).map(i =>
+        (i, vec((i % 4).toInt, i, 1 - sel(i))))
+        .toDF("vec_id", "embedding")
+      Similarity.pqSaveIndexed(spark, root, base, base, "vec_id", "embedding",
+        numCentroids = 4, iters = 2, subvectors = 4, codes = 4, dim = Dim)
+      val gen0 = ModelStore.latestGen(spark, root).get
+      val (served, _) = Similarity.pqRefresh(spark, root, next,
+        "vec_id", "embedding", gateQ = 0L)
+      assert(served > gen0, "the drifted slice-0 mix must commit a refresh")
+      assert(ModelStore.hasRelation(spark, root, "index"),
+        "the refreshed generation must carry a re-encoded index")
+      // serving from the persisted re-encoded index must equal serving
+      // with the refreshed model's in-plan encode over the same corpus
+      val qf = col("vec_id") < 10
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("query_id", "rnk").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      val fromIdx = rows(Similarity.knnIvfPqFromIndexed(spark, root, next,
+        "vec_id", "embedding", k = 3, queryFilter = qf, nprobe = 2, rerank = 8))
+      val inPlan = rows(Similarity.knnIvfPqFrom(spark, root, next,
+        "vec_id", "embedding", k = 3, queryFilter = qf, nprobe = 2, rerank = 8))
+      assert(fromIdx == inPlan,
+        "persisted re-encoded index must serve identically to in-plan encode")
     } finally {
       Caches.releaseAll()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
