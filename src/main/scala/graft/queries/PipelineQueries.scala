@@ -1919,27 +1919,64 @@ object PipelineQueries {
     corpusV5PlantOf(Tables.documents(s, dir))
 
   /** The v5 MODEL-era stage frames — the trained-gate counterpart of
-    * [[V3Stages]], consumed by the composite's tail and the model-era
-    * reject funnel. */
+    * [[V3Stages]], consumed by the composite's tail, the model-era
+    * reject funnel and (r16) the two ingest twins: like [[V6Stages]] it
+    * carries the offline artifacts the stream rows probe (trained gate,
+    * LM, the scalar xent tertile boundary τ₂, the keep-first digest
+    * map), so the four v5 rows share one builder instead of each
+    * re-deriving the chain inline. */
   private[queries] final case class V5Stages(
-      docs: DataFrame, surv: DataFrame, kept: DataFrame, deduped: DataFrame)
+      docs: DataFrame, surv: DataFrame, kept: DataFrame, deduped: DataFrame,
+      cm: graft.text.QualityClassifier.Model,
+      lmm: graft.text.NgramLm.Model, tau2: Double, repMap: DataFrame)
+
+  /** Per-process memo of the v5 offline DRIVER-HELD artifacts —
+    * [[v6OfflineMemo]]'s doctrine applied to the v5 family: FOUR rows
+    * (batch + stream composite and funnel) share one nightly chain;
+    * before r16 each of the two ingest twins re-trained both models and
+    * re-derived the τ₂ boundary inline per run (measured: ~2 s of
+    * trainer collects per row at sf0.1). Only the pure values memoize
+    * (deterministic functions of the corpus — weights, LM count model,
+    * survivor count, the scalar xent cut); stage FRAMES rebuild per row
+    * as per-row cached intermediates, so correctness is untouched. */
+  private val v5OfflineMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (graft.text.QualityClassifier.Model,
+      graft.text.NgramLm.Model, Long, Double)]()
 
   private[queries] def corpusV5Stages(s: SparkSession, dir: String): V5Stages = {
     val qc = graft.text.QualityClassifier
     val docs = graft.Caches.track(corpusV5Plant(s, dir))
     val feats = graft.Caches.track(qc.features(docs, "doc_id", "text",
       (pmod(col("doc_id"), lit(6)) === 0).cast("int")))
-    val cm = qc.train(feats.filter(
-      graft.pipeline.Mixing.samplePred("doc_id", SampledFitPct)))
-    val lmm = graft.text.NgramLm.train(
-      docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
+    val (cm, lmm, ns, tau2) = v5OfflineMemo.computeIfAbsent(dir, _ => {
+      val cm0 = qc.train(feats.filter(
+        graft.pipeline.Mixing.samplePred("doc_id", SampledFitPct)))
+      val lmm0 = graft.text.NgramLm.train(
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
+      val scored0 = graft.Caches.track(
+        graft.text.NgramLm.score(
+          qc.score(feats, "doc_id", cm0).filter(col("pred") === 1)
+            .select(col("doc_id")).join(docs, Seq("doc_id")),
+          "doc_id", "text", lmm0)
+          .select(col("doc_id"), col("xent")))
+      val ns0 = scored0.count()
+      // the SCALAR boundary the v5 ingest twins threshold on (v5's
+      // convention predates v6's lexicographic pair; the v5 plant has no
+      // xent ties at the cut, which the shared batch oracle re-proves)
+      val t2Row = graft.operators.PrefixSum.runningSum(
+          scored0.withColumn("__one", lit(1L)), "__one", Seq("xent", "doc_id"))
+        .filter(col("running___one") === 2 * ns0 / 3)
+        .agg(min(col("xent"))).first()
+      val tau20 =
+        if (t2Row.isNullAt(0)) Double.NegativeInfinity else t2Row.getDouble(0)
+      (cm0, lmm0, ns0, tau20)
+    })
     val surv = graft.Caches.track(
       qc.score(feats, "doc_id", cm).filter(col("pred") === 1)
         .select(col("doc_id")).join(docs, Seq("doc_id")))
     val scored = graft.Caches.track(
       graft.text.NgramLm.score(surv, "doc_id", "text", lmm)
         .select(col("doc_id"), col("xent")))
-    val ns = scored.count()
     val ranked = graft.operators.PrefixSum.runningSum(
       scored.withColumn("__one", lit(1L)), "__one", Seq("xent", "doc_id"))
     val kept = surv.join(
@@ -1950,7 +1987,10 @@ object PipelineQueries {
         min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
       .filter(col("rep_id") === col("doc_id"))
       .select("doc_id", "source"))
-    V5Stages(docs, surv, kept, deduped)
+    val repMap = graft.Caches.track(kept
+      .groupBy(md5(col("text")).as("__dg"))
+      .agg(min(col("doc_id")).as("__rep_id")))
+    V5Stages(docs, surv, kept, deduped, cm, lmm, tau2, repMap)
   }
 
   private def corpusV5Plan(s: SparkSession, dir: String): DataFrame = {

@@ -587,7 +587,7 @@ object StreamingQueries {
               .as("hapax_ratio"))
           .filter(col("hapax_ratio") <= 0.02)
         StreamRun.toBatch(scored, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
           .orderBy("doc_id")
       },
       Some(PipelineQueries.cleanLinesOracleSql)),
@@ -628,7 +628,7 @@ object StreamingQueries {
             count(lit(1)).as("n_known_spans"))
           .select("doc_id", "rep_id", "n_known_spans")
         StreamRun.toBatch(flagged, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
           .orderBy("doc_id")
       },
       Some(spanIncrementalOracleSql("doc_id % 4 = 0"))),
@@ -663,7 +663,7 @@ object StreamingQueries {
             count(lit(1)).as("n_known_spans"))
           .select("doc_id", "rep_id", "n_known_spans")
         StreamRun.toBatch(flagged, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
           .orderBy("doc_id")
       },
       Some(spanIncrementalOracleSql("doc_id % 4 = 0"))),
@@ -702,7 +702,7 @@ object StreamingQueries {
             count(lit(1)).as("n_known_spans"))
           .select("doc_id", "rep_id", "n_known_spans")
         StreamRun.toBatch(flagged, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
           .orderBy("doc_id")
       },
       Some(spanIncrementalOracleSql("doc_id % 4 IN (0, 2)"))),
@@ -750,7 +750,7 @@ object StreamingQueries {
           .agg(min(col("a_id")).as("rep_id"), count(lit(1)).as("n_near"))
           .select("vec_id", "rep_id", "n_near")
         StreamRun.toBatch(flagged, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
           .orderBy("vec_id")
       },
       Some(semanticIncrementalOracleSql)),
@@ -799,7 +799,7 @@ object StreamingQueries {
           .agg(min(col("a_id")).as("rep_id"), count(lit(1)).as("n_near"))
           .select("vec_id", "rep_id", "n_near")
         StreamRun.toBatch(flagged, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
           .orderBy("vec_id")
       },
       Some(semanticIncrementalOracleSql)),
@@ -859,7 +859,7 @@ object StreamingQueries {
           .agg(min(col("a_id")).as("rep_id"), count(lit(1)).as("n_near"))
           .select("vec_id", "rep_id", "n_near")
         StreamRun.toBatch(flagged, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
           .orderBy("vec_id")
       },
       Some(semanticIncrementalOracleSql)),
@@ -891,7 +891,7 @@ object StreamingQueries {
             count(lit(1)).as("n_bench_hits"))
           .select("vec_id", "bench_id", "n_bench_hits")
         StreamRun.toBatch(scored, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
           .orderBy("vec_id")
       },
       Some(PipelineQueries.semanticContamOracleSql)),
@@ -987,7 +987,7 @@ object StreamingQueries {
           .filter(col("rep_id").isNotNull)
           .select("doc_id", "rep_id", "j_max")
         StreamRun.toBatch(flagged, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
           .orderBy("doc_id")
       },
       Some(PipelineQueries.minhashIncrementalSql(0.6))),
@@ -1044,7 +1044,7 @@ object StreamingQueries {
           .filter(col("rep_id").isNotNull)
           .select("doc_id", "rep_id", "j_max")
         StreamRun.toBatch(flagged, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
           .orderBy("doc_id")
       },
       Some(PipelineQueries.splitLeakIncrementalSql(0.6, 80))),
@@ -1100,7 +1100,7 @@ object StreamingQueries {
           .filter(col("rep_id").isNotNull)
           .select("doc_id", "rep_id", "j_max")
         StreamRun.toBatch(flagged, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
           .orderBy("doc_id")
       },
       Some(PipelineQueries.splitLeakIncrementalSql(0.6, 80))),
@@ -1172,7 +1172,7 @@ object StreamingQueries {
           .filter(col("rep_id").isNotNull)
           .select("doc_id", "rep_id", "j_max")
         StreamRun.toBatch(flagged, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
           .orderBy("doc_id")
       },
       Some(PipelineQueries.ngramIncrementalSql(0.6, 100))),
@@ -1222,7 +1222,7 @@ object StreamingQueries {
           .agg(min(col("a_id")).as("rep_id"), min(col("hamming")).as("h_min"))
           .select("doc_id", "rep_id", "h_min")
         StreamRun.toBatch(flagged, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
           .orderBy("doc_id")
       },
       Some(PipelineQueries.simhashIncrementalSql(10))),
@@ -1280,7 +1280,7 @@ object StreamingQueries {
           .filter(col("rep_id").isNotNull)
           .select("doc_id", "rep_id", "j_max")
         StreamRun.toBatch(flagged, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
           .orderBy("doc_id")
       },
       Some(PipelineQueries.minhashIncrementalSql(0.6))),
@@ -1329,7 +1329,7 @@ object StreamingQueries {
           .filter(col("rep_id").isNotNull)
           .select("doc_id", "rep_id", "j_max")
         StreamRun.toBatch(flagged, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
           .orderBy("doc_id")
       },
       Some(PipelineQueries.ngramIncrementalSql(0.6, 100))),
@@ -1369,7 +1369,7 @@ object StreamingQueries {
           .agg(min(col("a_id")).as("rep_id"), min(col("hamming")).as("h_min"))
           .select("doc_id", "rep_id", "h_min")
         StreamRun.toBatch(flagged, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
           .orderBy("doc_id")
       },
       Some(PipelineQueries.simhashIncrementalSql(10))),
@@ -1522,7 +1522,7 @@ object StreamingQueries {
               (col("n_bigrams").cast("double") * lit(graft.text.NgramLm.Scale)))
               .as("xent"))
         StreamRun.toBatch(scored, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
           .orderBy("doc_id")
       },
       Some(PipelineQueries.lmScoreStreamOracleSql)),
@@ -1559,7 +1559,7 @@ object StreamingQueries {
               (col("n_bigrams").cast("double") * lit(graft.text.NgramLm.Scale)))
               .as("xent"))
         StreamRun.toBatch(scored, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
           .orderBy("doc_id")
       },
       Some(PipelineQueries.lmScoreMergedStreamOracleSql)),
@@ -1599,7 +1599,7 @@ object StreamingQueries {
               (col("n_bigrams").cast("double")
                 * lit(graft.text.NgramLm.Scale))).as("ml_xent"))
         StreamRun.toBatch(scored, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
           .orderBy("doc_id")
       },
       Some(PipelineQueries.mooreLewisStreamOracleSql)),
@@ -1630,7 +1630,7 @@ object StreamingQueries {
               (col("n_bigrams").cast("double") * lit(graft.text.NgramLm.Scale)))
               .as("xent"))
         StreamRun.toBatch(scored, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
           .orderBy("doc_id")
       },
       Some(PipelineQueries.lmBackoffStreamOracleSql)),
@@ -1663,7 +1663,7 @@ object StreamingQueries {
               (col("n_trigrams").cast("double") * lit(graft.text.NgramLm.Scale)))
               .as("xent"))
         StreamRun.toBatch(scored, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
           .orderBy("doc_id")
       },
       Some(PipelineQueries.lmBackoff3StreamOracleSql)),
@@ -1733,7 +1733,7 @@ object StreamingQueries {
           .select(col("query_id"), (col("pos") + 1).cast("int").as("rnk"),
             col("col.did").as("doc_id"), col("col.sq").as("score_q"))
         graft.streaming.StreamRun.toBatch(scored, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
           .orderBy("query_id", "rnk")
       },
       Some(PipelineQueries.bm25OracleSql)),
@@ -1934,7 +1934,7 @@ object StreamingQueries {
           .select(col("doc_id"), col("source"),
             col("n_bigrams"), col("lm_logp_q"))
         val scored = StreamRun.toBatch(perDoc, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
         val byKey = graft.Caches.track(scored
           .select(col("source"),
             expr("((-lm_logp_q) * 16) div (n_bigrams * 1000000)").as("bin"))
@@ -2002,7 +2002,7 @@ object StreamingQueries {
             (col("n_hapax").cast("double") / col("n_tokens").cast("double"))
               .as("hapax_ratio"))
         StreamRun.toBatch(scored, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
           .orderBy("doc_id")
       },
       Some(PipelineQueries.dfScoreStreamOracleSql)),
@@ -2143,7 +2143,7 @@ object StreamingQueries {
             expr(s"rep % $kb").cast("int").as("rep_chunk"),
             col("j_max"))
         StreamRun.toBatch(flagged, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
           .orderBy("doc_id", "chunk_no")
       },
       Some(PipelineQueries.cdcNearDupIncrementalOracleSql)),
@@ -2245,40 +2245,13 @@ object StreamingQueries {
         implicit val sp = s
         import graft.functions.GraftFunctions.wordGrams
         val qc = graft.text.QualityClassifier
-        val docs = graft.Caches.track(PipelineQueries.corpusV5Plant(s, dir))
-        val feats = graft.Caches.track(qc.features(docs, "doc_id", "text",
-          (pmod(col("doc_id"), lit(6)) === 0).cast("int")))
-        val cm = qc.train(feats.filter(
-          graft.pipeline.Mixing.samplePred("doc_id", PipelineQueries.SampledFitPct)))
-        val lmm = graft.text.NgramLm.train(
-          docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
-        val surv = graft.Caches.track(
-          qc.score(feats, "doc_id", cm).filter(col("pred") === 1)
-            .select(col("doc_id")).join(docs, Seq("doc_id")))
-        val scored = graft.Caches.track(
-          graft.text.NgramLm.score(surv, "doc_id", "text", lmm)
-            .select(col("doc_id"), col("xent")))
-        val ns = scored.count()
-        val ranked = graft.operators.PrefixSum.runningSum(
-          scored.withColumn("__one", lit(1L)), "__one", Seq("xent", "doc_id"))
-        val t2Row = ranked.filter(col("running___one") === 2 * ns / 3)
-          .agg(min(col("xent"))).first()
-        val tau2 =
-          if (t2Row.isNullAt(0)) Double.NegativeInfinity else t2Row.getDouble(0)
-        val kp = surv.join(
-          ranked.filter(col("running___one") <= 2 * ns / 3).select("doc_id"),
-          Seq("doc_id"))
-        val dd = graft.Caches.track(kp
-          .withColumn("rep_id",
-            min(col("doc_id")).over(
-              org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
-          .filter(col("rep_id") === col("doc_id"))
-          .select("doc_id", "source"))
-        val repMap = graft.Caches.track(kp
-          .groupBy(md5(col("text")).as("__dg"))
-          .agg(min(col("doc_id")).as("__rep_id")))
-        val weights = graft.pipeline.Mixing.temperatureWeights(dd, "source",
-          PipelineQueries.CorpusV5MixTarget)
+        // the offline chain (models, τ₂, digest map, dedup survivors)
+        // comes from the ONE shared v5 builder — the r16 de-duplication
+        // of the inline re-derivation this row used to carry (V5Stages)
+        val st = PipelineQueries.corpusV5Stages(s, dir)
+        val (cm, lmm, tau2, repMap) = (st.cm, st.lmm, st.tau2, st.repMap)
+        val weights = graft.pipeline.Mixing.temperatureWeights(st.deduped,
+          "source", PipelineQueries.CorpusV5MixTarget)
         val incoming = PipelineQueries.corpusV5PlantOf(StreamSources.documents(s, dir))
           .withColumn("__mg", qc.presenceMarginCol(col("text"), cm))
           .filter(col("__mg") >= lit(0.0))
@@ -2305,7 +2278,7 @@ object StreamingQueries {
           PipelineQueries.SplitSpec)
           .select("doc_id", "source", "copy", "split")
         StreamRun.toBatch(out, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
           .orderBy("doc_id", "copy")
       },
       Some(PipelineQueries.corpusV5Sql)),
@@ -2326,32 +2299,11 @@ object StreamingQueries {
         import graft.functions.GraftFunctions.wordGrams
         val qc = graft.text.QualityClassifier
         val pq = PipelineQueries
-        val docs = graft.Caches.track(pq.corpusV5Plant(s, dir))
-        val feats = graft.Caches.track(qc.features(docs, "doc_id", "text",
-          (pmod(col("doc_id"), lit(6)) === 0).cast("int")))
-        val cm = qc.train(feats.filter(
-          graft.pipeline.Mixing.samplePred("doc_id", pq.SampledFitPct)))
-        val lmm = graft.text.NgramLm.train(
-          docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text")
-        val surv = graft.Caches.track(
-          qc.score(feats, "doc_id", cm).filter(col("pred") === 1)
-            .select(col("doc_id")).join(docs, Seq("doc_id")))
-        val scored = graft.Caches.track(
-          graft.text.NgramLm.score(surv, "doc_id", "text", lmm)
-            .select(col("doc_id"), col("xent")))
-        val ns = scored.count()
-        val ranked = graft.operators.PrefixSum.runningSum(
-          scored.withColumn("__one", lit(1L)), "__one", Seq("xent", "doc_id"))
-        val t2Row = ranked.filter(col("running___one") === 2 * ns / 3)
-          .agg(min(col("xent"))).first()
-        val tau2 =
-          if (t2Row.isNullAt(0)) Double.NegativeInfinity else t2Row.getDouble(0)
-        val kp = surv.join(
-          ranked.filter(col("running___one") <= 2 * ns / 3).select("doc_id"),
-          Seq("doc_id"))
-        val repMap = graft.Caches.track(kp
-          .groupBy(md5(col("text")).as("__dg"))
-          .agg(min(col("doc_id")).as("__rep_id")))
+        // the offline chain (models, τ₂, digest map) comes from the ONE
+        // shared v5 builder — the r16 de-duplication of the inline
+        // re-derivation this row used to carry (see V5Stages)
+        val st = pq.corpusV5Stages(s, dir)
+        val (cm, lmm, tau2, repMap) = (st.cm, st.lmm, st.tau2, st.repMap)
         val incoming = pq.corpusV5PlantOf(StreamSources.documents(s, dir))
           .withColumn("__mg", qc.presenceMarginCol(col("text"), cm))
           .withColumn("__dg", md5(col("text")))
@@ -2375,7 +2327,7 @@ object StreamingQueries {
             .when(col("rep").isNull || col("rep") =!= col("doc_id"), "exact_dup")
             .otherwise("kept").as("first_drop"))
         StreamRun.toBatch(out, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
           .orderBy("doc_id")
       },
       Some(PipelineQueries.rejectReportV5StreamOracleSql)),
@@ -2432,7 +2384,7 @@ object StreamingQueries {
           PipelineQueries.SplitSpec)
           .select("doc_id", "source", "copy", "split")
         StreamRun.toBatch(out, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
           .orderBy("doc_id", "copy")
       },
       Some(PipelineQueries.corpusV6Sql)),
@@ -2481,7 +2433,7 @@ object StreamingQueries {
             .when(col("mdrop").isNotNull, "media_dup")
             .otherwise("kept").as("first_drop"))
         StreamRun.toBatch(out, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
           .orderBy("doc_id")
       },
       Some(PipelineQueries.rejectReportV6StreamOracleSql)),
@@ -2522,7 +2474,7 @@ object StreamingQueries {
             sum(col("score_q")).as("sum_score_q"))
           .select("source", "n_docs", "n_pred_pos", "sum_score_q")
         val d1 = StreamRun.toBatch(s1, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
         // ingest aggregation 2: bigram-level LM sums via the model probe
         val s2 = PipelineQueries.qualityProfilePlant(StreamSources.documents(s, dir))
           .select(col("source"), explode(wordGrams(col("text"), 2)).as("bigram"))
@@ -2533,7 +2485,7 @@ object StreamingQueries {
           .agg(count(lit(1)).as("sum_bigrams"), sum(col("qq")).as("sum_lm_q"))
           .select("source", "sum_bigrams", "sum_lm_q")
         val d2 = StreamRun.toBatch(lmAgg, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
         d1.join(d2, Seq("source"), "left")
           .select(col("source"), col("n_docs"), col("n_pred_pos"),
             col("sum_score_q"),
@@ -2570,13 +2522,14 @@ object StreamingQueries {
         val n = scored.count()
         val ranked = graft.operators.PrefixSum.runningSum(
           scored.withColumn("__one", lit(1L)), "__one", Seq("xent", "doc_id"))
-        def boundary(rank: Long): Double = {
-          val row = ranked.filter(col("running___one") === rank)
-            .agg(min(col("xent"))).first()
-          if (row.isNullAt(0)) Double.NegativeInfinity else row.getDouble(0)
-        }
-        val t1 = boundary(n / 3)
-        val t2 = boundary(2 * n / 3)
+        // both tertile boundaries in ONE job (each was its own
+        // filter+agg run over the prefix scan)
+        val bs = ranked
+          .filter(col("running___one").isin(n / 3, 2 * n / 3))
+          .groupBy(col("running___one")).agg(min(col("xent")).as("x"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val t1 = bs.getOrElse(n / 3, Double.NegativeInfinity)
+        val t2 = bs.getOrElse(2 * n / 3, Double.NegativeInfinity)
         val incoming = PipelineQueries.lmPlant(StreamSources.documents(s, dir))
           .select(col("doc_id"), explode(wordGrams(col("text"), 2)).as("bigram"))
           .withColumn("event_time", current_timestamp())
@@ -2593,7 +2546,7 @@ object StreamingQueries {
               .when(col("xent") <= lit(t2), "middle")
               .otherwise("tail").as("ppl_bucket"))
         StreamRun.toBatch(out, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
           .orderBy("doc_id")
       },
       Some(PipelineQueries.ccnetBucketsStreamOracleSql)),
@@ -2627,15 +2580,16 @@ object StreamingQueries {
           val n = scored.count()
           val ranked = graft.operators.PrefixSum.runningSum(
             scored.withColumn("__one", lit(1L)), "__one", Seq("xent", "doc_id"))
-          def boundary(rank: Long): Double = {
-            val row = ranked.filter(col("running___one") === rank)
-              .agg(min(col("xent"))).first()
-            if (row.isNullAt(0)) Double.NegativeInfinity else row.getDouble(0)
-          }
+          // both tertile boundaries in ONE job (each was its own
+          // filter+agg run over the prefix scan)
+          val bs = ranked
+            .filter(col("running___one").isin(n / 3, 2 * n / 3))
+            .groupBy(col("running___one")).agg(min(col("xent")).as("x"))
+            .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
           graft.text.NgramLm.save(s, trained, lmRoot)
           graft.pipeline.ModelStore.save(s, bRoot, Seq(),
-            Map("t1" -> boundary(n / 3).toString,
-              "t2" -> boundary(2 * n / 3).toString))
+            Map("t1" -> bs.getOrElse(n / 3, Double.NegativeInfinity).toString,
+              "t2" -> bs.getOrElse(2 * n / 3, Double.NegativeInfinity).toString))
         }
         // ---- the serving half: load and score the stream ----
         val m = graft.text.NgramLm.load(s, lmRoot)
@@ -2657,7 +2611,7 @@ object StreamingQueries {
               .when(col("xent") <= lit(t2), "middle")
               .otherwise("tail").as("ppl_bucket"))
         StreamRun.toBatch(out, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
           .orderBy("doc_id")
       },
       Some(PipelineQueries.ccnetBucketsStreamOracleSql)),
@@ -2719,7 +2673,7 @@ object StreamingQueries {
               .when(col("xent") <= col("t2"), "middle")
               .otherwise("tail").as("ppl_bucket"))
         StreamRun.toBatch(out, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
           .orderBy("doc_id")
       },
       Some(PipelineQueries.ccnetBucketsBySourceStreamOracleSql)),
@@ -2961,7 +2915,7 @@ object StreamingQueries {
               .as("xent"))
           .filter(col("xent") < lit(tau))
         StreamRun.toBatch(out, "update", numPartitions = 4,
-          requireSingleDataBatch = true)
+          requireSingleDataBatch = true, noDataBatch = false)
           .orderBy("doc_id")
       },
       Some(PipelineQueries.modelGateStreamOracleSql)),

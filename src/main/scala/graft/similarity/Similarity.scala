@@ -61,7 +61,7 @@ object Similarity {
       dim: Int): DataFrame = {
     val v = col(vecCol)
     val ws = planeWeights(planes, dim)
-    val dots = ws.map(w => dot(v, array(w.map(lit): _*)))
+    val dots = ws.map(w => dot(v, typedLit(w)))
     val bucket = dots.zipWithIndex.map { case (d, p) =>
       when(d > 0.0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -129,7 +129,7 @@ object Similarity {
     val v = col(vecCol)
     val buckets = (0 until bands).map { l =>
       (0 until planes).map { p =>
-        when(dot(v, array(ws(l * planes + p).map(lit): _*)) > 0.0, lit(1L << p))
+        when(dot(v, typedLit(ws(l * planes + p))) > 0.0, lit(1L << p))
           .otherwise(lit(0L))
       }.reduce(_ + _)
     }
@@ -178,7 +178,7 @@ object Similarity {
     */
   private def centroidCos(cv: Seq[Double], v: org.apache.spark.sql.Column,
       vn: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val cvLit = array(cv.map(lit): _*)
+    val cvLit = typedLit(cv)
     dot(v, cvLit) / (vn * sqrt(dot(cvLit, cvLit)))
   }
 
@@ -531,7 +531,7 @@ object Similarity {
   private def residualCol(cents: Seq[(Any, Seq[Double])],
       vCol: org.apache.spark.sql.Column,
       cellCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    zip_with(vCol, perCell(cents, cellCol)(cv => array(cv.map(lit): _*)),
+    zip_with(vCol, perCell(cents, cellCol)(cv => typedLit(cv)),
       (a, b) => a - b)
 
   /** IVF-PQ approximate top-k — the billion-scale serving shape (Jégou
@@ -623,10 +623,10 @@ object Similarity {
     }
     val xsum = m.books.indices.map(i =>
         element_at(perCell(m.cross(i), col("cell"))(xs =>
-          array(xs.map(lit): _*)), col(s"__c$i") + 1))
+          typedLit(xs)), col(s"__c$i") + 1))
       .reduce(_ + _)
     val nsum = m.books.indices.map(i =>
-        element_at(array(m.normsq(i).map(lit): _*), col(s"__c$i") + 1))
+        element_at(typedLit(m.normsq(i)), col(s"__c$i") + 1))
       .reduce(_ + _)
     val rn = sqrt(perCell(m.cnsq, col("cell"))(lit(_)) +
       lit(2.0) * xsum + nsum)
@@ -666,11 +666,11 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("qn"),
         (col("__p") + 1).as("__prank"), col("__e.cell").as("cell"))
       .withColumn("__ipc", dot(col("qv"),
-        perCell(m.coarse, col("cell"))(cv => array(cv.map(lit): _*))))
+        perCell(m.coarse, col("cell"))(cv => typedLit(cv))))
     m.books.zipWithIndex.foldLeft(q0) { case (d, (book, i)) =>
       val sv = slice(col("qv"), i * m.sub + 1, m.sub)
       d.withColumn(s"__t$i",
-        array(book.map { case (_, cv) => dot(sv, array(cv.map(lit): _*)) }: _*))
+        array(book.map { case (_, cv) => dot(sv, typedLit(cv)) }: _*))
     }
   }
 
@@ -877,9 +877,16 @@ object Similarity {
     * coarse quantizer and each subvector codebook. The dashboard face of
     * the refresh gate — policy-sized collects only. */
   def pqDriftReport(spark: org.apache.spark.sql.SparkSession, root: String,
-      corpus: DataFrame, idCol: String, vecCol: String): Map[String, Long] = {
+      corpus: DataFrame, idCol: String, vecCol: String): Map[String, Long] =
+    pqDriftReportWith(spark, root, pqLoad(spark, root), corpus, idCol, vecCol)
+
+  /** [[pqDriftReport]] against an ALREADY-loaded model — lets
+    * [[pqRefresh]] load the generation once instead of twice (the report
+    * and the refresh otherwise each paid the ModelStore reads+collects). */
+  private def pqDriftReportWith(spark: org.apache.spark.sql.SparkSession,
+      root: String, m: PqModel, corpus: DataFrame, idCol: String,
+      vecCol: String): Map[String, Long] = {
     import graft.pipeline.ModelStore
-    val m = pqLoad(spark, root)
     val (curCoarse, curBooks) = pqOccupancy(m, corpus, idCol, vecCol)
     val baseCoarse = occMap(
       ModelStore.loadRelation(spark, root, "occ_coarse"), Seq("cell"))
@@ -912,8 +919,8 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       gateQ: Long): (Long, Map[String, Long]) = {
     import graft.pipeline.ModelStore
-    val report = pqDriftReport(spark, root, corpus, idCol, vecCol)
     val m = pqLoad(spark, root)
+    val report = pqDriftReportWith(spark, root, m, corpus, idCol, vecCol)
     val params = ModelStore.loadParams(spark, root)
     val (nCent, iters, codes, dim) = (params("centroids").toInt,
       params("iters").toInt, params("codes").toInt, params("dim").toInt)
@@ -1258,7 +1265,7 @@ object Similarity {
     val v = col(vecCol)
     val buckets = (0 until bands).map { l =>
       (0 until planes).map { p =>
-        when(dot(v, array(ws(l * planes + p).map(lit): _*)) > 0.0, lit(1L << p))
+        when(dot(v, typedLit(ws(l * planes + p))) > 0.0, lit(1L << p))
           .otherwise(lit(0L))
       }.reduce(_ + _)
     }

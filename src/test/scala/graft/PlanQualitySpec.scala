@@ -6,8 +6,42 @@ import org.scalatest.funsuite.AnyFunSuite
   * be visible in the physical plan (pushdown, pruning, broadcast, partial
   * aggregation) — SURVEY §4.
   */
-class PlanQualitySpec extends AnyFunSuite {
+class PlanQualitySpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   lazy val spark = TestSpark.spark
+
+  // The degenerate-input scan fan-out (Tables.scanParallel /
+  // StreamSources.fanOut, r16) adds ONE documented round-robin exchange
+  // when a LOCAL single-split fixture is scanned; it is a no-op on any
+  // input with enough splits (i.e. at scale). The assertions in this
+  // spec pin the shuffles the OPERATORS add — the 100 TB design
+  // properties — so the guard is disabled for the whole suite (suites
+  // run sequentially in the forked test JVM) and pinned by its own
+  // dedicated test below.
+  override def beforeAll(): Unit = {
+    spark.conf.set("spark.graft.scan.minPartitions", "0")
+    spark.conf.set("spark.graft.stream.scanMinPartitions", "0")
+  }
+  override def afterAll(): Unit = {
+    spark.conf.unset("spark.graft.scan.minPartitions")
+    spark.conf.unset("spark.graft.stream.scanMinPartitions")
+  }
+
+  test("single-split scan guard: fans out when degenerate, absent when disabled") {
+    val k = "spark.graft.scan.minPartitions"
+    try {
+      spark.conf.set(k, "2")
+      val fanned = Tables.documents(spark, TestSpark.SF)
+        .queryExecution.executedPlan.toString
+      assert(fanned.contains("RoundRobinPartitioning(2)"),
+        s"single-split local scan must fan out to the configured target:\n$fanned")
+      spark.conf.set(k, "0")
+      val bare = Tables.documents(spark, TestSpark.SF)
+        .queryExecution.executedPlan.toString
+      assert(!bare.contains("Exchange"),
+        s"disabled guard must leave the scan bare:\n$bare")
+    } finally spark.conf.set(k, "0") // suite-wide off (beforeAll contract)
+  }
 
   private def plan(q: String): String = {
     val df = SparkEntry.queries(q)(spark, TestSpark.SF)
