@@ -30,9 +30,11 @@ object ExplainQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
-      val fn = SparkEntry.queries.getOrElse(name,
-        sys.error(s"unknown query: $name (see SparkEntry.queries)"))
+      // lookup inside the try (r16 advice): one typo in a comma list must
+      // not abort the run and discard the remaining plans
       try {
+        val fn = SparkEntry.queries.getOrElse(name,
+          sys.error(s"unknown query: $name (see SparkEntry.queries)"))
         val plan = fn(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         Files.write(outDir.resolve(s"${name}_$suffix.txt"),

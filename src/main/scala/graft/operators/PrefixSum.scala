@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType, StructField, StructType}
 
 /** Distributed global running aggregate (keyless Reduce,
   * /root/reference/wf/basic.hpp:284-302 empty_key_t path).
@@ -38,7 +38,7 @@ object PrefixSum {
     runningSums(df, Seq(valueCol), orderCols, numPartitions)
 
   /** [[runningSum]] over SEVERAL value columns in one pass — one range
-    * repartition, one per-partition window stage and ONE totals collect
+    * repartition, one per-partition cumsum stage and ONE totals collect
     * shared by all columns (a caller needing cumulative (cnt, pos) —
     * e.g. the PR-curve sweep — would otherwise pay the two-pass scan per
     * column). Adds `running_<c>` for each `c` in `valueCols`.
@@ -48,13 +48,39 @@ object PrefixSum {
     require(valueCols.nonEmpty, "runningSums needs at least one value column")
     val parts = if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df.repartitionByRange(parts, orderCols.map(col): _*)
-      .withColumn("__pid", spark_partition_id())
-    val w = Window.partitionBy("__pid").orderBy(orderCols.map(col): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Pass 1, integral columns (every declared consumer): range exchange +
+    // within-partition sort, then the per-partition cumsum as a NARROW
+    // stateful projection (graft PartitionRunningSum). The previous
+    // rendering computed it with Window.partitionBy(spark_partition_id()),
+    // whose ClusteredDistribution(__pid) the range exchange cannot satisfy
+    // — Catalyst inserted a SECOND full-data hash Exchange just to group
+    // by a column that was the partition id already, and that exchange
+    // destroyed the range order so a downstream orderBy on the same keys
+    // paid a THIRD (r17, guide §2.4). Now the scan's only wide op is the
+    // range exchange, and the output stays range-partitioned + sorted —
+    // the caller's determinism orderBy reduces to a no-op local sort.
+    // DECIMAL columns keep the window path (the stateful kernel sums as
+    // LONG, the integral window-sum contract).
+    val integral = valueCols.forall(vc => df.schema(vc).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
     val local = graft.Caches.track(
-      valueCols.foldLeft(ranged)((d, vc) =>
-        d.withColumn(s"__local_$vc", sum(col(vc)).over(w))))
+      if (integral) {
+        val ranged = df.repartitionByRange(parts, orderCols.map(col): _*)
+          .sortWithinPartitions(orderCols.map(col): _*)
+          .withColumn("__pid", spark_partition_id())
+        valueCols.foldLeft(ranged)((d, vc) =>
+          d.withColumn(s"__local_$vc",
+            graft.functions.expressions.PartitionRunningSum(col(vc))))
+      } else {
+        val ranged = df.repartitionByRange(parts, orderCols.map(col): _*)
+          .withColumn("__pid", spark_partition_id())
+        val w = Window.partitionBy("__pid").orderBy(orderCols.map(col): _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        valueCols.foldLeft(ranged)((d, vc) =>
+          d.withColumn(s"__local_$vc", sum(col(vc)).over(w)))
+      })
     val sumTypes = valueCols.map(vc => vc -> local.schema(s"__local_$vc").dataType)
     // per-partition totals → driver-side exclusive prefix (#partitions
     // rows of longs/decimals — this collect moves counters, not data)

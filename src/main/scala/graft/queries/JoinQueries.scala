@@ -162,7 +162,11 @@ object JoinQueries {
     // the predicate exact in both engines.
     Q("join_range_band",
       (s, dir) => {
-        val ev = Tables.events(s, dir).select(col("event_id"),
+        // fanOut: the band join explodes each row into bucket candidates
+        // before its one hash shuffle — heavy per-row work that serialized
+        // on the degenerate 1-split local scan (measured −0.47 s in r16;
+        // the only join row where §2.5 applies)
+        val ev = Tables.events(s, dir, fanOut = true).select(col("event_id"),
           expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
         graft.operators.RangeJoin.bandSelfJoin(ev, "event_id", "cents", width = 2L)
           .orderBy("a_id", "b_id")

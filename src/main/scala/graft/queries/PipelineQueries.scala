@@ -1971,6 +1971,14 @@ object PipelineQueries {
         if (t2Row.isNullAt(0)) Double.NegativeInfinity else t2Row.getDouble(0)
       (cm0, lmm0, ns0, tau20)
     })
+    // memo-HIT hygiene (r16 advice): the LM's probe relations were tracked
+    // at train time and unpersisted by the harness's releaseAll between
+    // rows — re-track them so a reused model's count tables are cached for
+    // THIS row's probes too (persist is idempotent; releaseAll stays the
+    // owner). Without this every probe of a memoized model recomputed the
+    // count aggregations, partially defeating the memo.
+    graft.Caches.track(lmm.qSeen)
+    graft.Caches.track(lmm.heads)
     val surv = graft.Caches.track(
       qc.score(feats, "doc_id", cm).filter(col("pred") === 1)
         .select(col("doc_id")).join(docs, Seq("doc_id")))
@@ -2255,6 +2263,10 @@ object PipelineQueries {
       if (t2Rows.isEmpty) (cm0, lmm0, ns0, Double.NegativeInfinity, Long.MinValue)
       else (cm0, lmm0, ns0, t2Rows(0).getDouble(0), t2Rows(0).getLong(1))
     })
+    // memo-HIT hygiene (r16 advice): re-track the reused LM's probe
+    // relations — see corpusV5Stages for the rationale
+    graft.Caches.track(lmm.qSeen)
+    graft.Caches.track(lmm.heads)
     val surv = graft.Caches.track(
       qc.score(feats, "doc_id", cm).filter(col("pred") === 1)
         .select(col("doc_id")).join(docs, Seq("doc_id")))
@@ -7632,7 +7644,12 @@ object PipelineQueries {
         val chunks = graft.pipeline.Chunking.chunkDocs(
           surv.select("doc_id", "text"), "doc_id", "text",
           size = ChunkTokens, stride = ChunkStride)
-        val rows = mixed.select("doc_id", "copy").join(chunks, "doc_id")
+        // project before the exchange (guide §2.3): the prefix scan caches
+        // and range-shuffles its input, which pins every column past
+        // pruning — chunk_text (the widest column, never output) was
+        // riding the exchange + cache for nothing
+        val rows = mixed.select("doc_id", "copy").join(
+          chunks.select("doc_id", "chunk_no", "chunk_len"), "doc_id")
         val sharded = graft.operators.PrefixSum.runningSum(rows, "chunk_len",
             Seq("doc_id", "copy", "chunk_no"))
           .select(col("doc_id"), col("copy"), col("chunk_no"), col("chunk_len"),
@@ -7671,7 +7688,8 @@ object PipelineQueries {
 
     // ================= dedup =================
     Q("dedup_exact",
-      (s, dir) => Dedup.exact(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id"),
+      // fanOut=false: one md5 + one hash exchange, no heavy kernel (r16 tax 0.40->0.65 s)
+      (s, dir) => Dedup.exact(Tables.documents(s, dir, fanOut = false), "doc_id", "text").orderBy("doc_id"),
       Some(s"""
         SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
         FROM ${Q.DocsRef} ORDER BY doc_id""")),
@@ -8107,7 +8125,9 @@ object PipelineQueries {
     // contract (maintained digest side-table, never a text re-scan).
     Q("dedup_bloom",
       (s, dir) => {
-        val d = Tables.documents(s, dir)
+        // fanOut=false: digest build + membership probe, no per-row kernel
+        // heavier than one md5 (r16 fan-out tax on this family)
+        val d = Tables.documents(s, dir, fanOut = false)
           .withColumn("text", bloomPlantText)
         Dedup.bloomMembership(
           d.filter(pmod(col("doc_id"), lit(4)) =!= 0), "doc_id", "text",
@@ -8124,7 +8144,9 @@ object PipelineQueries {
     // byte-identical to dedup_bloom's: one DuckDB replay checks both.
     Q("dedup_bloom_fallback",
       (s, dir) => {
-        val d = Tables.documents(s, dir)
+        // fanOut=false: digest build + membership probe, no per-row kernel
+        // heavier than one md5 (r16 fan-out tax on this family)
+        val d = Tables.documents(s, dir, fanOut = false)
           .withColumn("text", bloomPlantText)
         Dedup.bloomMembership(
           d.filter(pmod(col("doc_id"), lit(4)) =!= 0), "doc_id", "text",
@@ -8370,7 +8392,9 @@ object PipelineQueries {
     // prototype means, cosines and the argmax per vector.
     Q("embedding_rocchio",
       (s, dir) => {
-        val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+        // fanOut=false: one centroid agg + literal-table argmax scan — the
+        // exchange cost more than the kernel at r16 (0.52->0.65 s)
+        val emb = Tables.embeddings(s, dir, fanOut = false).select(col("vec_id"),
           col("embedding").cast("array<double>").as("v"), col("label"))
         val cents = Similarity.classCentroids(
           emb.filter(pmod(col("vec_id"), lit(2)) === 0), "label", "v")
@@ -8390,7 +8414,8 @@ object PipelineQueries {
     // the classified relation.
     Q("embedding_rocchio_report",
       (s, dir) => {
-        val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+        // fanOut=false: same rationale as embedding_rocchio
+        val emb = Tables.embeddings(s, dir, fanOut = false).select(col("vec_id"),
           col("embedding").cast("array<double>").as("v"), col("label"))
         val cents = Similarity.classCentroids(
           emb.filter(pmod(col("vec_id"), lit(2)) === 0), "label", "v")
@@ -8503,7 +8528,10 @@ object PipelineQueries {
     // list folds, MATERIALIZED round CTEs) and the projection fold.
     Q("embedding_pca_project",
       (s, dir) => {
-        val emb = graft.Caches.track(Tables.embeddings(s, dir))
+        // fanOut=false: Gram agg + plan-literal projection scan; measured
+        // r16 tax 0.25->0.33 s (the 4096-cell combine is cheaper than the
+        // exchange at this vector count)
+        val emb = graft.Caches.track(Tables.embeddings(s, dir, fanOut = false))
         val g = Similarity.gramQuantized(emb, "embedding")
         val u = Similarity.pcaTopDirection(g, dim = 64)
         Similarity.pcaProject(emb, "vec_id", "embedding", u)
@@ -8520,7 +8548,8 @@ object PipelineQueries {
     Q("stream_embedding_pca_project",
       (s, dir) => {
         implicit val sp = s
-        val emb = graft.Caches.track(Tables.embeddings(s, dir))
+        // fanOut=false on the static side: same rationale as the batch twin
+        val emb = graft.Caches.track(Tables.embeddings(s, dir, fanOut = false))
         val u = Similarity.pcaTopDirection(
           Similarity.gramQuantized(emb, "embedding"), dim = 64)
         val scored = Similarity.pcaProject(
@@ -8536,7 +8565,8 @@ object PipelineQueries {
     Q("stream_embedding_pca2_project",
       (s, dir) => {
         implicit val sp = s
-        val emb = graft.Caches.track(Tables.embeddings(s, dir))
+        // fanOut=false on the static side: same rationale as the batch twin
+        val emb = graft.Caches.track(Tables.embeddings(s, dir, fanOut = false))
         val (u1, u2) = Similarity.pcaTop2(
           Similarity.gramQuantized(emb, "embedding"), dim = 64)
         val scored = Similarity.pcaProject2(
@@ -8554,7 +8584,8 @@ object PipelineQueries {
     // two plan-literal directions; resid_sq = ⟨v,v⟩ − proj1² − proj2².
     Q("embedding_pca2_project",
       (s, dir) => {
-        val emb = graft.Caches.track(Tables.embeddings(s, dir))
+        // fanOut=false: same rationale as embedding_pca_project
+        val emb = graft.Caches.track(Tables.embeddings(s, dir, fanOut = false))
         val (u1, u2) = Similarity.pcaTop2(
           Similarity.gramQuantized(emb, "embedding"), dim = 64)
         Similarity.pcaProject2(emb, "vec_id", "embedding", u1, u2)
@@ -9042,7 +9073,7 @@ object PipelineQueries {
         val hist = pairs.groupBy("hamming")
           .agg(sum(col("planted").cast("long")).as("np"),
             sum(lit(1L) - col("planted").cast("long")).as("nd"))
-        val thrArr = array(MediaCalibrateThresholds.map(lit): _*)
+        val thrArr = typedLit(MediaCalibrateThresholds) // one array literal (r16 typedLit doctrine)
         val perThr = hist
           .select(explode(org.apache.spark.sql.functions.filter(thrArr,
             t => t >= col("hamming"))).as("threshold"),

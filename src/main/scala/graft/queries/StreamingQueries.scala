@@ -31,6 +31,32 @@ object StreamingQueries {
     */
   private def fanOut(df: DataFrame): DataFrame = df.repartition(32)
 
+  /** stream_gen_source's synthetic-events generator, hoisted to ONE
+    * instance per process so [[graft.sources.GeneratorSource]]'s
+    * identity-keyed drain-target memo survives re-registration across
+    * runs (the definition is a pure constant-parameter loop; 4 replicas ×
+    * 5000 rows, deterministic by construction — the oracle regenerates
+    * the identical rows from range()). */
+  private val SynthEventsGen: graft.sources.GeneratorSource.GenDef = {
+    val replicas = 4
+    val perReplica = 5000L
+    val base = 1600000000000000L // µs
+    graft.sources.GeneratorSource.GenDef(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cents", org.apache.spark.sql.types.LongType))),
+      replicas,
+      (r, emit) => {
+        var i = 0L
+        while (i < perReplica) {
+          val id = r * perReplica + i
+          emit(Array[Any](id, id % 50, (id * 37) % 10000), base + id * 1000L)
+          i += 1
+        }
+      })
+  }
+
   /** dHash 4×15-bit band relation of a (doc_id, text) media archive —
     * the persisted media index's rows: (a_id, da, band, bkey). Per-media
     * rows, so a disjoint increment appends by plain union. */
@@ -3335,24 +3361,11 @@ object StreamingQueries {
     Q("stream_gen_source",
       (s, dir) => {
         implicit val sp = s
-        val replicas = 4
-        val perReplica = 5000L
-        val base = 1600000000000000L // µs
-        graft.sources.GeneratorSource.register("graft_synth_events",
-          graft.sources.GeneratorSource.GenDef(
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField("cents", org.apache.spark.sql.types.LongType))),
-            replicas,
-            (r, emit) => {
-              var i = 0L
-              while (i < perReplica) {
-                val id = r * perReplica + i
-                emit(Array[Any](id, id % 50, (id * 37) % 10000), base + id * 1000L)
-                i += 1
-              }
-            }))
+        // ONE GenDef instance per process (SynthEventsGen below): the
+        // drain-target count memo is keyed on registration identity, so a
+        // fresh closure per run would force a full driver replay of every
+        // replica loop on each run just to recount a constant
+        graft.sources.GeneratorSource.register("graft_synth_events", SynthEventsGen)
         val agg = StreamSources.generator(s, "graft_synth_events")
           .withColumn("win_start_us", expr("(ts_us div 1000000) * 1000000"))
           .groupBy("user_id", "win_start_us")

@@ -68,6 +68,27 @@ object GeneratorSource {
     n
   }
 
+  /** Max per-replica emission count, memoized per registration IDENTITY:
+    * every stream instance (one per query RUN) previously re-ran every
+    * replica's full generator loop on the DRIVER just to learn the drain
+    * target — pure fixed cost per run, and a full 10⁷-iteration driver
+    * pass in the scale batteries. The count is metadata of a
+    * required-deterministic loop; the `eq` check means a re-registered
+    * (even identical-looking) GenDef recounts, so a changed generator can
+    * never serve a stale target.
+    */
+  private val countMemo = new ConcurrentHashMap[String, (GenDef, Long)]()
+  def maxRowCount(name: String): Long = {
+    val d = get(name)
+    val cached = countMemo.get(name)
+    if (cached != null && (cached._1 eq d)) cached._2
+    else {
+      val m = (0 until d.numReplicas).map(countRows(d, _)).foldLeft(0L)(math.max)
+      countMemo.put(name, (d, m))
+      m
+    }
+  }
+
   /** Test hook: high-water mark of rows buffered by any reader since the
     * last [[resetPeakBuffered]] — lets a spec assert a huge replica
     * streams through in bounded memory instead of materializing.
@@ -150,8 +171,8 @@ class GeneratorMicroBatchStream(name: String, ingress: Boolean,
 
   private lazy val d = get(name)
   // finite user loop: everything it will ever emit is available now
-  private lazy val maxCount: Long =
-    (0 until d.numReplicas).map(countRows(d, _)).foldLeft(0L)(math.max)
+  // (memoized per registration — see GeneratorSource.maxRowCount)
+  private lazy val maxCount: Long = GeneratorSource.maxRowCount(name)
 
   // Trigger.AvailableNow (SupportsTriggerAvailableNow extends
   // SupportsAdmissionControl): snapshot the drain target at query start.

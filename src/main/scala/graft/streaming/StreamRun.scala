@@ -73,6 +73,14 @@ object StreamRun {
         Some(d)
       } else None
       val q = w.start()
+      // restore the two session-global confs as soon as start() returns:
+      // MicroBatchExecution clones the session (and thus captures both) at
+      // start, so the query keeps its values, while any other query started
+      // on this session before awaitTermination returns (r16 advice:
+      // concurrent toBatch, or a row starting a query inside the window)
+      // sees the session defaults instead of this run's overrides.
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
       try {
         q.awaitTermination()
         // perf-debug lever: dump the last micro-batch's physical plan
@@ -97,6 +105,8 @@ object StreamRun {
         // must not leak checkpoint directories on tmpfs
         ckpt.foreach(d => org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
     } finally {
+      // idempotent re-restore: covers the start()-throws path, where the
+      // early restore above never ran
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
     }

@@ -20,12 +20,25 @@ import graft.GraftSession
   */
 object StreamSources {
 
+  /** File-stream sources must be given a schema up front; deriving it from
+    * a throwaway batch read built a full InMemoryFileIndex + QueryExecution
+    * per STREAMING QUERY CONSTRUCTION — ~107 declared stream rows × tens of
+    * ms of pure driver fixed cost (r17 floor decomposition). The schema is
+    * a static property of the input file, so memoize it per path —
+    * metadata, never data; the session conf (nanosAsLong, UTC) that shapes
+    * it is identical across this process's sessions.
+    */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  private def parquetSchema(spark: SparkSession, path: String) =
+    schemaMemo.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+
   /** The driver's events table as a file stream (exact schema of the batch
     * reader, so batch and streaming runs are comparable row-for-row).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     GraftSession.adopt(spark)
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = parquetSchema(spark, s"$dir/events.parquet")
     // file stream sources take directories; select just the events table.
     // ts normalizes to the engine-wide int64-nanos contract exactly like
     // the batch loader (the driver's parquet has carried both NANOS and
@@ -49,7 +62,7 @@ object StreamSources {
     */
   def documents(spark: SparkSession, dir: String): DataFrame = {
     GraftSession.adopt(spark)
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val schema = parquetSchema(spark, s"$dir/documents.parquet")
     fanOut(spark, spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir))
@@ -62,7 +75,7 @@ object StreamSources {
     */
   def embeddings(spark: SparkSession, dir: String): DataFrame = {
     GraftSession.adopt(spark)
-    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val schema = parquetSchema(spark, s"$dir/embeddings.parquet")
     fanOut(spark, spark.readStream.schema(schema)
       .option("pathGlobFilter", "embeddings.parquet")
       .parquet(dir))

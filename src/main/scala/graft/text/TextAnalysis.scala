@@ -28,7 +28,7 @@ object TextAnalysis {
 
   /** Count (with multiplicity) of tokens present in `words`. */
   def stopwordHits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+    size(filter(toks, t => array_contains(typedLit(words), t)))
 
   /** Language prediction by stopword-hit argmax; 'und' when no list hits.
     * Tie-break follows [[Stopwords]] order.
@@ -240,7 +240,7 @@ object TextAnalysis {
       boilerplate: Seq[String] = BoilerplateLines,
       minLineChars: Int = 10): Seq[(String, Column)] = {
     val ls = split(text, "\n")
-    val bp = array(boilerplate.map(lit): _*)
+    val bp = typedLit(boilerplate) // ONE array literal, not N AST nodes (r16 typedLit doctrine)
     val kept = filter(ls, l =>
       !array_contains(bp, trim(lower(l))) && length(trim(l)) >= minLineChars)
     val cleanText = array_join(kept, "\n")

@@ -319,22 +319,25 @@ class PlanQualitySpec extends AnyFunSuite
     assert(hashEx == 2, s"expected digest + reassembly exchanges only, got $hashEx:\n" + p.take(3000))
   }
 
-  test("token sharding's global cumsum never collapses to one task") {
-    // the two-pass PrefixSum plans a range repartition + per-partition
-    // window; a keyless ORDER BY window would show Exchange SinglePartition
-    // feeding the Window node
+  test("token sharding's global cumsum is one range exchange + a narrow stateful projection") {
+    // the two-pass PrefixSum (r17 form): range repartition + local sort +
+    // the PartitionRunningSum kernel as a narrow projection. The previous
+    // Window.partitionBy(spark_partition_id()) rendering forced a SECOND
+    // full-data hash(__pid) Exchange (ClusteredDistribution unsatisfiable
+    // by the range exchange) and destroyed the range order the final
+    // orderBy needs — this pins both regressions out
     val p = plan("pipeline_token_shards")
-    val winIdx = p.indexOf("Window")
-    assert(winIdx >= 0, p.take(3000))
-    // plans print parent-first, so the Window's INPUT is the text after the
-    // node: a SinglePartition exchange there is the degenerate one-task
-    // cumsum, and the range repartition feeding the window must also sit
-    // below it (a rangepartitioning anywhere, e.g. the final orderBy's,
-    // proves nothing)
-    assert(!p.substring(winIdx).contains("Exchange SinglePartition"),
-      "cumsum window runs on a single partition:\n" + p.take(3000))
-    assert(p.indexOf("rangepartitioning", winIdx) >= 0,
-      "cumsum window must be fed by the range repartition:\n" + p.take(3000))
+    val pl = p.toLowerCase
+    assert(pl.contains("partitionrunningsum"),
+      "cumsum must be the narrow stateful kernel:\n" + p.take(3000))
+    assert(!p.contains("Exchange SinglePartition"),
+      "cumsum must never collapse to one task:\n" + p.take(3000))
+    assert(pl.contains("rangepartitioning"),
+      "cumsum must be fed by the range repartition:\n" + p.take(3000))
+    assert(!pl.contains("hashpartitioning(__pid"),
+      "the window-era second exchange is back:\n" + p.take(3000))
+    assert(!p.contains("Window"),
+      "cumsum must not plan a window operator:\n" + p.take(3000))
   }
 
   test("simhash signatures are one narrow pass (no exchange, no explode)") {

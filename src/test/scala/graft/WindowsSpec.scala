@@ -87,6 +87,24 @@ class WindowsSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("partition running sum keeps window-sum null semantics (r17 narrow kernel)") {
+    // within a partition: leading nulls yield null (no value seen yet); a
+    // later null neither resets nor emits null — byte-for-byte the ROWS
+    // UNBOUNDED PRECEDING window-sum contract the stateful kernel
+    // replaced. (numPartitions=1 so partition semantics == global window;
+    // at partition BOUNDARIES a leading-null row sums null + offset =
+    // null — the window path behaved identically, and every declared
+    // caller feeds non-null value columns.)
+    val df = spark.sql(
+      """SELECT * FROM VALUES (1L, CAST(NULL AS BIGINT)), (2L, CAST(NULL AS BIGINT)),
+        | (3L, 5L), (4L, CAST(NULL AS BIGINT)), (5L, 7L) AS t(id, v)""".stripMargin)
+    val got = graft.operators.PrefixSum.runningSum(df, "v", Seq("id"), 1)
+      .select("id", "running_v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map(1L -> None, 2L -> None, 3L -> Some(5L), 4L -> Some(5L), 5L -> Some(12L)))
+    Caches.releaseAll()
+  }
+
   test("hopping windows (len < slide) drop gap rows") {
     val ev = Tables.events(spark, TestSpark.SF)
       .select(expr("ts div 1000").as("ts_us"), expr("CAST(round(value*100) AS BIGINT)").as("cents"))
