@@ -1383,11 +1383,15 @@ object PipelineQueries {
       .select(col("doc_id"), col("source"), pii("redacted").as("text")))
     val q = TextAnalysis.qualityColumns(col("text")).toMap
     val r = TextAnalysis.repetitionColumns(col("text")).toMap
+    // Fence (guide §4.4): the gate filters on the derived kernel columns
+    // would otherwise push below this projection with the kernels
+    // substituted in — every kernel twice per row
     val filtered = red
       .select(col("doc_id"), col("source"), col("text"),
-        q("n_tokens").as("n_tokens"), q("quality_score").as("quality_score"),
-        r("dup_gram2_ratio").as("dup_gram2_ratio"),
-        r("top_token_ratio").as("top_token_ratio"))
+        q("n_tokens").as("n_tokens"),
+        graft.functions.expressions.Fence(q("quality_score")).as("quality_score"),
+        graft.functions.expressions.Fence(r("dup_gram2_ratio")).as("dup_gram2_ratio"),
+        graft.functions.expressions.Fence(r("top_token_ratio")).as("top_token_ratio"))
       .filter(col("quality_score") >= CorpusQualityMin &&
         col("dup_gram2_ratio") <= CorpusDupGram2Max &&
         col("top_token_ratio") <= CorpusTopTokenMax)
@@ -1714,17 +1718,29 @@ object PipelineQueries {
           .otherwise(lit(""))).as("text"))
 
   private[queries] def corpusV3Stages(s: SparkSession, dir: String): V3Stages = {
-    val planted = corpusV3Plant(Tables.documents(s, dir))
+    // fanOut=false: r16's own isolation table measured the v3 family ~1 s/row
+    // FASTER with the scan guard off (s_reject 7.16 vs 8.54, clean_gated 6.48
+    // vs 7.53) — its long cached-frame job chains amortize the 1-task scan
+    // better than they tolerate the extra partitions; re-measured r17
+    val planted = corpusV3Plant(Tables.documents(s, dir, fanOut = false))
     val lc = TextAnalysis.lineCleanColumns(col("text")).toMap
+    // Fence (guide §4.4, the clean_gated finding): each filter below is on
+    // an expensive DERIVED column of an UNCACHED frame — without the fence
+    // PushDownPredicates substitutes the full line-clean / quality /
+    // repetition kernels into the filter and pushes it to the scan, so
+    // every kernel evaluates twice per row (pushed filter + projection).
+    val fence = graft.functions.expressions.Fence
     val cleaned = planted.select(col("doc_id"), col("source"),
-        lc("clean_text").as("text"), lc("line_keep_ratio").as("ratio"))
+        lc("clean_text").as("text"), fence(lc("line_keep_ratio")).as("ratio"))
       .filter(col("ratio") >= 0.7)
       .select("doc_id", "source", "text")
     val q = TextAnalysis.qualityColumns(col("text")).toMap
     val r = TextAnalysis.repetitionColumns(col("text")).toMap
     val filtered = cleaned.select(col("doc_id"), col("source"), col("text"),
-        q("n_tokens").as("n_tokens"), q("quality_score").as("quality_score"),
-        r("dup_gram2_ratio").as("g2"), r("top_token_ratio").as("tt"))
+        q("n_tokens").as("n_tokens"),
+        fence(q("quality_score")).as("quality_score"),
+        fence(r("dup_gram2_ratio")).as("g2"),
+        fence(r("top_token_ratio")).as("tt"))
       .filter(col("quality_score") >= CorpusQualityMin &&
         col("g2") <= CorpusDupGram2Max && col("tt") <= CorpusTopTokenMax)
     // cached: the span stage references it twice (shingle index +
@@ -4707,7 +4723,10 @@ object PipelineQueries {
           .otherwise(lit(""))).as("text"))
     val lc = TextAnalysis.lineCleanColumns(col("text")).toMap
     planted.select(col("doc_id"),
-        lc("clean_text").as("text"), lc("line_keep_ratio").as("ratio"))
+        lc("clean_text").as("text"),
+        // fence: the ratio gate must not push below with the line-clean
+        // kernel substituted (guide §4.4)
+        graft.functions.expressions.Fence(lc("line_keep_ratio")).as("ratio"))
       .filter(col("ratio") >= 0.7)
       .select("doc_id", "text")
   }
@@ -6808,7 +6827,10 @@ object PipelineQueries {
         val filtered = Tables.documents(s, dir)
           .select(col("doc_id"), col("text"),
             cols("n_tokens").as("n_tokens"),
-            cols("quality_score").as("quality_score"))
+            // fence: keeps the quality kernel out of the pushed filter
+            // (guide §4.4 — evaluated once, above the scan fan-out)
+            graft.functions.expressions.Fence(cols("quality_score"))
+              .as("quality_score"))
           .filter(col("quality_score") >= 0.5)
         filtered
           .withColumn("rep_id",
@@ -6860,9 +6882,16 @@ object PipelineQueries {
           // predicate pushdown + CombineFilters the length conjunct stays
           // left of the quality conjunct and codegen short-circuits it.
           .filter(lg("len_pass") === 1)
+          // Fence (guide §4.4): without it, PushDownPredicates substitutes
+          // the full quality kernel into the `>= 0.5` filter and pushes it
+          // below the scan fan-out Exchange — the corpus pays tokenization
+          // TWICE, with one copy in the 1-task scan stage (profiled: a
+          // 6.2 s single-task job in this 6.8 s row). The cheap length
+          // gate above still pushes to the scan, as it should.
           .select(col("doc_id"), col("text"),
             cols("n_tokens").as("n_tokens"),
-            cols("quality_score").as("quality_score"))
+            graft.functions.expressions.Fence(cols("quality_score"))
+              .as("quality_score"))
           .filter(col("quality_score") >= 0.5)
           .withColumn("rep_id",
             min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
@@ -6917,9 +6946,11 @@ object PipelineQueries {
         val r = TextAnalysis.repetitionColumns(col("text")).toMap
         Tables.documents(s, dir)
           .select(col("doc_id"), col("text"),
-            q("n_tokens").as("n_tokens"), q("quality_score").as("quality_score"),
-            r("dup_gram2_ratio").as("dup_gram2_ratio"),
-            r("top_token_ratio").as("top_token_ratio"))
+            q("n_tokens").as("n_tokens"),
+            // fences: see pipeline_corpus_clean (guide §4.4)
+            graft.functions.expressions.Fence(q("quality_score")).as("quality_score"),
+            graft.functions.expressions.Fence(r("dup_gram2_ratio")).as("dup_gram2_ratio"),
+            graft.functions.expressions.Fence(r("top_token_ratio")).as("top_token_ratio"))
           .filter(col("quality_score") >= 0.5 &&
             col("dup_gram2_ratio") <= 0.05 && col("top_token_ratio") <= 0.2)
           .withColumn("rep_id",

@@ -468,10 +468,15 @@ object StreamingQueries {
           .select(col("doc_id"), pii("redacted").as("text"))
         val q = graft.text.TextAnalysis.qualityColumns(col("text")).toMap
         val r = graft.text.TextAnalysis.repetitionColumns(col("text")).toMap
+        // fences (guide §4.4): per MICRO-BATCH the gate filter would
+        // otherwise re-evaluate every kernel inside the pushed predicate
+        val fence = graft.functions.expressions.Fence
         val cleaned = red
           .select(md5(col("text")).as("digest"),
-            q("n_tokens").as("n_tokens"), q("quality_score").as("quality_score"),
-            r("dup_gram2_ratio").as("g2"), r("top_token_ratio").as("tt"))
+            q("n_tokens").as("n_tokens"),
+            fence(q("quality_score")).as("quality_score"),
+            fence(r("dup_gram2_ratio")).as("g2"),
+            fence(r("top_token_ratio")).as("tt"))
           .filter(col("quality_score") >= 0.5 &&
             col("g2") <= 0.05 && col("tt") <= 0.2)
           .withColumn("event_time", current_timestamp())
@@ -521,10 +526,14 @@ object StreamingQueries {
         val g = graft.text.TextAnalysis.gopherColumns(col("text")).toMap
         val u = graft.text.TextAnalysis
           .urlColumns(col("text"), PipelineQueries.UrlBlocklist).toMap
+        // fences (guide §4.4): see stream_pipeline_clean
+        val fence = graft.functions.expressions.Fence
         val cleaned = red
           .select(col("doc_id"), md5(col("text")).as("digest"),
-            q("n_tokens").as("n_tokens"), q("quality_score").as("quality_score"),
-            g("gopher_pass").as("gp"), u("url_blocked").as("ub"))
+            q("n_tokens").as("n_tokens"),
+            fence(q("quality_score")).as("quality_score"),
+            fence(g("gopher_pass")).as("gp"),
+            fence(u("url_blocked")).as("ub"))
           .filter(col("quality_score") >= 0.5 && col("gp") === 1 && col("ub") === 0)
         // the static side of a stream-static join re-executes per
         // micro-batch; cache it so the benchmark gram probe over the

@@ -356,10 +356,17 @@ object QualityClassifier {
     * floor(1e6·s) and pred = [s ≥ 0].
     */
   def score(feats: DataFrame, idCol: String, m: Model): DataFrame = {
-    val s = marginCol(col("fx"), m.w)
-    feats.select(col(idCol),
-      floor(lit(ScoreScale) * s).cast("long").as("score_q"),
-      (s >= lit(0.0)).cast("int").as("pred"))
+    // the margin fold evaluates ONCE behind a pushdown fence (guide §4.4):
+    // downstream `.filter(pred === 1)` gates would otherwise be rewritten
+    // with the fold substituted in and pushed below this projection —
+    // every consumer paid the fold twice per row. CollapseProject cannot
+    // inline a non-deterministic column used twice, so the two-projection
+    // shape is stable.
+    val m0 = graft.functions.expressions.Fence(marginCol(col("fx"), m.w))
+    feats.select(col(idCol), m0.as("__margin"))
+      .select(col(idCol),
+        floor(lit(ScoreScale) * col("__margin")).cast("long").as("score_q"),
+        (col("__margin") >= lit(0.0)).cast("int").as("pred"))
   }
 
   /** Streaming-safe scorer: the per-doc presence buckets built as PURE
@@ -371,10 +378,14 @@ object QualityClassifier {
     */
   def scorePresenceFold(corpus: DataFrame, idCol: String, textCol: String,
       m: Model): DataFrame = {
-    val s = presenceMarginCol(col(textCol), m)
-    corpus.select(col(idCol),
-      floor(lit(ScoreScale) * s).cast("long").as("score_q"),
-      (s >= lit(0.0)).cast("int").as("pred"))
+    // same §4.4 fence as [[score]] — here the duplicated work would be the
+    // whole per-row tokenize+bucket+fold text kernel, per micro-batch on
+    // the streaming consumers
+    val m0 = graft.functions.expressions.Fence(presenceMarginCol(col(textCol), m))
+    corpus.select(col(idCol), m0.as("__margin"))
+      .select(col(idCol),
+        floor(lit(ScoreScale) * col("__margin")).cast("long").as("score_q"),
+        (col("__margin") >= lit(0.0)).cast("int").as("pred"))
   }
 
   /** The streaming margin as a bare column — for pipelines that carry it
